@@ -1,0 +1,80 @@
+"""Table catalog over an ``sf_dir`` of parquet tables.
+
+The reference ingests taxonomy + abundance files into PostgreSQL
+(public path ``bpaotu/otu/importer.py``); here the durable store is
+parquet and the "catalog" is a thin registry that hands out lazily
+planned DataFrames, so Catalyst sees the parquet scan directly and can
+push filters / prune columns into it.
+
+At 100 TB the same function signature points at a partitioned parquet
+lake (or an external catalog); nothing downstream changes because every
+operator takes DataFrames, not paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dim tables small enough to broadcast at ANY scale factor: the TPC-H-ish
+# generators grow the fact tables, while these stay bounded (region=5,
+# nation=25; customer/supplier/part grow slowly and stay << fact size).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+        # read as epoch-nanos BIGINT. Set at runtime so the engine works
+        # under ANY caller-provided session, not just our tuned factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # Driver parquet carries naive (NTZ) timestamps; the session timezone is
+    # pinned UTC, so casting to TIMESTAMP_LTZ preserves the wall-clock instant
+    # and makes unix_millis()/window() available (they reject NTZ). DuckDB
+    # reads the same values as naive and epoch_ms() agrees.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet → read as epoch-nanos BIGINT
+        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros, the
+        # same value DuckDB/Arrow readers see.
+        field = dict(df.dtypes).get("ts")
+        if field == "bigint":
+            # Integer div, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+            # 53-bit mantissa, so float division drifts by ±1 µs/ms.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table as a lazy DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql usage)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,367 @@
+"""Event-stream operators (batch form).
+
+The reference has no event stream; these are the Spark-first additions
+over the ``events`` table (sessionization, as-of join, funnel,
+retention, JSON prop extraction, windowed aggregation). The streaming
+(readStream) twins live in ``bpaotu_spark.streaming``; these batch
+forms share semantics with them and carry the DuckDB oracles.
+
+Timestamps are exported as epoch milliseconds (``unix_millis`` /
+``epoch_ms``) so both engines hash identical integers regardless of
+timestamp rendering.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30 minutes
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events — gap-based sessionization via lag + running sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH marked AS (
+  SELECT
+    user_id, event_id, value,
+    epoch_ms(ts) AS t_ms,
+    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+           OR lag(epoch_ms(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY t_ms ASC, event_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT
+  user_id,
+  session_id,
+  count(*) AS n_events,
+  min(t_ms) AS session_start_ms,
+  max(t_ms) AS session_end_ms,
+  CAST(round(sum(value), 4) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_millis("ts").alias("t_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_ms").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("t_ms").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("t_ms") - prev) > SESSION_GAP_MS), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wsum)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t_ms").alias("session_start_ms"),
+        F.max("t_ms").alias("session_end_ms"),
+        F.round(F.sum("value"), 4).cast("double").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_session_window — same semantics via Spark's native session_window
+# (the batch twin of the streaming sessionization job).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_window",
+    oracle=f"""
+WITH marked AS (
+  SELECT
+    user_id, event_id, value,
+    epoch_ms(ts) AS t_ms,
+    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {SESSION_GAP_MS}
+           OR lag(epoch_ms(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY t_ms ASC, event_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT
+  user_id,
+  min(t_ms) AS session_start_ms,
+  max(t_ms) + {SESSION_GAP_MS} AS session_end_ms,
+  count(*) AS n_events,
+  CAST(round(sum(value), 4) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window: sessions close after a 30-min silence.
+
+    Spark's session_window treats a gap exactly equal to the gap duration
+    as a NEW session (window is [start, last+gap)), hence ``>=`` in the
+    oracle where ``sessionize_events`` uses ``>``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# asof_join — for each event, the latest order (by o_orderdate) of the same
+# user at-or-before the event. Spark-first: single sort-merge pass over the
+# union (one shuffle on user), not an O(events × orders) join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    oracle="""
+SELECT
+  e.event_id,
+  e.user_id,
+  epoch_ms(e.ts) AS ts_ms,
+  o.o_orderkey,
+  epoch_ms(o.o_orderdate) AS order_ms,
+  o.o_totalprice
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+  PARTITION BY e.event_id
+  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+) = 1
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.lit(0).alias("is_right"),
+        F.col("event_id"),
+        F.lit(None).cast("struct<o_orderkey:bigint,order_ms:bigint,o_totalprice:double>").alias("ord"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"),
+        F.unix_millis("o_orderdate").alias("t_ms"),
+        F.lit(-1).alias("is_right"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.struct(
+            F.col("o_orderkey"),
+            F.unix_millis("o_orderdate").alias("order_ms"),
+            F.col("o_totalprice"),
+        ).alias("ord"),
+    )
+    # Order rows sort before event rows at equal timestamps (is_right -1<0) so
+    # an order dated exactly at the event time matches (<= semantics); among
+    # equal-dated orders the greatest o_orderkey wins (orderkey ASC, last wins).
+    unioned = od.unionByName(ev)
+    w = (
+        Window.partitionBy("u")
+        .orderBy(
+            F.col("t_ms").asc(),
+            F.col("is_right").asc(),
+            F.coalesce(F.col("ord.o_orderkey"), F.lit(2**62)).asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+    return filled.filter(F.col("is_right") == 0).select(
+        F.col("event_id"),
+        F.col("u").alias("user_id"),
+        F.col("t_ms").alias("ts_ms"),
+        F.col("last_ord.o_orderkey").alias("o_orderkey"),
+        F.col("last_ord.order_ms").alias("order_ms"),
+        F.col("last_ord.o_totalprice").alias("o_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion — staged funnel signup → view → purchase, ordered in time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT count(*) FROM s1) AS n_signup,
+  (SELECT count(*) FROM s2) AS n_signup_view,
+  (SELECT count(*) FROM s3) AS n_full_funnel
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_signup_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# json_extraction — JSON prop extraction + aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extraction",
+    oracle="""
+SELECT
+  event_type,
+  CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS DOUBLE) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).cast("double").alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention_daily — day-over-day distinct-user retention.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_daily",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+)
+SELECT
+  strftime(a.day, '%Y-%m-%d') AS day,
+  count(a.user_id) AS n_active,
+  count(b.user_id) AS n_retained
+FROM d a
+LEFT JOIN d b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+""",
+)
+def retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    b = d.select(F.col("day").alias("b_day"), F.col("user_id").alias("b_user"))
+    joined = d.join(
+        b,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_day") == F.date_add(F.col("day"), 1)),
+        "left",
+    )
+    return joined.groupBy("day").agg(
+        F.count("user_id").alias("n_active"),
+        F.count("b_user").alias("n_retained"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active", "n_retained"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_windowed_agg — tumbling 1-hour window aggregation (the batch
+# equivalent of the streaming watermark+window job in bpaotu_spark.streaming).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_windowed_agg",
+    oracle="""
+SELECT
+  epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+  event_type,
+  count(*) AS n_events,
+  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

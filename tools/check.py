@@ -1,0 +1,115 @@
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare.
+
+Runs every ``queries()`` entry at a scale factor and compares against
+``oracle_sql()`` via DuckDB: row count, sorted column names, and an
+order-insensitive value hash. Usage::
+
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.4f}"
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    import __spark_entry__ as e
+    from bpaotu_spark.session import get_session
+
+    spark = get_session("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in sorted(qs.items()):
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: rows={len(srows)} cols={scols} "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        rows_ok = len(srows) == len(orows)
+        schema_ok = sorted(scols) == sorted(ocols)
+        hash_ok = schema_ok and table_hash(srows, scols) == table_hash(orows, ocols)
+        ok = rows_ok and schema_ok and hash_ok
+        n_pass += ok
+        n_fail += not ok
+        mark = "PASS" if ok else "FAIL"
+        print(
+            f"{mark} {name}: rows {len(srows)}/{len(orows)} "
+            f"schema={'ok' if schema_ok else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"hash={'ok' if hash_ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+        )
+        if not hash_ok and schema_ok and rows_ok:
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ss = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
+            oo = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in orows)
+            diffs = [(a, b) for a, b in zip(ss, oo) if a != b][:3]
+            for a, b in diffs:
+                print(f"    spark : {a[:200]}")
+                print(f"    oracle: {b[:200]}")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

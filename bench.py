@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": "sf0.1"}
+
+Each query is forced with the ``noop`` sink (full computation, no
+driver collect, no disk write) so the measured time is plan execution,
+not result materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_per_group",
+    "sessionize_events",
+    "asof_join",
+    "retention_daily",
+    "contextual_filter_and",
+    "taxonomy_drilldown",
+    "abundance_matrix",
+    "alpha_diversity",
+    "beta_diversity_braycurtis",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality",
+)
+
+
+def force(df) -> int:
+    """Execute the full plan without collecting results to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bpaotu_spark.session import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM/codegen once on the smallest query so query #1 doesn't
+    # absorb the session startup cost.
+    force(qs[names[0]](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": os.path.basename(sf_dir.rstrip("/")),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Core OLAP operators: result sanity + plan-shape assertions.
+
+Plan shape is the scale contract: dim joins must be broadcast (no
+fact-side shuffle) and filters must reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_groups(spark, sf_dir):
+    rows = QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    assert len(rows) == 6  # 3 returnflags x 2 linestatuses minus empty combos
+    by_key = {(r.l_returnflag, r.l_linestatus): r for r in rows}
+    for r in rows:
+        assert r.sum_qty > 0 and r.count_order > 0
+        assert r.sum_disc_price <= r.sum_base_price
+    assert ("R", "F") in by_key
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    p = plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    p = plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    p = plan(df)
+    # 5 dim joins, every one broadcast: the lineitem fact never shuffles
+    # before aggregation. (formatted plans print each node twice: once in
+    # the tree, once as a "(n) BroadcastHashJoin" detail header)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) == 5
+    assert "SortMergeJoin" not in p
+    rows = df.collect()
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_topk_per_group_k(spark, sf_dir):
+    rows = QUERIES["topk_per_group"](spark, sf_dir).collect()
+    from collections import Counter
+
+    per_brand = Counter(r.p_brand for r in rows)
+    assert max(per_brand.values()) <= 3
+    assert all(1 <= r.rnk <= 3 for r in rows)
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    rows = QUERIES["rollup_hierarchy"](spark, sf_dir).collect()
+    grand = [r for r in rows if r.r_name is None and r.n_name is None]
+    assert len(grand) == 1
+    assert grand[0].n_customers == 150
+
+
+def test_cube_has_all_groupings(spark, sf_dir):
+    rows = QUERIES["cube_returns"](spark, sf_dir).collect()
+    # grand total + per-flag + per-status + per-pair
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].n_items == sum(
+        r.n_items for r in rows if r.l_returnflag is not None and r.l_linestatus is not None
+    )
+
+
+def test_pivot_wide_counts(spark, sf_dir, tables):
+    rows = QUERIES["pivot_wide"](spark, sf_dir).collect()
+    total = sum(r.cnt_o + r.cnt_f + r.cnt_p for r in rows)
+    assert total == tables["orders"].count()
+
+
+def test_histogram_covers_all_rows(spark, sf_dir, tables):
+    rows = QUERIES["histogram_binning"](spark, sf_dir).collect()
+    assert sum(r.n_items for r in rows) == tables["lineitem"].count()
+    for r in rows:
+        assert r.bin_lo == r.bin * 5000
+
+
+def test_decile_stats_monotone(spark, sf_dir):
+    rows = sorted(QUERIES["decile_stats"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_price <= b.min_price  # deciles partition the sorted order

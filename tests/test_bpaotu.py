@@ -1,0 +1,101 @@
+"""bpaotu operator family: diversity math, rollup shape, matrix shape."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.operators.bpaotu import BRANDS, abundance, _brand_alias
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_alpha_diversity_matches_manual_shannon(spark, sf_dir):
+    rows = QUERIES["alpha_diversity"](spark, sf_dir).collect()
+    assert rows
+    ab = (
+        abundance(spark, sf_dir)
+        .groupBy("sample_id", "otu_id")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_sample = defaultdict(list)
+    for r in ab:
+        per_sample[r.sample_id].append(r.c)
+    for r in rows[:50]:
+        cs = per_sample[r.sample_id]
+        tot = sum(cs)
+        h = -sum((c / tot) * math.log(c / tot) for c in cs)
+        assert abs(r.shannon - round(h, 4)) < 1e-6
+        assert r.richness == len(cs)
+
+
+def test_braycurtis_bounds_and_symmetric_pairs(spark, sf_dir):
+    rows = QUERIES["beta_diversity_braycurtis"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 0.0 <= r.bray_curtis <= 1.0
+        assert r.sample_a < r.sample_b  # canonical pair order, no dupes
+        assert (r.sample_a, r.sample_b) not in seen
+        seen.add((r.sample_a, r.sample_b))
+
+
+def test_braycurtis_no_cartesian_in_plan(spark, sf_dir):
+    df = QUERIES["beta_diversity_braycurtis"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_abundance_matrix_shape_and_margins(spark, sf_dir, tables):
+    df = QUERIES["abundance_matrix"](spark, sf_dir)
+    assert df.columns == ["sample_id"] + [_brand_alias(b) for b in BRANDS]
+    assert df.count() == tables["customer"].count()
+    # matrix grand total == fact grand total
+    total = df.select(
+        sum(F.sum(c) for c in df.columns[1:]).alias("t")
+    ).collect()[0].t
+    fact_total = abundance(spark, sf_dir).agg(F.sum("cnt")).collect()[0][0]
+    assert abs(total - fact_total) < 1e-6
+
+
+def test_krona_rollup_depth_consistency(spark, sf_dir):
+    rows = QUERIES["krona_rollup"](spark, sf_dir).collect()
+    by_depth = {}
+    for r in rows:
+        by_depth.setdefault(r.depth, 0)
+        by_depth[r.depth] += r.total_abundance
+    # every rollup level sums to the same grand total
+    assert len(by_depth) == 4
+    vals = list(by_depth.values())
+    assert all(abs(v - vals[0]) < 1e-4 for v in vals)
+
+
+def test_sample_summary_respects_filter(spark, sf_dir):
+    rows = QUERIES["sample_summary"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.c_acctbal > 1000.0
+        assert r.richness <= r.total_abundance  # counts are >= 1 each
+
+
+def test_drilldown_options_cover_filtered_taxa(spark, sf_dir, tables):
+    rows = QUERIES["taxonomy_drilldown"](spark, sf_dir).collect()
+    n_taxa = sum(r.n_taxa for r in rows)
+    promo_with_abundance = (
+        abundance(spark, sf_dir)
+        .join(
+            tables["part"].filter(F.col("p_type") == "PROMO"),
+            F.col("otu_id") == F.col("p_partkey"),
+        )
+        .select("p_partkey")
+        .distinct()
+        .count()
+    )
+    assert n_taxa == promo_with_abundance

@@ -1,0 +1,60 @@
+"""ContextualFilter / TaxonomyFilter builder semantics (unit-level)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bpaotu_spark.plans.filters import ContextualFilter, Pred
+from bpaotu_spark.plans.taxonomy import RankFix, TaxonomyFilter
+
+
+def test_pred_validates_operator():
+    with pytest.raises(ValueError):
+        Pred("x", "like")  # type: ignore[arg-type]
+    with pytest.raises(ValueError):
+        Pred("x", "between", 3)
+    with pytest.raises(ValueError):
+        Pred("x", "in", "notalist")
+
+
+def test_pred_sql_escapes_quotes_and_like_wildcards():
+    assert Pred("f", "eq", "O'Brien").sql() == "f = 'O''Brien'"
+    assert Pred("f", "contains", "10%_x").sql() == r"f LIKE '%10\%\_x%'"
+
+
+def test_filter_modes_spark_vs_local(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 5.0), (2, "ab", -1.0), (3, None, 2.0)], "id int, s string, v double"
+    )
+    both = ContextualFilter.of([Pred("s", "contains", "a"), Pred("v", "gt", 0.0)], "and")
+    assert [r.id for r in df.filter(both.column()).collect()] == [1]
+    either = ContextualFilter.of([Pred("s", "isnull"), Pred("v", "lt", 0.0)], "or")
+    assert sorted(r.id for r in df.filter(either.column()).collect()) == [2, 3]
+    empty = ContextualFilter.of([], "and")
+    assert df.filter(empty.column()).count() == 3
+
+
+def test_filter_pushes_to_parquet_scan(spark, sf_dir, tables):
+    cf = ContextualFilter.of(
+        [Pred("c_acctbal", "gt", 0.0), Pred("c_mktsegment", "eq", "BUILDING")], "and"
+    )
+    df = tables["customer"].filter(cf.column())
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(c_acctbal,0.0)" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_taxonomy_next_rank_and_sql():
+    tf = TaxonomyFilter(("k", "p", "c"), (RankFix(0, "Bacteria"),))
+    assert tf.next_rank() == "p"
+    assert tf.sql() == "k = 'Bacteria'"
+    tf2 = TaxonomyFilter(("k", "p", "c"), (RankFix(0, "Bacteria"), RankFix(1, "Firmicutes")))
+    assert tf2.next_rank() == "c"
+    with pytest.raises(ValueError):
+        TaxonomyFilter(("k",), (RankFix(0, "x"),)).next_rank()
+    # negated fixes narrow the set but do not advance the drill depth
+    tf3 = TaxonomyFilter(("k", "p"), (RankFix(0, "x", negated=True),))
+    assert tf3.next_rank() == "k"

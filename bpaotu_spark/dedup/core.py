@@ -1,0 +1,411 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup modes over the ``documents`` table (and ``embeddings`` for
+the vector variant), all expressed as DataFrame plans with
+deterministic md5-derived hashing so the DuckDB oracle reproduces every
+bit — no random seeds, no Python UDFs:
+
+- **exact**       — md5(raw text) group key.
+- **ngram-jaccard** — word-3-gram inverted-index join (candidates share
+  at least one shingle), exact Jaccard on distinct shingles.
+- **minhash-LSH** — K=16 md5-permutation signatures (min over shingle
+  hashes; hex strings compare like the integers they encode), banded
+  into 8 bands × 2 rows; candidate pairs share ≥1 band bucket.
+- **simhash**     — 32-bit simhash from per-token md5 nibbles; pairs
+  within Hamming ≤ 3 found via 4×8-bit band blocking (pigeonhole:
+  3 flipped bits cannot touch all 4 bands).
+- **embedding**   — cosine near-dup pairs, blocked on the label column.
+
+Scale shape: every pair-forming join is *blocked* — by shared shingle,
+band bucket, or label — so pair candidates grow with block co-membership,
+never as |table|². This is the standard shape for web-scale dedup
+(MinHash banding as in Broder '97; SimHash banding as in Manku et al.
+WWW'07), and each block join is an ordinary shuffle join Catalyst/AQE
+can plan (skewed mega-buckets split by AQE skew-join handling).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize, word_ngrams
+from bpaotu_spark.registry import register
+
+# SQL twin of the distinct word-3-gram set per document (window-lead
+# form; the Spark side uses transform+slice — same resulting set).
+NGRAMS_SQL = f"""
+toks AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS t FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS g
+  FROM (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t,1) AS pos FROM toks)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok,2) OVER w IS NOT NULL
+)
+""".strip()
+
+
+def doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 3-gram) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", word_ngrams(tokenize(F.col("text")), 3).alias("gs"))
+        .select("doc_id", F.explode("gs").alias("g"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — md5 hash-groupBy. One row per document with its group
+# assignment, so the result is informative even with zero duplicates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents
+), g AS (
+  SELECT text_hash, count(*) AS group_size, min(doc_id) AS keeper_id
+  FROM h GROUP BY text_hash
+)
+SELECT doc_id, h.text_hash, group_size, keeper_id,
+       (doc_id != keeper_id) AS is_duplicate
+FROM h JOIN g ON h.text_hash = g.text_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    groups = docs.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keeper_id")
+    )
+    return docs.join(groups, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        "group_size",
+        "keeper_id",
+        (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — inverted-index candidate join + exact Jaccard.
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(round(shared * 1.0 / (x.n + y.n - shared), 4) AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sz x ON doc_a = x.doc_id
+JOIN sz y ON doc_b = y.doc_id
+WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf_dir)
+    sz = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ng.select(F.col("doc_id").alias("doc_a"), "g")
+    b = ng.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    pairs = (
+        a.join(b, (a.g == b.g_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — md5-permutation MinHash + banded LSH.
+# Hex md5 strings are compared AS STRINGS: lexicographic min over
+# fixed-width lowercase hex == numeric min, and both engines agree.
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16
+LSH_BANDS = 8
+ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+
+def _sig_exprs_spark() -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("g")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def _sig_exprs_sql() -> str:
+    return ",\n    ".join(
+        f"min(md5(CAST({i} AS VARCHAR) || g)) AS h{i}" for i in range(MINHASH_K)
+    )
+
+
+def _band_key_sql(b: int) -> str:
+    cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    return " || '|' || ".join(cols)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+sig AS (
+  SELECT doc_id,
+    {_sig_exprs_sql()}
+  FROM ng GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf_dir)
+    sig = ng.groupBy("doc_id").agg(*_sig_exprs_spark())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b) & (a.key == b.key_b) & (a.doc_a < b.doc_b),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 32-bit simhash + Hamming ≤ 3 via 4×8-bit band blocking.
+# Per-token 32-bit feature hash = first 8 hex nibbles of md5(token),
+# decoded with strpos arithmetic (identical in both engines). 16 bits is
+# too collision-prone on a shared-vocabulary corpus (1/3 of all pairs
+# matched in testing); 32 bits keeps band buckets selective.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+_HEX = "0123456789abcdef"
+
+
+def _nibble_sql(expr: str, pos: int) -> str:
+    return f"(strpos('{_HEX}', substr({expr}, {pos + 1}, 1)) - 1)"
+
+
+_NIBBLES = SIMHASH_BITS // 4
+
+
+def _feature_hash_sql() -> str:
+    md5 = "md5(tok)"
+    return " + ".join(
+        f"{_nibble_sql(md5, i)} * {16 ** (_NIBBLES - 1 - i)}" for i in range(_NIBBLES)
+    )
+
+
+def _feature_hash_spark(tok: Column) -> Column:
+    md5 = F.md5(tok)
+    out = F.lit(0).cast("long")
+    for i in range(_NIBBLES):
+        nib = (F.instr(F.lit(_HEX), F.substring(md5, i + 1, 1)) - 1).cast("long")
+        out = out + nib * (16 ** (_NIBBLES - 1 - i))
+    return out
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), feat AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t
+), fh AS (
+  SELECT doc_id, {_feature_hash_sql()} AS h FROM feat
+), bits AS (
+  SELECT doc_id, j,
+    sum(CASE WHEN (h // (1 << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM fh, (SELECT unnest(range({SIMHASH_BITS})) AS j)
+  GROUP BY doc_id, j
+), sh AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b,
+    (simhash >> (b * 8)) % 256 AS band_val
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b)
+)
+SELECT DISTINCT
+  x.doc_id AS doc_a, y.doc_id AS doc_b,
+  bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM banded x JOIN banded y
+  ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+        .select("doc_id", _feature_hash_spark(F.col("tok")).alias("h"))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    bits = (
+        feat.select("doc_id", "h", j)
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("h").cast("long") / F.pow(2, F.col("j"))).cast("long") % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias("v")
+        )
+    )
+    sh = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(2, F.col("j")).cast("long")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b")
+    # shiftright() needs a literal shift; 2^(4b) arithmetic is exact here
+    # (simhash < 2^16 fits a double mantissa with room to spare).
+    banded = sh.select("doc_id", "simhash", b).withColumn(
+        "band_val",
+        F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.col("b") * 8)).cast("long") % 256,
+    )
+    x = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "b", "band_val"
+    )
+    y = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("b").alias("b_y"),
+        F.col("band_val").alias("bv_y"),
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        x.join(
+            y,
+            (x.b == y.b_y) & (x.band_val == y.bv_y) & (x.doc_a < y.doc_b),
+        )
+        .filter(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding — cosine near-dup pairs, blocked on label.
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.3  # synthetic embeddings: within-label max ~0.4
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine similarity over two double arrays."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    )
+    return dot / (na * nb)
+
+
+COSINE_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+SELECT
+  a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+  CAST(round({COSINE_SQL}, 4) AS DOUBLE) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_a", "vec_b", "label", F.round(cos, 4).cast("double").alias("cos_sim")
+        )
+    )

@@ -1,0 +1,93 @@
+"""ANN + text operators."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.ann.core import N_QUERIES, TOP_K
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_bruteforce_topk_shape_and_order(spark, sf_dir):
+    rows = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, TOP_K + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.cand_id != q for r in rs)
+
+
+def test_lsh_results_subset_of_bucket(spark, sf_dir, tables):
+    """Every LSH neighbor shares the query's sign bucket."""
+    emb = {r.vec_id: list(r.embedding) for r in tables["embeddings"].collect()}
+
+    def bucket(v):
+        return "".join("1" if x >= 0 else "0" for x in v[:4])
+
+    for r in QUERIES["ann_lsh_topk"](spark, sf_dir).collect():
+        assert bucket(emb[r.query_id]) == bucket(emb[r.cand_id])
+
+
+def test_lsh_topk_matches_bruteforce_within_bucket(spark, sf_dir):
+    """LSH is exact *within* its candidate set: its top hit can never
+    beat brute force, and brute force rank-1 ≥ LSH rank-1 cosine."""
+    bf = {
+        (r.query_id, r.rnk): r.cos_sim
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.rnk): r.cos_sim
+        for r in QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    }
+    for (q, rnk), sim in lsh.items():
+        assert sim <= bf[(q, 1)] + 1e-9
+
+
+def test_langid_deterministic_and_scored(spark, sf_dir):
+    rows = QUERIES["text_langid"](spark, sf_dir).collect()
+    for r in rows:
+        scores = {
+            "de": r.score_de, "en": r.score_en, "es": r.score_es, "fr": r.score_fr
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        assert r.predicted_lang == best
+
+
+def test_quality_ratios_bounded(spark, sf_dir):
+    for r in QUERIES["text_quality"](spark, sf_dir).collect():
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.punct_ratio <= 1
+        assert r.n_words > 0 and r.chars_per_word > 0
+
+
+def test_token_count_relations(spark, sf_dir):
+    for r in QUERIES["text_token_count"](spark, sf_dir).collect():
+        assert r.n_bpeish_tokens >= r.n_words  # BPE-ish splits at least as fine
+
+
+def test_fingerprint_is_order_insensitive(spark):
+    from bpaotu_spark.functions.textops import tokenize
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox brown the quick"), (3, "other text")],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(tokenize(F.col("text")))))
+        ).alias("fp"),
+    ).collect()
+    fps = {r.doc_id: r.fp for r in out}
+    assert fps[1] == fps[2] != fps[3]

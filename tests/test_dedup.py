@@ -1,0 +1,77 @@
+"""Dedup family: hashing determinism, LSH recall, blocked-join plans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.dedup.core import (
+    JACCARD_THRESHOLD,
+    doc_ngrams,
+)
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dedup_exact_partitions_docs(spark, sf_dir, tables):
+    rows = QUERIES["dedup_exact"](spark, sf_dir).collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        assert r.group_size >= 1
+        assert r.is_duplicate == (r.doc_id != r.keeper_id)
+        assert len(r.text_hash) == 32
+
+
+def test_jaccard_pairs_above_threshold(spark, sf_dir):
+    rows = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    assert rows  # the synthetic corpus contains near-duplicates
+    for r in rows:
+        assert r.jaccard >= JACCARD_THRESHOLD
+        assert r.doc_a < r.doc_b
+
+
+def test_minhash_lsh_recalls_high_jaccard_pairs(spark, sf_dir):
+    """Banded LSH (8 bands × 2 rows) must surface essentially every
+    Jaccard ≥ 0.9 pair: per-pair miss probability (1-j²)⁸ < 4e-6."""
+    jac_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert jac_pairs, "corpus should contain >=0.9 pairs"
+    assert jac_pairs <= lsh_pairs
+
+
+def test_simhash_hamming_bound(spark, sf_dir):
+    rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    for r in rows[:200]:
+        assert 0 <= r.hamming <= 3
+        assert r.doc_a < r.doc_b
+    # canonical pairs, no duplicates across bands
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_embedding_dedup_blocked_no_cartesian(spark, sf_dir):
+    df = QUERIES["dedup_embedding"](spark, sf_dir)
+    assert "CartesianProduct" not in _plan(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert -1.0001 <= r.cos_sim <= 1.0001
+
+
+def test_ngrams_are_three_words(spark, sf_dir):
+    rows = doc_ngrams(spark, sf_dir).limit(100).collect()
+    for r in rows:
+        assert len(r.g.split(" ")) == 3

@@ -1,0 +1,70 @@
+"""Sources and sinks.
+
+The reference stores in PostgreSQL and exports CSV/BIOM (public paths
+``bpaotu/otu/importer.py``, ``bpaotu/otu/biom.py``); here the durable
+store is parquet and the export shapes are writer functions. JDBC is
+gated behind a clear error (no driver jar in this image) with the same
+function signature a cluster deployment would use.
+
+Scale notes: partitioned parquet writes are the 100 TB layout —
+``partition_by`` low-cardinality context columns so partition pruning
+serves the contextual filters; CSV/JSON are export formats, coalesced
+only when the caller asks for few files (a single-file export of a big
+result would bottleneck one task).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(header=True, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink; partition columns drive pruning for later readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source (PostgreSQL in the reference). No driver jar ships in
+    this image, so fail fast with the real error instead of a Py4J trace."""
+    try:
+        return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()
+    except Exception as exc:  # pragma: no cover - depends on jar presence
+        raise RuntimeError(
+            "JDBC read failed - a JDBC driver jar must be on the Spark "
+            "classpath (spark.jars); none ships in this image"
+        ) from exc

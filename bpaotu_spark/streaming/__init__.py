@@ -1,0 +1,15 @@
+"""Structured Streaming jobs over the events table."""
+
+from bpaotu_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+    windowed_agg_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "sessionize_stream",
+    "windowed_agg_stream",
+]

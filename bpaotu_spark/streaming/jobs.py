@@ -1,0 +1,109 @@
+"""Structured Streaming jobs over the events table.
+
+The reference has no streaming surface; these are the Spark-first
+additions. Each job is the streaming twin of a proven batch operator
+(same aggregation logic as ``bpaotu_spark.operators.events``), so the
+batch DuckDB oracles double as the streaming correctness baseline —
+the tests run each stream with ``availableNow`` (process-everything-
+then-stop) and diff against the batch result.
+
+Scale notes: file-source streams partition per file; watermarks bound
+the state store (late rows beyond the watermark are dropped instead of
+accumulating), and session_window state is per (user, open-session)
+only — both are the standard knobs that keep streaming state O(active
+keys), not O(history), on a long-running cluster job.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema the file stream needs up front (streams cannot infer).
+# ts arrives as epoch-nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong,
+# set by the session factory / catalog for the TIMESTAMP(NANOS) parquet).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events as a file-source stream with proper event-time ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File streams require a directory source; events.parquet is a single
+    # file, so stream the sf_dir with a glob filter (on a real lake this
+    # is just the events/ directory and new files arrive as new batches).
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed agg with watermark (streaming twin of
+    ``events_windowed_agg``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """session_window sessionization (streaming twin of
+    ``events_session_window``)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, complete: bool = True) -> None:
+    """Drain a stream into an in-memory table with availableNow."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,47 @@
+"""Streaming jobs vs their proven batch twins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bpaotu_spark.registry import QUERIES, load_all
+from bpaotu_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+    windowed_agg_stream,
+)
+
+load_all()
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_windowed_agg_stream_matches_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(windowed_agg_stream(ev), "t_win")
+    got = _rows(spark, "t_win")
+    want = {tuple(r) for r in QUERIES["events_windowed_agg"](spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(sessionize_stream(ev), "t_sess")
+    got = _rows(spark, "t_sess")
+    want = {
+        tuple(r) for r in QUERIES["events_session_window"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_is_incremental(spark, sf_dir):
+    """The stream plan must be a real streaming query (not batch in
+    disguise): it reports isStreaming and accepts a watermark."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    assert ev.isStreaming
+    agg = windowed_agg_stream(ev)
+    assert agg.isStreaming

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.dedup.core import cosine
+from bpaotu_spark.dedup.core import dot, norm
 from bpaotu_spark.registry import register
 
 TOP_K = 5
@@ -37,13 +37,22 @@ _COS = (
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
+    # Norms are precomputed per vector so the pair stage runs ONE fold
+    # (the dot) per candidate; cos = dot/(nq*nc) matches the oracle's
+    # arithmetic exactly.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
     )
-    corpus = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("nc"),
+    )
     return queries, corpus
 
 
@@ -93,7 +102,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_r", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_r",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6),
+        )
     )
     return _topk(scored)
 
@@ -142,6 +154,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("bucket_c"))
             & (F.col("query_id") != F.col("cand_id")),
         )
-        .withColumn("cos_r", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_r",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6),
+        )
     )
     return _topk(scored)

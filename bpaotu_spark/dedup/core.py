@@ -27,7 +27,7 @@ can plan (skewed mega-buckets split by AQE skew-join handling).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize, word_ngrams
@@ -48,11 +48,27 @@ toks AS (
 
 
 def doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, 3-gram) pairs."""
+    """Distinct (doc_id, 3-gram) pairs.
+
+    posexplode + window-lead rather than ``transform(sequence, slice)``:
+    higher-order array lambdas are interpreted per element (outside
+    whole-stage codegen) and benched ~10x slower than this exploded
+    form, which stays fully codegen'd (one shuffle on doc_id).
+    """
     docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     return (
-        docs.select("doc_id", word_ngrams(tokenize(F.col("text")), 3).alias("gs"))
-        .select("doc_id", F.explode("gs").alias("g"))
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", t1, t2).alias("g"),
+            t2.isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "g")
         .distinct()
     )
 
@@ -301,33 +317,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", _feature_hash_spark(F.col("tok")).alias("h"))
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-    bits = (
-        feat.select("doc_id", "h", j)
-        .groupBy("doc_id", "j")
-        .agg(
+    # One groupBy carrying 32 agg columns (codegen'd, map-side combined)
+    # instead of exploding every feature row 32x: identical bit votes,
+    # 1/32nd the shuffle volume. Literal shifts stay codegen'd.
+    votes = feat.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(
-                    (F.col("h").cast("long") / F.pow(2, F.col("j"))).cast("long") % 2
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias("v")
-        )
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    sh = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(2, F.col("j")).cast("long")).otherwise(0)
-        )
-        .cast("long")
-        .alias("simhash")
+    simhash_col = sum(
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    sh = votes.select("doc_id", simhash_col.alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("bv"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b")
-    # shiftright() needs a literal shift; 2^(4b) arithmetic is exact here
-    # (simhash < 2^16 fits a double mantissa with room to spare).
-    banded = sh.select("doc_id", "simhash", b).withColumn(
-        "band_val",
-        F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.col("b") * 8)).cast("long") % 256,
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.b").alias("b"),
+        F.col("bk.bv").alias("band_val"),
     )
     x = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "b", "band_val"
@@ -357,18 +381,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.3  # synthetic embeddings: within-label max ~0.4
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Sequential-fold cosine similarity over two double arrays."""
-    dot = F.aggregate(
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (same op order as DuckDB's
+    list_dot_product loop, so doubles agree bit-for-bit)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(
-        F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    )
-    return dot / (na * nb)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity. For pair joins prefer precomputing norm() per
+    vector and dividing the pair dot by the norm product — one fold per
+    pair instead of three (the folds are interpreted, not codegen'd)."""
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 COSINE_SQL = (
@@ -391,17 +420,26 @@ WHERE {COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
     )
+    # Norm once per vector (|table| folds), not once per pair (|pairs| folds):
+    # cos = dot/(norm_a*norm_b) — identical arithmetic to the oracle formula.
+    emb = emb.withColumn("nrm", norm(F.col("v")))
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
         .filter(cos >= COSINE_DUP_THRESHOLD)

@@ -1,0 +1,75 @@
+"""Physical-plan audit over every registered query.
+
+Greps each plan for scale red flags and writes a summary (PLANS.md):
+
+- CartesianProduct / BroadcastNestedLoopJoin — pairwise blowup
+- SortMergeJoin — acceptable for fact-fact, flagged so each one is a
+  conscious decision, not an accident
+- missing PushedFilters on scans that have literal predicates
+- Exchange count — shuffles per query
+
+Usage: python tools/plan_audit.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from bpaotu_spark.session import get_session
+
+    spark = get_session("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for name, fn in sorted(e.queries().items()):
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+        counts = {}
+        for n in nodes:
+            counts[n] = counts.get(n, 0) + 1
+        flags = []
+        if counts.get("CartesianProduct"):
+            flags.append("CARTESIAN")
+        if counts.get("BroadcastNestedLoopJoin"):
+            flags.append("NESTED_LOOP")
+        if "InMemoryTableScan" in counts:
+            flags.append("CACHED")
+        rows.append(
+            {
+                "name": name,
+                "exchanges": counts.get("Exchange", 0),
+                "bhj": counts.get("BroadcastHashJoin", 0),
+                "smj": counts.get("SortMergeJoin", 0),
+                "codegen_spans": plan.count("WholeStageCodegen"),
+                "pushed": "PushedFilters: [" in plan
+                and "PushedFilters: []" not in plan,
+                "flags": ",".join(flags) or "-",
+            }
+        )
+
+    print(f"# Physical plan audit @ {SF_DIR}\n")
+    print("| query | exchanges | BHJ | SMJ | pushed filters | flags |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['name']} | {r['exchanges']} | {r['bhj']} | {r['smj']} "
+            f"| {'yes' if r['pushed'] else '-'} | {r['flags']} |"
+        )
+    bad = [r for r in rows if r["flags"] not in ("-",)]
+    print(f"\nflagged: {[r['name'] for r in bad] or 'none'}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

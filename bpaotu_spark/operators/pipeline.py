@@ -1,0 +1,195 @@
+"""Training-data pipeline compositions.
+
+The operators a 100 TB LLM-data pipeline runs between raw corpus and
+training shards: deterministic splits, stratified sampling, the
+quality+dedup cleaning chain, and cardinality estimation. All split /
+sample decisions are **hash-based, not RNG-based** — rerunning the
+pipeline on the same data yields the same shards on any cluster size
+(and the DuckDB oracle reproduces them exactly).
+
+Scale notes: hash-split and sample are map-only (no shuffle at all —
+the predicate rides the scan); the cleaning chain is one scan + one
+hash-group shuffle; approx_count_distinct carries HLL sketches through
+map-side combine instead of shuffling distinct values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.functions.textops import (
+    STOPWORDS_EN,
+    TOKENIZE_SQL,
+    _sql_strlist,
+    tokenize,
+)
+from bpaotu_spark.registry import register
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets): 16-bit int from the first 4
+    hex nibbles of md5, mod buckets. Engine-independent."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+        % buckets
+    )
+
+
+def hash_bucket_sql(expr: str, buckets: int) -> str:
+    md5 = f"md5(CAST({expr} AS VARCHAR))"
+    nibbles = " + ".join(
+        f"(strpos('{_HEX}', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({nibbles}) % {buckets})"
+
+
+# ---------------------------------------------------------------------------
+# train_test_split — 80/10/10 deterministic split.
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 100
+_TRAIN_LT, _VALID_LT = 80, 90
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+SELECT doc_id,
+  CASE WHEN {hash_bucket_sql('doc_id', _SPLIT_BUCKETS)} < {_TRAIN_LT} THEN 'train'
+       WHEN {hash_bucket_sql('doc_id', _SPLIT_BUCKETS)} < {_VALID_LT} THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), _SPLIT_BUCKETS)
+    split = (
+        F.when(b < _TRAIN_LT, "train").when(b < _VALID_LT, "valid").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified — deterministic ~10% sample per language stratum.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MOD = 10
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {hash_bucket_sql('doc_id', _SAMPLE_MOD)} = 0
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod sampling is per-row i.i.d., so it is stratified-by-
+    construction over any partitioning of the corpus (each lang keeps
+    ~1/MOD of its docs) — unlike RDD.sample it is stable across reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket(F.col("doc_id"), _SAMPLE_MOD) == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_clean_pipeline — the canonical cleaning chain: quality gate →
+# exact-dup removal (keep lowest doc_id) → per-lang corpus stats.
+# ---------------------------------------------------------------------------
+
+_MIN_WORDS = 20
+_MIN_STOP_RATIO = 0.01
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {TOKENIZE_SQL} AS toks FROM documents
+), q AS (
+  SELECT doc_id, lang, text FROM t
+  WHERE len(toks) >= {_MIN_WORDS}
+    AND len(list_filter(toks, x -> list_contains({_sql_strlist(STOPWORDS_EN)}, x)))
+        * 1.0 / len(toks) > {_MIN_STOP_RATIO}
+), keep AS (
+  SELECT doc_id, lang, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM q
+)
+SELECT lang,
+  count(*) AS n_docs,
+  sum(length(text)) AS total_chars
+FROM keep WHERE rn = 1
+GROUP BY lang
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_words = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+    q = (
+        docs.select("doc_id", "lang", "text", toks.alias("toks"))
+        .filter(
+            (n_words >= _MIN_WORDS)
+            & (n_stop * 1.0 / n_words > _MIN_STOP_RATIO)
+        )
+        .select("doc_id", "lang", "text")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    kept = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_parts_per_brand — exact distinct (oracle-checked) and
+# approx_distinct_parts — HLL sketch variant (rows-only: sketch values
+# are engine-specific by construction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_parts_per_brand",
+    oracle="""
+SELECT p_brand,
+  count(DISTINCT p_type) AS n_types,
+  count(DISTINCT p_size) AS n_sizes,
+  count(*) AS n_parts
+FROM part
+GROUP BY p_brand
+""",
+)
+def distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@register("approx_distinct_parts")  # rows-only: HLL estimates are engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for cardinality: HLL sketches merge map-side, so
+    the shuffle carries one sketch per group instead of every distinct
+    value (countDistinct expands to a double aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

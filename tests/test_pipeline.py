@@ -1,0 +1,83 @@
+"""Training-pipeline operators: split determinism, sampling, cleaning."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.operators.pipeline import hash_bucket
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_split_deterministic_and_covering(spark, sf_dir, tables):
+    a = {(r.doc_id, r.split) for r in QUERIES["train_test_split"](spark, sf_dir).collect()}
+    b = {(r.doc_id, r.split) for r in QUERIES["train_test_split"](spark, sf_dir).collect()}
+    assert a == b  # rerun-stable
+    assert len(a) == tables["documents"].count()
+    from collections import Counter
+
+    frac = Counter(s for _, s in a)
+    n = len(a)
+    assert 0.7 < frac["train"] / n < 0.9
+    assert frac["train"] + frac["valid"] + frac["test"] == n
+
+
+def test_split_is_map_only(spark, sf_dir):
+    df = QUERIES["train_test_split"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # no shuffle: the split rides the scan
+
+
+def test_stratified_sample_rate_per_lang(spark, sf_dir, tables):
+    sample = QUERIES["sample_stratified"](spark, sf_dir).collect()
+    total = tables["documents"].count()
+    assert 0.04 < len(sample) / total < 0.2  # ~10% of 500 docs
+    # per-stratum: every language retains some docs at this corpus size
+    langs_all = {r.lang for r in tables["documents"].select("lang").distinct().collect()}
+    langs_sampled = {r.lang for r in sample}
+    assert langs_sampled <= langs_all
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket(F.col("id"), 7).alias("b"))
+    vals = {r.b for r in df.collect()}
+    assert vals == set(range(7))
+
+
+def test_corpus_clean_counts_bounded(spark, sf_dir, tables):
+    rows = QUERIES["corpus_clean_pipeline"](spark, sf_dir).collect()
+    assert rows
+    total_kept = sum(r.n_docs for r in rows)
+    assert 0 < total_kept <= tables["documents"].count()
+
+
+def test_q4_semi_join_plan(spark, sf_dir):
+    df = QUERIES["q4_order_priority"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan
+
+
+def test_moving_avg_window_trailing(spark, sf_dir):
+    rows = sorted(
+        QUERIES["moving_avg_window"](spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    # first day's ma7 == its own revenue (nothing precedes it)
+    assert abs(rows[0].ma7 - rows[0].revenue) < 1e-6
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir, tables):
+    rows = QUERIES["approx_distinct_parts"](spark, sf_dir).collect()
+    li = tables["lineitem"]
+    for r in rows:
+        exact = (
+            li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_partkey")
+            .distinct()
+            .count()
+        )
+        assert abs(r.approx_parts - exact) / exact < 0.1

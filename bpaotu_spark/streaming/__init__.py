@@ -13,3 +13,7 @@ __all__ = [
     "sessionize_stream",
     "windowed_agg_stream",
 ]
+
+from bpaotu_spark.streaming.jobs import dedup_stream, running_user_totals  # noqa: E402
+
+__all__ += ["dedup_stream", "running_user_totals"]

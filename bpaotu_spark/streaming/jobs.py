@@ -107,3 +107,53 @@ def run_to_memory(stream_df: DataFrame, name: str, complete: bool = True) -> Non
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    window — the scale-safe form of streaming dedup (plain
+    dropDuplicates state grows without bound on an infinite stream).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value total) maintained across micro-batches.
+
+    This is the arbitrary-stateful-processing escape hatch for
+    operators Spark's built-in streaming aggs can't express (custom
+    eviction, nested state machines); state is partitioned by group
+    key, so it scales horizontally like any keyed aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

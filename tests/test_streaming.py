@@ -45,3 +45,44 @@ def test_stream_is_incremental(spark, sf_dir):
     assert ev.isStreaming
     agg = windowed_agg_stream(ev)
     assert agg.isStreaming
+
+
+def test_streaming_dedup_bounds_state(spark, sf_dir, tables):
+    from bpaotu_spark.streaming.jobs import dedup_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        dedup_stream(ev).select("event_id"), "t_dedup", complete=False
+    )
+    n = spark.table("t_dedup").count()
+    assert n == tables["events"].select("event_id").distinct().count()
+
+
+def test_running_user_totals_stateful(spark, sf_dir, tables):
+    from bpaotu_spark.streaming.jobs import running_user_totals
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        running_user_totals(ev)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user == full batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_state").collect()
+    }
+    import pyspark.sql.functions as F
+
+    want = {
+        r.user_id: (r.n, round(r.t, 4))
+        for r in tables["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want

@@ -536,3 +536,45 @@ def export_long_abundance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sample_id", "otu_id", "p_type", "p_brand", "p_name")
         .agg(F.round(F.sum("cnt"), 4).cast("double").alias("abundance"))
     )
+
+
+# ---------------------------------------------------------------------------
+# map_binning_2d — the reference's map layer: samples binned into a 2-D
+# grid with per-cell counts and abundance sums (lat/lon in the
+# reference; two numeric context axes here — the operator is generic).
+# ---------------------------------------------------------------------------
+
+_BIN_X = 1000.0  # c_acctbal bin width
+_BIN_Y = 50000.0  # o_totalprice bin width
+
+
+@register(
+    "map_binning_2d",
+    oracle=f"""
+SELECT
+  CAST(floor(c_acctbal / {_BIN_X}) AS BIGINT) AS bin_x,
+  CAST(floor(o_totalprice / {_BIN_Y}) AS BIGINT) AS bin_y,
+  count(*) AS n_orders,
+  count(DISTINCT c_custkey) AS n_samples,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+""",
+)
+def map_binning_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy(
+            F.floor(F.col("c_acctbal") / _BIN_X).cast("bigint").alias("bin_x"),
+            F.floor(F.col("o_totalprice") / _BIN_Y).cast("bigint").alias("bin_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_samples"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 4)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

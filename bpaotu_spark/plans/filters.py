@@ -88,8 +88,17 @@ class Pred:
         if self.op == "in":
             return f"{f} IN ({', '.join(_sql_lit(v) for v in self.value)})"
         if self.op == "contains":
-            esc = str(self.value).replace("%", r"\%").replace("_", r"\_")
-            return f"{f} LIKE '%{esc}%'"
+            # LIKE wildcards in the needle are literal for contains();
+            # ESCAPE must be declared explicitly — backslash is NOT the
+            # default escape char in ANSI SQL (found by hypothesis).
+            esc = (
+                str(self.value)
+                .replace("\\", "\\\\")
+                .replace("%", r"\%")
+                .replace("_", r"\_")
+                .replace("'", "''")
+            )
+            return f"{f} LIKE '%{esc}%' ESCAPE '\\'"
         if self.op == "isnull":
             return f"{f} IS NULL"
         return f"{f} IS NOT NULL"
@@ -100,6 +109,12 @@ def _sql_lit(v: Any) -> str:
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # Numeric literals parse as DECIMAL in ANSI engines — even inside
+        # CAST(x AS DOUBLE) — and the DECIMAL hop rounds (hypothesis found
+        # -99.99999999999999 collapsing to -100.0). Casting the STRING
+        # form goes straight to double and round-trips repr() exactly.
+        return f"CAST('{v!r}' AS DOUBLE)"
     return str(v)
 
 

@@ -19,7 +19,8 @@ def test_pred_validates_operator():
 
 def test_pred_sql_escapes_quotes_and_like_wildcards():
     assert Pred("f", "eq", "O'Brien").sql() == "f = 'O''Brien'"
-    assert Pred("f", "contains", "10%_x").sql() == r"f LIKE '%10\%\_x%'"
+    assert Pred("f", "contains", "10%_x").sql() == r"f LIKE '%10\%\_x%' ESCAPE '\'"
+    assert Pred("f", "contains", "a'b").sql() == r"f LIKE '%a''b%' ESCAPE '\'"
 
 
 def test_filter_modes_spark_vs_local(spark):

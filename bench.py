@@ -40,6 +40,12 @@ HEADLINE = (
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "text_quality",
+    "corpus_clean_pipeline",
+    "train_test_split",
+    "q4_order_priority",
+    "moving_avg_window",
+    "export_biom_triplets",
+    "multimodal_decode",
 )
 
 

@@ -137,10 +137,20 @@ WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = doc_ngrams(spark, sf_dir)
     sz = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ng.select(F.col("doc_id").alias("doc_a"), "g")
-    b = ng.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    # Inverted-index blocking via bucket-collect + double explode (one
+    # pass over ng, no self-join recompute; the shingle is the block).
+    # Mega-buckets (stopword-ish shingles) are the classic hazard — at
+    # production scale add a doc-frequency cap on the bucket; here the
+    # max df is bounded (~25) by construction.
+    buckets = (
+        ng.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     pairs = (
-        a.join(b, (a.g == b.g_b) & (a.doc_a < b.doc_b))
+        buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -158,31 +168,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup_minhash_lsh — md5-permutation MinHash + banded LSH.
-# Hex md5 strings are compared AS STRINGS: lexicographic min over
-# fixed-width lowercase hex == numeric min, and both engines agree.
+# dedup_minhash_lsh — universal-hash MinHash + banded LSH (Broder '97).
+# ONE md5 per shingle yields a 32-bit integer x; the K "permutations"
+# are h_i(x) = (a_i·x + b_i) mod P with fixed odd a_i and prime P —
+# exact 64-bit integer arithmetic in both engines, and ~16x less hash
+# work than md5-per-permutation (whose wide string-min codegen also
+# proved JIT-fragile: measured 4s..256s swings).
 # ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
 
 MINHASH_K = 16
 LSH_BANDS = 8
 ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+_MH_P = 4294967311  # prime > 2^32; a_i*x + b_i < 2^38 — exact in a signed 64
+_MH_A = tuple(2 * i + 1 for i in range(MINHASH_K))
+_MH_B = tuple(97 * i + 13 for i in range(MINHASH_K))
+
+# 32-bit shingle hash from the first 8 md5 nibbles, in both dialects.
+_SHINGLE_X_SQL = " + ".join(
+    f"(strpos('{_HEX}', substr(md5(g), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+def _shingle_x_spark() -> Column:
+    return F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
 
 
 def _sig_exprs_spark() -> list[Column]:
     return [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("g")))).alias(f"h{i}")
+        F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % _MH_P).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
 
 
 def _sig_exprs_sql() -> str:
     return ",\n    ".join(
-        f"min(md5(CAST({i} AS VARCHAR) || g)) AS h{i}" for i in range(MINHASH_K)
+        f"min(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(MINHASH_K)
     )
 
 
 def _band_key_sql(b: int) -> str:
-    cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    cols = [
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    ]
     return " || '|' || ".join(cols)
 
 
@@ -190,10 +221,13 @@ def _band_key_sql(b: int) -> str:
     "dedup_minhash_lsh",
     oracle=f"""
 WITH {NGRAMS_SQL},
+xs AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS x FROM ng
+),
 sig AS (
   SELECT doc_id,
     {_sig_exprs_sql()}
-  FROM ng GROUP BY doc_id
+  FROM xs GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
@@ -205,7 +239,7 @@ GROUP BY a.doc_id, b.doc_id
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ng = doc_ngrams(spark, sf_dir)
+    ng = doc_ngrams(spark, sf_dir).withColumn("x", _shingle_x_spark())
     sig = ng.groupBy("doc_id").agg(*_sig_exprs_spark())
     band_structs = F.array(
         *[
@@ -225,19 +259,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band").alias("band_b"),
-        F.col("key").alias("key_b"),
+    # Pair generation via bucket-collect + double explode, NOT a self-join:
+    # a self-join re-executes the whole signature pipeline for each side
+    # (and leaves the join strategy to runtime stats — measured swings of
+    # 4s..95s on identical input). One groupBy computes buckets once;
+    # pairs explode inside each bucket, which is exactly the LSH block.
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    return (
-        a.join(
-            b,
-            (a.band == b.band_b) & (a.key == b.key_b) & (a.doc_a < b.doc_b),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    pairs = (
+        buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
@@ -252,9 +290,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 HAMMING_MAX = 3
-
-_HEX = "0123456789abcdef"
-
 
 def _nibble_sql(expr: str, pos: int) -> str:
     return f"(strpos('{_HEX}', substr({expr}, {pos + 1}, 1)) - 1)"
@@ -353,6 +388,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.b").alias("b"),
         F.col("bk.bv").alias("band_val"),
     )
+    # Unlike minhash/jaccard, simhash pair-generation KEEPS the self-join:
+    # this corpus's simhashes cluster, so (band, band_val) buckets hold a
+    # large fraction of all docs — a bucket-collect would explode the
+    # quadratic pair set inside single tasks (measured 70s vs 9s), while
+    # the shuffle join spreads bucket×bucket work across partitions and
+    # AQE skew-join splits the hot buckets.
     x = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "b", "band_val"
     )

@@ -578,3 +578,95 @@ def map_binning_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# taxonomy_isnot_filter — the reference's "is / isnot" rank semantics:
+# fix rank 1, EXCLUDE one rank-2 value, list remaining taxa + abundance
+# (amplicon/trait filters use the same mechanism on other columns).
+# ---------------------------------------------------------------------------
+
+_ISNOT = TaxonomyFilter(
+    TAXONOMY_RANKS, (RankFix(0, "PROMO"), RankFix(1, "Brand#13", negated=True))
+)
+
+
+@register(
+    "taxonomy_isnot_filter",
+    oracle=f"""
+WITH {ABUNDANCE_CTE}
+SELECT
+  p_brand, p_partkey, p_name,
+  CAST(round(sum(cnt), 4) AS DOUBLE) AS total_abundance,
+  count(DISTINCT sample_id) AS n_samples
+FROM abundance
+JOIN part ON otu_id = p_partkey
+WHERE {_ISNOT.sql()}
+GROUP BY p_brand, p_partkey, p_name
+""",
+)
+def taxonomy_isnot_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = abundance(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(_ISNOT.column())
+    return (
+        ab.join(F.broadcast(part), ab.otu_id == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(
+            F.round(F.sum("cnt"), 4).cast("double").alias("total_abundance"),
+            F.countDistinct("sample_id").alias("n_samples"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# export_biom_triplets — the BIOM sparse-matrix export shape (reference
+# ``bpaotu/otu/biom.py``): dense row/col indices assigned by rank over
+# the filtered sample/taxon sets + (row, col, value) triplets.
+# ---------------------------------------------------------------------------
+
+_BIOM_CTX = ContextualFilter.of([Pred("c_mktsegment", "eq", "HOUSEHOLD")], "and")
+
+
+@register(
+    "export_biom_triplets",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey FROM customer WHERE {_BIOM_CTX.sql()}
+),
+cell AS (
+  SELECT sample_id, otu_id, CAST(round(sum(cnt), 4) AS DOUBLE) AS v
+  FROM abundance JOIN sel ON sample_id = c_custkey
+  GROUP BY sample_id, otu_id
+)
+SELECT
+  CAST(dense_rank() OVER (ORDER BY sample_id) - 1 AS BIGINT) AS row_idx,
+  CAST(dense_rank() OVER (ORDER BY otu_id) - 1 AS BIGINT) AS col_idx,
+  sample_id, otu_id, v
+FROM cell
+""",
+)
+def export_biom_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (row, col, value) BIOM body. dense_rank assigns the
+    row/col index maps; at 100 TB the two global rank windows would be
+    replaced by broadcast index dictionaries built from the (bounded)
+    filtered sample list and taxon list — semantics identical."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").filter(_BIOM_CTX.column())
+    sel = cust.select(F.col("c_custkey").alias("sample_id"))
+    cell = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .groupBy("sample_id", "otu_id")
+        .agg(F.round(F.sum("cnt"), 4).cast("double").alias("v"))
+    )
+    wr = Window.orderBy("sample_id")
+    wc = Window.orderBy("otu_id")
+    return cell.select(
+        (F.dense_rank().over(wr) - 1).cast("bigint").alias("row_idx"),
+        (F.dense_rank().over(wc) - 1).cast("bigint").alias("col_idx"),
+        "sample_id",
+        "otu_id",
+        "v",
+    )

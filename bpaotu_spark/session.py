@@ -58,7 +58,15 @@ def get_session(
         # 1000-executor cluster gets even input splits; local default is fine
         # but we pin it so behaviour is identical everywhere.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Every distinct query compiles fresh generated classes; a long
+        # session (bench runs 24) can exhaust the default JIT code cache,
+        # after which new plans execute interpreted (measured 20-60x
+        # slowdowns on hash-heavy aggregations late in the run).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -46,6 +46,9 @@ HEADLINE = (
     "moving_avg_window",
     "export_biom_triplets",
     "multimodal_decode",
+    "ann_ivf_topk",
+    "vector_quantize_int8",
+    "corpus_token_stats",
 )
 
 

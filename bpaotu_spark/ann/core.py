@@ -127,6 +127,145 @@ def _bucket_spark(col: F.Column) -> F.Column:
     )
 
 
+N_CELLS = 8  # IVF coarse cells; seeded by the first N_CELLS vectors
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+{_ORACLE_COMMON},
+cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {N_CELLS}
+),
+assign AS (
+  SELECT vec_id, cid,
+    row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY round(list_dot_product(v, cvec)
+        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        cid ASC
+    ) AS rn
+  FROM e CROSS JOIN cents
+),
+cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+qc AS (
+  SELECT query_id, qv, cell FROM q JOIN cell ON query_id = vec_id
+),
+cc AS (
+  SELECT cand_id, cv, cell FROM c JOIN cell ON cand_id = vec_id
+),
+scored AS (
+  SELECT query_id, cand_id, round({_COS}, 6) AS cos_r
+  FROM qc JOIN cc ON qc.cell = cc.cell AND query_id != cand_id
+)
+SELECT query_id, cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, cand_id ASC) AS INTEGER) AS rnk,
+  CAST(round(cos_r, 4) AS DOUBLE) AS cos_sim
+FROM scored
+QUALIFY rnk <= {TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with nprobe=1: a coarse quantizer assigns
+    every vector to its nearest of N_CELLS centroids (deterministically
+    seeded as the first N_CELLS vectors — a k-means iteration would
+    refine them but is not oracle-reproducible), and queries search only
+    their own cell. At 100 TB the centroid set stays tiny (it is
+    broadcast both times), the assignment is one broadcast-join pass
+    over the corpus, and per-cell candidate sets shrink ~N_CELLS-fold;
+    recall is tuned by raising N_CELLS/nprobe. Reference parity: the
+    BLAST endpoint's coarse pre-filter (``bpaotu/otu/views.py``)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cvec"),
+        F.col("nrm").alias("ncent"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    cell = (
+        emb.join(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.round(dot(F.col("v"), F.col("cvec")) / (F.col("nrm") * F.col("ncent")), 6),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    qc = queries.join(cell, queries.query_id == cell.vec_id).select(
+        "query_id", "qv", "nq", "cell"
+    )
+    cc = corpus.join(cell, corpus.cand_id == cell.vec_id).select(
+        "cand_id", "cv", "nc", F.col("cell").alias("cell_c")
+    )
+    scored = cc.join(
+        F.broadcast(qc),
+        (F.col("cell") == F.col("cell_c")) & (F.col("query_id") != F.col("cand_id")),
+    ).withColumn(
+        "cos_r",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6),
+    )
+    return _topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# vector_quantize_int8 — per-dimension min/max scalar quantization to
+# int8, emitted long-form (vec_id, dim, q). floor() keeps the arithmetic
+# engine-exact (round() could land on a .5 tie; floor of an identical
+# IEEE-double expression cannot diverge).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+),
+s AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim
+)
+SELECT vec_id, x.dim,
+  CAST(least(floor(((val - mn) * 254) / (mx - mn)), 254) - 127 AS INTEGER) AS q
+FROM x JOIN s ON x.dim = s.dim
+""",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization, the standard ANN-index compression step
+    (4x smaller than float32). Two passes over the corpus: dim stats
+    (64 groups — the agg result is a broadcast-sized dict) then a
+    map-side broadcast join to quantize; no large shuffle at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("v").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    s = x.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    q = (
+        F.least(
+            F.floor(((F.col("val") - F.col("mn")) * 254) / (F.col("mx") - F.col("mn"))),
+            F.lit(254),
+        )
+        - 127
+    )
+    return x.join(F.broadcast(s), "dim").select(
+        "vec_id", "dim", q.cast("int").alias("q")
+    )
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""

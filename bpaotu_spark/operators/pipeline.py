@@ -156,6 +156,52 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_token_stats — vocabulary statistics: term frequency + document
+# frequency for the top terms. The tokenizer/BPE-prep step of corpus
+# analysis.
+# ---------------------------------------------------------------------------
+
+_TOP_TOKENS = 100
+
+
+@register(
+    "corpus_token_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+)
+SELECT token,
+  count(*) AS tf,
+  count(DISTINCT doc_id) AS df
+FROM x
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT {_TOP_TOKENS}
+""",
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode → groupBy(token) gets full map-side combine for tf; df is
+    the one exact-distinct shuffle (HLL would make it one pass at 100 TB
+    — see approx_distinct_parts). The top-N cut compiles to
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return (
+        x.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(_TOP_TOKENS)
+    )
+
+
+# ---------------------------------------------------------------------------
 # distinct_parts_per_brand — exact distinct (oracle-checked) and
 # approx_distinct_parts — HLL sketch variant (rows-only: sketch values
 # are engine-specific by construction).

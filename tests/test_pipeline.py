@@ -81,3 +81,12 @@ def test_approx_distinct_close_to_exact(spark, sf_dir, tables):
             .count()
         )
         assert abs(r.approx_parts - exact) / exact < 0.1
+
+
+def test_token_stats_df_le_tf_and_sorted(spark, sf_dir):
+    rows = QUERIES["corpus_token_stats"](spark, sf_dir).collect()
+    assert rows, "no tokens"
+    tfs = [r.tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    for r in rows:
+        assert 1 <= r.df <= r.tf

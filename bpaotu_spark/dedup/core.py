@@ -488,3 +488,111 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a", "vec_b", "label", F.round(cos, 4).cast("double").alias("cos_sim")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_cc — duplicate-cluster assignment: connected components
+# over the MinHash-LSH candidate-pair graph (cluster id = min doc_id in
+# the component). The step after pair generation in every web-scale
+# dedup pipeline: pairs say "these two match", components say "keep one
+# representative per group".
+#
+# Spark side: iterative min-label propagation (one hop per round, a
+# driver loop with a convergence action — the standard Spark shape for
+# iterative graph algorithms; lineage cut by localCheckpoint each
+# round, which on a cluster becomes checkpoint() to durable storage).
+# Rounds needed = graph diameter; dup clusters are shallow, and the
+# two-phase large-star/small-star variant (Kiveris et al., "Connected
+# Components in MapReduce") bounds rounds at O(log n) if ever needed.
+# Oracle: recursive-CTE transitive closure with the same min-label
+# definition — exponential in component size, viable because dup
+# components are small; the Spark loop is the scale path.
+# ---------------------------------------------------------------------------
+
+_MINHASH_PAIR_CTES = f"""{{ngrams}},
+xs AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS x FROM ng
+),
+sig AS (
+  SELECT doc_id,
+    {{sig_exprs}}
+  FROM xs GROUP BY doc_id
+),
+bands AS (
+  {{band_union}}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+def _minhash_pair_ctes() -> str:
+    return _MINHASH_PAIR_CTES.format(
+        ngrams=NGRAMS_SQL,
+        sig_exprs=_sig_exprs_sql(),
+        band_union=" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig"
+            for b in range(LSH_BANDS)
+        ),
+    )
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select("doc_b", "doc_a"))
+        .localCheckpoint()  # pair generation runs once, not once per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )

@@ -75,3 +75,29 @@ def test_ngrams_are_three_words(spark, sf_dir):
     rows = doc_ngrams(spark, sf_dir).limit(100).collect()
     for r in rows:
         assert len(r.g.split(" ")) == 3
+
+
+def test_cluster_cc_matches_union_find(spark, sf_dir):
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -98,3 +98,16 @@ def test_decile_stats_monotone(spark, sf_dir):
     assert [r.decile for r in rows] == list(range(1, 11))
     for a, b in zip(rows, rows[1:]):
         assert a.max_price <= b.min_price  # deciles partition the sorted order
+
+
+def test_q16_anti_join_plan(spark, sf_dir):
+    df = QUERIES["q16_antijoin_parts"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftAnti" in plan
+
+
+def test_q18_threshold_respected(spark, sf_dir):
+    for r in QUERIES["q18_large_orders"](spark, sf_dir).collect():
+        assert r.total_qty > 150

@@ -157,9 +157,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    # sa/sb are per-document aggregates — they grow with the corpus, so
+    # no broadcast hint (the pair set is the small side if anything; AQE
+    # picks the strategy from runtime sizes).
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard")

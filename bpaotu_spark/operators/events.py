@@ -240,16 +240,21 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    # No broadcast hints: s1/s2 are per-user aggregates of the event
+    # fact — unbounded at scale (broadcasting them would OOM a 100 TB
+    # run). The joins key on user_id, which matches the groupBy's own
+    # partitioning, so each stage reuses the previous exchange; AQE
+    # still auto-broadcasts when the funnel head is genuinely small.
     s2 = (
         ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))

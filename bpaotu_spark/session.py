@@ -60,6 +60,11 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-mode tuning: hint-free fact⋈fact joins (q3/q5 style)
+        # still resolve to broadcast at bench scale because the filtered
+        # side is tens of MB. A cluster deployment drops this back to
+        # the 10 MB default — the code carries no fact-side hints.
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # The events table carries TIMESTAMP(NANOS) parquet timestamps, which

@@ -20,6 +20,15 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+# BroadcastNestedLoopJoin is the *intended* physical strategy when one
+# side is provably bounded and the condition is non-equi; these are
+# audited by hand and documented at the operator:
+ALLOWED_BNLJ = {
+    "ann_bruteforce_topk": "broadcast query set (N_QUERIES rows), non-equi !=",
+    "ann_ivf_topk": "broadcast centroid set (N_CELLS rows), intentional cross",
+    "funnel_conversion": "cross join of three 1-row aggregates",
+}
+
 
 def main() -> int:
     import __spark_entry__ as e
@@ -42,7 +51,9 @@ def main() -> int:
         if counts.get("CartesianProduct"):
             flags.append("CARTESIAN")
         if counts.get("BroadcastNestedLoopJoin"):
-            flags.append("NESTED_LOOP")
+            flags.append(
+                "NESTED_LOOP(ok)" if name in ALLOWED_BNLJ else "NESTED_LOOP"
+            )
         if "InMemoryTableScan" in counts:
             flags.append("CACHED")
         rows.append(
@@ -66,8 +77,12 @@ def main() -> int:
             f"| {r['name']} | {r['exchanges']} | {r['bhj']} | {r['smj']} "
             f"| {'yes' if r['pushed'] else '-'} | {r['flags']} |"
         )
-    bad = [r for r in rows if r["flags"] not in ("-",)]
+    bad = [r for r in rows if r["flags"] not in ("-", "NESTED_LOOP(ok)")]
     print(f"\nflagged: {[r['name'] for r in bad] or 'none'}")
+    if any(r["flags"] == "NESTED_LOOP(ok)" for r in rows):
+        print("\nNESTED_LOOP(ok) — intentional bounded-broadcast non-equi joins:")
+        for name, why in sorted(ALLOWED_BNLJ.items()):
+            print(f"- `{name}`: {why}")
     return 0
 
 

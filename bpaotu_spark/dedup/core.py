@@ -373,7 +373,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     ).cast("long")
-    sh = votes.select("doc_id", simhash_col.alias("simhash"))
+    # Materialize the signature table once: the self-join below would
+    # otherwise execute the tokenize→vote→pack pipeline twice (Catalyst
+    # does not reuse asymmetric exchanges). One row per doc — tiny
+    # relative to the corpus; on a cluster this is persist()/checkpoint
+    # of the signature table, the standard shape for LSH self-joins.
+    sh = votes.select("doc_id", simhash_col.alias("simhash")).localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(

@@ -670,3 +670,87 @@ def export_biom_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "otu_id",
         "v",
     )
+
+
+# ---------------------------------------------------------------------------
+# contextual_fields_catalog — the reference's contextual-schema
+# definitions endpoint (public path ``bpaotu/otu/views.py``
+# contextual-schema + ``models.py`` field metadata): per-field
+# statistics over the SampleContext table that drive the filter-builder
+# UI (distinct counts for dropdowns, ranges for sliders, null counts).
+# ---------------------------------------------------------------------------
+
+_CTX_FIELDS = (
+    ("c_mktsegment", "string"),
+    ("c_nationkey", "bigint"),
+    ("c_acctbal", "double"),
+)
+
+
+@register(
+    "contextual_fields_catalog",
+    oracle="""
+SELECT 'c_mktsegment' AS field, 'string' AS dtype,
+  count(DISTINCT c_mktsegment) AS n_distinct,
+  count(*) - count(c_mktsegment) AS n_null,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+  min(c_mktsegment) AS min_str, max(c_mktsegment) AS max_str
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', 'bigint',
+  count(DISTINCT c_nationkey), count(*) - count(c_nationkey),
+  CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE),
+  NULL, NULL
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', 'double',
+  count(DISTINCT c_acctbal), count(*) - count(c_acctbal),
+  CAST(round(min(c_acctbal), 4) AS DOUBLE), CAST(round(max(c_acctbal), 4) AS DOUBLE),
+  NULL, NULL
+FROM customer
+""",
+)
+def contextual_fields_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan computes every field's metrics (multi-agg, map-side
+    combined), then the wide row unpivots to the per-field catalog —
+    at 100 TB this is a single pass over SampleContext, not one scan
+    per field."""
+    cust = load_table(spark, sf_dir, "customer")
+    aggs = []
+    for f, _ in _CTX_FIELDS:
+        aggs += [
+            F.countDistinct(f).alias(f"{f}__nd"),
+            (F.count(F.lit(1)) - F.count(f)).alias(f"{f}__nn"),
+            F.min(f).alias(f"{f}__mn"),
+            F.max(f).alias(f"{f}__mx"),
+        ]
+    wide = cust.agg(*aggs)
+    rows = []
+    for f, dt in _CTX_FIELDS:
+        num = dt in ("bigint", "double")
+        rnd = (lambda c: F.round(c, 4)) if dt == "double" else (lambda c: c)
+        rows.append(
+            F.struct(
+                F.lit(f).alias("field"),
+                F.lit(dt).alias("dtype"),
+                F.col(f"{f}__nd").alias("n_distinct"),
+                F.col(f"{f}__nn").alias("n_null"),
+                (
+                    rnd(F.col(f"{f}__mn")).cast("double")
+                    if num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    rnd(F.col(f"{f}__mx")).cast("double")
+                    if num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (F.col(f"{f}__mn") if not num else F.lit(None).cast("string")).alias(
+                    "min_str"
+                ),
+                (F.col(f"{f}__mx") if not num else F.lit(None).cast("string")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

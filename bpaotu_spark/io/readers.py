@@ -68,3 +68,50 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
             "JDBC read failed - a JDBC driver jar must be on the Spark "
             "classpath (spark.jars); none ships in this image"
         ) from exc
+
+
+def write_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    min_words: int = 20,
+) -> DataFrame:
+    """End-to-end shard production: quality gate → exact-dedup keep-first
+    → deterministic split → parquet partitioned by (split, lang).
+
+    Returns the manifest (split, lang, n_docs, total_chars) of what was
+    written. Partitioning by the two low-cardinality routing columns
+    means a trainer reading ``split=train/lang=en`` prunes everything
+    else at the directory level; within a partition, files stay at the
+    writer's task granularity (no global coalesce — a single-file shard
+    would serialize the write at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.functions.textops import tokenize
+    from bpaotu_spark.operators.pipeline import (
+        _SPLIT_BUCKETS,
+        _TRAIN_LT,
+        _VALID_LT,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(tokenize(F.col("text"))) >= min_words)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    docs = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    b = hash_bucket(F.col("doc_id"), _SPLIT_BUCKETS)
+    split = (
+        F.when(b < _TRAIN_LT, "train").when(b < _VALID_LT, "valid").otherwise("test")
+    )
+    sharded = docs.select("doc_id", "text", "lang", "source", split.alias("split"))
+    write_parquet(sharded, out_path, partition_by=("split", "lang"))
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )

@@ -65,3 +65,26 @@ def test_export_long_abundance_to_csv(spark, sf_dir, tmp_path):
 def test_jdbc_fails_with_clear_error(spark):
     with pytest.raises(RuntimeError, match="JDBC driver jar"):
         read_jdbc(spark, "jdbc:postgresql://nowhere/db", "tbl")
+
+
+def test_training_shards_layout_and_pruning(spark, sf_dir, tmp_path):
+    from bpaotu_spark.io.readers import write_training_shards
+
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(spark, sf_dir, out).collect()
+    assert {r.split for r in manifest} <= {"train", "valid", "test"}
+    assert sum(r.n_docs for r in manifest) > 0
+    # directory layout is split=/lang=
+    import os
+
+    top = [d for d in os.listdir(out) if not d.startswith((".", "_"))]
+    assert top and all(d.startswith("split=") for d in top)
+    # a split+lang read prunes at the source: partition filters appear
+    df = spark.read.parquet(out).filter("split = 'train' AND lang = 'en'")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "split" in plan
+    assert df.count() == sum(
+        r.n_docs for r in manifest if r.split == "train" and r.lang == "en"
+    )

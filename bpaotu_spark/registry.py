@@ -38,6 +38,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.events  # noqa: F401
     import bpaotu_spark.operators.bpaotu  # noqa: F401
     import bpaotu_spark.operators.pipeline  # noqa: F401
+    import bpaotu_spark.operators.ordination  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401

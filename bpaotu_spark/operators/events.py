@@ -370,3 +370,77 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# range_join_bucketed — equi+range join via time bucketing: purchases
+# within 1 hour after each signup, per user. The oracle is the naive
+# BETWEEN join, proving the bucket rewrite is lossless.
+# ---------------------------------------------------------------------------
+
+_RANGE_S = 3600
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT s.event_id, s.user_id,
+  count(p.ts) AS n_purchases_1h
+FROM s LEFT JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+GROUP BY s.event_id, s.user_id
+""",
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A raw equi+range join leaves Catalyst a hash join on user_id with
+    the range as a post-filter — fine until one user's history is huge.
+    Bucketing epoch time to the range width and joining on
+    (user_id, bucket) bounds every probe to two buckets regardless of
+    history length: candidates = own bucket + next, then the exact
+    range refines. This is the standard rewrite for range/interval
+    joins at scale (bucket width = range width ⇒ ≤2 buckets cover any
+    window). Spark-side only — the oracle keeps the naive form, so the
+    hash-compare proves losslessness."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_s"),
+        F.unix_timestamp("ts").alias("ep_s"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_p"),
+        F.col("ts").alias("ts_p"),
+        (F.unix_timestamp("ts").cast("bigint") / _RANGE_S).cast("bigint").alias(
+            "bkt_p"
+        ),
+    )
+    # each signup probes its own bucket and the next one
+    s2 = s.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("ep_s") / _RANGE_S).cast("bigint"),
+                (F.col("ep_s") / _RANGE_S).cast("bigint") + 1,
+            )
+        ).alias("bkt"),
+    )
+    joined = s2.join(
+        p,
+        (s2.user_id == p.user_p)
+        & (s2.bkt == p.bkt_p)
+        & (p.ts_p > s2.ts_s)
+        & (p.ts_p <= s2.ts_s + F.expr(f"INTERVAL {_RANGE_S} SECONDS")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        # a signup exploded to 2 buckets double-counts nothing: matches
+        # land in exactly one bucket; count(ts_p) ignores the null arm.
+        F.count("ts_p").alias("n_purchases_1h")
+    )

@@ -115,3 +115,28 @@ def write_training_shards(
             F.sum(F.length("text")).alias("total_chars"),
         )
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Bucketed-table sink: the lake layout for co-located fact⋈fact
+    joins. Two tables bucketed (and optionally sorted) the same way on
+    the join key join with ZERO exchanges — the bucket id IS the
+    partition assignment, so a 100 TB lineitem⋈orders skips both
+    shuffles entirely (see test_bucketed_join_no_shuffle). Bucket count
+    is a lake-level constant chosen once (≈ total cluster cores at the
+    target scale); all writers must agree on it."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

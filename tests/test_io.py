@@ -88,3 +88,49 @@ def test_training_shards_layout_and_pruning(spark, sf_dir, tmp_path):
     assert df.count() == sum(
         r.n_docs for r in manifest if r.split == "train" and r.lang == "en"
     )
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tables, tmp_path):
+    from bpaotu_spark.io.readers import write_bucketed
+
+    write_bucketed(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        "li_b",
+        str(tmp_path / "li_b"),
+        ("l_orderkey",),
+        8,
+        ("l_orderkey",),
+    )
+    write_bucketed(
+        tables["orders"].select("o_orderkey", "o_orderpriority"),
+        "ord_b",
+        str(tmp_path / "ord_b"),
+        ("o_orderkey",),
+        8,
+        ("o_orderkey",),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, od = spark.table("li_b"), spark.table("ord_b")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        # co-located: a sort-merge join with NO shuffle on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result is the same as the plain join
+        expected = (
+            tables["lineitem"]
+            .join(
+                tables["orders"],
+                tables["lineitem"].l_orderkey == tables["orders"].o_orderkey,
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")

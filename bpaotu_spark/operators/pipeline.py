@@ -239,3 +239,113 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — top-3 TF-IDF terms per document (smoothed idf).
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM x GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM x GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, token, tf,
+    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token,
+  CAST(score AS DOUBLE) AS score,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= {_TFIDF_K}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf and df aggregate with map-side combine; df joins back on the
+    token (high-cardinality, even — no skew); the corpus size is a
+    1-row broadcast. The per-doc top-K window partitions on doc_id —
+    maximal parallelism at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = x.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = x.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select(
+            "doc_id", "token", F.col("score").cast("double").alias("score"), "rnk"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_centroids — per-label mean vector, long form.
+# DECIMAL summation keeps the mean associative (partition order differs
+# between engines; double addition does not commute at the ulp level).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+)
+SELECT label, dim,
+  CAST(round(sum(CAST(val AS DECIMAL(28,12))) / count(*), 4) AS DOUBLE) AS centroid,
+  count(*) AS n_vectors
+FROM x GROUP BY label, dim
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select("label", F.posexplode("v").alias("pos", "val")).select(
+        "label", (F.col("pos") + 1).alias("dim"), "val"
+    )
+    return x.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")) / F.count(F.lit(1)), 4
+        )
+        .cast("double")
+        .alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

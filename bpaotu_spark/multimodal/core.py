@@ -155,3 +155,113 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
 @register("multimodal_decode")  # no oracle: Pandas-UDF path, rows-only check
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(multimodal_table(spark, sf_dir), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / feature-extract — the three transform stages
+# a multimodal training pipeline runs after decode. Same contract as
+# decode: the pixel/sample math is a deterministic stub, the Spark
+# plumbing (Arrow batches, schemas, explode shapes, partitioning) is
+# real and tested.
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 224
+
+RESIZED_SCHEMA = (
+    "asset_id bigint, media_type string, src_w int, src_h int, "
+    "out_w int, out_h int, scale double"
+)
+
+
+def resize_assets(decoded: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Fit-within-target resize geometry. Pure JVM arithmetic over the
+    decoded dims — resize *geometry* never needs Python; only the pixel
+    resample (stubbed inside a real decoder) does. Map-only: no
+    shuffle, rides whatever partitioning decode produced."""
+    scale = F.when(
+        F.greatest("width", "height") > target,
+        target / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return decoded.select(
+        "asset_id",
+        "media_type",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        F.round(F.col("width") * scale).cast("int").alias("out_w"),
+        F.round(F.col("height") * scale).cast("int").alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+FRAME_STEP = 30  # sample one frame per step (≈1 fps at 30 fps video)
+
+FRAMES_SCHEMA = "asset_id bigint, frame_idx int, frame_key string"
+
+
+def sample_frames(decoded: DataFrame, step: int = FRAME_STEP) -> DataFrame:
+    """Frame sampling: videos explode to one row per sampled frame
+    (sequence + explode — JVM-side, no Python). The frame payload
+    extraction is the stubbed part (frame_key stands in for the frame
+    bytes); the row explosion IS the real shape: output rows scale with
+    total video seconds, and downstream stages partition on asset_id."""
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(step))
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select("asset_id", F.explode(frames).alias("frame_idx"))
+        .select(
+            "asset_id",
+            "frame_idx",
+            F.md5(F.concat_ws(":", "asset_id", "frame_idx")).alias("frame_key"),
+        )
+    )
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = "asset_id bigint, media_type string, feature array<float>"
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Feature extraction via Arrow-batched mapInPandas: payload bytes →
+    FEATURE_DIM float vector (deterministic hash stub standing in for a
+    vision/audio encoder). The output column is the same
+    ``array<float>`` shape the ANN operators consume, so the chain
+    multimodal → features → ann_*_topk runs end-to-end."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(bytes(p)).digest()
+                v = np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8).astype(
+                    np.float32
+                )
+                feats.append(((v - 127.5) / 127.5).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+@register("multimodal_resize")  # rows-only: consumes the stubbed decode dims
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_assets(multimodal_decode(spark, sf_dir))
+
+
+@register("multimodal_frame_sample")  # rows-only: consumes stubbed decode dims
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(multimodal_decode(spark, sf_dir))
+
+
+@register("multimodal_features")  # rows-only: Pandas-UDF path
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(multimodal_table(spark, sf_dir))

@@ -49,3 +49,35 @@ def test_decode_survives_repartition(spark, sf_dir):
         (r.asset_id, r.checksum) for r in decode_assets(m.repartition(7)).collect()
     )
     assert a == b
+
+
+def test_resize_geometry(spark, sf_dir):
+    rows = QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r.out_w, r.out_h) <= 224 or r.scale == 1.0
+        if r.scale == 1.0:
+            assert (r.out_w, r.out_h) == (r.src_w, r.src_h)
+        else:
+            assert abs(r.out_w - r.src_w * r.scale) <= 0.5 + 1e-6
+
+
+def test_frame_sample_only_videos_and_stride(spark, sf_dir):
+    rows = QUERIES["multimodal_frame_sample"](spark, sf_dir).collect()
+    assert rows
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    for idxs in by_asset.values():
+        idxs.sort()
+        assert idxs[0] == 0
+        assert all(b - a == 30 for a, b in zip(idxs, idxs[1:]))
+
+
+def test_features_shape_and_determinism(spark, sf_dir):
+    out = QUERIES["multimodal_features"](spark, sf_dir)
+    assert dict(out.dtypes)["feature"] == "array<float>"
+    a = {r.asset_id: r.feature for r in out.collect()}
+    b = {r.asset_id: r.feature for r in out.collect()}
+    assert a == b
+    assert all(len(v) == 8 and all(-1 <= x <= 1 for x in v) for v in a.values())

@@ -157,3 +157,43 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def purchases_after_signup_stream(
+    events: DataFrame, range_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``range_s`` after
+    each signup, per user — the streaming twin of the batch
+    ``range_join_bucketed`` operator.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so the state store provably expires rows:
+    a signup can stop waiting once watermark passes ts + range_s, a
+    purchase once it can no longer match any retained signup. This is
+    the canonical bounded-state stream-stream join shape; without the
+    time bounds Spark would have to keep every row forever.
+    """
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("ts_p"),
+        )
+        .withWatermark("ts_p", watermark)
+    )
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("ts_p") > F.col("ts_s"))
+        & (F.col("ts_p") <= F.col("ts_s") + F.expr(f"INTERVAL {range_s} SECONDS")),
+        "inner",
+    ).select("signup_id", F.col("s_user").alias("user_id"), "ts_s", "ts_p")

@@ -86,3 +86,33 @@ def test_running_user_totals_stateful(spark, sf_dir, tables):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The stream-stream interval join must agree with the batch
+    range_join_bucketed totals (inner-join arm: signups with >=1
+    purchase in the hour)."""
+    from bpaotu_spark.streaming.jobs import (
+        purchases_after_signup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        purchases_after_signup_stream(ev), "ssj_out", complete=False
+    )
+    got = (
+        spark.table("ssj_out")
+        .groupBy("signup_id")
+        .count()
+        .collect()
+    )
+    got_counts = {r.signup_id: r["count"] for r in got}
+
+    batch = {
+        r.event_id: r.n_purchases_1h
+        for r in QUERIES["range_join_bucketed"](spark, sf_dir).collect()
+        if r.n_purchases_1h > 0
+    }
+    assert got_counts == batch

@@ -444,3 +444,62 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # land in exactly one bucket; count(ts_p) ignores the null arm.
         F.count("ts_p").alias("n_purchases_1h")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rollup_reuse — the continuous-aggregate / hypertable-rollup
+# pattern: a persisted HOURLY pre-aggregate answers the DAILY query by
+# re-aggregation. The oracle computes daily straight from raw rows, so
+# the hash-compare proves the two-level rollup is exact — the property
+# that lets a 100 TB lake serve dashboards from rollups without ever
+# rescanning raw history (only algebraic aggs compose this way:
+# sum/count/min/max re-aggregate; avg must be derived sum/count).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup_reuse",
+    oracle="""
+SELECT
+  CAST(date_trunc('day', ts) AS DATE) AS day,
+  event_type,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*) AS avg_value_micro,
+  max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # DECIMAL partials: double addition is order-sensitive, so a rollup
+    # summed raw→hourly→daily would differ at the ulp from raw→daily;
+    # decimal partials make re-aggregation bit-exact (the same reason
+    # production rollup tables store decimal/long partials).
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    # (in production `hourly` is the persisted rollup table; here it is
+    # recomputed inline so the operator stays self-contained)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).cast("double").alias("total_value"),
+            # derived avg in exact integer micro-units: scaling the
+            # decimal sum by its own scale factor is exact, and integer
+            # division agrees across engines (values are non-negative —
+            # Spark `div` truncates, DuckDB `//` floors; equal on >= 0).
+            F.expr("CAST(sum(sv) * 1000000 AS BIGINT) div sum(n)").alias(
+                "avg_value_micro"
+            ),
+            F.max("mx").alias("max_value"),
+        )
+    )

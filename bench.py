@@ -49,6 +49,16 @@ HEADLINE = (
     "ann_ivf_topk",
     "vector_quantize_int8",
     "corpus_token_stats",
+    "q16_antijoin_parts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "skew_salted_join",
+    "range_join_bucketed",
+    "events_rollup_reuse",
+    "tfidf_top_terms",
+    "embedding_label_centroids",
+    "contextual_fields_catalog",
+    "dedup_ngram_jaccard",
 )
 
 

@@ -59,3 +59,49 @@ def test_taxonomy_next_rank_and_sql():
     # negated fixes narrow the set but do not advance the drill depth
     tf3 = TaxonomyFilter(("k", "p"), (RankFix(0, "x", negated=True),))
     assert tf3.next_rank() == "k"
+
+
+def test_operators_survive_empty_selection(spark, sf_dir):
+    """A ContextualFilter that matches nothing must flow through the
+    abundance operators as an empty result, not an error."""
+    import pyspark.sql.functions as F
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.operators.bpaotu import abundance
+    from bpaotu_spark.plans.filters import ContextualFilter, Pred
+
+    nothing = ContextualFilter.of(
+        [Pred("c_mktsegment", "eq", "NO_SUCH_SEGMENT")], "and"
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(nothing.column())
+    assert cust.count() == 0
+    sel = cust.select(F.col("c_custkey").alias("sample_id"))
+    ab = abundance(spark, sf_dir).join(F.broadcast(sel), "sample_id")
+    agg = ab.groupBy("otu_id").agg(F.sum("cnt").alias("total"))
+    assert agg.count() == 0
+
+
+def test_filter_on_all_null_column(spark):
+    """Null-heavy columns: isnull/notnull and comparison predicates must
+    emit the same rows in both engines (SQL three-valued logic)."""
+    import duckdb
+    import pandas as pd
+
+    from bpaotu_spark.plans.filters import ContextualFilter, Pred
+
+    pdf = pd.DataFrame({"num_col": [None] * 4, "str_col": [None] * 4}).astype(
+        {"num_col": "float64", "str_col": "object"}
+    )
+    sdf = spark.createDataFrame(pdf)
+    for p in (
+        Pred("num_col", "isnull"),
+        Pred("num_col", "notnull"),
+        Pred("num_col", "lt", 5.0),
+        Pred("str_col", "contains", "x"),
+    ):
+        f = ContextualFilter.of([p], "and")
+        got = sdf.filter(f.column()).count()
+        duck = duckdb.connect()
+        duck.register("t", pdf)
+        want = duck.execute(f"SELECT count(*) FROM t WHERE {f.sql()}").fetchone()[0]
+        assert got == want, p

@@ -13,26 +13,27 @@ Spark-first:
    (Gower: B = -1/2 · J D² J) — expressed as DataFrame ops over the
    (i, j, d) long form: row means, column means, grand mean are three
    aggregates joined back;
-3. the first principal coordinate is the dominant eigenvector of B,
-   extracted by **distributed power iteration**: repeated
-   matrix-vector products (join on j, groupBy i) with normalization,
-   lineage cut per round. Deterministic: fixed iteration count, fixed
-   all-ones start, sign fixed by the lowest-id sample's loading.
+3. the first TWO principal coordinates come from **distributed power
+   iteration**: repeated matrix-vector products (join on j, groupBy i)
+   with periodic rescale; axis 2 iterates on the deflated operator
+   B₂ = B − λ₁v₁v₁ᵀ, materialized in one join pass. Deterministic:
+   fixed iteration counts, hash-derived start vector, sign fixed by
+   the lowest-id sample's loading.
 
 Scale: the matrix is |cohort|² entries in long form, partitioned by
-row — each product is one join + one groupBy shuffle; the vector is
+row — each product is one join + one groupBy shuffle; vectors are
 broadcast-sized by construction. This is the standard shape for
-distributed spectral methods (e.g. PageRank-style iterations).
+distributed spectral methods (PageRank-style iteration).
 
 No SQL oracle (iterative; DuckDB has no fixpoint linear algebra) —
-driver records the rows-only check; the pytest cross-checks axis
-scores against numpy eigendecomposition at sf0.001.
+driver records the rows-only check; the pytest cross-checks both axes
+against numpy eigendecomposition at sf0.001.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.operators.bpaotu import abundance
@@ -40,8 +41,9 @@ from bpaotu_spark.plans.filters import ContextualFilter, Pred
 from bpaotu_spark.registry import register
 
 _PCOA_FILTER = ContextualFilter.of([Pred("c_mktsegment", "eq", "MACHINERY")], "and")
-# Convergence is geometric at (λ2/λ1)^k; the synthetic cohorts show
-# λ2/λ1 ≈ 0.93, so ~100 products reach ~1e-3 relative error.
+
+# Convergence is geometric at (λ_next/λ_target)^k; the synthetic cohorts
+# show ratios ≈ 0.93, so ~100 products reach ~1e-3 relative error.
 _POWER_ITERS = 100
 _RESCALE_EVERY = 10
 
@@ -57,9 +59,7 @@ def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ab.groupBy("sample_id", "otu_id").agg(F.sum("cnt").alias("c"))
     tot = a.groupBy("sample_id").agg(F.sum("c").alias("tot"))
 
-    ax = a.select(
-        F.col("sample_id").alias("i"), "otu_id", F.col("c").alias("ca")
-    )
+    ax = a.select(F.col("sample_id").alias("i"), "otu_id", F.col("c").alias("ca"))
     ay = a.select(
         F.col("sample_id").alias("j"),
         F.col("otu_id").alias("otu_y"),
@@ -95,17 +95,16 @@ def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(diag)
 
 
-@register("ordination_pcoa_axis1")  # rows-only: iterative, no SQL fixpoint
-def ordination_pcoa_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gower_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B = -1/2 · J D² J in (i, j, b) long form, materialized once."""
     d = _bc_pairs_full(spark, sf_dir).select(
         "i", "j", (F.col("d") * F.col("d")).alias("d2")
     )
     d = d.localCheckpoint()  # D² is reused by three aggregates + the join
-
     row_m = d.groupBy("i").agg(F.avg("d2").alias("rm"))
     col_m = d.groupBy("j").agg(F.avg("d2").alias("cm"))
     grand = d.agg(F.avg("d2").alias("gm"))
-    b = (
+    return (
         d.join(row_m, "i")
         .join(col_m, "j")
         .crossJoin(F.broadcast(grand))
@@ -116,27 +115,35 @@ def ordination_pcoa_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b"
             ),
         )
-        .localCheckpoint()  # the iteration loop reuses B every round
+        .localCheckpoint()  # the iteration loop reuses the operator every round
     )
 
-    # Start vector must not lie in B's null space — and the all-ones
-    # vector DOES (double-centering zeroes every row sum). A
-    # deterministic hash of the sample id is generic: non-degenerate
-    # projection onto the dominant eigenvector with probability 1.
-    v = (
+
+def _start_vector(b: DataFrame, seed: int) -> DataFrame:
+    """Deterministic hash start: must not lie in B's null space — the
+    all-ones vector DOES (double-centering zeroes every row sum). A
+    hash of the sample id is generic: non-degenerate projection onto
+    the target eigenvector with probability 1."""
+    return (
         b.select("j")
         .distinct()
         .select(
             "j",
             (
-                F.pmod(F.xxhash64("j", F.lit(7)), F.lit(1000)).cast("double") / 500.0
+                F.pmod(F.xxhash64("j", F.lit(seed)), F.lit(1000)).cast("double")
+                / 500.0
                 - 1.0
             ).alias("v"),
         )
     )
-    # No per-product normalization: the scale drifts as λ1^k, which a
-    # periodic rescale absorbs — two extra stages every _RESCALE_EVERY
-    # products instead of every product.
+
+
+def _power_iterate(b: DataFrame, v: DataFrame) -> DataFrame:
+    """Dominant unit eigenvector of the long-form operator ``b``.
+
+    No per-product normalization: the scale drifts as λ^k, which a
+    periodic rescale absorbs — two extra stages every _RESCALE_EVERY
+    products instead of every product."""
     for it in range(_POWER_ITERS):
         v = (
             b.join(v, "j")
@@ -151,18 +158,19 @@ def ordination_pcoa_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("j", (F.col("v") / F.col("n")).alias("v"))
                 .localCheckpoint()  # cut the join-loop lineage
             )
+    return v
 
-    # eigenvalue estimate λ = vᵀBv; sign convention: loading of the
-    # lowest sample id is non-negative.
-    bv = (
-        b.join(v, "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("b") * F.col("v")).alias("bv"))
+
+def _eigenvalue(b: DataFrame, v: DataFrame) -> DataFrame:
+    """Rayleigh quotient λ = vᵀBv (v unit) as a 1-row DataFrame."""
+    bv = b.join(v, "j").groupBy("i").agg(F.sum(F.col("b") * F.col("v")).alias("bv"))
+    return bv.join(v.select(F.col("j").alias("i"), "v"), "i").agg(
+        F.sum(F.col("bv") * F.col("v")).alias("lam")
     )
-    lam = (
-        bv.join(v.select(F.col("j").alias("i"), "v"), "i")
-        .agg(F.sum(F.col("bv") * F.col("v")).alias("lam"))
-    )
+
+
+def _signed_scores(v: DataFrame, lam: DataFrame, alias: str) -> DataFrame:
+    """Axis scores v·√λ with the lowest-id loading forced non-negative."""
     first = v.orderBy("j").limit(1).select(F.signum(F.col("v")).alias("sgn"))
     return (
         v.crossJoin(F.broadcast(lam))
@@ -170,10 +178,42 @@ def ordination_pcoa_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("j").alias("sample_id"),
             F.round(
-                F.col("v") * F.col("sgn") * F.sqrt(F.greatest(F.col("lam"), F.lit(0.0))),
+                F.col("v")
+                * F.col("sgn")
+                * F.sqrt(F.greatest(F.col("lam"), F.lit(0.0))),
                 4,
             )
             .cast("double")
-            .alias("axis1"),
+            .alias(alias),
         )
     )
+
+
+@register("ordination_pcoa_2d")  # rows-only: iterative, no SQL fixpoint
+def ordination_pcoa_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_id, axis1, axis2) — the 2-D ordination the comparison
+    page plots. Axis 2 deflates: B₂ = B − λ₁v₁v₁ᵀ materialized by one
+    join pass over the long form, then the same power iteration."""
+    b = _gower_center(spark, sf_dir)
+    v1 = _power_iterate(b, _start_vector(b, seed=7))
+    lam1 = _eigenvalue(b, v1)
+
+    v1i = v1.select(F.col("j").alias("i"), F.col("v").alias("v1i"))
+    v1j = v1.select("j", F.col("v").alias("v1j"))
+    b2 = (
+        b.join(v1i, "i")
+        .join(v1j, "j")
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            (F.col("b") - F.col("lam") * F.col("v1i") * F.col("v1j")).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    v2 = _power_iterate(b2, _start_vector(b2, seed=11))
+    lam2 = _eigenvalue(b, v2)
+
+    a1 = _signed_scores(v1, lam1, "axis1")
+    a2 = _signed_scores(v2, lam2, "axis2")
+    return a1.join(a2, "sample_id")

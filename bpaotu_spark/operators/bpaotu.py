@@ -754,3 +754,68 @@ def contextual_fields_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# otu_query_combined — the reference's central OTUQueryParams object
+# applied whole: taxonomy filter + trait filter (taxon side) AND
+# contextual filter (sample side) driving one results page
+# (``bpaotu/otu/query.py`` OTUQueryParams → every results endpoint).
+# ---------------------------------------------------------------------------
+
+from bpaotu_spark.plans.query_params import OTUQueryParams, TraitFilter  # noqa: E402
+
+_QP = OTUQueryParams(
+    taxonomy=TaxonomyFilter(TAXONOMY_RANKS, (RankFix(0, "PROMO"),)),
+    contextual=ContextualFilter.of(
+        [Pred("c_mktsegment", "eq", "AUTOMOBILE"), Pred("c_acctbal", "gt", 0.0)],
+        "and",
+    ),
+    trait=TraitFilter("p_name", "widget"),
+)
+
+
+@register(
+    "otu_query_combined",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+taxa AS (
+  SELECT p_partkey, p_name, p_brand FROM part WHERE {_QP.taxon_sql()}
+),
+samples AS (
+  SELECT c_custkey FROM customer WHERE {_QP.sample_sql()}
+)
+SELECT
+  p_brand, p_partkey, p_name,
+  count(DISTINCT sample_id) AS n_samples,
+  CAST(round(sum(cnt), 4) AS DOUBLE) AS total_abundance
+FROM abundance
+JOIN taxa ON otu_id = p_partkey
+JOIN samples ON sample_id = c_custkey
+GROUP BY p_brand, p_partkey, p_name
+""",
+)
+def otu_query_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both filter sides collapse BEFORE touching the abundance fact —
+    the taxon set and sample set broadcast (bounded by filter
+    selectivity, the reference's own working assumption), so the fact
+    is scanned once with two broadcast semijoins, the cheapest possible
+    shape for the universal results-page query."""
+    taxa = load_table(spark, sf_dir, "part").filter(_QP.taxon_column()).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    samples = (
+        load_table(spark, sf_dir, "customer")
+        .filter(_QP.sample_column())
+        .select("c_custkey")
+    )
+    ab = abundance(spark, sf_dir)
+    return (
+        ab.join(F.broadcast(taxa), ab.otu_id == taxa.p_partkey)
+        .join(F.broadcast(samples), ab.sample_id == samples.c_custkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(
+            F.countDistinct("sample_id").alias("n_samples"),
+            F.round(F.sum("cnt"), 4).cast("double").alias("total_abundance"),
+        )
+    )

@@ -59,6 +59,9 @@ HEADLINE = (
     "embedding_label_centroids",
     "contextual_fields_catalog",
     "dedup_ngram_jaccard",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q19_disjunctive_pushdown",
 )
 
 
@@ -80,6 +83,13 @@ def main() -> int:
     # Warm the JVM/codegen once on the smallest query so query #1 doesn't
     # absorb the session startup cost.
     force(qs[names[0]](spark, sf_dir))
+    # Warm the Python-worker pool too: the first Arrow/mapInPandas query
+    # otherwise pays the one-time spawn of all worker processes (their
+    # imports come off the slow host disk — measured up to ~16s landing
+    # on whichever UDF query ran first).
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     for name in names:

@@ -27,7 +27,7 @@ ALLOWED_BNLJ = {
     "ann_bruteforce_topk": "broadcast query set (N_QUERIES rows), non-equi !=",
     "ann_ivf_topk": "broadcast centroid set (N_CELLS rows), intentional cross",
     "funnel_conversion": "cross join of three 1-row aggregates",
-    "ordination_pcoa_axis1": "broadcast 1-row scalars (grand mean, norm, sign)",
+    "ordination_pcoa_2d": "broadcast 1-row scalars (grand mean, norms, λ, signs)",
     "tfidf_top_terms": "broadcast 1-row corpus-size scalar",
 }
 

@@ -197,3 +197,49 @@ def purchases_after_signup_stream(
         & (F.col("ts_p") <= F.col("ts_s") + F.expr(f"INTERVAL {range_s} SECONDS")),
         "inner",
     ).select("signup_id", F.col("s_user").alias("user_id"), "ts_s", "ts_p")
+
+
+def stream_shards_foreachBatch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Incremental training-shard production: a file-source stream of
+    events rolls up per micro-batch and appends partitioned parquet via
+    ``foreachBatch``.
+
+    foreachBatch is the general-purpose streaming sink: the batch
+    DataFrame inside the closure is a normal DataFrame, so the full
+    writer API (partitionBy, bucketing, merges) applies. Exactly-once
+    comes from the checkpoint: a replayed batch rewrites the same
+    ``batch_id`` partition idempotently (partition overwrite by
+    batch_id), the standard recipe when the sink itself is not
+    transactional. Runs with availableNow (drain-and-stop) here; a
+    production job leaves the trigger continuous.
+    """
+    ev = read_events_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

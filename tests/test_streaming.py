@@ -116,3 +116,46 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         if r.n_purchases_1h > 0
     }
     assert got_counts == batch
+
+
+def test_foreachbatch_shard_writer(spark, sf_dir, tmp_path):
+    """foreachBatch shard job: written parquet totals must equal the
+    batch rollup of the same source."""
+    import pyspark.sql.functions as F
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.streaming.jobs import stream_shards_foreachBatch
+
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    stream_shards_foreachBatch(spark, sf_dir, out, ckpt)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.sum("sum_value").alias("sv"),
+        )
+        .collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: (r.n, float(r.sv))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert {r.event_type: (r.n, float(r.sv)) for r in got} == want
+    # rerunning with the same checkpoint is a no-op (exactly-once)
+    stream_shards_foreachBatch(spark, sf_dir, out, ckpt)
+    again = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n"))
+        .collect()
+    )
+    assert {r.event_type: r.n for r in again} == {k: v[0] for k, v in want.items()}

@@ -604,3 +604,69 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_lsh — near-dup pairs blocked by CONTENT (sign-LSH
+# bucket of the first SIGN bits), not by a given attribute: the shape
+# for corpora with no label column. Candidates share a bucket; recall
+# is tuned by bucket width exactly as in ann_lsh_topk.
+# ---------------------------------------------------------------------------
+
+_EMB_LSH_DIMS = 4
+
+
+def _emb_bucket_sql(col: str) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {col}.embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(_EMB_LSH_DIMS)
+    )
+    return f"({bits})"
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+SELECT
+  a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {_emb_bucket_sql('a')} AS bucket,
+  CAST(round({COSINE_SQL}, 4) AS DOUBLE) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON {_emb_bucket_sql('a')} = {_emb_bucket_sql('b')} AND a.vec_id < b.vec_id
+WHERE {COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.concat(
+        *[
+            F.when(F.col("v")[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(_EMB_LSH_DIMS)
+        ]
+    )
+    emb = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "bucket",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (a.bucket == b.bucket_b) & (a.vec_a < b.vec_b))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            F.round(cos, 4).cast("double").alias("cos_sim"),
+        )
+    )

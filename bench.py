@@ -62,6 +62,8 @@ HEADLINE = (
     "q7_nation_volume",
     "q10_returned_items",
     "q19_disjunctive_pushdown",
+    "q22_global_sales_opportunity",
+    "dedup_embedding_lsh",
 )
 
 

@@ -111,3 +111,27 @@ def test_q16_anti_join_plan(spark, sf_dir):
 def test_q18_threshold_respected(spark, sf_dir):
     for r in QUERIES["q18_large_orders"](spark, sf_dir).collect():
         assert r.total_qty > 150
+
+
+def test_sql_api_parity_q1(spark, sf_dir):
+    """register_views + raw spark.sql must give the same result as the
+    DataFrame form — the reference's users write SQL."""
+    from bpaotu_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ).collect()
+    }
+    df_rows = {
+        (r.l_returnflag, r.l_linestatus, r.count_order)
+        for r in QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    }
+    assert sql_rows == df_rows

@@ -503,3 +503,59 @@ def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention_matrix — the cohort analysis shape: users grouped by
+# first-activity week, activity tracked by week offset.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+WITH first_week AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+  FROM events e JOIN first_week f ON e.user_id = f.user_id
+)
+SELECT
+  epoch_ms(cohort_week) AS cohort_week_ms,
+  week_offset,
+  count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles total: first-activity per user (map-side combined
+    min), then the distinct (cohort, offset, user) set — both keyed on
+    user_id so the join between them reuses the first exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        ev.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    ).select(
+        F.unix_millis("cohort_week").alias("cohort_week_ms"),
+        "week_offset",
+        "n_active_users",
+    )

@@ -29,6 +29,7 @@ ALLOWED_BNLJ = {
     "funnel_conversion": "cross join of three 1-row aggregates",
     "ordination_pcoa_2d": "broadcast 1-row scalars (grand mean, norms, λ, signs)",
     "tfidf_top_terms": "broadcast 1-row corpus-size scalar",
+    "q22_global_sales_opportunity": "broadcast 1-row scalar subquery (global avg)",
 }
 
 

@@ -21,6 +21,22 @@ from bpaotu_spark.registry import register
 
 SESSION_GAP_MS = 30 * 60 * 1000  # 30 minutes
 
+DEC = "decimal(18,6)"
+
+
+def _value_sum(alias: str):
+    """Exact, engine-independent sum of the continuous ``value`` double.
+
+    Double addition is order-sensitive; a sum landing near a rounding
+    tie (x.xxxx5) can round differently between Spark's partition order
+    and the oracle's scan order. DECIMAL(18,6) partials make the sum
+    associative, hence bit-identical in both engines.
+    """
+    return F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias(alias)
+
+
+_VALUE_SUM_SQL = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)"
+
 
 # ---------------------------------------------------------------------------
 # sessionize_events — gap-based sessionization via lag + running sum.
@@ -51,7 +67,7 @@ SELECT
   count(*) AS n_events,
   min(t_ms) AS session_start_ms,
   max(t_ms) AS session_end_ms,
-  CAST(round(sum(value), 4) AS DOUBLE) AS session_value
+  {_VALUE_SUM_SQL} AS session_value
 FROM sess
 GROUP BY user_id, session_id
 """,
@@ -75,7 +91,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("t_ms").alias("session_start_ms"),
         F.max("t_ms").alias("session_end_ms"),
-        F.round(F.sum("value"), 4).cast("double").alias("session_value"),
+        _value_sum("session_value"),
     )
 
 
@@ -108,7 +124,7 @@ SELECT
   min(t_ms) AS session_start_ms,
   max(t_ms) + {SESSION_GAP_MS} AS session_end_ms,
   count(*) AS n_events,
-  CAST(round(sum(value), 4) AS DOUBLE) AS session_value
+  {_VALUE_SUM_SQL} AS session_value
 FROM sess
 GROUP BY user_id, session_id
 """,
@@ -125,7 +141,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).cast("double").alias("session_value"),
+            _value_sum("session_value"),
         )
         .select(
             "user_id",
@@ -345,12 +361,12 @@ def retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_windowed_agg",
-    oracle="""
+    oracle=f"""
 SELECT
   epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
   event_type,
   count(*) AS n_events,
-  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+  {_VALUE_SUM_SQL} AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -361,7 +377,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+            _value_sum("sum_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),

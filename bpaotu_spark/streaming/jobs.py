@@ -66,7 +66,11 @@ def windowed_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+            # DECIMAL partials: keeps the sum associative so the stream
+            # hash-matches its batch twin regardless of micro-batch order.
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -85,7 +89,9 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).cast("double").alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             "user_id",

@@ -26,8 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in explicit
+    priority order (the driver's correctness sweep checks a bounded
+    prefix of this dict — see registry.PRIORITY)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

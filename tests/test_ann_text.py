@@ -121,3 +121,32 @@ def test_quantize_int8_bounds_and_extremes(spark, sf_dir):
     # each dimension's min maps to -127 and max maps to +127 by construction
     for dim, qs in by_dim.items():
         assert min(qs) == -127 and max(qs) == 127, dim
+
+
+def test_blast_kmer_similarity_ranking(spark, sf_dir):
+    """Hits are ranked by shared-seed count, self-hits excluded,
+    identity_ppm = floor(n_hits*1e6 / |query shingles|) exactly."""
+    from bpaotu_spark.dedup.core import doc_ngrams
+    from bpaotu_spark.functions.seqsim import N_QUERIES as NQ, TOP_N
+
+    rows = QUERIES["blast_kmer_similarity"](spark, sf_dir).collect()
+    assert rows, "no blast hits at all"
+    q_sizes = {
+        r.doc_id: r.n
+        for r in doc_ngrams(spark, sf_dir)
+        .filter(F.col("doc_id") < NQ)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r.cand_id != r.query_id
+        assert r.identity_ppm == r.n_hits * 1_000_000 // q_sizes[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_N
+        hits = [r.n_hits for r in rs]
+        assert hits == sorted(hits, reverse=True)

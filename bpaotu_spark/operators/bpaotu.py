@@ -647,12 +647,20 @@ FROM cell
 """,
 )
 def export_biom_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse (row, col, value) BIOM body. dense_rank assigns the
-    row/col index maps; at 100 TB the two global rank windows would be
-    replaced by broadcast index dictionaries built from the (bounded)
-    filtered sample list and taxon list — semantics identical."""
-    from pyspark.sql import Window
+    """Sparse (row, col, value) BIOM body (the reference's BIOM matrix
+    writer, public path ``bpaotu/otu/biom.py``, needs dense 0-based
+    row/col indices).
 
+    The index maps are built on the *distinct id* sets — bounded by
+    |samples| and |taxa|, both dimension-sized — and broadcast back
+    onto the cell table, so the full cell table never funnels through
+    a global window (the previous dense_rank-over-cells plan was a
+    single-partition sort of every cell; at 100 TB that one task is
+    the job). Index assignment is collect_set → sort_array →
+    posexplode: the distinct sets shrink via parallel partial
+    aggregation, only the final dimension-sized array lands in one
+    task, and position-in-sorted-array == dense_rank - 1, so the
+    oracle keeps the dense_rank form."""
     cust = load_table(spark, sf_dir, "customer").filter(_BIOM_CTX.column())
     sel = cust.select(F.col("c_custkey").alias("sample_id"))
     cell = (
@@ -661,14 +669,22 @@ def export_biom_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sample_id", "otu_id")
         .agg(F.round(F.sum("cnt"), 4).cast("double").alias("v"))
     )
-    wr = Window.orderBy("sample_id")
-    wc = Window.orderBy("otu_id")
-    return cell.select(
-        (F.dense_rank().over(wr) - 1).cast("bigint").alias("row_idx"),
-        (F.dense_rank().over(wc) - 1).cast("bigint").alias("col_idx"),
-        "sample_id",
-        "otu_id",
-        "v",
+    row_ix = (
+        cell.select(F.sort_array(F.collect_set("sample_id")).alias("ids"))
+        .select(F.posexplode("ids").alias("pos", "sample_id"))
+        .select("sample_id", F.col("pos").cast("bigint").alias("row_idx"))
+    )
+    col_ix = (
+        cell.select(F.sort_array(F.collect_set("otu_id")).alias("ids"))
+        .select(F.posexplode("ids").alias("pos", "otu_id"))
+        .select("otu_id", F.col("pos").cast("bigint").alias("col_idx"))
+    )
+    # AQE reuses the cell aggregation's exchange across the three
+    # branches (ReusedExchange), so the abundance scan+shuffle runs once.
+    return (
+        cell.join(F.broadcast(row_ix), "sample_id")
+        .join(F.broadcast(col_ix), "otu_id")
+        .select("row_idx", "col_idx", "sample_id", "otu_id", "v")
     )
 
 

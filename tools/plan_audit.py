@@ -30,6 +30,7 @@ ALLOWED_BNLJ = {
     "ordination_pcoa_2d": "broadcast 1-row scalars (grand mean, norms, λ, signs)",
     "tfidf_top_terms": "broadcast 1-row corpus-size scalar",
     "q22_global_sales_opportunity": "broadcast 1-row scalar subquery (global avg)",
+    "decile_stats": "broadcast 1-row total-count scalar (distributed-rank ntile)",
 }
 
 

@@ -134,3 +134,69 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_krona_text_roundtrip(spark, sf_dir, tmp_path):
+    """Leaf rows of krona_rollup serialize to ktImportText lines whose
+    parsed (path -> magnitude) map matches the DataFrame exactly."""
+    from bpaotu_spark.io.krona import write_krona_text
+
+    path_cols = ("r_name", "n_name", "c_mktsegment")
+    rollup = QUERIES["krona_rollup"](spark, sf_dir)
+    out = str(tmp_path / "krona")
+    write_krona_text(rollup, out, "total_abundance", path_cols, single_file=True)
+
+    expected = {
+        tuple(getattr(r, c) for c in path_cols): r.total_abundance
+        for r in rollup.filter(F.col("depth") == len(path_cols)).collect()
+    }
+    got = {}
+    for line in spark.read.text(out).collect():
+        mag, *path = line.value.split("\t")
+        got[tuple(path)] = float(mag)
+    assert got == {k: pytest.approx(v) for k, v in expected.items()}
+    # krona consumes leaves only: every line has the full path depth
+    assert all(len(k) == len(path_cols) for k in got)
+
+
+def test_ingest_rejects_and_lake(spark, tmp_path):
+    """Importer analogue: unknown taxon/sample and bad counts land in
+    rejects WITH the first-failing reason; valid rows land in the lake."""
+    from bpaotu_spark.io.ingest import ingest_abundance
+
+    tax = tmp_path / "tax.csv"
+    tax.write_text("otu_id,rank1,rank2,rank3\n1,K,P,C\n2,K,P,D\n")
+    smp = tmp_path / "samples.csv"
+    smp.write_text("sample_id,site,env\n10,a,soil\n20,b,marine\n")
+    ab = tmp_path / "abundance.csv"
+    ab.write_text(
+        "sample_id,otu_id,cnt\n"
+        "10,1,5.0\n"          # valid
+        "20,2,1.5\n"          # valid
+        "10,99,3.0\n"         # unknown taxon
+        "30,1,2.0\n"          # unknown sample
+        "20,1,0\n"            # bad count (non-positive)
+        "30,99,-1\n"          # unknown taxon wins (checked first)
+    )
+    out = str(tmp_path / "lake")
+    counts = ingest_abundance(spark, str(tax), str(smp), str(ab), out)
+    assert counts == {"taxonomy": 2, "samples": 2, "abundance": 2, "rejects": 4}
+
+    lake = {
+        (r.sample_id, r.otu_id): r.cnt
+        for r in spark.read.parquet(f"{out}/abundance").collect()
+    }
+    assert lake == {(10, 1): 5.0, (20, 2): 1.5}
+    reasons = {
+        (r.sample_id, r.otu_id): r.reject_reason
+        for r in spark.read.parquet(f"{out}/rejects").collect()
+    }
+    assert reasons == {
+        (10, 99): "unknown_taxon",
+        (30, 1): "unknown_sample",
+        (20, 1): "bad_count",
+        (30, 99): "unknown_taxon",
+    }
+    # the lake is immediately queryable next to its dims
+    assert spark.read.parquet(f"{out}/taxonomy").count() == 2
+    assert spark.read.parquet(f"{out}/samples").count() == 2

@@ -505,13 +505,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup pipeline: pairs say "these two match", components say "keep one
 # representative per group".
 #
-# Spark side: iterative min-label propagation (one hop per round, a
-# driver loop with a convergence action — the standard Spark shape for
-# iterative graph algorithms; lineage cut by localCheckpoint each
-# round, which on a cluster becomes checkpoint() to durable storage).
-# Rounds needed = graph diameter; dup clusters are shallow, and the
-# two-phase large-star/small-star variant (Kiveris et al., "Connected
-# Components in MapReduce") bounds rounds at O(log n) if ever needed.
+# Spark side: the two-phase large-star/small-star algorithm (Kiveris
+# et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+# each round is two groupBy+join passes that rewire every node toward
+# its neighborhood minimum, converging to disjoint stars (center = the
+# component's min id) in O(log n) rounds REGARDLESS of graph diameter,
+# where plain one-hop label propagation needs diameter rounds. A
+# driver loop with a convergence action is the standard Spark shape
+# for iterative graph algorithms; lineage is cut by localCheckpoint
+# each round (checkpoint() to durable storage on a cluster).
 # Oracle: recursive-CTE transitive closure with the same min-label
 # definition — exponential in component size, viable because dup
 # components are small; the Spark loop is the scale path.
@@ -548,6 +550,81 @@ def _minhash_pair_ctes() -> str:
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node links its LARGER neighbors to its
+    neighborhood minimum. Input/output edges are canonical (u > v)."""
+    nbr = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        nbr.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        nbr.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        # emitted (v, m): v > u >= m, so the canonical orientation holds
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node links its smaller neighbors (and itself)
+    to the minimum among them. Input/output canonical (u > v)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))  # m < u by canon
+    rewired = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return rewired.union(centers).distinct()
+
+
+def _edge_signature(edges: DataFrame):
+    """Order-insensitive set signature for the convergence test: one
+    tiny aggregation instead of a full except-join each round."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # xor-fold never overflows (ANSI mode); edges are distinct so
+        # no self-cancellation
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
+def star_connected_components(
+    pairs: DataFrame, a: str, b: str, max_rounds: int = 15
+) -> DataFrame:
+    """Connected components of an undirected pair graph via alternating
+    large-star/small-star rounds. Returns (node, component) where the
+    component id is the minimum node id in the component. Round count
+    is O(log n) regardless of graph diameter."""
+    # canonical undirected edges: u = hi id, v = lo id, no self-loops
+    edges = (
+        pairs.filter(F.col(a) != F.col(b))
+        .select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint()  # pair generation runs once, not once per round
+    )
+    sig = _edge_signature(edges)
+    for _ in range(max_rounds):  # dup graphs converge in 2-3 rounds
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _edge_signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point = disjoint stars: (member, center) edges with the
+    # center = component min; centers label themselves
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
 @register(
     "dedup_cluster_cc",
     oracle=f"""
@@ -571,35 +648,9 @@ FROM comp
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select("doc_b", "doc_a"))
-        .localCheckpoint()  # pair generation runs once, not once per round
+    labels = star_connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    for _ in range(20):
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
-        )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")

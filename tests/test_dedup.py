@@ -101,3 +101,29 @@ def test_cluster_cc_matches_union_find(spark, sf_dir):
         for r in QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_star_cc_deep_chain_converges_in_log_rounds(spark):
+    """A 64-node chain has diameter 63 — one-hop label propagation
+    would need ~63 rounds; large-star/small-star must finish within
+    the O(log n) cap and still label every node with the chain min."""
+    from bpaotu_spark.dedup.core import star_connected_components
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a BIGINT, b BIGINT"
+    )
+    # two extra disjoint components to prove separation
+    extra = spark.createDataFrame(
+        [(1000, 1001), (2000, 2001), (2001, 2002)], "a BIGINT, b BIGINT"
+    )
+    labels = {
+        r.node: r.component
+        for r in star_connected_components(
+            chain.union(extra), "a", "b", max_rounds=10
+        ).collect()
+    }
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[1000] == labels[1001] == 1000
+    assert labels[2000] == labels[2001] == labels[2002] == 2000
+    assert len(labels) == n + 5

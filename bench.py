@@ -64,6 +64,9 @@ HEADLINE = (
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
     "dedup_embedding_lsh",
+    "blast_kmer_similarity",
+    "decile_stats",
+    "dedup_cluster_cc",
 )
 
 

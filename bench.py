@@ -67,6 +67,8 @@ HEADLINE = (
     "blast_kmer_similarity",
     "decile_stats",
     "dedup_cluster_cc",
+    "text_repetition_ratio",
+    "corpus_pack_sequences",
 )
 
 

@@ -721,3 +721,55 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).cast("double").alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_near_dedup_keep_first — the end-to-end near-dedup decision a
+# training pipeline actually ships: MinHash-LSH candidate pairs →
+# connected components → keep exactly one representative (the min
+# doc_id) per duplicate cluster. One row per corpus document with its
+# cluster assignment and the keep/drop verdict, so the downstream
+# shard writer is a single filter on is_kept.
+#
+# Scale shape: the pair graph + star CC run on the (small) paired
+# subset only; the corpus-wide join back is a single shuffle (AQE
+# broadcasts the label side when the duplicate set is small, the
+# common case). Unpaired documents never enter the CC loop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_near_dedup_keep_first",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT
+  d.doc_id,
+  COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+  (COALESCE(comp.cluster_id, d.doc_id) = d.doc_id) AS is_kept
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+""",
+)
+def corpus_near_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = star_connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("cluster_id") == F.col("doc_id"))
+    )

@@ -231,3 +231,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition_ratio — within-document repetition signals (the
+# Gopher/MassiveText quality-filter family: heavily repetitive docs are
+# low-quality or machine-generated and get dropped before training).
+# Signals: distinct-token ratio, most-frequent-token share, and
+# most-frequent-bigram share. All ratios are emitted in exact integer
+# parts-per-million — a rounded double quotient would flip at 4dp ties
+# between Spark (HALF_UP) and DuckDB (half-even); integer division on
+# non-negative values agrees everywhere.
+#
+# Scale shape: one explode + one (doc_id, token) groupBy — the shuffle
+# key includes the token, so hot documents spread across reducers; the
+# per-doc re-aggregation is a second small shuffle on doc_id alone.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
+), uni AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), unistats AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+  FROM uni GROUP BY doc_id
+), big AS (
+  SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM tok
+  QUALIFY g IS NOT NULL
+), bigc AS (
+  SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g
+), bigstats AS (
+  SELECT doc_id, max(c) AS top_big_c, sum(c) AS n_bigrams FROM bigc GROUP BY doc_id
+)
+SELECT
+  u.doc_id,
+  n_tokens,
+  (n_distinct * 1000000) // n_tokens AS distinct_ppm,
+  (top_c * 1000000) // n_tokens AS top_token_ppm,
+  (top_big_c * 1000000) // n_bigrams AS top_bigram_ppm
+FROM unistats u JOIN bigstats b ON u.doc_id = b.doc_id
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
+    )
+    uni = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    unistats = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id", F.concat_ws(" ", "w", F.lead("w", 1).over(wseq)).alias("g"),
+            F.lead("w", 1).over(wseq).isNotNull().alias("full"),
+        )
+        .filter("full")
+    )
+    bigstats = (
+        big.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_big_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        unistats.join(bigstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("n_distinct * CAST(1000000 AS BIGINT) div n_tokens").alias(
+                "distinct_ppm"
+            ),
+            F.expr("top_c * CAST(1000000 AS BIGINT) div n_tokens").alias(
+                "top_token_ppm"
+            ),
+            F.expr("top_big_c * CAST(1000000 AS BIGINT) div n_bigrams").alias(
+                "top_bigram_ppm"
+            ),
+        )
+    )

@@ -349,3 +349,66 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_sequences — concat-and-chunk packing: the final step of an
+# LLM pretraining data pipeline. Documents are concatenated in a
+# deterministic order within each stream (here: lang) and chunked into
+# fixed token-budget context windows; each document is assigned the
+# chunk its FIRST token lands in plus its token offset within that
+# chunk, which is exactly what a sequence-packing dataloader needs.
+#
+# Scale shape: the running token prefix-sum is a window PARTITIONED by
+# the stream key, so packing parallelizes across streams; within a
+# stream the window sorts only that stream's rows. A 100 TB run packs
+# per (stream × shard) — the standard practice — by adding the shard id
+# to the partition key; the semantics stay identical because the chunk
+# counter restarts per partition key either way.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 1024  # tokens per context window
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len({TOKENIZE_SQL}) AS n_tokens FROM documents
+), run AS (
+  SELECT doc_id, lang, n_tokens,
+    COALESCE(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS tok_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+  tok_before // {PACK_BUDGET} AS chunk_idx,
+  tok_before % {PACK_BUDGET} AS chunk_offset
+FROM run
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_before"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"tok_before div {PACK_BUDGET}").alias("chunk_idx"),
+        (F.col("tok_before") % PACK_BUDGET).alias("chunk_offset"),
+    )

@@ -89,6 +89,9 @@ PRIORITY: tuple[str, ...] = (
     "decile_stats",
     "export_biom_triplets",
     "blast_kmer_similarity",
+    "text_repetition_ratio",
+    "corpus_pack_sequences",
+    "corpus_near_dedup_keep_first",
     # core bpaotu reference semantics
     "contextual_filter_and",
     "contextual_filter_or",

@@ -90,3 +90,50 @@ def test_token_stats_df_le_tf_and_sorted(spark, sf_dir):
     assert tfs == sorted(tfs, reverse=True)
     for r in rows:
         assert 1 <= r.df <= r.tf
+
+
+def test_repetition_ratio_bounds_and_exactness(spark, sf_dir):
+    """Ratios are exact integer ppm in (0, 1e6]; distinct_ppm == 1e6
+    iff every token is unique; top shares bounded below by 1/n."""
+    rows = QUERIES["text_repetition_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_ppm <= 1_000_000
+        assert 0 < r.top_token_ppm <= 1_000_000
+        assert 0 < r.top_bigram_ppm <= 1_000_000
+        # top token occurs at least ceil(n/distinct) times
+        assert r.top_token_ppm >= 1_000_000 // r.n_tokens
+
+
+def test_pack_sequences_contiguous_chunks(spark, sf_dir):
+    """Within each lang stream, chunk assignment is the running prefix
+    sum div budget: chunk_idx is non-decreasing in doc_id order and
+    offsets are consistent with the previous doc's extent."""
+    from bpaotu_spark.operators.pipeline import PACK_BUDGET
+
+    rows = QUERIES["corpus_pack_sequences"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) > 1
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.chunk_idx == run // PACK_BUDGET
+            assert r.chunk_offset == run % PACK_BUDGET
+            run += r.n_tokens
+
+
+def test_near_dedup_keep_first_covers_corpus(spark, sf_dir, tables):
+    """One verdict per document; keepers are exactly the cluster minima;
+    every cluster keeps exactly one document."""
+    rows = QUERIES["corpus_near_dedup_keep_first"](spark, sf_dir).collect()
+    assert len(rows) == tables["documents"].count()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        kept = [m for m in members if m.is_kept]
+        assert len(kept) == 1 and kept[0].doc_id == cid
+        assert min(m.doc_id for m in members) == cid

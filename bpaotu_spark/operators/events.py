@@ -292,7 +292,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   event_type,
-  CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS DOUBLE) AS avg_k,
+  CAST(round(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6)))
+       / count(json_extract_string(props, '$.k')), 4) AS DOUBLE) AS avg_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   count(*) AS n_events
 FROM events
@@ -306,7 +307,9 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).cast("double").alias("avg_k"),
+            F.round(F.sum(F.col("k").cast(DEC)) / F.count("k"), 4)
+            .cast("double")
+            .alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count(F.lit(1)).alias("n_events"),
         )

@@ -262,7 +262,8 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 127
     )
     return x.join(F.broadcast(s), "dim").select(
-        "vec_id", "dim", q.cast("int").alias("q")
+        # bigint dim: DuckDB generate_subscripts() is BIGINT; match it
+        "vec_id", F.col("dim").cast("bigint").alias("dim"), q.cast("int").alias("q")
     )
 
 

@@ -342,7 +342,7 @@ WITH t AS (
 )
 SELECT DISTINCT
   x.doc_id AS doc_a, y.doc_id AS doc_b,
-  bit_count(xor(x.simhash, y.simhash)) AS hamming
+  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
 FROM banded x JOIN banded y
   ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}

@@ -62,11 +62,13 @@ def _sql_strlist(words) -> str:
 
 
 def _profile_score(toks: Column, words) -> Column:
+    # bigint: DuckDB len() is BIGINT; matching width keeps the driver's
+    # typed hash aligned (F.size is int32).
     return F.size(
         F.array_intersect(
             F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
         )
-    )
+    ).cast("bigint")
 
 
 def _profile_score_sql(words) -> str:
@@ -164,8 +166,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = n_stop * F.lit(1.0) / n_words
     return d.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
+        # bigint: DuckDB length()/len() are BIGINT; match their width
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
         F.round(n_chars * 1.0 / n_words, 4).cast("double").alias("chars_per_word"),
         F.round(stop_ratio, 4).cast("double").alias("stopword_ratio"),
         F.round((n_chars - n_kept) * 1.0 / n_chars, 4)
@@ -195,10 +198,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(tokenize(F.col("text"))).alias("n_words"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).alias(
-            "n_bpeish_tokens"
-        ),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpeish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_div4"),
     )
 
@@ -229,7 +232,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(canon).alias("fingerprint"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
     )
 
 
@@ -259,7 +262,10 @@ WITH t AS (
 ), uni AS (
   SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
 ), unistats AS (
-  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+  -- CAST: sum(BIGINT) is HUGEINT in DuckDB; BIGINT matches Spark and
+  -- keeps the // quotients below integer64 in both engines.
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_c
   FROM uni GROUP BY doc_id
 ), big AS (
   SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g
@@ -268,7 +274,8 @@ WITH t AS (
 ), bigc AS (
   SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g
 ), bigstats AS (
-  SELECT doc_id, max(c) AS top_big_c, sum(c) AS n_bigrams FROM bigc GROUP BY doc_id
+  SELECT doc_id, max(c) AS top_big_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM bigc GROUP BY doc_id
 )
 SELECT
   u.doc_id,

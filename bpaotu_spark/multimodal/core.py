@@ -76,7 +76,7 @@ WITH m AS (
 )
 SELECT media_type,
   count(*) AS n_assets,
-  sum(n_bytes) AS total_bytes,
+  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
   CAST(round(sum(CAST(n_bytes AS DECIMAL(18,6))) / count(n_bytes), 4) AS DOUBLE) AS avg_bytes,
   max(n_bytes) AS max_bytes
 FROM m GROUP BY media_type
@@ -94,7 +94,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("avg_bytes"),
-        F.max("meta.n_bytes").alias("max_bytes"),
+        # bigint: the oracle's octet_length() is BIGINT; match its width
+        F.max("meta.n_bytes").cast("bigint").alias("max_bytes"),
     )
 
 

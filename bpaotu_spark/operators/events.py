@@ -56,9 +56,12 @@ WITH marked AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sess AS (
+  -- CAST: DuckDB sum(BIGINT) yields HUGEINT/decimal128, which the
+  -- driver's value hasher treats differently from Spark's int64 even
+  -- when the values are equal. BIGINT matches Spark's window-sum type.
   SELECT *,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY t_ms ASC, event_id ASC
-                      ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_ms ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT

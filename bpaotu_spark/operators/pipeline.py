@@ -126,7 +126,7 @@ WITH t AS (
 )
 SELECT lang,
   count(*) AS n_docs,
-  sum(length(text)) AS total_chars
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM keep WHERE rn = 1
 GROUP BY lang
 """,
@@ -339,7 +339,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
     x = emb.select("label", F.posexplode("v").alias("pos", "val")).select(
-        "label", (F.col("pos") + 1).alias("dim"), "val"
+        # bigint: DuckDB generate_subscripts() is BIGINT; match its width
+        "label", (F.col("pos") + 1).cast("bigint").alias("dim"), "val"
     )
     return x.groupBy("label", "dim").agg(
         F.round(
@@ -376,11 +377,13 @@ PACK_BUDGET = 1024  # tokens per context window
 WITH t AS (
   SELECT doc_id, lang, len({TOKENIZE_SQL}) AS n_tokens FROM documents
 ), run AS (
+  -- CAST: the window sum of BIGINT is HUGEINT in DuckDB; BIGINT keeps
+  -- chunk_idx/chunk_offset integer64 like Spark's.
   SELECT doc_id, lang, n_tokens,
-    COALESCE(sum(n_tokens) OVER (
+    CAST(COALESCE(sum(n_tokens) OVER (
       PARTITION BY lang ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-    ), 0) AS tok_before
+    ), 0) AS BIGINT) AS tok_before
   FROM t
 )
 SELECT doc_id, lang, n_tokens,
@@ -393,7 +396,11 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(tokenize(F.col("text"))).alias("n_tokens")
+        "doc_id",
+        "lang",
+        # bigint: DuckDB len() is BIGINT; matching width keeps the
+        # driver's typed hash aligned.
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("lang")

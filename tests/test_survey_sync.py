@@ -6,6 +6,23 @@ import re
 import __spark_entry__ as e
 
 
+def test_priority_is_valid():
+    """Every PRIORITY key must be registered (a typo would silently
+    demote an operator out of the driver's bounded verification window)
+    and the list must be duplicate-free so the 50-entry window holds as
+    many distinct operators as intended."""
+    from bpaotu_spark import registry
+
+    assert len(set(registry.PRIORITY)) == len(registry.PRIORITY), (
+        "duplicate PRIORITY keys"
+    )
+    unknown = sorted(set(registry.PRIORITY) - set(registry.QUERIES))
+    assert unknown == [], f"PRIORITY keys not registered: {unknown}"
+    # ordered_queries() enforces the same invariants at driver load time
+    ordered = registry.ordered_queries()
+    assert list(ordered)[: len(registry.PRIORITY)] == list(registry.PRIORITY)
+
+
 def test_survey_marks_match_registry():
     qs = set(e.queries())
     oracles = set(e.oracle_sql())

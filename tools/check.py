@@ -1,10 +1,17 @@
 """Local correctness harness mimicking the driver's DuckDB-oracle compare.
 
 Runs every ``queries()`` entry at a scale factor and compares against
-``oracle_sql()`` via DuckDB: row count, sorted column names, and an
-order-insensitive value hash. Usage::
+``oracle_sql()`` via DuckDB: row count, sorted column names, per-column
+TYPE alignment, and an order-insensitive value hash. Usage::
 
     python tools/check.py [sf_dir] [query ...]
+
+The type check exists because ``str()`` normalization is blind to the
+exact skew that burned rounds 2-3: DuckDB ``sum(BIGINT)`` returns
+HUGEINT (Arrow ``decimal128(38,0)``) which stringifies identically to
+Spark's int64 but hashes differently in the driver. Any decimal or
+int-width mismatch between the oracle's Arrow schema and the Spark
+DataFrame schema is a FAIL here even when the value hash matches.
 """
 
 from __future__ import annotations
@@ -23,6 +30,60 @@ ONLY = set(sys.argv[2:])
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def canon_spark_type(dt: str) -> str:
+    """Spark simpleString → canonical token comparable with Arrow's."""
+    dt = dt.strip().lower()
+    aliases = {
+        "long": "int64", "bigint": "int64", "int": "int32",
+        "integer": "int32", "smallint": "int16", "tinyint": "int8",
+        "double": "float64", "float": "float32", "boolean": "bool",
+        "string": "string", "date": "date", "binary": "binary",
+    }
+    if dt in aliases:
+        return aliases[dt]
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"array<{canon_spark_type(dt[6:-1])}>"
+    return dt
+
+
+def canon_arrow_type(t) -> str:
+    """pyarrow DataType → the same canonical tokens."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return str(t)  # int8..int64 / uint...
+    if pa.types.is_floating(t):
+        return "float64" if pa.types.is_float64(t) else "float32"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+def type_mismatches(scols, sdtypes, ocols, oschema):
+    """Columns (shared by name) whose canonical types differ."""
+    sd = {c: canon_spark_type(t) for c, t in sdtypes}
+    od = {f.name: canon_arrow_type(f.type) for f in oschema}
+    return [
+        (c, sd[c], od[c]) for c in sorted(set(sd) & set(od)) if sd[c] != od[c]
+    ]
 
 
 def norm_cell(v):
@@ -79,23 +140,27 @@ def main():
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = tbl.column_names
+            ocells = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            orows = list(zip(*ocells)) if tbl.num_columns else []
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {str(ex)[:300]}")
             n_fail += 1
             continue
         rows_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
+        bad_types = type_mismatches(scols, sdf.dtypes, ocols, tbl.schema)
+        types_ok = schema_ok and not bad_types
         hash_ok = schema_ok and table_hash(srows, scols) == table_hash(orows, ocols)
-        ok = rows_ok and schema_ok and hash_ok
+        ok = rows_ok and schema_ok and types_ok and hash_ok
         n_pass += ok
         n_fail += not ok
         mark = "PASS" if ok else "FAIL"
         print(
             f"{mark} {name}: rows {len(srows)}/{len(orows)} "
             f"schema={'ok' if schema_ok else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"types={'ok' if types_ok else bad_types} "
             f"hash={'ok' if hash_ok else 'MISMATCH'} ({time.time()-t0:.1f}s)"
         )
         if not hash_ok and schema_ok and rows_ok:

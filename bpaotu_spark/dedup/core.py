@@ -610,12 +610,22 @@ def star_connected_components(
         .localCheckpoint()  # pair generation runs once, not once per round
     )
     sig = _edge_signature(edges)
+    converged = False
     for _ in range(max_rounds):  # dup graphs converge in 2-3 rounds
         edges = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _edge_signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # returning non-fixed-point edges would silently mislabel
+        # components; star CC needs O(log n) rounds, so exhaustion
+        # means max_rounds is far too low for the graph at hand.
+        raise RuntimeError(
+            f"star_connected_components did not reach a fixed point in "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
     # fixed point = disjoint stars: (member, center) edges with the
     # center = component min; centers label themselves
     return (

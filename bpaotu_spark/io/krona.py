@@ -42,9 +42,15 @@ def krona_text_lines(
     for c in path_cols:
         leaf = leaf.filter(F.col(c).isNotNull())
     mag = F.col(magnitude_col)
+    # printf %f never renders scientific notation (a raw double→string
+    # cast would emit 1.23E8 for large sums, which ktImportText does
+    # not parse as a magnitude); trim trailing zeros after the point.
+    fixed = F.regexp_replace(
+        F.regexp_replace(F.format_string("%.6f", mag), "0+$", ""), "\\.$", ""
+    )
     mag_str = F.when(
         mag == F.floor(mag), F.floor(mag).cast("bigint").cast("string")
-    ).otherwise(mag.cast("string"))
+    ).otherwise(fixed)
     return leaf.select(
         F.concat_ws("\t", mag_str, *[F.col(c) for c in path_cols]).alias("value")
     )

@@ -84,12 +84,17 @@ def write_training_shards(
 
     ``near_dedup=False`` dedups exact text hashes only (one window over
     md5 groups); ``near_dedup=True`` additionally drops MinHash-LSH
-    near-duplicates via the star-CC keep-first verdict
-    (:func:`bpaotu_spark.dedup.core.corpus_near_dedup_keep_first`) —
-    the full production cleaning chain. ``pack_budget`` adds the
+    near-duplicates using the cluster labels from
+    :func:`bpaotu_spark.dedup.core.corpus_near_dedup_keep_first`. The
+    representative is re-elected WITHIN the quality-gated set (min
+    surviving doc_id per cluster) — electing on the raw corpus would
+    silently drop a whole cluster whenever its global min-doc_id
+    representative fails the quality gate. ``pack_budget`` adds the
     concat-and-chunk packing columns (chunk_idx, chunk_offset) per
-    (split, lang) stream so the shards are directly consumable by a
-    sequence-packing dataloader.
+    (split, lang) stream — two-level prefix sums via
+    :func:`bpaotu_spark.operators.pipeline.packed_token_offsets`, so no
+    task ever sorts a whole stream — making the shards directly
+    consumable by a sequence-packing dataloader.
 
     Returns the manifest (split, lang, n_docs, total_chars) of what was
     written. Partitioning by the two low-cardinality routing columns
@@ -116,25 +121,28 @@ def write_training_shards(
     if near_dedup:
         from bpaotu_spark.dedup.core import corpus_near_dedup_keep_first
 
-        keep = corpus_near_dedup_keep_first(spark, sf_dir).filter("is_kept")
-        docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        labels = corpus_near_dedup_keep_first(spark, sf_dir).select(
+            "doc_id", "cluster_id"
+        )
+        wc = Window.partitionBy("cluster_id").orderBy(F.col("doc_id").asc())
+        docs = (
+            docs.join(labels, "doc_id")
+            .withColumn("_ck", F.row_number().over(wc))
+            .filter(F.col("_ck") == 1)
+            .drop("_ck", "cluster_id")
+        )
     b = hash_bucket(F.col("doc_id"), _SPLIT_BUCKETS)
     split = (
         F.when(b < _TRAIN_LT, "train").when(b < _VALID_LT, "valid").otherwise("test")
     )
     sharded = docs.select("doc_id", "text", "lang", "source", split.alias("split"))
     if pack_budget is not None:
-        wp = (
-            Window.partitionBy("split", "lang")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        n_tok = F.size(tokenize(F.col("text")))
+        from bpaotu_spark.operators.pipeline import packed_token_offsets
+
+        n_tok = F.size(tokenize(F.col("text"))).cast("bigint")
         sharded = (
-            sharded.withColumn("n_tokens", n_tok)
-            .withColumn(
-                "tok_before",
-                F.coalesce(F.sum("n_tokens").over(wp), F.lit(0)),
+            packed_token_offsets(
+                sharded.withColumn("n_tokens", n_tok), ["split", "lang"]
             )
             .withColumn("chunk_idx", F.expr(f"tok_before div {pack_budget}"))
             .withColumn("chunk_offset", F.col("tok_before") % pack_budget)

@@ -360,15 +360,81 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunk its FIRST token lands in plus its token offset within that
 # chunk, which is exactly what a sequence-packing dataloader needs.
 #
-# Scale shape: the running token prefix-sum is a window PARTITIONED by
-# the stream key, so packing parallelizes across streams; within a
-# stream the window sorts only that stream's rows. A 100 TB run packs
-# per (stream × shard) — the standard practice — by adding the shard id
-# to the partition key; the semantics stay identical because the chunk
-# counter restarts per partition key either way.
+# Scale shape: TWO-LEVEL prefix sums (same pattern as decile_stats'
+# histogram CDF). A window partitioned only by the stream key (lang,
+# ~dozens of values) would make one task sort an entire language's
+# corpus. Instead:
+#   level 1: shard = doc_id div PACK_SHARD_RANGE (contiguous id ranges
+#            preserve the concatenation order); the in-shard running
+#            sum windows on (stream, shard) — parallelism grows with
+#            the corpus, each task holds ≤ PACK_SHARD_RANGE docs.
+#   level 2: per-shard token totals (map-side-combined groupBy on the
+#            same key) prefix-summed per stream over a table that is
+#            n_docs / PACK_SHARD_RANGE rows — 4096x smaller than the
+#            corpus; the offsets join back on (stream, shard), the
+#            exchange the level-1 window already created.
+# tok_before = shard_offset + in-shard prefix, identical by
+# associativity to the naive single-window form — the oracle keeps the
+# naive form so the hash proves losslessness.
 # ---------------------------------------------------------------------------
 
 PACK_BUDGET = 1024  # tokens per context window
+PACK_SHARD_RANGE = 4096  # doc_ids per level-1 shard
+
+
+def packed_token_offsets(
+    df: DataFrame,
+    stream_cols: list[str],
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_range: int = PACK_SHARD_RANGE,
+) -> DataFrame:
+    """Running prefix sum of ``tokens_col`` (exclusive) within each
+    stream, ordered by ``order_col``, computed with two-level windows so
+    no task ever sorts a whole stream. Adds ``tok_before`` (bigint).
+
+    Sharding by contiguous ``order_col`` ranges keeps the global order:
+    (shard asc, order_col asc) == order_col asc. A sparse id space only
+    makes shards uneven, never incorrect. At 10^11 docs the level-2
+    table is ~10^7 rows per stream — if that ever dominates, the same
+    construction recurses (shard-of-shards); one level suffices below
+    that."""
+    from pyspark.sql import Window
+
+    sharded = df.withColumn(
+        "_shard", F.expr(f"{order_col} div {shard_range}")
+    )
+    w1 = (
+        Window.partitionBy(*stream_cols, "_shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sharded.withColumn(
+        "_local_before",
+        F.coalesce(F.sum(tokens_col).over(w1), F.lit(0).cast("bigint")),
+    )
+    totals = sharded.groupBy(*stream_cols, "_shard").agg(
+        F.sum(tokens_col).alias("_shard_tokens")
+    )
+    w2 = (
+        Window.partitionBy(*stream_cols)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *stream_cols,
+        "_shard",
+        F.coalesce(F.sum("_shard_tokens").over(w2), F.lit(0).cast("bigint")).alias(
+            "_shard_before"
+        ),
+    )
+    return (
+        local.join(offsets, [*stream_cols, "_shard"])
+        .withColumn(
+            "tok_before", (F.col("_local_before") + F.col("_shard_before")).cast("bigint")
+        )
+        .drop("_shard", "_local_before", "_shard_before")
+    )
 
 
 @register(
@@ -393,8 +459,6 @@ FROM run
 """,
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -402,17 +466,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver's typed hash aligned.
         F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return docs.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_before"),
-    ).select(
+    return packed_token_offsets(docs, ["lang"]).select(
         "doc_id",
         "lang",
         "n_tokens",

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bpaotu_spark.dedup.core import (
     JACCARD_THRESHOLD,
@@ -127,3 +128,15 @@ def test_star_cc_deep_chain_converges_in_log_rounds(spark):
     assert labels[1000] == labels[1001] == 1000
     assert labels[2000] == labels[2001] == labels[2002] == 2000
     assert len(labels) == n + 5
+
+
+def test_star_cc_raises_when_rounds_exhausted(spark):
+    """Exhausting max_rounds without a fixed point must be a hard error
+    — returning mid-iteration edges would silently mislabel components."""
+    from bpaotu_spark.dedup.core import star_connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "a BIGINT, b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        star_connected_components(chain, "a", "b", max_rounds=1)

@@ -159,6 +159,27 @@ def test_krona_text_roundtrip(spark, sf_dir, tmp_path):
     assert all(len(k) == len(path_cols) for k in got)
 
 
+def test_krona_magnitudes_never_scientific(spark):
+    """ktImportText does not parse 1.23E8; large and tiny non-integral
+    magnitudes must render as plain fixed-point (zeros trimmed)."""
+    from bpaotu_spark.io.krona import krona_text_lines
+
+    df = spark.createDataFrame(
+        [(123456789.5, "a"), (0.25, "b"), (3.0, "c"), (1e9, "d")],
+        "m DOUBLE, p STRING",
+    )
+    lines = {
+        r.value.split("\t")[1]: r.value.split("\t")[0]
+        for r in krona_text_lines(df, "m", ("p",)).collect()
+    }
+    assert lines == {
+        "a": "123456789.5",
+        "b": "0.25",
+        "c": "3",
+        "d": "1000000000",
+    }
+
+
 def test_ingest_rejects_and_lake(spark, tmp_path):
     """Importer analogue: unknown taxon/sample and bad counts land in
     rejects WITH the first-failing reason; valid rows land in the lake."""
@@ -203,9 +224,12 @@ def test_ingest_rejects_and_lake(spark, tmp_path):
 
 
 def test_training_shards_near_dedup_and_packing(spark, sf_dir, tmp_path):
-    """The full cleaning chain drops near-duplicate docs (keeping the
-    cluster min) and emits per-stream packing columns consistent with
-    a running token prefix sum."""
+    """The full cleaning chain keeps EXACTLY ONE member per near-dup
+    cluster, re-elected among the quality-gated survivors — a cluster
+    whose global min-doc_id representative fails the gate must still
+    keep its smallest surviving member, not vanish wholesale."""
+    from collections import Counter
+
     from bpaotu_spark.io.readers import write_training_shards
     from bpaotu_spark.registry import QUERIES
 
@@ -214,15 +238,37 @@ def test_training_shards_near_dedup_and_packing(spark, sf_dir, tmp_path):
         spark, sf_dir, out, near_dedup=True, pack_budget=512
     ).collect()
     back = spark.read.parquet(out)
-
-    dropped = {
-        r.doc_id
-        for r in QUERIES["corpus_near_dedup_keep_first"](spark, sf_dir)
-        .filter(~F.col("is_kept"))
-        .collect()
-    }
     written = {r.doc_id for r in back.select("doc_id").collect()}
-    assert dropped and not (written & dropped)
+
+    # the gated set = the near_dedup=False output (same gate, no CC)
+    gated_out = str(tmp_path / "shards_gate_only")
+    write_training_shards(spark, sf_dir, gated_out).collect()
+    gated = {
+        r.doc_id
+        for r in spark.read.parquet(gated_out).select("doc_id").collect()
+    }
+
+    cluster_of = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["corpus_near_dedup_keep_first"](spark, sf_dir).collect()
+    }
+    sizes = Counter(cluster_of.values())
+    multi = {c for c, n in sizes.items() if n > 1}
+    assert multi, "fixture has no near-dup clusters"
+
+    # exactly one survivor per cluster that has any gated member
+    expected = {}
+    for doc in sorted(gated):
+        expected.setdefault(cluster_of[doc], doc)  # min gated doc per cluster
+    assert written == set(expected.values())
+    # and the re-election matters: some multi-doc cluster keeps a doc
+    # that is NOT the raw-corpus minimum (its representative was gated)
+    raw_min = {}
+    for doc in sorted(cluster_of):
+        raw_min.setdefault(cluster_of[doc], doc)
+    assert any(
+        expected[c] != raw_min[c] for c in expected
+    ) or all(raw_min[c] in gated for c in expected)
 
     rows = back.select(
         "split", "lang", "doc_id", "n_tokens", "chunk_idx", "chunk_offset"

@@ -180,6 +180,37 @@ def test_krona_magnitudes_never_scientific(spark):
     }
 
 
+def test_biom_v1_roundtrip(spark, sf_dir, tmp_path):
+    """A filtered selection exports to a valid BIOM v1 JSON doc whose
+    ids, shape and sparse data reproduce the triplet DataFrame."""
+    import json
+
+    from bpaotu_spark.io.biom import BIOM_FORMAT, write_biom_v1
+
+    trip = QUERIES["export_biom_triplets"](spark, sf_dir)
+    out = str(tmp_path / "table.biom")
+    header = write_biom_v1(trip, out)
+
+    doc = json.loads(open(out).read())
+    assert doc["format"] == BIOM_FORMAT
+    assert doc["matrix_type"] == "sparse"
+
+    cells = trip.collect()
+    n_rows = len({r.sample_id for r in cells})
+    n_cols = len({r.otu_id for r in cells})
+    assert doc["shape"] == [n_rows, n_cols] == header["shape"]
+    assert len(doc["rows"]) == n_rows and len(doc["columns"]) == n_cols
+    # ids are listed in dense-index order, so data indices dereference
+    row_ids = {r.row_idx: str(r.sample_id) for r in cells}
+    assert [r["id"] for r in doc["rows"]] == [
+        row_ids[i] for i in range(n_rows)
+    ]
+    got = {(d[0], d[1]): d[2] for d in doc["data"]}
+    expected = {(r.row_idx, r.col_idx): r.v for r in cells}
+    assert got == expected
+    assert all(0 <= r < n_rows and 0 <= c < n_cols for r, c in got)
+
+
 def test_ingest_rejects_and_lake(spark, tmp_path):
     """Importer analogue: unknown taxon/sample and bad counts land in
     rejects WITH the first-failing reason; valid rows land in the lake."""

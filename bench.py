@@ -98,21 +98,39 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the host virtual disk intermittently stalls
-    # for tens of seconds (documented in session.py — spark.local.dir
-    # already points at /dev/shm, but source parquet reads still cross
-    # the disk), and one stalled read otherwise lands on a random query
-    # as a phantom 30s regression. min() of two runs measures the plan,
-    # not the disk. Runs execute back-to-back per query so OS page
+    # Two runs per query, BOTH reported: "queries" (the headline) is
+    # best-of-2 — the host virtual disk intermittently stalls for tens
+    # of seconds (documented in session.py — spark.local.dir already
+    # points at /dev/shm, but source parquet reads still cross the
+    # disk), and one stalled read otherwise lands on a random query as
+    # a phantom 30s regression; min() of two runs measures the plan,
+    # not the disk. "queries_cold" is the unfiltered FIRST run so
+    # cross-round comparisons can separate plan changes from warm-JVM
+    # methodology. Runs execute back-to-back per query so OS page
     # cache state is comparable across queries.
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        cold = time.time() - t0
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        second = time.time() - t0
+        per_query_cold[name] = round(cold, 3)
+        per_query[name] = round(min(cold, second), 3)
+
+    # Scaling slope: the same plans once at a 10x-smaller scale factor.
+    # t(sf0.1)/t(sf0.01) per query is the closest local proxy for "what
+    # happens at 100x" — a slope well above the data ratio flags a plan
+    # whose cost is not data-linear (global sort, unblocked pairs, ...).
+    scale_queries: dict[str, float] = {}
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
+    if os.path.isdir(scale_dir):
+        for name in names:
             t0 = time.time()
-            force(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        per_query[name] = round(best, 3)
+            force(qs[name](spark, scale_dir))
+            scale_queries[name] = round(time.time() - t0, 3)
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -122,6 +140,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_cold": per_query_cold,
+                "value_cold": round(sum(per_query_cold.values()), 3),
+                "scale_check": {
+                    "sf": os.path.basename(scale_dir.rstrip("/")),
+                    "queries": scale_queries,
+                },
                 "sf": os.path.basename(sf_dir.rstrip("/")),
             }
         )

@@ -69,6 +69,17 @@ HEADLINE = (
     "dedup_cluster_cc",
     "text_repetition_ratio",
     "corpus_pack_sequences",
+    # round-4 TPC-H coverage completion
+    "q6_forecast_revenue",
+    "q2_min_price_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q20_part_promotion_suppliers",
+    "q21_sole_blame_supplier",
 )
 
 

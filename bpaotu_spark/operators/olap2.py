@@ -1,0 +1,624 @@
+"""TPC-H coverage completion — the remaining classic query shapes.
+
+Rounds 1-3 covered Q1/3/4/5/7/10/14/16/17/18/19/22; this module adds
+the rest of the suite's *shapes*, adapted to the driver schema (no
+partsupp table, no commit/receipt dates, no shipmode/phone/comment
+columns — each adaptation is documented at the operator and preserves
+the plan shape that makes the original query interesting: correlated
+min, market-share ratio, count distribution, scalar-threshold HAVING,
+nested semi-joins, EXISTS/NOT-EXISTS sole-blame).
+
+Reference analogue: these are the query-engine surface the portal's
+results pages compose (public path ``bpaotu/otu/query.py``); the
+determinism discipline (DECIMAL money sums, ppm integer ratios,
+count() not sum(1)) matches operators/olap.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.olap import (
+    DEC,
+    _money_sum_sql,
+    money_sum,
+)
+from bpaotu_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6: the pure predicate-pushdown aggregate.
+# The whole WHERE clause must reach the parquet scan (PushedFilters);
+# the agg is a single map-side-combined partial sum — the cheapest
+# possible full-fact query and the pushdown litmus test.
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT
+  {_money_sum_sql("l_extendedprice * l_discount", "revenue")},
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q6_HI} 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2_min_price_supplier — TPC-H Q2 shape: correlated MIN subquery. No
+# partsupp table here, so the price list is derived from lineitem
+# (min observed l_extendedprice per (part, supplier) — exact selection,
+# no arithmetic, so double equality is engine-independent). For parts
+# of a size band and type, find the EUROPE suppliers matching the
+# part's minimum offer.
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "LARGE"
+_Q2_SIZE_LO, _Q2_SIZE_HI = 10, 20
+
+
+@register(
+    "q2_min_price_supplier",
+    oracle=f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+), cand AS (
+  SELECT o.l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         o.offer_price
+  FROM offers o
+  JOIN part ON o.l_partkey = p_partkey
+  JOIN eur ON o.l_suppkey = s_suppkey
+  WHERE p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+    AND p_type = '{_Q2_TYPE}'
+), best AS (
+  SELECT p_partkey, min(offer_price) AS best_price FROM cand GROUP BY p_partkey
+)
+SELECT c.p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+       c.offer_price AS min_price
+FROM cand c JOIN best b
+  ON c.p_partkey = b.p_partkey AND c.offer_price = b.best_price
+""",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min: the fact aggregates once on (part, supplier) —
+    the only fact-sized shuffle; parts and the region-filtered supplier
+    dim broadcast; the per-part best price is dimension-sized and
+    broadcast back. No window over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_price")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(_Q2_SIZE_LO, _Q2_SIZE_HI)
+        & (F.col("p_type") == _Q2_TYPE)
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        offers.join(
+            F.broadcast(part.select("p_partkey")),
+            offers.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eur), offers.l_suppkey == eur.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "offer_price")
+    )
+    best = cand.groupBy("p_partkey").agg(F.min("offer_price").alias("best_price"))
+    return (
+        cand.join(
+            F.broadcast(best),
+            ["p_partkey"],
+        )
+        .filter(F.col("offer_price") == F.col("best_price"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.col("offer_price").alias("min_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8_market_share — TPC-H Q8 shape: one nation's revenue share within a
+# region, per year. Ratio emitted ppm-exact (floor of a double quotient
+# of two identical-in-both-engines decimal sums — same idiom as q14).
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "ECONOMY"
+_Q8_NATION = "NATION_3"
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH rev AS (
+  SELECT
+    year(o_orderdate) AS o_year,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+    sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+), a AS (
+  SELECT o_year,
+    sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS nation_rev,
+    sum(volume) AS total_rev
+  FROM rev GROUP BY o_year
+)
+SELECT o_year,
+  CAST(round(nation_rev, 4) AS DOUBLE) AS nation_revenue,
+  CAST(round(total_rev, 4) AS DOUBLE) AS total_revenue,
+  CAST(floor(CAST(nation_rev AS DOUBLE) * 1000000 / CAST(total_rev AS DOUBLE))
+       AS BIGINT) AS mkt_share_ppm
+FROM a
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders is the one fact-fact shuffle (inherent to the
+    query); every dim side broadcasts. Year cast to bigint to match
+    DuckDB's year()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    a = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume")).otherwise(
+                    zero
+                )
+            ).alias("nation_rev"),
+            F.sum("volume").alias("total_rev"),
+        )
+    )
+    return a.select(
+        "o_year",
+        F.round("nation_rev", 4).cast("double").alias("nation_revenue"),
+        F.round("total_rev", 4).cast("double").alias("total_revenue"),
+        F.floor(
+            F.col("nation_rev").cast("double")
+            * 1000000
+            / F.col("total_rev").cast("double")
+        )
+        .cast("bigint")
+        .alias("mkt_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9_product_profit — TPC-H Q9 shape: profit by supplier nation × year.
+# No ps_supplycost here, so profit = discounted revenue; the
+# interesting parts of the shape survive: LIKE-filtered part dim,
+# supplier-nation attribution, year extraction, multi-dim star join.
+# ---------------------------------------------------------------------------
+
+_Q9_PART_LIKE = "%widget%"
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT
+  n_name,
+  year(o_orderdate) AS o_year,
+  {_money_sum_sql("l_extendedprice * (1 - l_discount)", "profit")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '{_Q9_PART_LIKE}'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(_Q9_PART_LIKE)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(money_sum(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11_important_parts — TPC-H Q11 shape: per-part value vs a
+# scalar-subquery threshold over the same selection. No partsupp, so
+# "inventory value" = sum(l_extendedprice * l_quantity) shipped by the
+# region's suppliers.
+# ---------------------------------------------------------------------------
+
+_Q11_REGION = "EUROPE"
+# TPC-H Q11's own fraction is 0.0001/SF — a share-of-total cut is
+# inherently scale-dependent. The scale-free equivalent: keep parts
+# worth more than K x the AVERAGE part value of the selection.
+_Q11_K = 1.5
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH eur_lines AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q11_REGION}'
+), per_part AS (
+  SELECT l_partkey AS p_partkey, sum(val) AS part_val FROM eur_lines
+  GROUP BY l_partkey
+), total AS (SELECT sum(part_val) AS total_val, count(*) AS np FROM per_part)
+SELECT p_partkey,
+  CAST(round(part_val, 4) AS DOUBLE) AS part_value
+FROM per_part CROSS JOIN total
+WHERE CAST(part_val AS DOUBLE) > {_Q11_K} * CAST(total_val AS DOUBLE) / np
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold is a 1-row broadcast scalar (allow-listed BNLJ);
+    the comparison runs on doubles derived from identical decimal sums
+    with the same operation order in both engines, so it cannot
+    tie-flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q11_REGION)
+    lines = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC).alias("val"),
+        )
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("val").alias("part_val")
+    )
+    total = per_part.agg(
+        F.sum("part_val").alias("total_val"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_val").cast("double")
+            > F.lit(_Q11_K) * F.col("total_val").cast("double") / F.col("np")
+        )
+        .select(
+            "p_partkey",
+            F.round("part_val", 4).cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12_priority_by_status — TPC-H Q12 shape: join + dual conditional
+# counts. No shipmode column, so l_linestatus plays the grouping role;
+# the high/low priority split is the original's.
+# ---------------------------------------------------------------------------
+
+_Q12_LO, _Q12_HI = "1997-01-01", "1998-01-01"
+
+
+@register(
+    "q12_priority_by_status",
+    oracle=f"""
+SELECT
+  l_linestatus,
+  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+    AS high_line_count,
+  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q12_HI} 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13_customer_distribution — TPC-H Q13: LEFT OUTER join with an ON
+# predicate (not WHERE — customers with zero qualifying orders must
+# survive with count 0) + a second aggregation over the counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both aggregations get map-side combine; the join keeps customer
+    on the left so the ON-clause filter stays in the join condition
+    (a WHERE would wrongly drop the zero-order customers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q15_top_supplier — TPC-H Q15: revenue view + scalar MAX filter.
+# Equality runs on the rounded decimal revenue (identical in both
+# engines), so "all suppliers tied at the max" is well-defined.
+# ---------------------------------------------------------------------------
+
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_Q15_HI} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20_part_promotion_suppliers — TPC-H Q20 shape: nested semi-join
+# chain (suppliers ← qualifying shipped volume ← LIKE-filtered parts).
+# No partsupp/availqty, so the volume threshold runs on shipped
+# quantity.
+# ---------------------------------------------------------------------------
+
+_Q20_LIKE = "%widget%"
+_Q20_LO, _Q20_HI = "1997-01-01", "1998-01-01"
+_Q20_MIN_QTY = 300
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    oracle=f"""
+WITH widget_vol AS (
+  SELECT l_suppkey, sum(l_quantity) AS widget_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{_Q20_LIKE}'
+    AND l_shipdate >= TIMESTAMP '{_Q20_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_Q20_HI} 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > {_Q20_MIN_QTY}
+)
+SELECT s_suppkey, s_name, n_name,
+  CAST(round(widget_qty, 4) AS DOUBLE) AS widget_qty
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN widget_vol ON s_suppkey = l_suppkey
+""",
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(_Q20_LIKE)
+    )
+    vol = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        # integral-valued quantities → the double sum is exact
+        .agg(F.sum("l_quantity").alias("widget_qty"))
+        .filter(F.col("widget_qty") > _Q20_MIN_QTY)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(vol, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("widget_qty", 4).cast("double").alias("widget_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21_sole_blame_supplier — TPC-H Q21 shape: EXISTS (another supplier
+# on the order) + NOT EXISTS (another supplier also at fault). No
+# commit/receipt dates, so "at fault" = shipped lines flagged 'R'.
+# The Spark plan keeps the literal semi/anti joins; the oracle folds
+# both quantifiers into per-order distinct counts — the hash match
+# proves the two formulations equivalent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_sole_blame_supplier",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp,
+    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS r_supp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON r_supp = s_suppkey
+WHERE n_supp >= 2 AND n_r_supp = 1
+GROUP BY s_suppkey, s_name
+""",
+)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi- and anti-joins run on the deduped (order, supplier) edge
+    set — fact-sized but narrow, shuffled once on l_orderkey and
+    reused across both joins (same key ⇒ exchange reuse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    r_other = r_pairs.select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp2")
+    )
+    # EXISTS: some other supplier shipped on the same order
+    blamed = r_pairs.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier is also flagged on that order
+    sole = blamed.join(
+        r_other,
+        (F.col("l_orderkey") == F.col("r_key"))
+        & (F.col("l_suppkey") != F.col("r_supp2")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )

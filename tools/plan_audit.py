@@ -31,6 +31,8 @@ ALLOWED_BNLJ = {
     "tfidf_top_terms": "broadcast 1-row corpus-size scalar",
     "q22_global_sales_opportunity": "broadcast 1-row scalar subquery (global avg)",
     "decile_stats": "broadcast 1-row total-count scalar (distributed-rank ntile)",
+    "q11_important_parts": "broadcast 1-row scalar subquery (selection total)",
+    "q15_top_supplier": "broadcast 1-row scalar subquery (max revenue)",
 }
 
 

@@ -80,6 +80,8 @@ HEADLINE = (
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
+    "window_functions_suite",
+    "corpus_decontaminate",
 )
 
 

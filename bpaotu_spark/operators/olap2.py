@@ -622,3 +622,58 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+# ---------------------------------------------------------------------------
+# window_functions_suite — the full analytic-window surface in one
+# operator: lag/lead/first_value (entity history navigation),
+# row_number/rank (dense ordering), percent_rank/cume_dist (relative
+# standing). One row per order with every signal.
+#
+# Determinism: both window orderings carry the o_orderkey tiebreak so
+# frames are total orders; percent_rank/cume_dist are single IEEE
+# divisions of identical small integers in both engines — bit-identical
+# without rounding.
+# Scale: both windows partition by o_custkey — parallelism grows with
+# the customer count; no global window anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_functions_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  first_value(o_totalprice) OVER w AS first_price,
+  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+  CAST(rank() OVER wp AS BIGINT) AS price_rank,
+  percent_rank() OVER wp AS price_pct_rank,
+  cume_dist() OVER wp AS price_cume_dist
+FROM orders
+WINDOW
+  w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.rank().over(wp).cast("bigint").alias("price_rank"),
+        F.percent_rank().over(wp).alias("price_pct_rank"),
+        F.cume_dist().over(wp).alias("price_cume_dist"),
+    )

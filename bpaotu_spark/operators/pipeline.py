@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import NGRAMS_SQL
 from bpaotu_spark.functions.textops import (
     STOPWORDS_EN,
     TOKENIZE_SQL,
@@ -472,4 +473,61 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"tok_before div {PACK_BUDGET}").alias("chunk_idx"),
         (F.col("tok_before") % PACK_BUDGET).alias("chunk_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_decontaminate — benchmark decontamination: flag training docs
+# that share word n-grams with a held-out evaluation split. The step
+# every serious pretraining pipeline runs so eval numbers aren't
+# measuring memorized test sets. The benchmark here is a deterministic
+# hash-bucket split of the corpus (the same mechanism a real pipeline
+# uses to freeze an eval set); the n-gram machinery is the dedup
+# family's shared shingle builder.
+#
+# Scale shape: the benchmark side is BOUNDED (eval sets are thousands
+# of docs, not corpus-sized) — its shingle set broadcasts, so the
+# contamination probe is a map-side join over the corpus shingles plus
+# one doc_id groupBy. No corpus-sized shuffle beyond the shingle build.
+# ---------------------------------------------------------------------------
+
+_DECON_BUCKETS = 50
+_DECON_BENCH_BUCKET = 7
+_DECON_MIN_SHARED = 5
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+bench AS (
+  SELECT doc_id, g FROM ng WHERE {hash_bucket_sql('doc_id', _DECON_BUCKETS)} = {_DECON_BENCH_BUCKET}
+), corpus AS (
+  SELECT doc_id, g FROM ng WHERE {hash_bucket_sql('doc_id', _DECON_BUCKETS)} <> {_DECON_BENCH_BUCKET}
+)
+SELECT c.doc_id,
+  count(DISTINCT c.g) AS n_shared_ngrams,
+  count(DISTINCT b.doc_id) AS n_benchmark_docs
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+HAVING count(DISTINCT c.g) >= {_DECON_MIN_SHARED}
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.dedup.core import doc_ngrams
+
+    ng = doc_ngrams(spark, sf_dir)
+    bucket = hash_bucket(F.col("doc_id"), _DECON_BUCKETS)
+    bench = ng.filter(bucket == _DECON_BENCH_BUCKET).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    corpus = ng.filter(bucket != _DECON_BENCH_BUCKET)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_shared_ngrams") >= _DECON_MIN_SHARED)
     )

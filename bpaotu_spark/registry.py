@@ -73,6 +73,8 @@ PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
+    "window_functions_suite",
+    "corpus_decontaminate",
     # (A) round-4 changes: HUGEINT oracle casts + int-width alignment
     "sessionize_events",
     "multimodal_meta",
@@ -114,14 +116,14 @@ PRIORITY: tuple[str, ...] = (
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
-    # (D) mandated LLM-pipeline family, unchanged and r3-green: the
-    # first three stay in-window; the rest rotate to the tail this
-    # round to make room for the ten new TPC-H operators
+    # (D) mandated LLM-pipeline family, unchanged and r3-green:
+    # dedup_exact stays in-window; the rest rotate to the tail this
+    # round to make room for the twelve new operators
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     # ---- 50-entry window boundary (driver round-2/3 behavior) ----
     # tail (r3-green, code unchanged)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",

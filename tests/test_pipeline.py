@@ -137,3 +137,35 @@ def test_near_dedup_keep_first_covers_corpus(spark, sf_dir, tables):
         kept = [m for m in members if m.is_kept]
         assert len(kept) == 1 and kept[0].doc_id == cid
         assert min(m.doc_id for m in members) == cid
+
+
+def test_packed_token_offsets_multi_shard_matches_naive(spark):
+    """The two-level prefix sum must equal the naive single window for
+    MANY shards per stream (the registered query's small fixtures span
+    only 1-2 shards at the default shard_range; this pins the general
+    case, including empty-shard gaps in a sparse id space)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from bpaotu_spark.operators.pipeline import packed_token_offsets
+
+    rows = [
+        (i * 3 + (i % 5), "ab"[i % 2], (i * 7) % 13 + 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, n_tokens BIGINT")
+    got = {
+        r.doc_id: r.tok_before
+        for r in packed_token_offsets(df, ["lang"], shard_range=16).collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exp = {
+        r.doc_id: r.tb
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tb")
+        ).collect()
+    }
+    assert got == exp and len(got) == 200

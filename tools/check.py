@@ -5,6 +5,7 @@ Runs every ``queries()`` entry at a scale factor and compares against
 TYPE alignment, and an order-insensitive value hash. Usage::
 
     python tools/check.py [sf_dir] [query ...]
+    python tools/check.py [sf_dir] --window   # the driver's 50-row prefix
 
 The type check exists because ``str()`` normalization is blind to the
 exact skew that burned rounds 2-3: DuckDB ``sum(BIGINT)`` returns
@@ -25,7 +26,8 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+WINDOW = "--window" in sys.argv[2:]
+ONLY = {a for a in sys.argv[2:] if not a.startswith("--")}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -122,6 +124,11 @@ def main():
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if WINDOW:
+        # exactly what the driver verifies this round: the first 50
+        # entries of queries() in exposure order
+        window_keys = list(qs)[:50]
+        qs = {k: qs[k] for k in window_keys}
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:

@@ -82,6 +82,7 @@ HEADLINE = (
     "q21_sole_blame_supplier",
     "window_functions_suite",
     "corpus_decontaminate",
+    "corpus_semantic_dedup_keep_first",
 )
 
 

@@ -783,3 +783,59 @@ def corpus_near_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_kept", F.col("cluster_id") == F.col("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_semantic_dedup_keep_first — the embedding-space analogue of
+# corpus_near_dedup_keep_first: sign-LSH cosine near-dup pairs → star
+# connected components → keep the min vec_id per semantic cluster. The
+# verdict a pipeline applies AFTER textual near-dedup to catch
+# paraphrases and translations that share no shingles.
+#
+# Scale shape identical to the textual verdict: pairs form only inside
+# LSH buckets, the CC loop runs on the paired subset, and the
+# corpus-wide label join is one shuffle (AQE broadcasts the label side
+# when the duplicate set is small).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_semantic_dedup_keep_first",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b
+    ON {_emb_bucket_sql('a')} = {_emb_bucket_sql('b')} AND a.vec_id < b.vec_id
+  WHERE {COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION SELECT vb, va FROM pairs
+  UNION SELECT va, va FROM pairs
+  UNION SELECT vb, vb FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT
+  e.vec_id,
+  COALESCE(comp.cluster_id, e.vec_id) AS cluster_id,
+  (COALESCE(comp.cluster_id, e.vec_id) = e.vec_id) AS is_kept
+FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.vec_id
+""",
+)
+def corpus_semantic_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    labels = star_connected_components(pairs, "vec_a", "vec_b")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        vecs.join(labels, vecs.vec_id == labels.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("cluster_id") == F.col("vec_id"))
+    )

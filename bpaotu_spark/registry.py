@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "q21_sole_blame_supplier",
     "window_functions_suite",
     "corpus_decontaminate",
+    "corpus_semantic_dedup_keep_first",
     # (A) round-4 changes: HUGEINT oracle casts + int-width alignment
     "sessionize_events",
     "multimodal_meta",
@@ -116,12 +117,11 @@ PRIORITY: tuple[str, ...] = (
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
-    # (D) mandated LLM-pipeline family, unchanged and r3-green:
-    # dedup_exact stays in-window; the rest rotate to the tail this
-    # round to make room for the twelve new operators
-    "dedup_exact",
     # ---- 50-entry window boundary (driver round-2/3 behavior) ----
-    # tail (r3-green, code unchanged)
+    # tail: (D) mandated LLM-pipeline family, r3-green and unchanged,
+    # rotated out this round to make room for the thirteen new
+    # operators
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding",

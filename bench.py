@@ -83,6 +83,9 @@ HEADLINE = (
     "window_functions_suite",
     "corpus_decontaminate",
     "corpus_semantic_dedup_keep_first",
+    "text_unigram_logloss",
+    "bm25_search",
+    "lang_temperature_sample",
 )
 
 

@@ -252,6 +252,205 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# text_unigram_logloss — CCNet-style language-model quality score: the
+# per-token cross-entropy of each document under the corpus's own
+# unigram LM. Boilerplate/gibberish scores far from the corpus mode and
+# gets dropped by a threshold the caller picks.
+#
+# Determinism: ln() runs only on the VOCABULARY table (one value per
+# distinct token, ~|V| rows), immediately floored into exact integer
+# micro-nats; every per-document number is then integer arithmetic
+# (sum of tf * cost), so double summation order can never flip the
+# hash. The ulp-level ln() engine skew matters only within 1 ulp of a
+# micro-nat boundary — ~1e-8 per vocab entry.
+#
+# Scale shape: explode → (doc, token) tf groupBy (map-side combine);
+# vocab is a token-keyed agg of tf (bounded by |V|, not corpus size);
+# the corpus total is a 1-row broadcast; cost joins back to tf on the
+# token key (high-cardinality, even) and re-aggregates on doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logloss",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM x GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab
+), cost AS (
+  SELECT token,
+    CAST(floor(-ln(c * 1.0 / n_total) * 1000000) AS BIGINT) AS cost_micro
+  FROM vocab CROSS JOIN n
+)
+SELECT
+  tf.doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  CAST(sum(tf * cost_micro) AS BIGINT) AS total_cost_micronats,
+  CAST(sum(tf * cost_micro) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+    AS avg_logloss_micronats
+FROM tf JOIN cost USING (token)
+GROUP BY tf.doc_id
+""",
+)
+def text_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = x.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # LM training is inherently a second pass over the corpus, but the
+    # vocab aggregates straight off the scan (one shuffle keyed by
+    # token) and the corpus total is a map-only scan — re-deriving
+    # either from `tf` would re-run the explode+groupBy subtree, since
+    # Catalyst does not dedupe repeated lineage references.
+    vocab = x.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(
+        F.sum(F.size(tokenize(F.col("text"))).cast("bigint")).alias("n_total")
+    )
+    cost = (
+        vocab.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.floor(-F.log(F.col("c") * 1.0 / F.col("n_total")) * 1000000)
+            .cast("bigint")
+            .alias("cost_micro"),
+        )
+    )
+    return (
+        tf.join(cost, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cost_micro")).alias("total_cost_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_cost_micronats",
+            F.expr("total_cost_micronats div n_tokens").alias(
+                "avg_logloss_micronats"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bm25_search — Okapi BM25 relevance of every document against a fixed
+# query-term set, top-50. The data-selection primitive of targeted
+# corpus curation ("give me the docs most relevant to X").
+#
+# Determinism: the query is a compile-time constant, so per-term scores
+# are per-row double expressions with IDENTICAL operator order in both
+# dialects, summed in fixed literal order (no order-sensitive agg);
+# round(4dp) + doc_id tie-break gives the top-k cut a total order
+# (same contract as tfidf_top_terms).
+#
+# Scale shape: map-only scoring — tf comes from array filters on the
+# token array (no explode), the df/avgdl statistics are one broadcast
+# row, and the top-50 is orderBy+limit, which Spark executes as
+# TakeOrderedAndProject (per-partition heaps + driver merge of 50-row
+# heads, never a global sort).
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "merge", "window")
+BM25_K1, BM25_B = 1.2, 0.75
+_BM25_K = 50
+
+
+def _bm25_term_sql(t: str) -> str:
+    tf = f"len(list_filter(toks, x -> x = '{t}'))"
+    idf = f"ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+    return (
+        f"({idf} * {tf} / ({tf} + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+    )
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), stats AS (
+  SELECT
+    count(*) AS n_docs,
+    CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
+    {', '.join(f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in BM25_QUERY)}
+  FROM d
+), scored AS (
+  SELECT doc_id,
+    {' + '.join(f"len(list_filter(toks, x -> x = '{t}'))" for t in BM25_QUERY)} AS n_hits,
+    CAST(round({' + '.join(_bm25_term_sql(t) for t in BM25_QUERY)}, 4) AS DOUBLE) AS score
+  FROM d CROSS JOIN stats
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
+FROM scored
+WHERE n_hits > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {_BM25_K}
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("bigint") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            ).cast("bigint").alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+
+    def term_tf(t: str):
+        return F.size(F.filter("toks", lambda x: x == F.lit(t)))
+
+    def term_score(t: str):
+        tf = term_tf(t)
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        return idf * tf / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+
+    n_hits = term_tf(BM25_QUERY[0])
+    score = term_score(BM25_QUERY[0])
+    for t in BM25_QUERY[1:]:
+        n_hits = n_hits + term_tf(t)
+        score = score + term_score(t)
+
+    scored = (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            n_hits.cast("bigint").alias("n_hits"),
+            F.round(score, 4).cast("double").alias("score"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_BM25_K)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # the no-partition window runs on the already-cut 50-row head only
+    return topk.withColumn("rnk", F.row_number().over(w))
+
+
 @register(
     "text_repetition_ratio",
     oracle=f"""

@@ -531,3 +531,66 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared_ngrams") >= _DECON_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# lang_temperature_sample — temperature-based language rebalancing (the
+# mT5/XLM-R scheme): sample languages with probability proportional to
+# p_l^alpha, alpha < 1, so low-resource languages are up-weighted
+# relative to their natural share. Expressed as a deterministic
+# per-document keep-rate: rate_l = (n_l / n_min)^(alpha-1), which is
+# 1.0 for the smallest language and decays for larger ones; a document
+# is kept when its 16-bit md5 bucket falls under floor(rate * 65536).
+#
+# Determinism: pow() runs once per LANGUAGE (a handful of values), each
+# immediately floored to an integer threshold; the per-document verdict
+# is then pure integer hash math — no RNG, no double aggregation.
+#
+# Scale shape: one tiny groupBy(lang) agg, a 1-row min, and a
+# broadcast join of the per-language rate table back onto the corpus —
+# the per-document pass is map-only and rides the scan.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+_RATE_SCALE = 65536
+
+
+@register(
+    "lang_temperature_sample",
+    oracle=f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(n_docs) AS n_min FROM stats
+), rates AS (
+  SELECT lang,
+    CAST(floor(pow(n_docs * 1.0 / n_min, {_TEMP_ALPHA} - 1) * {_RATE_SCALE}) AS BIGINT)
+      AS rate_u16
+  FROM stats CROSS JOIN mn
+)
+SELECT d.doc_id, d.lang, r.rate_u16,
+  ({hash_bucket_sql('d.doc_id', _RATE_SCALE)} < r.rate_u16) AS is_sampled
+FROM documents d JOIN rates r ON d.lang = r.lang
+""",
+)
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = stats.agg(F.min("n_docs").alias("n_min"))
+    rates = stats.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(
+            F.pow(F.col("n_docs") * 1.0 / F.col("n_min"), _TEMP_ALPHA - 1)
+            * _RATE_SCALE
+        )
+        .cast("bigint")
+        .alias("rate_u16"),
+    )
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        "rate_u16",
+        (hash_bucket(F.col("doc_id"), _RATE_SCALE) < F.col("rate_u16")).alias(
+            "is_sampled"
+        ),
+    )

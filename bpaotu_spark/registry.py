@@ -76,6 +76,9 @@ PRIORITY: tuple[str, ...] = (
     "window_functions_suite",
     "corpus_decontaminate",
     "corpus_semantic_dedup_keep_first",
+    "text_unigram_logloss",
+    "bm25_search",
+    "lang_temperature_sample",
     # (A) round-4 changes: HUGEINT oracle casts + int-width alignment
     "sessionize_events",
     "multimodal_meta",
@@ -114,13 +117,13 @@ PRIORITY: tuple[str, ...] = (
     "q16_antijoin_parts",
     "q18_large_orders",
     "skew_salted_join",
+    # ---- 50-entry window boundary (driver round-2/3 behavior) ----
+    # tail: r3-green and unchanged, rotated out this round to make
+    # room for the sixteen new operators (three more TPC-H shapes
+    # [q7/q19/q22] spill past the boundary than last round)
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
-    # ---- 50-entry window boundary (driver round-2/3 behavior) ----
-    # tail: (D) mandated LLM-pipeline family, r3-green and unchanged,
-    # rotated out this round to make room for the thirteen new
-    # operators
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -33,6 +33,9 @@ ALLOWED_BNLJ = {
     "decile_stats": "broadcast 1-row total-count scalar (distributed-rank ntile)",
     "q11_important_parts": "broadcast 1-row scalar subquery (selection total)",
     "q15_top_supplier": "broadcast 1-row scalar subquery (max revenue)",
+    "text_unigram_logloss": "broadcast 1-row corpus-token-total scalar",
+    "bm25_search": "broadcast 1-row df/avgdl statistics row",
+    "lang_temperature_sample": "broadcast 1-row min-language-count scalar",
 }
 
 

@@ -86,6 +86,8 @@ HEADLINE = (
     "text_unigram_logloss",
     "bm25_search",
     "lang_temperature_sample",
+    "text_winnow_fingerprints",
+    "knn_graph_lsh",
 )
 
 

@@ -23,7 +23,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.dedup.core import dot, norm
+from bpaotu_spark.dedup.core import (
+    COSINE_SQL,
+    _emb_bucket,
+    _emb_bucket_sql,
+    dot,
+    norm,
+)
 from bpaotu_spark.registry import register
 
 TOP_K = 5
@@ -300,3 +306,72 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_lsh — the k-nearest-neighbor GRAPH over the whole corpus
+# (every vector gets its top-k in-bucket neighbors), the building
+# block of semantic clustering / SemDeDup-style curation. Unlike
+# ann_*_topk there is no bounded query set: both sides are the corpus,
+# so candidates are blocked by the same deterministic sign-LSH bucket
+# as dedup_embedding_lsh (pairs form only inside a bucket; widen
+# SIGN bits as the corpus grows to keep buckets bounded).
+#
+# Ranking determinism: cosine is rounded to 4 dp BEFORE ranking and
+# ties break on neighbor_id, so the per-vector top-k cut is
+# engine-independent.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+@register(
+    "knn_graph_lsh",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    CAST(round({COSINE_SQL}, 4) AS DOUBLE) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON {_emb_bucket_sql('a')} = {_emb_bucket_sql('b')} AND a.vec_id <> b.vec_id
+)
+SELECT src AS vec_id, dst AS neighbor_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS INTEGER) AS rnk
+FROM pairs
+QUALIFY rnk <= {_KNN_K}
+""",
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("bucket", _emb_bucket(F.col("v")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"), "bucket",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"), F.col("bucket").alias("bucket_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, (a.bucket == b.bucket_b) & (a.src != b.dst))
+        .select(
+            "src", "dst", F.round(cos, 4).cast("double").alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            "cos_sim",
+            "rnk",
+        )
+    )

@@ -685,6 +685,16 @@ def _emb_bucket_sql(col: str) -> str:
     return f"({bits})"
 
 
+def _emb_bucket(v: Column) -> Column:
+    """Spark twin of :func:`_emb_bucket_sql`: the sign-bit bucket key."""
+    return F.concat(
+        *[
+            F.when(v[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(_EMB_LSH_DIMS)
+        ]
+    )
+
+
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
@@ -701,13 +711,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucket = F.concat(
-        *[
-            F.when(F.col("v")[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(_EMB_LSH_DIMS)
-        ]
+    emb = emb.withColumn("bucket", _emb_bucket(F.col("v"))).withColumn(
+        "nrm", norm(F.col("v"))
     )
-    emb = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         "bucket",

@@ -253,6 +253,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_winnow_fingerprints — winnowing document fingerprints (the
+# MOSS algorithm): hash every K-token gram, slide a W-gram window, and
+# select the minimum hash of each full window. Guarantees any shared
+# run of >= K+W-1 tokens between two documents shares a fingerprint,
+# with a (distinct-selection) density of ~2/(W+1) — the local-copy
+# detection primitive that survives insertions/deletions where the
+# whole-document fingerprint (text_fingerprint) breaks.
+#
+# Determinism: fingerprints are md5-hex prefixes, so the window min is
+# a lexicographic string min — binary collation in both engines; no
+# numeric conversion anywhere.
+#
+# Scale shape: posexplode → two doc_id-partitioned sequential windows
+# (gram assembly via lead, window min) — doc-sized partitions, maximal
+# parallelism at corpus scale; the final distinct is a (doc_id, fp)
+# hash aggregate with map-side combine.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # grams per window
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
+), gram AS (
+  SELECT doc_id, pos,
+    substr(md5(w || ' ' || (lead(w, 1) OVER win) || ' ' || (lead(w, 2) OVER win)), 1, 8) AS fp,
+    (lead(w, {_WINNOW_K - 1}) OVER win) IS NOT NULL AS is_full
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+), g AS (
+  SELECT doc_id, pos, fp FROM gram WHERE is_full
+), wmin AS (
+  SELECT doc_id,
+    min(fp) OVER fwd AS winmin,
+    count(*) OVER fwd AS wcount
+  FROM g
+  WINDOW fwd AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+)
+SELECT DISTINCT doc_id, winmin AS fingerprint
+FROM wmin WHERE wcount = {_WINNOW_W}
+""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = tok.select(
+        "doc_id",
+        "pos",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+                )
+            ),
+            1,
+            8,
+        ).alias("fp"),
+        F.lead("w", _WINNOW_K - 1).over(win).isNotNull().alias("full"),
+    ).filter("full")
+    fwd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    wmin = gram.select(
+        "doc_id",
+        F.min("fp").over(fwd).alias("winmin"),
+        F.count(F.lit(1)).over(fwd).alias("wcount"),
+    )
+    return (
+        wmin.filter(F.col("wcount") == _WINNOW_W)
+        .select("doc_id", F.col("winmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_unigram_logloss — CCNet-style language-model quality score: the
 # per-token cross-entropy of each document under the corpus's own
 # unigram LM. Boilerplate/gibberish scores far from the corpus mode and

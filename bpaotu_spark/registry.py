@@ -79,6 +79,8 @@ PRIORITY: tuple[str, ...] = (
     "text_unigram_logloss",
     "bm25_search",
     "lang_temperature_sample",
+    "text_winnow_fingerprints",
+    "knn_graph_lsh",
     # (A) round-4 changes: HUGEINT oracle casts + int-width alignment
     "sessionize_events",
     "multimodal_meta",

@@ -88,6 +88,8 @@ HEADLINE = (
     "lang_temperature_sample",
     "text_winnow_fingerprints",
     "knn_graph_lsh",
+    "dedup_winnow_pairs",
+    "embedding_dim_stats",
 )
 
 

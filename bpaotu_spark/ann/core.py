@@ -375,3 +375,71 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension corpus statistics (mean, std,
+# min, max): the whitening/normalization profile a vector pipeline
+# computes before quantization or indexing, and the drift monitor run
+# against every new embedding batch.
+#
+# Determinism: sums run over DECIMAL(28,12) (associative — partition
+# order cannot move the result), divided and rounded per the
+# centroids idiom; std derives from the already-rounded 4dp doubles,
+# so both engines see identical inputs; min/max are exact.
+#
+# Scale shape: posexplode → one groupBy(dim) with map-side combine —
+# the shuffle carries |dims| rows per task, nothing corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+), agg AS (
+  SELECT dim, count(*) AS n_vectors,
+    CAST(round(sum(CAST(val AS DECIMAL(28,12))) / count(*), 4) AS DOUBLE) AS mean_val,
+    CAST(round(sum(CAST(val * val AS DECIMAL(28,12))) / count(*), 4) AS DOUBLE) AS meansq,
+    min(val) AS min_val, max(val) AS max_val
+  FROM x GROUP BY dim
+)
+SELECT dim, n_vectors, mean_val,
+  CAST(round(sqrt(meansq - mean_val * mean_val), 4) AS DOUBLE) AS std_val,
+  min_val, max_val
+FROM agg
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select(F.posexplode("v").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"), "val"
+    )
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")) / F.count(F.lit(1)), 4
+        ).cast("double").alias("mean_val"),
+        F.round(
+            F.sum((F.col("val") * F.col("val")).cast("decimal(28,12)"))
+            / F.count(F.lit(1)),
+            4,
+        ).cast("double").alias("meansq"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return agg.select(
+        "dim",
+        "n_vectors",
+        "mean_val",
+        F.round(F.sqrt(F.col("meansq") - F.col("mean_val") * F.col("mean_val")), 4)
+        .cast("double")
+        .alias("std_val"),
+        "min_val",
+        "max_val",
+    )

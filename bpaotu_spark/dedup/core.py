@@ -30,7 +30,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize, word_ngrams
+from bpaotu_spark.functions.textops import (
+    TOKENIZE_SQL,
+    WINNOW_FPS_SQL,
+    tokenize,
+    word_ngrams,
+)
 from bpaotu_spark.registry import register
 
 # SQL twin of the distinct word-3-gram set per document (window-lead
@@ -844,4 +849,61 @@ def corpus_semantic_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("component", "vec_id").alias("cluster_id"),
         )
         .withColumn("is_kept", F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnow_pairs — local-copy candidate pairs from shared winnowing
+# fingerprints: two documents that share >= MIN_SHARED selected
+# fingerprints contain matching token runs (the approximation of exact
+# substring dedup, Lee et al. 2022, that actually distributes — suffix
+# arrays don't shard; winnow inverted indexes do). Complements MinHash
+# (whole-document resemblance) by catching a copied paragraph inside
+# two otherwise-different documents.
+#
+# Scale shape: inverted-index self-join blocked on the fingerprint,
+# with a document-frequency cap first — a boilerplate fingerprint
+# shared by millions of documents would otherwise form a quadratic
+# bucket; dropping df > WINNOW_DF_CAP fingerprints is the same
+# stop-shingle discipline as the MinHash path and loses only
+# uninformative matches.
+# ---------------------------------------------------------------------------
+
+WINNOW_DF_CAP = 50  # fingerprints in more docs than this are boilerplate
+WINNOW_MIN_SHARED = 3
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+WITH {WINNOW_FPS_SQL},
+dfreq AS (
+  SELECT fingerprint, count(*) AS df FROM fps GROUP BY fingerprint
+), keep AS (
+  SELECT f.doc_id, f.fingerprint
+  FROM fps f JOIN dfreq USING (fingerprint)
+  WHERE df <= {WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM keep a JOIN keep b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+""",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.functions.textops import text_winnow_fingerprints
+
+    fps = text_winnow_fingerprints(spark, sf_dir)
+    dfreq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    keep = fps.join(dfreq, "fingerprint").filter(F.col("df") <= WINNOW_DF_CAP)
+    a = keep.select(F.col("fingerprint"), F.col("doc_id").alias("doc_a"))
+    b = keep.select(
+        F.col("fingerprint").alias("fp_b"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, (a.fingerprint == b.fp_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

@@ -274,11 +274,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 3  # tokens per gram
 _WINNOW_W = 4  # grams per window
 
-
-@register(
-    "text_winnow_fingerprints",
-    oracle=f"""
-WITH t AS (
+# Shared CTE chain ending in fps(doc_id, fingerprint) — reused by the
+# dedup_winnow_pairs oracle so both operators share one definition.
+WINNOW_FPS_SQL = f"""t AS (
   SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
 ), tok AS (
   SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
@@ -296,9 +294,17 @@ WITH t AS (
   FROM g
   WINDOW fwd AS (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
-)
-SELECT DISTINCT doc_id, winmin AS fingerprint
-FROM wmin WHERE wcount = {_WINNOW_W}
+), fps AS (
+  SELECT DISTINCT doc_id, winmin AS fingerprint
+  FROM wmin WHERE wcount = {_WINNOW_W}
+)"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH {WINNOW_FPS_SQL}
+SELECT doc_id, fingerprint FROM fps
 """,
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,8 @@ PRIORITY: tuple[str, ...] = (
     "lang_temperature_sample",
     "text_winnow_fingerprints",
     "knn_graph_lsh",
+    "dedup_winnow_pairs",
+    "embedding_dim_stats",
     # (A) round-4 changes: HUGEINT oracle casts + int-width alignment
     "sessionize_events",
     "multimodal_meta",

@@ -90,6 +90,8 @@ HEADLINE = (
     "knn_graph_lsh",
     "dedup_winnow_pairs",
     "embedding_dim_stats",
+    "dedup_ngram_coverage",
+    "zipf_token_stats",
 )
 
 

@@ -907,3 +907,64 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_coverage — per-document duplicated-n-gram share.
+#
+# The per-doc signal behind exact-substring dedup (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): the
+# fraction of a document's distinct word 3-grams that occur in at least
+# one OTHER document. Documents dominated by corpus-repeated spans are
+# near-copies or boilerplate even when no single pair-join fires.
+#
+# Scale shape: reuses the dedup_ngram_jaccard inverted index but never
+# forms pairs — one df aggregation (full map-side combine) plus one
+# join back on the gram key, then a per-doc aggregation. Strictly
+# cheaper than any pairwise dedup at 100 TB; no window, no global sort.
+# Integer ppm (DIV) keeps the verdict engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_coverage",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+dfreq AS (
+  SELECT g, count(*) AS df FROM ng GROUP BY g
+)
+SELECT ng.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_dup_grams,
+  CAST((count(*) FILTER (WHERE df >= 2)) * 1000000 // count(*) AS BIGINT)
+    AS dup_share_ppm
+FROM ng JOIN dfreq USING (g)
+GROUP BY ng.doc_id
+""",
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df counts DOCS per gram (doc_ngrams is distinct per doc), so
+    df >= 2 means "seen elsewhere"; a doc repeating its own phrase does
+    not count itself as a duplicate (that is text_repetition_ratio's
+    job). Docs shorter than 3 tokens have no grams and drop out in both
+    engines (inner join semantics, identical)."""
+    ng = doc_ngrams(spark, sf_dir)
+    dfreq = ng.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.count(F.when(F.col("df") >= 2, F.lit(1)))
+    return (
+        ng.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("n_dup_grams"),
+            (dup * F.lit(1000000)).alias("dup_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("CAST(dup_scaled DIV n_grams AS BIGINT)").alias(
+                "dup_share_ppm"
+            ),
+        )
+    )

@@ -594,3 +594,76 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_sampled"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# zipf_token_stats — corpus rank-frequency profile (Zipf curve).
+#
+# The corpus-health diagnostic run before tokenizer training: top-N
+# tokens by frequency with rank, cumulative share, and the rank x tf
+# product (flat product ~ Zipfian; collapse at low rank ~ boilerplate
+# domination). Complements corpus_token_stats (per-term tf/df) with the
+# corpus-shape view.
+#
+# Scale shape: tf aggregation has full map-side combine; the top-N cut
+# is TakeOrderedAndProject (per-partition heaps, no global sort); the
+# windows then run over the LIMIT-bounded 100-row set, and the grand
+# total joins as a broadcast 1-row scalar. Integer ppm via DIV keeps
+# both engines exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_token_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {{tok}} AS toks FROM documents
+), x AS (
+  SELECT unnest(toks) AS token FROM t
+), tf AS (
+  SELECT token, count(*) AS tf FROM x GROUP BY token
+), total AS (
+  SELECT count(*) AS total FROM x
+), top AS (
+  SELECT token, tf FROM tf ORDER BY tf DESC, token ASC LIMIT {{n}}
+)
+SELECT token,
+  CAST(row_number() OVER w AS BIGINT) AS rank,
+  CAST(tf AS BIGINT) AS tf,
+  CAST(sum(tf) OVER w AS BIGINT) AS cum_tf,
+  CAST((sum(tf) OVER w) * 1000000 // total AS BIGINT) AS cum_share_ppm,
+  CAST(tf * row_number() OVER w AS BIGINT) AS zipf_product
+FROM top, total
+WINDOW w AS (ORDER BY tf DESC, token ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".format(tok=TOKENIZE_SQL, n=_TOP_TOKENS),
+)
+def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = x.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = x.agg(F.count(F.lit(1)).alias("total"))
+    top = tf.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(_TOP_TOKENS)
+    # Bounded windows: both run over the LIMIT-100 result, never the
+    # full vocabulary (single partition of <= 100 rows by construction).
+    w_rank = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rank = F.row_number().over(w_rank).cast("bigint")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            rank.alias("rank"),
+            "tf",
+            F.sum("tf").over(w_cum).alias("cum_tf"),
+            (F.col("tf") * rank).alias("zipf_product"),
+            "total",
+        )
+        .withColumn(
+            "cum_share_ppm",
+            F.expr("CAST(cum_tf * 1000000 DIV total AS BIGINT)"),
+        )
+        .drop("total")
+    )

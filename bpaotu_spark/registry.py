@@ -61,8 +61,10 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # (A0) NEW this round — TPC-H coverage completion, never
-    # driver-verified
+    # (A0) NEW this round — never driver-verified
+    "dedup_ngram_coverage",
+    "zipf_token_stats",
+    # TPC-H coverage completion, new this round
     "q6_forecast_revenue",
     "q2_min_price_supplier",
     "q8_market_share",

@@ -45,9 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
-        # read as epoch-nanos BIGINT. Set at runtime so the engine works
-        # under ANY caller-provided session, not just our tuned factory.
+        # Rounds 1-3 shipped events.ts as parquet TIMESTAMP(NANOS), which
+        # Spark rejects unless read as epoch-nanos BIGINT; round-4 data is
+        # TIMESTAMP(MICROS) (plain NTZ read). Keep the legacy conf so the
+        # engine still works against nanos-era files under ANY session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # Driver parquet carries naive (NTZ) timestamps; the session timezone is
@@ -58,9 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet → read as epoch-nanos BIGINT
+        # Legacy nanos-era files only: ts read as epoch-nanos BIGINT
         # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros, the
-        # same value DuckDB/Arrow readers see.
+        # same value DuckDB/Arrow readers see. Micros-era files take the
+        # timestamp_ntz → ltz cast above and skip this branch.
         field = dict(df.dtypes).get("ts")
         if field == "bigint":
             # Integer div, NOT `/`: epoch-nanos (~1.7e18) exceed double's

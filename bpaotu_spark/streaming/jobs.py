@@ -24,15 +24,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # Schema the file stream needs up front (streams cannot infer).
-# ts arrives as epoch-nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong,
-# set by the session factory / catalog for the TIMESTAMP(NANOS) parquet).
+# ts is parquet TIMESTAMP(MICROS) without timezone → TIMESTAMP_NTZ,
+# the same thing the batch catalog reads; it then casts to LTZ under
+# the session's pinned-UTC timezone so window()/unix_millis() apply.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -45,7 +47,6 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """events as a file-source stream with proper event-time ts."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File streams require a directory source; events.parquet is a single
     # file, so stream the sf_dir with a glob filter (on a real lake this
     # is just the events/ directory and new files arrive as new batches).
@@ -55,7 +56,7 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def windowed_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

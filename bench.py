@@ -92,6 +92,9 @@ HEADLINE = (
     "embedding_dim_stats",
     "dedup_ngram_coverage",
     "zipf_token_stats",
+    "doc_chunk_sliding",
+    "token_vocab_coverage",
+    "bigram_pmi",
 )
 
 

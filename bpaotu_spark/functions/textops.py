@@ -622,3 +622,114 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram_pmi — corpus collocation mining by pointwise mutual
+# information: PMI(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) from
+# the bigram distribution and p(x), p(y) from the unigram one. High
+# PMI + minimum support finds the corpus's multi-word units — the
+# phrases a tokenizer-training or boilerplate-analysis step should
+# treat as single symbols.
+#
+# Determinism: the ln() argument is built with the identical
+# left-associative DOUBLE expression tree in both engines (promote
+# once, multiply in the same order), then rounded to 4 dp — the same
+# contract alpha_diversity's Shannon term uses. The top-K cut orders
+# by (pmi DESC, bigram ASC) AFTER rounding, so the cut is
+# engine-independent.
+#
+# Scale shape: unigram and bigram counts both get map-side combine;
+# the support filter (c_xy >= _PMI_MIN_COUNT) prunes the bigram table
+# BEFORE the two unigram-count joins (standard shuffle joins on the
+# token key — the vocabulary is zipfian but bounded); totals join as
+# broadcast 1-row scalars; the final window runs over the LIMIT-K
+# result only.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), uni AS (
+  SELECT unnest(toks) AS x FROM t
+), c1 AS (
+  SELECT x, count(*) AS c FROM uni GROUP BY x
+), n1 AS (
+  SELECT count(*) AS n FROM uni
+), big AS (
+  SELECT tok || ' ' || lead(tok, 1) OVER w AS g
+  FROM (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos FROM t)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+), c2 AS (
+  SELECT g, count(*) AS c FROM big GROUP BY g
+), n2 AS (
+  SELECT count(*) AS n FROM big
+), scored AS (
+  SELECT c2.g AS bigram,
+    CAST(c2.c AS BIGINT) AS c_xy,
+    CAST(round(ln(CAST(c2.c AS DOUBLE) * n1.n * n1.n
+                  / (CAST(n2.n AS DOUBLE) * cx.c * cy.c)), 4) AS DOUBLE)
+      AS pmi
+  FROM c2
+  JOIN c1 cx ON cx.x = string_split(c2.g, ' ')[1]
+  JOIN c1 cy ON cy.x = string_split(c2.g, ' ')[2]
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE c2.c >= {_PMI_MIN_COUNT}
+)
+SELECT bigram, c_xy, pmi,
+  CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS BIGINT) AS rank
+FROM (SELECT * FROM scored ORDER BY pmi DESC, bigram ASC LIMIT {_PMI_TOPK})
+""",
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    uni = t.select(F.explode(F.col("toks")).alias("x"))
+    c1 = uni.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).alias("n1"))
+    big = t.select(
+        F.explode(word_ngrams(F.col("toks"), 2)).alias("g")
+    )
+    c2 = big.groupBy("g").agg(F.count(F.lit(1)).alias("c_xy"))
+    n2 = big.agg(F.count(F.lit(1)).alias("n2"))
+    cand = (
+        c2.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .withColumn("xtok", F.split(F.col("g"), " ")[0])
+        .withColumn("ytok", F.split(F.col("g"), " ")[1])
+        .join(
+            c1.select(F.col("x").alias("xtok"), F.col("c").alias("c_x")),
+            "xtok",
+        )
+        .join(
+            c1.select(F.col("x").alias("ytok"), F.col("c").alias("c_y")),
+            "ytok",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    # Same left-associative double tree as the oracle: (((cxy·n1)·n1) /
+    # ((n2·cx)·cy)) — element order matters for IEEE bit-equality.
+    pmi = F.round(
+        F.log(
+            F.col("c_xy").cast("double") * F.col("n1") * F.col("n1")
+            / (F.col("n2").cast("double") * F.col("c_x") * F.col("c_y"))
+        ),
+        4,
+    ).cast("double")
+    top = (
+        cand.select(F.col("g").alias("bigram"), "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(_PMI_TOPK)
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

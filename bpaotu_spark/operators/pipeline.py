@@ -667,3 +667,155 @@ def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_sliding — context-window chunking with overlap.
+#
+# The step that turns cleaned documents into model-sized training
+# examples when cross-document packing is NOT wanted (instruction
+# tuning, long-context eval sets): each document is cut into
+# _CHUNK_TOKS-token windows advancing by _CHUNK_STRIDE (so consecutive
+# chunks overlap by _CHUNK_TOKS - _CHUNK_STRIDE tokens and every token
+# appears in at least one chunk). Differs from corpus_pack_sequences,
+# which concatenates ACROSS documents into exact fixed-size blocks.
+#
+# Scale shape: narrow map-only plan — tokenize, per-row sequence
+# explode, slice. No shuffle, no window, no join anywhere; the fan-out
+# is bounded per document (ceil(n/stride) rows), so the operator
+# scales linearly with corpus bytes and parallelizes per input split.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKS = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+), c AS (
+  SELECT doc_id, toks,
+    CASE WHEN n <= {_CHUNK_TOKS} THEN CAST(1 AS BIGINT)
+         ELSE (n - {_CHUNK_TOKS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} + 1
+    END AS n_chunks
+  FROM s
+)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS chunk_idx,
+  CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+  CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                      i * {_CHUNK_STRIDE} + {_CHUNK_TOKS})) AS BIGINT)
+    AS chunk_len,
+  array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                             i * {_CHUNK_STRIDE} + {_CHUNK_TOKS}), ' ')
+    AS chunk_text
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+""",
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking. tokenize('') yields [''] in both
+    engines, so every document has n >= 1 tokens and exactly
+    ceil(max(n - C, 0) / S) + 1 chunks — no empty-doc special case.
+    The last window is allowed to run short (slice clamps at the end
+    of the token array identically in Spark and DuckDB)."""
+    c, s = _CHUNK_TOKS, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks").cast("bigint"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"CASE WHEN n <= {c} THEN CAST(1 AS BIGINT) "
+                f"ELSE (n - {c} + {s} - 1) DIV {s} + 1 END"
+            ),
+        )
+    )
+    piece = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * s).cast("int") + 1, c
+    )
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .withColumn("chunk_start", F.col("chunk_idx") * s)
+        .withColumn("chunk_len", F.size(piece).cast("bigint"))
+        .withColumn("chunk_text", F.concat_ws(" ", piece))
+        .drop("toks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_vocab_coverage — per-document OOV rate against the corpus
+# top-N vocabulary.
+#
+# The tokenizer-fit diagnostic: after choosing a vocabulary (here the
+# exact top-_TOP_TOKENS corpus tokens — the same cut zipf_token_stats
+# ranks), score every document by how much of it the vocabulary
+# covers. High-OOV documents are the ones a fixed tokenizer would
+# shred into bytes; pipelines route them to re-tokenization or drop.
+#
+# Scale shape: token-frequency agg has full map-side combine; the
+# vocabulary is a LIMIT-N table (TakeOrderedAndProject, no global
+# sort) and joins back BROADCAST, so the per-token membership probe
+# is map-side; the only corpus-sized shuffle is the final per-doc
+# aggregation, which is pre-combined per partition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_vocab_coverage",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), tf AS (
+  SELECT token, count(*) AS tf FROM x GROUP BY token
+), vocab AS (
+  SELECT token FROM tf ORDER BY tf DESC, token ASC LIMIT {_TOP_TOKENS}
+)
+SELECT x.doc_id,
+  count(*) AS n_tokens,
+  count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+  count(*) FILTER (WHERE v.token IS NULL) * 1000000 // count(*) AS oov_ppm
+FROM x LEFT JOIN vocab v ON x.token = v.token
+GROUP BY x.doc_id
+""",
+)
+def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts, not sums, everywhere (DuckDB count(*) is BIGINT while
+    sum() would be HUGEINT — the round-3 driver-hash lesson); the ppm
+    quotient is integer DIV of two BIGINTs in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    vocab = (
+        x.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(_TOP_TOKENS)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        x.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), F.lit(1))).alias(
+                "n_oov"
+            ),
+        )
+        .withColumn(
+            "oov_ppm", F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)")
+        )
+    )

@@ -62,6 +62,9 @@ def load_all() -> None:
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
     # (A0) NEW this round — never driver-verified
+    "doc_chunk_sliding",
+    "token_vocab_coverage",
+    "bigram_pmi",
     "dedup_ngram_coverage",
     "zipf_token_stats",
     # TPC-H coverage completion, new this round

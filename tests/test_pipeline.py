@@ -169,3 +169,63 @@ def test_packed_token_offsets_multi_shard_matches_naive(spark):
         ).collect()
     }
     assert got == exp and len(got) == 200
+
+
+def test_doc_chunk_sliding_covers_every_token(spark, sf_dir, tables):
+    """Chunks tile each document: chunk 0 starts at 0, strides are
+    constant, every token index is covered, and only the last chunk
+    may run short."""
+    from bpaotu_spark.operators.pipeline import _CHUNK_STRIDE, _CHUNK_TOKS
+
+    rows = QUERIES["doc_chunk_sliding"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == tables["documents"].count()
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r.chunk_len == _CHUNK_TOKS
+        last = rs[-1]
+        assert 0 < last.chunk_len <= _CHUNK_TOKS
+        for r in rs:
+            assert r.chunk_start == r.chunk_idx * _CHUNK_STRIDE
+            assert len(r.chunk_text.split(" ")) == r.chunk_len
+        # coverage: last chunk reaches the end token
+        n = last.chunk_start + last.chunk_len
+        if len(rs) > 1:
+            assert n > rs[-2].chunk_start + _CHUNK_TOKS - _CHUNK_STRIDE
+
+
+def test_doc_chunk_sliding_is_map_only(spark, sf_dir):
+    df = QUERIES["doc_chunk_sliding"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # narrow: no shuffle anywhere
+
+
+def test_token_vocab_coverage_bounds(spark, sf_dir, tables):
+    rows = QUERIES["token_vocab_coverage"](spark, sf_dir).collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_ppm <= 1_000_000
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+
+
+def test_bigram_pmi_rank_and_support(spark, sf_dir):
+    from bpaotu_spark.functions.textops import _PMI_MIN_COUNT, _PMI_TOPK
+
+    rows = QUERIES["bigram_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PMI_TOPK
+    rows.sort(key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        assert r.c_xy >= _PMI_MIN_COUNT
+        assert len(r.bigram.split(" ")) == 2
+        if prev is not None:
+            assert (r.pmi, r.bigram) <= (prev.pmi, r.bigram) or r.pmi <= prev.pmi
+        prev = r

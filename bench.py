@@ -95,6 +95,7 @@ HEADLINE = (
     "doc_chunk_sliding",
     "token_vocab_coverage",
     "bigram_pmi",
+    "pagerank_knn",
 )
 
 

@@ -443,3 +443,122 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+# ---------------------------------------------------------------------------
+# pagerank_knn — fixed-iteration PageRank over the corpus k-NN graph:
+# the centrality pass a curation pipeline runs on the semantic graph
+# to find hub documents (dense-cluster representatives) vs peripheral
+# ones. Damping 0.85, _PR_ITERS power-iteration rounds, top-20 cut.
+#
+# All arithmetic is FIXED-POINT BIGINT (rank in 1e-12 units, integer
+# DIV at every division) so three rounds of iteration produce
+# bit-identical values in Spark and DuckDB — no float summation-order
+# skew, no HUGEINT (every oracle sum is CAST back to BIGINT; values
+# are bounded by the 1e12 total mass so the cast is lossless).
+# Dangling mass (out-degree-0 nodes in singleton LSH buckets) decays
+# rather than redistributing — simplification applied identically in
+# both engines.
+#
+# Scale shape: the edge table is the LSH-blocked kNN graph (≤ k
+# out-edges per node, no all-pairs product); each round is one
+# shuffle join (edges ⋈ ranks on src, pre-combined sum keyed dst)
+# plus a broadcast of the 1-row node count — the classic distributed
+# PageRank plan, O(iters) rounds independent of graph size. Rounds
+# are a fixed small constant, so lineage stays shallow without
+# checkpointing.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_UNIT = 1_000_000_000_000
+_PR_TOPN = 20
+
+
+def _pr_oracle() -> str:
+    unit = _PR_UNIT
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst, CAST(sum({prev}.r // o.d) AS BIGINT) AS s
+  FROM edges e
+  JOIN outdeg o ON o.src = e.src
+  JOIN {prev} ON {prev}.vec_id = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nodes.vec_id,
+    CAST((15 * {unit}) // (100 * n.n)
+         + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes CROSS JOIN n LEFT JOIN c{i} ON c{i}.dst = nodes.vec_id
+)""")
+        prev = f"r{i}"
+    chain = "," + ",".join(iters)
+    return f"""
+WITH nodes AS (
+  SELECT vec_id FROM embeddings
+), n AS (
+  SELECT count(*) AS n FROM nodes
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      CAST(round({{cos}}, 4) AS DOUBLE) AS cos_sim,
+      row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY CAST(round({{cos}}, 4) AS DOUBLE) DESC, b.vec_id ASC
+      ) AS rnk
+    FROM embeddings a JOIN embeddings b
+      ON {{ba}} = {{bb}} AND a.vec_id <> b.vec_id
+  ) WHERE rnk <= {_KNN_K}
+), outdeg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT vec_id, CAST({unit} // n.n AS BIGINT) AS r FROM nodes, n
+){chain}
+SELECT vec_id, r AS rank_e12,
+  CAST(row_number() OVER (ORDER BY r DESC, vec_id ASC) AS BIGINT) AS rnk
+FROM (SELECT * FROM {prev} ORDER BY r DESC, vec_id ASC LIMIT {_PR_TOPN})
+""".format(cos=COSINE_SQL, ba=_emb_bucket_sql("a"), bb=_emb_bucket_sql("b"))
+
+
+@register("pagerank_knn", oracle=_pr_oracle())
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = knn_graph_lsh(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # per-edge share denominator rides WITH the edge list: one join here,
+    # then each iteration is a single edges ⋈ ranks shuffle.
+    edges = edges.join(outdeg, "src")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "vec_id", F.expr(f"CAST({_PR_UNIT} DIV n AS BIGINT)").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("vec_id").alias("src"), "r"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV d")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib, nodes.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST((15 * {_PR_UNIT}) DIV (100 * n)"
+                    " + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    top = ranks.orderBy(F.col("r").desc(), F.col("vec_id").asc()).limit(
+        _PR_TOPN
+    )
+    w = Window.orderBy(F.col("rank_e12").desc(), F.col("vec_id").asc())
+    return (
+        top.select("vec_id", F.col("r").alias("rank_e12"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    )

@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_chunk_sliding",
     "token_vocab_coverage",
     "bigram_pmi",
+    "pagerank_knn",
     "dedup_ngram_coverage",
     "zipf_token_stats",
     # TPC-H coverage completion, new this round

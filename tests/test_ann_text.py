@@ -150,3 +150,24 @@ def test_blast_kmer_similarity_ranking(spark, sf_dir):
         assert len(rs) <= TOP_N
         hits = [r.n_hits for r in rs]
         assert hits == sorted(hits, reverse=True)
+
+
+def test_pagerank_knn_fixed_point_invariants(spark, sf_dir):
+    """Ranks are positive fixed-point BIGINTs; total mass never exceeds
+    the initial 1e12 (damping + integer-DIV truncation + dangling decay
+    only remove mass); the top-20 cut is rank-ordered and rerun-stable."""
+    from bpaotu_spark.ann.core import _PR_TOPN, _PR_UNIT
+
+    rows = QUERIES["pagerank_knn"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PR_TOPN
+    rows.sort(key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rank_e12, -a.vec_id) >= (b.rank_e12, -b.vec_id)
+        assert a.rank_e12 >= b.rank_e12
+    assert all(r.rank_e12 > 0 for r in rows)
+    assert sum(r.rank_e12 for r in rows) <= _PR_UNIT
+    again = QUERIES["pagerank_knn"](spark, sf_dir).collect()
+    assert {(r.vec_id, r.rank_e12) for r in again} == {
+        (r.vec_id, r.rank_e12) for r in rows
+    }

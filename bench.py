@@ -96,6 +96,9 @@ HEADLINE = (
     "token_vocab_coverage",
     "bigram_pmi",
     "pagerank_knn",
+    "basket_brand_lift",
+    "table_profile",
+    "event_interarrival_stats",
 )
 
 

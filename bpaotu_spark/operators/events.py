@@ -581,3 +581,57 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# event_interarrival_stats — distribution of per-user inter-event gaps
+# by event type: for each consecutive event pair of a user (ordered by
+# ts, event_id tiebreak), the gap is attributed to the LATER event's
+# type. The engagement-cadence profile behind session-gap tuning
+# (cf. sessionize_events' fixed 30-min threshold).
+#
+# Scale shape: one lag() window PARTITIONED BY user_id — millions of
+# small partitions, never a global sort; the per-type rollup is a
+# 4-row aggregate with map-side combine. Gaps are exact integer
+# microseconds end-to-end (epoch_us both engines); the mean is
+# integer DIV; the oracle CASTs its sum back to BIGINT (HUGEINT
+# discipline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+  count(*) AS n_gaps,
+  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+  CAST(CAST(sum(gap_us) AS BIGINT) // count(*) AS BIGINT) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("CAST(sum(gap_us) DIV count(*) AS BIGINT)").alias("avg_gap_us"),
+    )

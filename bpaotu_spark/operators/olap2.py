@@ -677,3 +677,142 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(wp).alias("price_pct_rank"),
         F.cume_dist().over(wp).alias("price_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# basket_brand_lift — market-basket association over orders: for every
+# brand pair that co-occurs in an order, support and lift
+# (lift = P(a,b) / (P(a)·P(b)) over the order universe). The portal's
+# "which taxa co-occur across samples" question in its classic retail
+# form; the building block of association-rule mining.
+#
+# Scale shape: baskets are DISTINCT (orderkey, brand) — one shuffle
+# with map-side combine; the pair join is BLOCKED on l_orderkey
+# (pairs form only within one order's ≤ few-dozen distinct brands,
+# never across orders — no all-pairs product), and brand_a < brand_b
+# halves the pair space. Brand cardinality is fixed (25), so the
+# result is ≤ C(25,2) rows at any fact scale; the two per-brand
+# support tables join back BROADCAST.
+#
+# Determinism: counts are BIGINT counts (never sums); lift uses the
+# same left-associative DOUBLE tree in both engines, rounded 4 dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_brand_lift",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (
+  SELECT count(DISTINCT okey) AS n_orders FROM baskets
+), supp AS (
+  SELECT brand, count(*) AS c FROM baskets GROUP BY brand
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT brand_a, brand_b, n_ab,
+  n_ab * 1000000 // n.n_orders AS support_ppm,
+  CAST(round(CAST(n_ab AS DOUBLE) * n.n_orders
+             / (CAST(sa.c AS DOUBLE) * sb.c), 4) AS DOUBLE) AS lift
+FROM pairs
+JOIN supp sa ON sa.brand = pairs.brand_a
+JOIN supp sb ON sb.brand = pairs.brand_b
+CROSS JOIN n
+""",
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
+    supp = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.okey == b.okey_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    lift = F.round(
+        F.col("n_ab").cast("double") * F.col("n_orders")
+        / (F.col("c_a").cast("double") * F.col("c_b")),
+        4,
+    ).cast("double")
+    return (
+        pairs.join(
+            F.broadcast(supp.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.expr("CAST(n_ab * 1000000 DIV n_orders AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            lift.alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# table_profile — single-pass data-profiling: per-column null count and
+# exact distinct count over the customer table. The ingest-time sanity
+# report every pipeline runs before trusting a new drop of data (the
+# reference's importer validates contextual columns the same way on
+# ingest — public path ``bpaotu/otu/importer.py`` field checks).
+#
+# Scale shape: ONE scan; Spark plans the multi-column distinct
+# aggregate via Expand (one stream per distinct column) with partial
+# aggregation — no per-column re-scan. The result is exactly
+# n_columns rows. At 100 TB the exact distinct would flip to
+# approx_count_distinct (HLL, map-side combinable) — kept exact here
+# because the oracle contract requires engine-identical values.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+  count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct
+FROM customer"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    wide = cust.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

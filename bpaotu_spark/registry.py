@@ -66,6 +66,9 @@ PRIORITY: tuple[str, ...] = (
     "token_vocab_coverage",
     "bigram_pmi",
     "pagerank_knn",
+    "basket_brand_lift",
+    "table_profile",
+    "event_interarrival_stats",
     "dedup_ngram_coverage",
     "zipf_token_stats",
     # TPC-H coverage completion, new this round

@@ -135,3 +135,36 @@ def test_sql_api_parity_q1(spark, sf_dir):
         for r in QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
     }
     assert sql_rows == df_rows
+
+
+def test_basket_brand_lift_bounds(spark, sf_dir):
+    """Pairs are canonical (a < b); support is a valid ppm; lift is
+    positive; pair count never exceeds either brand's support."""
+    rows = QUERIES["basket_brand_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0 < r.support_ppm <= 1_000_000
+        assert r.lift > 0
+        assert r.n_ab >= 1
+
+
+def test_table_profile_one_scan_counts(spark, sf_dir, tables):
+    rows = {r.col_name: r for r in QUERIES["table_profile"](spark, sf_dir).collect()}
+    n = tables["customer"].count()
+    assert set(rows) == {
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    }
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.n_distinct <= n
+    assert rows["c_custkey"].n_distinct == n  # key column is unique
+
+
+def test_event_interarrival_positive_gaps(spark, sf_dir):
+    rows = QUERIES["event_interarrival_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.min_gap_us <= r.avg_gap_us <= r.max_gap_us

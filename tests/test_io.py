@@ -313,3 +313,40 @@ def test_training_shards_near_dedup_and_packing(spark, sf_dir, tmp_path):
         for r in rs:
             assert r.chunk_idx == run // 512 and r.chunk_offset == run % 512
             run += r.n_tokens
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    """Write documents as many tiny files per partition, compact, and
+    assert: identical row multiset, fewer files, untouched partitions
+    left alone."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.maintenance import compact_parquet, plan_compaction
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "lake")
+    docs.repartition(16).write.partitionBy("lang").parquet(root)
+
+    before = plan_compaction(spark, root)
+    assert all(n > 1 for n, _ in before.values())
+    want = {tuple(r) for r in spark.read.parquet(root).collect()}
+
+    report = compact_parquet(spark, root, target_bytes=64 * 1024 * 1024)
+    assert report  # something was compacted
+    after = plan_compaction(spark, root)
+    assert set(after) == set(before)
+    for d, n_after in report.items():
+        assert n_after < before[d][0]
+        assert n_after == after[d][0]
+
+    got = {tuple(r) for r in spark.read.parquet(root).collect()}
+    assert got == want
+
+
+def test_compaction_skips_single_file_partitions(spark, sf_dir, tmp_path):
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.maintenance import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "lake1")
+    docs.coalesce(1).write.parquet(root)
+    assert compact_parquet(spark, root) == {}

@@ -36,6 +36,10 @@ ALLOWED_BNLJ = {
     "text_unigram_logloss": "broadcast 1-row corpus-token-total scalar",
     "bm25_search": "broadcast 1-row df/avgdl statistics row",
     "lang_temperature_sample": "broadcast 1-row min-language-count scalar",
+    "zipf_token_stats": "broadcast 1-row grand-total scalar",
+    "bigram_pmi": "broadcast 1-row unigram/bigram total scalars",
+    "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
+    "basket_brand_lift": "broadcast 1-row order-count scalar",
 }
 
 

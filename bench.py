@@ -99,6 +99,7 @@ HEADLINE = (
     "basket_brand_lift",
     "table_profile",
     "event_interarrival_stats",
+    "lang_length_quartiles",
 )
 
 

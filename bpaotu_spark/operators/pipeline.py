@@ -819,3 +819,70 @@ def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_ppm", F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lang_length_quartiles — exact per-language document-length quartiles
+# (type-1 discrete: the value at rank ceil(q·n), no interpolation).
+# The corpus QC cut used to set per-language min/max length gates.
+#
+# Scale shape: the naive form (oracle) sorts every language's docs
+# under a PARTITION BY lang window — ~5 static keys, so one task
+# sorts an entire language at corpus scale (the same skewed-key
+# global sort the round-3 verdict flagged elsewhere). The Spark plan
+# instead uses the decile_stats value-histogram CDF rewrite: group by
+# (lang, n_chars) with map-side combine — the windows then run over
+# the bounded histogram (distinct length values per language), never
+# the document stream. The oracle stays naive to prove the rewrite
+# lossless.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_length_quartiles",
+    oracle="""
+WITH r AS (
+  SELECT lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+  max(n) AS n_docs,
+  CAST(max(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS BIGINT) AS p25_chars,
+  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50_chars,
+  CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS BIGINT) AS p75_chars
+FROM r GROUP BY lang
+""",
+)
+def lang_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("lang")
+    sel = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+
+    def q_at(idx_expr: str, name: str) -> Column:
+        # min value whose CDF reaches the rank index == the value at
+        # that rank in the sorted stream (histogram dedupes values).
+        return F.min(
+            F.when(F.col("cum") >= F.expr(idx_expr), F.col("n_chars"))
+        ).cast("bigint").alias(name)
+
+    return sel.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        q_at("(n + 3) DIV 4", "p25_chars"),
+        q_at("(n + 1) DIV 2", "p50_chars"),
+        q_at("(3 * n + 3) DIV 4", "p75_chars"),
+    )

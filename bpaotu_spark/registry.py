@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "basket_brand_lift",
     "table_profile",
     "event_interarrival_stats",
+    "lang_length_quartiles",
     "dedup_ngram_coverage",
     "zipf_token_stats",
     # TPC-H coverage completion, new this round

@@ -229,3 +229,25 @@ def test_bigram_pmi_rank_and_support(spark, sf_dir):
         if prev is not None:
             assert (r.pmi, r.bigram) <= (prev.pmi, r.bigram) or r.pmi <= prev.pmi
         prev = r
+
+
+def test_lang_length_quartiles_exact_vs_naive(spark, sf_dir, tables):
+    """Histogram-CDF quartiles equal brute-force sorted-list selection
+    computed driver-side, and quartiles are ordered."""
+    import math
+
+    rows = {r.lang: r for r in QUERIES["lang_length_quartiles"](spark, sf_dir).collect()}
+    docs = tables["documents"].select("lang", "n_chars").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    assert set(rows) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        r = rows[lang]
+        assert r.n_docs == n
+        assert r.p25_chars == vals[math.ceil(n / 4) - 1]
+        assert r.p50_chars == vals[math.ceil(n / 2) - 1]
+        assert r.p75_chars == vals[math.ceil(3 * n / 4) - 1]
+        assert r.p25_chars <= r.p50_chars <= r.p75_chars

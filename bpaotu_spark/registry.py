@@ -78,11 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
     "q15_top_supplier",
-    "q20_part_promotion_suppliers",
-    "q21_sole_blame_supplier",
     "window_functions_suite",
     "corpus_decontaminate",
     "corpus_semantic_dedup_keep_first",
@@ -120,6 +116,14 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "cumulative_share_daily",
     "q14_promo_share",
+    # ---- ~50-entry window boundary ----
+    # (A0-deferred) new TPC-H shapes spilled to keep every money_avg
+    # consumer (judge-mandated, group B above) inside the window; they
+    # rotate in next round
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q20_part_promotion_suppliers",
+    "q21_sole_blame_supplier",
     # (C) last driver-green in round 2 — oldest coverage, rotate in
     "q5_local_supplier_volume",
     "rollup_hierarchy",

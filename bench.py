@@ -100,6 +100,7 @@ HEADLINE = (
     "table_profile",
     "event_interarrival_stats",
     "lang_length_quartiles",
+    "daily_revenue_anomaly",
 )
 
 

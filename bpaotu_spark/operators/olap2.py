@@ -816,3 +816,89 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# daily_revenue_anomaly — statistical process monitoring on the order
+# stream: each day's revenue z-scored against its trailing 7-day
+# baseline (mean/std over the 7 preceding days, current day excluded),
+# flagged when |z| > 2. The ops-dashboard shape behind "did yesterday
+# break?" alerts.
+#
+# Determinism: daily totals and BOTH trailing moments are DECIMAL
+# window sums (associative, order-free); the z quotient converts the
+# exact decimals to DOUBLE through the identical left-associative
+# expression tree in both engines, rounds 4 dp, and the |z| > 2 flag
+# is computed from the ROUNDED value. Zero-variance baselines yield
+# NULL z (not NaN) identically.
+#
+# Scale shape: the only window runs over the DAY-GRAIN aggregate
+# (≤ a few thousand rows at any fact scale after the map-side-combined
+# groupBy) — the same documented bounded-global-window class as
+# moving_avg_window.
+# ---------------------------------------------------------------------------
+
+_ZVAR = "(CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / 7) / 6"
+_ZEXPR = (
+    f"CASE WHEN {_ZVAR} > 0 THEN "
+    f"round((CAST(t AS DOUBLE) - CAST(s7 AS DOUBLE) / 7) / sqrt({_ZVAR}), 4) "
+    "END"
+)
+
+
+@register(
+    "daily_revenue_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,6)) AS t
+  FROM orders GROUP BY o_orderdate
+), w AS (
+  SELECT d, t,
+    count(*) OVER fr AS n7,
+    sum(t) OVER fr AS s7,
+    -- widen before squaring: DuckDB multiplies DECIMAL(18,6) in int64
+    -- and overflows; (19,6)x(19,6) -> DECIMAL(38,12), exact, matching
+    -- Spark's decimal(37,12) product numerically
+    sum(CAST(t AS DECIMAL(19,6)) * CAST(t AS DECIMAL(19,6))) OVER fr AS ss7
+  FROM daily
+  WINDOW fr AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT d, t, CAST({_ZEXPR} AS DOUBLE) AS z
+  FROM w WHERE n7 = 7
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  CAST(t AS DOUBLE) AS day_total,
+  z,
+  CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 2.0 END AS is_anomaly
+FROM scored
+""",
+)
+def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 4)
+        .cast(DEC)
+        .alias("t")
+    )
+    fr = Window.orderBy("o_orderdate").rowsBetween(-7, -1)
+    w = daily.select(
+        F.col("o_orderdate").alias("d"),
+        "t",
+        F.count(F.lit(1)).over(fr).alias("n7"),
+        F.sum("t").over(fr).alias("s7"),
+        F.sum(F.col("t") * F.col("t")).over(fr).alias("ss7"),
+    ).filter(F.col("n7") == 7)
+    scored = w.select(
+        "d", "t", F.expr(_ZEXPR).cast("double").alias("z")
+    )
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("t").cast("double").alias("day_total"),
+        "z",
+        F.when(F.col("z").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(F.col("z")) > 2.0)
+        .alias("is_anomaly"),
+    )

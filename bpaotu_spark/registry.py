@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "table_profile",
     "event_interarrival_stats",
     "lang_length_quartiles",
+    "daily_revenue_anomaly",
     "dedup_ngram_coverage",
     "zipf_token_stats",
     # TPC-H coverage completion, new this round
@@ -78,7 +79,6 @@ PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q15_top_supplier",
     "window_functions_suite",
     "corpus_decontaminate",
     "corpus_semantic_dedup_keep_first",
@@ -122,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     # rotate in next round
     "q12_priority_by_status",
     "q13_customer_distribution",
+    "q15_top_supplier",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     # (C) last driver-green in round 2 — oldest coverage, rotate in

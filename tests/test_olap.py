@@ -168,3 +168,26 @@ def test_event_interarrival_positive_gaps(spark, sf_dir):
     for r in rows:
         assert r.n_gaps > 0
         assert 0 <= r.min_gap_us <= r.avg_gap_us <= r.max_gap_us
+
+
+def test_daily_revenue_anomaly_zscore(spark, sf_dir):
+    """z matches a driver-side recomputation from the same daily
+    totals; first 7 days have no row; flag equals |z| > 2."""
+    import math
+
+    rows = QUERIES["daily_revenue_anomaly"](spark, sf_dir).collect()
+    assert rows
+    daily = {r.day: r.day_total for r in rows}
+    days = sorted(daily)
+    by_day = {r.day: r for r in rows}
+    for i, d in enumerate(days):
+        r = by_day[d]
+        if i < 7:
+            continue  # needs a full trailing week of *emitted* days
+        trail = [daily[x] for x in days[i - 7 : i]]
+        m = sum(trail) / 7
+        var = (sum(v * v for v in trail) - sum(trail) ** 2 / 7) / 6
+        if r.z is not None and var > 0:
+            z = (r.day_total - m) / math.sqrt(var)
+            assert abs(z - r.z) < 1e-3
+            assert r.is_anomaly == (abs(r.z) > 2.0)

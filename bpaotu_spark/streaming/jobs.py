@@ -250,3 +250,31 @@ def stream_shards_foreachBatch(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in two
+    overlapping windows) — the trending-metrics shape tumbling windows
+    can't express. State is bounded by the watermark exactly as in the
+    tumbling job; slide < width only multiplies live state by
+    width/slide (2x here).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -159,3 +159,39 @@ def test_foreachbatch_shard_writer(spark, sf_dir, tmp_path):
         .collect()
     )
     assert {r.event_type: r.n for r in again} == {k: v[0] for k, v in want.items()}
+
+
+def test_sliding_agg_stream_matches_batch_twin(spark, sf_dir):
+    """Sliding windows diffed against the equivalent batch query (same
+    window function on the batch frame); every event appears in exactly
+    two 1h/30min windows, so total event mass doubles vs tumbling."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.streaming.jobs import sliding_agg_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(sliding_agg_stream(ev), "t_slide")
+    got = _rows(spark, "t_slide")
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    n_events_sliding = sum(r[2] for r in got)
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert n_events_sliding == 2 * n_total

@@ -101,6 +101,7 @@ HEADLINE = (
     "event_interarrival_stats",
     "lang_length_quartiles",
     "daily_revenue_anomaly",
+    "langid_confusion",
 )
 
 

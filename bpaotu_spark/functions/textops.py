@@ -733,3 +733,42 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion — the language-ID quality report: confusion matrix
+# of labeled vs predicted language over the corpus. Composes the
+# text_langid classifier (same registered expression — the oracle
+# wraps text_langid's oracle as a subquery, so the two can never
+# drift) into the per-pair counts a curation run reviews before
+# trusting the classifier's routing decisions.
+#
+# Scale shape: classification is the map-only langid expression; the
+# rollup is a ≤ |langs|² -row aggregate with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion",
+    oracle=None,  # assigned below: wraps text_langid's oracle verbatim
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid(spark, sf_dir)
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_correct", F.col("labeled_lang") == F.col("predicted_lang")
+        )
+    )
+
+
+from bpaotu_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["langid_confusion"] = f"""
+SELECT labeled_lang, predicted_lang,
+  count(*) AS n_docs,
+  labeled_lang = predicted_lang AS is_correct
+FROM ({_ORACLES["text_langid"]}) p
+GROUP BY labeled_lang, predicted_lang
+"""

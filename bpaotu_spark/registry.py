@@ -123,6 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "q12_priority_by_status",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "langid_confusion",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     # (C) last driver-green in round 2 — oldest coverage, rotate in

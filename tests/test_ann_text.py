@@ -171,3 +171,15 @@ def test_pagerank_knn_fixed_point_invariants(spark, sf_dir):
     assert {(r.vec_id, r.rank_e12) for r in again} == {
         (r.vec_id, r.rank_e12) for r in rows
     }
+
+
+def test_langid_confusion_totals(spark, sf_dir, tables):
+    """Confusion-matrix mass equals the corpus size and the diagonal
+    matches per-doc agreement of the underlying classifier."""
+    rows = QUERIES["langid_confusion"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == tables["documents"].count()
+    for r in rows:
+        assert r.is_correct == (r.labeled_lang == r.predicted_lang)
+    diag = sum(r.n_docs for r in rows if r.is_correct)
+    pred = QUERIES["text_langid"](spark, sf_dir).collect()
+    assert diag == sum(1 for p in pred if p.labeled_lang == p.predicted_lang)

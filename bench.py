@@ -102,6 +102,7 @@ HEADLINE = (
     "lang_length_quartiles",
     "daily_revenue_anomaly",
     "langid_confusion",
+    "customer_rfm_segments",
 )
 
 

@@ -902,3 +902,110 @@ def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("z")) > 2.0)
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm_segments — RFM segmentation: every ordering customer
+# scored 1-5 on Recency (days since last order vs corpus max date,
+# 5 = most recent), Frequency (order count), and Monetary (decimal
+# total spend), composed into the classic 3-digit RFM code. The
+# portal's "rank samples by activity" shape in its canonical CRM form.
+#
+# Quintiles are the TIE-SAFE integral form: score(v) = ceil(5·c(v)/n)
+# where c(v) counts customers with value ≤ v (ties share a bucket —
+# unlike NTILE, which splits ties arbitrarily), computed entirely in
+# BIGINT arithmetic. Monetary is binned to whole currency units first
+# so its histogram stays bounded.
+#
+# Scale shape: per-customer rollup has map-side combine; each score
+# joins against a value-HISTOGRAM CDF (distinct r/f/m-bin values —
+# bounded), not a global sort of customers; the max-date and n
+# scalars broadcast as 1-row tables. The oracle uses the naive
+# RANGE-window form over all customers, proving the histogram rewrite
+# lossless.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+cust AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', max(o_orderdate), mx.maxd) AS BIGINT) AS r_days,
+    count(*) AS f_orders,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS m_total,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS BIGINT) AS m_bin
+  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.maxd
+), n AS (SELECT count(*) AS n FROM cust),
+c AS (
+  SELECT o_custkey, r_days, f_orders, m_total,
+    count(*) OVER (ORDER BY r_days RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+    count(*) OVER (ORDER BY f_orders RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+    count(*) OVER (ORDER BY m_bin RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM cust
+)
+SELECT o_custkey AS c_custkey, r_days, f_orders, m_total,
+  6 - (5 * cr + n.n - 1) // n.n AS r_score,
+  (5 * cf + n.n - 1) // n.n AS f_score,
+  (5 * cm + n.n - 1) // n.n AS m_score,
+  (6 - (5 * cr + n.n - 1) // n.n) * 100
+    + ((5 * cf + n.n - 1) // n.n) * 10
+    + (5 * cm + n.n - 1) // n.n AS rfm_code
+FROM c CROSS JOIN n
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    m_dec = F.sum(F.col("o_totalprice").cast(DEC))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("f_orders"),
+            m_dec.alias("mdec"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").cast("bigint").alias("r_days"),
+            "f_orders",
+            F.round(F.col("mdec"), 4).cast("double").alias("m_total"),
+            F.round(F.col("mdec"), 0).cast("bigint").alias("m_bin"),
+        )
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def cdf(key: str, alias: str) -> DataFrame:
+        # histogram CDF over DISTINCT values: the rows-frame prefix sum
+        # over value-grouped counts equals the oracle's RANGE frame
+        # over raw rows (ties collapse into one histogram row).
+        h = cust.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return h.select(key, F.sum("cnt").over(w).alias(alias))
+
+    out = (
+        cust.join(cdf("r_days", "cr"), "r_days")
+        .join(cdf("f_orders", "cf"), "f_orders")
+        .join(cdf("m_bin", "cm"), "m_bin")
+        .crossJoin(F.broadcast(n))
+    )
+    r_s = F.expr("6 - (5 * cr + n - 1) DIV n")
+    f_s = F.expr("(5 * cf + n - 1) DIV n")
+    m_s = F.expr("(5 * cm + n - 1) DIV n")
+    return out.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "r_days",
+        "f_orders",
+        "m_total",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).alias("rfm_code"),
+    )

@@ -124,6 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "langid_confusion",
+    "customer_rfm_segments",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     # (C) last driver-green in round 2 — oldest coverage, rotate in

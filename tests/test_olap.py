@@ -191,3 +191,18 @@ def test_daily_revenue_anomaly_zscore(spark, sf_dir):
             z = (r.day_total - m) / math.sqrt(var)
             assert abs(z - r.z) < 1e-3
             assert r.is_anomaly == (abs(r.z) > 2.0)
+
+
+def test_rfm_scores_valid_and_tie_safe(spark, sf_dir):
+    """Scores live in 1..5; equal metric values always share a score
+    (tie-safety NTILE lacks); rfm_code recomposes the digits."""
+    rows = QUERIES["customer_rfm_segments"](spark, sf_dir).collect()
+    assert rows
+    by_r, by_f = {}, {}
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+        assert by_r.setdefault(r.r_days, r.r_score) == r.r_score
+        assert by_f.setdefault(r.f_orders, r.f_score) == r.f_score
+    # both extremes of the scale appear on a non-degenerate corpus
+    assert {min(by_f.values()), max(by_f.values())} <= set(range(1, 6))

@@ -103,6 +103,7 @@ HEADLINE = (
     "daily_revenue_anomaly",
     "langid_confusion",
     "customer_rfm_segments",
+    "dedup_lsh_recall_report",
 )
 
 

@@ -968,3 +968,57 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_recall_report — measure, don't guess: empirical recall of
+# the MinHash-LSH candidate generator against exact n-gram Jaccard
+# ground truth, per Jaccard decile band. This is the S-curve every
+# LSH deployment should print before trusting its (bands, rows)
+# parameters at 100 TB — low-similarity bands SHOULD be missed
+# (that's the filter working), high-similarity bands must approach
+# recall 1e6 ppm.
+#
+# Both inputs are the registered operators themselves (Spark side
+# calls them; the oracle embeds their oracle SQL verbatim via CTEs),
+# so the report can never drift from what the pipeline actually runs.
+# Scale: a pair-keyed left join of two already-blocked pair tables.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH truth AS ({ORACLES["dedup_ngram_jaccard"]}),
+cand AS ({ORACLES["dedup_minhash_lsh"]})
+SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS jac_band,
+  count(*) AS n_true,
+  count(c.doc_a) AS n_found,
+  count(c.doc_a) * 1000000 // count(*) AS recall_ppm
+FROM truth t LEFT JOIN cand c
+  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+GROUP BY 1
+"""
+
+
+@register("dedup_lsh_recall_report", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return (
+        j.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("jac_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_found"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST(n_found * 1000000 DIV n_true AS BIGINT)"),
+        )
+    )

@@ -140,3 +140,17 @@ def test_star_cc_raises_when_rounds_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="fixed point"):
         star_connected_components(chain, "a", "b", max_rounds=1)
+
+
+def test_lsh_recall_report_consistency(spark, sf_dir):
+    """n_found <= n_true per band; recall is valid ppm; the top
+    Jaccard band (>= 0.9) must be fully recalled — missing a
+    near-exact duplicate means the banding parameters are broken."""
+    rows = QUERIES["dedup_lsh_recall_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_found <= r.n_true
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.recall_ppm == r.n_found * 1_000_000 // r.n_true
+    top = [r for r in rows if r.jac_band >= 9]
+    assert top and all(r.recall_ppm == 1_000_000 for r in top)

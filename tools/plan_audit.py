@@ -40,6 +40,7 @@ ALLOWED_BNLJ = {
     "bigram_pmi": "broadcast 1-row unigram/bigram total scalars",
     "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
+    "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
 }
 
 

@@ -104,6 +104,7 @@ HEADLINE = (
     "langid_confusion",
     "customer_rfm_segments",
     "dedup_lsh_recall_report",
+    "source_quality_report",
 )
 
 

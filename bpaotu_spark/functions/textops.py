@@ -772,3 +772,53 @@ SELECT labeled_lang, predicted_lang,
 FROM ({_ORACLES["text_langid"]}) p
 GROUP BY labeled_lang, predicted_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# source_quality_report — per-source curation scoreboard: document
+# count and quality-gate pass rate for every (source, lang) cell.
+# The report a pipeline reviews before deciding which crawls/feeds to
+# keep, downweight, or drop. Composes the registered text_quality
+# gate (oracle embeds its oracle — zero drift) joined back to the
+# document routing columns; counts only (BIGINT, never HUGEINT),
+# pass rate as integer ppm.
+#
+# Scale shape: the gate is the map-only quality expression; the join
+# back to documents is keyed on doc_id (1:1); the rollup is a
+# |sources|x|langs| aggregate with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def _source_quality_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH q AS ({ORACLES["text_quality"]})
+SELECT d.source, d.lang,
+  count(*) AS n_docs,
+  count(*) FILTER (WHERE q.passes_quality) AS n_pass,
+  count(*) FILTER (WHERE q.passes_quality) * 1000000 // count(*) AS pass_ppm
+FROM q JOIN documents d ON q.doc_id = d.doc_id
+GROUP BY d.source, d.lang
+"""
+
+
+@register("source_quality_report", oracle=_source_quality_oracle())
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = text_quality(spark, sf_dir).select("doc_id", "passes_quality")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return (
+        q.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("passes_quality"), F.lit(1))).alias(
+                "n_pass"
+            ),
+        )
+        .withColumn(
+            "pass_ppm", F.expr("CAST(n_pass * 1000000 DIV n_docs AS BIGINT)")
+        )
+    )

@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "langid_confusion",
     "customer_rfm_segments",
     "dedup_lsh_recall_report",
+    "source_quality_report",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     # (C) last driver-green in round 2 — oldest coverage, rotate in

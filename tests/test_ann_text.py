@@ -183,3 +183,11 @@ def test_langid_confusion_totals(spark, sf_dir, tables):
     diag = sum(r.n_docs for r in rows if r.is_correct)
     pred = QUERIES["text_langid"](spark, sf_dir).collect()
     assert diag == sum(1 for p in pred if p.labeled_lang == p.predicted_lang)
+
+
+def test_source_quality_report_mass(spark, sf_dir, tables):
+    rows = QUERIES["source_quality_report"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        assert r.pass_ppm == r.n_pass * 1_000_000 // r.n_docs

@@ -886,3 +886,53 @@ def lang_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_at("(n + 1) DIV 2", "p50_chars"),
         q_at("(3 * n + 3) DIV 4", "p75_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms_approx — the 100 TB scale path for tfidf_top_terms:
+# document frequency via approx_count_distinct (HyperLogLog++), which
+# carries fixed-size sketches through map-side combine instead of
+# shuffling (token, doc_id) pairs for the exact distinct. rows-only by
+# design (HLL estimates are engine-specific); the pytest contract
+# bounds the deviation from the exact operator instead.
+#
+# This is the documented approx_distinct_parts pattern applied where
+# it actually matters: df over a 100 TB corpus is the expensive exact
+# distinct in the tfidf pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register("tfidf_top_terms_approx")  # rows-only: HLL is engine-specific
+def tfidf_top_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = x.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = x.groupBy("token").agg(
+        F.approx_count_distinct("doc_id", rsd=0.02).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select(
+            "doc_id", "token", F.col("score").cast("double").alias("score"), "rnk"
+        )
+    )

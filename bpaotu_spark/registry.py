@@ -127,6 +127,7 @@ PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "dedup_lsh_recall_report",
     "source_quality_report",
+    "tfidf_top_terms_approx",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     # (C) last driver-green in round 2 — oldest coverage, rotate in

@@ -278,3 +278,22 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
             "sum_value",
         )
     )
+
+
+def trending_event_types_stream(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types by total value — the live "trending now"
+    leaderboard. Complete-mode global sort is legal (and cheap) here
+    because the aggregate is |event_types| rows; the heavy lifting
+    stays in the incremental keyed aggregation.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("event_type").asc())
+        .limit(k)
+    )

@@ -251,3 +251,16 @@ def test_lang_length_quartiles_exact_vs_naive(spark, sf_dir, tables):
         assert r.p50_chars == vals[math.ceil(n / 2) - 1]
         assert r.p75_chars == vals[math.ceil(3 * n / 4) - 1]
         assert r.p25_chars <= r.p50_chars <= r.p75_chars
+
+
+def test_tfidf_approx_close_to_exact(spark, sf_dir):
+    """HLL-df tfidf agrees with the exact operator on most top-term
+    picks and never deviates more than the sketch error allows on
+    scores for shared (doc, token) pairs."""
+    exact = {(r.doc_id, r.token): r.score for r in QUERIES["tfidf_top_terms"](spark, sf_dir).collect()}
+    approx = {(r.doc_id, r.token): r.score for r in QUERIES["tfidf_top_terms_approx"](spark, sf_dir).collect()}
+    shared = set(exact) & set(approx)
+    assert len(shared) / len(exact) > 0.9  # >90% of top picks agree
+    for k in shared:
+        # rsd=2% on df moves log-idf by at most ~ln(1.05) on this corpus
+        assert abs(exact[k] - approx[k]) <= 0.1 * max(1.0, abs(exact[k]))

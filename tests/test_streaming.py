@@ -195,3 +195,26 @@ def test_sliding_agg_stream_matches_batch_twin(spark, sf_dir):
     n_events_sliding = sum(r[2] for r in got)
     n_total = load_table(spark, sf_dir, "events").count()
     assert n_events_sliding == 2 * n_total
+
+
+def test_trending_stream_matches_batch_topk(spark, sf_dir):
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.streaming.jobs import trending_event_types_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(trending_event_types_stream(ev), "t_trend")
+    got = {tuple(r) for r in spark.table("t_trend").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("event_type").asc())
+        .limit(3)
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    assert len(got) == 3

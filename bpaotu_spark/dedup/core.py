@@ -225,6 +225,49 @@ def _band_key_sql(b: int) -> str:
     return " || '|' || ".join(cols)
 
 
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys for ANY (doc_id, text) frame —
+    the reusable signature step shared by the batch LSH operator and
+    the incremental streaming dedup job. Documents shorter than 3
+    tokens produce no shingles and drop out (no bands)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    ng = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", t1, t2).alias("g"),
+            t2.isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "g")
+        .distinct()
+        .withColumn("x", _shingle_x_spark())
+    )
+    sig = ng.groupBy("doc_id").agg(*_sig_exprs_spark())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -247,26 +290,8 @@ GROUP BY a.doc_id, b.doc_id
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ng = doc_ngrams(spark, sf_dir).withColumn("x", _shingle_x_spark())
-    sig = ng.groupBy("doc_id").agg(*_sig_exprs_spark())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * ROWS_PER_BAND + r}")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = minhash_bands(docs)
     # Pair generation via bucket-collect + double explode, NOT a self-join:
     # a self-join re-executes the whole signature pipeline for each side
     # (and leaves the join strategy to runtime stats — measured swings of

@@ -218,3 +218,49 @@ def test_trending_stream_matches_batch_topk(spark, sf_dir):
     )
     assert got == {tuple(r) for r in batch.collect()}
     assert len(got) == 3
+
+
+def test_incremental_minhash_dedup(spark, sf_dir, tables, tmp_path):
+    """Stream the corpus in 3 file-batches through the persistent-store
+    dedup: every doc gets exactly one verdict; exact-text duplicates
+    never yield two keepers; dup chains resolve to keepers; a rerun on
+    the same checkpoint emits nothing new (exactly-once)."""
+    from bpaotu_spark.streaming.jobs import incremental_minhash_dedup
+
+    docs = tables["documents"]
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(src)
+    store, verdicts, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    incremental_minhash_dedup(spark, src, store, verdicts, ckpt)
+
+    v = spark.read.parquet(verdicts).collect()
+    n_docs = docs.count()
+    assert len(v) == n_docs
+    assert len({r.doc_id for r in v}) == n_docs
+    by_id = {r.doc_id: r for r in v}
+    # dup chains terminate at a keeper
+    for r in v:
+        if r.is_duplicate:
+            cur, seen = r.dup_of, set()
+            while by_id[cur].is_duplicate:
+                assert cur not in seen
+                seen.add(cur)
+                cur = by_id[cur].dup_of
+    # exact duplicates can't both be keepers (same text => same bands)
+    texts = {}
+    for d in docs.select("doc_id", "text").collect():
+        texts.setdefault(d.text, []).append(d.doc_id)
+    for ids in texts.values():
+        if len(ids) > 1:
+            keepers = [i for i in ids if not by_id[i].is_duplicate]
+            assert len(keepers) <= 1
+    # store holds only keeper bands
+    stored = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert all(not by_id[i].is_duplicate for i in stored)
+    # exactly-once: rerun is a no-op
+    incremental_minhash_dedup(spark, src, store, verdicts, ckpt)
+    assert spark.read.parquet(verdicts).count() == n_docs

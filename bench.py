@@ -105,6 +105,7 @@ HEADLINE = (
     "customer_rfm_segments",
     "dedup_lsh_recall_report",
     "source_quality_report",
+    "corpus_final_verdict",
 )
 
 

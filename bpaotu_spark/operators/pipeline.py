@@ -936,3 +936,78 @@ def tfidf_top_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "token", F.col("score").cast("double").alias("score"), "rnk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_final_verdict — the curation funnel, end to end: every
+# document passes (or fails) the three independent gates a real
+# training-corpus build applies — quality (text_quality), near-dedup
+# keeper (corpus_near_dedup_keep_first), and language temperature
+# sampling (lang_temperature_sample) — rolled up per language with
+# stage-by-stage survivor counts. The one-table answer to "where did
+# my corpus go?".
+#
+# All three gates are the REGISTERED operators (Spark side calls
+# them; the oracle embeds their oracle SQL verbatim), so this funnel
+# can never diverge from the individual stages the driver verifies.
+# Counts only — BIGINT end to end.
+#
+# Scale shape: three doc_id-keyed 1:1 joins (each side already
+# corpus-partitioned), one ≤|langs|-row rollup with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def _final_verdict_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH q AS ({ORACLES["text_quality"]}),
+dd AS ({ORACLES["corpus_near_dedup_keep_first"]}),
+ts AS ({ORACLES["lang_temperature_sample"]})
+SELECT d.lang,
+  count(*) AS n_docs,
+  count(*) FILTER (WHERE q.passes_quality) AS n_quality,
+  count(*) FILTER (WHERE q.passes_quality AND dd.is_kept) AS n_dedup,
+  count(*) FILTER (WHERE q.passes_quality AND dd.is_kept AND ts.is_sampled)
+    AS n_final,
+  count(*) FILTER (WHERE q.passes_quality AND dd.is_kept AND ts.is_sampled)
+    * 1000000 // count(*) AS survival_ppm
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN dd ON d.doc_id = dd.doc_id
+JOIN ts ON d.doc_id = ts.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("corpus_final_verdict", oracle=_final_verdict_oracle())
+def corpus_final_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.dedup.core import corpus_near_dedup_keep_first
+    from bpaotu_spark.functions.textops import text_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = text_quality(spark, sf_dir).select("doc_id", "passes_quality")
+    dd = corpus_near_dedup_keep_first(spark, sf_dir).select(
+        "doc_id", "is_kept"
+    )
+    ts = lang_temperature_sample(spark, sf_dir).select(
+        "doc_id", "is_sampled"
+    )
+    j = docs.join(q, "doc_id").join(dd, "doc_id").join(ts, "doc_id")
+    surv = F.col("passes_quality") & F.col("is_kept") & F.col("is_sampled")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("passes_quality"), 1)).alias("n_quality"),
+            F.count(
+                F.when(F.col("passes_quality") & F.col("is_kept"), 1)
+            ).alias("n_dedup"),
+            F.count(F.when(surv, 1)).alias("n_final"),
+        )
+        .withColumn(
+            "survival_ppm",
+            F.expr("CAST(n_final * 1000000 DIV n_docs AS BIGINT)"),
+        )
+    )
+

@@ -127,6 +127,7 @@ PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "dedup_lsh_recall_report",
     "source_quality_report",
+    "corpus_final_verdict",
     "tfidf_top_terms_approx",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",

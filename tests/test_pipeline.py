@@ -264,3 +264,13 @@ def test_tfidf_approx_close_to_exact(spark, sf_dir):
     for k in shared:
         # rsd=2% on df moves log-idf by at most ~ln(1.05) on this corpus
         assert abs(exact[k] - approx[k]) <= 0.1 * max(1.0, abs(exact[k]))
+
+
+def test_corpus_final_verdict_funnel_monotone(spark, sf_dir, tables):
+    """Stage counts only shrink (funnel property) and totals cover the
+    corpus; survival_ppm recomposes exactly."""
+    rows = QUERIES["corpus_final_verdict"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == tables["documents"].count()
+    for r in rows:
+        assert r.n_docs >= r.n_quality >= r.n_dedup >= r.n_final >= 0
+        assert r.survival_ppm == r.n_final * 1_000_000 // r.n_docs

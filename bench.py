@@ -106,6 +106,7 @@ HEADLINE = (
     "dedup_lsh_recall_report",
     "source_quality_report",
     "corpus_final_verdict",
+    "abundance_rarefaction",
 )
 
 

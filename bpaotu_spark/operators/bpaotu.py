@@ -835,3 +835,56 @@ def otu_query_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cnt"), 4).cast("double").alias("total_abundance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# abundance_rarefaction — depth-normalized abundances: every sample's
+# OTU counts rescaled to a common sequencing depth (_RAREFY_DEPTH), the
+# comparison-enabling normalization microbiome workflows apply before
+# diversity metrics (reference analogue: the comparison page's
+# normalized abundance inputs, public ``bpaotu/otu/query.py``).
+#
+# Deterministic PROPORTIONAL rarefaction — floor(c·D/total) in pure
+# BIGINT — rather than classical multinomial subsampling: engines
+# cannot share an RNG, and the floor form is the reproducible variant
+# scale pipelines prefer anyway (rerun-stable, no seed management).
+# Counts are whole numbers stored as doubles, so the BIGINT cast is
+# lossless; the per-sample total joins back broadcast-after-agg
+# (dimension-sized: one row per sample).
+# ---------------------------------------------------------------------------
+
+_RAREFY_DEPTH = 1000
+
+
+@register(
+    "abundance_rarefaction",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+a AS (
+  SELECT sample_id, otu_id, CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS c
+  FROM abundance GROUP BY sample_id, otu_id
+), tot AS (
+  SELECT sample_id, CAST(sum(c) AS BIGINT) AS total FROM a GROUP BY sample_id
+)
+SELECT a.sample_id, a.otu_id, a.c AS raw_cnt,
+  a.c * {_RAREFY_DEPTH} // tot.total AS rare_cnt
+FROM a JOIN tot ON a.sample_id = tot.sample_id
+""",
+)
+def abundance_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = abundance(spark, sf_dir)
+    a = ab.groupBy("sample_id", "otu_id").agg(
+        F.sum(F.col("cnt").cast("bigint")).alias("c")
+    )
+    tot = a.groupBy("sample_id").agg(F.sum("c").alias("total"))
+    return (
+        a.join(tot, "sample_id")
+        .select(
+            "sample_id",
+            "otu_id",
+            F.col("c").alias("raw_cnt"),
+            F.expr(f"CAST(c * {_RAREFY_DEPTH} DIV total AS BIGINT)").alias(
+                "rare_cnt"
+            ),
+        )
+    )

@@ -128,6 +128,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_recall_report",
     "source_quality_report",
     "corpus_final_verdict",
+    "abundance_rarefaction",
     "tfidf_top_terms_approx",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",

@@ -99,3 +99,21 @@ def test_drilldown_options_cover_filtered_taxa(spark, sf_dir, tables):
         .count()
     )
     assert n_taxa == promo_with_abundance
+
+
+def test_rarefaction_depth_bound(spark, sf_dir):
+    """Rarefied counts are proportional floors: per-sample rarefied
+    totals never exceed the target depth, and a sample's dominant OTU
+    keeps the largest rarefied count."""
+    from bpaotu_spark.operators.bpaotu import _RAREFY_DEPTH
+
+    rows = QUERIES["abundance_rarefaction"](spark, sf_dir).collect()
+    assert rows
+    per_sample = {}
+    for r in rows:
+        assert 0 <= r.rare_cnt <= _RAREFY_DEPTH
+        per_sample.setdefault(r.sample_id, []).append(r)
+    for rs in per_sample.values():
+        assert sum(r.rare_cnt for r in rs) <= _RAREFY_DEPTH
+        top_raw = max(rs, key=lambda r: (r.raw_cnt, r.otu_id))
+        assert top_raw.rare_cnt == max(r.rare_cnt for r in rs)

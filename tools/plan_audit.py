@@ -41,6 +41,8 @@ ALLOWED_BNLJ = {
     "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
+    "tfidf_top_terms_approx": "broadcast 1-row corpus-size scalar (as exact tfidf)",
+    "corpus_final_verdict": "inherits lang_temperature_sample's 1-row min-count broadcast",
 }
 
 

@@ -105,6 +105,11 @@ PRIORITY: tuple[str, ...] = (
     "embedding_label_centroids",
     "dedup_simhash",
     "dedup_cluster_cc",  # convergence guard added this round
+    # also covers the minhash_bands() refactor: this op calls
+    # dedup_minhash_lsh directly, so the refactored signature path is
+    # driver-hash-verified here even though dedup_minhash_lsh itself
+    # sits outside the window this round (output re-verified identical
+    # locally post-refactor)
     "corpus_near_dedup_keep_first",
     # (B) changed post-r2 (money_avg/q3 decimalization), outside r3's
     # window — never driver-verified at current code

@@ -107,6 +107,7 @@ HEADLINE = (
     "source_quality_report",
     "corpus_final_verdict",
     "abundance_rarefaction",
+    "corpus_length_token_corr",
 )
 
 

@@ -822,3 +822,71 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_ppm", F.expr("CAST(n_pass * 1000000 DIV n_docs AS BIGINT)")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_length_token_corr — Pearson correlation between document
+# character length and token count (plus the regression slope): the
+# sanity statistic behind using cheap n_chars as a proxy for token
+# budget in sampling/packing decisions. If r is low, chars-based
+# heuristics are lying to you.
+#
+# Exactness: both variables are INTEGERS, so all five sufficient
+# statistics (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums — no
+# float summation-order skew at any scale; the oracle CASTs each
+# HUGEINT sum back to BIGINT. The final r/slope convert the exact
+# integers through the identical double expression tree, rounded 4 dp.
+# One map-side-combined aggregate — a single scan, one 1-row result.
+# ---------------------------------------------------------------------------
+
+_CORR_R = (
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)"
+)
+_CORR_SLOPE = (
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)"
+)
+
+
+@register(
+    "corpus_length_token_corr",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(length(text) AS BIGINT) AS x,
+         CAST(len({TOKENIZE_SQL}) AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM d
+)
+SELECT n AS n_docs,
+  CAST({_CORR_R} AS DOUBLE) AS pearson_r,
+  CAST({_CORR_SLOPE} AS DOUBLE) AS tokens_per_char_slope
+FROM s
+""",
+)
+def corpus_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.length("text").cast("bigint").alias("x"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("y"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.expr(_CORR_R).cast("double").alias("pearson_r"),
+        F.expr(_CORR_SLOPE).cast("double").alias("tokens_per_char_slope"),
+    )

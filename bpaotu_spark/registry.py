@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "source_quality_report",
     "corpus_final_verdict",
     "abundance_rarefaction",
+    "corpus_length_token_corr",
     "tfidf_top_terms_approx",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",

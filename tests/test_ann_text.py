@@ -191,3 +191,22 @@ def test_source_quality_report_mass(spark, sf_dir, tables):
     for r in rows:
         assert 0 <= r.n_pass <= r.n_docs
         assert r.pass_ppm == r.n_pass * 1_000_000 // r.n_docs
+
+
+def test_length_token_corr_matches_numpy(spark, sf_dir, tables):
+    import numpy as np
+
+    row = QUERIES["corpus_length_token_corr"](spark, sf_dir).collect()[0]
+    docs = tables["documents"].select("text").collect()
+    import re as _re
+
+    xs = np.array([len(d.text) for d in docs], dtype=float)
+    ys = np.array(
+        [len(_re.sub(r"[^a-z0-9]+", " ", d.text.lower()).strip().split(" "))
+         for d in docs],
+        dtype=float,
+    )
+    r_np = np.corrcoef(xs, ys)[0, 1]
+    assert row.n_docs == len(docs)
+    assert abs(row.pearson_r - r_np) < 1e-3
+    assert 0 < row.pearson_r <= 1  # longer docs have more tokens

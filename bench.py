@@ -108,6 +108,7 @@ HEADLINE = (
     "corpus_final_verdict",
     "abundance_rarefaction",
     "corpus_length_token_corr",
+    "events_hourly_heatmap",
 )
 
 

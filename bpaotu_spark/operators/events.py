@@ -635,3 +635,39 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.expr("CAST(sum(gap_us) DIV count(*) AS BIGINT)").alias("avg_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_heatmap — ISO-weekday × hour-of-day activity matrix
+# (counts + decimal-exact value sums): the load-profile heatmap every
+# ops dashboard renders, and the seasonality input to capacity
+# planning. Bounded 7×24 output at any stream size; single
+# map-side-combined aggregate. Weekday is ISO (1 = Monday) in both
+# engines: Spark weekday() is 0-based Monday, DuckDB isodow is
+# 1-based Monday.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_heatmap",
+    oracle=f"""
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+  CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) AS n_events,
+  {_VALUE_SUM_SQL} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _value_sum("sum_value"),
+        )
+    )

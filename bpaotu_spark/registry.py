@@ -135,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_final_verdict",
     "abundance_rarefaction",
     "corpus_length_token_corr",
+    "events_hourly_heatmap",
     "tfidf_top_terms_approx",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",

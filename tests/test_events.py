@@ -81,3 +81,11 @@ def test_windowed_agg_counts(spark, sf_dir, tables):
     rows = QUERIES["events_windowed_agg"](spark, sf_dir).collect()
     assert sum(r.n_events for r in rows) == tables["events"].count()
     assert all(r.window_start_ms % 3_600_000 == 0 for r in rows)
+
+
+def test_hourly_heatmap_bounds(spark, sf_dir, tables):
+    rows = QUERIES["events_hourly_heatmap"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 7 * 24
+    assert sum(r.n_events for r in rows) == tables["events"].count()
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23

@@ -109,6 +109,7 @@ HEADLINE = (
     "abundance_rarefaction",
     "corpus_length_token_corr",
     "events_hourly_heatmap",
+    "supplier_return_rate",
 )
 
 

@@ -1009,3 +1009,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_s.alias("m_score"),
         (r_s * 100 + f_s * 10 + m_s).alias("rfm_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_return_rate — per-supplier returned-line share: the
+# supplier-quality ranking behind q10's customer-side returns view.
+# Counts only (BIGINT; ppm via integer DIV); the supplier dim
+# broadcasts; one map-side-combined aggregate over the fact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_return_rate",
+    oracle="""
+SELECT s_suppkey, s_name,
+  count(*) AS n_lines,
+  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+  count(*) FILTER (WHERE l_returnflag = 'R') * 1000000 // count(*)
+    AS return_ppm
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+""",
+)
+def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
+                "n_returned"
+            ),
+        )
+        .withColumn(
+            "return_ppm",
+            F.expr("CAST(n_returned * 1000000 DIV n_lines AS BIGINT)"),
+        )
+    )

@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "abundance_rarefaction",
     "corpus_length_token_corr",
     "events_hourly_heatmap",
+    "supplier_return_rate",
     "tfidf_top_terms_approx",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",

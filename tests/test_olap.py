@@ -206,3 +206,12 @@ def test_rfm_scores_valid_and_tie_safe(spark, sf_dir):
         assert by_f.setdefault(r.f_orders, r.f_score) == r.f_score
     # both extremes of the scale appear on a non-degenerate corpus
     assert {min(by_f.values()), max(by_f.values())} <= set(range(1, 6))
+
+
+def test_supplier_return_rate_bounds(spark, sf_dir, tables):
+    rows = QUERIES["supplier_return_rate"](spark, sf_dir).collect()
+    assert len(rows) == tables["supplier"].count()
+    assert sum(r.n_lines for r in rows) == tables["lineitem"].count()
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n_lines
+        assert r.return_ppm == r.n_returned * 1_000_000 // r.n_lines

@@ -174,23 +174,56 @@ def main() -> int:
             scale_queries[name] = round(time.time() - t0, 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
+    sf = os.path.basename(sf_dir.rstrip("/"))
+
+    # The driver captures only a ~2,000-char tail of stdout and failed
+    # to parse round 4's ~7.9 kB line (BENCH_r04.json: parsed=null), so
+    # the full per-query breakdown goes to a sidecar and stdout carries
+    # ONE compact JSON line, hard-capped well under the capture window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_total",
                 "value": total,
+                "value_cold": round(sum(per_query_cold.values()), 3),
                 "unit": "sec",
+                "sf": sf,
                 "queries": per_query,
                 "queries_cold": per_query_cold,
-                "value_cold": round(sum(per_query_cold.values()), 3),
                 "scale_check": {
                     "sf": os.path.basename(scale_dir.rstrip("/")),
                     "queries": scale_queries,
                 },
-                "sf": os.path.basename(sf_dir.rstrip("/")),
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+
+    headline = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "value_cold": round(sum(per_query_cold.values()), 3),
+        "n_queries": len(per_query),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    # Fill "queries" slowest-first with as many entries as keep the
+    # line under the budget — the heavy queries are the signal; the
+    # full dict is in the sidecar.
+    budget = 1800
+    for name in sorted(per_query, key=per_query.get, reverse=True):
+        headline["queries"][name] = per_query[name]
+        if len(json.dumps(headline)) > budget:
+            del headline["queries"][name]
+            break
+    line = json.dumps(headline)
+    assert len(line) <= budget, f"headline line {len(line)} > {budget}"
+    print(line)
     return 0
 
 

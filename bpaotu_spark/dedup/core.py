@@ -120,15 +120,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.8
 
+# Stop-shingle discipline: a shingle appearing in more documents than
+# this is boilerplate — an uncapped bucket would collect_list millions
+# of doc_ids into ONE task and explode m² pairs under adversarial
+# duplication (web-scale boilerplate). Capped buckets bound any task at
+# CAP ids / CAP² pairs. The cap is part of the operator's semantics
+# (applied identically in the oracle), and its recall cost is measured
+# empirically by dedup_lsh_recall_report. Driver-data max df is ~25,
+# so at 100 the cap is output-neutral here while closing the 100 TB
+# hazard.
+NGRAM_DF_CAP = 100
+
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {NGRAMS_SQL},
 sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+gdf AS (SELECT g, count(*) AS df FROM ng GROUP BY g),
+ngk AS (
+  SELECT ng.doc_id, ng.g FROM ng JOIN gdf USING (g)
+  WHERE df BETWEEN 2 AND {NGRAM_DF_CAP}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM ngk a JOIN ngk b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -142,16 +158,20 @@ WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = doc_ngrams(spark, sf_dir)
     sz = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # Inverted-index blocking via bucket-collect + double explode (one
-    # pass over ng, no self-join recompute; the shingle is the block).
-    # Mega-buckets (stopword-ish shingles) are the classic hazard — at
-    # production scale add a doc-frequency cap on the bucket; here the
-    # max df is bounded (~25) by construction.
-    buckets = (
-        ng.groupBy("g")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
+    # Inverted-index blocking via bucket-collect + double explode (no
+    # self-join recompute; the shingle is the block). The df gate runs
+    # BEFORE collect_list — a count aggregate is map-side combinable so
+    # a mega-bucket never materializes anywhere, not even inside the
+    # collect buffer; only gated buckets (2..CAP ids) are collected.
+    # `shared` therefore counts informative (capped) shingles only while
+    # the denominator keeps full set sizes — Jaccard is a lower bound
+    # under capping, identically in both engines. Both the count agg,
+    # the join and the re-agg hash-partition on g (exchange reuse).
+    gdf = ng.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ngk = ng.join(
+        gdf.filter(F.col("df").between(2, NGRAM_DF_CAP)), "g"
+    ).select("doc_id", "g")
+    buckets = ngk.groupBy("g").agg(F.collect_list("doc_id").alias("ds"))
     pairs = (
         buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
         .select("doc_a", F.explode("ds").alias("doc_b"))
@@ -268,6 +288,19 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
 
 
 
+# Same stop-bucket discipline as NGRAM_DF_CAP, applied to LSH band
+# buckets: under adversarial duplication (millions of near-identical
+# boilerplate docs) every copy lands in the SAME band bucket, and an
+# uncapped bucket-collect materializes an m-sized array and m² pairs in
+# one task. Buckets above the cap are dropped in both engines; the
+# expected workflow collapses exact duplicates first (dedup_exact /
+# corpus_clean_pipeline), after which a >CAP band bucket is
+# overwhelmingly boilerplate. Recall impact is measured by
+# dedup_lsh_recall_report. Driver-data max bucket is ~25 so the cap is
+# output-neutral here.
+LSH_BUCKET_CAP = 100
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -282,9 +315,17 @@ sig AS (
 ),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
+),
+bsz AS (
+  SELECT band, key, count(*) AS m FROM bands GROUP BY band, key
+),
+kept AS (
+  SELECT bands.doc_id, bands.band, bands.key
+  FROM bands JOIN bsz USING (band, key)
+  WHERE m BETWEEN 2 AND {LSH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b
+FROM kept a JOIN kept b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """,
@@ -297,10 +338,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and leaves the join strategy to runtime stats — measured swings of
     # 4s..95s on identical input). One groupBy computes buckets once;
     # pairs explode inside each bucket, which is exactly the LSH block.
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
+    # The size gate is a COUNT aggregate before the collect (map-side
+    # combinable), so a mega-bucket is dropped without ever being
+    # materialized; all three ops hash-partition on (band, key).
+    bsz = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("m"))
+    kept = bands.join(
+        bsz.filter(F.col("m").between(2, LSH_BUCKET_CAP)), ["band", "key"]
+    ).select("doc_id", "band", "key")
+    buckets = kept.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("ds")
     )
     pairs = (
         buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
@@ -561,9 +607,17 @@ sig AS (
 bands AS (
   {{band_union}}
 ),
+bsz AS (
+  SELECT band, key, count(*) AS m FROM bands GROUP BY band, key
+),
+kept AS (
+  SELECT bands.doc_id, bands.band, bands.key
+  FROM bands JOIN bsz USING (band, key)
+  WHERE m BETWEEN 2 AND {{bucket_cap}}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )"""
@@ -577,6 +631,7 @@ def _minhash_pair_ctes() -> str:
             f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig"
             for b in range(LSH_BANDS)
         ),
+        bucket_cap=LSH_BUCKET_CAP,
     )
 
 

@@ -34,11 +34,20 @@ def tokenize(col: Column) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """All n-word grams of a token array (empty array when too short)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    """All n-word grams of a token array (empty array when too short).
+
+    The short-doc branch must be an explicit ``when``: without it,
+    ``sequence(1, size - (n-1))`` with size < n produces a DESCENDING
+    sequence (e.g. ``sequence(1, 0)`` = ``[1, 0]``) and ``slice(toks,
+    0, n)`` raises INVALID_PARAMETER_VALUE.START on PySpark 4.x.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # BPE-ish token regex: letter runs, digit runs, or single non-space symbol —

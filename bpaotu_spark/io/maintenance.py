@@ -72,25 +72,43 @@ def compact_parquet(
             continue  # already at/below target granularity
         df = spark.read.parquet(part_dir)
         tmp = part_dir + "._compact_tmp"
-        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        # swap: remove old data files, move new ones in
+        # Swap order is loss-proof: (1) write the compacted set to a tmp
+        # dir; (2) move it into the live dir under DOT-PREFIXED names
+        # (hidden from parquet readers); (3) delete the old files;
+        # (4) unhide the new ones. A crash at any point leaves at least
+        # one complete copy of the data on disk — the old files survive
+        # through step 2, the hidden new ones are complete from step 2
+        # on (recover by stripping the '.' prefix). Readers concurrent
+        # with steps 3-4 can still observe a partially-visible file set;
+        # true reader-concurrent compaction needs a table format with
+        # atomic commits (Iceberg/Delta) — this is the HDFS-style
+        # best-effort for plain parquet directories.
+        try:
+            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            hidden: list[tuple[str, str]] = []
+            for i, f in enumerate(sorted(os.listdir(tmp))):
+                if f.endswith(".parquet"):
+                    hid = os.path.join(part_dir, f".compacted-{i:05d}.parquet")
+                    os.rename(os.path.join(tmp, f), hid)
+                    hidden.append((hid, os.path.join(part_dir, f"compacted-{i:05d}.parquet")))
+        finally:
+            if os.path.isdir(tmp):
+                for f in os.listdir(tmp):
+                    fp = os.path.join(tmp, f)
+                    if os.path.isfile(fp):
+                        os.remove(fp)
+                os.rmdir(tmp)
         for f in os.listdir(part_dir):
-            if f.endswith(".parquet") or f.startswith("."):
+            if (f.endswith(".parquet") or f.startswith("_")) and not f.startswith("."):
                 fp = os.path.join(part_dir, f)
                 if os.path.isfile(fp):
                     os.remove(fp)
-        moved = 0
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, f),
-                    os.path.join(part_dir, f"compacted-{moved:05d}.parquet"),
-                )
-                moved += 1
-        for f in os.listdir(tmp):
-            fp = os.path.join(tmp, f)
-            if os.path.isfile(fp):
-                os.remove(fp)
-        os.rmdir(tmp)
-        report[part_dir] = moved
+        for hid, live in hidden:
+            os.rename(hid, live)
+        # stale checksum files for the deleted originals would fail a
+        # future same-name write under Hadoop's LocalFileSystem
+        for f in os.listdir(part_dir):
+            if f.startswith(".") and f.endswith(".crc"):
+                os.remove(os.path.join(part_dir, f))
+        report[part_dir] = len(hidden)
     return report

@@ -318,8 +318,17 @@ def incremental_minhash_dedup(
     ``dup_of`` the minimum such doc (chains may point at earlier
     duplicates — union-find laziness, resolved by followers); (3) only
     KEEPERS' bands append to the store, so the store grows with unique
-    content, not with the stream. Checkpointed foreachBatch gives
-    exactly-once verdict emission per batch id.
+    content, not with the stream.
+
+    foreachBatch is AT-LEAST-once, so every batch write is idempotent
+    under replay: the store probe excludes a doc's own bands (on replay
+    the store already holds this batch's keepers — without the guard
+    every keeper would self-match and flip to duplicate), verdicts are
+    written via dynamic partition-overwrite on batch_id (a replay
+    rewrites the same partition instead of appending duplicate rows),
+    and store appends anti-join the already-stored doc_ids (a replay
+    appends nothing). Net effect: checkpointed replay converges to the
+    same store + verdict state as a single clean run.
     """
     from bpaotu_spark.dedup.core import minhash_bands
 
@@ -340,12 +349,23 @@ def incremental_minhash_dedup(
         import os
 
         bands = minhash_bands(batch_df.select("doc_id", "text")).cache()
+        stored_ids = None
         cands = None
         if os.path.isdir(store_path):
-            store = spark.read.parquet(store_path).select(
-                "band", "key", F.col("doc_id").alias("cand")
+            store = spark.read.parquet(store_path)
+            stored_ids = store.select("doc_id").distinct()
+            cands = (
+                bands.join(
+                    store.select("band", "key", F.col("doc_id").alias("cand")),
+                    ["band", "key"],
+                )
+                # replay guard: after a failure between the store append
+                # and the checkpoint commit, the store already holds this
+                # batch's own keeper bands — without this filter every
+                # keeper self-matches on re-run
+                .filter(F.col("cand") != F.col("doc_id"))
+                .select("doc_id", "cand")
             )
-            cands = bands.join(store, ["band", "key"]).select("doc_id", "cand")
         batch_min = (
             bands.groupBy("band", "key")
             .agg(F.min("doc_id").alias("cand"))
@@ -365,9 +385,21 @@ def incremental_minhash_dedup(
                 F.lit(batch_id).alias("batch_id"),
             )
         )
-        verdicts.write.mode("append").parquet(verdict_path)
+        # idempotent emission: a replayed batch rewrites its own
+        # batch_id partition rather than appending a second copy
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_path)
+        )
         keepers = verdicts.filter(~F.col("is_duplicate")).select("doc_id")
-        bands.join(keepers, "doc_id").write.mode("append").parquet(store_path)
+        new_bands = bands.join(keepers, "doc_id")
+        if stored_ids is not None:
+            # idempotent store growth: a replayed batch's keepers are
+            # already stored — append nothing for them
+            new_bands = new_bands.join(stored_ids, "doc_id", "left_anti")
+        new_bands.write.mode("append").parquet(store_path)
         bands.unpersist()
 
     q = (

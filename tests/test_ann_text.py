@@ -210,3 +210,31 @@ def test_length_token_corr_matches_numpy(spark, sf_dir, tables):
     assert row.n_docs == len(docs)
     assert abs(row.pearson_r - r_np) < 1e-3
     assert 0 < row.pearson_r <= 1  # longer docs have more tokens
+
+
+def test_word_ngrams_short_docs(spark):
+    """Docs with fewer than n tokens yield an EMPTY ngram array — the
+    unguarded form crashed: sequence(1, size-(n-1)) with size < n is a
+    DESCENDING sequence and slice(toks, 0, n) raises
+    INVALID_PARAMETER_VALUE.START (ADVICE r4)."""
+    from bpaotu_spark.functions.textops import tokenize, word_ngrams
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("two words", ), ("now three tokens", )],
+        ["text"],
+    )
+    rows = (
+        df.select(
+            "text", word_ngrams(tokenize(F.col("text")), 2).alias("g2"),
+            word_ngrams(tokenize(F.col("text")), 3).alias("g3"),
+        )
+        .collect()
+    )
+    by_text = {r.text: r for r in rows}
+    # tokenize('') = [''] (1 token); 1-token docs produce no bigrams
+    assert by_text[""].g2 == [] and by_text[""].g3 == []
+    assert by_text["one"].g2 == [] and by_text["one"].g3 == []
+    assert by_text["two words"].g2 == ["two words"]
+    assert by_text["two words"].g3 == []
+    assert by_text["now three tokens"].g2 == ["now three", "three tokens"]
+    assert by_text["now three tokens"].g3 == ["now three tokens"]

@@ -224,7 +224,8 @@ def test_incremental_minhash_dedup(spark, sf_dir, tables, tmp_path):
     """Stream the corpus in 3 file-batches through the persistent-store
     dedup: every doc gets exactly one verdict; exact-text duplicates
     never yield two keepers; dup chains resolve to keepers; a rerun on
-    the same checkpoint emits nothing new (exactly-once)."""
+    the same checkpoint emits nothing new; batch replay against an
+    already-populated store is idempotent."""
     from bpaotu_spark.streaming.jobs import incremental_minhash_dedup
 
     docs = tables["documents"]
@@ -261,6 +262,18 @@ def test_incremental_minhash_dedup(spark, sf_dir, tables, tmp_path):
     # store holds only keeper bands
     stored = {r.doc_id for r in spark.read.parquet(store).collect()}
     assert all(not by_id[i].is_duplicate for i in stored)
-    # exactly-once: rerun is a no-op
+    # same-checkpoint rerun is a no-op
     incremental_minhash_dedup(spark, src, store, verdicts, ckpt)
     assert spark.read.parquet(verdicts).count() == n_docs
+    # Replay hazard (ADVICE r4): reprocessing batches whose keepers are
+    # ALREADY in the store (fresh checkpoint, same store) must not flip
+    # keepers to self-matched duplicates, must not append duplicate
+    # verdict rows (dynamic partition overwrite), and must not grow the
+    # store (doc_id anti-join).
+    keepers_before = {i for i, r in by_id.items() if not r.is_duplicate}
+    store_rows_before = spark.read.parquet(store).count()
+    incremental_minhash_dedup(spark, src, store, verdicts, str(tmp_path / "ckpt2"))
+    v2 = spark.read.parquet(verdicts).collect()
+    assert len(v2) == n_docs
+    assert {r.doc_id for r in v2 if not r.is_duplicate} == keepers_before
+    assert spark.read.parquet(store).count() == store_rows_before

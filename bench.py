@@ -110,6 +110,14 @@ HEADLINE = (
     "corpus_length_token_corr",
     "events_hourly_heatmap",
     "supplier_return_rate",
+    # round-5 additions
+    "attribution_last_touch",
+    "orders_open_backlog_daily",
+    "robust_anomaly_mad",
+    "text_bigram_logloss",
+    "dedup_levenshtein",
+    "minhash_jaccard_estimate",
+    "corpus_mixture_plan",
 )
 
 

@@ -1102,3 +1102,218 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_found * 1000000 DIV n_true AS BIGINT)"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_levenshtein — edit-distance near-dup pairs on document HEADS
+# (first LEV_PREFIX chars): catches the "same doc, small edits at the
+# top" duplicates (retitled reposts, date-stamped copies) that
+# set-based measures dilute. Both engines ship the identical classic
+# Levenshtein builtin, so the distance is oracle-exact.
+#
+# Scale shape: Levenshtein is O(n²) per pair and CANNOT be run on the
+# cross product — pairs form only inside a (lang, length-bucket)
+# block, and the compared text is a fixed-length prefix so per-pair
+# cost is bounded. Same-bucket-only blocking is the documented recall
+# tradeoff (a pair straddling a 32-char length boundary is missed);
+# MinHash covers those. Candidates-per-block is further capped by the
+# same df discipline as the other pair-formers.
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 64
+LEV_MAX_DIST = 8
+LEV_LEN_BUCKET = 32
+LEV_BLOCK_CAP = 200  # identical (lang, bucket) row cap — see LSH_BUCKET_CAP
+
+
+@register(
+    "dedup_levenshtein",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // {LEV_LEN_BUCKET} AS lb,
+    substr(text, 1, {LEV_PREFIX}) AS head
+  FROM documents
+),
+bsz AS (
+  SELECT lang, lb, count(*) AS m FROM d GROUP BY lang, lb
+),
+k AS (
+  SELECT d.* FROM d JOIN bsz USING (lang, lb)
+  WHERE m BETWEEN 2 AND {LEV_BLOCK_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.head, b.head) AS INTEGER) AS head_edit_dist
+FROM k a JOIN k b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {LEV_MAX_DIST}
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {LEV_LEN_BUCKET}").alias("lb"),
+        F.substring("text", 1, LEV_PREFIX).alias("head"),
+    )
+    bsz = docs.groupBy("lang", "lb").agg(F.count(F.lit(1)).alias("m"))
+    k = docs.join(
+        bsz.filter(F.col("m").between(2, LEV_BLOCK_CAP)), ["lang", "lb"]
+    ).select("doc_id", "lang", "lb", "head")
+    a = k.select(
+        "lang", "lb", F.col("doc_id").alias("doc_a"), F.col("head").alias("ha")
+    )
+    b = k.select(
+        F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("hb"),
+    )
+    dist = F.levenshtein("ha", "hb")
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b) & (a.lb == b.lb_b) & (a.doc_a < b.doc_b),
+        )
+        .filter(dist <= LEV_MAX_DIST)
+        .select("doc_a", "doc_b", dist.cast("int").alias("head_edit_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_jaccard_estimate — the MinHash ESTIMATOR itself, not just its
+# LSH blocking: for every capped-bucket candidate pair, estimated
+# Jaccard = (matching signature positions) / K in exact ppm, alongside
+# the band count that surfaced the pair. This is what a 100 TB dedup
+# actually thresholds on after LSH candidate generation (computing
+# exact Jaccard on candidates costs another shingle join; the
+# signature agreement is free — both docs' signatures are already in
+# the bucket rows). dedup_lsh_recall_report measures the estimator's
+# blocking recall; this operator exposes its VALUE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+xs AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS x FROM ng
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_exprs_sql()}
+  FROM xs GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
+),
+bsz AS (
+  SELECT band, key, count(*) AS m FROM bands GROUP BY band, key
+),
+kept AS (
+  SELECT bands.doc_id, bands.band, bands.key
+  FROM bands JOIN bsz USING (band, key)
+  WHERE m BETWEEN 2 AND {LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_shared_bands AS BIGINT) AS n_shared_bands,
+  CAST(({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))})
+       * 1000000 // {MINHASH_K} AS BIGINT) AS est_jaccard_ppm
+FROM pairs p
+JOIN sig x ON p.doc_a = x.doc_id
+JOIN sig y ON p.doc_b = y.doc_id
+""",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    ng = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", t1, t2).alias("g"),
+            t2.isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "g")
+        .distinct()
+        .withColumn("x", _shingle_x_spark())
+    )
+    # ONE signature table reused for bands AND the per-pair agreement —
+    # localCheckpoint so the banding/pairing subtree and the two sig
+    # joins below don't each re-run the shingle pipeline (same
+    # materialize-the-signatures discipline as dedup_simhash).
+    sig = ng.groupBy("doc_id").agg(*_sig_exprs_spark()).localCheckpoint()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    bsz = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("m"))
+    kept = bands.join(
+        bsz.filter(F.col("m").between(2, LSH_BUCKET_CAP)), ["band", "key"]
+    ).select("doc_id", "band", "key")
+    buckets = kept.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("ds")
+    )
+    pairs = (
+        buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"xa{i}") for i in range(MINHASH_K)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"yb{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        [
+            F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+            for i in range(MINHASH_K)
+        ],
+        F.lit(0),
+    )
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            (agree * 1000000).cast("bigint").alias("agree_scaled"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.expr(f"CAST(agree_scaled DIV {MINHASH_K} AS BIGINT)").alias(
+                "est_jaccard_ppm"
+            ),
+        )
+    )

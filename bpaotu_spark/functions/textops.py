@@ -899,3 +899,98 @@ def corpus_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CORR_R).cast("double").alias("pearson_r"),
         F.expr(_CORR_SLOPE).cast("double").alias("tokens_per_char_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_logloss — the bigram-LM upgrade of text_unigram_logloss:
+# per-doc cross-entropy under the corpus bigram model
+# P(w2 | w1) = c(w1 w2) / c(w1 ·), in exact integer micro-nats (same
+# floor(-ln·1e6) discipline — both engines evaluate ln on the identical
+# rational, so the floored integer matches bit-exactly). Docs shorter
+# than 2 tokens have no bigrams and drop out in both engines. The
+# unigram-vs-bigram logloss gap per doc is the classic fluency signal
+# (high gap = token salad; low gap = natural phrase structure).
+#
+# Scale shape: one explode keyed by bigram (shuffle 1), prefix counts
+# derived by re-aggregating the bigram counts (shuffle 2 on w1 — input
+# one row per DISTINCT bigram, far smaller than the corpus), then a
+# per-doc aggregation. No window, no driver collect.
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_SQL = f"""
+btoks AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS t FROM documents
+), big AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g
+  FROM (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM btoks)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+)
+""".strip()
+
+
+@register(
+    "text_bigram_logloss",
+    oracle=f"""
+WITH {_BIGRAMS_SQL},
+tf AS (
+  SELECT doc_id, g, count(*) AS tf FROM big GROUP BY doc_id, g
+),
+bc AS (
+  SELECT g, count(*) AS c FROM big GROUP BY g
+),
+pc AS (
+  SELECT string_split(g, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS cp
+  FROM bc GROUP BY 1
+),
+cost AS (
+  SELECT g,
+    CAST(floor(-ln(c * 1.0 / cp) * 1000000) AS BIGINT) AS cost_micro
+  FROM bc JOIN pc ON string_split(g, ' ')[1] = w1
+)
+SELECT tf.doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+  CAST(sum(tf * cost_micro) AS BIGINT) AS total_cost_micronats,
+  CAST(sum(tf * cost_micro) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+    AS avg_logloss_micronats
+FROM tf JOIN cost USING (g)
+GROUP BY tf.doc_id
+""",
+)
+def text_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), 2)).alias("g")
+    )
+    tf = x.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    bc = x.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # prefix counts re-aggregate the (small) distinct-bigram table, not
+    # the corpus: c(w1 ·) = Σ_g c(g) over bigrams starting with w1
+    pc = bc.groupBy(
+        F.split("g", " ")[0].alias("w1")
+    ).agg(F.sum("c").cast("bigint").alias("cp"))
+    cost = bc.join(pc, F.split(bc.g, " ")[0] == pc.w1).select(
+        "g",
+        F.floor(-F.log(F.col("c") * 1.0 / F.col("cp")) * 1000000)
+        .cast("bigint")
+        .alias("cost_micro"),
+    )
+    return (
+        tf.join(cost, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("cost_micro")).alias(
+                "total_cost_micronats"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_cost_micronats",
+            F.expr("total_cost_micronats div n_bigrams").alias(
+                "avg_logloss_micronats"
+            ),
+        )
+    )

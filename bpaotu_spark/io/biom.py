@@ -48,18 +48,16 @@ def write_biom_v1(
     byte-deterministic (callers wanting a real timestamp pass one).
     Returns the header (everything except ``data``) for convenience.
     """
-    rows = (
-        triplets.select("row_idx", "sample_id")
-        .distinct()
-        .orderBy("row_idx")
-        .collect()
+    rows_df = (
+        triplets.select("row_idx", "sample_id").distinct().orderBy("row_idx")
     )
-    cols = (
-        triplets.select("col_idx", "otu_id")
-        .distinct()
-        .orderBy("col_idx")
-        .collect()
+    cols_df = (
+        triplets.select("col_idx", "otu_id").distinct().orderBy("col_idx")
     )
+    # shape needs counts up front (JSON key order); counts are cheap
+    # map-combined aggregates, never a driver materialization
+    n_rows = rows_df.count()
+    n_cols = cols_df.count()
     header = {
         "id": table_id,
         "format": BIOM_FORMAT,
@@ -69,23 +67,39 @@ def write_biom_v1(
         "date": date,
         "matrix_type": "sparse",
         "matrix_element_type": "float",
-        "shape": [len(rows), len(cols)],
-        "rows": [{"id": str(r.sample_id), "metadata": None} for r in rows],
-        "columns": [{"id": str(c.otu_id), "metadata": None} for c in cols],
+        "shape": [n_rows, n_cols],
     }
-    with open(path, "w") as f:
-        # the envelope minus the closing brace, then a streamed data
-        # array: one partition of cells in driver memory at a time
-        f.write(json.dumps(header)[:-1])
-        f.write(', "data": [')
+
+    def _stream_array(f, df, render) -> None:
+        # one partition of rows in driver memory at a time — the same
+        # toLocalIterator discipline as the data array, so no
+        # collect-shaped call remains anywhere in the writer
         first = True
-        it = triplets.select("row_idx", "col_idx", "v").orderBy(
-            "row_idx", "col_idx"
-        )
-        for cell in it.toLocalIterator():
+        for r in df.toLocalIterator():
             if not first:
                 f.write(", ")
-            f.write(f"[{cell.row_idx}, {cell.col_idx}, {json.dumps(cell.v)}]")
+            f.write(render(r))
             first = False
+
+    with open(path, "w") as f:
+        f.write(json.dumps(header)[:-1])
+        f.write(', "rows": [')
+        _stream_array(
+            f, rows_df,
+            lambda r: json.dumps({"id": str(r.sample_id), "metadata": None}),
+        )
+        f.write('], "columns": [')
+        _stream_array(
+            f, cols_df,
+            lambda c: json.dumps({"id": str(c.otu_id), "metadata": None}),
+        )
+        f.write('], "data": [')
+        _stream_array(
+            f,
+            triplets.select("row_idx", "col_idx", "v").orderBy(
+                "row_idx", "col_idx"
+            ),
+            lambda cell: f"[{cell.row_idx}, {cell.col_idx}, {json.dumps(cell.v)}]",
+        )
         f.write("]}")
     return header

@@ -2,17 +2,32 @@
 
 Media assets are opaque ``binary`` payloads plus a typed metadata
 struct — the lakehouse-native layout for multimodal training data. The
-test lake has no real media, so a deterministic multimodal view is
-derived from ``documents``: payload = UTF-8 bytes of the text,
-media_type = doc_id mod 3, and the metadata struct carries real byte
-lengths plus hash-derived fake dimensions.
+driver lake carries no media files, so a deterministic multimodal view
+is derived from ``documents``: each doc becomes a REAL, spec-valid
+media payload in a stdlib-parsable format —
 
-What is REAL here (and tested): the schema contract, the JVM-side
-metadata path, and the Arrow-batched ``mapInPandas`` decode pipeline —
-batch shapes, output schema, partition behavior. What is STUBBED: the
-actual pixel/sample decode, behind ``decode_payload`` which raises
-``NotImplementedError`` unless ``fake=True`` (the image/audio libs are
-not in this image). Swapping in a real decoder changes one function.
+- ``image``: 1-bit uncompressed BMP (BITMAPFILEHEADER +
+  BITMAPINFOHEADER + 2-entry palette; dimensions closed-form in
+  doc_id, pixel rows filled from the document bytes);
+- ``audio``: 16-bit mono 8 kHz PCM WAV (RIFF/WAVE with fmt + data
+  chunks; sample count closed-form in doc_id);
+- ``video``: YUV4MPEG2 (y4m) 4:2:0 — plain-text stream header plus
+  ``FRAME\\n``-delimited raw frames.
+
+Because the formats are real, ``decode_payload`` is a REAL decoder:
+``struct``-based header parsing (BMP), RIFF chunk walking (WAV) and
+y4m header + frame walking — no media libraries needed, nothing
+stubbed. Dimensions are ALSO closed-form functions of doc_id, so the
+decode operators are oracle-backed: the DuckDB oracle predicts every
+decoded value from ``documents`` alone, and a hash match proves the
+encode→decode round trip agrees with the closed form bit-exactly.
+
+Formats needing external codecs (JPEG/PNG/MP4) raise ``ValueError``
+with the magic bytes seen: swapping in PIL/ffmpeg extends
+``decode_payload`` without touching the Spark plumbing. The payload
+GENERATOR runs in the same Arrow-batched ``mapInPandas`` stage a
+production pipeline uses to fetch bytes from object storage — the
+generator stands in for that read, not for the decode.
 
 Reference analogue: none (bpaotu is tabular-only); this is the mandated
 LLM-pipeline extension.
@@ -20,6 +35,7 @@ LLM-pipeline extension.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
@@ -30,55 +46,178 @@ from bpaotu_spark.registry import register
 
 MEDIA_TYPES = ("image", "audio", "video")
 
-DECODED_SCHEMA = (
-    "asset_id bigint, media_type string, n_bytes int, width int, height int, "
-    "n_frames int, checksum string"
+# ---------------------------------------------------------------------------
+# closed-form payload geometry (shared by the encoder AND the oracles).
+# One definition site: the Python formulas below and the SQL in
+# _DIMS_SQL are the same expressions — a drifted edit fails the
+# driver's hash compare immediately.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+Y4M_HEADER_FMT = "YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n"
+
+
+def _image_dims(doc_id: int) -> tuple[int, int]:
+    return 60 + 4 * (doc_id % 96), 45 + 3 * (doc_id % 96)
+
+
+def _audio_samples(doc_id: int) -> int:
+    return 160 + doc_id % 320
+
+
+def _video_dims(doc_id: int) -> tuple[int, int, int]:
+    return 2 * (2 + doc_id % 4), 2 * (2 + doc_id % 3), 1 + doc_id % 96
+
+
+# SQL twins (DuckDB): media_type mapping is doc_id % 3 → image/audio/video.
+_MEDIA_SQL = (
+    "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "
+    "WHEN 1 THEN 'audio' ELSE 'video' END"
 )
+_IMG_W_SQL = "(60 + 4 * (doc_id % 96))"
+_IMG_H_SQL = "(45 + 3 * (doc_id % 96))"
+_IMG_STRIDE_SQL = f"((({_IMG_W_SQL} + 31) // 32) * 4)"
+_AUD_N_SQL = "(160 + doc_id % 320)"
+_VID_W_SQL = "(2 * (2 + doc_id % 4))"
+_VID_H_SQL = "(2 * (2 + doc_id % 3))"
+_VID_NF_SQL = "(1 + doc_id % 96)"
+# BMP: 14 (file hdr) + 40 (info hdr) + 8 (2-color palette) + stride*h
+# WAV: 44 (RIFF+fmt+data headers) + 2 bytes/sample
+# y4m: text header + nf * (6-byte FRAME marker + w*h*3/2 of 4:2:0 data)
+_NBYTES_SQL = f"""CASE CAST(doc_id % 3 AS INTEGER)
+  WHEN 0 THEN 62 + {_IMG_STRIDE_SQL} * {_IMG_H_SQL}
+  WHEN 1 THEN 44 + 2 * {_AUD_N_SQL}
+  ELSE octet_length(encode('YUV4MPEG2 W' || CAST({_VID_W_SQL} AS VARCHAR)
+       || ' H' || CAST({_VID_H_SQL} AS VARCHAR) || ' F25:1 Ip A1:1 C420'
+       || chr(10)))
+       + {_VID_NF_SQL} * (6 + {_VID_W_SQL} * {_VID_H_SQL} * 3 // 2)
+END"""
+_WIDTH_SQL = f"""CASE CAST(doc_id % 3 AS INTEGER)
+  WHEN 0 THEN {_IMG_W_SQL} WHEN 1 THEN 0 ELSE {_VID_W_SQL} END"""
+_HEIGHT_SQL = f"""CASE CAST(doc_id % 3 AS INTEGER)
+  WHEN 0 THEN {_IMG_H_SQL} WHEN 1 THEN 0 ELSE {_VID_H_SQL} END"""
+_NFRAMES_SQL = f"""CASE CAST(doc_id % 3 AS INTEGER)
+  WHEN 0 THEN 1 WHEN 1 THEN {_AUD_N_SQL} ELSE {_VID_NF_SQL} END"""
+
+
+# ---------------------------------------------------------------------------
+# encoders — real spec-valid payload bytes
+# ---------------------------------------------------------------------------
+
+
+def _fill(src: bytes, n: int) -> bytes:
+    """Deterministic n-byte fill from the document bytes."""
+    if n <= 0:
+        return b""
+    if not src:
+        src = b"\x00"
+    return (src * (n // len(src) + 1))[:n]
+
+
+def encode_bmp(doc_id: int, src: bytes) -> bytes:
+    """1-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up)."""
+    w, h = _image_dims(doc_id)
+    stride = ((w + 31) // 32) * 4
+    data = _fill(src, stride * h)
+    off = 14 + 40 + 8
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 1, 0, len(data), 2835, 2835, 2, 0
+    )
+    palette = struct.pack("<II", 0x00000000, 0x00FFFFFF)
+    return file_hdr + info_hdr + palette + data
+
+
+def encode_wav(doc_id: int, src: bytes) -> bytes:
+    """16-bit mono PCM WAV (RIFF: fmt + data chunks)."""
+    n = _audio_samples(doc_id)
+    data = _fill(src, 2 * n)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def encode_y4m(doc_id: int, src: bytes) -> bytes:
+    """YUV4MPEG2 stream: text header + FRAME-delimited 4:2:0 frames."""
+    w, h, nf = _video_dims(doc_id)
+    head = Y4M_HEADER_FMT.format(w=w, h=h).encode("ascii")
+    frame = b"FRAME\n" + _fill(src, w * h * 3 // 2)
+    return head + frame * nf
+
+
+_ENCODERS = (encode_bmp, encode_wav, encode_y4m)
 
 
 def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (asset_id, media_type, payload binary, meta struct)."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = F.element_at(
-        F.array(*[F.lit(m) for m in MEDIA_TYPES]),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+    """documents → (asset_id, media_type, payload binary, meta struct).
+
+    Payload synthesis runs in the Arrow-batched stage where a real
+    pipeline fetches object-storage bytes; everything downstream of the
+    payload column is production-shaped.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            payloads = [
+                _ENCODERS[d % 3](d, t.encode("utf-8"))
+                for d, t in zip(ids, pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": [MEDIA_TYPES[d % 3] for d in ids],
+                    "payload": payloads,
+                }
+            )
+
+    assets = docs.mapInPandas(
+        gen, schema="asset_id bigint, media_type string, payload binary"
     )
-    payload = F.encode("text", "UTF-8")
-    return docs.select(
-        F.col("doc_id").alias("asset_id"),
-        media.alias("media_type"),
-        payload.alias("payload"),
-        F.struct(
-            F.length(payload).alias("n_bytes"),
-            # hash-derived fake dimensions: deterministic, no media libs
-            (F.crc32(payload) % 1920).cast("int").alias("width"),
-            (F.crc32(payload) % 1080).cast("int").alias("height"),
-        ).alias("meta"),
+    return assets.select(
+        "asset_id",
+        "media_type",
+        "payload",
+        F.struct(F.length("payload").alias("n_bytes")).alias("meta"),
     )
 
 
 # ---------------------------------------------------------------------------
-# multimodal_meta — per-media-type stats over the typed metadata (pure
-# JVM path; proves the binary+struct schema carries through groupBy).
+# multimodal_meta — per-media-type stats over the typed metadata. The
+# oracle predicts total payload bytes from the closed-form geometry, so
+# a hash match proves the ENCODERS produce exactly the sizes the spec
+# arithmetic says they must.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "multimodal_meta",
-    oracle="""
+    oracle=f"""
 WITH m AS (
-  SELECT
-    doc_id AS asset_id,
-    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-      AS media_type,
-    octet_length(encode(text)) AS n_bytes
+  SELECT doc_id,
+    {_MEDIA_SQL} AS media_type,
+    CAST({_NBYTES_SQL} AS INTEGER) AS n_bytes
   FROM documents
 )
 SELECT media_type,
   count(*) AS n_assets,
   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
   CAST(round(sum(CAST(n_bytes AS DECIMAL(18,6))) / count(n_bytes), 4) AS DOUBLE) AS avg_bytes,
-  max(n_bytes) AS max_bytes
+  CAST(max(n_bytes) AS BIGINT) AS max_bytes
 FROM m GROUP BY media_type
 """,
 )
@@ -94,52 +233,88 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("avg_bytes"),
-        # bigint: the oracle's octet_length() is BIGINT; match its width
+        # bigint: the oracle sum/max are BIGINT; match the width
         F.max("meta.n_bytes").cast("bigint").alias("max_bytes"),
     )
 
 
 # ---------------------------------------------------------------------------
-# decode pipeline — Arrow-batched mapInPandas. The decode itself is a
-# stub; the Spark-side plumbing (batch iteration, schema, vectorized
-# checksum) is real and is what the tests exercise.
+# decode pipeline — Arrow-batched mapInPandas over real format headers.
 # ---------------------------------------------------------------------------
 
+DECODED_SCHEMA = (
+    "asset_id bigint, media_type string, n_bytes int, width int, height int, "
+    "n_frames int"
+)
 
-def decode_payload(payload: bytes, media_type: str, fake: bool = False):
+
+def decode_payload(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """Decode one media payload → (width, height, n_frames).
 
-    STUB: real decoding needs PIL/ffmpeg (not in this image). With
-    ``fake=True`` returns deterministic hash-derived dimensions so the
-    pipeline around it can be exercised end-to-end.
+    Real header parsing, stdlib-only: BMP via ``struct`` offsets, WAV
+    via RIFF chunk walk, y4m via stream-header tokens + frame walk.
+    Audio reports (0, 0, n_samples). Unknown magic bytes raise
+    ``ValueError`` — JPEG/PNG/MP4 would need PIL/ffmpeg and plug in
+    here without touching the Spark plumbing.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires PIL/ffmpeg; pass fake=True for the "
-            "deterministic test double"
-        )
-    import zlib
+    b = bytes(payload)
+    if media_type == "image":
+        if b[:2] != b"BM":
+            raise ValueError(f"not a BMP payload (magic {b[:2]!r})")
+        w, h = struct.unpack_from("<ii", b, 18)
+        return w, abs(h), 1  # negative height = top-down BMP
+    if media_type == "audio":
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE payload (magic {b[:4]!r})")
+        off, block_align, n_samples = 12, None, None
+        while off + 8 <= len(b):
+            cid, sz = struct.unpack_from("<4sI", b, off)
+            if cid == b"fmt ":
+                block_align = struct.unpack_from("<H", b, off + 20)[0]
+            elif cid == b"data":
+                if block_align is None:
+                    raise ValueError("WAV data chunk before fmt chunk")
+                n_samples = sz // block_align
+            off += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if n_samples is None:
+            raise ValueError("WAV payload has no data chunk")
+        return 0, 0, n_samples
+    if media_type == "video":
+        nl = b.find(b"\n")
+        if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+            raise ValueError(f"not a YUV4MPEG2 payload (magic {b[:9]!r})")
+        w = h = None
+        for tok in b[:nl].decode("ascii").split(" ")[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+        if w is None or h is None:
+            raise ValueError("y4m header missing W/H")
+        frame_bytes, off, n_frames = w * h * 3 // 2, nl + 1, 0
+        while off < len(b):
+            if b[off : off + 6] != b"FRAME\n":
+                raise ValueError(f"bad y4m frame marker at {off}")
+            off += 6 + frame_bytes
+            n_frames += 1
+        return w, h, n_frames
+    raise ValueError(f"unknown media_type {media_type!r}")
 
-    h = zlib.crc32(payload)
-    n_frames = 1 if media_type == "image" else (h % 240) + 1
-    return (h % 1920, h % 1080, n_frames)
 
-
-def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
+def decode_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas decode: binary payloads → typed decode results.
 
     Arrow moves each partition in vectorized batches; the Python side
-    sees pandas DataFrames, the JVM side sees a normal DataFrame with
-    ``DECODED_SCHEMA`` — this is the pattern a real decoder drops into.
+    sees pandas DataFrames, the JVM side a normal DataFrame with
+    ``DECODED_SCHEMA``. Map-only: no shuffle, rides the input
+    partitioning.
     """
-    import hashlib
-
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             dims = [
-                decode_payload(p, m, fake=fake)
+                decode_payload(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -150,67 +325,149 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_frames": [d[2] for d in dims],
-                    "checksum": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
                 }
             )
 
     return assets.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
-@register("multimodal_decode")  # no oracle: Pandas-UDF path, rows-only check
+@register(
+    "multimodal_decode",
+    oracle=f"""
+SELECT doc_id AS asset_id,
+  {_MEDIA_SQL} AS media_type,
+  CAST({_NBYTES_SQL} AS INTEGER) AS n_bytes,
+  CAST({_WIDTH_SQL} AS INTEGER) AS width,
+  CAST({_HEIGHT_SQL} AS INTEGER) AS height,
+  CAST({_NFRAMES_SQL} AS INTEGER) AS n_frames
+FROM documents
+""",
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_assets(multimodal_table(spark, sf_dir), fake=True)
+    """The oracle predicts every decoded value closed-form from
+    documents, while the Spark side actually encodes real BMP/WAV/y4m
+    bytes and parses them back — the hash match IS the round-trip
+    proof."""
+    return decode_assets(multimodal_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
-# resize / frame-sample / feature-extract — the three transform stages
-# a multimodal training pipeline runs after decode. Same contract as
-# decode: the pixel/sample math is a deterministic stub, the Spark
-# plumbing (Arrow batches, schemas, explode shapes, partitioning) is
-# real and tested.
+# resize / frame-sample / feature-extract — the transform stages a
+# multimodal training pipeline runs after decode. Geometry is integer
+# arithmetic end-to-end (ppm scale), so both engines agree bit-exactly.
 # ---------------------------------------------------------------------------
 
 RESIZE_TARGET = 224
 
 RESIZED_SCHEMA = (
     "asset_id bigint, media_type string, src_w int, src_h int, "
-    "out_w int, out_h int, scale double"
+    "out_w int, out_h int, scale_ppm bigint"
 )
 
 
+def _resize_cols(target: int):
+    """Fit-within-target resize geometry columns. Pure JVM arithmetic
+    over decoded dims — resize *geometry* never needs Python; only the
+    pixel resample inside a real resizer does. Integer floor semantics
+    (out = dim·target // maxdim, scale in ppm) keep the result
+    engine-exact — float rounding would tie-break differently across
+    engines. Map-only: no shuffle."""
+    maxdim = F.greatest("width", "height")
+    big = maxdim > target
+    out_w = F.when(
+        big, F.expr(f"CAST(width * {target} DIV greatest(width, height) AS INT)")
+    ).otherwise(F.col("width"))
+    out_h = F.when(
+        big, F.expr(f"CAST(height * {target} DIV greatest(width, height) AS INT)")
+    ).otherwise(F.col("height"))
+    scale_ppm = F.when(
+        big,
+        F.expr(f"CAST({target} * 1000000 DIV greatest(width, height) AS BIGINT)"),
+    ).otherwise(F.lit(1000000).cast("bigint"))
+    return out_w, out_h, scale_ppm
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+    {_MEDIA_SQL} AS media_type,
+    CAST({_WIDTH_SQL} AS INTEGER) AS width,
+    CAST({_HEIGHT_SQL} AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id AS asset_id, media_type,
+  width AS src_w, height AS src_h,
+  CAST(CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+       THEN width * {RESIZE_TARGET} // greatest(width, height)
+       ELSE width END AS INTEGER) AS out_w,
+  CAST(CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+       THEN height * {RESIZE_TARGET} // greatest(width, height)
+       ELSE height END AS INTEGER) AS out_h,
+  CAST(CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+       THEN {RESIZE_TARGET} * 1000000 // greatest(width, height)
+       ELSE 1000000 END AS BIGINT) AS scale_ppm
+FROM d
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_assets(multimodal_decode(spark, sf_dir))
+
+
 def resize_assets(decoded: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
-    """Fit-within-target resize geometry. Pure JVM arithmetic over the
-    decoded dims — resize *geometry* never needs Python; only the pixel
-    resample (stubbed inside a real decoder) does. Map-only: no
-    shuffle, rides whatever partitioning decode produced."""
-    scale = F.when(
-        F.greatest("width", "height") > target,
-        target / F.greatest("width", "height").cast("double"),
-    ).otherwise(F.lit(1.0))
+    out_w, out_h, scale_ppm = _resize_cols(target)
     return decoded.select(
         "asset_id",
         "media_type",
         F.col("width").alias("src_w"),
         F.col("height").alias("src_h"),
-        F.round(F.col("width") * scale).cast("int").alias("out_w"),
-        F.round(F.col("height") * scale).cast("int").alias("out_h"),
-        F.round(scale, 6).alias("scale"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        scale_ppm.alias("scale_ppm"),
     )
 
 
-FRAME_STEP = 30  # sample one frame per step (≈1 fps at 30 fps video)
+FRAME_STEP = 30  # sample one frame per step (≈1.2s at 25 fps video)
 
 FRAMES_SCHEMA = "asset_id bigint, frame_idx int, frame_key string"
 
 
-def sample_frames(decoded: DataFrame, step: int = FRAME_STEP) -> DataFrame:
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id AS asset_id, CAST({_VID_NF_SQL} AS INTEGER) AS nf
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+)
+SELECT asset_id,
+  CAST(unnest(range(0, nf, {FRAME_STEP})) AS INTEGER) AS frame_idx,
+  md5(CAST(asset_id AS VARCHAR) || ':'
+      || CAST(unnest(range(0, nf, {FRAME_STEP})) AS VARCHAR)) AS frame_key
+FROM v
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: videos explode to one row per sampled frame
-    (sequence + explode — JVM-side, no Python). The frame payload
-    extraction is the stubbed part (frame_key stands in for the frame
-    bytes); the row explosion IS the real shape: output rows scale with
-    total video seconds, and downstream stages partition on asset_id."""
+    (sequence + explode — JVM-side). The frame-key md5 stands in for
+    the frame-bytes pointer; the row explosion IS the real shape:
+    output rows scale with total video seconds and downstream stages
+    partition on asset_id."""
+    decoded = multimodal_decode(spark, sf_dir)
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STEP))
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select("asset_id", F.explode(frames).alias("frame_idx"))
+        .select(
+            "asset_id",
+            "frame_idx",
+            F.md5(F.concat_ws(":", "asset_id", "frame_idx")).alias("frame_key"),
+        )
+    )
+
+
+def sample_frames(decoded: DataFrame, step: int = FRAME_STEP) -> DataFrame:
+    """Library form of the frame sampler for arbitrary decoded frames."""
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(step))
     return (
         decoded.filter(F.col("media_type") == "video")
@@ -230,10 +487,10 @@ FEATURES_SCHEMA = "asset_id bigint, media_type string, feature array<float>"
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """Feature extraction via Arrow-batched mapInPandas: payload bytes →
-    FEATURE_DIM float vector (deterministic hash stub standing in for a
-    vision/audio encoder). The output column is the same
-    ``array<float>`` shape the ANN operators consume, so the chain
-    multimodal → features → ann_*_topk runs end-to-end."""
+    FEATURE_DIM float vector (deterministic hash stand-in for a
+    vision/audio encoder — the one genuinely model-bound stage). The
+    output column is the same ``array<float>`` shape the ANN operators
+    consume, so multimodal → features → ann_*_topk runs end-to-end."""
     import hashlib
 
     import numpy as np
@@ -259,16 +516,6 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-@register("multimodal_resize")  # rows-only: consumes the stubbed decode dims
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_assets(multimodal_decode(spark, sf_dir))
-
-
-@register("multimodal_frame_sample")  # rows-only: consumes stubbed decode dims
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(multimodal_decode(spark, sf_dir))
-
-
-@register("multimodal_features")  # rows-only: Pandas-UDF path
+@register("multimodal_features")  # rows-only: float hash vector, engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(multimodal_table(spark, sf_dir))

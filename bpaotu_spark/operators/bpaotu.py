@@ -429,15 +429,43 @@ def beta_diversity_braycurtis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.least("ca", "cb")).alias("sum_min"))
     )
 
-    ta = tot.select(
-        F.col("block"), F.col("sample_id").alias("sample_a"), F.col("tot").alias("tot_a")
+    # The pair-former joins on block ALONE — one shuffle partition per
+    # nation, so the largest nation dominates a single task. Two-level
+    # sub-blocking (the packed_token_offsets pattern): each side is
+    # hash-assigned to one of S sub-blocks and replicated across the
+    # other side's S sub-blocks, so the join key (block, sub_a, sub_b)
+    # splits every nation into S² balanced cells. Every (a, b) pair
+    # lands in exactly ONE cell — (sub(a), sub(b)) — so the pair set is
+    # identical to the naive block join (the oracle keeps the naive
+    # form, proving it). Replication is S× of a per-sample AGGREGATE
+    # (tiny vs the fact); the largest task shrinks S²×.
+    S = 8
+    sub_vals = F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    ta = (
+        tot.select(
+            F.col("block"),
+            F.col("sample_id").alias("sample_a"),
+            F.col("tot").alias("tot_a"),
+        )
+        .withColumn("sub_a", F.pmod(F.xxhash64("sample_a"), F.lit(S)).cast("int"))
+        .withColumn("sub_b", sub_vals)
     )
-    tb = tot.select(
-        F.col("block").alias("block_b"),
-        F.col("sample_id").alias("sample_b"),
-        F.col("tot").alias("tot_b"),
+    tb = (
+        tot.select(
+            F.col("block").alias("block_b"),
+            F.col("sample_id").alias("sample_b"),
+            F.col("tot").alias("tot_b"),
+        )
+        .withColumn("sub_b_own", F.pmod(F.xxhash64("sample_b"), F.lit(S)).cast("int"))
+        .withColumn("sub_a_rep", sub_vals)
     )
-    pairs = ta.join(tb, (ta.block == tb.block_b) & (ta.sample_a < tb.sample_b))
+    pairs = ta.join(
+        tb,
+        (ta.block == tb.block_b)
+        & (ta.sub_a == tb.sub_a_rep)
+        & (ta.sub_b == tb.sub_b_own)
+        & (ta.sample_a < tb.sample_b),
+    )
     return (
         pairs.join(shared, ["sample_a", "sample_b"], "left")
         .na.fill({"sum_min": 0.0})

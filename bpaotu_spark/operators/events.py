@@ -671,3 +671,75 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             _value_sum("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch — marketing attribution: each purchase is
+# credited to the user's most recent click/view within a 7-day
+# lookback. The canonical ad-analytics query (last-touch model), and a
+# different window shape from the funnel: a conditional carry-forward
+# (last_value IGNORE NULLS over a struct) rather than min-over-type.
+#
+# Scale shape: one window pass per user partition — the same
+# partitioning every other per-user events operator shuffles on
+# (exchange reuse in multi-op pipelines); no self-join of the events
+# fact against itself. Gap arithmetic is integer microseconds.
+# ---------------------------------------------------------------------------
+
+ATTR_SOURCES = ("click", "view")
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), tagged AS (
+  SELECT *,
+    last_value(CASE WHEN event_type IN {ATTR_SOURCES!r}
+               THEN struct_pack(ts_us := ts_us, event_id := event_id,
+                                event_type := event_type) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM e
+)
+SELECT event_id AS purchase_id, user_id,
+  attr.event_id AS attr_event_id,
+  attr.event_type AS attr_type,
+  CAST(ts_us - attr.ts_us AS BIGINT) AS gap_us
+FROM tagged
+WHERE event_type = 'purchase' AND attr IS NOT NULL
+  AND ts_us - attr.ts_us <= {ATTR_WINDOW_US}
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mk = F.when(
+        F.col("event_type").isin(*ATTR_SOURCES),
+        F.struct(
+            F.col("ts_us"), F.col("event_id"), F.col("event_type")
+        ),
+    )
+    tagged = ev.withColumn("attr", F.last(mk, ignorenulls=True).over(w))
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("attr").isNotNull()
+            & (F.col("ts_us") - F.col("attr.ts_us") <= ATTR_WINDOW_US)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("attr.event_id").alias("attr_event_id"),
+            F.col("attr.event_type").alias("attr_type"),
+            (F.col("ts_us") - F.col("attr.ts_us")).cast("bigint").alias("gap_us"),
+        )
+    )

@@ -1,0 +1,211 @@
+"""Round-5 OLAP additions: operational time-series shapes.
+
+Reference analogue: bpaotu's results pages are point-in-time SQL
+(public path ``bpaotu/otu/query.py``); these operators add the
+*operational* time-series queries a production deployment of the same
+store runs on its ingest side — backlog tracking and robust anomaly
+flags — expressed as Catalyst-friendly plans with the repo's exactness
+discipline (decimal money partials, integer cents for order-statistic
+arithmetic, bounded calendar windows only after full map-side
+aggregation).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+DEC = "decimal(18,6)"
+
+
+# ---------------------------------------------------------------------------
+# orders_open_backlog_daily — work-in-progress inventory over time: for
+# every calendar day, how many orders have been placed but not yet
+# fully shipped (last lineitem ship date still in the future). The
+# event-sourcing "reconstruct state from deltas" shape: two map-side
+# aggregated delta streams (opens by order date, closes by last ship
+# date) merged onto a calendar spine with cumulative windows.
+#
+# Scale shape: both delta aggregations collapse the fact tables to at
+# most one row per day BEFORE any window; the cumulative window runs
+# on the bounded calendar spine (~2.4k rows for 7 years — the same
+# value-bounded single-partition window class as moving_avg_window,
+# documented there). No join touches two fact-sized inputs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+WITH opens AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1
+),
+closes AS (
+  SELECT CAST(last_ship AS DATE) AS day, count(*) AS n
+  FROM (
+    SELECT l_orderkey, max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_orderkey
+  ) GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM opens),
+    greatest((SELECT max(day) FROM opens), (SELECT max(day) FROM closes)),
+    INTERVAL 1 DAY)) AS day
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+  CAST(coalesce(o.n, 0) AS BIGINT) AS n_opened,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS n_closed,
+  CAST(sum(coalesce(o.n, 0)) OVER w - sum(coalesce(c.n, 0)) OVER w AS BIGINT)
+    AS n_open
+FROM spine s
+LEFT JOIN opens o ON o.day = CAST(s.day AS DATE)
+LEFT JOIN closes c ON c.day = CAST(s.day AS DATE)
+WINDOW w AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitems never close; the driver generator emits
+    lineitems for every order, and both engines agree on the open tail
+    either way (identical left-join semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    opens = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_opened"))
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(F.col("last_ship").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    # calendar spine: one broadcast row of bounds → sequence+explode
+    bounds = opens.agg(F.min("day").alias("lo")).crossJoin(
+        F.broadcast(
+            closes.select(F.col("day").alias("cday"))
+            .unionByName(opens.select(F.col("day").alias("cday")))
+            .agg(F.max("cday").alias("hi"))
+        )
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    merged = (
+        spine.join(opens, "day", "left")
+        .join(closes, "day", "left")
+        .na.fill({"n_opened": 0, "n_closed": 0})
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        (F.sum("n_opened").over(w) - F.sum("n_closed").over(w))
+        .cast("bigint")
+        .alias("n_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust_anomaly_mad — median/MAD anomaly flags on daily revenue: the
+# robust twin of daily_revenue_anomaly (mean/std is distorted by the
+# very outliers it hunts; median/MAD is not — Leys et al. 2013, the
+# standard robust-outlier recommendation). Trailing 7-day window per
+# day: med = median(revenue), MAD = median(|x - med|), flag when
+# |x - med| > 3 · MAD.
+#
+# Exactness: revenue in integer CENTS; a 7-element median is the 4th
+# order statistic of a sorted integer array — computed identically in
+# both engines via sorted-list indexing (never a float quantile
+# estimator, whose interpolation rules differ). Flag compare is
+# integer·integer so no rounding anywhere. 2·median is used instead of
+# median (odd/even windows stay integral).
+#
+# Scale shape: the window operates on the bounded daily series (one
+# row per day after a map-combined aggregate); the 7-element
+# collect_list per row is constant-size. Same value-bounded window
+# class as moving_avg_window.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3  # flag threshold: |x - med| > 3 * MAD
+
+
+@register(
+    "robust_anomaly_mad",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, cents,
+    list_sort(list(cents) OVER w) AS arr
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+med AS (
+  -- 2*median of a sorted integer list: sum of the two middle elements
+  -- (equal when odd length), so the value stays integral
+  SELECT day, cents, arr, len(arr) AS n,
+    arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS med2
+  FROM win
+),
+dev AS (
+  SELECT day, cents, n, med2,
+    list_sort(list_transform(arr, x -> abs(2 * x - med2))) AS devs
+  FROM med
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  cents AS revenue_cents,
+  CAST(med2 AS BIGINT) AS med2_cents,
+  CAST(devs[(n + 1) // 2] + devs[n // 2 + 1] AS BIGINT) AS mad4_cents,
+  (n >= 7 AND
+   2 * abs(2 * cents - med2) > {_MAD_K} * (devs[(n + 1) // 2] + devs[n // 2 + 1]))
+    AS is_anomaly
+FROM dev
+""",
+)
+def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """med2 = 2·median(window), mad4 = 2·median(|2x - med2|) = 4·MAD;
+    the flag compares 2·|2x - med2| (= 4·|x - med|) against
+    _MAD_K · mad4 (= 3 · 4·MAD) — every quantity integral, zero
+    rounding. Warm-up days (window < 7) are never flagged."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    win = daily.select("day", "cents", arr.alias("arr"), F.size(arr).alias("n"))
+    med2 = F.element_at("arr", ((F.col("n") + 1) / 2).cast("int")) + F.element_at(
+        "arr", (F.col("n") / 2).cast("int") + 1
+    )
+    step = win.select("day", "cents", "arr", "n", med2.alias("med2"))
+    devs = F.array_sort(
+        F.transform("arr", lambda x: F.abs(2 * x - F.col("med2")))
+    )
+    step2 = step.select("day", "cents", "n", "med2", devs.alias("devs"))
+    mad4 = F.element_at("devs", ((F.col("n") + 1) / 2).cast("int")) + F.element_at(
+        "devs", (F.col("n") / 2).cast("int") + 1
+    )
+    return step2.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("revenue_cents"),
+        F.col("med2").cast("bigint").alias("med2_cents"),
+        mad4.cast("bigint").alias("mad4_cents"),
+        (
+            (F.col("n") >= 7)
+            & (2 * F.abs(2 * F.col("cents") - F.col("med2")) > _MAD_K * mad4)
+        ).alias("is_anomaly"),
+    )

@@ -1011,3 +1011,109 @@ def corpus_final_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_plan — the pretraining mixture table: per (source,
+# lang) cell, quality-passing token mass, temperature-rebalanced
+# sampling rate, and the expected token contribution under that rate.
+# This is the artifact a data-mixture review actually signs off on
+# (how many tokens of each source×language enter the run), composing
+# the quality gate (text_quality's registered oracle — zero drift) with
+# the same p^(α-1) temperature scheme as lang_temperature_sample, but
+# weighted by TOKEN mass rather than doc count.
+#
+# Determinism: pow() runs once per CELL (a |sources|×|langs| handful),
+# floored to an integer u16 rate anchored at the smallest non-empty
+# cell; expected tokens are integer mass·rate/65536. No double is ever
+# aggregated.
+#
+# Scale shape: map-only gate + token count on the scan, one
+# map-combined (source, lang) aggregate, a 1-row broadcast min, and
+# bounded-cell scalar math. Nothing grows with the corpus but the
+# first aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _mixture_plan_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+    from bpaotu_spark.functions.textops import TOKENIZE_SQL
+
+    return f"""
+WITH q AS ({ORACLES["text_quality"]}),
+t AS (
+  SELECT doc_id, source, lang, len({TOKENIZE_SQL}) AS n_toks FROM documents
+),
+g AS (
+  SELECT t.source, t.lang, count(*) AS n_docs,
+    CAST(count(*) FILTER (WHERE q.passes_quality) AS BIGINT) AS n_pass,
+    CAST(sum(CASE WHEN q.passes_quality THEN n_toks ELSE 0 END) AS BIGINT)
+      AS token_mass
+  FROM t JOIN q ON t.doc_id = q.doc_id
+  GROUP BY t.source, t.lang
+),
+mn AS (SELECT min(token_mass) AS m0 FROM g WHERE token_mass > 0)
+SELECT source, lang, n_docs, n_pass, token_mass,
+  CAST(CASE WHEN token_mass = 0 THEN 0
+       ELSE floor(pow(token_mass * 1.0 / m0, {_TEMP_ALPHA} - 1) * {_RATE_SCALE})
+       END AS BIGINT) AS rate_u16,
+  CAST(CASE WHEN token_mass = 0 THEN 0
+       ELSE token_mass
+            * CAST(floor(pow(token_mass * 1.0 / m0, {_TEMP_ALPHA} - 1)
+                         * {_RATE_SCALE}) AS BIGINT) // {_RATE_SCALE}
+       END AS BIGINT) AS expected_tokens
+FROM g CROSS JOIN mn
+"""
+
+
+@register("corpus_mixture_plan", oracle=_mixture_plan_oracle())
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.functions.textops import text_quality, tokenize
+
+    q = text_quality(spark, sf_dir).select("doc_id", "passes_quality")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+    )
+    g = (
+        docs.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("passes_quality"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum(
+                F.when(F.col("passes_quality"), F.col("n_toks")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("token_mass"),
+        )
+    )
+    mn = g.filter(F.col("token_mass") > 0).agg(
+        F.min("token_mass").alias("m0")
+    )
+    rate = F.when(F.col("token_mass") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            F.pow(F.col("token_mass") * 1.0 / F.col("m0"), _TEMP_ALPHA - 1)
+            * _RATE_SCALE
+        ).cast("bigint")
+    )
+    return (
+        g.crossJoin(F.broadcast(mn))
+        .withColumn("rate_u16", rate)
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_pass",
+            "token_mass",
+            "rate_u16",
+            F.expr(
+                f"CAST(CASE WHEN token_mass = 0 THEN 0 ELSE "
+                f"token_mass * rate_u16 DIV {_RATE_SCALE} END AS BIGINT)"
+            ).alias("expected_tokens"),
+        )
+    )

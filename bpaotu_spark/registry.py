@@ -36,6 +36,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     import bpaotu_spark.operators.olap  # noqa: F401
     import bpaotu_spark.operators.olap2  # noqa: F401
+    import bpaotu_spark.operators.olap3  # noqa: F401
     import bpaotu_spark.operators.events  # noqa: F401
     import bpaotu_spark.operators.bpaotu  # noqa: F401
     import bpaotu_spark.operators.pipeline  # noqa: F401
@@ -61,86 +62,50 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # (A0) NEW this round — never driver-verified
-    "doc_chunk_sliding",
-    "token_vocab_coverage",
-    "bigram_pmi",
-    "pagerank_knn",
-    "basket_brand_lift",
-    "table_profile",
-    "event_interarrival_stats",
-    "lang_length_quartiles",
-    "daily_revenue_anomaly",
-    "dedup_ngram_coverage",
-    "zipf_token_stats",
-    # TPC-H coverage completion, new this round
-    "q6_forecast_revenue",
-    "q2_min_price_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "window_functions_suite",
-    "corpus_decontaminate",
-    "corpus_semantic_dedup_keep_first",
-    "text_unigram_logloss",
-    "bm25_search",
-    "lang_temperature_sample",
-    "text_winnow_fingerprints",
-    "knn_graph_lsh",
-    "dedup_winnow_pairs",
-    "embedding_dim_stats",
-    # (A) round-4 changes: HUGEINT oracle casts + int-width alignment
-    "sessionize_events",
-    "multimodal_meta",
-    "corpus_clean_pipeline",
-    "text_repetition_ratio",
-    "corpus_pack_sequences",  # also restructured scale-safe this round
-    "decile_stats",
-    "topk_per_group",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "vector_quantize_int8",
-    "embedding_label_centroids",
-    "dedup_simhash",
-    "dedup_cluster_cc",  # convergence guard added this round
-    # also covers the minhash_bands() refactor: this op calls
-    # dedup_minhash_lsh directly, so the refactored signature path is
-    # driver-hash-verified here even though dedup_minhash_lsh itself
-    # sits outside the window this round (output re-verified identical
-    # locally post-refactor)
+    # (A) CHANGED in round 5 — bucket caps in the LSH/shingle
+    # pair-formers changed these plans AND their oracles (plus every
+    # oracle that embeds the minhash pair CTEs); bigram_pmi consumes the
+    # round-5 word_ngrams short-doc guard; beta_diversity_braycurtis
+    # got second-level sub-blocking
+    "dedup_minhash_lsh",  # also: r4 minhash_bands refactor, first direct row
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
     "corpus_near_dedup_keep_first",
-    # (B) changed post-r2 (money_avg/q3 decimalization), outside r3's
-    # window — never driver-verified at current code
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "moving_avg_window",
-    "median_exact_by_segment",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "cumulative_share_daily",
-    "q14_promo_share",
-    # ---- ~50-entry window boundary ----
-    # (A0-deferred) new TPC-H shapes spilled to keep every money_avg
-    # consumer (judge-mandated, group B above) inside the window; they
-    # rotate in next round
+    "dedup_lsh_recall_report",  # never driver-verified + embeds both capped oracles
+    "bigram_pmi",
+    "beta_diversity_braycurtis",
+    # real BMP/WAV/y4m encode→decode landed round 5: meta's oracle
+    # changed; decode/resize/frame_sample are newly oracle-backed
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # (A0) NEW operators this round — never driver-verified
+    "orders_open_backlog_daily",
+    "robust_anomaly_mad",
+    "attribution_last_touch",
+    "text_bigram_logloss",
+    "dedup_levenshtein",
+    "minhash_jaccard_estimate",
+    "corpus_mixture_plan",
+    # (B) never driver-verified — r4 additions that spilled past the
+    # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "q20_part_promotion_suppliers",
+    "q21_sole_blame_supplier",
     "langid_confusion",
     "customer_rfm_segments",
-    "dedup_lsh_recall_report",
     "source_quality_report",
     "corpus_final_verdict",
     "abundance_rarefaction",
     "corpus_length_token_corr",
     "events_hourly_heatmap",
     "supplier_return_rate",
-    "tfidf_top_terms_approx",
-    "q20_part_promotion_suppliers",
-    "q21_sole_blame_supplier",
-    # (C) last driver-green in round 2 — oldest coverage, rotate in
+    # (C) oldest driver-green rows (round 2), unchanged since — rotate
+    # through the window so no operator's last green row ages past ~3
+    # rounds
     "q5_local_supplier_volume",
     "rollup_hierarchy",
     "cube_returns",
@@ -151,21 +116,19 @@ PRIORITY: tuple[str, ...] = (
     "q16_antijoin_parts",
     "q18_large_orders",
     "skew_salted_join",
-    # ---- 50-entry window boundary (driver round-2/3 behavior) ----
-    # tail: r3-green and unchanged, rotated out this round to make
-    # room for the sixteen new operators (three more TPC-H shapes
-    # [q7/q19/q22] spill past the boundary than last round)
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
+    # (C2) round-3 green, unchanged — next-oldest tier fills the
+    # remaining window slots; NEW round-5 operators take these slots as
+    # they land (insert above group C, trim from the bottom of C2)
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    # ---- ~50-entry window boundary ----
     "blast_kmer_similarity",
     "train_test_split",
     "sample_stratified",
@@ -178,8 +141,9 @@ PRIORITY: tuple[str, ...] = (
     "krona_rollup",
     "abundance_matrix",
     "otu_text_search",
+    # tail: driver-green in r3/r4 at current code, unchanged — stays
+    # covered by tools/check.py locally every round
     "alpha_diversity",
-    "beta_diversity_braycurtis",
     "sample_summary",
     "export_long_abundance",
     "map_binning_2d",
@@ -196,6 +160,53 @@ PRIORITY: tuple[str, ...] = (
     "retention_daily",
     "range_join_bucketed",
     "cohort_retention_matrix",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "moving_avg_window",
+    "median_exact_by_segment",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "cumulative_share_daily",
+    "q14_promo_share",
+    "doc_chunk_sliding",
+    "token_vocab_coverage",
+    "pagerank_knn",
+    "basket_brand_lift",
+    "table_profile",
+    "event_interarrival_stats",
+    "lang_length_quartiles",
+    "daily_revenue_anomaly",
+    "dedup_ngram_coverage",
+    "zipf_token_stats",
+    "q6_forecast_revenue",
+    "q2_min_price_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "window_functions_suite",
+    "corpus_decontaminate",
+    "corpus_semantic_dedup_keep_first",
+    "text_unigram_logloss",
+    "bm25_search",
+    "lang_temperature_sample",
+    "text_winnow_fingerprints",
+    "knn_graph_lsh",
+    "dedup_winnow_pairs",
+    "embedding_dim_stats",
+    "sessionize_events",
+    "corpus_clean_pipeline",
+    "text_repetition_ratio",
+    "corpus_pack_sequences",
+    "decile_stats",
+    "topk_per_group",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "vector_quantize_int8",
+    "embedding_label_centroids",
+    "dedup_simhash",
+    "tfidf_top_terms_approx",
 )
 
 

@@ -154,3 +154,52 @@ def test_lsh_recall_report_consistency(spark, sf_dir):
         assert r.recall_ppm == r.n_found * 1_000_000 // r.n_true
     top = [r for r in rows if r.jac_band >= 9]
     assert top and all(r.recall_ppm == 1_000_000 for r in top)
+
+
+def test_dedup_levenshtein_blocked_and_thresholded(spark, sf_dir, tables):
+    from bpaotu_spark.dedup.core import LEV_MAX_DIST, LEV_LEN_BUCKET, LEV_PREFIX
+
+    docs = {
+        r.doc_id: r for r in tables["documents"].collect()
+    }
+    rows = QUERIES["dedup_levenshtein"](spark, sf_dir).collect()
+    for r in rows:
+        a, b = docs[r.doc_a], docs[r.doc_b]
+        assert a.lang == b.lang
+        assert a.n_chars // LEV_LEN_BUCKET == b.n_chars // LEV_LEN_BUCKET
+        assert 0 <= r.head_edit_dist <= LEV_MAX_DIST
+        # distance is on the heads, verified by a pure-python DP
+        def lev(x, y):
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (cx != cy)))
+                prev = cur
+            return prev[-1]
+
+        assert r.head_edit_dist == lev(a.text[:LEV_PREFIX], b.text[:LEV_PREFIX])
+
+
+def test_minhash_estimate_vs_exact_jaccard(spark, sf_dir):
+    """The estimator is anchored to truth: candidate pairs carry both
+    n_shared_bands >= 1 and an estimate in [0, 1e6]; for pairs that also
+    appear in the exact-Jaccard output, the estimate correlates (within
+    the K=16 binomial noise floor: |est - exact| < 0.35)."""
+    est = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["minhash_jaccard_estimate"](spark, sf_dir).collect()
+    }
+    assert est
+    for r in est.values():
+        assert r.n_shared_bands >= 1
+        assert 0 <= r.est_jaccard_ppm <= 1_000_000
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    overlap = set(est) & set(exact)
+    assert overlap
+    for k in overlap:
+        assert abs(est[k].est_jaccard_ppm / 1e6 - exact[k]) < 0.35

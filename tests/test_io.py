@@ -350,3 +350,42 @@ def test_compaction_skips_single_file_partitions(spark, sf_dir, tmp_path):
     root = str(tmp_path / "lake1")
     docs.coalesce(1).write.parquet(root)
     assert compact_parquet(spark, root) == {}
+
+
+def test_load_table_nanos_legacy_events(spark, sf_dir, tmp_path):
+    """Rounds 1-3 shipped events.ts as parquet TIMESTAMP(NANOS); the
+    catalog's legacy branch (nanosAsLong + integer `ts div 1000`) must
+    keep reading that era bit-exactly. Writes a real nanos parquet and
+    reads it through load_table next to the current micros-era file."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bpaotu_spark.catalog import load_table, table_path
+
+    src = pq.read_table(table_path(sf_dir, "events"))
+    nanos_schema = pa.schema(
+        [
+            f if f.name != "ts" else pa.field("ts", pa.timestamp("ns"))
+            for f in src.schema
+        ]
+    )
+    legacy_dir = str(tmp_path / "legacy_sf")
+    os.makedirs(legacy_dir)
+    pq.write_table(
+        src.cast(nanos_schema),
+        os.path.join(legacy_dir, "events.parquet"),
+        # parquet stores ns only as INT64 physical with TIMESTAMP(NANOS)
+        # logical when coerced; defaults already do this for ns type
+    )
+    assert (
+        pq.read_schema(os.path.join(legacy_dir, "events.parquet"))
+        .field("ts").type == pa.timestamp("ns")
+    )
+
+    legacy = load_table(spark, legacy_dir, "events")
+    assert dict(legacy.dtypes)["ts"].startswith("timestamp")
+    cur = load_table(spark, sf_dir, "events")
+    a = {tuple(r) for r in legacy.select("event_id", "ts").collect()}
+    b = {tuple(r) for r in cur.select("event_id", "ts").collect()}
+    assert a == b

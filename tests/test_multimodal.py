@@ -1,15 +1,23 @@
-"""Multimodal plumbing: schema contract, Arrow batch path, stub gating."""
+"""Multimodal plumbing: real BMP/WAV/y4m encode→decode round trip,
+schema contract, Arrow batch path."""
 
 from __future__ import annotations
 
-import hashlib
+import struct
 
 import pytest
 
 from bpaotu_spark.multimodal.core import (
+    FRAME_STEP,
     decode_assets,
     decode_payload,
+    encode_bmp,
+    encode_wav,
+    encode_y4m,
     multimodal_table,
+    _audio_samples,
+    _image_dims,
+    _video_dims,
 )
 from bpaotu_spark.registry import QUERIES, load_all
 
@@ -25,41 +33,71 @@ def test_multimodal_table_schema(spark, sf_dir):
     assert r.meta.n_bytes == len(r.payload)
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"xx", "image")
+def test_decode_rejects_malformed_payloads():
+    with pytest.raises(ValueError):
+        decode_payload(b"\x89PNG\r\n\x1a\n", "image")  # PNG magic: no codec
+    with pytest.raises(ValueError):
+        decode_payload(b"OggS....", "audio")
+    with pytest.raises(ValueError):
+        decode_payload(b"\x00\x00\x00 ftypmp42", "video")
+    with pytest.raises(ValueError):
+        decode_payload(b"BM", "text")  # unknown media_type
+
+
+def test_encode_decode_roundtrip_pure_python():
+    """The decoders parse real headers, not our own globals: dims come
+    back from the BYTES via struct/chunk-walk, and a doctored header is
+    believed (proving the parse reads the payload, not the formula)."""
+    for doc_id in (0, 1, 2, 3, 94, 95, 96, 1000, 12345):
+        w, h = _image_dims(doc_id)
+        assert decode_payload(encode_bmp(doc_id, b"abc"), "image") == (w, h, 1)
+        n = _audio_samples(doc_id)
+        assert decode_payload(encode_wav(doc_id, b"xy"), "audio") == (0, 0, n)
+        vw, vh, nf = _video_dims(doc_id)
+        assert decode_payload(encode_y4m(doc_id, b"z"), "video") == (vw, vh, nf)
+    # doctor a BMP's width field: decode must report the doctored value
+    b = bytearray(encode_bmp(7, b"q"))
+    struct.pack_into("<i", b, 18, 999)
+    assert decode_payload(bytes(b), "image")[0] == 999
 
 
 def test_decode_pipeline_roundtrip(spark, sf_dir, tables):
-    out = decode_assets(multimodal_table(spark, sf_dir), fake=True)
+    out = decode_assets(multimodal_table(spark, sf_dir))
     rows = out.collect()
     assert len(rows) == tables["documents"].count()
-    docs = {r.doc_id: r.text for r in tables["documents"].collect()}
-    for r in rows[:20]:
-        assert r.checksum == hashlib.md5(docs[r.asset_id].encode()).hexdigest()
-        assert r.n_bytes == len(docs[r.asset_id].encode())
-        assert (r.n_frames == 1) == (r.media_type == "image")
+    for r in rows[:30]:
+        if r.media_type == "image":
+            assert (r.width, r.height) == _image_dims(r.asset_id)
+            assert r.n_frames == 1
+        elif r.media_type == "audio":
+            assert (r.width, r.height) == (0, 0)
+            assert r.n_frames == _audio_samples(r.asset_id)
+        else:
+            assert (r.width, r.height, r.n_frames) == _video_dims(r.asset_id)
 
 
 def test_decode_survives_repartition(spark, sf_dir):
     """Arrow batching must be partition-independent."""
     m = multimodal_table(spark, sf_dir)
-    a = sorted((r.asset_id, r.checksum) for r in decode_assets(m).collect())
-    b = sorted(
-        (r.asset_id, r.checksum) for r in decode_assets(m.repartition(7)).collect()
-    )
+    a = sorted(tuple(r) for r in decode_assets(m).collect())
+    b = sorted(tuple(r) for r in decode_assets(m.repartition(7)).collect())
     assert a == b
 
 
 def test_resize_geometry(spark, sf_dir):
     rows = QUERIES["multimodal_resize"](spark, sf_dir).collect()
     assert rows
+    seen_downscale = seen_passthrough = False
     for r in rows:
-        assert max(r.out_w, r.out_h) <= 224 or r.scale == 1.0
-        if r.scale == 1.0:
+        if r.scale_ppm == 1_000_000:
             assert (r.out_w, r.out_h) == (r.src_w, r.src_h)
+            seen_passthrough = True
         else:
-            assert abs(r.out_w - r.src_w * r.scale) <= 0.5 + 1e-6
+            assert max(r.src_w, r.src_h) > 224
+            assert max(r.out_w, r.out_h) == 224  # exact: floor(max*224/max)
+            assert r.out_w == r.src_w * 224 // max(r.src_w, r.src_h)
+            seen_downscale = True
+    assert seen_downscale and seen_passthrough  # both branches exercised
 
 
 def test_frame_sample_only_videos_and_stride(spark, sf_dir):
@@ -67,11 +105,14 @@ def test_frame_sample_only_videos_and_stride(spark, sf_dir):
     assert rows
     by_asset = {}
     for r in rows:
+        assert r.asset_id % 3 == 2  # videos only
         by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
-    for idxs in by_asset.values():
+    for asset_id, idxs in by_asset.items():
         idxs.sort()
         assert idxs[0] == 0
-        assert all(b - a == 30 for a, b in zip(idxs, idxs[1:]))
+        assert all(b - a == FRAME_STEP for a, b in zip(idxs, idxs[1:]))
+        nf = _video_dims(asset_id)[2]
+        assert len(idxs) == -(-nf // FRAME_STEP)  # ceil(nf/step)
 
 
 def test_features_shape_and_determinism(spark, sf_dir):

@@ -215,3 +215,72 @@ def test_supplier_return_rate_bounds(spark, sf_dir, tables):
     for r in rows:
         assert 0 <= r.n_returned <= r.n_lines
         assert r.return_ppm == r.n_returned * 1_000_000 // r.n_lines
+
+
+def test_orders_open_backlog_conserves_mass(spark, sf_dir, tables):
+    """Backlog telescopes: final n_open = total opens - total closes;
+    backlog never goes negative on the driver data (every order's
+    lineitems ship after its order date)."""
+    rows = QUERIES["orders_open_backlog_daily"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.day)
+    n_orders = tables["orders"].count()
+    assert sum(r.n_opened for r in rows) == n_orders
+    assert rows[-1].n_open == sum(r.n_opened for r in rows) - sum(
+        r.n_closed for r in rows
+    )
+    running = 0
+    for r in rows:
+        running += r.n_opened - r.n_closed
+        assert r.n_open == running
+        assert r.n_open >= 0
+
+
+def test_robust_anomaly_mad_matches_numpy(spark, sf_dir):
+    """Spot-check the integer order-statistic arithmetic against numpy
+    medians on the trailing windows."""
+    import numpy as np
+
+    rows = QUERIES["robust_anomaly_mad"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.day)
+    cents = [r.revenue_cents for r in rows]
+    for i in (6, 100, len(rows) - 1):
+        win = cents[max(0, i - 6) : i + 1]
+        med = np.median(win)
+        assert rows[i].med2_cents == int(2 * med)
+        mad = np.median([abs(c - med) for c in win])
+        assert rows[i].mad4_cents == int(4 * mad)
+        expect = len(win) >= 7 and abs(cents[i] - med) > 3 * mad
+        assert rows[i].is_anomaly == expect
+
+
+def test_attribution_last_touch_semantics(spark, sf_dir, tables):
+    """Every attribution points at the user's true last click/view
+    before the purchase, within the window."""
+    ev = sorted(
+        tables["events"].collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+    )
+    rows = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    by_purchase = {r.purchase_id: r for r in rows}
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    window_us = 7 * 24 * 3600 * 1_000_000
+    n_expected = 0
+    for user, es in per_user.items():
+        last_mkt = None
+        for e in es:
+            if e.event_type == "purchase":
+                if last_mkt is not None:
+                    gap = int(
+                        (e.ts - last_mkt.ts).total_seconds() * 1_000_000
+                    )
+                    if gap <= window_us:
+                        n_expected += 1
+                        r = by_purchase[e.event_id]
+                        assert r.attr_event_id == last_mkt.event_id
+                        assert r.attr_type == last_mkt.event_type
+            if e.event_type in ("click", "view"):
+                last_mkt = e
+    assert len(rows) == n_expected

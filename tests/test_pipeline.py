@@ -274,3 +274,36 @@ def test_corpus_final_verdict_funnel_monotone(spark, sf_dir, tables):
     for r in rows:
         assert r.n_docs >= r.n_quality >= r.n_dedup >= r.n_final >= 0
         assert r.survival_ppm == r.n_final * 1_000_000 // r.n_docs
+
+
+def test_bigram_logloss_bounds(spark, sf_dir, tables):
+    """Bigram logloss is nonnegative, finite, and the corpus-mean is
+    below the unigram-model mean (conditioning can only help on the
+    training corpus itself)."""
+    bi = QUERIES["text_bigram_logloss"](spark, sf_dir).collect()
+    uni = {
+        r.doc_id: r.avg_logloss_micronats
+        for r in QUERIES["text_unigram_logloss"](spark, sf_dir).collect()
+    }
+    assert bi
+    for r in bi:
+        assert r.n_bigrams >= 1
+        assert 0 <= r.avg_logloss_micronats < 20_000_000  # < 20 nats
+    mean_bi = sum(r.avg_logloss_micronats for r in bi) / len(bi)
+    mean_uni = sum(uni.values()) / len(uni)
+    assert mean_bi < mean_uni
+
+
+def test_corpus_mixture_plan_invariants(spark, sf_dir, tables):
+    rows = QUERIES["corpus_mixture_plan"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == tables["documents"].count()
+    nonzero = [r for r in rows if r.token_mass > 0]
+    assert nonzero
+    m0 = min(r.token_mass for r in nonzero)
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        assert r.expected_tokens <= r.token_mass  # rate <= 1 always
+        if r.token_mass == m0:
+            assert r.rate_u16 == 65536  # anchor cell keeps everything
+        if r.token_mass == 0:
+            assert r.rate_u16 == 0 and r.expected_tokens == 0

@@ -118,6 +118,8 @@ HEADLINE = (
     "dedup_levenshtein",
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
+    "ann_recall_report",
+    "dedup_family_histogram",
 )
 
 

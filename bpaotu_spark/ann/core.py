@@ -565,3 +565,67 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.select("vec_id", F.col("r").alias("rank_e12"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report — measure, don't guess (the ANN twin of
+# dedup_lsh_recall_report): recall@TOP_K of each approximate index
+# (sign-LSH, IVF nprobe=1) against the brute-force ground truth. The
+# go/no-go number every ANN deployment needs before trusting an index
+# shape at 100 TB; both sides compose the REGISTERED operators (the
+# oracle embeds their oracle SQL via CTEs), so the report can never
+# drift from what the pipeline actually serves.
+#
+# Scale shape: three already-blocked top-k tables, pair-keyed left
+# joins, then a per-method 1-row aggregate. Nothing rescans the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    legs = []
+    for method in ("ivf", "lsh"):
+        legs.append(f"""
+SELECT '{method}' AS method,
+  count(*) AS n_truth,
+  count(a.cand_id) AS n_hit,
+  count(a.cand_id) * 1000000 // count(*) AS recall_ppm
+FROM truth t LEFT JOIN {method} a
+  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+""".strip())
+    return (
+        f"""
+WITH truth AS ({ORACLES["ann_bruteforce_topk"]}),
+lsh AS ({ORACLES["ann_lsh_topk"]}),
+ivf AS ({ORACLES["ann_ivf_topk"]})
+"""
+        + " UNION ALL ".join(legs)
+    )
+
+
+@register("ann_recall_report", oracle=_ann_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    out = None
+    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+        approx = fn(spark, sf_dir).select(
+            "query_id", "cand_id", F.lit(1).alias("hit")
+        )
+        leg = (
+            truth.join(approx, ["query_id", "cand_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_truth"),
+                F.count("hit").alias("n_hit"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_truth",
+                "n_hit",
+                F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

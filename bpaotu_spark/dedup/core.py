@@ -1317,3 +1317,58 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_family_histogram — duplicate-family size distribution: how many
+# clusters of each size the near-dedup pass found, plus the document
+# and would-be-dropped counts per size. The one-page summary a dedup
+# run is judged by ("mostly pairs" = healthy near-dup tail; "one
+# 100k-doc family" = boilerplate bug). Composes the registered
+# corpus_near_dedup_keep_first oracle, so the histogram can never
+# drift from the verdict it summarizes.
+#
+# Scale shape: groupBy(cluster) on the verdict table, then groupBy
+# (size) on the per-cluster rows — both map-side combined; output is
+# bounded by the largest family size.
+# ---------------------------------------------------------------------------
+
+
+def _family_histogram_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH verdict AS ({ORACLES["corpus_near_dedup_keep_first"]}),
+fam AS (
+  SELECT cluster_id, count(*) AS family_size FROM verdict GROUP BY cluster_id
+),
+hist AS (
+  SELECT CAST(family_size AS BIGINT) AS family_size, count(*) AS n_families
+  FROM fam GROUP BY 1
+)
+SELECT family_size, n_families,
+  CAST(family_size * n_families AS BIGINT) AS n_docs,
+  CAST((family_size - 1) * n_families AS BIGINT) AS n_dropped
+FROM hist
+"""
+
+
+@register("dedup_family_histogram", oracle=_family_histogram_oracle())
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verdict = corpus_near_dedup_keep_first(spark, sf_dir)
+    fam = verdict.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    hist = fam.groupBy(
+        F.col("family_size").cast("bigint").alias("family_size")
+    ).agg(F.count(F.lit(1)).alias("n_families"))
+    return hist.select(
+        "family_size",
+        "n_families",
+        (F.col("family_size") * F.col("n_families"))
+        .cast("bigint")
+        .alias("n_docs"),
+        ((F.col("family_size") - 1) * F.col("n_families"))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

@@ -88,6 +88,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_levenshtein",
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
+    "ann_recall_report",
+    "dedup_family_histogram",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -126,9 +128,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
+    # ---- ~50-entry window boundary ----
     "ann_ivf_topk",
     "ann_lsh_topk",
-    # ---- ~50-entry window boundary ----
     "blast_kmer_similarity",
     "train_test_split",
     "sample_stratified",

@@ -409,3 +409,32 @@ def incremental_minhash_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_segment_stream(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a STATIC
+    broadcast dimension (customer → market segment), then aggregated
+    per (segment, event_type). The canonical "enrich facts with
+    reference data" streaming pattern: the static side is planned as a
+    broadcast per micro-batch (re-read each trigger on a cluster, so
+    slowly-changing dims pick up updates), and the stream side never
+    shuffles for the join. DECIMAL partials keep the aggregate
+    batch-identical regardless of micro-batch boundaries.
+    """
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+        )
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -238,3 +238,23 @@ def test_word_ngrams_short_docs(spark):
     assert by_text["two words"].g3 == []
     assert by_text["now three tokens"].g2 == ["now three", "three tokens"]
     assert by_text["now three tokens"].g3 == ["now three tokens"]
+
+
+def test_ann_recall_report_consistency(spark, sf_dir):
+    """Recall legs agree with a direct set comparison of the top-k
+    tables, and IVF/LSH recall is sane (in (0, 1e6])."""
+    rows = {r.method: r for r in QUERIES["ann_recall_report"](spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    for method, q in (("ivf", "ann_ivf_topk"), ("lsh", "ann_lsh_topk")):
+        approx = {
+            (r.query_id, r.cand_id) for r in QUERIES[q](spark, sf_dir).collect()
+        }
+        hit = len(truth & approx)
+        assert rows[method].n_truth == len(truth)
+        assert rows[method].n_hit == hit
+        assert rows[method].recall_ppm == hit * 1_000_000 // len(truth)
+        assert 0 < rows[method].recall_ppm <= 1_000_000

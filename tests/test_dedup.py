@@ -203,3 +203,16 @@ def test_minhash_estimate_vs_exact_jaccard(spark, sf_dir):
     assert overlap
     for k in overlap:
         assert abs(est[k].est_jaccard_ppm / 1e6 - exact[k]) < 0.35
+
+
+def test_family_histogram_mass(spark, sf_dir, tables):
+    """Histogram masses reconcile exactly with the verdict table."""
+    rows = QUERIES["dedup_family_histogram"](spark, sf_dir).collect()
+    n_docs = tables["documents"].count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    verdict = QUERIES["corpus_near_dedup_keep_first"](spark, sf_dir).collect()
+    n_dropped = sum(1 for v in verdict if not v.is_kept)
+    assert sum(r.n_dropped for r in rows) == n_dropped
+    for r in rows:
+        assert r.n_docs == r.family_size * r.n_families
+        assert r.n_dropped == (r.family_size - 1) * r.n_families

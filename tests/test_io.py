@@ -389,3 +389,48 @@ def test_load_table_nanos_legacy_events(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in legacy.select("event_id", "ts").collect()}
     b = {tuple(r) for r in cur.select("event_id", "ts").collect()}
     assert a == b
+
+
+def test_merge_upsert_partition_scoped(spark, sf_dir, tmp_path):
+    """Upsert replaces same-key rows, inserts new keys, and never
+    rewrites partitions absent from the delta (file mtimes prove it)."""
+    import os
+    import time
+
+    from bpaotu_spark.io.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"m{i % 3}", float(i)) for i in range(30)],
+        "k BIGINT, seg STRING, v DOUBLE",
+    )
+    path = str(tmp_path / "lake")
+    r0 = merge_upsert(spark, path, base, ("k",), ("seg",))
+    assert r0 == {"updated": 0, "inserted": 30}
+
+    untouched_dir = os.path.join(path, "seg=m2")
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    time.sleep(1.1)
+
+    # delta: update k=0,3 (seg m0) and insert k=100 (seg m1)
+    delta = spark.createDataFrame(
+        [(0, "m0", 999.0), (3, "m0", 888.0), (100, "m1", 777.0)],
+        "k BIGINT, seg STRING, v DOUBLE",
+    )
+    r1 = merge_upsert(spark, path, delta, ("k",), ("seg",))
+    assert r1 == {"updated": 2, "inserted": 1}
+
+    got = {r.k: (r.seg, r.v) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 31
+    assert got[0] == ("m0", 999.0)
+    assert got[3] == ("m0", 888.0)
+    assert got[100] == ("m1", 777.0)
+    assert got[1] == ("m1", 1.0)  # untouched row carried forward
+    # untouched partition's files were not rewritten
+    mtimes_after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    assert mtimes_after == mtimes_before

@@ -277,3 +277,32 @@ def test_incremental_minhash_dedup(spark, sf_dir, tables, tmp_path):
     assert len(v2) == n_docs
     assert {r.doc_id for r in v2 if not r.is_duplicate} == keepers_before
     assert spark.read.parquet(store).count() == store_rows_before
+
+
+def test_enriched_segment_stream_matches_batch(spark, sf_dir, tables):
+    """Stream-static broadcast join + agg == the same plan run in batch."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.streaming.jobs import enriched_segment_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    run_to_memory(enriched_segment_stream(ev, cust), "t_enriched")
+    got = _rows(spark, "t_enriched")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and got

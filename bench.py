@@ -120,6 +120,7 @@ HEADLINE = (
     "corpus_mixture_plan",
     "ann_recall_report",
     "dedup_family_histogram",
+    "taxa_cooccurrence",
 )
 
 

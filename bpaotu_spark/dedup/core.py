@@ -1105,77 +1105,89 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup_levenshtein — edit-distance near-dup pairs on document HEADS
-# (first LEV_PREFIX chars): catches the "same doc, small edits at the
-# top" duplicates (retitled reposts, date-stamped copies) that
-# set-based measures dilute. Both engines ship the identical classic
-# Levenshtein builtin, so the distance is oracle-exact.
+# dedup_levenshtein — edit-distance near-dup pairs on document TAILS
+# (last LEV_SUFFIX chars): catches the "same doc, small edits at the
+# end" duplicates (appended dates, footers, tracking codes — the
+# driver corpus's own near-dup style: identical heads, tail edits of
+# 4-16 chars) that set-based measures dilute. Both engines ship the
+# identical classic Levenshtein builtin, so the distance is
+# oracle-exact.
 #
 # Scale shape: Levenshtein is O(n²) per pair and CANNOT be run on the
-# cross product — pairs form only inside a (lang, length-bucket)
-# block, and the compared text is a fixed-length prefix so per-pair
-# cost is bounded. Same-bucket-only blocking is the documented recall
-# tradeoff (a pair straddling a 32-char length boundary is missed);
-# MinHash covers those. Candidates-per-block is further capped by the
-# same df discipline as the other pair-formers.
+# cross product — and LENGTH-bucket blocking is not enough: bucket
+# population grows linearly with the corpus, so pairs grow
+# quadratically (measured 28× time on 10× data in the round-5 bench
+# scale check before this fix). The block key is therefore CONTENT:
+# md5 of the exact document HEAD (first LEV_HEAD chars) — a
+# tail-edited copy shares its head verbatim, so true positives
+# co-block while block sizes track duplicate-FAMILY sizes, which are
+# independent of corpus density. Edits touching the first LEV_HEAD
+# chars are missed (documented recall tradeoff; MinHash covers
+# whole-document resemblance). The usual cap backstops boilerplate
+# heads.
 # ---------------------------------------------------------------------------
 
-LEV_PREFIX = 64
-LEV_MAX_DIST = 8
-LEV_LEN_BUCKET = 32
-LEV_BLOCK_CAP = 200  # identical (lang, bucket) row cap — see LSH_BUCKET_CAP
+LEV_SUFFIX = 64
+LEV_MAX_DIST = 16
+LEV_HEAD = 32
+LEV_BLOCK_CAP = 100  # identical-head row cap — see LSH_BUCKET_CAP
 
 
 @register(
     "dedup_levenshtein",
     oracle=f"""
 WITH d AS (
-  SELECT doc_id, lang, n_chars // {LEV_LEN_BUCKET} AS lb,
-    substr(text, 1, {LEV_PREFIX}) AS head
+  SELECT doc_id, lang, md5(substr(text, 1, {LEV_HEAD})) AS headkey,
+    right(text, {LEV_SUFFIX}) AS tail
   FROM documents
 ),
 bsz AS (
-  SELECT lang, lb, count(*) AS m FROM d GROUP BY lang, lb
+  SELECT lang, headkey, count(*) AS m FROM d GROUP BY lang, headkey
 ),
 k AS (
-  SELECT d.* FROM d JOIN bsz USING (lang, lb)
+  SELECT d.* FROM d JOIN bsz USING (lang, headkey)
   WHERE m BETWEEN 2 AND {LEV_BLOCK_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(levenshtein(a.head, b.head) AS INTEGER) AS head_edit_dist
+  CAST(levenshtein(a.tail, b.tail) AS INTEGER) AS tail_edit_dist
 FROM k a JOIN k b
-  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-WHERE levenshtein(a.head, b.head) <= {LEV_MAX_DIST}
+  ON a.lang = b.lang AND a.headkey = b.headkey AND a.doc_id < b.doc_id
+WHERE levenshtein(a.tail, b.tail) <= {LEV_MAX_DIST}
 """,
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.expr(f"n_chars div {LEV_LEN_BUCKET}").alias("lb"),
-        F.substring("text", 1, LEV_PREFIX).alias("head"),
+        F.md5(F.substring("text", 1, LEV_HEAD)).alias("headkey"),
+        F.expr(f"right(text, {LEV_SUFFIX})").alias("tail"),
     )
-    bsz = docs.groupBy("lang", "lb").agg(F.count(F.lit(1)).alias("m"))
+    bsz = docs.groupBy("lang", "headkey").agg(F.count(F.lit(1)).alias("m"))
     k = docs.join(
-        bsz.filter(F.col("m").between(2, LEV_BLOCK_CAP)), ["lang", "lb"]
-    ).select("doc_id", "lang", "lb", "head")
+        bsz.filter(F.col("m").between(2, LEV_BLOCK_CAP)), ["lang", "headkey"]
+    ).select("doc_id", "lang", "headkey", "tail")
     a = k.select(
-        "lang", "lb", F.col("doc_id").alias("doc_a"), F.col("head").alias("ha")
+        "lang",
+        "headkey",
+        F.col("doc_id").alias("doc_a"),
+        F.col("tail").alias("ta"),
     )
     b = k.select(
         F.col("lang").alias("lang_b"),
-        F.col("lb").alias("lb_b"),
+        F.col("headkey").alias("headkey_b"),
         F.col("doc_id").alias("doc_b"),
-        F.col("head").alias("hb"),
+        F.col("tail").alias("tb"),
     )
-    dist = F.levenshtein("ha", "hb")
+    dist = F.levenshtein("ta", "tb")
     return (
         a.join(
             b,
-            (a.lang == b.lang_b) & (a.lb == b.lb_b) & (a.doc_a < b.doc_b),
+            (a.lang == b.lang_b)
+            & (a.headkey == b.headkey_b)
+            & (a.doc_a < b.doc_b),
         )
         .filter(dist <= LEV_MAX_DIST)
-        .select("doc_a", "doc_b", dist.cast("int").alias("head_edit_dist"))
+        .select("doc_a", "doc_b", dist.cast("int").alias("tail_edit_dist"))
     )
 
 

@@ -67,3 +67,88 @@ def write_krona_text(
     lines = krona_text_lines(rollup, magnitude_col, path_cols)
     out = lines.coalesce(1) if single_file else lines
     out.write.mode("overwrite").text(path)
+
+
+def write_krona_html(
+    rollup: DataFrame,
+    magnitude_col: str,
+    path_cols: tuple[str, ...],
+    path: str,
+    title: str = "Krona export",
+) -> dict:
+    """Self-contained interactive HTML rendering of a hierarchical
+    rollup — the download the reference produces by shelling out to the
+    Krona ``ktImportText`` binary (absent here), replaced by a
+    dependency-free static page: the lineage tree embeds as JSON and
+    renders with nested ``<details>`` elements plus share bars (plain
+    HTML/CSS, ~no JS), so the file opens anywhere.
+
+    Input contract matches :func:`krona_text_lines` (leaf rows of a
+    rollup). The tree is a user-download of an already-aggregated,
+    dimension-bounded rollup — leaves stream to the driver via
+    ``toLocalIterator`` exactly like the BIOM writer. Returns the root
+    node for convenience.
+    """
+    import html as _html
+    import json
+
+    leaf = rollup
+    for c in path_cols:
+        leaf = leaf.filter(F.col(c).isNotNull())
+    leaves = leaf.select(
+        F.col(magnitude_col).cast("double").alias("m"),
+        *[F.col(c).cast("string") for c in path_cols],
+    ).orderBy(*path_cols)
+
+    root = {"name": title, "mag": 0.0, "children": {}}
+    for row in leaves.toLocalIterator():
+        node = root
+        root["mag"] += row.m
+        for c in path_cols:
+            node = node["children"].setdefault(
+                row[c], {"name": row[c], "mag": 0.0, "children": {}}
+            )
+            node["mag"] += row.m
+
+    def render(node, total) -> str:
+        share = 0.0 if total <= 0 else node["mag"] / total
+        bar = (
+            f'<span class="bar" style="width:{share * 100:.2f}%"></span>'
+        )
+        label = (
+            f'{_html.escape(str(node["name"]))}'
+            f' <span class="mag">{node["mag"]:.4g}'
+            f" ({share * 100:.1f}%)</span>{bar}"
+        )
+        kids = sorted(
+            node["children"].values(), key=lambda k: (-k["mag"], k["name"])
+        )
+        if not kids:
+            return f'<div class="leaf">{label}</div>'
+        inner = "".join(render(k, total) for k in kids)
+        return (
+            f"<details open><summary>{label}</summary>"
+            f'<div class="kids">{inner}</div></details>'
+        )
+
+    body = render(root, root["mag"])
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{_html.escape(title)}</title>
+<style>
+body {{ font: 13px/1.5 sans-serif; margin: 1.5em; }}
+.kids {{ margin-left: 1.4em; }}
+summary, .leaf {{ position: relative; padding: 1px 4px; }}
+.mag {{ color: #666; font-size: 11px; }}
+.bar {{ position: absolute; left: 0; bottom: 0; height: 2px;
+        background: #4a90d9; display: inline-block; }}
+</style></head><body>
+<h1>{_html.escape(title)}</h1>
+{body}
+<script type="application/json" id="krona-data">
+{json.dumps(root, sort_keys=True)}
+</script>
+</body></html>
+"""
+    with open(path, "w") as f:
+        f.write(doc)
+    return root

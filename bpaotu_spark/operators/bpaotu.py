@@ -916,3 +916,91 @@ def abundance_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# taxa_cooccurrence — ecological co-occurrence network edges: for every
+# pair of taxa (p_type level), in how many samples they co-occur, with
+# integer-exact Jaccard and lift vs independence. The comparison-page
+# analysis bpaotu users run downstream of export (co-occurrence
+# networks over samples); also the sample-axis dual of
+# basket_brand_lift (which pairs over orders).
+#
+# Scale shape: taxa are paired at a BOUNDED taxonomy rank (p_type —
+# fixed vocabulary), so pairs per sample are ≤ C(|types present|, 2)
+# and the global edge list is ≤ C(|types|, 2) regardless of corpus
+# size. The pair join is per-sample (key = sample_id), the per-type
+# marginals are one map-combined agg, and the sample total joins as a
+# broadcast 1-row scalar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "taxa_cooccurrence",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+st AS (
+  SELECT DISTINCT sample_id, p_type
+  FROM abundance JOIN part ON otu_id = p_partkey
+),
+marg AS (
+  SELECT p_type, count(*) AS n FROM st GROUP BY p_type
+),
+tot AS (SELECT count(DISTINCT sample_id) AS n_samples FROM st),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_both
+  FROM st a JOIN st b
+    ON a.sample_id = b.sample_id AND a.p_type < b.p_type
+  GROUP BY a.p_type, b.p_type
+)
+SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+  CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+  CAST(n_both * 1000000 // (ma.n + mb.n - n_both) AS BIGINT) AS jaccard_ppm,
+  CAST(n_both * n_samples * 1000000 // (ma.n * mb.n) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN marg ma ON type_a = ma.p_type
+JOIN marg mb ON type_b = mb.p_type
+CROSS JOIN tot
+""",
+)
+def taxa_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type"
+    )
+    st = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(part), "otu_id")
+        .select("sample_id", "p_type")
+        .distinct()
+    )
+    marg = st.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = st.agg(F.countDistinct("sample_id").alias("n_samples"))
+    a = st.select("sample_id", F.col("p_type").alias("type_a"))
+    b = st.select(
+        F.col("sample_id").alias("sid_b"), F.col("p_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, (a.sample_id == b.sid_b) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ma, "type_a")
+        .join(mb, "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(n_both * n_samples * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -90,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_mixture_plan",
     "ann_recall_report",
     "dedup_family_histogram",
+    "taxa_cooccurrence",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -127,8 +128,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_embedding",
     "dedup_embedding_lsh",
-    "ann_bruteforce_topk",
     # ---- ~50-entry window boundary ----
+    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "blast_kmer_similarity",

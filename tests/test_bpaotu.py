@@ -117,3 +117,15 @@ def test_rarefaction_depth_bound(spark, sf_dir):
         assert sum(r.rare_cnt for r in rs) <= _RAREFY_DEPTH
         top_raw = max(rs, key=lambda r: (r.raw_cnt, r.otu_id))
         assert top_raw.rare_cnt == max(r.rare_cnt for r in rs)
+
+
+def test_taxa_cooccurrence_invariants(spark, sf_dir):
+    """Edges are canonical, marginals bound the intersection, and
+    jaccard/lift reproduce from the counts."""
+    rows = QUERIES["taxa_cooccurrence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 1 <= r.n_both <= min(r.n_a, r.n_b)
+        assert r.jaccard_ppm == r.n_both * 1_000_000 // (r.n_a + r.n_b - r.n_both)
+        assert 0 < r.jaccard_ppm <= 1_000_000

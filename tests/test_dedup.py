@@ -157,18 +157,20 @@ def test_lsh_recall_report_consistency(spark, sf_dir):
 
 
 def test_dedup_levenshtein_blocked_and_thresholded(spark, sf_dir, tables):
-    from bpaotu_spark.dedup.core import LEV_MAX_DIST, LEV_LEN_BUCKET, LEV_PREFIX
+    from bpaotu_spark.dedup.core import LEV_MAX_DIST, LEV_HEAD, LEV_SUFFIX
 
     docs = {
         r.doc_id: r for r in tables["documents"].collect()
     }
     rows = QUERIES["dedup_levenshtein"](spark, sf_dir).collect()
+    assert rows  # the synthetic corpus contains shared-head tail-edit dups
     for r in rows:
         a, b = docs[r.doc_a], docs[r.doc_b]
         assert a.lang == b.lang
-        assert a.n_chars // LEV_LEN_BUCKET == b.n_chars // LEV_LEN_BUCKET
-        assert 0 <= r.head_edit_dist <= LEV_MAX_DIST
-        # distance is on the heads, verified by a pure-python DP
+        assert a.text[:LEV_HEAD] == b.text[:LEV_HEAD]  # head block
+        assert 0 <= r.tail_edit_dist <= LEV_MAX_DIST
+
+        # distance is on the tails, verified by a pure-python DP
         def lev(x, y):
             prev = list(range(len(y) + 1))
             for i, cx in enumerate(x, 1):
@@ -179,7 +181,9 @@ def test_dedup_levenshtein_blocked_and_thresholded(spark, sf_dir, tables):
                 prev = cur
             return prev[-1]
 
-        assert r.head_edit_dist == lev(a.text[:LEV_PREFIX], b.text[:LEV_PREFIX])
+        assert r.tail_edit_dist == lev(
+            a.text[-LEV_SUFFIX:], b.text[-LEV_SUFFIX:]
+        )
 
 
 def test_minhash_estimate_vs_exact_jaccard(spark, sf_dir):

@@ -434,3 +434,64 @@ def test_merge_upsert_partition_scoped(spark, sf_dir, tmp_path):
         for f in os.listdir(untouched_dir)
     }
     assert mtimes_after == mtimes_before
+
+
+def test_krona_html_renders_tree(spark, sf_dir, tmp_path):
+    """The HTML export embeds the full lineage tree: root magnitude
+    equals the rollup leaf total, every path value appears, and the
+    embedded JSON round-trips."""
+    import json as _json
+    import re
+
+    from bpaotu_spark.io.krona import write_krona_html
+
+    rollup = QUERIES["krona_rollup"](spark, sf_dir)
+    out = str(tmp_path / "krona.html")
+    root = write_krona_html(
+        rollup, "total_abundance", ("r_name", "n_name", "c_mktsegment"), out
+    )
+    doc = open(out).read()
+    m = re.search(
+        r'<script type="application/json" id="krona-data">\n(.*)\n</script>',
+        doc,
+        re.S,
+    )
+    assert m
+    embedded = _json.loads(m.group(1))
+    assert embedded == root
+
+    leaves = [
+        r
+        for r in rollup.collect()
+        if r.r_name is not None
+        and r.n_name is not None
+        and r.c_mktsegment is not None
+    ]
+    assert abs(root["mag"] - sum(r.total_abundance for r in leaves)) < 1e-6
+    for r in leaves[:20]:
+        assert r.r_name in doc and r.n_name in doc and r.c_mktsegment in doc
+
+
+def test_geojson_points_roundtrip(spark, sf_dir, tmp_path):
+    import json as _json
+
+    from bpaotu_spark.io.geojson import write_geojson_points
+
+    cells = QUERIES["map_binning_2d"](spark, sf_dir)
+    out = str(tmp_path / "cells.geojson")
+    n = write_geojson_points(
+        cells, out, "bin_x", "bin_y", ("n_orders", "n_samples", "total_price")
+    )
+    doc = _json.loads(open(out).read())
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == n == cells.count()
+    want = {
+        (r.bin_x, r.bin_y): (r.n_orders, r.n_samples, r.total_price)
+        for r in cells.collect()
+    }
+    for feat in doc["features"]:
+        x, y = feat["geometry"]["coordinates"]
+        p = feat["properties"]
+        assert want[(x, y)] == (
+            p["n_orders"], p["n_samples"], p["total_price"]
+        )

@@ -121,6 +121,8 @@ HEADLINE = (
     "ann_recall_report",
     "dedup_family_histogram",
     "taxa_cooccurrence",
+    "rarefaction_curve",
+    "dedup_cross_source_matrix",
 )
 
 

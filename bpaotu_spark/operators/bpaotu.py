@@ -1004,3 +1004,65 @@ def taxa_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rarefaction_curve — richness vs sequencing depth per sample (the
+# comparison-page rarefaction PLOT; abundance_rarefaction normalizes at
+# one depth, this sweeps depths). Deterministic proportional thinning
+# in pure BIGINT (floor c·D/total): a taxon survives depth D when its
+# thinned count is ≥ 1. Exact in both engines — no hypergeometric
+# sampling, no RNG.
+#
+# Scale shape: the per-(sample, otu) aggregate is computed once; the
+# depth sweep is an explode against a bounded literal array (4 rows
+# per sample-otu), then a map-combined per-(sample, depth) count.
+# ---------------------------------------------------------------------------
+
+RAREFY_DEPTHS = (500, 1000, 2000, 4000)
+
+
+@register(
+    "rarefaction_curve",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+a AS (
+  SELECT sample_id, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance GROUP BY sample_id, otu_id
+),
+tot AS (
+  SELECT sample_id, CAST(sum(c) AS BIGINT) AS total FROM a GROUP BY sample_id
+),
+sweep AS (
+  SELECT a.sample_id, otu_id, c, total, depth
+  FROM a JOIN tot ON a.sample_id = tot.sample_id
+  CROSS JOIN (SELECT unnest({list(RAREFY_DEPTHS)}) AS depth)
+)
+SELECT sample_id, CAST(depth AS BIGINT) AS depth,
+  CAST(count(*) FILTER (WHERE c * depth // total >= 1) AS BIGINT)
+    AS richness_at_depth,
+  CAST(count(*) AS BIGINT) AS full_richness
+FROM sweep
+GROUP BY sample_id, depth
+""",
+)
+def rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = abundance(spark, sf_dir)
+    a = ab.groupBy("sample_id", "otu_id").agg(
+        F.sum(F.col("cnt").cast("bigint")).alias("c")
+    )
+    tot = a.groupBy("sample_id").agg(F.sum("c").alias("total"))
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in RAREFY_DEPTHS])
+    ).alias("depth")
+    sweep = a.join(tot, "sample_id").select(
+        "sample_id", "c", "total", depths
+    )
+    return sweep.groupBy(
+        "sample_id", F.col("depth").cast("bigint").alias("depth")
+    ).agg(
+        F.count(F.when(F.expr("c * depth DIV total") >= 1, F.lit(1)))
+        .cast("bigint")
+        .alias("richness_at_depth"),
+        F.count(F.lit(1)).cast("bigint").alias("full_richness"),
+    )

@@ -91,6 +91,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_recall_report",
     "dedup_family_histogram",
     "taxa_cooccurrence",
+    "rarefaction_curve",
+    "dedup_cross_source_matrix",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -126,9 +128,9 @@ PRIORITY: tuple[str, ...] = (
     # remaining window slots; NEW round-5 operators take these slots as
     # they land (insert above group C, trim from the bottom of C2)
     "dedup_exact",
+    # ---- ~50-entry window boundary ----
     "dedup_embedding",
     "dedup_embedding_lsh",
-    # ---- ~50-entry window boundary ----
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",

@@ -129,3 +129,22 @@ def test_taxa_cooccurrence_invariants(spark, sf_dir):
         assert 1 <= r.n_both <= min(r.n_a, r.n_b)
         assert r.jaccard_ppm == r.n_both * 1_000_000 // (r.n_a + r.n_b - r.n_both)
         assert 0 < r.jaccard_ppm <= 1_000_000
+
+
+def test_rarefaction_curve_monotone(spark, sf_dir):
+    """Richness grows monotonically with depth and is bounded by the
+    sample's full richness; every sample appears at every depth."""
+    from bpaotu_spark.operators.bpaotu import RAREFY_DEPTHS
+
+    rows = QUERIES["rarefaction_curve"](spark, sf_dir).collect()
+    assert rows
+    by_sample = {}
+    for r in rows:
+        by_sample.setdefault(r.sample_id, {})[r.depth] = r
+    for sid, per_depth in by_sample.items():
+        assert set(per_depth) == set(RAREFY_DEPTHS)
+        rich = [per_depth[d].richness_at_depth for d in sorted(per_depth)]
+        assert rich == sorted(rich)  # monotone in depth
+        assert all(
+            0 <= x <= per_depth[min(per_depth)].full_richness for x in rich
+        )

@@ -220,3 +220,22 @@ def test_family_histogram_mass(spark, sf_dir, tables):
     for r in rows:
         assert r.n_docs == r.family_size * r.n_families
         assert r.n_dropped == (r.family_size - 1) * r.n_families
+
+
+def test_cross_source_matrix_reconciles(spark, sf_dir, tables):
+    """Matrix mass equals the pair count; cells reproduce from a
+    driver-side tally of the same pairs."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    src = {r.doc_id: r.source for r in tables["documents"].collect()}
+    from collections import Counter
+
+    want = Counter(
+        tuple(sorted((src[p.doc_a], src[p.doc_b])))
+        for p in pairs
+    )
+    rows = QUERIES["dedup_cross_source_matrix"](spark, sf_dir).collect()
+    got = {(r.source_a, r.source_b): r.n_dup_pairs for r in rows}
+    assert got == dict(want)
+    total = sum(want.values())
+    for r in rows:
+        assert r.share_ppm == r.n_dup_pairs * 1_000_000 // total

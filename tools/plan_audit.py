@@ -38,6 +38,11 @@ ALLOWED_BNLJ = {
     "lang_temperature_sample": "broadcast 1-row min-language-count scalar",
     "zipf_token_stats": "broadcast 1-row grand-total scalar",
     "bigram_pmi": "broadcast 1-row unigram/bigram total scalars",
+    "ann_recall_report": "composes ann_bruteforce/ivf (their bounded broadcast sets)",
+    "corpus_mixture_plan": "broadcast 1-row min-token-mass scalar",
+    "orders_open_backlog_daily": "broadcast 1-row calendar-bounds scalar",
+    "taxa_cooccurrence": "broadcast 1-row sample-total scalar",
+    "dedup_cross_source_matrix": "broadcast 1-row pair-total scalar",
     "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",

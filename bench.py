@@ -123,6 +123,9 @@ HEADLINE = (
     "taxa_cooccurrence",
     "rarefaction_curve",
     "dedup_cross_source_matrix",
+    "funnel_time_to_convert",
+    "revenue_seasonality_weekday",
+    "order_fulfillment_latency",
 )
 
 

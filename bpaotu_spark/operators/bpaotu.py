@@ -956,7 +956,9 @@ pairs AS (
 SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
   CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
   CAST(n_both * 1000000 // (ma.n + mb.n - n_both) AS BIGINT) AS jaccard_ppm,
-  CAST(n_both * n_samples * 1000000 // (ma.n * mb.n) AS BIGINT) AS lift_ppm
+  -- 128-bit: n_both·n_samples·1e6 passes 2^63 once samples reach ~1e8
+  CAST((CAST(n_both AS HUGEINT) * n_samples * 1000000)
+       // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_ppm
 FROM pairs
 JOIN marg ma ON type_a = ma.p_type
 JOIN marg mb ON type_b = mb.p_type
@@ -1000,7 +1002,8 @@ def taxa_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
             ).alias("jaccard_ppm"),
             F.expr(
-                "CAST(n_both * n_samples * 1000000 DIV (n_a * n_b) AS BIGINT)"
+                "CAST((CAST(n_both AS DECIMAL(38,0)) * n_samples * 1000000)"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )

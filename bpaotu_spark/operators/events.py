@@ -743,3 +743,90 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") - F.col("attr.ts_us")).cast("bigint").alias("gap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert — distribution of signup→first-purchase delay:
+# exact min/p25/p50/p75/max of the per-user conversion gap in integer
+# microseconds, via sorted-rank selection (the same engine-exact
+# order-statistic discipline as median_exact_by_segment — never a
+# float quantile estimator, whose interpolation differs per engine;
+# quartiles here are the lower order statistic at ceil(q·n)).
+#
+# Scale shape: per-user min-aggregations (map-side combined) produce
+# one row per converting user; the quantile selection is a window rank
+# over that bounded-by-users table, then a 5-row result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, e.ts_us AS tp
+  FROM (SELECT user_id AS uid, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'purchase') e
+  JOIN s ON e.uid = s.user_id AND e.ts_us >= s.t0
+),
+gap AS (
+  SELECT s.user_id, min(tp) - t0 AS gap_us
+  FROM s JOIN p ON s.user_id = p.user_id
+  GROUP BY s.user_id, t0
+),
+ranked AS (
+  SELECT gap_us,
+    row_number() OVER (ORDER BY gap_us, user_id) AS rn,
+    count(*) OVER () AS n
+  FROM gap
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_converted,
+  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+  CAST(min(CASE WHEN rn * 4 >= n THEN gap_us END) AS BIGINT) AS p25_gap_us,
+  CAST(min(CASE WHEN rn * 2 >= n THEN gap_us END) AS BIGINT) AS p50_gap_us,
+  CAST(min(CASE WHEN rn * 4 >= n * 3 THEN gap_us END) AS BIGINT) AS p75_gap_us,
+  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM ranked
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts_us").alias("tp")
+    )
+    gap = (
+        s.join(p, (s.user_id == p.uid) & (p.tp >= s.t0))
+        .groupBy("user_id", "t0")
+        .agg(F.min("tp").alias("first_purchase"))
+        .select("user_id", (F.col("first_purchase") - F.col("t0")).alias("gap_us"))
+    )
+    w = Window.orderBy("gap_us", "user_id")
+    ranked = gap.select(
+        "gap_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    sel = lambda cond: F.min(F.when(cond, F.col("gap_us")))  # noqa: E731
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        sel(F.col("rn") * 4 >= F.col("n")).cast("bigint").alias("p25_gap_us"),
+        sel(F.col("rn") * 2 >= F.col("n")).cast("bigint").alias("p50_gap_us"),
+        sel(F.col("rn") * 4 >= F.col("n") * 3).cast("bigint").alias("p75_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

@@ -209,3 +209,137 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2 * F.abs(2 * F.col("cents") - F.col("med2")) > _MAD_K * mad4)
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_seasonality_weekday — weekday seasonality index: each ISO
+# weekday's average daily revenue relative to the overall daily
+# average, in exact ppm. The demand-profile statistic behind staffing
+# and capacity plans. DECIMAL daily sums keep the per-day revenue
+# associative; the index is integer cents arithmetic end-to-end.
+#
+# Scale shape: one map-combined daily aggregate, then a 7-row weekday
+# aggregate with a broadcast 1-row overall mean. Nothing beyond the
+# first aggregate scales with the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_seasonality_weekday",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1
+),
+wd AS (
+  SELECT CAST(isodow(day) AS BIGINT) AS dow,
+    count(*) AS n_days,
+    CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM daily GROUP BY 1
+),
+overall AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS all_cents,
+    CAST(count(*) AS BIGINT) AS all_days
+  FROM daily
+)
+SELECT dow, n_days, total_cents,
+  -- 128-bit intermediates: cents·days·1e6 passes 2^63 from ~sf0.03 on
+  -- (HUGEINT here, DECIMAL(38,0) in Spark — verified to agree exactly)
+  CAST((CAST(total_cents AS HUGEINT) * all_days * 1000000)
+       // (CAST(n_days AS HUGEINT) * all_cents) AS BIGINT)
+    AS seasonality_ppm
+FROM wd CROSS JOIN overall
+""",
+)
+def revenue_seasonality_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    wd = daily.groupBy(
+        (F.weekday("day") + 1).cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    overall = daily.agg(
+        F.sum("cents").cast("bigint").alias("all_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("all_days"),
+    )
+    return wd.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(total_cents AS DECIMAL(38,0)) * all_days * 1000000)"
+            " DIV (CAST(n_days AS DECIMAL(38,0)) * all_cents) AS BIGINT)"
+        ).alias("seasonality_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_fulfillment_latency — order-to-last-ship latency distribution
+# per order priority: day-bucketed histogram plus exact mean in
+# integer days. The SLA page for the fulfillment pipeline, and the
+# per-order dual of orders_open_backlog_daily's aggregate view.
+#
+# Scale shape: per-order max-aggregation (map-side combined) → one row
+# per order; the histogram is a bounded (priority × latency-bucket)
+# aggregate. The orders join is keyed on the natural key; no windows.
+# ---------------------------------------------------------------------------
+
+_LAT_BUCKET_DAYS = 30
+
+
+@register(
+    "order_fulfillment_latency",
+    oracle=f"""
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS ls FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+  SELECT o_orderpriority,
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(ls AS DATE)) AS days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+  CAST(days // {_LAT_BUCKET_DAYS} AS BIGINT) AS latency_bucket,
+  count(*) AS n_orders,
+  CAST(min(days) AS BIGINT) AS min_days,
+  CAST(max(days) AS BIGINT) AS max_days,
+  CAST(CAST(sum(days) AS BIGINT) // count(*) AS BIGINT) AS avg_days_floor
+FROM lat
+GROUP BY o_orderpriority, days // {_LAT_BUCKET_DAYS}
+""",
+)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ls"))
+    lat = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("ls").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return lat.groupBy(
+        "o_orderpriority",
+        F.expr(f"CAST(days DIV {_LAT_BUCKET_DAYS} AS BIGINT)").alias(
+            "latency_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.expr("CAST(sum(days) DIV count(*) AS BIGINT)").alias(
+            "avg_days_floor"
+        ),
+    )

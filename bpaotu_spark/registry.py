@@ -93,6 +93,9 @@ PRIORITY: tuple[str, ...] = (
     "taxa_cooccurrence",
     "rarefaction_curve",
     "dedup_cross_source_matrix",
+    "funnel_time_to_convert",
+    "revenue_seasonality_weekday",
+    "order_fulfillment_latency",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -121,6 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "q16_antijoin_parts",
     "q18_large_orders",
     "skew_salted_join",
+    # ---- ~50-entry window boundary ----
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
@@ -128,7 +132,6 @@ PRIORITY: tuple[str, ...] = (
     # remaining window slots; NEW round-5 operators take these slots as
     # they land (insert above group C, trim from the bottom of C2)
     "dedup_exact",
-    # ---- ~50-entry window boundary ----
     "dedup_embedding",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",

@@ -284,3 +284,63 @@ def test_attribution_last_touch_semantics(spark, sf_dir, tables):
             if e.event_type in ("click", "view"):
                 last_mkt = e
     assert len(rows) == n_expected
+
+
+def test_funnel_time_to_convert_quantiles(spark, sf_dir, tables):
+    """Quantiles reconcile with a driver-side recomputation of the
+    per-user conversion gaps."""
+    row = QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()[0]
+    ev = tables["events"].collect()
+    from collections import defaultdict
+
+    signups, purchases = {}, defaultdict(list)
+    for e in ev:
+        if e.event_type == "signup":
+            t = signups.get(e.user_id)
+            signups[e.user_id] = min(t, e.ts) if t else e.ts
+        elif e.event_type == "purchase":
+            purchases[e.user_id].append(e.ts)
+    gaps = sorted(
+        int((min(p for p in purchases[u] if p >= t0) - t0).total_seconds() * 1e6)
+        for u, t0 in signups.items()
+        if any(p >= t0 for p in purchases.get(u, []))
+    )
+    assert row.n_converted == len(gaps)
+    assert row.min_gap_us == gaps[0] and row.max_gap_us == gaps[-1]
+    n = len(gaps)
+    assert row.p50_gap_us == gaps[-(-n // 2) - 1]  # ceil(n/2)-th, 0-based
+    assert row.p25_gap_us == gaps[-(-n // 4) - 1]
+    assert row.p75_gap_us == gaps[-(-(3 * n) // 4) - 1]
+
+
+def test_seasonality_mass(spark, sf_dir):
+    """Weighted mean of the weekday indices equals 1e6 (by definition
+    the index is centered), and days partition the calendar."""
+    rows = QUERIES["revenue_seasonality_weekday"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    total_days = sum(r.n_days for r in rows)
+    total_cents = sum(r.total_cents for r in rows)
+    for r in rows:
+        expect = r.total_cents * total_days * 1_000_000 // (
+            r.n_days * total_cents
+        )
+        assert r.seasonality_ppm == expect
+
+
+def test_fulfillment_latency_bounds(spark, sf_dir, tables):
+    rows = QUERIES["order_fulfillment_latency"](spark, sf_dir).collect()
+    assert rows
+    n_orders_with_lines = (
+        tables["lineitem"].select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders_with_lines
+
+    # Spark DIV / DuckDB // truncate toward zero; Python // floors —
+    # they differ on the negative latencies the generator produces
+    # (some lineitems ship before their order date)
+    def trunc_div(a, b):
+        return int(a / b)
+
+    for r in rows:
+        assert r.min_days <= r.avg_days_floor <= r.max_days
+        assert trunc_div(r.min_days, 30) == r.latency_bucket == trunc_div(r.max_days, 30)

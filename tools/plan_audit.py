@@ -43,6 +43,7 @@ ALLOWED_BNLJ = {
     "orders_open_backlog_daily": "broadcast 1-row calendar-bounds scalar",
     "taxa_cooccurrence": "broadcast 1-row sample-total scalar",
     "dedup_cross_source_matrix": "broadcast 1-row pair-total scalar",
+    "revenue_seasonality_weekday": "broadcast 1-row overall-mean scalar",
     "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",

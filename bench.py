@@ -126,6 +126,7 @@ HEADLINE = (
     "funnel_time_to_convert",
     "revenue_seasonality_weekday",
     "order_fulfillment_latency",
+    "supplier_lead_time_trend",
 )
 
 

@@ -343,3 +343,85 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_days_floor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_lead_time_trend — per-supplier delivery-delay regression:
+# slope (days of delay per year) and mean delay, from EXACT BIGINT
+# moments (n, Σx, Σy, Σxy, Σx²) aggregated in one map-combined pass —
+# the same sufficient-statistics discipline as corpus_length_token_corr,
+# so no float is ever aggregated; the final slope converts the exact
+# integers through an identical double expression tree in both
+# engines, rounded 4 dp. x = days since 1995-01-01 (bounds the moment
+# magnitudes), y = ship delay in days.
+#
+# The procurement page: suppliers whose lead time is drifting up are
+# flagged long before an SLA breach. Scale: one aggregate keyed by
+# supplier; no window, no join beyond the fact's own orderkey join.
+# ---------------------------------------------------------------------------
+
+_EPOCH0 = "1995-01-01"
+
+
+@register(
+    "supplier_lead_time_trend",
+    oracle=f"""
+WITH xy AS (
+  SELECT l_suppkey,
+    date_diff('day', DATE '{_EPOCH0}', CAST(o_orderdate AS DATE)) AS x,
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+m AS (
+  SELECT l_suppkey AS suppkey, count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT suppkey, n,
+  CAST(round(CAST(sy AS DOUBLE) / n, 4) AS DOUBLE) AS avg_delay_days,
+  CAST(round(365.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS DOUBLE)
+    AS slope_days_per_year
+FROM m
+WHERE n >= 2 AND n * sxx != sx * sx
+""",
+)
+def supplier_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    xy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_EPOCH0).cast("date")
+        ).alias("x"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("y"),
+    )
+    m = xy.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.lit(365.0)
+        * (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    )
+    return (
+        m.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") != F.col("sx") * F.col("sx"))
+        )
+        .select(
+            "suppkey",
+            "n",
+            F.round(F.col("sy").cast("double") / F.col("n"), 4)
+            .cast("double")
+            .alias("avg_delay_days"),
+            F.round(slope, 4).cast("double").alias("slope_days_per_year"),
+        )
+    )

@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "funnel_time_to_convert",
     "revenue_seasonality_weekday",
     "order_fulfillment_latency",
+    "supplier_lead_time_trend",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",

@@ -438,3 +438,97 @@ def enriched_segment_stream(
             .alias("sum_value"),
         )
     )
+
+
+def streaming_rollup_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming MERGE into a lake rollup: each micro-batch aggregates
+    its events per (day, event_type) and UPSERTS the deltas into a
+    partitioned parquet rollup via :func:`bpaotu_spark.io.merge.
+    merge_upsert` — the continuously-maintained materialized view every
+    ops dashboard reads, without a table format.
+
+    Correct under re-delivery and partial days: the batch delta MERGES
+    with the existing cell (sums add) rather than overwriting blindly —
+    read-modify-write per touched key, scoped to delta-touched
+    partitions only. foreachBatch is at-least-once; a replayed batch
+    would double-count, so the job writes each batch's contribution
+    keyed by (day, event_type) with counts re-ADDED only when the
+    batch id advances — enforced by storing last_batch_id per cell and
+    skipping cells whose stored last_batch_id >= current batch id.
+    """
+    from bpaotu_spark.io.merge import merge_upsert
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        delta = (
+            batch_df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(18,6)")
+                .alias("sum_value"),
+            )
+            .withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        if os.path.isdir(table_path):
+            current = spark.read.parquet(table_path)
+            # add stored totals into this batch's touched cells, unless
+            # the cell already absorbed this batch (replay)
+            joined = delta.alias("d").join(
+                current.alias("c"), ["day", "event_type"], "left"
+            )
+            already = F.col("c.last_batch_id") >= batch_id
+            delta = joined.select(
+                "day",
+                "event_type",
+                F.when(already, F.col("c.n_events"))
+                .otherwise(
+                    F.col("d.n_events") + F.coalesce(F.col("c.n_events"), F.lit(0))
+                )
+                .alias("n_events"),
+                F.when(already, F.col("c.sum_value"))
+                .otherwise(
+                    F.col("d.sum_value")
+                    + F.coalesce(
+                        F.col("c.sum_value"), F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                .cast("decimal(18,6)")
+                .alias("sum_value"),
+                F.greatest(
+                    F.lit(batch_id).cast("bigint"),
+                    F.coalesce(F.col("c.last_batch_id"), F.lit(-1).cast("bigint")),
+                ).alias("last_batch_id"),
+            ).localCheckpoint()
+        merge_upsert(
+            spark,
+            table_path,
+            delta,
+            key_cols=("day", "event_type"),
+            partition_cols=("event_type",),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

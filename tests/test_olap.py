@@ -344,3 +344,38 @@ def test_fulfillment_latency_bounds(spark, sf_dir, tables):
     for r in rows:
         assert r.min_days <= r.avg_days_floor <= r.max_days
         assert trunc_div(r.min_days, 30) == r.latency_bucket == trunc_div(r.max_days, 30)
+
+
+def test_supplier_lead_time_trend_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = QUERIES["supplier_lead_time_trend"](spark, sf_dir).collect()
+    assert rows
+    # rebuild one supplier's regression from the raw join
+    from bpaotu_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    target = rows[0].suppkey
+    xy = (
+        li.filter(F.col("l_suppkey") == target)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("x"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("y"),
+        )
+        .collect()
+    )
+    xs = np.array([r.x for r in xy], float)
+    ys = np.array([r.y for r in xy], float)
+    slope_np = 365.0 * np.polyfit(xs, ys, 1)[0]
+    got = rows[0]
+    assert got.n == len(xy)
+    assert abs(got.avg_delay_days - ys.mean()) < 1e-3
+    assert abs(got.slope_days_per_year - slope_np) < 1e-2

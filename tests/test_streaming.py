@@ -306,3 +306,49 @@ def test_enriched_segment_stream_matches_batch(spark, sf_dir, tables):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and got
+
+
+def test_streaming_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
+    """The continuously-merged rollup equals the one-shot batch rollup;
+    a same-checkpoint rerun and a fresh-checkpoint replay (at-least-once
+    re-delivery) are both no-ops thanks to the last_batch_id guard."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.streaming.jobs import streaming_rollup_upsert
+
+    table = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_rollup_upsert(spark, sf_dir, table, ckpt)
+
+    got = {
+        (r.day, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(table).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+    want = {
+        (r.day, r.event_type): (r.n_events, float(r.sum_value))
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # same-checkpoint rerun: no new batches, table unchanged
+    streaming_rollup_upsert(spark, sf_dir, table, ckpt)
+    assert {
+        (r.day, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(table).collect()
+    } == want
+    # fresh-checkpoint replay of every batch: the last_batch_id guard
+    # must prevent double-counting
+    streaming_rollup_upsert(spark, sf_dir, table, str(tmp_path / "ckpt2"))
+    assert {
+        (r.day, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(table).collect()
+    } == want

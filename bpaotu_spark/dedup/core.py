@@ -1420,7 +1420,10 @@ tagged AS (
 tot AS (SELECT count(*) AS n_pairs FROM tagged)
 SELECT source_a, source_b,
   CAST(count(*) AS BIGINT) AS n_dup_pairs,
-  CAST(count(*) * 1000000 // n_pairs AS BIGINT) AS share_ppm
+  -- 128-bit: pair counts reach ~1e13 under df-capped blocking of a
+  -- 1e11-doc corpus, so count·1e6 would pass 2^63
+  CAST(CAST(count(*) AS HUGEINT) * 1000000 // n_pairs AS BIGINT)
+    AS share_ppm
 FROM tagged CROSS JOIN tot
 GROUP BY source_a, source_b, n_pairs
 """
@@ -1449,8 +1452,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "n_dup_pairs",
-            F.expr("CAST(n_dup_pairs * 1000000 DIV n_pairs AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(n_dup_pairs AS DECIMAL(38,0)) * 1000000"
+                " DIV n_pairs AS BIGINT)"
+            ).alias("share_ppm"),
         )
     )

@@ -631,7 +631,8 @@ SELECT token,
   CAST(row_number() OVER w AS BIGINT) AS rank,
   CAST(tf AS BIGINT) AS tf,
   CAST(sum(tf) OVER w AS BIGINT) AS cum_tf,
-  CAST((sum(tf) OVER w) * 1000000 // total AS BIGINT) AS cum_share_ppm,
+  CAST(CAST(sum(tf) OVER w AS HUGEINT) * 1000000 // total AS BIGINT)
+    AS cum_share_ppm,
   CAST(tf * row_number() OVER w AS BIGINT) AS zipf_product
 FROM top, total
 WINDOW w AS (ORDER BY tf DESC, token ASC
@@ -662,8 +663,14 @@ def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
         .withColumn(
+            # 128-bit: cum_tf·1e6 passes 2^63 once the corpus holds
+            # ~9.2e12 tokens (≈ 50 TB of text) — HUGEINT / DECIMAL(38,0)
+            # intermediates, verified to agree exactly across engines
             "cum_share_ppm",
-            F.expr("CAST(cum_tf * 1000000 DIV total AS BIGINT)"),
+            F.expr(
+                "CAST(CAST(cum_tf AS DECIMAL(38,0)) * 1000000 DIV total"
+                " AS BIGINT)"
+            ),
         )
         .drop("total")
     )

@@ -97,6 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "revenue_seasonality_weekday",
     "order_fulfillment_latency",
     "supplier_lead_time_trend",
+    "zipf_token_stats",  # r5 128-bit cum_share_ppm hardening
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -186,7 +187,6 @@ PRIORITY: tuple[str, ...] = (
     "lang_length_quartiles",
     "daily_revenue_anomaly",
     "dedup_ngram_coverage",
-    "zipf_token_stats",
     "q6_forecast_revenue",
     "q2_min_price_supplier",
     "q8_market_share",

@@ -127,6 +127,7 @@ HEADLINE = (
     "revenue_seasonality_weekday",
     "order_fulfillment_latency",
     "supplier_lead_time_trend",
+    "repeat_purchase_intervals",
 )
 
 

@@ -425,3 +425,60 @@ def supplier_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(slope, 4).cast("double").alias("slope_days_per_year"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repeat_purchase_intervals — distribution of days between a customer's
+# consecutive orders: 30-day-bucketed histogram with exact integer
+# stats. The repeat-behavior curve behind retention/CLV models —
+# complements customer_rfm_segments (point-in-time scores) with the
+# between-orders dynamics.
+#
+# Scale shape: one per-customer lag window (the same user-keyed
+# partitioning every per-entity operator shuffles on), then a bounded
+# histogram aggregate. Gap arithmetic is integer days.
+# ---------------------------------------------------------------------------
+
+_RP_BUCKET_DAYS = 30
+
+
+@register(
+    "repeat_purchase_intervals",
+    oracle=f"""
+WITH gaps AS (
+  SELECT o_custkey,
+    date_diff('day',
+      lag(CAST(o_orderdate AS DATE)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CAST(gap_days // {_RP_BUCKET_DAYS} AS BIGINT) AS gap_bucket,
+  count(*) AS n_gaps,
+  count(DISTINCT o_custkey) AS n_customers,
+  CAST(min(gap_days) AS BIGINT) AS min_days,
+  CAST(max(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+""",
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(
+        F.expr(f"CAST(gap_days DIV {_RP_BUCKET_DAYS} AS BIGINT)").alias(
+            "gap_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )

@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "order_fulfillment_latency",
     "supplier_lead_time_trend",
     "zipf_token_stats",  # r5 128-bit cum_share_ppm hardening
+    "repeat_purchase_intervals",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -125,8 +126,8 @@ PRIORITY: tuple[str, ...] = (
     "grouping_sets_mixed",
     "q16_antijoin_parts",
     "q18_large_orders",
-    "skew_salted_join",
     # ---- ~50-entry window boundary ----
+    "skew_salted_join",
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",

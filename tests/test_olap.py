@@ -379,3 +379,17 @@ def test_supplier_lead_time_trend_matches_numpy(spark, sf_dir):
     assert got.n == len(xy)
     assert abs(got.avg_delay_days - ys.mean()) < 1e-3
     assert abs(got.slope_days_per_year - slope_np) < 1e-2
+
+
+def test_repeat_purchase_intervals_mass(spark, sf_dir, tables):
+    """Gap count equals orders minus distinct customers (each customer
+    contributes n_orders - 1 gaps); bucket bounds hold."""
+    rows = QUERIES["repeat_purchase_intervals"](spark, sf_dir).collect()
+    assert rows
+    n_orders = tables["orders"].count()
+    n_cust = tables["orders"].select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert 0 <= r.min_days <= r.max_days
+        assert r.min_days // 30 == r.gap_bucket == r.max_days // 30
+        assert 1 <= r.n_customers <= r.n_gaps

@@ -128,6 +128,19 @@ HEADLINE = (
     "order_fulfillment_latency",
     "supplier_lead_time_trend",
     "repeat_purchase_intervals",
+    # round-5 continuation
+    "customer_pareto_share",
+    "cohort_ltv_matrix",
+    "part_brand_hhi",
+    "event_type_transitions",
+    "session_bounce_rate",
+    "user_stickiness_monthly",
+    "source_novelty_ngrams",
+    "embedding_norm_profile",
+    "kmeans_embeddings",
+    "nation_trade_flow",
+    "part_size_price_corr",
+    "event_value_daily_median",
 )
 
 

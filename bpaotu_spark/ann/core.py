@@ -629,3 +629,273 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_profile — per-label L2-norm² profile of the embedding
+# corpus in EXACT integer units: components are floor-quantized to 1e-4
+# (floor of an identical IEEE-double expression cannot diverge between
+# engines — the vector_quantize_int8 discipline), so norm² is a plain
+# BIGINT and min / median / max / floor-mean are all order-statistic or
+# integer arithmetic. The embedding-health dashboard: a label whose
+# norm distribution collapses or explodes flags a bad encoder batch
+# before any ANN index is built on it.
+#
+# Scale shape: norm² is computed IN-ROW (array fold — no explode, no
+# shuffle); the median is rank-selection inside a label-partitioned
+# window (parallel across labels); stats are one map-combined agg.
+# ---------------------------------------------------------------------------
+
+_NP_Q = 10_000
+
+
+@register(
+    "embedding_norm_profile",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+n2 AS (
+  SELECT vec_id, label,
+    CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+      AS BIGINT) AS norm2
+  FROM e
+),
+r AS (
+  SELECT label, norm2,
+    row_number() OVER (PARTITION BY label ORDER BY norm2, vec_id) AS rn,
+    count(*) OVER (PARTITION BY label) AS n
+  FROM n2
+),
+med AS (
+  SELECT label,
+    CAST(CASE WHEN count(*) = 1 THEN 2 * sum(norm2) ELSE sum(norm2) END
+      AS BIGINT) AS med2_norm2
+  FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY label
+),
+st AS (
+  SELECT label, count(*) AS n_vecs,
+    CAST(min(norm2) AS BIGINT) AS min_norm2,
+    CAST(max(norm2) AS BIGINT) AS max_norm2,
+    CAST(CAST(sum(norm2) AS HUGEINT) // count(*) AS BIGINT)
+      AS mean_norm2_floor
+  FROM n2 GROUP BY label
+)
+SELECT st.label, n_vecs, min_norm2, med2_norm2, max_norm2, mean_norm2_floor
+FROM st JOIN med ON st.label = med.label
+""",
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """med2 = 2·median (sum of the middle one-or-two order statistics,
+    doubled when n is odd) keeps the value integral — the
+    robust_anomaly_mad convention. The dot-product fold stays exact:
+    |q| ≤ 5e3, so q·q ≤ 64·2.5e7 < 2^53 in DuckDB's double and within
+    BIGINT in Spark's fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _NP_Q),
+    )
+    n2 = emb.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("norm2"),
+    )
+    wr = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    wn = Window.partitionBy("label")
+    r = n2.select(
+        "label",
+        "norm2",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN count(1) = 1 THEN 2 * sum(norm2)"
+                " ELSE sum(norm2) END AS BIGINT)"
+            ).alias("med2_norm2")
+        )
+    )
+    st = n2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("norm2").cast("bigint").alias("min_norm2"),
+        F.max("norm2").cast("bigint").alias("max_norm2"),
+        F.expr(
+            "CAST(CAST(sum(norm2) AS DECIMAL(38,0)) DIV count(1) AS BIGINT)"
+        ).alias("mean_norm2_floor"),
+    )
+    return st.join(med, "label").select(
+        "label", "n_vecs", "min_norm2", "med2_norm2", "max_norm2",
+        "mean_norm2_floor",
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embeddings — deterministic Lloyd's k-means over the embedding
+# corpus, the canonical iterative-ML pattern on Spark: broadcast the K
+# centroids, one shuffle-free assignment pass (crossJoin with a K-row
+# broadcast + per-vector argmin), one keyed aggregate for the update.
+# _KM_ITERS fixed update rounds, then a final assignment report.
+#
+# Every quantity is FIXED-POINT: components floor-quantized to 1e-4,
+# distances are exact BIGINT (|q·c| ≤ 64·2.5e7 — double-exact on the
+# DuckDB side, long arithmetic in Spark), centroid updates use an
+# explicit floor-division identity (s - pmod(s, n)) / n that both
+# engines evaluate identically for NEGATIVE sums too (Spark's DIV
+# truncates toward zero, DuckDB's // floors — the identity makes the
+# dividend exactly divisible so they agree). Initial centroids are the
+# K lowest vec_ids — deterministic, and fetched via TakeOrderedAndProject
+# (per-partition heaps), never a global sort.
+#
+# Scale shape: per round, cost = one broadcast-join pass over the
+# corpus plus a (K × dims)-row aggregate — the textbook distributed
+# k-means; rounds are a fixed constant so lineage stays shallow. The
+# oracle unrolls the same two rounds as CTEs, proving the distributed
+# decomposition bit-identical to the naive single-node form.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2  # centroid updates; assignments = _KM_ITERS + 1
+
+_KM_DOT = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+    q AS c
+  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {_KM_K})
+)"""
+    ]
+    dot = _KM_DOT
+    for i in range(1, _KM_ITERS + 2):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, q, cid, d2 FROM (
+    SELECT e.vec_id, e.q, c.cid,
+      CAST({dot.format(a='e.q', b='e.q')}
+         - 2 * {dot.format(a='e.q', b='c.c')}
+         + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS d2
+    FROM e CROSS JOIN c{i - 1} c) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)""")
+        if i <= _KM_ITERS:
+            parts.append(f""",
+x{i} AS (
+  SELECT cid, generate_subscripts(q, 1) AS dim, unnest(q) AS qv FROM a{i}
+),
+m{i} AS (
+  SELECT cid, dim, CAST(sum(qv) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM x{i} GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY dim) AS c
+  FROM m{i} GROUP BY cid
+)""")
+    parts.append(f"""
+SELECT cid AS cluster_id,
+  CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(d2) AS HUGEINT) AS inertia,
+  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_floor
+FROM a{_KM_ITERS + 1} GROUP BY cid
+""")
+    return "".join(parts)
+
+
+def _km_dot_spark(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _km_assign(e: DataFrame, c: DataFrame) -> DataFrame:
+    j = e.crossJoin(F.broadcast(c))
+    d2 = (
+        _km_dot_spark(F.col("q"), F.col("q"))
+        - 2 * _km_dot_spark(F.col("q"), F.col("c"))
+        + _km_dot_spark(F.col("c"), F.col("c"))
+    ).cast("bigint")
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        j.select("vec_id", "q", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _km_update(a: DataFrame) -> DataFrame:
+    x = a.select("cid", F.posexplode("q").alias("pos", "qv")).select(
+        "cid", (F.col("pos") + 1).alias("dim"), "qv"
+    )
+    m = x.groupBy("cid", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    fv = F.expr("(s - ((s % n + n) % n)) DIV n")
+    return (
+        m.select("cid", "dim", fv.alias("fv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "fv"))),
+                lambda t: t["fv"],
+            ).alias("c")
+        )
+    )
+
+
+@register("kmeans_embeddings", oracle=_km_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    w8 = Window.orderBy("vec_id")  # over the K-row LIMIT result only
+    c = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(w8) - 1).cast("bigint").alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    a = None
+    for _ in range(_KM_ITERS):
+        a = _km_assign(e, c)
+        c = _km_update(a)
+    final = _km_assign(e, c)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("inertia"),
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
+        ).alias("mean_d2_floor"),
+    )

@@ -1458,3 +1458,65 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# source_novelty_ngrams — per-source content novelty: the share of each
+# source's word-3-gram occurrences whose FIRST corpus occurrence (min
+# doc_id over the whole corpus) lives in that source's own documents.
+# Low novelty = the source mostly re-states text that earlier documents
+# already contain — the curation signal for dropping aggregator/mirror
+# sources wholesale, complementing pairwise dedup (which only sees
+# near-identical documents, not diffuse boilerplate reuse).
+#
+# Scale shape: one shuffle keyed on the gram string for the min-owner
+# aggregate (map-side combinable min), one for the per-doc gram counts;
+# both per-doc tables then join documents on doc_id (the natural key)
+# and collapse to a #sources-row result. Nothing quadratic anywhere —
+# this is the linear companion the pair-formers can't provide.
+# 128-bit ppm: at 100 TB a source's gram count passes 2^63 / 1e6.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_novelty_ngrams",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+own AS (SELECT g, min(doc_id) AS first_doc FROM ng GROUP BY g),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM ng GROUP BY doc_id),
+nov AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM own GROUP BY 1)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(coalesce(p.n_grams, 0)) AS BIGINT) AS n_grams,
+  CAST(sum(coalesce(v.n_novel, 0)) AS BIGINT) AS n_novel,
+  CAST(CAST(sum(coalesce(v.n_novel, 0)) AS HUGEINT) * 1000000
+       // greatest(sum(coalesce(p.n_grams, 0)), 1) AS BIGINT)
+    AS novelty_ppm
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+LEFT JOIN nov v ON d.doc_id = v.doc_id
+GROUP BY d.source
+""",
+)
+def source_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf_dir)
+    own = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nov = own.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        docs.join(per_doc, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+        .na.fill({"n_grams": 0, "n_novel": 0})
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("n_novel").cast("bigint").alias("n_novel"),
+        F.expr(
+            "CAST(CAST(sum(n_novel) AS DECIMAL(38,0)) * 1000000"
+            " DIV greatest(sum(n_grams), 1) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )

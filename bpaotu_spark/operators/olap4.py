@@ -1,0 +1,768 @@
+"""Round-5 (continuation) additions: revenue-concentration and
+user-behavior analytics.
+
+Reference analogue: bpaotu's portal answers point-in-time questions over
+its store (public path ``bpaotu/otu/query.py``); a production analytics
+deployment of the same data platform runs these classic concentration /
+cohort / behavioral shapes on its commerce and clickstream side. All of
+them follow the repo's exactness discipline: money as DECIMAL(18,6)
+partials collapsed to integer cents, shares in exact ppm via 128-bit
+``DECIMAL(38,0) DIV`` (HUGEINT on the DuckDB side), order statistics by
+rank selection, and windows that are either entity-partitioned or
+bounded-cardinality after full map-side aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.events import SESSION_GAP_MS
+from bpaotu_spark.registry import register
+
+DEC = "decimal(18,6)"
+
+# per-row money → exact decimal; group sums collapse to integer cents
+_CENTS_SQL = (
+    "CAST(round(sum(CAST({expr} AS DECIMAL(18,6))) * 100, 0) AS BIGINT)"
+)
+
+
+def _cents(col: F.Column) -> F.Column:
+    return (
+        F.round(F.sum(col.cast(DEC)) * 100, 0).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_pareto_share — the 80/20 revenue-concentration curve: every
+# customer ranked by lifetime revenue with exact cumulative share in
+# ppm and the "top-80%" membership flag. The account-management view
+# behind key-account programs.
+#
+# Scale shape: the oracle is the naive single global window; the Spark
+# plan is the two-level prefix sum proven by packed_token_offsets —
+# customers are sharded by floor(log2(cents+1)) (monotone in the sort
+# key, so (shard DESC, cents DESC, custkey) IS the global order), each
+# shard computes its local rank/cumsum in parallel, and only the
+# ~40-row shard-total table goes through a single-partition window
+# before being broadcast back. No task ever sorts the full customer
+# set; the driver-green hash match vs the naive oracle proves the
+# decomposition lossless.
+# ---------------------------------------------------------------------------
+
+_PARETO_PPM = 800_000  # "top 80%" cut
+
+
+@register(
+    "customer_pareto_share",
+    oracle=f"""
+WITH c AS (
+  SELECT o_custkey AS custkey,
+    {_CENTS_SQL.format(expr="o_totalprice")} AS revenue_cents
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total FROM c)
+SELECT custkey, revenue_cents,
+  CAST(row_number() OVER w AS BIGINT) AS rank,
+  CAST(sum(revenue_cents) OVER w AS BIGINT) AS cum_cents,
+  CAST(CAST(sum(revenue_cents) OVER w AS HUGEINT) * 1000000 // total
+    AS BIGINT) AS cum_share_ppm,
+  (CAST(sum(revenue_cents) OVER w AS HUGEINT) * 1000000 // total)
+    <= {_PARETO_PPM} AS is_top80
+FROM c, t
+WINDOW w AS (ORDER BY revenue_cents DESC, custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        _cents(F.col("o_totalprice")).alias("revenue_cents")
+    )
+    # shard key monotone in the sort key: equal-revenue ties stay inside
+    # one shard, so shard-local (cents DESC, custkey) order concatenated
+    # in shard-DESC order is exactly the oracle's global order.
+    sh = c.withColumn(
+        "shard", F.floor(F.log2(F.col("revenue_cents") + 1)).cast("int")
+    )
+    w_local = Window.partitionBy("shard").orderBy(
+        F.col("revenue_cents").desc(), F.col("custkey")
+    )
+    local = sh.select(
+        "custkey",
+        "revenue_cents",
+        "shard",
+        F.row_number().over(w_local).alias("rn"),
+        F.sum("revenue_cents")
+        .over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_local"),
+    )
+    # shard totals: ~40 rows — the only single-partition window
+    w_shard = Window.orderBy(F.col("shard").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_shard"),
+            F.sum("revenue_cents").alias("s_shard"),
+        )
+        .select(
+            "shard",
+            F.coalesce(F.sum("n_shard").over(w_shard), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("s_shard").over(w_shard), F.lit(0)).alias("off_s"),
+        )
+    )
+    grand = c.agg(F.sum("revenue_cents").cast("bigint").alias("total"))
+    share = F.expr(
+        "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"
+    )
+    return (
+        local.join(F.broadcast(totals), "shard")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "custkey",
+            "revenue_cents",
+            (F.col("rn") + F.col("off_n")).cast("bigint").alias("rank"),
+            (F.col("cum_local") + F.col("off_s")).cast("bigint").alias("cum_cents"),
+            "total",
+        )
+        .select(
+            "custkey",
+            "revenue_cents",
+            "rank",
+            "cum_cents",
+            share.alias("cum_share_ppm"),
+            (share <= F.lit(_PARETO_PPM)).alias("is_top80"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_matrix — customer-lifetime-value development by acquisition
+# cohort: for every (first-order month, months-since-first) cell, the
+# active-customer count, period revenue, and cumulative revenue per
+# cohort customer (floor cents). The revenue twin of
+# cohort_retention_matrix (which counts activity only).
+#
+# Scale shape: first-order dates are one map-combined aggregate keyed
+# by customer; the fact join is keyed on the same custkey (one
+# shuffle); the cumulative window runs per cohort over months-since —
+# bounded by the calendar (≤ ~84 rows per cohort). Month arithmetic is
+# integer (y*12+m), never an engine-specific interval diff.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_matrix",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd
+  FROM orders GROUP BY 1
+),
+sz AS (
+  SELECT strftime(date_trunc('month', fd), '%Y-%m') AS cohort_month,
+    count(*) AS cohort_size
+  FROM f GROUP BY 1
+),
+x AS (
+  SELECT strftime(date_trunc('month', f.fd), '%Y-%m') AS cohort_month,
+    (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+      - (year(f.fd) * 12 + month(f.fd)) AS age_months,
+    o.o_custkey,
+    CAST(o.o_totalprice AS DECIMAL(18,6)) AS price
+  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+),
+g AS (
+  SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+    count(DISTINCT o_custkey) AS n_active,
+    CAST(round(sum(price) * 100, 0) AS BIGINT) AS revenue_cents
+  FROM x GROUP BY 1, 2
+)
+SELECT g.cohort_month, age_months, cohort_size, n_active, revenue_cents,
+  CAST(sum(revenue_cents) OVER w AS BIGINT) AS cum_revenue_cents,
+  CAST(CAST(sum(revenue_cents) OVER w AS HUGEINT) // cohort_size
+    AS BIGINT) AS cum_cents_per_customer
+FROM g JOIN sz ON g.cohort_month = sz.cohort_month
+WINDOW w AS (PARTITION BY g.cohort_month ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("fd")
+    )
+    sz = f.groupBy(
+        F.date_format(F.date_trunc("month", "fd"), "yyyy-MM").alias(
+            "cohort_month"
+        )
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    x = orders.join(f, "o_custkey").select(
+        F.date_format(F.date_trunc("month", "fd"), "yyyy-MM").alias(
+            "cohort_month"
+        ),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("fd") * 12 + F.month("fd"))
+        )
+        .cast("bigint")
+        .alias("age_months"),
+        "o_custkey",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    g = x.groupBy("cohort_month", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.round(F.sum("price") * 100, 0).cast("bigint").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("revenue_cents").over(w)
+    return (
+        g.join(F.broadcast(sz), "cohort_month")
+        .withColumn("cum_revenue_cents", cum.cast("bigint"))
+        .select(
+            "cohort_month",
+            "age_months",
+            "cohort_size",
+            "n_active",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr(
+                "CAST(CAST(cum_revenue_cents AS DECIMAL(38,0))"
+                " DIV cohort_size AS BIGINT)"
+            ).alias("cum_cents_per_customer"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_brand_hhi — supplier-concentration (Herfindahl-Hirschman) index
+# per part brand: Σ share_i² over supplier revenue shares, in exact ppm
+# with 128-bit intermediates (Σ cents² · 1e6 passes 2^63 as soon as a
+# brand-supplier cell exceeds ~$3B). The procurement-risk scoreboard:
+# brands near 1e6 ppm are single-sourced.
+#
+# Scale shape: one fact-side aggregate keyed (brand, suppkey) — the
+# part join is dim-sized — then a brand-keyed reduce of the
+# supplier-level cells. No windows, no driver materialization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_brand_hhi",
+    oracle=f"""
+WITH r AS (
+  SELECT p_brand, l_suppkey,
+    {_CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")} AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+  CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  CAST(CAST(max(cents) AS HUGEINT) * 1000000 // sum(cents) AS BIGINT)
+    AS top_share_ppm,
+  CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+       // (CAST(sum(cents) AS HUGEINT) * sum(cents)) AS BIGINT) AS hhi_ppm
+FROM r
+GROUP BY 1
+HAVING sum(cents) > 0
+""",
+)
+def part_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("cents")
+        )
+    )
+    return (
+        r.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("sum_sq"),
+        )
+        .filter(F.col("total_cents") > 0)
+        .select(
+            "p_brand",
+            "n_suppliers",
+            "total_cents",
+            F.expr(
+                "CAST(CAST(max_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV total_cents AS BIGINT)"
+            ).alias("top_share_ppm"),
+            F.expr(
+                "CAST(sum_sq * 1000000 DIV (CAST(total_cents AS DECIMAL(38,0))"
+                " * total_cents) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_type_transitions — first-order Markov transition matrix over the
+# event stream: for each (prev_type → next_type) pair of consecutive
+# events of one user, the count and the exact row-conditional
+# probability in ppm. The navigation-flow map behind funnel design.
+#
+# Scale shape: one lag window partitioned by user (the same user-keyed
+# shuffle every per-entity operator pays), then a bounded
+# (#types × #types) aggregate whose conditional window runs on that
+# bounded set. Ties in ts are broken by event_id in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+p AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+  CAST(CAST(n AS HUGEINT) * 1000000
+       // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
+FROM p
+""",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    p = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return (
+        p.withColumn("total", F.sum("n").over(wt))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"
+            ).alias("prob_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session_bounce_rate — share of single-event sessions per day, using
+# the repo's session definition (gap > 30 min splits, the same
+# SESSION_GAP_MS as sessionize_events). The engagement-quality daily
+# that complements retention_daily.
+#
+# Scale shape: the session reconstruction is the standard user-keyed
+# lag + running-sum pair of windows (entity-partitioned, parallel
+# across users); everything after is a bounded daily aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS t_ms FROM events
+),
+m AS (
+  SELECT user_id, ts, t_ms,
+    CASE WHEN lag(t_ms) OVER w IS NULL
+           OR t_ms - lag(t_ms) OVER w > {SESSION_GAP_MS}
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY t_ms, ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sess_no
+  FROM m
+),
+g AS (
+  SELECT user_id, sess_no, min(CAST(ts AS DATE)) AS day, count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  count(*) AS n_sessions,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+       * 1000000 // count(*) AS BIGINT) AS bounce_ppm
+FROM g GROUP BY 1
+""",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second window orders by (t_ms, ts) — event_id is not needed
+    there because is_new is already fixed per row and running sums over
+    any stable order of equal-(t_ms) rows agree."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("ts").cast("double") * 1000).cast("bigint").alias("t_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    prev = F.lag("t_ms").over(w)
+    m = e.select(
+        "user_id",
+        "ts",
+        "t_ms",
+        F.when(
+            prev.isNull() | ((F.col("t_ms") - prev) > SESSION_GAP_MS), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = m.select(
+        "user_id", "ts", F.sum("is_new").over(ws).alias("sess_no")
+    )
+    g = s.groupBy("user_id", "sess_no").agg(
+        F.min(F.col("ts").cast("date")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return g.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_stickiness_monthly — the DAU/MAU stickiness ratio per calendar
+# month, computed exactly: user_days (distinct user-day pairs) over
+# MAU × days-in-month, in ppm. The growth-team north-star companion to
+# retention_daily.
+#
+# Scale shape: the distinct collapses (user, day) with map-side partial
+# aggregation before the month rollup; both counts then reduce a
+# bounded set. No windows at all.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_stickiness_monthly",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+    date_trunc('month', CAST(ts AS DATE)) AS mon
+  FROM events
+)
+SELECT strftime(mon, '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS user_days,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+  CAST(day(last_day(mon)) AS BIGINT) AS days_in_month,
+  CAST(CAST(count(*) AS HUGEINT) * 1000000
+       // (count(DISTINCT user_id) * day(last_day(mon))) AS BIGINT)
+    AS stickiness_ppm
+FROM d GROUP BY mon
+""",
+)
+def user_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("month", F.col("ts").cast("date")).alias("mon"),
+    ).distinct()
+    g = d.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("user_days"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    dim = F.dayofmonth(F.last_day(F.col("mon").cast("date"))).cast("bigint")
+    return g.withColumn("days_in_month", dim).select(
+        F.date_format("mon", "yyyy-MM").alias("month"),
+        "user_days",
+        "mau",
+        "days_in_month",
+        F.expr(
+            "CAST(CAST(user_days AS DECIMAL(38,0)) * 1000000"
+            " DIV (mau * days_in_month) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation_trade_flow — the full customer-nation × supplier-nation revenue
+# matrix with global share ppm and the domestic flag: q7's two-nation
+# drill generalized to the whole trade graph (the trade-balance page).
+#
+# Scale shape: one pass over the fact with all four dims broadcast
+# (nation twice under different roles — the q7 idiom), one
+# (25 × 25)-bounded aggregate, then a broadcast 1-row grand total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_flow",
+    oracle=f"""
+WITH r AS (
+  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+    {_CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+      AS revenue_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total FROM r)
+SELECT cust_nation, supp_nation, revenue_cents,
+  (cust_nation = supp_nation) AS is_domestic,
+  CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // total AS BIGINT)
+    AS share_ppm
+FROM r, t
+""",
+)
+def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue_cents")
+        )
+    )
+    t = r.agg(F.sum("revenue_cents").cast("bigint").alias("total"))
+    return r.crossJoin(F.broadcast(t)).select(
+        "cust_nation",
+        "supp_nation",
+        "revenue_cents",
+        (F.col("cust_nation") == F.col("supp_nation")).alias("is_domestic"),
+        F.expr(
+            "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 DIV total"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_size_price_corr — Pearson correlation + regression slope of part
+# size vs retail price per part type, from EXACT BIGINT sufficient
+# statistics (the corpus_length_token_corr / supplier_lead_time_trend
+# moment discipline). Price enters as floor-dollars so the moment
+# magnitudes stay in 64 bits at any scale (y ≤ ~1e4 ⇒ Σy² ≤ 1e8 per
+# part; x = p_size ≤ ~50). The final r/slope convert the exact
+# integers through an identical double expression tree, rounded 4 dp.
+#
+# Scale shape: one map-combined aggregate keyed by p_type over the
+# part dim; no joins, no windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_size_price_corr",
+    oracle="""
+WITH xy AS (
+  SELECT p_type, CAST(p_size AS BIGINT) AS x,
+    CAST(floor(CAST(p_retailprice AS DECIMAL(18,6))) AS BIGINT) AS y
+  FROM part
+),
+m AS (
+  SELECT p_type, count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY 1
+)
+SELECT p_type, n,
+  CAST(round(
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+    AS DOUBLE) AS pearson_r,
+  CAST(round(
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+    AS DOUBLE) AS slope_dollars_per_size
+FROM m
+WHERE n >= 2 AND n * sxx != sx * sx AND n * syy != sy * sy
+""",
+)
+def part_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    xy = part.select(
+        "p_type",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.floor(F.col("p_retailprice").cast(DEC)).cast("bigint").alias("y"),
+    )
+    m = xy.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return (
+        m.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") != F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") != F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "p_type",
+            "n",
+            F.round(cov / F.sqrt(vx * vy), 4).cast("double").alias("pearson_r"),
+            F.round(cov / vx, 4).cast("double").alias("slope_dollars_per_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_value_daily_median — exact daily median and p90 of the event
+# value stream in floor-microunits (order statistics by rank selection;
+# floor of an identical double expression cannot diverge between
+# engines, and integer order statistics sidestep percentile
+# interpolation differences entirely).
+#
+# Scale shape: the rank window partitions by day — parallel across the
+# calendar, each partition holding one day of events. med2/p90 use the
+# same middle-two / ceil-rank selection as median_exact_by_segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_daily_median",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(floor(value * 1000000) AS BIGINT) AS micro, event_id
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT day, micro,
+    row_number() OVER (PARTITION BY day ORDER BY micro, event_id) AS rn,
+    count(*) OVER (PARTITION BY day) AS n
+  FROM v
+),
+med AS (
+  SELECT day,
+    CAST(CASE WHEN count(*) = 1 THEN 2 * sum(micro) ELSE sum(micro) END
+      AS BIGINT) AS med2_micro
+  FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY day
+),
+p90 AS (
+  SELECT day, CAST(min(micro) AS BIGINT) AS p90_micro
+  FROM r WHERE rn = (9 * n + 9) // 10 GROUP BY day
+),
+st AS (
+  SELECT day, count(*) AS n_events,
+    CAST(min(micro) AS BIGINT) AS min_micro,
+    CAST(max(micro) AS BIGINT) AS max_micro
+  FROM v GROUP BY day
+)
+SELECT strftime(st.day, '%Y-%m-%d') AS day, n_events, min_micro,
+  med2_micro, p90_micro, max_micro
+FROM st JOIN med ON st.day = med.day JOIN p90 ON st.day = p90.day
+""",
+)
+def event_value_daily_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("micro"),
+        "event_id",
+    )
+    wr = Window.partitionBy("day").orderBy("micro", "event_id")
+    wn = Window.partitionBy("day")
+    r = v.select(
+        "day",
+        "micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("day")
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN count(1) = 1 THEN 2 * sum(micro)"
+                " ELSE sum(micro) END AS BIGINT)"
+            ).alias("med2_micro")
+        )
+    )
+    p90 = (
+        r.filter(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10))
+        .groupBy("day")
+        .agg(F.min("micro").cast("bigint").alias("p90_micro"))
+    )
+    st = v.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("micro").cast("bigint").alias("min_micro"),
+        F.max("micro").cast("bigint").alias("max_micro"),
+    )
+    return (
+        st.join(med, "day")
+        .join(p90, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "min_micro",
+            "med2_micro",
+            "p90_micro",
+            "max_micro",
+        )
+    )

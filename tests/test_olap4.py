@@ -1,0 +1,154 @@
+"""Round-5 continuation operators: result sanity + plan-shape checks.
+
+Value correctness is covered by tools/check.py (DuckDB oracle compare)
+at sf0.001 and sf0.01; these tests pin the invariants the oracle can't
+see — plan shape (broadcasts, no global sort of the customer set) and
+semantic properties (shares sum to 1e6, k-means determinism).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pareto_curve_monotone_and_complete(spark, sf_dir):
+    rows = QUERIES["customer_pareto_share"](spark, sf_dir).collect()
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
+    # cumulative share is monotone and ends at exactly 1e6 ppm (floor
+    # division reaches the full total only on the last row)
+    shares = [r.cum_share_ppm for r in by_rank]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+    # revenue is ranked descending
+    revs = [r.revenue_cents for r in by_rank]
+    assert revs == sorted(revs, reverse=True)
+    # the top-80 set is a prefix of the ranking
+    flags = [r.is_top80 for r in by_rank]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_pareto_no_global_sort_of_customers(spark, sf_dir):
+    # the scale contract: ranking is shard-local; the only global Sort
+    # allowed is over the ~40-row shard-totals table, which the plan
+    # shows as a single-partition window AFTER an aggregate — the
+    # customer-level window must be hash-partitioned by shard
+    p = plan(QUERIES["customer_pareto_share"](spark, sf_dir))
+    assert "hashpartitioning(shard" in p
+
+
+def test_cohort_ltv_age_zero_active(spark, sf_dir):
+    rows = QUERIES["cohort_ltv_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r.age_months)
+        # every cohort has an age-0 cell (the first order itself)
+        assert cells[0].age_months == 0
+        # n_active at age 0 == cohort size; never exceeds it later
+        assert cells[0].n_active == cells[0].cohort_size
+        assert all(c.n_active <= c.cohort_size for c in cells)
+        # cumulative revenue is non-decreasing
+        cums = [c.cum_revenue_cents for c in cells]
+        assert cums == sorted(cums)
+
+
+def test_hhi_bounds(spark, sf_dir):
+    rows = QUERIES["part_brand_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 1/n ≤ HHI ≤ 1 (ppm, floor-divided so allow the floor slack)
+        assert 1_000_000 // r.n_suppliers - 1 <= r.hhi_ppm <= 1_000_000
+        assert r.top_share_ppm <= 1_000_000
+        assert r.hhi_ppm <= r.top_share_ppm * r.n_suppliers
+
+
+def test_transitions_probabilities_sum(spark, sf_dir):
+    rows = QUERIES["event_type_transitions"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_prev = defaultdict(int)
+    for r in rows:
+        by_prev[r.prev_type] += r.prob_ppm
+    for prev, total in by_prev.items():
+        # floor division loses < #next-types ppm per row
+        assert 1_000_000 - len(rows) <= total <= 1_000_000, prev
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    rows = QUERIES["session_bounce_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert 0 <= r.bounce_ppm <= 1_000_000
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = QUERIES["user_stickiness_monthly"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # user_days ≤ mau · days_in_month by construction
+        assert r.user_days <= r.mau * r.days_in_month
+        assert 0 < r.stickiness_ppm <= 1_000_000
+
+
+def test_source_novelty_partition_of_grams(spark, sf_dir):
+    rows = QUERIES["source_novelty_ngrams"](spark, sf_dir).collect()
+    assert rows
+    # every distinct gram has exactly one first owner, so novel counts
+    # across sources partition the distinct-gram universe
+    total_novel = sum(r.n_novel for r in rows)
+    n_distinct = (
+        QUERIES["source_novelty_ngrams"].__globals__["doc_ngrams"](
+            spark, sf_dir
+        )
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_distinct
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_norm_profile_order(spark, sf_dir):
+    rows = QUERIES["embedding_norm_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_norm2 * 2 <= r.med2_norm2 <= r.max_norm2 * 2
+        assert r.min_norm2 <= r.mean_norm2_floor <= r.max_norm2
+
+
+def test_kmeans_deterministic_and_partitioning(spark, sf_dir):
+    df = QUERIES["kmeans_embeddings"](spark, sf_dir)
+    a = sorted((r.cluster_id, r.n_members, r.inertia) for r in df.collect())
+    b = sorted(
+        (r.cluster_id, r.n_members, r.inertia)
+        for r in QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
+    )
+    assert a == b  # bit-identical across runs
+    total = sum(n for _, n, _ in a)
+    from bpaotu_spark.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_kmeans_broadcast_centroids(spark, sf_dir):
+    # the assignment pass must broadcast the K-row centroid table —
+    # a SortMergeJoin against the corpus would be the wrong plan
+    p = plan(QUERIES["kmeans_embeddings"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p

@@ -49,6 +49,8 @@ ALLOWED_BNLJ = {
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
     "tfidf_top_terms_approx": "broadcast 1-row corpus-size scalar (as exact tfidf)",
     "corpus_final_verdict": "inherits lang_temperature_sample's 1-row min-count broadcast",
+    "customer_pareto_share": "broadcast 1-row grand-total scalar",
+    "kmeans_embeddings": "broadcast K-row centroid table (K=8) per assignment pass",
 }
 
 

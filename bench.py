@@ -141,6 +141,8 @@ HEADLINE = (
     "nation_trade_flow",
     "part_size_price_corr",
     "event_value_daily_median",
+    "otu_prevalence_spectrum",
+    "source_length_gini",
 )
 
 

@@ -1069,3 +1069,61 @@ def rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("richness_at_depth"),
         F.count(F.lit(1)).cast("bigint").alias("full_richness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# otu_prevalence_spectrum — the occupancy-frequency distribution
+# (core/satellite taxa classification): for each occupancy decile
+# (share of samples an OTU occurs in, 0..10 where 10 = every sample),
+# how many OTUs fall there and their abundance mass. The classic
+# macroecology diagnostic on the abundance fact — bimodal spectra mean
+# distinct core vs transient communities; reference analogue: the
+# portal's taxonomy summary pages aggregate the same SampleOTU fact
+# (public path ``bpaotu/otu/query.py``).
+#
+# Scale shape: per-OTU prevalence is one two-key distinct-count over
+# the fact (map-side partial); the spectrum is an 11-row aggregate
+# against a broadcast 1-row sample-count scalar. Occupancy decile is
+# exact integer arithmetic (prev*10 DIV n = 10 only at full occupancy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "otu_prevalence_spectrum",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+prev AS (
+  SELECT otu_id, count(DISTINCT sample_id) AS prevalence,
+    CAST(round(sum(CAST(cnt AS DECIMAL(18,6))), 0) AS BIGINT) AS mass
+  FROM abundance GROUP BY otu_id
+),
+ns AS (SELECT count(DISTINCT sample_id) AS n_samples FROM abundance)
+SELECT CAST(prevalence * 10 // n_samples AS BIGINT) AS occupancy_decile,
+  CAST(count(*) AS BIGINT) AS n_otus,
+  CAST(min(prevalence) AS BIGINT) AS min_prevalence,
+  CAST(max(prevalence) AS BIGINT) AS max_prevalence,
+  CAST(sum(mass) AS BIGINT) AS abundance_mass
+FROM prev, ns GROUP BY 1
+""",
+)
+def otu_prevalence_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = abundance(spark, sf_dir)
+    prev = ab.groupBy("otu_id").agg(
+        F.countDistinct("sample_id").alias("prevalence"),
+        F.round(F.sum(F.col("cnt").cast(DEC)), 0).cast("bigint").alias("mass"),
+    )
+    ns = ab.agg(F.countDistinct("sample_id").alias("n_samples"))
+    return (
+        prev.crossJoin(F.broadcast(ns))
+        .groupBy(
+            F.expr("CAST(prevalence * 10 DIV n_samples AS BIGINT)").alias(
+                "occupancy_decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_otus"),
+            F.min("prevalence").cast("bigint").alias("min_prevalence"),
+            F.max("prevalence").cast("bigint").alias("max_prevalence"),
+            F.sum("mass").cast("bigint").alias("abundance_mass"),
+        )
+    )

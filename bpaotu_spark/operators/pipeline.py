@@ -1124,3 +1124,66 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# source_length_gini — Gini coefficient of document length (n_chars)
+# per source, in exact ppm: G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx) over
+# the ascending-sorted lengths. The inequality lens on corpus
+# composition — a source whose Gini spikes is mixing tweets with
+# books, which breaks length-bucketed batching and packing efficiency.
+#
+# Scale shape: one rank window partitioned by source (parallel across
+# sources — same class as every per-source window here), then one
+# map-combined aggregate. Σ(rank·x) needs 128 bits at scale (rank ≤
+# 1e10 docs × 1e6 chars ⇒ ~1e16 per row, ~1e26 summed): DECIMAL(38,0)
+# in Spark, HUGEINT in DuckDB, floor-DIV at the end — exact in both.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_length_gini",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+),
+g AS (
+  SELECT source, count(*) AS n,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+    sum(CAST(rn AS HUGEINT) * n_chars) AS sr
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, total_chars,
+  CAST(((2 * sr - (n + 1) * CAST(total_chars AS HUGEINT)) * 1000000)
+       // (CAST(n AS HUGEINT) * total_chars) AS BIGINT) AS gini_ppm
+FROM g
+WHERE total_chars > 0
+""",
+)
+def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    g = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.col("rn").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("sr"),
+    )
+    return g.filter(F.col("total_chars") > 0).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "total_chars",
+        F.expr(
+            "CAST(((2 * sr - (n + 1) * CAST(total_chars AS DECIMAL(38,0)))"
+            " * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * total_chars)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

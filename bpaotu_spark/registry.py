@@ -113,6 +113,8 @@ PRIORITY: tuple[str, ...] = (
     "nation_trade_flow",
     "part_size_price_corr",
     "event_value_daily_median",
+    "otu_prevalence_spectrum",
+    "source_length_gini",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
     "q12_priority_by_status",
@@ -120,14 +122,14 @@ PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
-    "langid_confusion",
-    "customer_rfm_segments",
     "source_quality_report",
     "corpus_final_verdict",
     # ---- ~50-entry window boundary ----
-    # these four (B) entries spilled to make room for the 12 A1
+    # these six (B) entries spilled to make room for the 14 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round
+    "langid_confusion",
+    "customer_rfm_segments",
     "abundance_rarefaction",
     "corpus_length_token_corr",
     "supplier_return_rate",

@@ -532,3 +532,66 @@ def streaming_rollup_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+TRANSITIONS_SCHEMA = (
+    "user_id bigint, prev_type string, next_type string, n bigint"
+)
+_TRANS_STATE_SCHEMA = "last_type string, last_us bigint, last_event bigint"
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """Incremental Markov transition counts — the streaming twin of the
+    batch ``event_type_transitions`` operator.
+
+    Per-user state = the last seen (event_type, event-time µs,
+    event_id); each micro-batch sorts its rows by (ts, event_id),
+    chains them onto the stored last event, and emits the batch's
+    (prev_type → next_type) count DELTAS for that user. Summing the
+    deltas downstream reproduces the batch operator's counts exactly —
+    the test proves it over a 3-batch time-split replay.
+
+    Assumes per-key in-order delivery across batches (the Kafka-
+    per-partition / time-partitioned-file-drop contract): a batch whose
+    rows predate the stored state would chain wrongly, exactly as any
+    cross-batch sessionizer would. State is O(1) per active user —
+    nothing accumulates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), etype))
+        rows.sort()
+        prev = state.get[0] if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        for _, _, etype in rows:
+            if prev is not None:
+                k = (prev, etype)
+                counts[k] = counts.get(k, 0) + 1
+            prev = etype
+        if rows:
+            last_us, last_eid, last_type = rows[-1]
+            state.update((last_type, last_us, last_eid))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "prev_type": [k[0] for k in counts],
+                    "next_type": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -152,3 +152,39 @@ def test_kmeans_broadcast_centroids(spark, sf_dir):
     p = plan(QUERIES["kmeans_embeddings"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_trade_flow_shares_and_domestic(spark, sf_dir):
+    rows = QUERIES["nation_trade_flow"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    assert any(r.is_domestic for r in rows) or len(rows) < 25
+
+
+def test_prevalence_spectrum_partitions_otus(spark, sf_dir):
+    rows = QUERIES["otu_prevalence_spectrum"](spark, sf_dir).collect()
+    assert rows
+    from bpaotu_spark.operators.bpaotu import abundance
+
+    n_otus = abundance(spark, sf_dir).select("otu_id").distinct().count()
+    assert sum(r.n_otus for r in rows) == n_otus
+    for r in rows:
+        assert 0 <= r.occupancy_decile <= 10
+        assert r.min_prevalence <= r.max_prevalence
+
+
+def test_length_gini_bounds(spark, sf_dir):
+    rows = QUERIES["source_length_gini"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Gini of non-negative values lies in [0, 1); floor slack −1
+        assert -1 <= r.gini_ppm < 1_000_000
+
+
+def test_daily_median_rank_selection(spark, sf_dir):
+    rows = QUERIES["event_value_daily_median"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_micro * 2 <= r.med2_micro <= r.max_micro * 2
+        assert r.med2_micro <= r.p90_micro * 2
+        assert r.p90_micro <= r.max_micro

@@ -352,3 +352,57 @@ def test_streaming_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
         (r.day, r.event_type): (r.n_events, float(r.sum_value))
         for r in spark.read.parquet(table).collect()
     } == want
+
+
+def test_transition_stream_matches_batch(spark, sf_dir, tables, tmp_path):
+    """3 time-split file batches through the stateful transition
+    counter: summed deltas must equal the batch operator's counts
+    (cross-batch chains included — each split boundary cuts through
+    every active user's event sequence)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from bpaotu_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        transition_counts_stream,
+    )
+
+    ev = tables["events"].orderBy("ts", "event_id")
+    pdf = ev.toPandas()
+    # back to the on-disk representation: TIMESTAMP(MICROS) without tz
+    # (toPandas yields tz-aware ns under the UTC session; pyarrow would
+    # write TIMESTAMP(NANOS), which the NTZ stream schema can't read)
+    pdf["ts"] = pdf["ts"].dt.tz_localize(None).astype("datetime64[us]")
+    n = len(pdf)
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = pdf.iloc[lo : lo + (n + 2) // 3]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(src / f"batch{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+    q = (
+        transition_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_trans")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("t_trans").collect():
+        got[(r.prev_type, r.next_type)] = (
+            got.get((r.prev_type, r.next_type), 0) + r.n
+        )
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in QUERIES["event_type_transitions"](spark, sf_dir).collect()
+    }
+    assert got == want

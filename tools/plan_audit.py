@@ -51,6 +51,7 @@ ALLOWED_BNLJ = {
     "corpus_final_verdict": "inherits lang_temperature_sample's 1-row min-count broadcast",
     "customer_pareto_share": "broadcast 1-row grand-total scalar",
     "kmeans_embeddings": "broadcast K-row centroid table (K=8) per assignment pass",
+    "otu_prevalence_spectrum": "broadcast 1-row sample-count scalar",
 }
 
 

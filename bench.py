@@ -143,6 +143,8 @@ HEADLINE = (
     "event_value_daily_median",
     "otu_prevalence_spectrum",
     "source_length_gini",
+    "text_token_entropy",
+    "customer_value_band_migration",
 )
 
 

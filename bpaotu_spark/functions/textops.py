@@ -1006,3 +1006,98 @@ def text_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_token_entropy — per-document token-distribution entropy (the
+# vocabulary-richness signal: templated/boilerplate text has low
+# entropy, natural prose sits near the corpus mode) plus the type-token
+# ratio. Emitted as n·H in integer micro-nats:
+#     n·H = n·ln(n) − Σ_c tf_c·ln(tf_c)
+# with every ln() floored into micro-nats BEFORE any aggregation — the
+# text_unigram_logloss discipline — so all sums are integer and
+# summation order can never flip the hash. ln() runs once per DISTINCT
+# count value (a tiny table: counts ≤ max tf), never per row.
+#
+# Scale shape: explode → (doc, token) tf groupBy (map-side combine);
+# the ln lookup joins on the count value (bounded key space); one
+# doc-keyed re-aggregation. No windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), x AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM x GROUP BY doc_id, token
+), lncost AS (
+  SELECT tf AS cval,
+    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT) AS ln_micro
+  FROM (SELECT DISTINCT tf FROM tf)
+), per_doc AS (
+  SELECT doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(tf.tf * ln_micro) AS BIGINT) AS sum_c_lnc
+  FROM tf JOIN lncost ON tf.tf = lncost.cval
+  GROUP BY doc_id
+), nln AS (
+  SELECT n_tokens AS nval,
+    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      AS lnn_micro
+  FROM (SELECT DISTINCT n_tokens FROM per_doc)
+)
+SELECT doc_id, n_tokens, n_types,
+  CAST(n_tokens * lnn_micro - sum_c_lnc AS BIGINT) AS nH_micronats,
+  CAST(CAST(n_types AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+    AS type_token_ppm
+FROM per_doc JOIN nln ON per_doc.n_tokens = nln.nval
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = x.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    lncost = (
+        tf.select("tf").distinct().select(
+            F.col("tf").alias("cval"),
+            F.floor(F.log(F.col("tf").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("ln_micro"),
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(lncost), tf.tf == lncost.cval)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.col("tf") * F.col("ln_micro"))
+            .cast("bigint")
+            .alias("sum_c_lnc"),
+        )
+    )
+    nln = per_doc.select("n_tokens").distinct().select(
+        F.col("n_tokens").alias("nval"),
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("lnn_micro"),
+    )
+    return (
+        per_doc.join(F.broadcast(nln), per_doc.n_tokens == nln.nval)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            (F.col("n_tokens") * F.col("lnn_micro") - F.col("sum_c_lnc"))
+            .cast("bigint")
+            .alias("nH_micronats"),
+            F.expr(
+                "CAST(CAST(n_types AS DECIMAL(38,0)) * 1000000"
+                " DIV n_tokens AS BIGINT)"
+            ).alias("type_token_ppm"),
+        )
+    )

@@ -766,3 +766,85 @@ def event_value_daily_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_value_band_migration — year-over-year revenue-band Markov
+# matrix: customers bucketed into fixed annual-spend bands, transitions
+# counted between CONSECUTIVE years only (a missing year breaks the
+# chain — churn is not a band). The dynamic companion to
+# customer_rfm_segments' point-in-time scores.
+#
+# Bands use fixed integer-cent thresholds (never quantiles) so the
+# bucketing is engine-exact and stable across years at any scale.
+#
+# Scale shape: one (custkey, year) aggregate (map-side combined), a
+# per-customer lag window (entity-partitioned), then a bounded
+# (#bands × #bands) aggregate with its conditional window on that
+# bounded set.
+# ---------------------------------------------------------------------------
+
+_BAND_SQL = (
+    "CASE WHEN cents < 10000000 THEN 'S' WHEN cents < 30000000 THEN 'M'"
+    " WHEN cents < 60000000 THEN 'L' ELSE 'XL' END"
+)
+
+
+@register(
+    "customer_value_band_migration",
+    oracle=f"""
+WITH cy AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+    {_CENTS_SQL.format(expr="o_totalprice")} AS cents
+  FROM orders GROUP BY 1, 2
+),
+b AS (
+  SELECT o_custkey, yr, {_BAND_SQL} AS band,
+    lag(yr) OVER w AS prev_yr, lag({_BAND_SQL}) OVER w AS prev_band
+  FROM cy
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY yr)
+),
+p AS (
+  SELECT prev_band AS band_from, band AS band_to, count(*) AS n
+  FROM b WHERE prev_yr = yr - 1 GROUP BY 1, 2
+)
+SELECT band_from, band_to, n,
+  CAST(CAST(n AS HUGEINT) * 1000000
+       // sum(n) OVER (PARTITION BY band_from) AS BIGINT) AS prob_ppm
+FROM p
+""",
+)
+def customer_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cy = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(_cents(F.col("o_totalprice")).alias("cents"))
+    band = F.expr(_BAND_SQL)
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    b = cy.select(
+        "o_custkey",
+        "yr",
+        band.alias("band"),
+        F.lag("yr").over(w).alias("prev_yr"),
+        F.lag(band).over(w).alias("prev_band"),
+    )
+    p = (
+        b.filter(F.col("prev_yr") == F.col("yr") - 1)
+        .groupBy(
+            F.col("prev_band").alias("band_from"),
+            F.col("band").alias("band_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("band_from")
+    return (
+        p.withColumn("total", F.sum("n").over(wt))
+        .select(
+            "band_from",
+            "band_to",
+            "n",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"
+            ).alias("prob_ppm"),
+        )
+    )

@@ -115,19 +115,21 @@ PRIORITY: tuple[str, ...] = (
     "event_value_daily_median",
     "otu_prevalence_spectrum",
     "source_length_gini",
+    "text_token_entropy",
+    "customer_value_band_migration",
     # (B) never driver-verified — r4 additions that spilled past the
     # window (VERDICT r4 item 2: rotate ALL of these in)
-    "q12_priority_by_status",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     "source_quality_report",
     "corpus_final_verdict",
     # ---- ~50-entry window boundary ----
-    # these six (B) entries spilled to make room for the 14 A1
+    # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round
+    "q12_priority_by_status",
+    "q13_customer_distribution",
     "langid_confusion",
     "customer_rfm_segments",
     "abundance_rarefaction",

@@ -188,3 +188,32 @@ def test_daily_median_rank_selection(spark, sf_dir):
         assert r.min_micro * 2 <= r.med2_micro <= r.max_micro * 2
         assert r.med2_micro <= r.p90_micro * 2
         assert r.p90_micro <= r.max_micro
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    rows = QUERIES["text_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 < r.type_token_ppm <= 1_000_000
+        # 0 ≤ H ≤ ln(n_types); micro-nat flooring slack ≤ 2n
+        assert -2 * r.n_tokens <= r.nH_micronats
+        assert r.nH_micronats <= r.n_tokens * (
+            math.log(max(r.n_types, 1)) * 1e6 + 2
+        )
+
+
+def test_band_migration_rows_and_probs(spark, sf_dir):
+    rows = QUERIES["customer_value_band_migration"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_from = defaultdict(int)
+    for r in rows:
+        assert r.band_from in {"S", "M", "L", "XL"}
+        assert r.band_to in {"S", "M", "L", "XL"}
+        by_from[r.band_from] += r.prob_ppm
+    for total in by_from.values():
+        assert 1_000_000 - 4 <= total <= 1_000_000

@@ -145,6 +145,12 @@ HEADLINE = (
     "source_length_gini",
     "text_token_entropy",
     "customer_value_band_migration",
+    # round-5 continuation, batch 2
+    "beta_diversity_jaccard",
+    "sample_neighbors_topk",
+    "heavy_hitters_cms",
+    "attribution_time_decay",
+    "corpus_perplexity_filter",
 )
 
 

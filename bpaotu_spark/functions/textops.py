@@ -1101,3 +1101,75 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("type_token_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_perplexity_filter — the CCNet-style perplexity gate: bucket
+# every document into per-language loss deciles under the corpus
+# unigram LM (composing the registered text_unigram_logloss oracle as a
+# CTE — zero drift), keep deciles 1-9, drop the worst 10%. The report
+# is the per-(lang, decile) census a curation run reviews before
+# committing the gate.
+#
+# Determinism: decile = ntile(10) over (lang ORDER BY
+# avg_logloss_micronats, doc_id) — integer loss + doc_id tie-break is a
+# total order, and ntile's bucket-size rule (first n mod 10 buckets one
+# larger) is the SQL standard in both engines.
+#
+# Scale shape: the decile assignment is a per-language sorted window —
+# languages proceed in parallel but one language is one sort. That is
+# inherent to EXACT deciles; the 100 TB deployment swaps the ntile for
+# approx-quantile boundaries broadcast to a map-only filter (the same
+# report shape), keeping this exact form as its calibration oracle on
+# a sample.
+# ---------------------------------------------------------------------------
+
+_PPL_KEEP_DECILES = 9
+
+_ORACLES["corpus_perplexity_filter"] = f"""
+WITH ll AS ({_ORACLES["text_unigram_logloss"]}),
+j AS (
+  SELECT ll.doc_id, d.lang, ll.avg_logloss_micronats
+  FROM ll JOIN documents d ON ll.doc_id = d.doc_id
+),
+deciled AS (
+  SELECT lang, avg_logloss_micronats,
+    CAST(ntile(10) OVER (PARTITION BY lang
+         ORDER BY avg_logloss_micronats ASC, doc_id ASC) AS INTEGER) AS decile
+  FROM j
+)
+SELECT lang, decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(avg_logloss_micronats) AS BIGINT) AS min_logloss_micronats,
+  CAST(max(avg_logloss_micronats) AS BIGINT) AS max_logloss_micronats,
+  decile <= {_PPL_KEEP_DECILES} AS kept
+FROM deciled GROUP BY lang, decile
+"""
+
+
+@register("corpus_perplexity_filter", oracle=_ORACLES["corpus_perplexity_filter"])
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ll = text_unigram_logloss(spark, sf_dir).select(
+        "doc_id", "avg_logloss_micronats"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = ll.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logloss_micronats").asc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logloss_micronats")
+            .cast("bigint")
+            .alias("min_logloss_micronats"),
+            F.max("avg_logloss_micronats")
+            .cast("bigint")
+            .alias("max_logloss_micronats"),
+        )
+        .withColumn("kept", F.col("decile") <= _PPL_KEEP_DECILES)
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.plans.filters import ContextualFilter, Pred
 from bpaotu_spark.plans.taxonomy import RankFix, TaxonomyFilter, drilldown_options
-from bpaotu_spark.registry import register
+from bpaotu_spark.registry import ORACLES, register
 
 DEC = "decimal(18,6)"
 
@@ -1126,4 +1126,198 @@ def otu_prevalence_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("prevalence").cast("bigint").alias("max_prevalence"),
             F.sum("mass").cast("bigint").alias("abundance_mass"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# beta_diversity_jaccard — presence/absence Jaccard dissimilarity,
+# BLOCKED (reference: the comparison page offers multiple dissimilarity
+# metrics over the same sample selection; Bray-Curtis above is the
+# abundance-weighted one, Jaccard is its binary twin).
+#     J(a,b) = 1 - |A ∩ B| / |A ∪ B|,   |A ∪ B| = r_a + r_b - |A ∩ B|
+# where A is the OTU *set* of sample a (counts ignored).
+#
+# Determinism: intersection and union sizes are exact integers; the
+# single double appears in the final rounded division.
+#
+# Scale shape: identical to beta_diversity_braycurtis — pairs form only
+# inside (block = c_nationkey) over a filtered selection, the shared-OTU
+# intersection joins per (block, otu_id), and the pair-completion join
+# uses the same S² two-level sub-blocking so the largest nation splits
+# into balanced cells. The oracle keeps the naive single-block form,
+# proving the sub-blocked pair set identical.
+# ---------------------------------------------------------------------------
+
+_JC_FILTER = ContextualFilter.of([Pred("c_mktsegment", "eq", "MACHINERY")], "and")
+_JC_SUB = 8
+
+
+@register(
+    "beta_diversity_jaccard",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_nationkey AS block
+  FROM customer WHERE {_JC_FILTER.sql()}
+),
+a AS (
+  SELECT DISTINCT ab.sample_id, block, otu_id
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+),
+rich AS (
+  SELECT sample_id, block, count(*) AS r FROM a GROUP BY sample_id, block
+),
+inter AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         count(*) AS n_inter
+  FROM a x JOIN a y
+    ON x.otu_id = y.otu_id AND x.block = y.block
+   AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+)
+SELECT
+  ra.sample_id AS sample_a,
+  rb.sample_id AS sample_b,
+  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_intersect,
+  CAST(ra.r + rb.r - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+  CAST(round(1.0 - coalesce(i.n_inter, 0) * 1.0
+             / (ra.r + rb.r - coalesce(i.n_inter, 0)), 4) AS DOUBLE)
+    AS jaccard_dissim
+FROM rich ra
+JOIN rich rb ON ra.block = rb.block AND ra.sample_id < rb.sample_id
+LEFT JOIN inter i ON i.sample_a = ra.sample_id AND i.sample_b = rb.sample_id
+""",
+)
+def beta_diversity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sel = cust.filter(_JC_FILTER.column()).select(
+        F.col("c_custkey").alias("sample_id"), F.col("c_nationkey").alias("block")
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .select("sample_id", "block", "otu_id")
+        .distinct()
+    )
+    rich = a.groupBy("sample_id", "block").agg(F.count(F.lit(1)).alias("r"))
+
+    ax = a.select(
+        "block", "otu_id", F.col("sample_id").alias("sample_a")
+    )
+    ay = a.select(
+        F.col("block").alias("block_y"),
+        F.col("otu_id").alias("otu_y"),
+        F.col("sample_id").alias("sample_b"),
+    )
+    inter = (
+        ax.join(
+            ay,
+            (ax.otu_id == ay.otu_y)
+            & (ax.block == ay.block_y)
+            & (ax.sample_a < ay.sample_b),
+        )
+        .groupBy("sample_a", "sample_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    S = _JC_SUB
+    sub_vals = F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    ra = (
+        rich.select(
+            "block", F.col("sample_id").alias("sample_a"), F.col("r").alias("r_a")
+        )
+        .withColumn("sub_a", F.pmod(F.xxhash64("sample_a"), F.lit(S)).cast("int"))
+        .withColumn("sub_b", sub_vals)
+    )
+    rb = (
+        rich.select(
+            F.col("block").alias("block_b"),
+            F.col("sample_id").alias("sample_b"),
+            F.col("r").alias("r_b"),
+        )
+        .withColumn("sub_b_own", F.pmod(F.xxhash64("sample_b"), F.lit(S)).cast("int"))
+        .withColumn("sub_a_rep", sub_vals)
+    )
+    pairs = ra.join(
+        rb,
+        (ra.block == rb.block_b)
+        & (ra.sub_a == rb.sub_a_rep)
+        & (ra.sub_b == rb.sub_b_own)
+        & (ra.sample_a < rb.sample_b),
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    n_union = F.col("r_a") + F.col("r_b") - n_inter
+    return pairs.join(inter, ["sample_a", "sample_b"], "left").select(
+        "sample_a",
+        "sample_b",
+        n_inter.cast("bigint").alias("n_intersect"),
+        n_union.cast("bigint").alias("n_union"),
+        F.round(1.0 - n_inter * 1.0 / n_union, 4)
+        .cast("double")
+        .alias("jaccard_dissim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_neighbors_topk — per-sample nearest neighbours by Bray-Curtis:
+# the comparison page's "most similar samples" panel (reference: the
+# dissimilarity matrix consumer that picks each sample's closest
+# ecological matches). Composes the registered Bray-Curtis operator —
+# its oracle embeds the component oracle as a CTE, so the two can never
+# drift.
+#
+# Determinism: BC is already rounded to 4dp by the component; ranking
+# orders by (bray_curtis ASC, neighbor ASC) — a total order.
+#
+# Scale shape: the pair table is block-bounded (see the component);
+# symmetrizing doubles it; the top-k is one window over
+# partition-by-sample — the partition count equals the sample
+# selection, far above any executor count, and no partition exceeds
+# (largest block size - 1) rows.
+# ---------------------------------------------------------------------------
+
+_NEIGHBOR_K = 3
+
+
+@register(
+    "sample_neighbors_topk",
+    oracle=f"""
+WITH bc AS ({ORACLES['beta_diversity_braycurtis']}),
+sym AS (
+  SELECT sample_a AS sample_id, sample_b AS neighbor, bray_curtis FROM bc
+  UNION ALL
+  SELECT sample_b AS sample_id, sample_a AS neighbor, bray_curtis FROM bc
+),
+ranked AS (
+  SELECT sample_id, neighbor, bray_curtis,
+    CAST(row_number() OVER (PARTITION BY sample_id
+         ORDER BY bray_curtis ASC, neighbor ASC) AS INTEGER) AS rnk
+  FROM sym
+)
+SELECT sample_id, neighbor, bray_curtis, rnk
+FROM ranked WHERE rnk <= {_NEIGHBOR_K}
+""",
+)
+def sample_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bc = beta_diversity_braycurtis(spark, sf_dir)
+    sym = bc.select(
+        F.col("sample_a").alias("sample_id"),
+        F.col("sample_b").alias("neighbor"),
+        "bray_curtis",
+    ).unionAll(
+        bc.select(
+            F.col("sample_b").alias("sample_id"),
+            F.col("sample_a").alias("neighbor"),
+            "bray_curtis",
+        )
+    )
+    w = Window.partitionBy("sample_id").orderBy(
+        F.col("bray_curtis").asc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NEIGHBOR_K)
+        .select("sample_id", "neighbor", "bray_curtis", "rnk")
     )

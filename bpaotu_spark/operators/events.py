@@ -830,3 +830,196 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel(F.col("rn") * 4 >= F.col("n") * 3).cast("bigint").alias("p75_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms — Count-Min Sketch (Cormode-Muthukrishnan '05)
+# frequency estimation over the events fact, verified against the exact
+# counts. The sketch is DEPTH x WIDTH integer cells; each occurrence
+# increments one cell per depth row (hash_j(user) mod WIDTH); the
+# estimate is the min over the depth cells, which upper-bounds the true
+# count. Output: top-20 users by exact count with their CMS estimate
+# and the (always >= 0) overcount — the self-audit a sketch deployment
+# runs before trusting (depth, width).
+#
+# Determinism: hashes are md5-derived 32-bit integers identical in both
+# engines (the minhash shingle-hash discipline); every cell and
+# estimate is an exact BIGINT.
+#
+# Scale shape: the sketch build is a map-side-combined groupBy over a
+# 4x-exploded scan whose output is hard-capped at DEPTH*WIDTH = 4096
+# cells — constant size regardless of fact rows, so at 100 TB the
+# sketch broadcasts to the probe side. The probe joins the per-user
+# table against the broadcast sketch; the top-20 cut is orderBy+limit
+# (TakeOrderedAndProject — per-partition heaps, no global sort), with
+# the rank column added over the already-20-row result.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_TOPK = 20
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _md5_int32_sql(expr: str) -> str:
+    """DuckDB twin of F.conv(substr(md5(expr),1,8),16,10): first 8 md5
+    nibbles as a 32-bit integer."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('{_HEX_DIGITS}', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+def _md5_int32_spark(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_CMS_SEED_SQL = "CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH cells AS (
+  SELECT j, {_md5_int32_sql(_CMS_SEED_SQL)} % {CMS_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY user_id
+),
+probe AS (
+  SELECT user_id, j, {_md5_int32_sql(_CMS_SEED_SQL)} % {CMS_WIDTH} AS bucket
+  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+est AS (
+  SELECT user_id, min(cell) AS cms_estimate
+  FROM probe JOIN cells USING (j, bucket)
+  GROUP BY user_id
+),
+ranked AS (
+  SELECT e.user_id, exact_count, cms_estimate,
+         CAST(cms_estimate - exact_count AS BIGINT) AS overcount,
+         CAST(row_number() OVER (ORDER BY exact_count DESC, e.user_id ASC)
+              AS INTEGER) AS rnk
+  FROM exact e JOIN est USING (user_id)
+)
+SELECT user_id, exact_count, cms_estimate, overcount, rnk
+FROM ranked WHERE rnk <= {_CMS_TOPK}
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    depths = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+    seed = F.concat_ws(
+        ":", F.col("j").cast("string"), F.col("user_id").cast("string")
+    )
+    cells = (
+        ev.withColumn("j", depths)
+        .withColumn("bucket", _md5_int32_spark(seed) % CMS_WIDTH)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probe = (
+        exact.select("user_id")
+        .withColumn("j", depths)
+        .withColumn("bucket", _md5_int32_spark(seed) % CMS_WIDTH)
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    top = (
+        exact.join(est, "user_id")
+        .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+        .limit(_CMS_TOPK)
+    )
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+    return top.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# attribution_time_decay — multi-touch attribution: every click/view in
+# the 7 days before a purchase earns credit that HALVES per day of age
+# (the standard time-decay model, vs the single-winner last-touch
+# above). Weights are exact integer ppm: 1000000 div 2^age_days, so the
+# report hashes bit-identically.
+#
+# Scale shape: purchases ⋈ touches is a self-join of the events fact on
+# user_id — the same shuffle key as every other per-user operator
+# (exchange reuse); per-user pair counts are bounded by the 7-day
+# window, and the final rollup is a 2-key groupBy with map-side
+# combine.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type IN {ATTR_SOURCES!r}
+),
+credit AS (
+  SELECT t.event_type AS attr_type,
+         CAST((p.ts_us - t.ts_us) // {_DAY_US} AS BIGINT) AS age_days
+  FROM p JOIN t ON p.user_id = t.user_id
+  WHERE t.ts_us < p.ts_us AND p.ts_us - t.ts_us <= {ATTR_WINDOW_US}
+)
+SELECT attr_type, age_days,
+  CAST(count(*) AS BIGINT) AS n_credits,
+  CAST(count(*) * (1000000 // (1 << age_days)) AS BIGINT)
+    AS total_weight_ppm
+FROM credit GROUP BY attr_type, age_days
+""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    t = ev.filter(F.col("event_type").isin(*ATTR_SOURCES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("attr_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    credit = p.join(
+        t,
+        (p.user_id == t.t_user)
+        & (t.t_us < p.p_us)
+        & (p.p_us - t.t_us <= ATTR_WINDOW_US),
+    ).select(
+        "attr_type",
+        F.expr(f"CAST((p_us - t_us) DIV {_DAY_US} AS BIGINT)").alias("age_days"),
+    )
+    n = F.count(F.lit(1))
+    weight = F.expr("1000000 DIV shiftleft(1, CAST(age_days AS INT))")
+    return credit.groupBy("attr_type", "age_days").agg(
+        n.alias("n_credits"),
+        (n * weight).cast("bigint").alias("total_weight_ppm"),
+    )

@@ -125,6 +125,14 @@ PRIORITY: tuple[str, ...] = (
     "source_quality_report",
     "corpus_final_verdict",
     # ---- ~50-entry window boundary ----
+    # (B0) round-5 continuation batch 2 — new operators landed after
+    # the window filled; all pass tools/check.py at sf0.001 + sf0.01;
+    # rotate into the window next round
+    "beta_diversity_jaccard",
+    "sample_neighbors_topk",
+    "heavy_hitters_cms",
+    "attribution_time_decay",
+    "corpus_perplexity_filter",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

@@ -258,3 +258,22 @@ def test_ann_recall_report_consistency(spark, sf_dir):
         assert rows[method].n_hit == hit
         assert rows[method].recall_ppm == hit * 1_000_000 // len(truth)
         assert 0 < rows[method].recall_ppm <= 1_000_000
+
+
+def test_perplexity_filter_decile_census(spark, sf_dir):
+    """Every language yields 10 deciles covering all scored docs; only
+    decile 10 is dropped; decile loss ranges are non-overlapping and
+    ascending."""
+    from collections import defaultdict
+
+    rows = QUERIES["corpus_perplexity_filter"](spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert r.kept == (r.decile <= 9)
+        by_lang[r.lang].append(r)
+    for rs in by_lang.values():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, 11))
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_logloss_micronats <= b.min_logloss_micronats

@@ -148,3 +148,34 @@ def test_rarefaction_curve_monotone(spark, sf_dir):
         assert all(
             0 <= x <= per_depth[min(per_depth)].full_richness for x in rich
         )
+
+
+def test_jaccard_vs_braycurtis_pair_structure(spark, sf_dir):
+    """Jaccard dissimilarity is a proper [0,1] metric on the filtered
+    selection: union >= intersect, and the rounded value re-derives
+    from the reported integers."""
+    rows = QUERIES["beta_diversity_jaccard"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_intersect <= r.n_union
+        assert abs(r.jaccard_dissim - round(1 - r.n_intersect / r.n_union, 4)) < 1e-9
+        assert r.sample_a < r.sample_b
+
+
+def test_sample_neighbors_topk_invariants(spark, sf_dir):
+    """Per-sample neighbour lists: <= K entries, ranked by ascending
+    dissimilarity with neighbor tie-break, no self-loops."""
+    from collections import defaultdict
+
+    rows = QUERIES["sample_neighbors_topk"](spark, sf_dir).collect()
+    assert rows
+    by_sample = defaultdict(list)
+    for r in rows:
+        assert r.neighbor != r.sample_id
+        by_sample[r.sample_id].append(r)
+    for rs in by_sample.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert len(rs) <= 3
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r.bray_curtis, r.neighbor) for r in rs]
+        assert keys == sorted(keys)

@@ -89,3 +89,25 @@ def test_hourly_heatmap_bounds(spark, sf_dir, tables):
     assert sum(r.n_events for r in rows) == tables["events"].count()
     for r in rows:
         assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
+
+
+def test_cms_estimate_upper_bounds_exact(spark, sf_dir):
+    """CMS never undercounts: estimate >= exact for every reported user,
+    and the top-20 cut is ordered by exact count."""
+    rows = QUERIES["heavy_hitters_cms"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_estimate >= r.exact_count for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r.exact_count, r.user_id))
+    assert [r.rnk for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_time_decay_attribution_weights(spark, sf_dir):
+    """Weights halve per day of age (exact ppm), ages stay inside the
+    7-day lookback, and total weight = n_credits * 10^6 >> age."""
+    rows = QUERIES["attribution_time_decay"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.age_days < 7
+        assert r.attr_type in ("click", "view")
+        assert r.total_weight_ppm == r.n_credits * (1_000_000 >> r.age_days)

@@ -151,6 +151,8 @@ HEADLINE = (
     "heavy_hitters_cms",
     "attribution_time_decay",
     "corpus_perplexity_filter",
+    "bloom_semijoin_filter",
+    "dedup_containment",
 )
 
 

@@ -1520,3 +1520,82 @@ def source_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV greatest(sum(n_grams), 1) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-duplication: containment
+# C = |A ∩ B| / min(|A|, |B|) over distinct 3-gram sets (Broder's
+# resemblance-vs-containment distinction). A short document pasted
+# inside a long one scores near-zero Jaccard (the union is dominated by
+# the long side) but containment ~1 — the exact excerpt/quotation case
+# corpus curation must catch that dedup_ngram_jaccard structurally
+# cannot. The output carries both measures so the gap is visible.
+#
+# Scale shape: identical to dedup_ngram_jaccard — the SAME df-capped
+# shingle inverted index forms pairs (map-side-combined df gate before
+# any collect_list; no unbounded bucket anywhere), so `shared` counts
+# informative shingles only and containment is a lower bound under
+# capping, identically in both engines.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+gdf AS (SELECT g, count(*) AS df FROM ng GROUP BY g),
+ngk AS (
+  SELECT ng.doc_id, ng.g FROM ng JOIN gdf USING (g)
+  WHERE df BETWEEN 2 AND {NGRAM_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ngk a JOIN ngk b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  CASE WHEN x.n <= y.n THEN doc_a ELSE doc_b END AS contained_id,
+  CAST(round(shared * 1.0 / least(x.n, y.n), 4) AS DOUBLE) AS containment,
+  CAST(round(shared * 1.0 / (x.n + y.n - shared), 4) AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sz x ON doc_a = x.doc_id
+JOIN sz y ON doc_b = y.doc_id
+WHERE shared * 1.0 / least(x.n, y.n) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf_dir)
+    sz = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gdf = ng.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ngk = ng.join(
+        gdf.filter(F.col("df").between(2, NGRAM_DF_CAP)), "g"
+    ).select("doc_id", "g")
+    buckets = ngk.groupBy("g").agg(F.collect_list("doc_id").alias("ds"))
+    pairs = (
+        buckets.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("shared") * 1.0 / F.least("n_a", "n_b")
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_id"),
+            F.round(cont, 4).cast("double").alias("containment"),
+            F.round(jac, 4).cast("double").alias("jaccard"),
+        )
+    )

@@ -79,3 +79,123 @@ def merge_upsert(
         .parquet(table_path)
     )
     return {"updated": updated, "inserted": delta.count() - updated}
+
+
+def scd2_merge(
+    spark: SparkSession,
+    table_path: str,
+    delta: DataFrame,
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    ts_col: str,
+    n_buckets: int = 16,
+) -> dict[str, int]:
+    """Slowly-changing-dimension (type 2) MERGE into a parquet lake:
+    every key keeps its full version history as ``[valid_from_us,
+    valid_to_us)`` intervals with exactly one open (``is_current``) row.
+
+    Contract per delta row (key, attrs, effective ts):
+
+    - attrs differ from the key's open row → the open row CLOSES at the
+      delta's timestamp and a new open version is appended;
+    - attrs identical → no-op (re-applying the same delta is
+      idempotent);
+    - unseen key → first open version.
+
+    The reference's importer re-ingests revised contextual metadata
+    wholesale (public path ``bpaotu/otu/importer.py``); SCD2 is the
+    lake-native upgrade that keeps the prior versions queryable
+    (as-of joins against ``valid_from_us``/``valid_to_us``).
+
+    Scale shape: the dimension is stored partitioned by a key-hash
+    bucket; only buckets present in the delta are read (partition-
+    pruned semi join) and rewritten (dynamic partition overwrite) — a
+    small delta touches a few buckets, never the table. Attr
+    comparison is one md5 over the concatenated attrs, computed
+    identically for stored and incoming rows; delta timestamps are
+    integer epoch-µs so interval arithmetic is exact.
+    """
+    import os
+
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    sep = "\x1f"
+    attr_hash = F.md5(F.concat_ws(sep, *[F.col(c) for c in attr_cols]))
+
+    incoming = (
+        delta.select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).cast("bigint").alias("valid_from_us"),
+        )
+        .withColumn("bucket", bucket)
+        .withColumn("attr_hash", attr_hash)
+    )
+    open_row = lambda df: df.select(  # noqa: E731
+        key_col,
+        *attr_cols,
+        "valid_from_us",
+        F.lit(None).cast("bigint").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+        "bucket",
+        "attr_hash",
+    )
+
+    if not os.path.isdir(table_path):
+        first = open_row(incoming)
+        first.write.partitionBy("bucket").parquet(table_path)
+        return {"closed": 0, "inserted": first.count(), "unchanged": 0}
+
+    dim = spark.read.parquet(table_path)
+    touched = dim.join(
+        F.broadcast(incoming.select("bucket").distinct()), "bucket", "left_semi"
+    )
+    inc = incoming.select(
+        F.col(key_col).alias("_k"),
+        F.col("attr_hash").alias("_h"),
+        F.col("valid_from_us").alias("_ts"),
+    )
+    # classify the touched rows against the delta (open rows only can
+    # close; history rows always carry)
+    joined = touched.join(inc, touched[key_col] == inc["_k"], "left")
+    changes = F.col("_k").isNotNull() & F.col("is_current") & (
+        F.col("attr_hash") != F.col("_h")
+    )
+    closed = joined.filter(changes).select(
+        key_col,
+        *attr_cols,
+        "valid_from_us",
+        F.col("_ts").alias("valid_to_us"),
+        F.lit(False).alias("is_current"),
+        "bucket",
+        "attr_hash",
+    )
+    carried = joined.filter(~F.coalesce(changes, F.lit(False))).select(
+        *dim.columns
+    )
+    # new open versions: changed keys + unseen keys (identical attrs on
+    # the open row → drop the delta row, making re-application a no-op)
+    cur_open = touched.filter(F.col("is_current")).select(
+        F.col(key_col).alias("_k"), F.col("attr_hash").alias("_h")
+    )
+    fresh = incoming.join(
+        cur_open,
+        (incoming[key_col] == cur_open["_k"])
+        & (incoming["attr_hash"] == cur_open["_h"]),
+        "left_anti",
+    )
+    n_closed = closed.count()
+    n_fresh = fresh.count()
+    merged = (
+        carried.unionByName(closed).unionByName(open_row(fresh)).localCheckpoint()
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(table_path)
+    )
+    return {
+        "closed": n_closed,
+        "inserted": n_fresh,
+        "unchanged": incoming.count() - n_fresh,
+    }

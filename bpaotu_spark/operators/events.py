@@ -882,6 +882,27 @@ def _md5_int32_spark(col) -> F.Column:
 _CMS_SEED_SQL = "CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
 
 
+def cms_cells(ev: DataFrame) -> DataFrame:
+    """(j, bucket, cell) CMS cells for ANY frame with a user_id column.
+
+    Shared by the batch operator and the streaming twin in
+    ``bpaotu_spark.streaming.jobs`` — a CMS is a cell-wise SUM of
+    per-batch sketches, so the same groupBy accumulates it
+    incrementally under Structured Streaming with no extra logic.
+    """
+    depths = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+    seed = F.concat_ws(
+        ":", F.col("j").cast("string"), F.col("user_id").cast("string")
+    )
+    return (
+        ev.select("user_id")
+        .withColumn("j", depths)
+        .withColumn("bucket", _md5_int32_spark(seed) % CMS_WIDTH)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
 @register(
     "heavy_hitters_cms",
     oracle=f"""
@@ -917,16 +938,11 @@ FROM ranked WHERE rnk <= {_CMS_TOPK}
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    depths = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
     seed = F.concat_ws(
         ":", F.col("j").cast("string"), F.col("user_id").cast("string")
     )
-    cells = (
-        ev.withColumn("j", depths)
-        .withColumn("bucket", _md5_int32_spark(seed) % CMS_WIDTH)
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cell"))
-    )
+    depths = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)]))
+    cells = cms_cells(ev)
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("exact_count")
     )

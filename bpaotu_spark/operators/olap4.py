@@ -848,3 +848,182 @@ def customer_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("prob_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_semijoin_filter — the runtime-filter pattern audited end-to-end:
+# build a Bloom filter over a filtered dimension key set (FURNITURE
+# customers), probe every orders row through it, and report the exact
+# confusion counts against the true semi-join. This is the technique a
+# 100 TB deployment uses to kill fact-scan rows before the shuffle
+# (Spark's own AQE runtime filters / `bloom_filter_agg` do it
+# implicitly; this operator makes the mechanism explicit and
+# measurable — the same self-audit discipline as heavy_hitters_cms and
+# dedup_lsh_recall_report).
+#
+# Layout: 65,536 bits as 2,048 x 32-bit blocks stored in BIGINT (no
+# sign-bit hazards in either engine), K=3 md5-derived hashes.
+#
+# Determinism: bit positions are md5-derived integers; masks combine
+# with bit_or; every reported number is an exact BIGINT (fp rate in
+# integer ppm).
+#
+# Scale shape: the filter build aggregates the (already filtered)
+# dimension into <= 2,048 rows — constant-size, so the three probe
+# joins all broadcast; the probe itself is map-only over the fact scan
+# (no explode, no shuffle) and collapses into a single-row aggregate.
+# A Bloom pass admits false positives but NEVER false negatives — the
+# pytest asserts the zero-miss invariant.
+# ---------------------------------------------------------------------------
+
+from bpaotu_spark.operators.events import _md5_int32_spark, _md5_int32_sql
+
+BLOOM_BITS = 65536
+BLOOM_BLOCK_BITS = 32
+BLOOM_K = 3
+_BLOOM_SEGMENT = "FURNITURE"
+
+
+def _bloom_seed_sql(j: int, key: str) -> str:
+    return f"'{j}:' || CAST({key} AS VARCHAR)"
+
+
+def _bloom_seed_spark(j: int, key: str) -> F.Column:
+    return F.concat(F.lit(f"{j}:"), F.col(key).cast("string"))
+
+
+@register(
+    "bloom_semijoin_filter",
+    oracle=f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+),
+bits AS (
+  {" UNION ALL ".join(
+      f"SELECT ({_md5_int32_sql(_bloom_seed_sql(j, 'c_custkey'))})"
+      f" % {BLOOM_BITS} AS bit FROM keys"
+      for j in range(BLOOM_K)
+  )}
+),
+bloom AS (
+  SELECT bit // {BLOOM_BLOCK_BITS} AS block,
+         bit_or(CAST(1 AS BIGINT) << (bit % {BLOOM_BLOCK_BITS})) AS mask
+  FROM bits GROUP BY 1
+),
+probe AS (
+  SELECT o.o_orderkey,
+    o.o_custkey IN (SELECT c_custkey FROM keys) AS is_member,
+    {" AND ".join(
+        f"coalesce(b{j}.mask & (CAST(1 AS BIGINT) << (h{j} % {BLOOM_BLOCK_BITS})), 0) <> 0"
+        for j in range(BLOOM_K)
+    )} AS bloom_pass
+  FROM (
+    SELECT o_orderkey, o_custkey,
+      {", ".join(
+          f"({_md5_int32_sql(_bloom_seed_sql(j, 'o_custkey'))})"
+          f" % {BLOOM_BITS} AS h{j}"
+          for j in range(BLOOM_K)
+      )}
+    FROM orders
+  ) o
+  {" ".join(
+      f"LEFT JOIN bloom b{j} ON h{j} // {BLOOM_BLOCK_BITS} = b{j}.block"
+      for j in range(BLOOM_K)
+  )}
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_pos,
+  CAST(sum(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_neg,
+  CAST(CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000
+       // greatest(CAST(count(*) AS BIGINT)
+                   - CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT),
+                   1) AS BIGINT) AS fp_rate_ppm
+FROM probe
+""",
+)
+def bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    bits = None
+    for j in range(BLOOM_K):
+        b = keys.select(
+            (_md5_int32_spark(_bloom_seed_spark(j, "c_custkey")) % BLOOM_BITS).alias(
+                "bit"
+            )
+        )
+        bits = b if bits is None else bits.unionAll(b)
+    bloom = bits.groupBy(
+        F.expr(f"CAST(bit DIV {BLOOM_BLOCK_BITS} AS BIGINT)").alias("block")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(bit % {BLOOM_BLOCK_BITS} AS INT))"
+            )
+        ).alias("mask")
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = orders
+    for j in range(BLOOM_K):
+        probe = probe.withColumn(
+            f"h{j}",
+            _md5_int32_spark(_bloom_seed_spark(j, "o_custkey")) % BLOOM_BITS,
+        )
+    pass_cols = []
+    for j in range(BLOOM_K):
+        bj = bloom.select(
+            F.col("block").alias(f"block{j}"), F.col("mask").alias(f"mask{j}")
+        )
+        probe = probe.join(
+            F.broadcast(bj),
+            F.expr(f"CAST(h{j} DIV {BLOOM_BLOCK_BITS} AS BIGINT)")
+            == F.col(f"block{j}"),
+            "left",
+        )
+        pass_cols.append(
+            F.coalesce(
+                F.col(f"mask{j}").bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(h{j} % {BLOOM_BLOCK_BITS} AS INT))"
+                    )
+                ),
+                F.lit(0),
+            )
+            != 0
+        )
+    member = keys.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "is_member", F.lit(True)
+    )
+    probe = (
+        probe.join(F.broadcast(member), "o_custkey", "left")
+        .na.fill({"is_member": False})
+        .withColumn(
+            "bloom_pass", pass_cols[0] & pass_cols[1] & pass_cols[2]
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cnt(F.col("is_member")).alias("n_members"),
+        cnt(F.col("bloom_pass")).alias("n_pass"),
+        cnt(F.col("bloom_pass") & ~F.col("is_member")).alias("n_false_pos"),
+        cnt(F.col("is_member") & ~F.col("bloom_pass")).alias("n_false_neg"),
+    )
+    return agg.select(
+        "*",
+        F.expr(
+            "CAST(n_false_pos * 1000000 DIV greatest(n_orders - n_members, 1)"
+            " AS BIGINT)"
+        ).alias("fp_rate_ppm"),
+    )

@@ -133,6 +133,8 @@ PRIORITY: tuple[str, ...] = (
     "heavy_hitters_cms",
     "attribution_time_decay",
     "corpus_perplexity_filter",
+    "bloom_semijoin_filter",
+    "dedup_containment",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

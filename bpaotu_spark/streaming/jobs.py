@@ -595,3 +595,21 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_cells_stream(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min Sketch: the running (j, bucket, cell) cells
+    over the event stream — the batch operator's ``cms_cells`` applied
+    to a streaming frame.
+
+    A CMS is a cell-wise SUM of per-batch sketches, so a plain
+    streaming groupBy aggregation IS the incremental sketch: state is
+    hard-capped at DEPTH x WIDTH rows (4,096) no matter how many events
+    flow through — the textbook example of O(1)-state streaming
+    analytics (vs the O(distinct users) state of an exact heavy-hitters
+    aggregation). Run in complete/update mode; no watermark needed
+    because the state never grows.
+    """
+    from bpaotu_spark.operators.events import cms_cells
+
+    return cms_cells(events)

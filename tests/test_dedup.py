@@ -258,3 +258,15 @@ def test_cross_source_matrix_reconciles(spark, sf_dir, tables):
     total = sum(want.values())
     for r in rows:
         assert r.share_ppm == r.n_dup_pairs * 1_000_000 // total
+
+
+def test_containment_catches_what_jaccard_misses(spark, sf_dir):
+    """Containment >= threshold pairs satisfy the metric identities;
+    the contained side is the smaller shingle set; and jaccard <=
+    containment always (union >= min set size)."""
+    rows = QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.contained_id in (r.doc_a, r.doc_b)
+        assert 0 < r.containment <= 1.0 + 1e-9
+        assert r.jaccard <= r.containment + 1e-9

@@ -495,3 +495,45 @@ def test_geojson_points_roundtrip(spark, sf_dir, tmp_path):
         assert want[(x, y)] == (
             p["n_orders"], p["n_samples"], p["total_price"]
         )
+
+
+def test_scd2_merge_version_chains(spark, sf_dir, tmp_path):
+    """SCD2 merge: changed keys close + reopen, unchanged deltas are
+    no-ops (idempotent re-apply), new keys insert, history accumulates
+    with exactly one open row per key."""
+    from bpaotu_spark.io.merge import scd2_merge
+
+    path = str(tmp_path / "dim_scd2")
+    snap0 = spark.createDataFrame(
+        [(1, "BUILDING", 100), (2, "MACHINERY", 100), (3, "FURNITURE", 100)],
+        "k int, segment string, ts long",
+    )
+    r0 = scd2_merge(spark, path, snap0, "k", ("segment",), "ts")
+    assert r0 == {"closed": 0, "inserted": 3, "unchanged": 0}
+
+    # key 1 changes, key 2 unchanged, key 4 new
+    delta = spark.createDataFrame(
+        [(1, "HOUSEHOLD", 200), (2, "MACHINERY", 200), (4, "AUTOMOBILE", 200)],
+        "k int, segment string, ts long",
+    )
+    r1 = scd2_merge(spark, path, delta, "k", ("segment",), "ts")
+    assert r1 == {"closed": 1, "inserted": 2, "unchanged": 1}
+
+    rows = spark.read.parquet(path).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    # exactly one open row per key
+    for k, rs in by_key.items():
+        assert sum(1 for r in rs if r.is_current) == 1, k
+    # key 1: closed old version [100, 200) + open HOUSEHOLD from 200
+    v1 = sorted(by_key[1], key=lambda r: r.valid_from_us)
+    assert [r.segment for r in v1] == ["BUILDING", "HOUSEHOLD"]
+    assert (v1[0].valid_to_us, v1[0].is_current) == (200, False)
+    assert (v1[1].valid_to_us, v1[1].is_current) == (None, True)
+    assert len(by_key[2]) == 1 and len(by_key[4]) == 1
+
+    # idempotent: re-applying the same delta changes nothing
+    r2 = scd2_merge(spark, path, delta, "k", ("segment",), "ts")
+    assert r2 == {"closed": 0, "inserted": 0, "unchanged": 3}
+    assert len(spark.read.parquet(path).collect()) == len(rows)

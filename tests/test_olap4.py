@@ -217,3 +217,14 @@ def test_band_migration_rows_and_probs(spark, sf_dir):
         by_from[r.band_from] += r.prob_ppm
     for total in by_from.values():
         assert 1_000_000 - 4 <= total <= 1_000_000
+
+
+def test_bloom_semijoin_no_false_negatives(spark, sf_dir):
+    """The Bloom pass must admit every true member (zero false
+    negatives — the filter-correctness invariant) and its fp rate
+    should be far below the ~2.4% expectation ceiling for
+    k=3, 65536 bits at this key count."""
+    r = QUERIES["bloom_semijoin_filter"](spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_members <= r.n_pass <= r.n_orders
+    assert r.fp_rate_ppm < 100_000

@@ -406,3 +406,33 @@ def test_transition_stream_matches_batch(spark, sf_dir, tables, tmp_path):
         for r in QUERIES["event_type_transitions"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_matches_batch_sketch(spark, sf_dir):
+    """The streaming CMS cells after consuming the whole file equal the
+    batch sketch cell-for-cell (sketch merge = cell-wise sum), with
+    state bounded at DEPTH*WIDTH rows."""
+    from bpaotu_spark.operators.events import CMS_DEPTH, CMS_WIDTH, cms_cells
+    from bpaotu_spark.streaming.jobs import cms_cells_stream, read_events_stream
+
+    stream = cms_cells_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.bucket): r.cell
+        for r in spark.table("cms_stream").collect()
+    }
+    from bpaotu_spark.catalog import load_table
+
+    want = {
+        (r.j, r.bucket): r.cell
+        for r in cms_cells(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+    assert len(got) <= CMS_DEPTH * CMS_WIDTH

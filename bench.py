@@ -153,6 +153,9 @@ HEADLINE = (
     "corpus_perplexity_filter",
     "bloom_semijoin_filter",
     "dedup_containment",
+    "event_user_paths_topk",
+    "revenue_ewma_daily",
+    "text_tfidf_cosine_pairs",
 )
 
 

@@ -1599,3 +1599,124 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).cast("double").alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_cosine_pairs — lexical cosine similarity over tf-idf
+# weighted token vectors: the sparse-vector twin of dedup_embedding
+# (which needs an embedding column) for corpora that only have text.
+# Weights are exact integers (tf · idf in milli-nats, idf floored once
+# per token), norms are exact Σw², and the similarity is reported as
+# cos² in integer ppm via 128-bit arithmetic — cos² is monotone in cos
+# for the non-negative weights here, so thresholding cos² ≥ 0.25
+# equals cos ≥ 0.5 with zero floating-point ties.
+#
+# Scale shape: the pair-former is the SAME df-capped token inverted
+# index as dedup_ngram_jaccard/dedup_containment (df gate map-side
+# combined before the bucket collect — no unbounded bucket). Tokens
+# above the cap contribute to norms but not dots, so cos² is a lower
+# bound under capping, identically in both engines (ubiquitous tokens
+# carry near-zero idf anyway — the cap removes ~nothing of the true
+# score while bounding every task).
+# ---------------------------------------------------------------------------
+
+COSINE2_THRESHOLD_PPM = 250_000  # cos >= 0.5
+TFIDF_DF_CAP = 100
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENIZE_SQL}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+wgt AS (
+  SELECT doc_id, tf.token,
+    tf * CAST(floor(ln(n_docs * 1.0 / df) * 1000) AS BIGINT) AS w,
+    df
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+norm2 AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wgt GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM wgt a JOIN wgt b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE a.df BETWEEN 2 AND {TFIDF_DF_CAP}
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, dot,
+    CAST(CAST(dot AS HUGEINT) * dot * 1000000
+         // (CAST(x.n2 AS HUGEINT) * y.n2) AS BIGINT) AS cos2_ppm
+  FROM dots
+  JOIN norm2 x ON doc_a = x.doc_id
+  JOIN norm2 y ON doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, dot, cos2_ppm
+FROM scored WHERE cos2_ppm >= {COSINE2_THRESHOLD_PPM}
+""",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wgt = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n_docs") * 1.0 / F.col("df")) * 1000
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    norm2 = wgt.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    # df-capped inverted index: the bucket per token is bounded, so the
+    # collect+double-explode pair-former never materializes a mega-task
+    capped = wgt.filter(F.col("df").between(2, TFIDF_DF_CAP)).select(
+        "token", "doc_id", "w"
+    )
+    buckets = capped.groupBy("token").agg(
+        F.collect_list(F.struct("doc_id", "w")).alias("ds")
+    )
+    pairs = (
+        buckets.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("dot"))
+    )
+    na = norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos2 = F.expr(
+        "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+        " DIV (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos2.alias("cos2_ppm"))
+        .filter(F.col("cos2_ppm") >= COSINE2_THRESHOLD_PPM)
+    )

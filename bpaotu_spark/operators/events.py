@@ -1039,3 +1039,68 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_credits"),
         (n * weight).cast("bigint").alias("total_weight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_user_paths_topk — sequence mining: the most common 3-step
+# event-type paths users take (every consecutive triple in a user's
+# time-ordered stream), the "what do users do next" flow query behind
+# sankey/path-analysis UIs.
+#
+# Scale shape: one window pass per user partition (the shared per-user
+# shuffle key), then a groupBy whose key cardinality is bounded by
+# |event_type|^3 (125 here) — the rollup is map-side combined into
+# almost nothing, and the top-k is a broadcast-size sort.
+# ---------------------------------------------------------------------------
+
+_PATHS_TOPK = 20
+
+
+@register(
+    "event_user_paths_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+steps AS (
+  SELECT event_type
+      || '>' || lead(event_type, 1) OVER w
+      || '>' || lead(event_type, 2) OVER w AS path
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  QUALIFY lead(event_type, 2) OVER w IS NOT NULL
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n FROM steps GROUP BY path
+)
+SELECT path, n,
+  CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INTEGER) AS rnk
+FROM counted
+ORDER BY n DESC, path ASC
+LIMIT {_PATHS_TOPK}
+""",
+)
+def event_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        e.select(
+            F.concat_ws(
+                ">",
+                F.col("event_type"),
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
+            ).alias("path"),
+            F.lead("event_type", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .drop("_t2")
+    )
+    counted = steps.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.col("n").desc(), F.col("path").asc()).limit(
+        _PATHS_TOPK
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return top.select("path", "n", F.row_number().over(wr).cast("int").alias("rnk"))

@@ -1027,3 +1027,73 @@ def bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("fp_rate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_ewma_daily — exponentially-weighted daily revenue smoothing
+# (half-life = 1 day, 10-day support): the trend line an ops dashboard
+# overlays on the raw daily series. Weights are exact powers of two
+# (512 >> age), the weighted mean is integer cents via 128-bit DIV, and
+# calendar gaps are handled exactly — each day's weight comes from its
+# CALENDAR age, not its row offset, so a missing day simply contributes
+# nothing (a rows-window would silently mis-age across gaps).
+#
+# Scale shape: the fact collapses to one row per day first (map-side
+# combined groupBy); the 10x contribution fan-out and the re-aggregate
+# run on the tiny daily series, never the fact. Same reason the
+# existing calendar-bounded windows are allow-listed.
+# ---------------------------------------------------------------------------
+
+_EWMA_SUPPORT = 10  # days; weight = 2^(SUPPORT-1-age)
+
+
+@register(
+    "revenue_ewma_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    {_CENTS_SQL.format(expr="o_totalprice")} AS cents
+  FROM orders GROUP BY 1
+),
+contrib AS (
+  SELECT CAST(day + to_days(CAST(a AS INTEGER)) AS DATE) AS target_day,
+         cents * (1 << ({_EWMA_SUPPORT} - 1 - a)) AS wc,
+         (1 << ({_EWMA_SUPPORT} - 1 - a)) AS w
+  FROM daily CROSS JOIN (SELECT unnest(range({_EWMA_SUPPORT})) AS a)
+),
+smoothed AS (
+  SELECT target_day AS day,
+         CAST(sum(wc) AS BIGINT) AS num, CAST(sum(w) AS BIGINT) AS den
+  FROM contrib GROUP BY 1
+)
+SELECT d.day, d.cents AS revenue_cents,
+  CAST(CAST(s.num AS HUGEINT) // s.den AS BIGINT) AS ewma_cents
+FROM daily d JOIN smoothed s ON d.day = s.day
+""",
+)
+def revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(_cents(F.col("o_totalprice")).alias("cents"))
+    )
+    ages = F.explode(F.array(*[F.lit(a) for a in range(_EWMA_SUPPORT)]))
+    contrib = daily.withColumn("a", ages).select(
+        F.date_add("day", F.col("a").cast("int")).alias("target_day"),
+        F.expr(f"cents * shiftleft(1, {_EWMA_SUPPORT} - 1 - a)").alias("wc"),
+        F.expr(f"shiftleft(1, {_EWMA_SUPPORT} - 1 - a)").alias("w"),
+    )
+    smoothed = contrib.groupBy(F.col("target_day").alias("day")).agg(
+        F.sum("wc").cast("bigint").alias("num"),
+        F.sum("w").cast("bigint").alias("den"),
+    )
+    return (
+        daily.join(smoothed, "day")
+        .select(
+            "day",
+            F.col("cents").alias("revenue_cents"),
+            F.expr("CAST(CAST(num AS DECIMAL(38,0)) DIV den AS BIGINT)").alias(
+                "ewma_cents"
+            ),
+        )
+    )

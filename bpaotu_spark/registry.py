@@ -135,6 +135,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_perplexity_filter",
     "bloom_semijoin_filter",
     "dedup_containment",
+    "event_user_paths_topk",
+    "revenue_ewma_daily",
+    "text_tfidf_cosine_pairs",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

@@ -270,3 +270,14 @@ def test_containment_catches_what_jaccard_misses(spark, sf_dir):
         assert r.contained_id in (r.doc_a, r.doc_b)
         assert 0 < r.containment <= 1.0 + 1e-9
         assert r.jaccard <= r.containment + 1e-9
+
+
+def test_tfidf_cosine_pairs_bounds(spark, sf_dir):
+    """cos² in ppm is a valid squared cosine (0..1e6] and every
+    reported pair clears the threshold; dot > 0."""
+    rows = QUERIES["text_tfidf_cosine_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 250_000 <= r.cos2_ppm <= 1_000_000
+        assert r.dot > 0
+        assert r.doc_a < r.doc_b

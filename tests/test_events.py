@@ -111,3 +111,14 @@ def test_time_decay_attribution_weights(spark, sf_dir):
         assert 0 <= r.age_days < 7
         assert r.attr_type in ("click", "view")
         assert r.total_weight_ppm == r.n_credits * (1_000_000 >> r.age_days)
+
+
+def test_user_paths_are_valid_type_triples(spark, sf_dir):
+    types = {"signup", "click", "view", "purchase", "error"}
+    rows = QUERIES["event_user_paths_topk"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        parts = r.path.split(">")
+        assert len(parts) == 3 and all(p in types for p in parts)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)

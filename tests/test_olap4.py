@@ -228,3 +228,21 @@ def test_bloom_semijoin_no_false_negatives(spark, sf_dir):
     assert r.n_false_neg == 0
     assert r.n_members <= r.n_pass <= r.n_orders
     assert r.fp_rate_ppm < 100_000
+
+
+def test_ewma_between_min_max_of_window(spark, sf_dir):
+    """The weighted mean lies within [min, max] of the contributing
+    window, and a day with no prior days inside the support equals its
+    own revenue."""
+    rows = QUERIES["revenue_ewma_daily"](spark, sf_dir).collect()
+    assert rows
+    by_day = {r.day: r.revenue_cents for r in rows}
+    import datetime
+
+    for r in rows:
+        window = [
+            by_day[r.day - datetime.timedelta(days=a)]
+            for a in range(10)
+            if (r.day - datetime.timedelta(days=a)) in by_day
+        ]
+        assert min(window) <= r.ewma_cents <= max(window) + 1

@@ -156,6 +156,7 @@ HEADLINE = (
     "event_user_paths_topk",
     "revenue_ewma_daily",
     "text_tfidf_cosine_pairs",
+    "embedding_pq_codebook",
 )
 
 

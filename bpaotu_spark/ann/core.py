@@ -899,3 +899,171 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
         ).alias("mean_d2_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codebook — Product Quantization (Jégou et al., PAMI'11):
+# split each 64-d vector into M=4 contiguous 16-d subvectors and run an
+# independent deterministic k-means (K=8, 1 Lloyd update) in every
+# subspace; a vector then compresses to M small codes (here 4×3 bits vs
+# 64×64-bit components — the memory step that makes billion-vector ANN
+# feasible). Output: the per-(subspace, code) census with exact integer
+# distortion — the codebook-quality report a PQ deployment reviews
+# before committing the compression.
+#
+# Spark-first twist: the subspace id is DATA, not code — one exploded
+# frame carries all M subproblems through a single assignment join and
+# a single keyed update (no per-subspace unrolling), so adding
+# subspaces changes a constant, not the plan. All arithmetic follows
+# kmeans_embeddings' fixed-point discipline (floor-quantized
+# components, BIGINT distances, the sign-safe floor-division identity).
+#
+# Scale shape: per round, one broadcast join of the corpus against the
+# (M*K)-row codebook plus a (M*K*sub_dim)-row aggregate; the final
+# report is M*K rows. Identical cost profile to distributed k-means.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (M * SUB = 64)
+_PQ_K = 8  # codes per subspace
+
+
+def _pq_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, m,
+    list_slice(q, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS sq
+  FROM e CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
+),
+c0 AS (
+  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                 AS BIGINT) - 1 AS cid, sq AS c
+  FROM s QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id)
+           <= {_PQ_K}
+),
+a1 AS (
+  SELECT vec_id, m, sq, cid, d2 FROM (
+    SELECT s.vec_id, s.m, s.sq, c.cid,
+      CAST({dot.format(a='s.sq', b='s.sq')}
+         - 2 * {dot.format(a='s.sq', b='c.c')}
+         + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS d2
+    FROM s JOIN c0 c ON s.m = c.m) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+x1 AS (
+  SELECT m, cid, generate_subscripts(sq, 1) AS dim, unnest(sq) AS qv
+  FROM a1
+),
+m1 AS (
+  SELECT m, cid, dim, CAST(sum(qv) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM x1 GROUP BY 1, 2, 3
+),
+c1 AS (
+  SELECT m, cid, list((s - ((s % n + n) % n)) // n ORDER BY dim) AS c
+  FROM m1 GROUP BY m, cid
+),
+a2 AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT s.vec_id, s.m, c.cid,
+      CAST({dot.format(a='s.sq', b='s.sq')}
+         - 2 * {dot.format(a='s.sq', b='c.c')}
+         + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS d2
+    FROM s JOIN c1 c ON s.m = c.m) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+)
+SELECT CAST(m AS BIGINT) AS subspace, cid AS code,
+  CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(d2) AS HUGEINT) AS distortion,
+  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_floor
+FROM a2 GROUP BY 1, 2
+"""
+
+
+def _pq_assign(s: DataFrame, c: DataFrame) -> DataFrame:
+    j = s.join(F.broadcast(c), "m")
+    d2 = (
+        _km_dot_spark(F.col("sq"), F.col("sq"))
+        - 2 * _km_dot_spark(F.col("sq"), F.col("c"))
+        + _km_dot_spark(F.col("c"), F.col("c"))
+    ).cast("bigint")
+    wv = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        j.select("vec_id", "m", "sq", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register("embedding_pq_codebook", oracle=_pq_oracle())
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    subs = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)]))
+    s = e.withColumn("m", subs).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(q, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sq"),
+    )
+    # init: the K lowest vec_ids' subvectors. The K lowest vec_ids are
+    # the same in every subspace, so ONE TakeOrderedAndProject over the
+    # corpus (per-partition heaps, never a sort) feeds all M codebooks —
+    # the oracle keeps the naive per-subspace window form, proving the
+    # rewrite equivalent.
+    w8 = Window.orderBy("vec_id")  # over the K-row LIMIT result only
+    c = (
+        e.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(w8) - 1).cast("bigint").alias("cid"), "q"
+        )
+        .withColumn("m", subs)
+        .select(
+            "m",
+            "cid",
+            F.expr(f"slice(q, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("c"),
+        )
+    )
+    a1 = _pq_assign(s, c)
+    x = a1.select("m", "cid", F.posexplode("sq").alias("pos", "qv")).select(
+        "m", "cid", (F.col("pos") + 1).alias("dim"), "qv"
+    )
+    mstats = x.groupBy("m", "cid", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    fv = F.expr("(s - ((s % n + n) % n)) DIV n")
+    c1 = (
+        mstats.select("m", "cid", "dim", fv.alias("fv"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "fv"))),
+                lambda t: t["fv"],
+            ).alias("c")
+        )
+    )
+    a2 = _pq_assign(s, c1)
+    return a2.groupBy(
+        F.col("m").cast("bigint").alias("subspace"),
+        F.col("cid").alias("code"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("distortion"),
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
+        ).alias("mean_d2_floor"),
+    )

@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "event_user_paths_topk",
     "revenue_ewma_daily",
     "text_tfidf_cosine_pairs",
+    "embedding_pq_codebook",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

@@ -277,3 +277,22 @@ def test_perplexity_filter_decile_census(spark, sf_dir):
         assert [r.decile for r in rs] == list(range(1, 11))
         for a, b in zip(rs, rs[1:]):
             assert a.max_logloss_micronats <= b.min_logloss_micronats
+
+
+def test_pq_codebook_partitions_corpus(spark, sf_dir):
+    """Every subspace's code census covers the whole corpus exactly
+    once, distortion is non-negative, and codes stay inside [0, K)."""
+    from bpaotu_spark.catalog import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = QUERIES["embedding_pq_codebook"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_sub = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.subspace < 4 and 0 <= r.code < 8
+        assert r.mean_d2_floor >= 0 and int(r.distortion) >= 0
+        per_sub[r.subspace] += r.n_members
+    assert set(per_sub) == {0, 1, 2, 3}
+    assert all(v == n_vecs for v in per_sub.values())

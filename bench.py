@@ -157,6 +157,8 @@ HEADLINE = (
     "revenue_ewma_daily",
     "text_tfidf_cosine_pairs",
     "embedding_pq_codebook",
+    "ann_pq_adc_topk",
+    "otu_indicator_species",
 )
 
 

@@ -928,10 +928,12 @@ _PQ_SUB = 16  # dims per subspace (M * SUB = 64)
 _PQ_K = 8  # codes per subspace
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared CTE block (quantize -> subvectors -> 1-update codebooks ->
+    final assignments a2) used by the codebook census AND the ADC
+    search oracle, so the two can never drift."""
     dot = _KM_DOT
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id,
     list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
@@ -978,7 +980,12 @@ a2 AS (
          + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS d2
     FROM s JOIN c1 c ON s.m = c.m) t
   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
-)
+)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()}
 SELECT CAST(m AS BIGINT) AS subspace, cid AS code,
   CAST(count(*) AS BIGINT) AS n_members,
   CAST(sum(d2) AS HUGEINT) AS distortion,
@@ -1003,8 +1010,10 @@ def _pq_assign(s: DataFrame, c: DataFrame) -> DataFrame:
     )
 
 
-@register("embedding_pq_codebook", oracle=_pq_oracle())
-def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """(e, s, c1, a2): quantized vectors, subvectors, trained codebooks,
+    final code assignments — shared by the codebook census and ADC
+    search."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -1057,6 +1066,12 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a2 = _pq_assign(s, c1)
+    return e, s, c1, a2
+
+
+@register("embedding_pq_codebook", oracle=_pq_oracle())
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, a2 = _pq_train(spark, sf_dir)
     return a2.groupBy(
         F.col("m").cast("bigint").alias("subspace"),
         F.col("cid").alias("code"),
@@ -1066,4 +1081,91 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
         ).alias("mean_d2_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_adc_topk — PQ asymmetric-distance search (the query path of
+# Jégou et al.'s IVFADC, sans the coarse level): each query computes a
+# per-(subspace, code) distance TABLE against the trained codebooks
+# (N_QUERIES·M·K rows — constant-size, broadcast), and every compressed
+# corpus vector is scored by summing M table lookups instead of a 64-d
+# arithmetic pass. Distances are exact BIGINTs (quantized-domain), so
+# the top-k cut has no float ties.
+#
+# Scale shape: this is THE billion-vector search plan — the corpus side
+# touches only its (vec_id, m, cid) codes (3 small ints/row), the
+# lookup join is against a broadcast table, and the per-(query, vec)
+# sum map-side combines M=4 rows. Sharing _pq_train/_pq_ctes with the
+# codebook census means the compression being searched is the audited
+# one, in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH {_pq_ctes()},
+qs AS (
+  SELECT vec_id AS query_id, m, sq AS qsq FROM s WHERE vec_id < {N_QUERIES}
+),
+dt AS (
+  SELECT query_id, c.m, c.cid,
+    CAST({dot.format(a='qsq', b='qsq')}
+       - 2 * {dot.format(a='qsq', b='c.c')}
+       + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS dt
+  FROM qs JOIN c1 c ON qs.m = c.m
+),
+scored AS (
+  SELECT query_id, a.vec_id, CAST(sum(dt) AS BIGINT) AS d2_adc
+  FROM a2 a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+  WHERE a.vec_id <> query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY d2_adc ASC, vec_id ASC) AS INTEGER) AS rnk,
+  d2_adc
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, s, c1, a2 = _pq_train(spark, sf_dir)
+    qs = s.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sq").alias("qsq")
+    )
+    dt = qs.join(F.broadcast(c1), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        (
+            _km_dot_spark(F.col("qsq"), F.col("qsq"))
+            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"))
+            + _km_dot_spark(F.col("c"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("dt"),
+    )
+    scored = (
+        a2.select("vec_id", "m", "cid")
+        .join(F.broadcast(dt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dt").cast("bigint").alias("d2_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "d2_adc",
+        )
     )

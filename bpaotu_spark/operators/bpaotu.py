@@ -1321,3 +1321,129 @@ def sample_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NEIGHBOR_K)
         .select("sample_id", "neighbor", "bray_curtis", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# otu_indicator_species — indicator-species analysis (Dufrêne &
+# Legendre '97 IndVal): for every (environment group, OTU), specificity
+# A (the group's share of the OTU's across-group mean abundance) times
+# fidelity B (fraction of the group's samples containing the OTU);
+# the top-5 indicators per group. The "which taxa characterize this
+# environment" question bpaotu's comparison tooling feeds into.
+# Environment group = c_mktsegment (the portal's environment facet).
+#
+# Determinism: every ratio is floored into integer micro/ppm units
+# BEFORE the next stage consumes it (mean_micro → A_ppm → indval_ppm),
+# so both engines do identical integer arithmetic end-to-end — the
+# fixed-point discipline of the LM-loss operators; no double is ever
+# rounded for the hash.
+#
+# Scale shape: two map-side-combined aggregates over the abundance fact
+# (per (group, otu) mass/presence; per group sample counts), a rollup
+# per otu for the cross-group total, and a top-5 window per group over
+# per-group aggregates. Products are kept in 128-bit (DECIMAL(38,0) /
+# HUGEINT) so no width assumption breaks at 1000x the fact.
+# ---------------------------------------------------------------------------
+
+_INDVAL_TOPK = 5
+
+
+@register(
+    "otu_indicator_species",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+ab2 AS (
+  SELECT ab.sample_id, ab.otu_id, ab.cnt, c.c_mktsegment AS grp
+  FROM abundance ab JOIN customer c ON ab.sample_id = c.c_custkey
+),
+ng AS (
+  SELECT grp, CAST(count(DISTINCT sample_id) AS BIGINT) AS n_g
+  FROM ab2 GROUP BY grp
+),
+go AS (
+  SELECT grp, otu_id,
+    CAST(round(sum(CAST(cnt AS DECIMAL(18,6))), 0) AS BIGINT) AS mass,
+    CAST(count(DISTINCT sample_id) AS BIGINT) AS presence
+  FROM ab2 GROUP BY grp, otu_id
+),
+mm AS (
+  SELECT grp, otu_id, presence,
+    CAST(CAST(mass AS HUGEINT) * 1000000 // n_g AS BIGINT) AS mean_micro,
+    n_g
+  FROM go JOIN ng USING (grp)
+),
+tot AS (
+  SELECT otu_id, CAST(sum(mean_micro) AS BIGINT) AS tot_micro
+  FROM mm GROUP BY otu_id
+),
+iv AS (
+  SELECT grp, mm.otu_id,
+    CAST(CAST(mean_micro AS HUGEINT) * 1000000 // tot_micro AS BIGINT)
+      AS a_ppm,
+    CAST(CAST(presence AS HUGEINT) * 1000000 // n_g AS BIGINT) AS b_ppm
+  FROM mm JOIN tot ON mm.otu_id = tot.otu_id
+  WHERE tot_micro > 0
+),
+scored AS (
+  SELECT grp, otu_id, a_ppm, b_ppm,
+    CAST(CAST(a_ppm AS HUGEINT) * b_ppm // 1000000 AS BIGINT)
+      AS indval_ppm
+  FROM iv
+)
+SELECT grp, otu_id, a_ppm, b_ppm, indval_ppm,
+  CAST(row_number() OVER (PARTITION BY grp
+       ORDER BY indval_ppm DESC, otu_id ASC) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= {_INDVAL_TOPK}
+""",
+)
+def otu_indicator_species(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_mktsegment").alias("grp"),
+    )
+    ab2 = abundance(spark, sf_dir).join(F.broadcast(cust), "sample_id")
+    ng = ab2.groupBy("grp").agg(
+        F.countDistinct("sample_id").cast("bigint").alias("n_g")
+    )
+    go = ab2.groupBy("grp", "otu_id").agg(
+        F.round(F.sum(F.col("cnt").cast(DEC)), 0).cast("bigint").alias("mass"),
+        F.countDistinct("sample_id").cast("bigint").alias("presence"),
+    )
+    mm = go.join(F.broadcast(ng), "grp").select(
+        "grp",
+        "otu_id",
+        "presence",
+        "n_g",
+        F.expr(
+            "CAST(CAST(mass AS DECIMAL(38,0)) * 1000000 DIV n_g AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    tot = mm.groupBy("otu_id").agg(
+        F.sum("mean_micro").cast("bigint").alias("tot_micro")
+    )
+    iv = mm.join(tot, "otu_id").filter(F.col("tot_micro") > 0).select(
+        "grp",
+        "otu_id",
+        F.expr(
+            "CAST(CAST(mean_micro AS DECIMAL(38,0)) * 1000000 DIV tot_micro"
+            " AS BIGINT)"
+        ).alias("a_ppm"),
+        F.expr(
+            "CAST(CAST(presence AS DECIMAL(38,0)) * 1000000 DIV n_g AS BIGINT)"
+        ).alias("b_ppm"),
+    )
+    scored = iv.withColumn(
+        "indval_ppm",
+        F.expr("CAST(CAST(a_ppm AS DECIMAL(38,0)) * b_ppm DIV 1000000 AS BIGINT)"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("indval_ppm").desc(), F.col("otu_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _INDVAL_TOPK)
+        .select("grp", "otu_id", "a_ppm", "b_ppm", "indval_ppm", "rnk")
+    )

@@ -139,6 +139,8 @@ PRIORITY: tuple[str, ...] = (
     "revenue_ewma_daily",
     "text_tfidf_cosine_pairs",
     "embedding_pq_codebook",
+    "ann_pq_adc_topk",
+    "otu_indicator_species",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

@@ -296,3 +296,30 @@ def test_pq_codebook_partitions_corpus(spark, sf_dir):
         per_sub[r.subspace] += r.n_members
     assert set(per_sub) == {0, 1, 2, 3}
     assert all(v == n_vecs for v in per_sub.values())
+
+
+def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
+    """ADC top-k: per-query ranks are a clean 1..k, distances ascend,
+    no self-matches — and the ADC neighbor sets overlap the exact
+    brute-force sets (recall sanity: PQ at 4x16d/K=8 is coarse, but
+    top-10 overlap should be well above chance)."""
+    from collections import defaultdict
+
+    adc = QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
+    assert adc
+    per_q = defaultdict(list)
+    for r in adc:
+        assert r.cand_id != r.query_id
+        per_q[r.query_id].append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        d = [r.d2_adc for r in rs]
+        assert d == sorted(d)
+    exact = defaultdict(set)
+    for r in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect():
+        exact[r.query_id].add(r.cand_id)
+    overlaps = [
+        len({r.cand_id for r in rs} & exact[q]) for q, rs in per_q.items()
+    ]
+    assert sum(overlaps) > 0

@@ -179,3 +179,25 @@ def test_sample_neighbors_topk_invariants(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         keys = [(r.bray_curtis, r.neighbor) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_indicator_species_ppm_bounds(spark, sf_dir):
+    """A (specificity) and B (fidelity) are valid ppm shares, IndVal is
+    their scaled product, and each environment reports exactly top-5 in
+    descending order."""
+    from collections import defaultdict
+
+    rows = QUERIES["otu_indicator_species"](spark, sf_dir).collect()
+    assert rows
+    per_grp = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.a_ppm <= 1_000_000
+        assert 0 < r.b_ppm <= 1_000_000
+        assert r.indval_ppm == (r.a_ppm * r.b_ppm) // 1_000_000
+        per_grp[r.grp].append(r)
+    assert len(per_grp) == 5
+    for rs in per_grp.values():
+        rs.sort(key=lambda r: r.rnk)
+        vals = [r.indval_ppm for r in rs]
+        assert vals == sorted(vals, reverse=True)
+        assert len(rs) == 5

@@ -155,10 +155,17 @@ def scd2_merge(
         F.col("valid_from_us").alias("_ts"),
     )
     # classify the touched rows against the delta (open rows only can
-    # close; history rows always carry)
+    # close; history rows always carry). The `_ts >` term is the
+    # LATE-ARRIVAL GUARD: a delta not strictly newer than the open
+    # version is stale (out-of-order or replayed) and must not close
+    # anything — this is what makes whole-batch replays in any order
+    # no-ops, not just same-delta re-application.
     joined = touched.join(inc, touched[key_col] == inc["_k"], "left")
-    changes = F.col("_k").isNotNull() & F.col("is_current") & (
-        F.col("attr_hash") != F.col("_h")
+    changes = (
+        F.col("_k").isNotNull()
+        & F.col("is_current")
+        & (F.col("attr_hash") != F.col("_h"))
+        & (F.col("_ts") > F.col("valid_from_us"))
     )
     closed = joined.filter(changes).select(
         key_col,
@@ -172,17 +179,22 @@ def scd2_merge(
     carried = joined.filter(~F.coalesce(changes, F.lit(False))).select(
         *dim.columns
     )
-    # new open versions: changed keys + unseen keys (identical attrs on
-    # the open row → drop the delta row, making re-application a no-op)
+    # new open versions: unseen keys, plus keys whose open row the
+    # guard above actually closed (identical attrs OR stale timestamp
+    # → the delta row drops, making replays no-ops)
     cur_open = touched.filter(F.col("is_current")).select(
-        F.col(key_col).alias("_k"), F.col("attr_hash").alias("_h")
+        F.col(key_col).alias("_k"),
+        F.col("attr_hash").alias("_h"),
+        F.col("valid_from_us").alias("_open_from"),
     )
-    fresh = incoming.join(
-        cur_open,
-        (incoming[key_col] == cur_open["_k"])
-        & (incoming["attr_hash"] == cur_open["_h"]),
-        "left_anti",
-    )
+    jf = incoming.join(cur_open, incoming[key_col] == cur_open["_k"], "left")
+    fresh = jf.filter(
+        F.col("_k").isNull()
+        | (
+            (F.col("attr_hash") != F.col("_h"))
+            & (F.col("valid_from_us") > F.col("_open_from"))
+        )
+    ).select(*incoming.columns)
     n_closed = closed.count()
     n_fresh = fresh.count()
     merged = (

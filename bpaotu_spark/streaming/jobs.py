@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as _W
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -613,3 +614,62 @@ def cms_cells_stream(events: DataFrame) -> DataFrame:
     from bpaotu_spark.operators.events import cms_cells
 
     return cms_cells(events)
+
+
+def scd2_dim_stream(
+    spark: SparkSession, src_dir: str, table_path: str, checkpoint: str
+) -> None:
+    """CDC → SCD2: maintain a type-2 user dimension ("current
+    event_type" per user, with full version history) from the event
+    stream, one ``io.merge.scd2_merge`` per micro-batch.
+
+    Per batch the feed is compacted to the LATEST row per key (standard
+    CDC batch compaction — intermediate states within one batch never
+    become versions), then merged. Replay safety needs no batch-id
+    guard: ``scd2_merge`` is idempotent by construction (an identical
+    delta closes nothing and inserts nothing), so at-least-once
+    delivery of a batch is harmless — asserted by the replay test.
+
+    Scale shape: each merge rewrites only the key-hash buckets present
+    in the batch (dynamic partition overwrite); state lives in the
+    table, not the stream — the streaming job itself is stateless.
+    """
+    ev = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.select(
+                "user_id",
+                "event_type",
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+                "event_id",
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("user_id").orderBy(
+                        F.col("ts_us").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts_us")
+        )
+        from bpaotu_spark.io.merge import scd2_merge
+
+        scd2_merge(
+            spark,
+            table_path,
+            latest,
+            "user_id",
+            ("event_type",),
+            "ts_us",
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -436,3 +436,92 @@ def test_streaming_cms_matches_batch_sketch(spark, sf_dir):
     }
     assert got == want
     assert len(got) <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_scd2_stream_builds_version_history(spark, sf_dir, tmp_path):
+    """Three time-ordered CDC files through the SCD2 stream: the final
+    open rows equal the batch 'latest event_type per user', every key
+    has exactly one open row, version intervals are monotone, and a
+    fresh-checkpoint replay of all batches is a no-op (scd2_merge
+    idempotency stands in for a batch-id guard)."""
+    import os
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.streaming.jobs import scd2_dim_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        sl = ev.filter(
+            (F.unix_micros("ts") >= lo + i * step)
+            & (F.unix_micros("ts") < lo + (i + 1) * step)
+        )
+        # one file per time-slice, named so file order == time order
+        sl.coalesce(1).write.parquet(str(tmp_path / f"slice{i}"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / f"slice{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"events_{i}.parquet"))
+    # the stream reader globs events.parquet; rename accordingly is not
+    # possible for 3 files, so point the reader at the dir via a glob
+    # match: rename to events<i>.parquet does NOT match events.parquet,
+    # patch: write them as events.parquet under 3 subdirs is also out —
+    # simplest is a custom read here mirroring read_events_stream.
+    table = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    import bpaotu_spark.streaming.jobs as J
+
+    orig = J.read_events_stream
+
+    def rdr(spark_, _src, max_files_per_trigger=None):
+        r = spark_.readStream.schema(J.EVENTS_STREAM_SCHEMA).option(
+            "pathGlobFilter", "events_*.parquet"
+        )
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(_src).withColumn(
+            "ts", F.col("ts").cast("timestamp_ltz")
+        )
+
+    J.read_events_stream = rdr
+    try:
+        scd2_dim_stream(spark, src, table, ckpt)
+        # replay every batch against the same table (fresh checkpoint)
+        scd2_dim_stream(spark, src, table, str(tmp_path / "ckpt2"))
+    finally:
+        J.read_events_stream = orig
+
+    dim = spark.read.parquet(table).collect()
+    open_rows = {r.user_id: r for r in dim if r.is_current}
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in dim:
+        by_key[r.user_id].append(r)
+    for k, rs in by_key.items():
+        assert sum(1 for r in rs if r.is_current) == 1
+        closed = sorted(
+            (r for r in rs if not r.is_current), key=lambda r: r.valid_from_us
+        )
+        for r in closed:
+            assert r.valid_to_us is not None and r.valid_from_us <= r.valid_to_us
+
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        ).orderBy(F.unix_micros("ts").desc(), F.col("event_id").desc())
+    )
+    want = {
+        (r.user_id): r.event_type
+        for r in ev.withColumn("rn", w).filter(F.col("rn") == 1).collect()
+    }
+    assert {k: r.event_type for k, r in open_rows.items()} == want

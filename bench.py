@@ -159,6 +159,7 @@ HEADLINE = (
     "embedding_pq_codebook",
     "ann_pq_adc_topk",
     "otu_indicator_species",
+    "multimodal_phash_dedup",
 )
 
 

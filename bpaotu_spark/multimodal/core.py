@@ -519,3 +519,90 @@ def extract_features(assets: DataFrame) -> DataFrame:
 @register("multimodal_features")  # rows-only: float hash vector, engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(multimodal_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup — aHash (average hash) over the decoded 1-bit
+# pixel grid: downsample to an 8×8 block-density grid, threshold at the
+# grid mean, pack into a 64-bit hex hash. The image-side twin of
+# dedup_exact: re-encodes of the same picture (same pixels, different
+# byte container) collide, which byte-level md5 cannot do. Pure stdlib
+# + numpy over the REAL BMP geometry (offset/width/height/stride from
+# the header, bottom-up row order respected).
+#
+# Scale shape: the hash runs inside the same Arrow-batched mapInPandas
+# stage as every other payload op (one pass over object bytes, no
+# shuffle), and the family election is the exact-dedup groupBy shape —
+# hash keys, map-side combined.
+# ---------------------------------------------------------------------------
+
+
+def image_ahash(payload: bytes) -> str:
+    """64-bit average-hash of a 1-bit BMP payload, as 16 hex chars."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP payload (magic {payload[:2]!r})")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h_signed = struct.unpack_from("<i", payload, 22)[0]
+    h = abs(h_signed)
+    stride = ((w + 31) // 32) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first = BMP bit order
+    if h_signed > 0:  # bottom-up storage → top-down pixels
+        bits = bits[::-1]
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    dens = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blk = bits[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            dens[i, j] = blk.mean() if blk.size else 0.0
+    mean = dens.mean()
+    v = 0
+    for b in (dens > mean).flatten():
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+PHASH_SCHEMA = "asset_id bigint, phash string"
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """(asset_id, phash) for every image asset."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": [image_ahash(p) for p in pdf["payload"]],
+                }
+            )
+
+    return (
+        assets.filter(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(batches, schema=PHASH_SCHEMA)
+    )
+
+
+@register("multimodal_phash_dedup")  # rows-only: hash of decoded pixels,
+# not SQL-expressible (DuckDB cannot parse the binary payload)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = phash_assets(multimodal_table(spark, sf_dir))
+    fams = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("asset_id").alias("keeper_id"),
+    )
+    return hashed.join(fams, "phash").select(
+        "asset_id",
+        "phash",
+        "group_size",
+        "keeper_id",
+        (F.col("asset_id") != F.col("keeper_id")).alias("is_duplicate"),
+    )

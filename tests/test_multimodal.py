@@ -122,3 +122,43 @@ def test_features_shape_and_determinism(spark, sf_dir):
     b = {r.asset_id: r.feature for r in out.collect()}
     assert a == b
     assert all(len(v) == 8 and all(-1 <= x <= 1 for x in v) for v in a.values())
+
+
+def test_image_ahash_function_properties():
+    """aHash: container-equal pixels hash equal; a heavy pixel
+    perturbation changes the hash; output is 16 hex chars; top-down vs
+    bottom-up encodings of the same pixels collide."""
+    from bpaotu_spark.multimodal.core import encode_bmp, image_ahash
+
+    a = encode_bmp(7, b"hello world payload bytes")
+    b = encode_bmp(7, b"hello world payload bytes")
+    assert image_ahash(a) == image_ahash(b)
+    assert len(image_ahash(a)) == 16
+    int(image_ahash(a), 16)  # valid hex
+    c = encode_bmp(7, bytes(200))  # all-zero pixels → different grid
+    assert image_ahash(c) != image_ahash(a)
+
+
+def test_phash_dedup_families(spark, sf_dir):
+    """Operator invariants: every image asset appears exactly once,
+    keeper is the family min, duplicates flagged iff not keeper, and
+    the run is deterministic."""
+    rows = QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()
+    assert rows
+    ids = [r.asset_id for r in rows]
+    assert len(ids) == len(set(ids))
+    from collections import defaultdict
+
+    fams = defaultdict(list)
+    for r in rows:
+        fams[r.phash].append(r)
+        assert r.is_duplicate == (r.asset_id != r.keeper_id)
+    for fam in fams.values():
+        keeper = min(r.asset_id for r in fam)
+        assert all(r.keeper_id == keeper for r in fam)
+        assert all(r.group_size == len(fam) for r in fam)
+    again = {
+        r.asset_id: r.phash
+        for r in QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()
+    }
+    assert again == {r.asset_id: r.phash for r in rows}

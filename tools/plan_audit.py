@@ -53,6 +53,7 @@ ALLOWED_BNLJ = {
     "kmeans_embeddings": "broadcast K-row centroid table (K=8) per assignment pass",
     "otu_prevalence_spectrum": "broadcast 1-row sample-count scalar",
     "text_tfidf_cosine_pairs": "broadcast 1-row corpus-size scalar",
+    "nation_trade_flow": "broadcast 1-row grand-total scalar",
     "corpus_perplexity_filter": "inherits text_unigram_logloss's 1-row corpus-total broadcast",
 }
 

@@ -160,6 +160,9 @@ HEADLINE = (
     "ann_pq_adc_topk",
     "otu_indicator_species",
     "multimodal_phash_dedup",
+    "orders_yoy_growth",
+    "events_rolling_wau",
+    "multimodal_wav_rms",
 )
 
 

@@ -606,3 +606,87 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_id",
         (F.col("asset_id") != F.col("keeper_id")).alias("is_duplicate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio loudness — RMS energy over the decoded 16-bit PCM samples: the
+# audio-modality quality signal (silence/clipping screens) a curation
+# pipeline gates on. Real RIFF parsing: walk to the data chunk, read
+# int16 LE samples, integer sum of squares (exact — no float until the
+# final floor-sqrt, which is integer math too).
+# ---------------------------------------------------------------------------
+
+
+def wav_rms_floor(payload: bytes) -> tuple[int, int, int]:
+    """(n_samples, peak_abs, rms_floor) of a PCM16 WAV payload.
+
+    rms_floor = isqrt(sum(s^2) // n) — all-integer, so bit-identical on
+    any platform.
+    """
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=sz // 2, offset=pos + 8
+            ).astype(np.int64)
+            n = int(samples.size)
+            if n == 0:
+                return 0, 0, 0
+            ss = int((samples * samples).sum())
+            import math
+
+            return n, int(np.abs(samples).max()), math.isqrt(ss // n)
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("no data chunk")
+
+
+@register("multimodal_wav_rms")  # rows-only: decodes binary samples,
+# not SQL-expressible in DuckDB
+def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audio-asset loudness profile + corpus-level census by RMS
+    band (silent / quiet / loud / hot), the gate report shape.
+
+    Scale: one Arrow-batched pass over audio payloads, then a
+    4-bounded-key census — map-side combined.
+    """
+    import pandas as pd
+
+    assets = multimodal_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = [wav_rms_floor(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_samples": [o[0] for o in out],
+                    "peak_abs": [o[1] for o in out],
+                    "rms_floor": [o[2] for o in out],
+                }
+            )
+
+    per_asset = assets.select("asset_id", "payload").mapInPandas(
+        batches,
+        schema="asset_id bigint, n_samples bigint, peak_abs bigint, rms_floor bigint",
+    )
+    band = (
+        F.when(F.col("rms_floor") < 1000, "silent")
+        .when(F.col("rms_floor") < 8000, "quiet")
+        .when(F.col("rms_floor") < 20000, "loud")
+        .otherwise("hot")
+    )
+    return per_asset.groupBy(band.alias("rms_band")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.min("rms_floor").alias("min_rms"),
+        F.max("rms_floor").alias("max_rms"),
+        F.max("peak_abs").alias("max_peak"),
+        F.sum("n_samples").alias("total_samples"),
+    )

@@ -1104,3 +1104,70 @@ def event_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
     return top.select("path", "n", F.row_number().over(wr).cast("int").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_wau — trailing-7-day active users per day (the
+# DAU/WAU pair every engagement dashboard leads with). Exact sliding
+# distinct, computed scalably: the fact collapses to distinct
+# (day, user) first, each such row contributes to the 7 calendar days
+# it covers (bounded explode of an AGGREGATE, never the fact), and the
+# per-target-day count is a distinct-count keyed by day — calendar
+# gaps handled exactly, same discipline as revenue_ewma_daily.
+# ---------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+
+@register(
+    "events_rolling_wau",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT CAST(day + to_days(CAST(a AS INTEGER)) AS DATE) AS target_day,
+         user_id
+  FROM du CROSS JOIN (SELECT unnest(range({_WAU_DAYS})) AS a)
+),
+wau AS (
+  SELECT target_day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY 1
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+)
+SELECT d.day, dau.dau, wau.wau,
+  CAST(CAST(dau.dau AS HUGEINT) * 1000000 // wau.wau AS BIGINT)
+    AS dau_wau_ppm
+FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+""",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    ages = F.explode(F.array(*[F.lit(a) for a in range(_WAU_DAYS)]))
+    contrib = du.withColumn("a", ages).select(
+        F.date_add("day", F.col("a").cast("int")).alias("day"), "user_id"
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr(
+                "CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 DIV wau AS BIGINT)"
+            ).alias("dau_wau_ppm"),
+        )
+    )

@@ -1097,3 +1097,73 @@ def revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_yoy_growth — year-over-year revenue growth per customer
+# nation: the trend table behind every "growth by market" report.
+# Growth is exact integer ppm: (cents - prev) * 1e6 // prev, where both
+# engines' integer division truncates toward zero (verified: DuckDB
+# `//` and Spark `DIV` agree on negatives), so down years hash
+# identically too. Consecutive years only — a gap year yields no row
+# (lag is year-keyed, not row-keyed).
+#
+# Scale shape: the fact collapses to a (nation × year) aggregate
+# (map-side combined, dims broadcast); the lag window runs per nation
+# over ≤ a-few-dozen year rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_yoy_growth",
+    oracle=f"""
+WITH ny AS (
+  SELECT n_name AS nation, year(o_orderdate) AS yr,
+    {_CENTS_SQL.format(expr="o_totalprice")} AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT nation, yr, cents,
+    lag(cents) OVER (PARTITION BY nation ORDER BY yr) AS prev,
+    lag(yr) OVER (PARTITION BY nation ORDER BY yr) AS prev_yr
+  FROM ny
+)
+SELECT nation, CAST(yr AS BIGINT) AS yr, cents,
+  prev AS prev_cents,
+  CAST((cents - prev) * 1000000 // prev AS BIGINT) AS yoy_growth_ppm
+FROM lagged
+WHERE prev IS NOT NULL AND yr = prev_yr + 1
+""",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    ny = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("yr"))
+        .agg(_cents(F.col("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return (
+        ny.withColumn("prev", F.lag("cents").over(w))
+        .withColumn("prev_yr", F.lag("yr").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("yr") == F.col("prev_yr") + 1))
+        .select(
+            "nation",
+            F.col("yr").cast("bigint").alias("yr"),
+            "cents",
+            F.col("prev").alias("prev_cents"),
+            F.expr("CAST((cents - prev) * 1000000 DIV prev AS BIGINT)").alias(
+                "yoy_growth_ppm"
+            ),
+        )
+    )

@@ -122,3 +122,20 @@ def test_user_paths_are_valid_type_triples(spark, sf_dir):
         assert len(parts) == 3 and all(p in types for p in parts)
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_rolling_wau_bounds(spark, sf_dir):
+    """WAU >= DAU always; WAU never exceeds the sum of the window's
+    DAUs; ratio ppm <= 1e6."""
+    import datetime
+
+    rows = QUERIES["events_rolling_wau"](spark, sf_dir).collect()
+    assert rows
+    dau = {r.day: r.dau for r in rows}
+    for r in rows:
+        assert r.wau >= r.dau
+        window_sum = sum(
+            dau.get(r.day - datetime.timedelta(days=a), 0) for a in range(7)
+        )
+        assert r.wau <= window_sum
+        assert 0 < r.dau_wau_ppm <= 1_000_000

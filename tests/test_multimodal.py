@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import struct
 
+import pyspark.sql.functions as F
 import pytest
 
 from bpaotu_spark.multimodal.core import (
@@ -162,3 +163,50 @@ def test_phash_dedup_families(spark, sf_dir):
         for r in QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()
     }
     assert again == {r.asset_id: r.phash for r in rows}
+
+
+def test_wav_rms_function_exact():
+    """RMS on a constructed WAV equals the hand-computed integer value."""
+    import math
+
+    from bpaotu_spark.multimodal.core import wav_rms_floor
+
+    samples = [0, 100, -200, 300, -400, 32767]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    n, peak, rms = wav_rms_floor(wav)
+    assert n == 6 and peak == 32767
+    assert rms == math.isqrt(sum(s * s for s in samples) // 6)
+
+
+def test_wav_rms_operator_census(spark, sf_dir):
+    """The band census covers every audio asset exactly once with
+    consistent band boundaries."""
+    rows = QUERIES["multimodal_wav_rms"](spark, sf_dir).collect()
+    assert rows
+    bounds = {"silent": (0, 1000), "quiet": (1000, 8000),
+              "loud": (8000, 20000), "hot": (20000, 1 << 31)}
+    total = 0
+    for r in rows:
+        lo, hi = bounds[r.rms_band]
+        assert lo <= r.min_rms <= r.max_rms < hi
+        total += r.n_assets
+    from bpaotu_spark.multimodal.core import multimodal_table
+
+    n_audio = (
+        multimodal_table(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .count()
+    )
+    assert total == n_audio

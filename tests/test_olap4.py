@@ -246,3 +246,15 @@ def test_ewma_between_min_max_of_window(spark, sf_dir):
             if (r.day - datetime.timedelta(days=a)) in by_day
         ]
         assert min(window) <= r.ewma_cents <= max(window) + 1
+
+
+def test_yoy_growth_identity(spark, sf_dir):
+    """Growth ppm re-derives from the reported cents pair (truncating
+    division), and every row is a consecutive-year pair."""
+    rows = QUERIES["orders_yoy_growth"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.prev_cents > 0
+        q, rem = divmod((r.cents - r.prev_cents) * 1_000_000, r.prev_cents)
+        want = q if (r.cents - r.prev_cents) >= 0 or rem == 0 else q + 1
+        assert r.yoy_growth_ppm == want  # truncation toward zero

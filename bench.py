@@ -163,6 +163,8 @@ HEADLINE = (
     "orders_yoy_growth",
     "events_rolling_wau",
     "multimodal_wav_rms",
+    "embedding_outlier_topk",
+    "discount_effectiveness",
 )
 
 

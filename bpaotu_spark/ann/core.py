@@ -1169,3 +1169,104 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2_adc",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_topk — label-quality audit: the 5 vectors farthest
+# from their own label's centroid, per label (mislabeled/corrupted
+# embedding detection — the vector-side twin of corpus quality gates).
+# Centroids are the kmeans-update floor-mean (sign-safe identity);
+# distances are exact BIGINTs in the quantized domain, so the top-5 cut
+# is tie-free with the vec_id tie-break.
+#
+# Scale shape: one keyed aggregate for the per-label centroids (tiny —
+# |labels| rows, broadcast back), one map pass for distances, and a
+# top-5 window per label partition.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 5
+
+
+def _centroid_oracle_ctes() -> str:
+    dot = _KM_DOT
+    return f"""e AS (
+  SELECT vec_id, label,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+x AS (
+  SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS qv FROM e
+),
+m AS (
+  SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list((s - ((s % n + n) % n)) // n ORDER BY dim) AS c
+  FROM m GROUP BY label
+),
+d AS (
+  SELECT e.vec_id, e.label,
+    CAST({dot.format(a='e.q', b='e.q')}
+       - 2 * {dot.format(a='e.q', b='cent.c')}
+       + {dot.format(a='cent.c', b='cent.c')} AS BIGINT) AS d2
+  FROM e JOIN cent ON e.label = cent.label
+)"""
+
+
+@register(
+    "embedding_outlier_topk",
+    oracle=f"""
+WITH {_centroid_oracle_ctes()}
+SELECT label, vec_id, d2,
+  CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC)
+       AS INTEGER) AS rnk
+FROM d
+QUALIFY rnk <= {_OUTLIER_TOPK}
+""",
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    x = e.select("label", F.posexplode("q").alias("pos", "qv")).select(
+        "label", (F.col("pos") + 1).alias("dim"), "qv"
+    )
+    m = x.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    fv = F.expr("(s - ((s % n + n) % n)) DIV n")
+    cent = (
+        m.select("label", "dim", fv.alias("fv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "fv"))),
+                lambda t: t["fv"],
+            ).alias("c")
+        )
+    )
+    d2 = (
+        _km_dot_spark(F.col("q"), F.col("q"))
+        - 2 * _km_dot_spark(F.col("q"), F.col("c"))
+        + _km_dot_spark(F.col("c"), F.col("c"))
+    ).cast("bigint")
+    d = e.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", d2.alias("d2")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _OUTLIER_TOPK)
+        .select("label", "vec_id", "d2", "rnk")
+    )

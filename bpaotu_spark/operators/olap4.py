@@ -1167,3 +1167,63 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# discount_effectiveness — revenue and volume by discount band: does a
+# deeper discount actually move quantity? Classic pricing-analytics
+# rollup with the exact-cents discipline; discount bands are integer
+# percent points (floor(discount * 100)), so banding is exact.
+#
+# Scale shape: single map-side-combined aggregate over the fact scan,
+# band key cardinality ≤ 11; the per-band unit economics are 128-bit
+# integer divisions of the collapsed aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_effectiveness",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(l_discount * 100) AS BIGINT) AS discount_pct,
+    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 0) AS BIGINT)
+      AS total_qty,
+    {_CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+      AS revenue_cents,
+    CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1
+)
+SELECT discount_pct, n_items, total_qty, revenue_cents,
+  CAST(CAST(revenue_cents AS HUGEINT) // n_items AS BIGINT)
+    AS cents_per_item,
+  CAST(CAST(total_qty AS HUGEINT) * 1000000 // n_items AS BIGINT)
+    AS qty_per_item_ppm
+FROM b
+""",
+)
+def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast(DEC)), 0)
+        .cast("bigint")
+        .alias("total_qty"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue_cents"
+        ),
+    )
+    return b.select(
+        "discount_pct",
+        "n_items",
+        "total_qty",
+        "revenue_cents",
+        F.expr(
+            "CAST(CAST(revenue_cents AS DECIMAL(38,0)) DIV n_items AS BIGINT)"
+        ).alias("cents_per_item"),
+        F.expr(
+            "CAST(CAST(total_qty AS DECIMAL(38,0)) * 1000000 DIV n_items"
+            " AS BIGINT)"
+        ).alias("qty_per_item_ppm"),
+    )

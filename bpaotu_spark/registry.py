@@ -143,6 +143,8 @@ PRIORITY: tuple[str, ...] = (
     "otu_indicator_species",
     "orders_yoy_growth",
     "events_rolling_wau",
+    "embedding_outlier_topk",
+    "discount_effectiveness",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

@@ -323,3 +323,30 @@ def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
         len({r.cand_id for r in rs} & exact[q]) for q, rs in per_q.items()
     ]
     assert sum(overlaps) > 0
+
+
+def test_embedding_outliers_are_label_maxima(spark, sf_dir):
+    """Each label reports exactly top-5 by descending distance, and the
+    reported vectors really belong to that label."""
+    from collections import defaultdict
+
+    from bpaotu_spark.catalog import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = QUERIES["embedding_outlier_topk"](spark, sf_dir).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        assert labels[r.vec_id] == r.label
+        assert r.d2 >= 0
+        per[r.label].append(r)
+    for rs in per.values():
+        rs.sort(key=lambda r: r.rnk)
+        ds = [r.d2 for r in rs]
+        assert ds == sorted(ds, reverse=True)
+        assert len(rs) == 5

@@ -258,3 +258,18 @@ def test_yoy_growth_identity(spark, sf_dir):
         q, rem = divmod((r.cents - r.prev_cents) * 1_000_000, r.prev_cents)
         want = q if (r.cents - r.prev_cents) >= 0 or rem == 0 else q + 1
         assert r.yoy_growth_ppm == want  # truncation toward zero
+
+
+def test_discount_bands_cover_fact(spark, sf_dir):
+    """Band census covers every lineitem row; unit economics re-derive
+    from the reported integers."""
+    from bpaotu_spark.catalog import load_table
+
+    rows = QUERIES["discount_effectiveness"](spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_items for r in rows) == n
+    for r in rows:
+        assert 0 <= r.discount_pct <= 100
+        assert r.cents_per_item == r.revenue_cents // r.n_items
+        assert r.qty_per_item_ppm == r.total_qty * 1_000_000 // r.n_items

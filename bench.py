@@ -165,6 +165,8 @@ HEADLINE = (
     "multimodal_wav_rms",
     "embedding_outlier_topk",
     "discount_effectiveness",
+    "core_microbiome",
+    "token_rate_drift",
 )
 
 

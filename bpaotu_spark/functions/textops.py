@@ -1173,3 +1173,103 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kept", F.col("decile") <= _PPL_KEEP_DECILES)
     )
+
+
+# ---------------------------------------------------------------------------
+# token_rate_drift — distribution-drift monitor between two corpus
+# slices (here: even vs odd doc_id, standing in for yesterday's batch
+# vs today's): per-token occurrence rates in each slice and the top-20
+# tokens by absolute rate delta. The pipeline-monitoring primitive that
+# catches a source change / scraper regression before it poisons
+# training data.
+#
+# Determinism: rates are floored integer per-million-token units
+# BEFORE the delta, so the ranking is pure integer arithmetic.
+#
+# Scale shape: one map-side-combined (slice, token) aggregate off the
+# token explode, a token-keyed pivot via conditional sums, broadcast
+# 1-row slice totals, and a TakeOrdered top-20 — no windows over
+# unbounded partitions.
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+_DRIFT_MIN_COUNT = 5  # ignore tokens too rare to measure in either slice
+
+_ORACLES["token_rate_drift"] = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS slice, unnest({TOKENIZE_SQL}) AS token
+  FROM documents
+),
+tc AS (
+  SELECT token,
+    CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na_tot, CAST(sum(n_b) AS BIGINT) AS nb_tot
+  FROM tc
+),
+rates AS (
+  SELECT token, n_a, n_b,
+    CAST(CAST(n_a AS HUGEINT) * 1000000 // na_tot AS BIGINT) AS rate_a_ppm,
+    CAST(CAST(n_b AS HUGEINT) * 1000000 // nb_tot AS BIGINT) AS rate_b_ppm
+  FROM tc, tot
+  WHERE n_a + n_b >= {_DRIFT_MIN_COUNT}
+)
+SELECT token, n_a, n_b, rate_a_ppm, rate_b_ppm,
+  CAST(abs(rate_a_ppm - rate_b_ppm) AS BIGINT) AS drift_ppm,
+  CAST(row_number() OVER (ORDER BY abs(rate_a_ppm - rate_b_ppm) DESC,
+       token ASC) AS INTEGER) AS rnk
+FROM rates
+ORDER BY drift_ppm DESC, token ASC
+LIMIT {_DRIFT_TOPK}
+"""
+
+
+@register("token_rate_drift", oracle=_ORACLES["token_rate_drift"])
+def token_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(tokenize(F.col("text"))).alias("token"),
+    )
+    tc = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = tc.agg(
+        F.sum("n_a").cast("bigint").alias("na_tot"),
+        F.sum("n_b").cast("bigint").alias("nb_tot"),
+    )
+    rates = (
+        tc.filter(F.col("n_a") + F.col("n_b") >= _DRIFT_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000 DIV na_tot"
+                " AS BIGINT)"
+            ).alias("rate_a_ppm"),
+            F.expr(
+                "CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000 DIV nb_tot"
+                " AS BIGINT)"
+            ).alias("rate_b_ppm"),
+        )
+    )
+    drift = F.abs(F.col("rate_a_ppm") - F.col("rate_b_ppm")).cast("bigint")
+    top = (
+        rates.withColumn("drift_ppm", drift)
+        .orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
+        .limit(_DRIFT_TOPK)
+    )
+    w = Window.orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -1447,3 +1447,123 @@ def otu_indicator_species(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _INDVAL_TOPK)
         .select("grp", "otu_id", "a_ppm", "b_ppm", "indval_ppm", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# core_microbiome — the cross-environment core: OTUs whose per-
+# environment sample prevalence clears a floor in EVERY environment
+# (Shade & Handelsman's core-microbiome concept; the portal's
+# "ubiquitous taxa" view). Prevalence is exact integer ppm; the
+# "every environment" test is min-over-groups, and mean prevalence is
+# a 128-bit floor over the fixed group count.
+#
+# Scale shape: two map-side-combined aggregates (per (grp, otu)
+# presence; per grp sample counts broadcast back), then a per-otu
+# rollup whose key is the OTU — no windows, no pairs.
+# ---------------------------------------------------------------------------
+
+_CORE_TOPK = 20  # ranking, not an absolute gate: prevalence dilutes as
+# the OTU universe grows with scale, so a fixed ppm floor would go
+# vacuously empty at larger SFs — the core is the TOP of the
+# min-across-environments ordering
+
+
+@register(
+    "core_microbiome",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+ab2 AS (
+  SELECT DISTINCT ab.sample_id, ab.otu_id, c.c_mktsegment AS grp
+  FROM abundance ab JOIN customer c ON ab.sample_id = c.c_custkey
+),
+ng AS (
+  SELECT grp, CAST(count(DISTINCT sample_id) AS BIGINT) AS n_g
+  FROM ab2 GROUP BY grp
+),
+n_env AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ng),
+prev AS (
+  SELECT grp, otu_id,
+    CAST(CAST(count(DISTINCT sample_id) AS HUGEINT) * 1000000 // n_g
+         AS BIGINT) AS prev_ppm
+  FROM ab2 JOIN ng USING (grp)
+  GROUP BY grp, otu_id, n_g
+),
+core AS (
+  SELECT otu_id,
+    CAST(count(*) AS BIGINT) AS n_envs_present,
+    CAST(min(prev_ppm) AS BIGINT) AS min_prev_ppm,
+    CAST(max(prev_ppm) AS BIGINT) AS max_prev_ppm,
+    CAST(CAST(sum(prev_ppm) AS HUGEINT) // k AS BIGINT) AS mean_prev_ppm
+  FROM prev, n_env
+  GROUP BY otu_id, k
+)
+SELECT otu_id, n_envs_present, min_prev_ppm, max_prev_ppm, mean_prev_ppm,
+  CAST(row_number() OVER (ORDER BY min_prev_ppm DESC, mean_prev_ppm DESC,
+       otu_id ASC) AS INTEGER) AS rnk
+FROM core, n_env
+WHERE n_envs_present = k
+QUALIFY rnk <= {_CORE_TOPK}
+""",
+)
+def core_microbiome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_mktsegment").alias("grp"),
+    )
+    ab2 = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(cust), "sample_id")
+        .select("sample_id", "otu_id", "grp")
+        .distinct()
+    )
+    ng = ab2.groupBy("grp").agg(
+        F.countDistinct("sample_id").cast("bigint").alias("n_g")
+    )
+    n_env = ng.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    prev = (
+        ab2.join(F.broadcast(ng), "grp")
+        .groupBy("grp", "otu_id", "n_g")
+        .agg(F.countDistinct("sample_id").alias("p"))
+        .select(
+            "grp",
+            "otu_id",
+            F.expr(
+                "CAST(CAST(p AS DECIMAL(38,0)) * 1000000 DIV n_g AS BIGINT)"
+            ).alias("prev_ppm"),
+        )
+    )
+    core = (
+        prev.groupBy("otu_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_envs_present"),
+            F.min("prev_ppm").cast("bigint").alias("min_prev_ppm"),
+            F.max("prev_ppm").cast("bigint").alias("max_prev_ppm"),
+            F.sum("prev_ppm").alias("sum_ppm"),
+        )
+        .crossJoin(F.broadcast(n_env))
+        .filter(F.col("n_envs_present") == F.col("k"))
+    )
+    scored = core.select(
+        "otu_id",
+        "n_envs_present",
+        "min_prev_ppm",
+        "max_prev_ppm",
+        F.expr("CAST(CAST(sum_ppm AS DECIMAL(38,0)) DIV k AS BIGINT)").alias(
+            "mean_prev_ppm"
+        ),
+    )
+    # top-20 cut: orderBy+limit (TakeOrderedAndProject) then rank the
+    # bounded result — never a global sort of the candidate set
+    from pyspark.sql import Window
+
+    top = scored.orderBy(
+        F.col("min_prev_ppm").desc(),
+        F.col("mean_prev_ppm").desc(),
+        F.col("otu_id").asc(),
+    ).limit(_CORE_TOPK)
+    w = Window.orderBy(
+        F.col("min_prev_ppm").desc(),
+        F.col("mean_prev_ppm").desc(),
+        F.col("otu_id").asc(),
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

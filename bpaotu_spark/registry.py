@@ -145,6 +145,8 @@ PRIORITY: tuple[str, ...] = (
     "events_rolling_wau",
     "embedding_outlier_topk",
     "discount_effectiveness",
+    "core_microbiome",
+    "token_rate_drift",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

@@ -350,3 +350,14 @@ def test_embedding_outliers_are_label_maxima(spark, sf_dir):
         ds = [r.d2 for r in rs]
         assert ds == sorted(ds, reverse=True)
         assert len(rs) == 5
+
+
+def test_token_rate_drift_identities(spark, sf_dir):
+    """Drift re-derives from the reported rates; ranking descends."""
+    rows = QUERIES["token_rate_drift"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r.drift_ppm == abs(r.rate_a_ppm - r.rate_b_ppm)
+        assert r.n_a + r.n_b >= 5
+    drifts = [r.drift_ppm for r in sorted(rows, key=lambda r: r.rnk)]
+    assert drifts == sorted(drifts, reverse=True)

@@ -201,3 +201,15 @@ def test_indicator_species_ppm_bounds(spark, sf_dir):
         vals = [r.indval_ppm for r in rs]
         assert vals == sorted(vals, reverse=True)
         assert len(rs) == 5
+
+
+def test_core_microbiome_present_everywhere(spark, sf_dir):
+    """Every reported core OTU really occurs in all 5 environments, and
+    the ranking is by descending min prevalence."""
+    rows = QUERIES["core_microbiome"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r.n_envs_present == 5
+        assert 0 < r.min_prev_ppm <= r.mean_prev_ppm <= r.max_prev_ppm
+    mins = [r.min_prev_ppm for r in sorted(rows, key=lambda r: r.rnk)]
+    assert mins == sorted(mins, reverse=True)

@@ -167,6 +167,7 @@ HEADLINE = (
     "discount_effectiveness",
     "core_microbiome",
     "token_rate_drift",
+    "hierarchy_share_of_parent",
 )
 
 

@@ -1227,3 +1227,80 @@ def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("qty_per_item_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_share_of_parent — ratio-to-parent drilldown: revenue per
+# (brand, type) leaf with its share of the brand (parent) and of the
+# grand total, in exact ppm. The drilldown companion to the ROLLUP
+# operators (which give totals per level but not the child/parent
+# ratios a treemap or Krona chart renders).
+#
+# Scale shape: the fact collapses to the (brand, type) aggregate first;
+# parent and grand totals are RE-AGGREGATES of that collapsed table
+# (never a second fact pass), joined back — brand totals by key,
+# the 1-row grand total broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_share_of_parent",
+    oracle=f"""
+WITH leaf AS (
+  SELECT p_brand, p_type,
+    {_CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+      AS revenue_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+brand AS (
+  SELECT p_brand, CAST(sum(revenue_cents) AS BIGINT) AS brand_cents
+  FROM leaf GROUP BY 1
+),
+total AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents FROM leaf)
+SELECT leaf.p_brand, p_type, revenue_cents, brand_cents,
+  CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // brand_cents AS BIGINT)
+    AS share_of_brand_ppm,
+  CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT)
+    AS share_of_total_ppm
+FROM leaf JOIN brand ON leaf.p_brand = brand.p_brand, total
+""",
+)
+def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    leaf = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    brand = leaf.groupBy("p_brand").agg(
+        F.sum("revenue_cents").cast("bigint").alias("brand_cents")
+    )
+    total = leaf.agg(
+        F.sum("revenue_cents").cast("bigint").alias("total_cents")
+    )
+    return (
+        leaf.join(brand, "p_brand")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p_brand",
+            "p_type",
+            "revenue_cents",
+            "brand_cents",
+            F.expr(
+                "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV brand_cents AS BIGINT)"
+            ).alias("share_of_brand_ppm"),
+            F.expr(
+                "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV total_cents AS BIGINT)"
+            ).alias("share_of_total_ppm"),
+        )
+    )

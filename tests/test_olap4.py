@@ -273,3 +273,23 @@ def test_discount_bands_cover_fact(spark, sf_dir):
         assert 0 <= r.discount_pct <= 100
         assert r.cents_per_item == r.revenue_cents // r.n_items
         assert r.qty_per_item_ppm == r.total_qty * 1_000_000 // r.n_items
+
+
+def test_hierarchy_shares_sum_within_parent(spark, sf_dir):
+    """Leaf shares of each brand sum to ~1e6 ppm (floor slack < number
+    of leaves), and grand shares re-derive from the integers."""
+    from collections import defaultdict
+
+    rows = QUERIES["hierarchy_share_of_parent"](spark, sf_dir).collect()
+    assert rows
+    per_brand = defaultdict(list)
+    total = sum(r.revenue_cents for r in rows)
+    for r in rows:
+        per_brand[r.p_brand].append(r)
+        assert r.share_of_total_ppm == r.revenue_cents * 1_000_000 // total
+    for rs in per_brand.values():
+        s = sum(r.share_of_brand_ppm for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000
+        assert all(
+            r.brand_cents == sum(x.revenue_cents for x in rs) for r in rs
+        )

@@ -168,6 +168,7 @@ HEADLINE = (
     "core_microbiome",
     "token_rate_drift",
     "hierarchy_share_of_parent",
+    "multimodal_phash_near_pairs",
 )
 
 

@@ -690,3 +690,70 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_abs").alias("max_peak"),
         F.sum("n_samples").alias("total_samples"),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate image pairs — Hamming-banded phash blocking (the
+# simhash pigeonhole on the 64-bit aHash): split the hash into 4
+# 16-bit bands; ≤3 flipped bits cannot touch all 4 bands, so every
+# true ≤3-Hamming pair shares at least one exact band key. Candidates
+# join per band bucket (df-capped, the repo's bucket discipline) and
+# exact Hamming verifies. Catches re-encodes AND lightly-perturbed
+# images the exact-hash families miss.
+# ---------------------------------------------------------------------------
+
+PHASH_HAMMING_MAX = 3
+_PHASH_BANDS = 4  # 16 hex chars → 4 bands of 4 hex chars
+_PHASH_BUCKET_CAP = 200
+
+
+def _hex_half(col: "F.Column", start: int) -> "F.Column":
+    """8 hex chars → bigint (stays < 2^32, no sign hazard)."""
+    return F.conv(F.substring(col, start, 8), 16, 10).cast("bigint")
+
+
+@register("multimodal_phash_near_pairs")  # rows-only: pixels → hash
+def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = phash_assets(multimodal_table(spark, sf_dir))
+    bands = None
+    for b in range(_PHASH_BANDS):
+        part = hashed.select(
+            "asset_id",
+            "phash",
+            F.lit(b).alias("band"),
+            F.substring("phash", b * 4 + 1, 4).alias("key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    gated = bands.join(
+        sizes.filter(F.col("n").between(2, _PHASH_BUCKET_CAP)),
+        ["band", "key"],
+    )
+    buckets = gated.groupBy("band", "key").agg(
+        F.collect_list(F.struct("asset_id", "phash")).alias("ds")
+    )
+    cand = (
+        buckets.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(
+            _hex_half(F.col("ph_a"), 1).bitwiseXOR(_hex_half(F.col("ph_b"), 1))
+        )
+        + F.bit_count(
+            _hex_half(F.col("ph_a"), 9).bitwiseXOR(_hex_half(F.col("ph_b"), 9))
+        )
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("asset_a", "asset_b", "hamming")
+    )

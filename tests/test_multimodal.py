@@ -210,3 +210,30 @@ def test_wav_rms_operator_census(spark, sf_dir):
         .count()
     )
     assert total == n_audio
+
+
+def test_phash_near_pairs_contains_exact_families(spark, sf_dir):
+    """Every exact-phash duplicate pair appears with hamming 0, all
+    reported pairs respect the threshold, and hamming matches a python
+    recompute from the per-asset hashes."""
+    from collections import defaultdict
+
+    from bpaotu_spark.multimodal.core import multimodal_table, phash_assets
+
+    hashes = {
+        r.asset_id: r.phash
+        for r in phash_assets(multimodal_table(spark, sf_dir)).collect()
+    }
+    pairs = QUERIES["multimodal_phash_near_pairs"](spark, sf_dir).collect()
+    got = {(r.asset_a, r.asset_b): r.hamming for r in pairs}
+    for (a, b), h in got.items():
+        want = bin(int(hashes[a], 16) ^ int(hashes[b], 16)).count("1")
+        assert h == want and h <= 3
+    fams = defaultdict(list)
+    for aid, ph in hashes.items():
+        fams[ph].append(aid)
+    for ids in fams.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert got.get((a, b)) == 0

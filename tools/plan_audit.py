@@ -54,6 +54,9 @@ ALLOWED_BNLJ = {
     "otu_prevalence_spectrum": "broadcast 1-row sample-count scalar",
     "text_tfidf_cosine_pairs": "broadcast 1-row corpus-size scalar",
     "nation_trade_flow": "broadcast 1-row grand-total scalar",
+    "token_rate_drift": "broadcast 1-row slice-totals scalar",
+    "core_microbiome": "broadcast 1-row environment-count scalar",
+    "hierarchy_share_of_parent": "broadcast 1-row grand-total scalar",
     "corpus_perplexity_filter": "inherits text_unigram_logloss's 1-row corpus-total broadcast",
 }
 

@@ -169,6 +169,7 @@ HEADLINE = (
     "token_rate_drift",
     "hierarchy_share_of_parent",
     "multimodal_phash_near_pairs",
+    "otu_niche_breadth",
 )
 
 

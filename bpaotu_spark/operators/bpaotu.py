@@ -1567,3 +1567,115 @@ def core_microbiome(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("otu_id").asc(),
     )
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# otu_niche_breadth — generalist-vs-specialist index per OTU: Shannon
+# entropy of its abundance mass across environments (Levins' niche
+# breadth, entropy form), in exact integer micro-nats with the
+# text_token_entropy discipline — ln() floored once per DISTINCT mass
+# value before any aggregation, so summation order can never flip the
+# hash. Evenness normalizes by ln(K) (K = 5 environments, a
+# compile-time constant in micro-nats). Specialists score ~0;
+# uniform generalists score ~1e6 ppm.
+#
+# Scale shape: one map-side-combined (otu, env) mass aggregate, ln
+# lookup joined on the distinct mass value, one otu-keyed re-agg. No
+# windows, no pairs.
+# ---------------------------------------------------------------------------
+
+_NICHE_K = 5
+_LN_K_MICRO = 1_609_437  # floor(ln(5) * 1e6)
+
+
+@register(
+    "otu_niche_breadth",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+ab2 AS (
+  SELECT ab.otu_id, c.c_mktsegment AS grp,
+    CAST(round(sum(CAST(ab.cnt AS DECIMAL(18,6))), 0) AS BIGINT) AS mass
+  FROM abundance ab JOIN customer c ON ab.sample_id = c.c_custkey
+  GROUP BY 1, 2
+),
+m2 AS (SELECT otu_id, grp, mass FROM ab2 WHERE mass > 0),
+lnm AS (
+  SELECT mass AS mval,
+    CAST(floor(ln(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS ln_micro
+  FROM (SELECT DISTINCT mass FROM m2)
+),
+per_otu AS (
+  SELECT otu_id, CAST(sum(m2.mass) AS BIGINT) AS total_mass,
+    CAST(count(*) AS BIGINT) AS n_envs,
+    CAST(sum(m2.mass * ln_micro) AS BIGINT) AS sum_m_lnm
+  FROM m2 JOIN lnm ON m2.mass = lnm.mval
+  GROUP BY otu_id
+),
+nln AS (
+  SELECT total_mass AS nval,
+    CAST(floor(ln(CAST(total_mass AS DOUBLE)) * 1000000) AS BIGINT)
+      AS lnn_micro
+  FROM (SELECT DISTINCT total_mass FROM per_otu)
+)
+SELECT otu_id, total_mass, n_envs,
+  CAST(total_mass * lnn_micro - sum_m_lnm AS BIGINT) AS nH_micronats,
+  CAST(CAST(total_mass * lnn_micro - sum_m_lnm AS HUGEINT) * 1000000
+       // (total_mass * {_LN_K_MICRO}) AS BIGINT) AS evenness_ppm
+FROM per_otu JOIN nln ON per_otu.total_mass = nln.nval
+""",
+)
+def otu_niche_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_mktsegment").alias("grp"),
+    )
+    ab2 = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(cust), "sample_id")
+        .groupBy("otu_id", "grp")
+        .agg(
+            F.round(F.sum(F.col("cnt").cast(DEC)), 0)
+            .cast("bigint")
+            .alias("mass")
+        )
+        .filter(F.col("mass") > 0)
+    )
+    lnm = ab2.select("mass").distinct().select(
+        F.col("mass").alias("mval"),
+        F.floor(F.log(F.col("mass").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("ln_micro"),
+    )
+    per_otu = (
+        ab2.join(F.broadcast(lnm), ab2.mass == lnm.mval)
+        .groupBy("otu_id")
+        .agg(
+            F.sum("mass").cast("bigint").alias("total_mass"),
+            F.count(F.lit(1)).cast("bigint").alias("n_envs"),
+            F.sum(F.col("mass") * F.col("ln_micro"))
+            .cast("bigint")
+            .alias("sum_m_lnm"),
+        )
+    )
+    nln = per_otu.select("total_mass").distinct().select(
+        F.col("total_mass").alias("nval"),
+        F.floor(F.log(F.col("total_mass").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("lnn_micro"),
+    )
+    nh = (F.col("total_mass") * F.col("lnn_micro") - F.col("sum_m_lnm")).cast(
+        "bigint"
+    )
+    return (
+        per_otu.join(F.broadcast(nln), per_otu.total_mass == nln.nval)
+        .select(
+            "otu_id",
+            "total_mass",
+            "n_envs",
+            nh.alias("nH_micronats"),
+            F.expr(
+                f"CAST(CAST(total_mass * lnn_micro - sum_m_lnm AS DECIMAL(38,0))"
+                f" * 1000000 DIV (total_mass * {_LN_K_MICRO}) AS BIGINT)"
+            ).alias("evenness_ppm"),
+        )
+    )

@@ -148,6 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "core_microbiome",
     "token_rate_drift",
     "hierarchy_share_of_parent",
+    "otu_niche_breadth",
     # these eight (B) entries spilled to make room for the 16 A1
     # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
     # judge-verified in round 4; they rotate into the window next round

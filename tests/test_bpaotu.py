@@ -213,3 +213,16 @@ def test_core_microbiome_present_everywhere(spark, sf_dir):
         assert 0 < r.min_prev_ppm <= r.mean_prev_ppm <= r.max_prev_ppm
     mins = [r.min_prev_ppm for r in sorted(rows, key=lambda r: r.rnk)]
     assert mins == sorted(mins, reverse=True)
+
+
+def test_niche_breadth_bounds(spark, sf_dir):
+    """Entropy is 0 for single-environment OTUs, evenness stays within
+    [0, 1e6] (+ floor slack), and n_envs <= 5."""
+    rows = QUERIES["otu_niche_breadth"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_envs <= 5
+        if r.n_envs == 1:
+            assert r.nH_micronats == 0 and r.evenness_ppm == 0
+        assert 0 <= r.evenness_ppm <= 1_000_001
+        assert r.nH_micronats >= 0

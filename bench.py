@@ -170,6 +170,12 @@ HEADLINE = (
     "hierarchy_share_of_parent",
     "multimodal_phash_near_pairs",
     "otu_niche_breadth",
+    "chao1_richness",
+    "pielou_evenness",
+    "rank_abundance_curve",
+    "dsir_importance_select",
+    "tokenizer_fertility",
+    "zorder_file_pruning",
 )
 
 

@@ -1,0 +1,217 @@
+"""Ecology estimators over the abundance fact (bpaotu's domain).
+
+Classic community-ecology statistics the reference's diversity pages
+feed from the same OTU table (reference: bpaotu/otu/query.py's
+abundance endpoints; the alpha-diversity family in SURVEY §2):
+
+* ``chao1_richness`` — bias-corrected Chao1 richness estimate plus
+  Good's coverage, the "how much of the community did sequencing
+  actually see" pair.
+* ``pielou_evenness`` — Shannon H normalized by ln(richness), the
+  generalist/specialist balance of a sample.
+* ``rank_abundance_curve`` — Whittaker rank-abundance profiles, the
+  shape diagnostic behind every diversity index.
+
+Determinism discipline (shared with functions/textops.py): every
+natural log is floored into integer micro-nats BEFORE any sum or
+division, and every ratio is integer parts-per-million / per-mille —
+both engines then aggregate integers, so summation order can never
+flip the driver's value hash.
+
+Scale shape: everything below is two keyed aggregations over the
+(sample, otu) partial-sum table — map-side combine applies, no
+unpartitioned window, no driver collect. Per-sample OTU counts are
+bounded by the part vocabulary, not the fact-table row count, so the
+second aggregation's input shrinks by orders of magnitude at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.registry import register
+
+
+def _per_otu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_id, otu_id, c): integer per-sample OTU totals."""
+    return (
+        abundance(spark, sf_dir)
+        .groupBy("sample_id", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
+_PER_OTU_CTE = f"""
+{ABUNDANCE_CTE},
+per_otu AS (
+  SELECT sample_id, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance GROUP BY sample_id, otu_id
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# chao1_richness — Chao1 = S + f1(f1-1) / (2(f2+1)) (bias-corrected
+# form, defined even when doubletons are absent) and Good's coverage
+# C = 1 - f1/N. f1/f2 are the singleton/doubleton OTU counts per
+# sample. Emitted as chao1_milli (×1000, integer-floored) and
+# coverage_ppm so the estimate is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chao1_richness",
+    oracle=f"""
+WITH {_PER_OTU_CTE},
+st AS (
+  SELECT sample_id,
+    CAST(count(*) AS BIGINT) AS richness,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+    CAST(sum(c) AS BIGINT) AS n_total
+  FROM per_otu GROUP BY sample_id
+)
+SELECT sample_id, richness, f1, f2, n_total,
+  richness * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1))
+    AS chao1_milli,
+  1000000 - (f1 * 1000000) // n_total AS coverage_ppm
+FROM st
+""",
+)
+def chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _per_otu(spark, sf_dir).groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("richness"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum("c").alias("n_total"),
+    )
+    return st.select(
+        "sample_id",
+        "richness",
+        "f1",
+        "f2",
+        "n_total",
+        F.expr(
+            "richness * 1000 + (f1 * (f1 - 1) * 1000) div (2 * (f2 + 1))"
+        ).alias("chao1_milli"),
+        F.expr("1000000 - (f1 * 1000000) div n_total").alias("coverage_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pielou_evenness — J = H / ln(S) in integer ppm. H follows
+# alpha_diversity's algebraic form H = ln(T) - Σ c·ln(c) / T, but with
+# the micro-nat flooring applied to each ln() term so the quotient is
+# integer division of integers (alpha_diversity itself reports rounded
+# doubles; this op is the hash-exact fixed-point sibling). Samples with
+# a single OTU (ln S = 0) are excluded — J is undefined there, and
+# both engines drop them identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pielou_evenness",
+    oracle=f"""
+WITH {_PER_OTU_CTE},
+st AS (
+  SELECT sample_id,
+    CAST(count(*) AS BIGINT) AS richness,
+    CAST(sum(c) AS BIGINT) AS n_total,
+    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+      AS BIGINT) AS sum_clnc_micro
+  FROM per_otu GROUP BY sample_id
+)
+SELECT sample_id, richness, n_total,
+  CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1000000) AS BIGINT)
+    - sum_clnc_micro // n_total AS shannon_micronats,
+  (CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1000000) AS BIGINT)
+    - sum_clnc_micro // n_total) * 1000000
+    // CAST(floor(ln(CAST(richness AS DOUBLE)) * 1000000) AS BIGINT)
+    AS evenness_ppm
+FROM st WHERE richness >= 2
+""",
+)
+def pielou_evenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = (
+        _per_otu(spark, sf_dir)
+        .groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).alias("richness"),
+            F.sum("c").alias("n_total"),
+            F.sum(
+                F.col("c")
+                * F.floor(F.log(F.col("c").cast("double")) * 1000000).cast(
+                    "bigint"
+                )
+            ).alias("sum_clnc_micro"),
+        )
+        .filter(F.col("richness") >= 2)
+    )
+    h = (
+        F.floor(F.log(F.col("n_total").cast("double")) * 1000000).cast(
+            "bigint"
+        )
+        - F.expr("sum_clnc_micro div n_total")
+    ).alias("shannon_micronats")
+    return st.select("sample_id", "richness", "n_total", h).select(
+        "sample_id",
+        "richness",
+        "n_total",
+        "shannon_micronats",
+        F.expr(
+            "shannon_micronats * 1000000 div "
+            "CAST(floor(ln(CAST(richness AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("evenness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank_abundance_curve — Whittaker plot input: per sample, OTUs ranked
+# by abundance (count desc, otu_id asc for a total deterministic
+# order), top 20 ranks kept, relative abundance in integer ppm. The
+# window partitions by sample_id, so no data ever converges on one
+# task; output is |samples| × ≤20 rows regardless of fact size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rank_abundance_curve",
+    oracle=f"""
+WITH {_PER_OTU_CTE},
+tot AS (
+  SELECT sample_id, CAST(sum(c) AS BIGINT) AS n_total
+  FROM per_otu GROUP BY sample_id
+),
+rk AS (
+  SELECT sample_id, otu_id, c,
+    row_number() OVER (PARTITION BY sample_id ORDER BY c DESC, otu_id)
+      AS rank
+  FROM per_otu
+)
+SELECT rk.sample_id, rank, otu_id, c AS abundance,
+  (c * 1000000) // n_total AS rel_abund_ppm
+FROM rk JOIN tot ON rk.sample_id = tot.sample_id
+WHERE rank <= 20
+""",
+)
+def rank_abundance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per = _per_otu(spark, sf_dir)
+    tot = per.groupBy("sample_id").agg(F.sum("c").alias("n_total"))
+    w = Window.partitionBy("sample_id").orderBy(
+        F.col("c").desc(), F.col("otu_id")
+    )
+    # row_number() is int32 in Spark but BIGINT in DuckDB — cast up
+    rk = per.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= 20)
+    return rk.join(tot, "sample_id").select(
+        "sample_id",
+        "rank",
+        "otu_id",
+        F.col("c").alias("abundance"),
+        F.expr("(c * 1000000) div n_total").alias("rel_abund_ppm"),
+    )

@@ -42,6 +42,9 @@ def load_all() -> None:
     import bpaotu_spark.operators.bpaotu  # noqa: F401
     import bpaotu_spark.operators.pipeline  # noqa: F401
     import bpaotu_spark.operators.ordination  # noqa: F401
+    import bpaotu_spark.operators.ecology  # noqa: F401
+    import bpaotu_spark.functions.textops2  # noqa: F401
+    import bpaotu_spark.operators.layout  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -128,6 +131,12 @@ PRIORITY: tuple[str, ...] = (
     # (B0) round-5 continuation batch 2 — new operators landed after
     # the window filled; all pass tools/check.py at sf0.001 + sf0.01;
     # rotate into the window next round
+    "chao1_richness",
+    "pielou_evenness",
+    "rank_abundance_curve",
+    "dsir_importance_select",
+    "tokenizer_fertility",
+    "zorder_file_pruning",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

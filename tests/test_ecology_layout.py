@@ -1,0 +1,106 @@
+"""Ecology estimators + layout audit + textops2: invariants the DuckDB
+oracle compare can't see (plan shape, mathematical bounds)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_chao1_bounds(spark, sf_dir):
+    rows = QUERIES["chao1_richness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Chao1 never estimates fewer species than observed
+        assert r.chao1_milli >= r.richness * 1000
+        assert 0 <= r.coverage_ppm <= 1_000_000
+        assert r.f1 >= 0 and r.f2 >= 0 and r.f1 + r.f2 <= r.richness
+
+
+def test_pielou_evenness_bounds(spark, sf_dir):
+    rows = QUERIES["pielou_evenness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.richness >= 2
+        # J in (0, 1]: H <= ln(S) always, with micro-nat flooring the
+        # ppm ratio can graze just over 1e6 only via the floored
+        # denominator — allow the 1-step slack
+        assert 0 < r.evenness_ppm <= 1_000_001
+        assert r.shannon_micronats > 0
+
+
+def test_rank_abundance_structure(spark, sf_dir):
+    df = QUERIES["rank_abundance_curve"](spark, sf_dir)
+    rows = df.collect()
+    by_sample: dict[int, list] = {}
+    for r in rows:
+        by_sample.setdefault(r.sample_id, []).append(r)
+    for sid, rs in by_sample.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 20
+        # abundance is non-increasing along the rank axis
+        cs = [r.abundance for r in rs]
+        assert cs == sorted(cs, reverse=True)
+    # the window is sample-partitioned — never a global sort
+    assert "PARTITION BY sample_id" not in plan(df)  # formatted plans
+    assert "Window" in plan(df)
+
+
+def test_dsir_selects_target_lang_top(spark, sf_dir):
+    rows = QUERIES["dsir_importance_select"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    scores = [r.dsir_score_micronats for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # importance resampling must enrich the target domain: the 'en'
+    # share of the selected set must beat its share of the raw corpus
+    from bpaotu_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    langs = [r.lang for r in rows]
+    assert langs.count("en") / len(rows) > n_en / n_total
+    # TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan(
+        QUERIES["dsir_importance_select"](spark, sf_dir)
+    )
+
+
+def test_tokenizer_fertility_sane(spark, sf_dir):
+    rows = QUERIES["tokenizer_fertility"](spark, sf_dir).collect()
+    assert {r.lang for r in rows} == {"en", "fr", "es", "de", "zh"}
+    for r in rows:
+        # BPE-ish pre-tokens can only split words further: fertility >= 1
+        assert r.fertility_ppm >= 1_000_000
+        assert r.chars_per_token_milli > 0
+
+
+def test_zorder_prunes_and_natural_does_not(spark, sf_dir):
+    rows = {r.layout: r for r in QUERIES["zorder_file_pruning"](spark, sf_dir).collect()}
+    assert set(rows) == {"natural", "zorder"}
+    nat, zo = rows["natural"], rows["zorder"]
+    assert nat.n_files == zo.n_files == 64
+    assert nat.rows_total == zo.rows_total
+    # the whole point: clustering on the probe columns must prune
+    # strictly better than insertion order
+    assert zo.files_hit < nat.files_hit
+    assert zo.scan_frac_ppm < nat.scan_frac_ppm
+    # z-order bounding boxes cover the probe region at least once
+    assert zo.files_hit >= 1
+
+
+def test_zorder_plan_single_fact_scan(spark, sf_dir):
+    p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
+    # the max() frame is a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

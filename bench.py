@@ -176,6 +176,9 @@ HEADLINE = (
     "dsir_importance_select",
     "tokenizer_fertility",
     "zorder_file_pruning",
+    "anosim_groups",
+    "order_price_reconciliation",
+    "join_skew_audit",
 )
 
 

@@ -1,0 +1,214 @@
+"""Data-quality and shuffle-health audits.
+
+The two audits every warehouse runs before trusting a 100 TB fact
+table (reference analogue: the importer's validation pass in
+bpaotu/otu/importer.py, generalized to fact-vs-rollup consistency):
+
+* ``order_price_reconciliation`` — does the denormalized
+  ``o_totalprice`` equal the lineitem recomputation
+  Σ extendedprice·(1−discount)·(1+tax)?  Reports the relative-error
+  distribution (5 %-wide ppm buckets) plus orphan orders with no
+  lineitems. On this synthetic data the invariant is deliberately
+  violated — the audit's job is to SAY so, with exact counts.
+* ``join_skew_audit`` — per candidate join key of the fact table:
+  key multiplicity profile (max / mean / skew factor) and the hottest
+  key. The pre-flight check that decides between a plain shuffle
+  join, AQE skew handling, or an explicit salt.
+
+Float determinism: every money product is floored to integer cents
+PER ROW before any sum (a parallel double sum's rounding depends on
+partition order; an integer sum does not).
+
+Scale shape: one fact scan each; the reconciliation joins the orders
+dim on the already-aggregated per-order cents (shuffle on o_orderkey,
+both sides pre-reduced); the skew audit explodes 3 tagged keys and
+aggregates with map-side combine — hottest-key extraction is a
+max-of-struct, never a sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# order_price_reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_reconciliation",
+    oracle="""
+WITH rec AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      * 100) AS BIGINT)) AS BIGINT) AS recon_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+    recon_cents
+  FROM orders LEFT JOIN rec ON o_orderkey = l_orderkey
+),
+b AS (
+  SELECT
+    CASE WHEN recon_cents IS NULL THEN 999
+         ELSE greatest(-10, least(10,
+           ((o_cents - recon_cents) * 1000000 // o_cents) // 50000))
+    END AS rel_err_bucket,
+    o_cents, coalesce(recon_cents, 0) AS recon_cents
+  FROM j
+)
+SELECT rel_err_bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(o_cents) AS BIGINT) AS sum_o_cents,
+  CAST(sum(o_cents - recon_cents) AS BIGINT) AS sum_diff_cents
+FROM b GROUP BY rel_err_bucket
+""",
+)
+def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rec = (
+        li.select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("line_cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_cents").alias("recon_cents"))
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("o_cents"),
+    )
+    j = od.join(rec, od.o_orderkey == rec.l_orderkey, "left")
+    b = j.select(
+        F.when(F.col("recon_cents").isNull(), 999)
+        .otherwise(
+            F.greatest(
+                F.lit(-10),
+                F.least(
+                    F.lit(10),
+                    F.expr(
+                        "((o_cents - recon_cents) * 1000000 div o_cents)"
+                        " div 50000"
+                    ),
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("rel_err_bucket"),
+        "o_cents",
+        F.coalesce("recon_cents", F.lit(0)).alias("recon_cents"),
+    )
+    return b.groupBy("rel_err_bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_cents").alias("sum_o_cents"),
+        F.sum(F.col("o_cents") - F.col("recon_cents")).alias(
+            "sum_diff_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_skew_audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skew_audit",
+    oracle="""
+WITH tagged AS (
+  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_val FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+mult AS (
+  SELECT key_name, key_val, CAST(count(*) AS BIGINT) AS m
+  FROM tagged GROUP BY key_name, key_val
+),
+st AS (
+  SELECT key_name,
+    CAST(sum(m) AS BIGINT) AS n_rows,
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(max(m) AS BIGINT) AS max_mult
+  FROM mult GROUP BY key_name
+),
+hot AS (
+  SELECT mult.key_name, CAST(max(key_val) AS BIGINT) AS hottest_key
+  FROM mult JOIN st ON mult.key_name = st.key_name AND m = max_mult
+  GROUP BY mult.key_name
+)
+SELECT st.key_name, n_rows, n_keys, max_mult,
+  (n_rows * 1000) // n_keys AS avg_mult_milli,
+  (max_mult * 1000000 * n_keys) // n_rows AS skew_factor_ppm,
+  hottest_key
+FROM st JOIN hot ON st.key_name = hot.key_name
+""",
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_orderkey").alias("key_name"),
+                    F.col("l_orderkey").alias("key_val"),
+                ),
+                F.struct(
+                    F.lit("l_partkey").alias("key_name"),
+                    F.col("l_partkey").alias("key_val"),
+                ),
+                F.struct(
+                    F.lit("l_suppkey").alias("key_name"),
+                    F.col("l_suppkey").alias("key_val"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.key_name", "t.key_val")
+    mult = tagged.groupBy("key_name", "key_val").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    st = mult.groupBy("key_name").agg(
+        F.sum("m").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("m").alias("max_mult"),
+    )
+    # hottest key: max key_val among keys at max multiplicity — a
+    # deterministic tie-break without sorting the multiplicity table
+    hot = (
+        mult.join(
+            F.broadcast(st.select("key_name", "max_mult")), "key_name"
+        )
+        .filter(F.col("m") == F.col("max_mult"))
+        .groupBy("key_name")
+        .agg(F.max("key_val").cast("bigint").alias("hottest_key"))
+    )
+    return (
+        st.join(hot, "key_name")
+        .select(
+            "key_name",
+            "n_rows",
+            "n_keys",
+            "max_mult",
+            F.expr("(n_rows * 1000) div n_keys").alias("avg_mult_milli"),
+            F.expr("(max_mult * 1000000 * n_keys) div n_rows").alias(
+                "skew_factor_ppm"
+            ),
+            "hottest_key",
+        )
+    )

@@ -215,3 +215,196 @@ def rank_abundance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("abundance"),
         F.expr("(c * 1000000) div n_total").alias("rel_abund_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anosim_groups — ANOSIM (Clarke 1993): are two sample groups more
+# dissimilar between than within?  R = (r̄_between − r̄_within) / (M/2)
+# over the ranks of ALL pairwise Bray-Curtis distances (average ranks
+# for ties — the classical definition). R ≈ 0 → no separation; R → 1 →
+# groups fully separated. This is the comparison-page significance
+# companion to beta_diversity_braycurtis / ordination_pcoa_2d.
+#
+# ANOSIM is inherently O(n²) in the SAMPLE count, so the sample
+# selection must be bounded (here: two mktsegments × 5 nations — the
+# study-design situation the statistic exists for). Distances are
+# integer ppm, so ranks are engine-exact; tie groups use average ranks
+# computed from the DISTINCT-distance cumulative table — the only
+# unpartitioned window runs over ≤1e6 distinct ppm values, never over
+# the pair table itself.
+# ---------------------------------------------------------------------------
+
+_ANOSIM_SEL = (
+    "c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey < 5"
+)
+
+
+@register(
+    "anosim_groups",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_mktsegment AS grp
+  FROM customer WHERE {_ANOSIM_SEL}
+),
+a AS (
+  SELECT ab.sample_id, grp, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, grp, otu_id
+),
+tot AS (
+  SELECT sample_id, grp, CAST(sum(c) AS BIGINT) AS tot
+  FROM a GROUP BY sample_id, grp
+),
+shared AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         CAST(sum(least(x.c, y.c)) AS BIGINT) AS sum_min
+  FROM a x JOIN a y ON x.otu_id = y.otu_id AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+),
+pairs AS (
+  SELECT ta.sample_id AS sample_a, tb.sample_id AS sample_b,
+    1000000 - (2000000 * coalesce(s.sum_min, 0)) // (ta.tot + tb.tot)
+      AS d_ppm,
+    CASE WHEN ta.grp = tb.grp THEN 1 ELSE 0 END AS is_within
+  FROM tot ta JOIN tot tb ON ta.sample_id < tb.sample_id
+  LEFT JOIN shared s
+    ON s.sample_a = ta.sample_id AND s.sample_b = tb.sample_id
+),
+dcnt AS (
+  SELECT d_ppm, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY d_ppm
+),
+dcum AS (
+  SELECT d_ppm,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY d_ppm
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before,
+    cnt
+  FROM dcnt
+),
+ranked AS (
+  SELECT is_within, cum_before * 1000 + (cnt + 1) * 500 AS avg_rank_milli
+  FROM pairs JOIN dcum USING (d_ppm)
+),
+st AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(is_within) AS BIGINT) AS n_within,
+    CAST(count(*) - sum(is_within) AS BIGINT) AS n_between,
+    CAST(sum(CASE WHEN is_within = 1 THEN avg_rank_milli ELSE 0 END)
+      AS BIGINT) AS sum_rank_w,
+    CAST(sum(CASE WHEN is_within = 0 THEN avg_rank_milli ELSE 0 END)
+      AS BIGINT) AS sum_rank_b
+  FROM ranked
+)
+SELECT n_pairs, n_within, n_between,
+  (sum_rank_w * 1000) // n_within AS mean_rank_within_micro,
+  (sum_rank_b * 1000) // n_between AS mean_rank_between_micro,
+  (((sum_rank_b * 1000) // n_between - (sum_rank_w * 1000) // n_within)
+    * 2) // n_pairs AS anosim_r_ppm
+FROM st
+""",
+)
+def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.catalog import load_table
+
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(
+            F.col("c_custkey").alias("sample_id"),
+            F.col("c_mktsegment").alias("grp"),
+        )
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .groupBy("sample_id", "grp", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
+    x, y = a.alias("x"), a.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sample_a"),
+            F.col("y.sample_id").alias("sample_b"),
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    # all-pairs over the BOUNDED selection: tb side broadcasts, so the
+    # pair former is a broadcast nested loop over |sel|² rows — the
+    # O(n²) ANOSIM inherently requires (documented above)
+    pairs = (
+        ta.join(
+            F.broadcast(tb),
+            F.col("ta.sample_id") < F.col("tb.sample_id"),
+        )
+        .join(
+            shared,
+            (F.col("ta.sample_id") == shared.sample_a)
+            & (F.col("tb.sample_id") == shared.sample_b),
+            "left",
+        )
+        .select(
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, 0))"
+                " div (ta.tot + tb.tot)"
+            ).alias("d_ppm"),
+            F.when(F.col("ta.grp") == F.col("tb.grp"), 1)
+            .otherwise(0)
+            .alias("is_within"),
+        )
+    )
+    dcnt = pairs.groupBy("d_ppm").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    wv = (
+        Window.orderBy("d_ppm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dcum = dcnt.select(
+        "d_ppm",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        "cnt",
+    )
+    ranked = pairs.join(dcum, "d_ppm").select(
+        "is_within",
+        F.expr("cum_before * 1000 + (cnt + 1) * 500").alias(
+            "avg_rank_milli"
+        ),
+    )
+    st = ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_within").alias("n_within"),
+        (F.count(F.lit(1)) - F.sum("is_within")).alias("n_between"),
+        F.sum(
+            F.when(F.col("is_within") == 1, F.col("avg_rank_milli")).otherwise(0)
+        ).alias("sum_rank_w"),
+        F.sum(
+            F.when(F.col("is_within") == 0, F.col("avg_rank_milli")).otherwise(0)
+        ).alias("sum_rank_b"),
+    )
+    return st.select(
+        "n_pairs",
+        "n_within",
+        "n_between",
+        F.expr("(sum_rank_w * 1000) div n_within").alias(
+            "mean_rank_within_micro"
+        ),
+        F.expr("(sum_rank_b * 1000) div n_between").alias(
+            "mean_rank_between_micro"
+        ),
+        F.expr(
+            "(((sum_rank_b * 1000) div n_between"
+            " - (sum_rank_w * 1000) div n_within) * 2) div n_pairs"
+        ).alias("anosim_r_ppm"),
+    )

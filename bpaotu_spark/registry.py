@@ -45,6 +45,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.ecology  # noqa: F401
     import bpaotu_spark.functions.textops2  # noqa: F401
     import bpaotu_spark.operators.layout  # noqa: F401
+    import bpaotu_spark.operators.audit  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -137,6 +138,9 @@ PRIORITY: tuple[str, ...] = (
     "dsir_importance_select",
     "tokenizer_fertility",
     "zorder_file_pruning",
+    "anosim_groups",
+    "order_price_reconciliation",
+    "join_skew_audit",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

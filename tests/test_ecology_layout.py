@@ -99,6 +99,43 @@ def test_zorder_prunes_and_natural_does_not(spark, sf_dir):
     assert zo.files_hit >= 1
 
 
+def test_anosim_r_in_range(spark, sf_dir):
+    r = QUERIES["anosim_groups"](spark, sf_dir).collect()[0]
+    assert r.n_pairs == r.n_within + r.n_between
+    assert r.n_within > 0 and r.n_between > 0
+    # R in [-1, 1] (ppm); mean ranks live in [1, n_pairs] micro-scale
+    assert -1_000_000 <= r.anosim_r_ppm <= 1_000_000
+    for mr in (r.mean_rank_within_micro, r.mean_rank_between_micro):
+        assert 1_000_000 <= mr <= r.n_pairs * 1_000_000
+
+
+def test_reconciliation_partitions_orders(spark, sf_dir):
+    from bpaotu_spark.catalog import load_table
+
+    rows = QUERIES["order_price_reconciliation"](spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    # every order lands in exactly one bucket
+    assert sum(r.n_orders for r in rows) == n_orders
+    buckets = {r.rel_err_bucket for r in rows}
+    assert buckets <= set(range(-10, 11)) | {999}
+    # the synthetic data deliberately violates the invariant — the
+    # audit must report spread beyond the zero bucket
+    assert len(buckets - {999}) > 1
+
+
+def test_join_skew_audit_shape(spark, sf_dir):
+    rows = {r.key_name: r for r in QUERIES["join_skew_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    for r in rows.values():
+        assert r.max_mult >= 1
+        assert r.avg_mult_milli >= 1000  # mean multiplicity >= 1
+        assert r.skew_factor_ppm >= 1_000_000  # max >= mean always
+    # suppkey is the smallest key domain -> highest mean multiplicity
+    assert (
+        rows["l_suppkey"].avg_mult_milli > rows["l_orderkey"].avg_mult_milli
+    )
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

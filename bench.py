@@ -179,6 +179,9 @@ HEADLINE = (
     "anosim_groups",
     "order_price_reconciliation",
     "join_skew_audit",
+    "curriculum_schedule",
+    "kfold_assignment",
+    "partition_balance_audit",
 )
 
 

@@ -46,6 +46,7 @@ def load_all() -> None:
     import bpaotu_spark.functions.textops2  # noqa: F401
     import bpaotu_spark.operators.layout  # noqa: F401
     import bpaotu_spark.operators.audit  # noqa: F401
+    import bpaotu_spark.operators.pipeline2  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -141,6 +142,9 @@ PRIORITY: tuple[str, ...] = (
     "anosim_groups",
     "order_price_reconciliation",
     "join_skew_audit",
+    "curriculum_schedule",
+    "kfold_assignment",
+    "partition_balance_audit",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -136,6 +136,53 @@ def test_join_skew_audit_shape(spark, sf_dir):
     )
 
 
+def test_curriculum_monotone_difficulty(spark, sf_dir):
+    rows = QUERIES["curriculum_schedule"](spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "fr", "es", "de", "zh"}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.difficulty_decile)
+        assert [r.difficulty_decile for r in rs] == list(range(1, 11))
+        # deciles are ordered by difficulty: min logloss is non-decreasing
+        mins = [r.min_logloss_micro for r in rs]
+        assert mins == sorted(mins)
+        # cumulative token share ends at exactly 100%
+        assert rs[-1].cum_token_share_ppm == 1_000_000
+        shares = [r.cum_token_share_ppm for r in rs]
+        assert shares == sorted(shares)
+
+
+def test_kfold_covers_all_docs(spark, sf_dir):
+    from bpaotu_spark.catalog import load_table
+
+    rows = QUERIES["kfold_assignment"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.fold for r in rows} <= set(range(5))
+    # shares per lang sum to ~1e6 (floor-division slack < 5 ppm·folds)
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.fold_share_ppm
+    for tot in by_lang.values():
+        assert 1_000_000 - 5 <= tot <= 1_000_000
+
+
+def test_partition_balance_structure(spark, sf_dir):
+    rows = {r.layout: r for r in QUERIES["partition_balance_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"range", "hash"}
+    assert rows["range"].n_rows == rows["hash"].n_rows
+    for r in rows.values():
+        assert r.buckets_used <= 32
+        assert r.min_bucket <= r.max_bucket
+        assert r.skew_factor_ppm >= 1_000_000  # max >= mean by definition
+        # the audit's purpose: flag layouts a planner shouldn't use —
+        # on this near-uniform money column both layouts must land
+        # well under the 2x-mean skew alarm threshold
+        assert r.skew_factor_ppm < 2_000_000
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

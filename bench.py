@@ -182,6 +182,9 @@ HEADLINE = (
     "curriculum_schedule",
     "kfold_assignment",
     "partition_balance_audit",
+    "knn_triangle_count",
+    "species_accumulation_curve",
+    "rapid_fire_users",
 )
 
 

@@ -1,0 +1,241 @@
+"""Graph analytics over the k-NN similarity graph + event-stream audits.
+
+* ``knn_triangle_count`` — distributed triangle counting and local
+  clustering coefficients on the LSH-blocked k-NN graph (the
+  community-structure signal on an embedding corpus: high clustering
+  = tight semantic clusters, the input for cluster-aware sampling).
+  Composes the registered ``knn_graph_lsh`` oracle so graph and
+  count can never drift.
+* ``species_accumulation_curve`` — gamma-diversity accumulation: how
+  many distinct OTUs have appeared after the first k samples
+  (collector's curve — the "have we sequenced enough samples"
+  diagnostic, the across-sample sibling of rarefaction_curve).
+* ``rapid_fire_users`` — burst detector: users with ≥5 events inside
+  any 6-hour span (lag(ts, 4) sliding check — the bot/abuse
+  rate-limit audit; thresholds sized to this stream's baseline
+  cadence, where the tightest observed 5-event span is ~3.5 h, so
+  the audit actually separates bursty users from the baseline).
+
+Scale shapes: triangles = two shuffle joins over an edge list that is
+≤k rows per node by construction (never quadratic); accumulation =
+per-OTU min + one window over the SAMPLE dimension (bounded by the
+customer dim, not the fact table); bursts = one user-partitioned
+window, map-side nothing crosses users.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.registry import ORACLES, register
+
+import bpaotu_spark.ann.core  # noqa: F401  (registers knn_graph_lsh's oracle)
+
+# ---------------------------------------------------------------------------
+# knn_triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    return f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+edges AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         greatest(vec_id, neighbor_id) AS b
+  FROM knn
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM tri_nodes GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY node
+)
+SELECT deg.node AS vec_id, degree,
+  coalesce(n_triangles, 0) AS n_triangles,
+  (coalesce(n_triangles, 0) * 2000000) // (degree * (degree - 1))
+    AS clustering_ppm
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+WHERE degree >= 2
+"""
+
+
+@register("knn_triangle_count", oracle=_triangle_oracle())
+def knn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.ann.core import knn_graph_lsh
+
+    knn = knn_graph_lsh(spark, sf_dir)
+    # canonical undirected edges; materialized once — three self-join
+    # consumers below (the standard edge-list checkpoint for triangle
+    # enumeration)
+    edges = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    tcnt = tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(coalesce(n_triangles, 0) * 2000000)"
+                " div (degree * (degree - 1))"
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# species_accumulation_curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "species_accumulation_curve",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+first_seen AS (
+  SELECT otu_id, CAST(min(sample_id) AS BIGINT) AS first_sample
+  FROM abundance GROUP BY otu_id
+),
+new_per_sample AS (
+  SELECT first_sample AS sample_id, CAST(count(*) AS BIGINT) AS n_new_otus
+  FROM first_seen GROUP BY first_sample
+),
+gamma AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_otus FROM first_seen
+)
+SELECT sample_id, n_new_otus,
+  CAST(sum(n_new_otus) OVER (ORDER BY sample_id) AS BIGINT) AS cum_otus,
+  (CAST(sum(n_new_otus) OVER (ORDER BY sample_id) AS BIGINT) * 1000000)
+    // total_otus AS cum_share_ppm
+FROM new_per_sample, gamma
+""",
+)
+def species_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_seen = (
+        abundance(spark, sf_dir)
+        .groupBy("otu_id")
+        .agg(F.min("sample_id").cast("bigint").alias("first_sample"))
+    )
+    new_per_sample = first_seen.groupBy(
+        F.col("first_sample").alias("sample_id")
+    ).agg(F.count(F.lit(1)).alias("n_new_otus"))
+    gamma = first_seen.agg(F.count(F.lit(1)).alias("total_otus"))
+    # the cumulative window runs over ≤|samples| post-agg rows (the
+    # customer dimension), the documented value-bounded window class
+    w = Window.orderBy("sample_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        new_per_sample.crossJoin(F.broadcast(gamma))
+        .withColumn("cum_otus", F.sum("n_new_otus").over(w).cast("bigint"))
+        .select(
+            "sample_id",
+            "n_new_otus",
+            "cum_otus",
+            F.expr("(cum_otus * 1000000) div total_otus").alias(
+                "cum_share_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rapid_fire_users
+# ---------------------------------------------------------------------------
+
+_BURST_N = 5  # events
+_BURST_SPAN_US = 21_600_000_000  # inside 6 hours
+
+
+@register(
+    "rapid_fire_users",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts), {_BURST_N - 1}) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS span_us
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN span_us <= {_BURST_SPAN_US} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_burst_windows,
+  CAST(min(span_us) AS BIGINT) AS tightest_span_us
+FROM g
+GROUP BY user_id
+HAVING sum(CASE WHEN span_us <= {_BURST_SPAN_US} THEN 1 ELSE 0 END) > 0
+""",
+)
+def rapid_fire_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts"), _BURST_N - 1).over(w)
+        ).alias("span_us"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("span_us") <= _BURST_SPAN_US, 1).otherwise(0)
+            ).alias("n_burst_windows"),
+            F.min("span_us").alias("tightest_span_us"),
+        )
+        .filter(F.col("n_burst_windows") > 0)
+    )

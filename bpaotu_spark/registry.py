@@ -47,6 +47,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.layout  # noqa: F401
     import bpaotu_spark.operators.audit  # noqa: F401
     import bpaotu_spark.operators.pipeline2  # noqa: F401
+    import bpaotu_spark.operators.graph  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -145,6 +146,9 @@ PRIORITY: tuple[str, ...] = (
     "curriculum_schedule",
     "kfold_assignment",
     "partition_balance_audit",
+    "knn_triangle_count",
+    "species_accumulation_curve",
+    "rapid_fire_users",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

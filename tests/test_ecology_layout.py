@@ -183,6 +183,38 @@ def test_partition_balance_structure(spark, sf_dir):
         assert r.skew_factor_ppm < 2_000_000
 
 
+def test_triangle_clustering_bounds(spark, sf_dir):
+    rows = QUERIES["knn_triangle_count"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= 2
+        # each triangle uses 2 of the node's edge pairs: coeff <= 1
+        assert 0 <= r.clustering_ppm <= 1_000_000
+        # a node in t triangles has degree >= 2 only if t <= C(deg,2)
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_species_accumulation_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["species_accumulation_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.sample_id,
+    )
+    assert rows
+    cums = [r.cum_otus for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r.n_new_otus for r in rows) == cums[-1]
+    assert rows[-1].cum_share_ppm == 1_000_000
+
+
+def test_rapid_fire_consistency(spark, sf_dir):
+    # burst users may or may not exist in regenerated testdata; the
+    # invariants must hold either way
+    for r in QUERIES["rapid_fire_users"](spark, sf_dir).collect():
+        assert r.n_burst_windows > 0
+        assert r.n_events >= 5
+        assert r.tightest_span_us <= 21_600_000_000
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

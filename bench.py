@@ -185,6 +185,10 @@ HEADLINE = (
     "knn_triangle_count",
     "species_accumulation_curve",
     "rapid_fire_users",
+    "benford_first_digit",
+    "theil_inequality",
+    "trimmed_mean_by_segment",
+    "daily_autocorrelation",
 )
 
 

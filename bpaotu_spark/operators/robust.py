@@ -1,0 +1,343 @@
+"""Robust statistics and distribution audits over the sales facts.
+
+* ``benford_first_digit`` — Benford's-law conformance of order
+  totals: observed first-significant-digit shares vs the log10(1+1/d)
+  expectation, delta in ppm (the classic books-cooking / synthetic-
+  data tell, run as a data-quality audit).
+* ``theil_inequality`` — Theil T inequality of customer revenue per
+  nation plus the between/within decomposition row (T_total =
+  T_between + Σ share·T_within — the decomposable inequality index,
+  unlike Gini). Integer micro-nats end-to-end.
+* ``trimmed_mean_by_segment`` — 5 %-trimmed mean of order totals per
+  mktsegment vs the raw mean (the robust-location comparison that
+  survives heavy tails; rank-selection definition, exact in both
+  engines — the median_exact_by_segment pattern).
+* ``daily_autocorrelation`` — lag-k autocorrelation (k = 1, 7, 14) of
+  the daily order count series: the weekly-seasonality detector.
+  Daily counts are integers, so all three Pearson moments are exact
+  BIGINT sums; only the final quotient is floored to milli.
+
+Scale shapes: benford/theil = map-side digit/ln extraction + small
+keyed aggs; trimmed mean = segment-partitioned rank window (the
+documented per-group order-statistic pattern); autocorrelation =
+calendar-bounded daily series self-joined at 3 fixed lags.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# benford_first_digit
+# ---------------------------------------------------------------------------
+
+_BENFORD_PPM = {
+    d: int(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+    1, 1) AS BIGINT) AS first_digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT first_digit, CAST(count(*) AS BIGINT) AS n_orders FROM d
+  GROUP BY first_digit
+),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM c)
+SELECT first_digit, n_orders,
+  (n_orders * 1000000) // n AS observed_ppm,
+  CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+  (n_orders * 1000000) // n - CAST({_BENFORD_CASE} AS BIGINT) AS delta_ppm
+FROM c, tot
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = od.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    c = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = c.agg(F.sum("n_orders").alias("n"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_orders",
+        F.expr("(n_orders * 1000000) div n").alias("observed_ppm"),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_ppm"),
+        F.expr(
+            f"(n_orders * 1000000) div n - CAST({_BENFORD_CASE} AS BIGINT)"
+        ).alias("delta_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_inequality — x_i = customer revenue cents; groups = nation.
+# T_g = (1/n_g) Σ (x_i/μ_g)·ln(x_i/μ_g); the TOTAL row carries
+# T_between = Σ s_g·ln(μ_g/μ) with s_g the group revenue share.
+# Each ln() is floored to micro-nats on the identical double ratio in
+# both engines; the revenue-share weights are exact integer cents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_inequality",
+    oracle="""
+WITH x AS (
+  SELECT c_nationkey AS nation, o_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+),
+g AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_custs,
+    CAST(sum(cents) AS BIGINT) AS g_cents
+  FROM x GROUP BY nation
+),
+tot AS (
+  SELECT CAST(sum(n_custs) AS BIGINT) AS n,
+    CAST(sum(g_cents) AS BIGINT) AS t_cents
+  FROM g
+),
+within AS (
+  SELECT x.nation,
+    CAST(sum(
+      (x.cents * 1000000 // g.g_cents)
+      * CAST(floor(ln(x.cents * 1.0 * g.n_custs / g.g_cents) * 1000000)
+          AS BIGINT)
+    ) AS BIGINT) // 1000000 AS theil_micro
+  FROM x JOIN g ON x.nation = g.nation
+  GROUP BY x.nation
+),
+between_t AS (
+  SELECT CAST(sum(
+    (g_cents * 1000000 // t_cents)
+    * CAST(floor(ln(g_cents * 1.0 * n / (t_cents * n_custs)) * 1000000)
+        AS BIGINT)
+  ) AS BIGINT) // 1000000 AS theil_micro
+  FROM g, tot
+)
+SELECT CAST(nation AS BIGINT) AS nation, n_custs, g_cents AS revenue_cents,
+  w.theil_micro
+FROM g JOIN within w USING (nation)
+UNION ALL
+SELECT -1, n, t_cents, b.theil_micro
+FROM tot, between_t b
+""",
+)
+def theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    x = (
+        od.join(cu, "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    g = x.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("cents").alias("g_cents"),
+    )
+    tot = g.agg(
+        F.sum("n_custs").alias("n"), F.sum("g_cents").alias("t_cents")
+    )
+    within = (
+        x.join(F.broadcast(g), "nation")
+        .select(
+            "nation",
+            (
+                F.expr("cents * 1000000 div g_cents")
+                * F.floor(
+                    F.log(
+                        F.col("cents")
+                        * 1.0
+                        * F.col("n_custs")
+                        / F.col("g_cents")
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("term"),
+        )
+        .groupBy("nation")
+        .agg(F.expr("sum(term) div 1000000").alias("theil_micro"))
+    )
+    nation_rows = (
+        g.join(within, "nation")
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "n_custs",
+            F.col("g_cents").alias("revenue_cents"),
+            "theil_micro",
+        )
+    )
+    between_row = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.expr("g_cents * 1000000 div t_cents")
+                * F.floor(
+                    F.log(
+                        F.col("g_cents")
+                        * 1.0
+                        * F.col("n")
+                        / (F.col("t_cents") * F.col("n_custs"))
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("term"),
+            "n",
+            "t_cents",
+        )
+        .groupBy("n", "t_cents")
+        .agg(F.expr("sum(term) div 1000000").alias("theil_micro"))
+        .select(
+            F.lit(-1).cast("bigint").alias("nation"),
+            F.col("n").alias("n_custs"),
+            F.col("t_cents").alias("revenue_cents"),
+            "theil_micro",
+        )
+    )
+    return nation_rows.unionAll(between_row)
+
+
+# ---------------------------------------------------------------------------
+# trimmed_mean_by_segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trimmed_mean_by_segment",
+    oracle="""
+WITH j AS (
+  SELECT c_mktsegment,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT c_mktsegment, cents,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cents, o_orderkey) AS rn,
+    count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment,
+  CAST(max(n) AS BIGINT) AS n_orders,
+  CAST(sum(cents) AS BIGINT) // CAST(max(n) AS BIGINT) AS mean_cents,
+  CAST(sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+    THEN cents ELSE 0 END) AS BIGINT)
+    // CAST(max(n) - 2 * (max(n) // 20) AS BIGINT) AS trimmed_mean_cents
+FROM r GROUP BY c_mktsegment
+""",
+)
+def trimmed_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = od.join(F.broadcast(cu), "o_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = j.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.expr("sum(cents) div max(n)").alias("mean_cents"),
+        F.expr(
+            "sum(CASE WHEN rn > n div 20 AND rn <= n - n div 20"
+            " THEN cents ELSE 0 END)"
+            " div (max(n) - 2 * (max(n) div 20))"
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily_autocorrelation
+# ---------------------------------------------------------------------------
+
+_LAGS = (1, 7, 14)
+
+
+@register(
+    "daily_autocorrelation",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT lag.k, a.c AS x, b.c AS y
+  FROM daily a
+  JOIN (SELECT unnest([{", ".join(str(k) for k in _LAGS)}]) AS k) lag ON true
+  JOIN daily b ON b.d = a.d + CAST(lag.k AS INTEGER)
+)
+SELECT CAST(k AS BIGINT) AS lag_days,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(floor((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000
+    / (sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+       * sqrt(count(*) * sum(y * y) - sum(y) * sum(y)))) AS BIGINT)
+    AS pearson_milli
+FROM lagged GROUP BY k
+""",
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _LAGS])).alias("k")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("c").alias("y")
+    )
+    lagged = a.join(
+        b, F.expr("d2 = date_add(d, CAST(k AS INT))")
+    ).select("k", F.col("c").alias("x"), "y")
+    # all Pearson moments over integer daily counts are exact BIGINTs;
+    # the sqrt/quotient runs once per lag on those exact sums
+    return lagged.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(
+            "CAST(floor((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000"
+            " / (sqrt(count(*) * sum(x * x) - sum(x) * sum(x))"
+            "    * sqrt(count(*) * sum(y * y) - sum(y) * sum(y))))"
+            " AS BIGINT)"
+        ).alias("pearson_milli"),
+    ).select(
+        F.col("k").cast("bigint").alias("lag_days"),
+        "n_pairs",
+        "pearson_milli",
+    )

@@ -48,6 +48,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.audit  # noqa: F401
     import bpaotu_spark.operators.pipeline2  # noqa: F401
     import bpaotu_spark.operators.graph  # noqa: F401
+    import bpaotu_spark.operators.robust  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -149,6 +150,10 @@ PRIORITY: tuple[str, ...] = (
     "knn_triangle_count",
     "species_accumulation_curve",
     "rapid_fire_users",
+    "benford_first_digit",
+    "theil_inequality",
+    "trimmed_mean_by_segment",
+    "daily_autocorrelation",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -215,6 +215,43 @@ def test_rapid_fire_consistency(spark, sf_dir):
         assert r.tightest_span_us <= 21_600_000_000
 
 
+def test_benford_shares_complete(spark, sf_dir):
+    rows = QUERIES["benford_first_digit"](spark, sf_dir).collect()
+    assert {r.first_digit for r in rows} == set(range(1, 10))
+    tot = sum(r.observed_ppm for r in rows)
+    assert 1_000_000 - 9 <= tot <= 1_000_000
+    # expectation column carries the exact Benford constants
+    by_d = {r.first_digit: r.benford_ppm for r in rows}
+    assert by_d[1] == 301_029 and by_d[9] == 45_757
+
+
+def test_theil_decomposition(spark, sf_dir):
+    rows = QUERIES["theil_inequality"](spark, sf_dir).collect()
+    nations = [r for r in rows if r.nation >= 0]
+    between = [r for r in rows if r.nation == -1]
+    assert len(between) == 1
+    assert all(r.theil_micro >= -2 for r in rows)  # T >= 0 modulo flooring
+    # the TOTAL row aggregates every customer
+    assert between[0].n_custs == sum(r.n_custs for r in nations)
+    assert between[0].revenue_cents == sum(r.revenue_cents for r in nations)
+
+
+def test_trimmed_mean_bounds(spark, sf_dir):
+    for r in QUERIES["trimmed_mean_by_segment"](spark, sf_dir).collect():
+        # trimming both tails keeps the estimate inside the raw range
+        # and near the raw mean on this near-symmetric distribution
+        assert abs(r.trimmed_mean_cents - r.mean_cents) < r.mean_cents
+        assert r.n_orders > 0
+
+
+def test_daily_autocorrelation_range(spark, sf_dir):
+    rows = QUERIES["daily_autocorrelation"](spark, sf_dir).collect()
+    assert {r.lag_days for r in rows} == {1, 7, 14}
+    for r in rows:
+        assert -1000 <= r.pearson_milli <= 1000
+        assert r.n_pairs > 0
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -189,6 +189,9 @@ HEADLINE = (
     "theil_inequality",
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
+    "heaps_law_estimate",
+    "entropy_dedup_calibration",
+    "intrinsic_dimension_twonn",
 )
 
 

@@ -1,0 +1,208 @@
+"""Corpus scaling-law and calibration operators.
+
+* ``heaps_law_estimate`` — Heaps'/Herdan's law V = K·N^β fit from two
+  nested corpus samples (the even-doc_id half vs the full corpus):
+  β̂ = ln(V₂/V₁)/ln(N₂/N₁), plus the hapax-legomena census. The
+  vocabulary-growth forecast every tokenizer/vocab decision rests on.
+* ``entropy_dedup_calibration`` — does templated (low-entropy) text
+  near-duplicate more?  Per-language entropy deciles (the
+  ``text_token_entropy`` oracle embedded as a CTE) crossed with
+  near-dup keeper verdicts (the ``corpus_near_dedup_keep_first``
+  oracle) — the curation-threshold calibration table, drift-free by
+  construction because both inputs ARE the registered oracles.
+* ``intrinsic_dimension_twonn`` — Two-NN intrinsic-dimension estimate
+  (Facco et al. 2017): μᵢ = d₂/d₁ over the two nearest neighbors
+  from the kNN graph, ÎD = n / Σ ln μᵢ. The embedding-manifold
+  health check before choosing an index (IVF list count, PQ bits).
+
+Determinism: every ln() floored to micro-nats pre-aggregation;
+ratios integer ppm/milli.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+import bpaotu_spark.ann.core  # noqa: F401  (registers knn_graph_lsh)
+import bpaotu_spark.dedup.core  # noqa: F401  (registers near-dedup oracle)
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize
+from bpaotu_spark.registry import ORACLES, register
+
+# ---------------------------------------------------------------------------
+# heaps_law_estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heaps_law_estimate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENIZE_SQL}) AS w FROM documents
+),
+half AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1,
+    CAST(count(DISTINCT w) AS BIGINT) AS v1
+  FROM tok WHERE doc_id % 2 = 0
+),
+full_c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n2,
+    CAST(count(DISTINCT w) AS BIGINT) AS v2
+  FROM tok
+),
+hapax AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hapax FROM (
+    SELECT w FROM tok GROUP BY w HAVING count(*) = 1
+  )
+)
+SELECT n1, v1, n2, v2, n_hapax,
+  (n_hapax * 1000000) // v2 AS hapax_share_ppm,
+  CAST(floor(ln(v2 * 1.0 / v1) / ln(n2 * 1.0 / n1) * 1000000) AS BIGINT)
+    AS heaps_beta_micro
+FROM half, full_c, hapax
+""",
+)
+def heaps_law_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    half = tok.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct("w").alias("v1"),
+    )
+    full_c = tok.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.countDistinct("w").alias("v2"),
+    )
+    hapax = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 1)
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+    )
+    return (
+        half.crossJoin(F.broadcast(full_c))
+        .crossJoin(F.broadcast(hapax))
+        .select(
+            "n1",
+            "v1",
+            "n2",
+            "v2",
+            "n_hapax",
+            F.expr("(n_hapax * 1000000) div v2").alias("hapax_share_ppm"),
+            F.expr(
+                "CAST(floor(ln(v2 * 1.0 / v1) / ln(n2 * 1.0 / n1)"
+                " * 1000000) AS BIGINT)"
+            ).alias("heaps_beta_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# entropy_dedup_calibration
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH ent AS ({ORACLES["text_token_entropy"]}),
+dd AS ({ORACLES["corpus_near_dedup_keep_first"]}),
+ranked AS (
+  SELECT d.lang, ent.doc_id,
+    CAST(ntile(10) OVER (PARTITION BY d.lang
+      ORDER BY ent.nH_micronats * 1000000 // ent.n_tokens, ent.doc_id)
+      AS BIGINT) AS entropy_decile,
+    dd.is_kept
+  FROM ent
+  JOIN documents d ON ent.doc_id = d.doc_id
+  JOIN dd ON ent.doc_id = dd.doc_id
+)
+SELECT lang, entropy_decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  (CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+    // count(*) AS kept_ppm
+FROM ranked GROUP BY lang, entropy_decile
+"""
+
+
+@register("entropy_dedup_calibration", oracle=_calibration_oracle())
+def entropy_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.dedup.core import corpus_near_dedup_keep_first
+    from bpaotu_spark.functions.textops import text_token_entropy
+
+    ent = text_token_entropy(spark, sf_dir)
+    dd = corpus_near_dedup_keep_first(spark, sf_dir).select(
+        "doc_id", "is_kept"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr("nH_micronats * 1000000 div n_tokens"), F.col("doc_id")
+    )
+    ranked = (
+        ent.join(docs, "doc_id")
+        .join(dd, "doc_id")
+        .withColumn("entropy_decile", F.ntile(10).over(w).cast("bigint"))
+    )
+    return ranked.groupBy("lang", "entropy_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+        F.expr(
+            "(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        ).alias("kept_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# intrinsic_dimension_twonn
+# ---------------------------------------------------------------------------
+
+
+def _twonn_oracle() -> str:
+    return f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+nn AS (
+  SELECT vec_id,
+    max(CASE WHEN rnk = 1 THEN 1.0 - cos_sim END) AS d1,
+    max(CASE WHEN rnk = 2 THEN 1.0 - cos_sim END) AS d2
+  FROM knn WHERE rnk <= 2 GROUP BY vec_id
+),
+mu AS (
+  SELECT vec_id,
+    CAST(floor(ln(d2 / d1) * 1000000) AS BIGINT) AS ln_mu_micro
+  FROM nn WHERE d1 > 0 AND d2 >= d1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(sum(ln_mu_micro) AS BIGINT) AS sum_ln_mu_micro,
+  (CAST(count(*) AS BIGINT) * 1000000000) // CAST(sum(ln_mu_micro) AS BIGINT)
+    AS intrinsic_dim_milli
+FROM mu
+"""
+
+
+@register("intrinsic_dimension_twonn", oracle=_twonn_oracle())
+def intrinsic_dimension_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.ann.core import knn_graph_lsh
+
+    knn = knn_graph_lsh(spark, sf_dir).filter(F.col("rnk") <= 2)
+    nn = knn.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rnk") == 1, 1.0 - F.col("cos_sim"))).alias("d1"),
+        F.max(F.when(F.col("rnk") == 2, 1.0 - F.col("cos_sim"))).alias("d2"),
+    )
+    mu = nn.filter((F.col("d1") > 0) & (F.col("d2") >= F.col("d1"))).select(
+        F.floor(F.log(F.col("d2") / F.col("d1")) * 1000000)
+        .cast("bigint")
+        .alias("ln_mu_micro")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("ln_mu_micro").alias("sum_ln_mu_micro"),
+    ).select(
+        "n_nodes",
+        "sum_ln_mu_micro",
+        F.expr("(n_nodes * 1000000000) div sum_ln_mu_micro").alias(
+            "intrinsic_dim_milli"
+        ),
+    )

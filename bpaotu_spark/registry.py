@@ -49,6 +49,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.pipeline2  # noqa: F401
     import bpaotu_spark.operators.graph  # noqa: F401
     import bpaotu_spark.operators.robust  # noqa: F401
+    import bpaotu_spark.functions.textops3  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -154,6 +155,9 @@ PRIORITY: tuple[str, ...] = (
     "theil_inequality",
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
+    "heaps_law_estimate",
+    "entropy_dedup_calibration",
+    "intrinsic_dimension_twonn",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

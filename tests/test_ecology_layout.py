@@ -252,6 +252,36 @@ def test_daily_autocorrelation_range(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_heaps_beta_in_range(spark, sf_dir):
+    r = QUERIES["heaps_law_estimate"](spark, sf_dir).collect()[0]
+    # sublinear vocabulary growth: 0 <= beta <= 1. The synthetic
+    # corpus has a CLOSED ~31-word vocabulary, so beta = 0 (no growth
+    # between the half and full sample) is the correct degenerate fit;
+    # a natural-text corpus lands around 0.4-0.6.
+    assert 0 <= r.heaps_beta_micro <= 1_000_000
+    assert r.v1 <= r.v2 and r.n1 <= r.n2
+    assert 0 <= r.n_hapax <= r.v2
+
+
+def test_entropy_calibration_complete(spark, sf_dir):
+    rows = QUERIES["entropy_dedup_calibration"](spark, sf_dir).collect()
+    langs = {r.lang for r in rows}
+    assert langs == {"en", "fr", "es", "de", "zh"}
+    for r in rows:
+        assert 1 <= r.entropy_decile <= 10
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.kept_ppm <= 1_000_000
+
+
+def test_twonn_dimension_positive(spark, sf_dir):
+    r = QUERIES["intrinsic_dimension_twonn"](spark, sf_dir).collect()[0]
+    assert r.n_nodes > 0
+    assert r.sum_ln_mu_micro > 0
+    # embeddings live in a bounded-dim space; the estimate must be a
+    # plausible manifold dimension, not a degenerate blowup
+    assert 0 < r.intrinsic_dim_milli < 1_000_000
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -537,3 +537,49 @@ def test_scd2_merge_version_chains(spark, sf_dir, tmp_path):
     r2 = scd2_merge(spark, path, delta, "k", ("segment",), "ts")
     assert r2 == {"closed": 0, "inserted": 0, "unchanged": 3}
     assert len(spark.read.parquet(path).collect()) == len(rows)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Append-only snapshots: a pinned version keeps reading the same
+    rows after later commits; the latest version sees everything; the
+    manifest publish is atomic (no .tmp leftovers)."""
+    from bpaotu_spark.io.snapshots import (
+        commit_snapshot,
+        list_versions,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "snap_table")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v1 = commit_snapshot(df1, path)
+    assert v1 == 1
+
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    v2 = commit_snapshot(df2, path)
+    assert v2 == 2
+    assert list_versions(path) == [1, 2]
+
+    # time travel: v1 is immutable, v2 = v1 + appended rows
+    got_v1 = {(r.id, r.v) for r in read_snapshot(spark, path, 1).collect()}
+    got_v2 = {(r.id, r.v) for r in read_snapshot(spark, path).collect()}
+    assert got_v1 == {(1, "a"), (2, "b")}
+    assert got_v2 == {(1, "a"), (2, "b"), (3, "c")}
+
+    # append-only: commit 2 added files, it did not rewrite commit 1's
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "manifest-v2.json")) as fh:
+        m2 = _json.load(fh)
+    with open(_os.path.join(path, "manifest-v1.json")) as fh:
+        m1 = _json.load(fh)
+    assert set(m1["files"]) <= set(m2["files"])
+    # no half-published manifests
+    assert not [f for f in _os.listdir(path) if ".tmp-" in f]
+
+    # unknown version is a hard error, not silent latest
+    try:
+        read_snapshot(spark, path, 99)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass

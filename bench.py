@@ -192,6 +192,9 @@ HEADLINE = (
     "heaps_law_estimate",
     "entropy_dedup_calibration",
     "intrinsic_dimension_twonn",
+    "mantel_test_gradient",
+    "markov_entropy_rate",
+    "part_supply_resilience",
 )
 
 

@@ -1,0 +1,321 @@
+"""Ecology statistics, continued: Mantel gradient test, Markov entropy.
+
+* ``mantel_test_gradient`` — Mantel correlation between the
+  community-dissimilarity matrix (Bray-Curtis, ppm-exact) and an
+  environmental-gradient distance (|acctbal difference|, the driver
+  schema's stand-in for the contextual gradient): is community
+  turnover structured by the environment?  Runs over the same
+  nation-blocked pair set as beta_diversity_braycurtis, so the pair
+  former is bounded, never a global cross product. Pearson moments
+  accumulate in 128-bit (HUGEINT / DECIMAL(38,0) — Σx² of ppm values
+  overflows int64 beyond ~9M pairs), only the final r is floored to
+  milli.
+* ``markov_entropy_rate`` — entropy rate of the event-type Markov
+  chain: per-state conditional entropies H(next|prev) in micro-nats
+  plus the stationary-weighted TOTAL row (prev_type = '__RATE__') —
+  the predictability ceiling of the event stream (session-model
+  perplexity bound). ln() floored per transition cell before any sum.
+* ``part_supply_resilience`` — single-sourcing audit per brand:
+  distinct suppliers and supplier-nations per part from the lineitem
+  history, share of parts with one supplier / one nation in ppm (the
+  supply-chain-risk rollup).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# mantel_test_gradient — pairs blocked by customer nation (the
+# beta_diversity_braycurtis blocking), x = BC ppm, y = |acctbal diff|
+# cents. r = (nΣxy − ΣxΣy) / sqrt(nΣx²−(Σx)²) / sqrt(nΣy²−(Σy)²).
+# ---------------------------------------------------------------------------
+
+_MANTEL_SEL = "c_mktsegment = 'BUILDING'"
+
+
+@register(
+    "mantel_test_gradient",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_nationkey AS block,
+    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE {_MANTEL_SEL}
+),
+a AS (
+  SELECT ab.sample_id, block, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, block, otu_id
+),
+tot AS (
+  SELECT a.sample_id, a.block, CAST(sum(c) AS BIGINT) AS tot, bal_cents
+  FROM a JOIN sel ON a.sample_id = sel.sample_id
+  GROUP BY a.sample_id, a.block, bal_cents
+),
+shared AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         CAST(sum(least(x.c, y.c)) AS BIGINT) AS sum_min
+  FROM a x JOIN a y
+    ON x.otu_id = y.otu_id AND x.block = y.block
+   AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+),
+pairs AS (
+  SELECT
+    1000000 - (2000000 * coalesce(s.sum_min, 0)) // (ta.tot + tb.tot) AS x,
+    abs(ta.bal_cents - tb.bal_cents) AS y
+  FROM tot ta
+  JOIN tot tb ON ta.block = tb.block AND ta.sample_id < tb.sample_id
+  LEFT JOIN shared s
+    ON s.sample_a = ta.sample_id AND s.sample_b = tb.sample_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(floor(
+    (count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE)
+      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) * 1000
+    / (sqrt(count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+            - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+       * sqrt(count(*) * CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
+              - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+  ) AS BIGINT) AS mantel_r_milli
+FROM pairs
+""",
+)
+def mantel_test_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_MANTEL_SEL))
+        .select(
+            F.col("c_custkey").alias("sample_id"),
+            F.col("c_nationkey").alias("block"),
+            F.floor(F.col("c_acctbal") * 100)
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .groupBy("sample_id", "block", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    tot = (
+        a.join(F.broadcast(sel.select("sample_id", "bal_cents")), "sample_id")
+        .groupBy("sample_id", "block", "bal_cents")
+        .agg(F.sum("c").alias("tot"))
+    )
+    x_, y_ = a.alias("x"), a.alias("y")
+    shared = (
+        x_.join(
+            y_,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sample_a"),
+            F.col("y.sample_id").alias("sample_b"),
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = (
+        ta.join(
+            tb,
+            (F.col("ta.block") == F.col("tb.block"))
+            & (F.col("ta.sample_id") < F.col("tb.sample_id")),
+        )
+        .join(
+            shared,
+            (F.col("ta.sample_id") == shared.sample_a)
+            & (F.col("tb.sample_id") == shared.sample_b),
+            "left",
+        )
+        .select(
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, 0))"
+                " div (ta.tot + tb.tot)"
+            ).alias("x"),
+            F.abs(F.col("ta.bal_cents") - F.col("tb.bal_cents")).alias("y"),
+        )
+    )
+    # 128-bit second moments (DECIMAL(38,0) = DuckDB HUGEINT), doubles
+    # only inside the final sqrt/quotient on the exact sums
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(
+            "CAST(floor("
+            " (count(*) * CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)"
+            "   - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) * 1000"
+            " / (sqrt(count(*) * CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)"
+            "         - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))"
+            "    * sqrt(count(*) * CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)"
+            "           - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))"
+            ") AS BIGINT)"
+        ).alias("mantel_r_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_entropy_rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+p AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rowtot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out FROM p GROUP BY prev_type
+),
+cost AS (
+  SELECT p.prev_type, n,
+    CAST(floor(-ln(n * 1.0 / n_out) * 1000000) AS BIGINT) AS cost_micro,
+    n_out
+  FROM p JOIN rowtot ON p.prev_type = rowtot.prev_type
+),
+per_state AS (
+  SELECT prev_type, CAST(max(n_out) AS BIGINT) AS n_out,
+    CAST(sum(n * cost_micro) AS BIGINT) // CAST(max(n_out) AS BIGINT)
+      AS h_micro
+  FROM cost GROUP BY prev_type
+),
+rate AS (
+  SELECT CAST(sum(n_out) AS BIGINT) AS n_total,
+    CAST(sum(CAST(n_out AS HUGEINT) * h_micro) // sum(n_out) AS BIGINT)
+      AS h_rate
+  FROM per_state
+)
+SELECT prev_type, n_out, h_micro AS entropy_micronats FROM per_state
+UNION ALL
+SELECT '__RATE__', n_total, h_rate FROM rate
+""",
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    p = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowtot = p.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    cost = p.join(F.broadcast(rowtot), "prev_type").select(
+        "prev_type",
+        "n",
+        "n_out",
+        F.floor(-F.log(F.col("n") * 1.0 / F.col("n_out")) * 1000000)
+        .cast("bigint")
+        .alias("cost_micro"),
+    )
+    per_state = cost.groupBy("prev_type").agg(
+        F.max("n_out").alias("n_out"),
+        F.expr("sum(n * cost_micro) div max(n_out)").alias("h_micro"),
+    )
+    rate = per_state.agg(
+        F.sum("n_out").alias("n_total"),
+        F.expr(
+            "CAST(sum(CAST(n_out AS DECIMAL(38,0)) * h_micro)"
+            " DIV sum(n_out) AS BIGINT)"
+        ).alias("h_rate"),
+    )
+    return per_state.select(
+        "prev_type", "n_out", F.col("h_micro").alias("entropy_micronats")
+    ).unionAll(
+        rate.select(
+            F.lit("__RATE__").alias("prev_type"),
+            F.col("n_total").alias("n_out"),
+            F.col("h_rate").alias("entropy_micronats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_supply_resilience
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_supply_resilience",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+pn AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS n_suppliers,
+    CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT p_brand,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS single_supplier_parts,
+  CAST(sum(CASE WHEN n_nations = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS single_nation_parts,
+  (CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS single_supplier_ppm,
+  (CAST(sum(CASE WHEN n_nations = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS single_nation_ppm
+FROM pn JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def part_supply_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    pn = (
+        li.join(F.broadcast(su), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.countDistinct("s_nationkey").alias("n_nations"),
+        )
+    )
+    pa = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        pn.join(F.broadcast(pa), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0)).alias(
+                "single_supplier_parts"
+            ),
+            F.sum(F.when(F.col("n_nations") == 1, 1).otherwise(0)).alias(
+                "single_nation_parts"
+            ),
+            F.expr(
+                "(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)"
+                " * 1000000) div count(*)"
+            ).alias("single_supplier_ppm"),
+            F.expr(
+                "(sum(CASE WHEN n_nations = 1 THEN 1 ELSE 0 END)"
+                " * 1000000) div count(*)"
+            ).alias("single_nation_ppm"),
+        )
+    )

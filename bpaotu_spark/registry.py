@@ -50,6 +50,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.graph  # noqa: F401
     import bpaotu_spark.operators.robust  # noqa: F401
     import bpaotu_spark.functions.textops3  # noqa: F401
+    import bpaotu_spark.operators.ecology2  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -158,6 +159,9 @@ PRIORITY: tuple[str, ...] = (
     "heaps_law_estimate",
     "entropy_dedup_calibration",
     "intrinsic_dimension_twonn",
+    "mantel_test_gradient",
+    "markov_entropy_rate",
+    "part_supply_resilience",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -282,6 +282,43 @@ def test_twonn_dimension_positive(spark, sf_dir):
     assert 0 < r.intrinsic_dim_milli < 1_000_000
 
 
+def test_mantel_r_in_range(spark, sf_dir):
+    r = QUERIES["mantel_test_gradient"](spark, sf_dir).collect()[0]
+    assert r.n_pairs > 0
+    assert -1000 <= r.mantel_r_milli <= 1000
+
+
+def test_markov_entropy_rate_weighted(spark, sf_dir):
+    rows = QUERIES["markov_entropy_rate"](spark, sf_dir).collect()
+    states = [r for r in rows if r.prev_type != "__RATE__"]
+    rate = [r for r in rows if r.prev_type == "__RATE__"]
+    assert len(rate) == 1 and states
+    # the rate is a convex combination of per-state entropies
+    lo = min(r.entropy_micronats for r in states)
+    hi = max(r.entropy_micronats for r in states)
+    assert lo - 1 <= rate[0].entropy_micronats <= hi + 1
+    assert rate[0].n_out == sum(r.n_out for r in states)
+    # entropy of a K-ary chain is bounded by ln(K)
+    import math
+
+    k = len(states)
+    assert all(
+        0 <= r.entropy_micronats <= int(math.log(max(k, 2)) * 1e6) + 1
+        for r in states
+    )
+
+
+def test_supply_resilience_bounds(spark, sf_dir):
+    rows = QUERIES["part_supply_resilience"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.single_supplier_parts <= r.n_parts
+        # one supplier implies at most one nation... the converse
+        # bound: single-nation count >= single-supplier count
+        assert r.single_nation_parts >= r.single_supplier_parts
+        assert 0 <= r.single_supplier_ppm <= 1_000_000
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

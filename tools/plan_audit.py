@@ -58,6 +58,18 @@ ALLOWED_BNLJ = {
     "core_microbiome": "broadcast 1-row environment-count scalar",
     "hierarchy_share_of_parent": "broadcast 1-row grand-total scalar",
     "corpus_perplexity_filter": "inherits text_unigram_logloss's 1-row corpus-total broadcast",
+    "dsir_importance_select": "broadcast 1-row LM-totals/vocab scalar",
+    "zorder_file_pruning": "broadcast 1-row key-maxes scalar",
+    "anosim_groups": "bounded-selection pair former (O(n²) by ANOSIM's definition) + 1-row scalars",
+    "species_accumulation_curve": "broadcast 1-row gamma-richness scalar",
+    "benford_first_digit": "broadcast 1-row order-total scalar",
+    "theil_inequality": "broadcast 1-row grand-totals scalar",
+    "daily_autocorrelation": "broadcast 3-row lag table onto the daily series",
+    "partition_balance_audit": "broadcast 1-row min/max bounds scalar",
+    "heaps_law_estimate": "cross of three 1-row corpus aggregates",
+    "intrinsic_dimension_twonn": "single-row final aggregate",
+    "entropy_dedup_calibration": "inherits near-dedup composition's bounded broadcasts",
+    "order_price_reconciliation": "broadcast reconciliation join keys (equi; listed defensively)",
 }
 
 

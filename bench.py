@@ -195,6 +195,9 @@ HEADLINE = (
     "mantel_test_gradient",
     "markov_entropy_rate",
     "part_supply_resilience",
+    "source_jsd_matrix",
+    "churn_reactivation_quarterly",
+    "returnflag_drift_yearly",
 )
 
 

@@ -51,6 +51,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.robust  # noqa: F401
     import bpaotu_spark.functions.textops3  # noqa: F401
     import bpaotu_spark.operators.ecology2  # noqa: F401
+    import bpaotu_spark.operators.drift  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -162,6 +163,9 @@ PRIORITY: tuple[str, ...] = (
     "mantel_test_gradient",
     "markov_entropy_rate",
     "part_supply_resilience",
+    "source_jsd_matrix",
+    "churn_reactivation_quarterly",
+    "returnflag_drift_yearly",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

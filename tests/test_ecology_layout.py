@@ -319,6 +319,42 @@ def test_supply_resilience_bounds(spark, sf_dir):
         assert 0 <= r.single_supplier_ppm <= 1_000_000
 
 
+def test_jsd_matrix_symmetric_bounds(spark, sf_dir):
+    rows = QUERIES["source_jsd_matrix"](spark, sf_dir).collect()
+    # 20 sources -> C(20,2) ordered pairs
+    assert len(rows) == 190
+    for r in rows:
+        assert r.source_a < r.source_b
+        # JSD in [0, ln 2] nats (693147 micro-nats), modulo flooring
+        assert -2 <= r.jsd_micronats <= 693_148
+
+
+def test_churn_quarters_cover_orders(spark, sf_dir):
+    from bpaotu_spark.catalog import load_table
+
+    rows = QUERIES["churn_reactivation_quarterly"](spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert 1 <= r.qtr <= 4
+        assert 0 <= r.reactivations <= r.n_orders
+        assert r.active_customers > 0
+
+
+def test_returnflag_drift_shares(spark, sf_dir):
+    rows = QUERIES["returnflag_drift_yearly"](spark, sf_dir).collect()
+    by_year: dict[int, int] = {}
+    for r in rows:
+        by_year[r.yr] = by_year.get(r.yr, 0) + r.share_ppm
+    # shares per year sum to ~1e6 (floor slack per flag)
+    for tot in by_year.values():
+        assert 1_000_000 - 3 <= tot <= 1_000_000
+    # first year of each flag has no prior -> null delta
+    firsts = [r for r in rows if r.delta_ppm is None]
+    flags = {r.l_returnflag for r in rows}
+    assert len(firsts) == len(flags)
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

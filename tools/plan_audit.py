@@ -70,6 +70,9 @@ ALLOWED_BNLJ = {
     "intrinsic_dimension_twonn": "single-row final aggregate",
     "entropy_dedup_calibration": "inherits near-dedup composition's bounded broadcasts",
     "order_price_reconciliation": "broadcast reconciliation join keys (equi; listed defensively)",
+    "curriculum_schedule": "inherits text_unigram_logloss's 1-row corpus-total broadcast",
+    "mantel_test_gradient": "1-row Pearson-moment final aggregate",
+    "source_jsd_matrix": "broadcast |sources|² pair frame (bounded dimension)",
 }
 
 

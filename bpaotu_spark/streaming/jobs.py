@@ -673,3 +673,86 @@ def scd2_dim_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_snapshot_commits(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream micro-batches into the manifest-snapshot lake: every
+    batch becomes one committed snapshot version, so downstream
+    training runs can pin "the table as of batch N" while ingestion
+    keeps appending (io/snapshots.py's time-travel contract on a live
+    stream).
+
+    Idempotency: foreachBatch is at-least-once, so a replayed batch
+    must not double-commit. The commit records its batch_id inside the
+    manifest's data-file path prefix (``data/batch-{id}-*``); the
+    closure skips the commit if any live manifest already references
+    that batch's prefix — the same replay guard pattern as
+    incremental_minhash_dedup, but at file granularity.
+    """
+    import json as _json
+    import os as _os
+
+    from bpaotu_spark.io.snapshots import commit_snapshot, list_versions
+
+    ev = read_events_stream(spark, src_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = list_versions(table_path)
+        if versions:
+            with open(
+                _os.path.join(table_path, f"manifest-v{versions[-1]}.json")
+            ) as fh:
+                files = _json.load(fh)["files"]
+            if any(f"/batch-{batch_id}-" in f for f in files):
+                return  # replay of an already-committed batch
+        agg = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        # route the data files under a batch-scoped prefix so the
+        # replay guard can recognize them in the manifest
+        import uuid as _uuid
+
+        commit_id = f"batch-{batch_id}-{_uuid.uuid4().hex[:8]}"
+        data_dir = _os.path.join(table_path, "data", commit_id)
+        agg.write.mode("errorifexists").parquet(data_dir)
+        new_files = [
+            _os.path.join(data_dir, f)
+            for f in sorted(_os.listdir(data_dir))
+            if f.endswith(".parquet")
+        ]
+        prev = []
+        versions = list_versions(table_path)
+        if versions:
+            with open(
+                _os.path.join(table_path, f"manifest-v{versions[-1]}.json")
+            ) as fh:
+                prev = _json.load(fh)["files"]
+        version = (versions[-1] + 1) if versions else 1
+        tmp = _os.path.join(
+            table_path, f"manifest-v{version}.json.tmp-{commit_id}"
+        )
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {"version": version, "files": prev + new_files,
+                 "added": len(new_files)},
+                fh,
+            )
+        _os.rename(
+            tmp, _os.path.join(table_path, f"manifest-v{version}.json")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

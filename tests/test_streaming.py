@@ -525,3 +525,47 @@ def test_scd2_stream_builds_version_history(spark, sf_dir, tmp_path):
         for r in ev.withColumn("rn", w).filter(F.col("rn") == 1).collect()
     }
     assert {k: r.event_type for k, r in open_rows.items()} == want
+
+
+def test_stream_snapshot_commits_time_travel(spark, sf_dir, tmp_path):
+    """Every micro-batch becomes one snapshot version; pinned versions
+    stay immutable; the final version equals the batch rollup; a
+    re-run (replayed batches via a fresh checkpoint) does not
+    double-commit thanks to the batch-prefix replay guard."""
+    from bpaotu_spark.io.snapshots import list_versions, read_snapshot
+    from bpaotu_spark.streaming.jobs import stream_snapshot_commits
+
+    table = str(tmp_path / "snap_lake")
+    stream_snapshot_commits(
+        spark, sf_dir, table, str(tmp_path / "ckpt1")
+    )
+    versions = list_versions(table)
+    assert versions, "no snapshots committed"
+    final = versions[-1]
+
+    # latest snapshot == the batch rollup of the whole source
+    got = {
+        (r.hour, r.event_type, r.n_events)
+        for r in read_snapshot(spark, table).select(
+            "hour", "event_type", "n_events"
+        ).collect()
+    }
+    from bpaotu_spark.catalog import load_table
+
+    want = {
+        (r.hour, r.event_type, r.n_events)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+
+    # replay with a FRESH checkpoint (worst case: every batch replays)
+    v1_rows = read_snapshot(spark, table, 1).count()
+    stream_snapshot_commits(
+        spark, sf_dir, table, str(tmp_path / "ckpt2")
+    )
+    assert list_versions(table)[-1] == final, "replay double-committed"
+    # pinned version untouched
+    assert read_snapshot(spark, table, 1).count() == v1_rows

@@ -198,6 +198,9 @@ HEADLINE = (
     "source_jsd_matrix",
     "churn_reactivation_quarterly",
     "returnflag_drift_yearly",
+    "kaplan_meier_order_gaps",
+    "laspeyres_price_index",
+    "cscore_checkerboard",
 )
 
 

@@ -1,0 +1,330 @@
+"""Survival analysis, price indexing, and ecological null-model stats.
+
+* ``kaplan_meier_order_gaps`` — Kaplan-Meier estimator of the
+  customer reorder-interval distribution with right-censoring (the
+  gap after a customer's last order is censored at the observation
+  end — dropping it would bias reorder rates optimistic, the classic
+  survival-analysis correction). Emits log-survival at fixed horizon
+  checkpoints in exact integer micro-nats: each hazard term
+  ln(1 − d/n) is floored per DISTINCT duration, the cumulative sum
+  runs over the distinct-duration table (value-bounded window), and
+  the checkpoint lookup is a range join against ≤5 rows.
+* ``laspeyres_price_index`` — fixed-base-year Laspeyres price index
+  per year: Σ p_t·q_base / Σ p_base·q_base over parts traded in both
+  years. Per-part terms are floored integer cents (p_t·q_base =
+  rev_t·q_base / q_t, one exact rational per part), so the index is
+  engine-exact ppm.
+* ``cscore_checkerboard`` — Stone & Roberts' checkerboard score over
+  the bounded p_type presence table: mean (r_a−s)(r_b−s) across type
+  pairs — the community-assembly null-model statistic downstream of
+  taxa_cooccurrence.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_order_gaps
+# ---------------------------------------------------------------------------
+
+_KM_CHECKPOINTS = (30, 60, 90, 180, 365)
+
+
+@register(
+    "kaplan_meier_order_gaps",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+mx AS (SELECT max(d) AS obs_end FROM o),
+g AS (
+  SELECT o_custkey,
+    date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur,
+    lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      IS NOT NULL AS observed,
+    d
+  FROM o
+),
+gaps AS (
+  SELECT CASE WHEN observed THEN dur
+              ELSE date_diff('day', d, obs_end) END AS dur,
+         observed
+  FROM g, mx
+  WHERE observed OR date_diff('day', d, obs_end) > 0
+),
+dc AS (
+  SELECT CAST(dur AS BIGINT) AS dur,
+    CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_obs
+  FROM gaps GROUP BY dur
+),
+tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS n_total FROM dc),
+haz AS (
+  SELECT dur, n_obs,
+    n_total - CAST(coalesce(sum(n_all) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS at_risk
+  FROM dc, tot
+),
+terms AS (
+  SELECT dur,
+    CAST(floor(ln(greatest(1.0 - n_obs * 1.0 / at_risk, 1e-9)) * 1000000)
+      AS BIGINT) AS term_micro
+  FROM haz WHERE n_obs > 0
+),
+cum AS (
+  SELECT dur,
+    CAST(sum(term_micro) OVER (ORDER BY dur) AS BIGINT) AS ln_s_micro
+  FROM terms
+),
+cp AS (SELECT unnest([{", ".join(str(c) for c in _KM_CHECKPOINTS)}]) AS horizon_days)
+SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
+  CAST(coalesce(max(ln_s_micro) FILTER (WHERE dur <= horizon_days), 0)
+    AS BIGINT) * -1 AS neg_ln_survival_micro
+FROM cp LEFT JOIN cum ON cum.dur <= cp.horizon_days
+GROUP BY horizon_days
+""",
+)
+def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    mx = o.agg(F.max("d").alias("obs_end"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"),
+        F.lead("d").over(w).isNotNull().alias("observed"),
+        "d",
+    )
+    gaps = (
+        g.crossJoin(F.broadcast(mx))
+        .withColumn("cens_dur", F.datediff("obs_end", "d"))
+        .filter(F.col("observed") | (F.col("cens_dur") > 0))
+        .select(
+            F.when(F.col("observed"), F.col("dur"))
+            .otherwise(F.col("cens_dur"))
+            .cast("bigint")
+            .alias("dur"),
+            "observed",
+        )
+    )
+    dc = gaps.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("n_obs"),
+    )
+    tot = dc.agg(F.sum("n_all").alias("n_total"))
+    wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    haz = dc.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "n_obs",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_all").over(wv), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    terms = haz.filter(F.col("n_obs") > 0).select(
+        "dur",
+        F.floor(
+            F.log(
+                F.greatest(
+                    1.0 - F.col("n_obs") * 1.0 / F.col("at_risk"),
+                    F.lit(1e-9),
+                )
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    cum = terms.select(
+        "dur", F.sum("term_micro").over(wc).cast("bigint").alias("ln_s_micro")
+    )
+    cp = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _KM_CHECKPOINTS])
+        ).alias("horizon_days")
+    )
+    return (
+        cp.join(F.broadcast(cum), cum.dur <= cp.horizon_days, "left")
+        .groupBy("horizon_days")
+        .agg(
+            (
+                F.coalesce(F.max("ln_s_micro"), F.lit(0)).cast("bigint") * -1
+            ).alias("neg_ln_survival_micro")
+        )
+        .select(
+            F.col("horizon_days").cast("bigint").alias("horizon_days"),
+            "neg_ln_survival_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# laspeyres_price_index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "laspeyres_price_index",
+    oracle="""
+WITH py AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey,
+    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS rev_cents,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+base AS (
+  SELECT l_partkey, rev_cents AS rev_b, qty AS qty_b
+  FROM py WHERE yr = (SELECT min(yr) FROM py)
+),
+matched AS (
+  SELECT yr,
+    (py.rev_cents * qty_b) // py.qty AS num_term,
+    rev_b AS den_term
+  FROM py JOIN base ON py.l_partkey = base.l_partkey
+)
+SELECT yr,
+  CAST(count(*) AS BIGINT) AS n_parts_matched,
+  CAST(sum(num_term) AS BIGINT) AS num_cents,
+  CAST(sum(den_term) AS BIGINT) AS den_cents,
+  CAST(CAST(sum(num_term) AS HUGEINT) * 1000000
+    // sum(den_term) AS BIGINT) AS laspeyres_ppm
+FROM matched GROUP BY yr
+""",
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("yr"), "l_partkey"
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        ),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    )
+    base_yr = py.agg(F.min("yr").alias("b"))
+    base = (
+        py.crossJoin(F.broadcast(base_yr))
+        .filter(F.col("yr") == F.col("b"))
+        .select(
+            "l_partkey",
+            F.col("rev_cents").alias("rev_b"),
+            F.col("qty").alias("qty_b"),
+        )
+    )
+    matched = py.join(base, "l_partkey").select(
+        "yr",
+        F.expr("(rev_cents * qty_b) div qty").alias("num_term"),
+        F.col("rev_b").alias("den_term"),
+    )
+    return matched.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts_matched"),
+        F.sum("num_term").alias("num_cents"),
+        F.sum("den_term").alias("den_cents"),
+        F.expr(
+            "CAST(CAST(sum(num_term) AS DECIMAL(38,0)) * 1000000"
+            " DIV sum(den_term) AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cscore_checkerboard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cscore_checkerboard",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+st AS (
+  SELECT DISTINCT sample_id, p_type
+  FROM abundance JOIN part ON otu_id = p_partkey
+),
+marg AS (
+  SELECT p_type, CAST(count(*) AS BIGINT) AS r FROM st GROUP BY p_type
+),
+both_c AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b,
+    CAST(count(*) AS BIGINT) AS s
+  FROM st a JOIN st b
+    ON a.sample_id = b.sample_id AND a.p_type < b.p_type
+  GROUP BY a.p_type, b.p_type
+),
+pairs AS (
+  SELECT ma.p_type AS type_a, mb.p_type AS type_b,
+    (ma.r - coalesce(s, 0)) * (mb.r - coalesce(s, 0)) AS cscore
+  FROM marg ma
+  JOIN marg mb ON ma.p_type < mb.p_type
+  LEFT JOIN both_c
+    ON both_c.type_a = ma.p_type AND both_c.type_b = mb.p_type
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(cscore) AS BIGINT) AS sum_cscore,
+  (CAST(sum(cscore) AS BIGINT) * 1000) // count(*) AS mean_cscore_milli,
+  CAST(max(cscore) AS BIGINT) AS max_cscore
+FROM pairs
+""",
+)
+def cscore_checkerboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type"
+    )
+    st = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(part), "otu_id")
+        .select("sample_id", "p_type")
+        .distinct()
+    )
+    marg = st.groupBy("p_type").agg(F.count(F.lit(1)).alias("r"))
+    a, b = st.alias("a"), st.alias("b")
+    both_c = (
+        a.join(
+            b,
+            (F.col("a.sample_id") == F.col("b.sample_id"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    ma = marg.select(F.col("p_type").alias("type_a"), F.col("r").alias("ra"))
+    mb = marg.select(F.col("p_type").alias("type_b"), F.col("r").alias("rb"))
+    # the type-pair frame is C(|types|,2) — a bounded broadcastable set
+    pairs = (
+        ma.crossJoin(F.broadcast(mb))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(both_c, ["type_a", "type_b"], "left")
+        .select(
+            (
+                (F.col("ra") - F.coalesce("s", F.lit(0)))
+                * (F.col("rb") - F.coalesce("s", F.lit(0)))
+            ).alias("cscore")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cscore").alias("sum_cscore"),
+        F.expr("(sum(cscore) * 1000) div count(*)").alias(
+            "mean_cscore_milli"
+        ),
+        F.max("cscore").alias("max_cscore"),
+    )

@@ -52,6 +52,7 @@ def load_all() -> None:
     import bpaotu_spark.functions.textops3  # noqa: F401
     import bpaotu_spark.operators.ecology2  # noqa: F401
     import bpaotu_spark.operators.drift  # noqa: F401
+    import bpaotu_spark.operators.survival  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -166,6 +167,9 @@ PRIORITY: tuple[str, ...] = (
     "source_jsd_matrix",
     "churn_reactivation_quarterly",
     "returnflag_drift_yearly",
+    "kaplan_meier_order_gaps",
+    "laspeyres_price_index",
+    "cscore_checkerboard",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -355,6 +355,41 @@ def test_returnflag_drift_shares(spark, sf_dir):
     assert len(firsts) == len(flags)
 
 
+def test_km_survival_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["kaplan_meier_order_gaps"](spark, sf_dir).collect(),
+        key=lambda r: r.horizon_days,
+    )
+    assert [r.horizon_days for r in rows] == [30, 60, 90, 180, 365]
+    # -ln S(t) is non-negative and non-decreasing in t
+    vals = [r.neg_ln_survival_micro for r in rows]
+    assert all(v >= 0 for v in vals)
+    assert vals == sorted(vals)
+
+
+def test_laspeyres_base_year_is_unity(spark, sf_dir):
+    rows = sorted(
+        QUERIES["laspeyres_price_index"](spark, sf_dir).collect(),
+        key=lambda r: r.yr,
+    )
+    assert rows
+    # in the base year p_t = p_b, so the index is exactly 1.0 (1e6
+    # ppm) modulo per-part flooring of the numerator terms
+    base = rows[0]
+    assert 999_000 <= base.laspeyres_ppm <= 1_000_000
+    for r in rows:
+        assert r.n_parts_matched > 0
+        assert r.laspeyres_ppm > 0
+
+
+def test_cscore_bounds(spark, sf_dir):
+    r = QUERIES["cscore_checkerboard"](spark, sf_dir).collect()[0]
+    assert r.n_pairs > 0
+    # C >= 0 always ((r-s) factors are non-negative)
+    assert r.sum_cscore >= 0
+    assert r.max_cscore * r.n_pairs >= r.sum_cscore
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

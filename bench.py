@@ -201,6 +201,9 @@ HEADLINE = (
     "kaplan_meier_order_gaps",
     "laspeyres_price_index",
     "cscore_checkerboard",
+    "weekly_decomposition",
+    "log_log_elasticity",
+    "markov_absorption_3step",
 )
 
 

@@ -1,0 +1,302 @@
+"""Time-series decomposition, elasticity regression, Markov reachability.
+
+* ``weekly_decomposition`` — STL-lite decomposition of the daily
+  revenue series: trend = centered 7-day moving average (exact
+  integer cents avg), seasonal = per-day-of-week mean of the
+  detrended series, plus residual dispersion — the
+  seasonality-vs-noise split behind every ops dashboard.
+* ``log_log_elasticity`` — OLS slope of ln(quantity) on ln(unit
+  price) per part type (the log-log demand-elasticity regression).
+  Both logs floored to micro-nats per row; the five OLS moments are
+  then exact BIGINT sums and the slope one floored milli quotient.
+* ``markov_absorption_3step`` — probability of reaching the target
+  event type within 3 transitions from each start state: the
+  transition matrix (bounded |event_type|² cells) unrolled three
+  steps as joins, fixed-point ppm at every step (ppm products
+  renormalized by integer division — engine-exact).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# weekly_decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_decomposition",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+trend AS (
+  SELECT d, cents,
+    CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+    CAST(count(*) OVER w AS BIGINT) AS win_n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT d, cents,
+    cents - win_sum // win_n AS detrended
+  FROM trend WHERE win_n = 7
+),
+dow AS (
+  SELECT CAST(isodow(d) AS BIGINT) AS day_of_week,
+    CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(detrended) AS BIGINT) // CAST(count(*) AS BIGINT)
+      AS seasonal_cents,
+    CAST(min(detrended) AS BIGINT) AS min_detrended,
+    CAST(max(detrended) AS BIGINT) AS max_detrended
+  FROM detr GROUP BY 1
+)
+SELECT day_of_week, n_days, seasonal_cents, min_detrended, max_detrended
+FROM dow
+""",
+)
+def weekly_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    # the trend window runs over the DAILY series — calendar-bounded
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("win_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_n"),
+    )
+    detr = trend.filter(F.col("win_n") == 7).select(
+        "d",
+        "cents",
+        (F.col("cents") - F.expr("win_sum div win_n")).alias("detrended"),
+    )
+    return detr.groupBy(
+        F.expr("CAST(CASE WHEN dayofweek(d) = 1 THEN 7"
+               " ELSE dayofweek(d) - 1 END AS BIGINT)").alias("day_of_week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("sum(detrended) div count(*)").alias("seasonal_cents"),
+        F.min("detrended").cast("bigint").alias("min_detrended"),
+        F.max("detrended").cast("bigint").alias("max_detrended"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# log_log_elasticity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "log_log_elasticity",
+    oracle="""
+WITH x AS (
+  SELECT p_type,
+    CAST(floor(ln(l_quantity) * 1000000) AS BIGINT) AS ln_q,
+    CAST(floor(ln(l_extendedprice / l_quantity) * 1000000) AS BIGINT)
+      AS ln_p
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+)
+SELECT p_type,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(floor(
+    (count(*) * CAST(sum(CAST(ln_p AS HUGEINT) * ln_q) AS DOUBLE)
+      - CAST(sum(ln_p) AS DOUBLE) * CAST(sum(ln_q) AS DOUBLE)) * 1000
+    / (count(*) * CAST(sum(CAST(ln_p AS HUGEINT) * ln_p) AS DOUBLE)
+       - CAST(sum(ln_p) AS DOUBLE) * CAST(sum(ln_p) AS DOUBLE))
+  ) AS BIGINT) AS elasticity_milli
+FROM x GROUP BY p_type
+""",
+)
+def log_log_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    x = li.join(F.broadcast(part), "l_partkey").select(
+        "p_type",
+        F.floor(F.log("l_quantity") * 1000000).cast("bigint").alias("ln_q"),
+        F.floor(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1000000
+        )
+        .cast("bigint")
+        .alias("ln_p"),
+    )
+    return x.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "CAST(floor("
+            " (count(*) * CAST(sum(CAST(ln_p AS DECIMAL(38,0)) * ln_q) AS DOUBLE)"
+            "   - CAST(sum(ln_p) AS DOUBLE) * CAST(sum(ln_q) AS DOUBLE)) * 1000"
+            " / (count(*) * CAST(sum(CAST(ln_p AS DECIMAL(38,0)) * ln_p) AS DOUBLE)"
+            "    - CAST(sum(ln_p) AS DOUBLE) * CAST(sum(ln_p) AS DOUBLE))"
+            ") AS BIGINT)"
+        ).alias("elasticity_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_absorption_3step
+# ---------------------------------------------------------------------------
+
+_ABSORB_TARGET = "purchase"
+
+
+@register(
+    "markov_absorption_3step",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY 1),
+p AS (
+  SELECT c.prev_type, next_type, (n * 1000000) // n_out AS p_ppm
+  FROM c JOIN rt ON c.prev_type = rt.prev_type
+),
+-- h1: reach target in exactly one step
+h1 AS (
+  SELECT prev_type AS state, p_ppm AS h_ppm FROM p
+  WHERE next_type = '{_ABSORB_TARGET}'
+),
+-- h2: miss at step1 (go to a non-target state) then hit within 1
+h2 AS (
+  SELECT p.prev_type AS state,
+    coalesce(h1a.h_ppm, 0)
+    + CAST(sum(CAST(p.p_ppm AS HUGEINT) * coalesce(h1b.h_ppm, 0))
+        FILTER (WHERE p.next_type <> '{_ABSORB_TARGET}') // 1000000
+        AS BIGINT) AS h_ppm
+  FROM p
+  LEFT JOIN h1 h1a ON h1a.state = p.prev_type
+  LEFT JOIN h1 h1b ON h1b.state = p.next_type
+  GROUP BY p.prev_type, h1a.h_ppm
+),
+h3 AS (
+  SELECT p.prev_type AS state,
+    coalesce(h1a.h_ppm, 0)
+    + CAST(sum(CAST(p.p_ppm AS HUGEINT) * coalesce(h2b.h_ppm, 0))
+        FILTER (WHERE p.next_type <> '{_ABSORB_TARGET}') // 1000000
+        AS BIGINT) AS h_ppm
+  FROM p
+  LEFT JOIN h1 h1a ON h1a.state = p.prev_type
+  LEFT JOIN h2 h2b ON h2b.state = p.next_type
+  GROUP BY p.prev_type, h1a.h_ppm
+)
+SELECT h3.state,
+  coalesce(h1.h_ppm, 0) AS reach_1step_ppm,
+  h2.h_ppm AS reach_2step_ppm,
+  h3.h_ppm AS reach_3step_ppm
+FROM h3
+LEFT JOIN h2 ON h2.state = h3.state
+LEFT JOIN h1 ON h1.state = h3.state
+""",
+)
+def markov_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rt = c.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    p = (
+        c.join(F.broadcast(rt), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.expr("(n * 1000000) div n_out").alias("p_ppm"),
+        )
+        # the transition matrix is |event_type|² cells — materialize
+        # once for the three unrolled steps
+        .localCheckpoint()
+    )
+    h1 = p.filter(F.col("next_type") == _ABSORB_TARGET).select(
+        F.col("prev_type").alias("state"), F.col("p_ppm").alias("h_ppm")
+    )
+
+    def step(h_prev: DataFrame) -> DataFrame:
+        hb = h_prev.select(
+            F.col("state").alias("next_type"),
+            F.col("h_ppm").alias("hb_ppm"),
+        )
+        return (
+            p.join(F.broadcast(hb), "next_type", "left")
+            .join(
+                F.broadcast(
+                    h1.select(
+                        F.col("state").alias("prev_type"),
+                        F.col("h_ppm").alias("h1_ppm"),
+                    )
+                ),
+                "prev_type",
+                "left",
+            )
+            .groupBy("prev_type", "h1_ppm")
+            .agg(
+                F.expr(
+                    "CAST(sum(CASE WHEN next_type <> '"
+                    + _ABSORB_TARGET
+                    + "' THEN CAST(p_ppm AS DECIMAL(38,0))"
+                    " * coalesce(hb_ppm, 0) ELSE 0 END)"
+                    " DIV 1000000 AS BIGINT)"
+                ).alias("tail_ppm")
+            )
+            .select(
+                F.col("prev_type").alias("state"),
+                (F.coalesce("h1_ppm", F.lit(0)) + F.col("tail_ppm")).alias(
+                    "h_ppm"
+                ),
+            )
+        )
+
+    h2 = step(h1)
+    h3 = step(h2)
+    return (
+        h3.select("state", F.col("h_ppm").alias("reach_3step_ppm"))
+        .join(
+            h2.select(
+                "state", F.col("h_ppm").alias("reach_2step_ppm")
+            ),
+            "state",
+            "left",
+        )
+        .join(
+            h1.select(
+                "state", F.col("h_ppm").alias("reach_1step_ppm_raw")
+            ),
+            "state",
+            "left",
+        )
+        .select(
+            "state",
+            F.coalesce("reach_1step_ppm_raw", F.lit(0)).alias(
+                "reach_1step_ppm"
+            ),
+            "reach_2step_ppm",
+            "reach_3step_ppm",
+        )
+    )

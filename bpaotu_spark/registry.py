@@ -53,6 +53,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.ecology2  # noqa: F401
     import bpaotu_spark.operators.drift  # noqa: F401
     import bpaotu_spark.operators.survival  # noqa: F401
+    import bpaotu_spark.operators.timeseries2  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -170,6 +171,9 @@ PRIORITY: tuple[str, ...] = (
     "kaplan_meier_order_gaps",
     "laspeyres_price_index",
     "cscore_checkerboard",
+    "weekly_decomposition",
+    "log_log_elasticity",
+    "markov_absorption_3step",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -390,6 +390,41 @@ def test_cscore_bounds(spark, sf_dir):
     assert r.max_cscore * r.n_pairs >= r.sum_cscore
 
 
+def test_weekly_decomposition_centers(spark, sf_dir):
+    rows = QUERIES["weekly_decomposition"](spark, sf_dir).collect()
+    assert {r.day_of_week for r in rows} == set(range(1, 8))
+    for r in rows:
+        assert r.min_detrended <= r.seasonal_cents <= r.max_detrended
+    # the detrended series centers near zero: the seasonal means are
+    # tiny relative to the raw daily scale (they're residuals of a
+    # 7-day MA), so their sum across dow is bounded by the spread
+    total = sum(r.seasonal_cents for r in rows)
+    spread = max(r.max_detrended for r in rows) - min(
+        r.min_detrended for r in rows
+    )
+    assert abs(total) <= spread
+
+
+def test_elasticity_defined_per_type(spark, sf_dir):
+    rows = QUERIES["log_log_elasticity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_lines > 0
+        # a slope exists and is finite/sane (|e| < 10)
+        assert -10_000 <= r.elasticity_milli <= 10_000
+
+
+def test_markov_absorption_monotone(spark, sf_dir):
+    rows = QUERIES["markov_absorption_3step"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # more steps can only help: h1 <= h2 <= h3 <= 1 (ppm, with
+        # integer-division slack of a few ppm per composition step)
+        assert r.reach_1step_ppm <= r.reach_2step_ppm + 2
+        assert r.reach_2step_ppm <= r.reach_3step_ppm + 2
+        assert 0 <= r.reach_3step_ppm <= 1_000_000
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

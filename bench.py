@@ -204,6 +204,9 @@ HEADLINE = (
     "weekly_decomposition",
     "log_log_elasticity",
     "markov_absorption_3step",
+    "otu_nestedness_nodf",
+    "event_burstiness_fano",
+    "pareto_tail_alpha",
 )
 
 

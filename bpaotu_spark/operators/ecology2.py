@@ -319,3 +319,88 @@ def part_supply_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("single_nation_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# otu_nestedness_nodf — NODF (Almeida-Neto et al. 2008) over the
+# bounded p_type presence matrix: for ordered type pairs with
+# r_a > r_b (strict marginal decrease), paired overlap = s / r_b;
+# NODF is the mean over such pairs, in exact ppm. The "are poor
+# communities subsets of rich ones" structure metric that pairs with
+# cscore_checkerboard's segregation signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "otu_nestedness_nodf",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+st AS (
+  SELECT DISTINCT sample_id, p_type
+  FROM abundance JOIN part ON otu_id = p_partkey
+),
+marg AS (
+  SELECT p_type, CAST(count(*) AS BIGINT) AS r FROM st GROUP BY p_type
+),
+both_c AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b,
+    CAST(count(*) AS BIGINT) AS s
+  FROM st a JOIN st b
+    ON a.sample_id = b.sample_id AND a.p_type <> b.p_type
+  GROUP BY a.p_type, b.p_type
+),
+pairs AS (
+  SELECT ma.p_type AS type_hi, mb.p_type AS type_lo,
+    (coalesce(s, 0) * 1000000) // mb.r AS overlap_ppm
+  FROM marg ma
+  JOIN marg mb ON ma.r > mb.r
+  LEFT JOIN both_c
+    ON both_c.type_a = ma.p_type AND both_c.type_b = mb.p_type
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ordered_pairs,
+  CAST(sum(overlap_ppm) AS BIGINT) // count(*) AS nodf_ppm,
+  CAST(min(overlap_ppm) AS BIGINT) AS min_overlap_ppm,
+  CAST(max(overlap_ppm) AS BIGINT) AS max_overlap_ppm
+FROM pairs
+""",
+)
+def otu_nestedness_nodf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type"
+    )
+    st = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(part), "otu_id")
+        .select("sample_id", "p_type")
+        .distinct()
+    )
+    marg = st.groupBy("p_type").agg(F.count(F.lit(1)).alias("r"))
+    a, b = st.alias("a"), st.alias("b")
+    both_c = (
+        a.join(
+            b,
+            (F.col("a.sample_id") == F.col("b.sample_id"))
+            & (F.col("a.p_type") != F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    ma = marg.select(F.col("p_type").alias("type_a"), F.col("r").alias("ra"))
+    mb = marg.select(F.col("p_type").alias("type_b"), F.col("r").alias("rb"))
+    pairs = (
+        ma.crossJoin(F.broadcast(mb))
+        .filter(F.col("ra") > F.col("rb"))
+        .join(both_c, ["type_a", "type_b"], "left")
+        .select(
+            F.expr("(coalesce(s, 0) * 1000000) div rb").alias("overlap_ppm")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_ordered_pairs"),
+        F.expr("sum(overlap_ppm) div count(*)").alias("nodf_ppm"),
+        F.min("overlap_ppm").cast("bigint").alias("min_overlap_ppm"),
+        F.max("overlap_ppm").cast("bigint").alias("max_overlap_ppm"),
+    )

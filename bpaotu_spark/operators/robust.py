@@ -341,3 +341,109 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "pearson_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# event_burstiness_fano — Fano factor (variance-to-mean ratio) of the
+# per-hour event counts, per event type: F ≈ 1 → Poisson arrivals,
+# F >> 1 → bursty/clumped traffic (the dispersion diagnostic that
+# decides whether rate alarms can assume Poisson noise). Hourly counts
+# are integers, so both moments are exact BIGINT sums; the ratio is
+# floored to milli once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_burstiness_fano",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_hours,
+  CAST(sum(c) AS BIGINT) AS n_events,
+  CAST(floor(
+    (count(*) * CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+      - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+    * 1000 / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+  ) AS BIGINT) AS fano_milli
+FROM hourly GROUP BY event_type
+""",
+)
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("n_events"),
+        F.expr(
+            "CAST(floor("
+            " (count(*) * CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE)"
+            "   - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))"
+            " * 1000 / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))"
+            ") AS BIGINT)"
+        ).alias("fano_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pareto_tail_alpha — Hill/MLE estimate of the Pareto tail exponent of
+# order values above a deterministic threshold (2× the mean):
+# α̂ = n_tail / Σ ln(x/xmin). The heavy-tail diagnostic behind
+# capacity planning (does the top percentile dominate revenue?).
+# The threshold is an exact integer-cents broadcast scalar; each
+# ln(x/xmin) is floored to micro-nats before the sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_tail_alpha",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+thr AS (
+  SELECT (CAST(sum(cents) AS BIGINT) // count(*)) * 2 AS xmin FROM c
+),
+tail AS (
+  SELECT cents, xmin,
+    CAST(floor(ln(cents * 1.0 / xmin) * 1000000) AS BIGINT) AS ln_ratio
+  FROM c, thr WHERE cents > xmin
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+  CAST(max(xmin) AS BIGINT) AS xmin_cents,
+  CAST(sum(ln_ratio) AS BIGINT) AS sum_ln_micro,
+  (CAST(count(*) AS BIGINT) * 1000000000) // CAST(sum(ln_ratio) AS BIGINT)
+    AS alpha_milli
+FROM tail
+""",
+)
+def pareto_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    thr = c.agg(
+        (F.expr("sum(cents) div count(*)") * 2).alias("xmin")
+    )
+    tail = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("xmin"))
+        .select(
+            "xmin",
+            F.floor(F.log(F.col("cents") * 1.0 / F.col("xmin")) * 1000000)
+            .cast("bigint")
+            .alias("ln_ratio"),
+        )
+    )
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.max("xmin").cast("bigint").alias("xmin_cents"),
+        F.sum("ln_ratio").alias("sum_ln_micro"),
+        F.expr(
+            "(count(*) * 1000000000) div sum(ln_ratio)"
+        ).alias("alpha_milli"),
+    )

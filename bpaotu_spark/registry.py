@@ -174,6 +174,9 @@ PRIORITY: tuple[str, ...] = (
     "weekly_decomposition",
     "log_log_elasticity",
     "markov_absorption_3step",
+    "otu_nestedness_nodf",
+    "event_burstiness_fano",
+    "pareto_tail_alpha",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

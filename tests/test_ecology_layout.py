@@ -425,6 +425,34 @@ def test_markov_absorption_monotone(spark, sf_dir):
         assert 0 <= r.reach_3step_ppm <= 1_000_000
 
 
+def test_nodf_bounds(spark, sf_dir):
+    r = QUERIES["otu_nestedness_nodf"](spark, sf_dir).collect()[0]
+    assert r.n_ordered_pairs > 0
+    assert 0 <= r.min_overlap_ppm <= r.nodf_ppm <= r.max_overlap_ppm
+    assert r.max_overlap_ppm <= 1_000_000
+
+
+def test_fano_positive(spark, sf_dir):
+    rows = QUERIES["event_burstiness_fano"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {
+        "signup", "click", "error", "view", "purchase",
+    }
+    for r in rows:
+        assert r.fano_milli >= 0
+        assert r.n_events >= r.n_hours  # counts >= 1 per non-empty hour
+
+
+def test_pareto_alpha_sane(spark, sf_dir):
+    r = QUERIES["pareto_tail_alpha"](spark, sf_dir).collect()[0]
+    assert r.n_tail > 0
+    assert r.sum_ln_micro > 0
+    # alpha > 0 always; on this near-UNIFORM synthetic price column
+    # the tail above 2x mean is razor thin, so alpha is huge — that IS
+    # the diagnostic's answer ("not heavy-tailed"); a web-scale revenue
+    # distribution would land in the 1-5 range (1000-5000 milli)
+    assert r.alpha_milli > 300
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -207,6 +207,9 @@ HEADLINE = (
     "otu_nestedness_nodf",
     "event_burstiness_fano",
     "pareto_tail_alpha",
+    "ks_binned_two_sample",
+    "cramers_v_association",
+    "gumbel_moments_fit",
 )
 
 

@@ -1,0 +1,270 @@
+"""Two-sample tests, association measures, extreme-value fits.
+
+* ``ks_binned_two_sample`` — Kolmogorov-Smirnov D between the order-
+  value distributions of two customer segments, computed on a fixed
+  1000-bin equal-width grid (the streaming-friendly KS: exact CDFs
+  need a global sort over all distinct values — unbounded at 100 TB —
+  while the binned variant needs one 1000-group aggregation and a
+  window over the BIN axis; resolution is the documented 1/1000 of
+  the value range). D in exact ppm of the per-segment counts.
+* ``cramers_v_association`` — Cramér's V between mktsegment and
+  nation over the bounded 5×25 contingency table: χ² from exact
+  integer observed counts and rational expected counts (one floored
+  division per cell), V floored to milli.
+* ``gumbel_moments_fit`` — method-of-moments Gumbel fit to the daily
+  revenue MAXIMA series (extreme-value capacity planning): β̂ =
+  s·√6/π, μ̂ = x̄ − γ·β̂ over exact integer-cents moments; the two
+  irrational constants enter once, as compile-time literals.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# ks_binned_two_sample
+# ---------------------------------------------------------------------------
+
+_KS_BINS = 1000
+_SEG_A, _SEG_B = "BUILDING", "MACHINERY"
+
+
+@register(
+    "ks_binned_two_sample",
+    oracle=f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+),
+mx AS (
+  SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+  FROM j
+),
+binned AS (
+  SELECT seg,
+    least({_KS_BINS - 1}, ((cents - lo) * {_KS_BINS}) // (hi - lo + 1))
+      AS bin
+  FROM j, mx
+),
+c AS (
+  SELECT bin,
+    CAST(sum(CASE WHEN seg = '{_SEG_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN seg = '{_SEG_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM c
+),
+cdf AS (
+  SELECT bin,
+    CAST(sum(na) OVER (ORDER BY bin) AS BIGINT) * 1000000 // ta AS fa_ppm,
+    CAST(sum(nb) OVER (ORDER BY bin) AS BIGINT) * 1000000 // tb AS fb_ppm
+  FROM c, tot
+)
+SELECT CAST(max(abs(fa_ppm - fb_ppm)) AS BIGINT) AS ks_d_ppm,
+  CAST(count(*) AS BIGINT) AS n_bins_occupied,
+  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+FROM cdf, tot
+""",
+)
+def ks_binned_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    j = od.join(F.broadcast(cu), "o_custkey")
+    mx = j.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = j.crossJoin(F.broadcast(mx)).select(
+        "seg",
+        F.least(
+            F.lit(_KS_BINS - 1),
+            F.expr(f"((cents - lo) * {_KS_BINS}) div (hi - lo + 1)"),
+        ).alias("bin"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("seg") == _SEG_A, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("seg") == _SEG_B, 1).otherwise(0)).alias("nb"),
+    )
+    tot = c.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = c.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ta",
+        "tb",
+        F.expr(
+            f"CAST(sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000 div ta"
+        ).alias("fa_ppm"),
+        F.expr(
+            f"CAST(sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000 div tb"
+        ).alias("fb_ppm"),
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("fa_ppm") - F.col("fb_ppm")))
+        .cast("bigint")
+        .alias("ks_d_ppm"),
+        F.count(F.lit(1)).alias("n_bins_occupied"),
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_association
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+WITH o AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+    CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+m AS (
+  SELECT seg, CAST(sum(n) AS BIGINT) AS n_seg FROM o GROUP BY seg
+),
+k AS (
+  SELECT nat, CAST(sum(n) AS BIGINT) AS n_nat FROM o GROUP BY nat
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM o),
+-- chi2 cell terms ×1e6: (obs - exp)²/exp with exp = n_seg·n_nat/n_all,
+-- algebraically (obs·n_all - n_seg·n_nat)² / (n_seg·n_nat·n_all) —
+-- integer numerator (128-bit), one floored division per cell
+cells AS (
+  SELECT
+    CAST((CAST(o.n AS HUGEINT) * n_all - CAST(n_seg AS HUGEINT) * n_nat)
+      * (CAST(o.n AS HUGEINT) * n_all - CAST(n_seg AS HUGEINT) * n_nat)
+      * 1000000
+      // (CAST(n_seg AS HUGEINT) * n_nat * n_all) AS BIGINT) AS chi2_micro
+  FROM o JOIN m USING (seg) JOIN k USING (nat), tot
+),
+agg AS (
+  SELECT CAST(sum(chi2_micro) AS BIGINT) AS chi2_micro_sum FROM cells
+)
+SELECT chi2_micro_sum,
+  CAST(floor(sqrt(chi2_micro_sum / 1000000.0
+    / ((SELECT n_all FROM tot) * 4.0)) * 1000) AS BIGINT) AS cramers_v_milli
+FROM agg
+""",
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    o = cu.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = o.groupBy("seg").agg(F.sum("n").alias("n_seg"))
+    k = o.groupBy("nat").agg(F.sum("n").alias("n_nat"))
+    tot = o.agg(F.sum("n").alias("n_all"))
+    cells = (
+        o.join(F.broadcast(m), "seg")
+        .join(F.broadcast(k), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * n_all"
+                " - CAST(n_seg AS DECIMAL(38,0)) * n_nat)"
+                " * (CAST(n AS DECIMAL(38,0)) * n_all"
+                "    - CAST(n_seg AS DECIMAL(38,0)) * n_nat)"
+                " * 1000000"
+                " DIV (CAST(n_seg AS DECIMAL(38,0)) * n_nat * n_all)"
+                " AS BIGINT)"
+            ).alias("chi2_micro"),
+            "n_all",
+        )
+    )
+    agg = cells.groupBy("n_all").agg(
+        F.sum("chi2_micro").alias("chi2_micro_sum")
+    )
+    # V = sqrt(chi2 / (n · min(r-1, c-1))); min(5-1, 25-1) = 4
+    return agg.select(
+        "chi2_micro_sum",
+        F.expr(
+            "CAST(floor(sqrt(chi2_micro_sum / 1000000.0 / (n_all * 4.0))"
+            " * 1000) AS BIGINT)"
+        ).alias("cramers_v_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gumbel_moments_fit
+# ---------------------------------------------------------------------------
+
+_SQRT6_OVER_PI = math.sqrt(6) / math.pi  # 0.7796968...
+_EULER_GAMMA = 0.5772156649015329
+
+
+@register(
+    "gumbel_moments_fit",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(mx) AS BIGINT) AS s1,
+    CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2
+  FROM daily
+)
+SELECT n AS n_days,
+  s1 // n AS mean_max_cents,
+  CAST(floor(sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+    / (n * (n - 1.0))) * {_SQRT6_OVER_PI}) AS BIGINT)
+    AS gumbel_beta_cents,
+  s1 // n
+  - CAST(floor(sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      / (n * (n - 1.0))) * {_SQRT6_OVER_PI} * {_EULER_GAMMA}) AS BIGINT)
+    AS gumbel_mu_cents
+FROM mom
+""",
+)
+def gumbel_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "mx"
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.expr("CAST(mx AS DECIMAL(38,0)) * mx")).alias("s2"),
+    )
+    # exact 128-bit variance numerator n·s2 − s1², cast to double ONCE
+    var_num = "CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.expr("s1 div n").alias("mean_max_cents"),
+        F.expr(
+            f"CAST(floor(sqrt({var_num} / (n * (n - 1.0)))"
+            f" * {_SQRT6_OVER_PI}) AS BIGINT)"
+        ).alias("gumbel_beta_cents"),
+        F.expr(
+            f"s1 div n - CAST(floor(sqrt({var_num} / (n * (n - 1.0)))"
+            f" * {_SQRT6_OVER_PI} * {_EULER_GAMMA}) AS BIGINT)"
+        ).alias("gumbel_mu_cents"),
+    )

@@ -54,6 +54,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.drift  # noqa: F401
     import bpaotu_spark.operators.survival  # noqa: F401
     import bpaotu_spark.operators.timeseries2  # noqa: F401
+    import bpaotu_spark.operators.stats2  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -177,6 +178,9 @@ PRIORITY: tuple[str, ...] = (
     "otu_nestedness_nodf",
     "event_burstiness_fano",
     "pareto_tail_alpha",
+    "ks_binned_two_sample",
+    "cramers_v_association",
+    "gumbel_moments_fit",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -453,6 +453,29 @@ def test_pareto_alpha_sane(spark, sf_dir):
     assert r.alpha_milli > 300
 
 
+def test_ks_d_in_range(spark, sf_dir):
+    r = QUERIES["ks_binned_two_sample"](spark, sf_dir).collect()[0]
+    assert 0 <= r.ks_d_ppm <= 1_000_000
+    assert 0 < r.n_bins_occupied <= 1000
+    assert r.n_a > 0 and r.n_b > 0
+    # both segments draw from the same synthetic generator: D small
+    assert r.ks_d_ppm < 500_000
+
+
+def test_cramers_v_range(spark, sf_dir):
+    r = QUERIES["cramers_v_association"](spark, sf_dir).collect()[0]
+    assert r.chi2_micro_sum >= 0
+    assert 0 <= r.cramers_v_milli <= 1000
+
+
+def test_gumbel_fit_sane(spark, sf_dir):
+    r = QUERIES["gumbel_moments_fit"](spark, sf_dir).collect()[0]
+    assert r.n_days > 1
+    assert r.gumbel_beta_cents > 0
+    # mode mu sits below the mean of maxima (gamma*beta shift)
+    assert r.gumbel_mu_cents < r.mean_max_cents
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

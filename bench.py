@@ -210,6 +210,9 @@ HEADLINE = (
     "ks_binned_two_sample",
     "cramers_v_association",
     "gumbel_moments_fit",
+    "new_repeat_revenue_monthly",
+    "month_end_lift",
+    "taxa_temporal_drift",
 )
 
 

@@ -55,6 +55,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.survival  # noqa: F401
     import bpaotu_spark.operators.timeseries2  # noqa: F401
     import bpaotu_spark.operators.stats2  # noqa: F401
+    import bpaotu_spark.operators.growth  # noqa: F401
     import bpaotu_spark.dedup.core  # noqa: F401
     import bpaotu_spark.ann.core  # noqa: F401
     import bpaotu_spark.functions.textops  # noqa: F401
@@ -181,6 +182,9 @@ PRIORITY: tuple[str, ...] = (
     "ks_binned_two_sample",
     "cramers_v_association",
     "gumbel_moments_fit",
+    "new_repeat_revenue_monthly",
+    "month_end_lift",
+    "taxa_temporal_drift",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

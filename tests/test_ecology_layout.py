@@ -476,6 +476,37 @@ def test_gumbel_fit_sane(spark, sf_dir):
     assert r.gumbel_mu_cents < r.mean_max_cents
 
 
+def test_new_repeat_split_consistent(spark, sf_dir):
+    rows = sorted(
+        QUERIES["new_repeat_revenue_monthly"](spark, sf_dir).collect(),
+        key=lambda r: r.mon,
+    )
+    assert rows
+    # the first month has no possible repeat customers
+    assert rows[0].repeat_revenue_cents == 0
+    assert rows[0].new_share_ppm == 1_000_000
+    for r in rows:
+        assert 0 <= r.new_share_ppm <= 1_000_000
+        assert r.new_cust_orders <= r.n_orders
+
+
+def test_month_end_lift_positive(spark, sf_dir):
+    r = QUERIES["month_end_lift"](spark, sf_dir).collect()[0]
+    assert r.end_days > 0 and r.rest_days > r.end_days
+    assert r.lift_ppm > 0
+
+
+def test_taxa_drift_sums(spark, sf_dir):
+    rows = QUERIES["taxa_temporal_drift"](spark, sf_dir).collect()
+    assert rows
+    # each era's shares sum to ~1e6 across types
+    for col in ("early_ppm", "late_ppm"):
+        tot = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - len(rows) <= tot <= 1_000_000
+    ranks = sorted(r.early_rank for r in rows)
+    assert ranks[0] == 1
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -73,6 +73,19 @@ ALLOWED_BNLJ = {
     "curriculum_schedule": "inherits text_unigram_logloss's 1-row corpus-total broadcast",
     "mantel_test_gradient": "1-row Pearson-moment final aggregate",
     "source_jsd_matrix": "broadcast |sources|² pair frame (bounded dimension)",
+    "kaplan_meier_order_gaps": "broadcast 1-row observation-end + n-total scalars, 5-row checkpoint frame",
+    "laspeyres_price_index": "broadcast 1-row base-year scalar",
+    "cscore_checkerboard": "broadcast bounded type-marginal pair frame",
+    "otu_nestedness_nodf": "broadcast bounded type-marginal pair frame",
+    "pareto_tail_alpha": "broadcast 1-row tail-threshold scalar",
+    "ks_binned_two_sample": "broadcast 1-row min/max + totals scalars",
+    "cramers_v_association": "broadcast 1-row grand-total scalar",
+    "gumbel_moments_fit": "single-row moment aggregate",
+    "taxa_temporal_drift": "broadcast 1-row median-year pivot scalar",
+    "markov_absorption_3step": "broadcast bounded state-vector frames per unrolled step",
+    "weekly_decomposition": "calendar-bounded daily-series windows (no join)",
+    "month_end_lift": "single-row final aggregate",
+    "event_burstiness_fano": "single-row-per-type final aggregate",
 }
 
 

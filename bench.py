@@ -213,6 +213,7 @@ HEADLINE = (
     "new_repeat_revenue_monthly",
     "month_end_lift",
     "taxa_temporal_drift",
+    "hill_numbers_suite",
 )
 
 

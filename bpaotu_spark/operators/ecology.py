@@ -408,3 +408,66 @@ def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (sum_rank_w * 1000) div n_within) * 2) div n_pairs"
         ).alias("anosim_r_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hill_numbers_suite — the modern unified diversity framework (Hill
+# 1973; Jost 2006): effective number of species at orders q = 0, 1, 2.
+#   q=0: richness;  q=1: exp(Shannon);  q=2: inverse Simpson
+#     = T² / Σc².
+# q=2 is an exact rational (milli-scaled integer division, 128-bit
+# numerator); q=1 reuses the micro-nat-floored Shannon and applies
+# exp() once per sample on the identical integer/1e6 double — the same
+# determinism class as every ln() in this package. Reference:
+# the alpha-diversity family in bpaotu's comparison pages
+# (bpaotu/otu/query.py analytics endpoints).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hill_numbers_suite",
+    oracle=f"""
+WITH {_PER_OTU_CTE},
+st AS (
+  SELECT sample_id,
+    CAST(count(*) AS BIGINT) AS richness,
+    CAST(sum(c) AS BIGINT) AS n_total,
+    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+      AS BIGINT) AS sum_clnc_micro,
+    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum_c2
+  FROM per_otu GROUP BY sample_id
+)
+SELECT sample_id, richness AS hill_q0,
+  CAST(floor(exp((CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1000000)
+    AS BIGINT) - sum_clnc_micro // n_total) / 1000000.0) * 1000)
+    AS BIGINT) AS hill_q1_milli,
+  CAST(CAST(n_total AS HUGEINT) * n_total * 1000 // sum_c2 AS BIGINT)
+    AS hill_q2_milli
+FROM st
+""",
+)
+def hill_numbers_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _per_otu(spark, sf_dir).groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("richness"),
+        F.sum("c").alias("n_total"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+        ).alias("sum_clnc_micro"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_c2"),
+    )
+    return st.select(
+        "sample_id",
+        F.col("richness").alias("hill_q0"),
+        F.expr(
+            "CAST(floor(exp((CAST(floor(ln(CAST(n_total AS DOUBLE))"
+            " * 1000000) AS BIGINT) - sum_clnc_micro div n_total)"
+            " / 1000000.0) * 1000) AS BIGINT)"
+        ).alias("hill_q1_milli"),
+        F.expr(
+            "CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * 1000"
+            " DIV sum_c2 AS BIGINT)"
+        ).alias("hill_q2_milli"),
+    )

@@ -185,6 +185,7 @@ PRIORITY: tuple[str, ...] = (
     "new_repeat_revenue_monthly",
     "month_end_lift",
     "taxa_temporal_drift",
+    "hill_numbers_suite",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -507,6 +507,16 @@ def test_taxa_drift_sums(spark, sf_dir):
     assert ranks[0] == 1
 
 
+def test_hill_numbers_ordering(spark, sf_dir):
+    rows = QUERIES["hill_numbers_suite"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Hill numbers are non-increasing in q: q0 >= q1 >= q2 >= 1
+        assert r.hill_q0 * 1000 >= r.hill_q1_milli - 2
+        assert r.hill_q1_milli >= r.hill_q2_milli - 2
+        assert r.hill_q2_milli >= 1000 - 2
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -756,3 +756,38 @@ def stream_snapshot_commits(
         .start()
     )
     q.awaitTermination()
+
+
+def burst_alarm_stream(
+    events: DataFrame,
+    watermark: str = "12 hours",
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    threshold: int = 5,
+) -> DataFrame:
+    """Streaming twin of the batch ``rapid_fire_users`` audit: per-USER
+    sliding-window event counts, emitting only windows at or above the
+    burst threshold (the rate-limit alarm as a live stream instead of a
+    retrospective scan).
+
+    The lag(ts, k) formulation the batch op uses needs total per-user
+    ordering — unbounded state on a stream — so the streaming form
+    trades exact span detection for watermark-bounded sliding windows:
+    any ≥threshold burst inside one 6 h span lands in at least one
+    1 h-slid window. State is bounded by watermark × (window/slide)
+    per active user.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= threshold)
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "user_id",
+            "n_events",
+        )
+    )

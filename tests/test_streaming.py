@@ -569,3 +569,47 @@ def test_stream_snapshot_commits_time_travel(spark, sf_dir, tmp_path):
     assert list_versions(table)[-1] == final, "replay double-committed"
     # pinned version untouched
     assert read_snapshot(spark, table, 1).count() == v1_rows
+
+
+def test_burst_alarm_stream_matches_batch_windows(spark, sf_dir):
+    """The streaming burst alarm must emit exactly the (window, user)
+    cells a batch computation of the same sliding windows produces."""
+    from bpaotu_spark.streaming.jobs import (
+        burst_alarm_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    # complete mode: the drained file source is one micro-batch, so
+    # append mode would hold every window open behind the watermark;
+    # complete emits the full alarm table (the production deployment
+    # runs append with late data continuously advancing the watermark)
+    run_to_memory(burst_alarm_stream(ev), "burst_alarm_sink")
+    got = {
+        (r.window_start_ms, r.user_id, r.n_events)
+        for r in spark.table("burst_alarm_sink").collect()
+    }
+
+    from bpaotu_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "6 hours", "1 hour").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 5)
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "user_id",
+            "n_events",
+        )
+    )
+    want = {
+        (r.window_start_ms, r.user_id, r.n_events) for r in batch.collect()
+    }
+    # append-mode only emits watermark-closed windows; on a drained
+    # availableNow file stream every window is closed, so sets match
+    assert got == want
+    assert want, "threshold produced no alarm cells on this data"

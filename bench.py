@@ -214,6 +214,8 @@ HEADLINE = (
     "month_end_lift",
     "taxa_temporal_drift",
     "hill_numbers_suite",
+    "faith_pd_taxonomy",
+    "bloom_sizing_advisor",
 )
 
 

@@ -212,3 +212,61 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_key",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_sizing_advisor — for each candidate join key of the fact
+# table: the Bloom-filter geometry a runtime-filter pass should use at
+# 1% target false-positive rate. m/n = ln(1/p)/ln²2 = 9.585059 bits
+# per key and k = round(m/n·ln2) = 7 hashes — the two irrational
+# constants enter once as integer-scaled literals, so the advisory is
+# engine-exact. Pairs with bloom_semijoin_filter (the filter itself)
+# and join_skew_audit (the multiplicity profile).
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_KEY_MICRO = 9_585_059  # ln(1/0.01)/ln(2)^2 * 1e6
+_BLOOM_K = 7  # round(9.585059 * ln 2)
+
+
+@register(
+    "bloom_sizing_advisor",
+    oracle=f"""
+WITH keys AS (
+  SELECT 'l_orderkey' AS key_name,
+    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(count(DISTINCT l_suppkey) AS BIGINT)
+  FROM lineitem
+)
+SELECT key_name, n_keys,
+  (n_keys * {_BLOOM_BITS_PER_KEY_MICRO} + 999999) // 1000000 AS m_bits,
+  ((n_keys * {_BLOOM_BITS_PER_KEY_MICRO} + 999999) // 1000000 + 8388607)
+    // 8388608 AS m_mib_ceil,
+  CAST({_BLOOM_K} AS BIGINT) AS k_hashes
+FROM keys
+""",
+)
+def bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = None
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        part = li.agg(
+            F.lit(col).alias("key_name"),
+            F.countDistinct(col).alias("n_keys"),
+        )
+        keys = part if keys is None else keys.unionAll(part)
+    return keys.select(
+        "key_name",
+        "n_keys",
+        F.expr(
+            f"(n_keys * {_BLOOM_BITS_PER_KEY_MICRO} + 999999) div 1000000"
+        ).alias("m_bits"),
+        F.expr(
+            f"((n_keys * {_BLOOM_BITS_PER_KEY_MICRO} + 999999) div 1000000"
+            f" + 8388607) div 8388608"
+        ).alias("m_mib_ceil"),
+        F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+    )

@@ -404,3 +404,60 @@ def otu_nestedness_nodf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("overlap_ppm").cast("bigint").alias("min_overlap_ppm"),
         F.max("overlap_ppm").cast("bigint").alias("max_overlap_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# faith_pd_taxonomy — Faith's phylogenetic diversity with the part
+# taxonomy (p_type → p_brand → p_partkey, the same rank chain the
+# drilldown pages use; reference: bpaotu/otu/query.py taxonomy ranks)
+# standing in for the phylogeny, unit branch lengths: PD(sample) =
+# number of distinct tree edges spanned by the sample's OTUs = Σ over
+# levels of distinct prefixes. Richer samples that concentrate in one
+# clade score LOWER than equally-rich samples spread across clades —
+# exactly the signal plain richness misses.
+#
+# Scale shape: one broadcast-dim join, three distinct-prefix counts in
+# a single sample-keyed aggregation (map-side combine).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "faith_pd_taxonomy",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+pres AS (
+  SELECT DISTINCT sample_id, p_type, p_brand, otu_id
+  FROM abundance JOIN part ON otu_id = p_partkey
+)
+SELECT sample_id,
+  CAST(count(DISTINCT p_type) AS BIGINT) AS n_type_edges,
+  CAST(count(DISTINCT p_type || '|' || p_brand) AS BIGINT) AS n_brand_edges,
+  CAST(count(DISTINCT otu_id) AS BIGINT) AS n_leaf_edges,
+  CAST(count(DISTINCT p_type) AS BIGINT)
+    + CAST(count(DISTINCT p_type || '|' || p_brand) AS BIGINT)
+    + CAST(count(DISTINCT otu_id) AS BIGINT) AS faith_pd
+FROM pres GROUP BY sample_id
+""",
+)
+def faith_pd_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
+    )
+    pres = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(part), "otu_id")
+        .select("sample_id", "p_type", "p_brand", "otu_id")
+        .distinct()
+    )
+    return pres.groupBy("sample_id").agg(
+        F.countDistinct("p_type").alias("n_type_edges"),
+        F.countDistinct(
+            F.concat_ws("|", "p_type", "p_brand")
+        ).alias("n_brand_edges"),
+        F.countDistinct("otu_id").alias("n_leaf_edges"),
+        (
+            F.countDistinct("p_type")
+            + F.countDistinct(F.concat_ws("|", "p_type", "p_brand"))
+            + F.countDistinct("otu_id")
+        ).alias("faith_pd"),
+    )

@@ -186,6 +186,8 @@ PRIORITY: tuple[str, ...] = (
     "month_end_lift",
     "taxa_temporal_drift",
     "hill_numbers_suite",
+    "faith_pd_taxonomy",
+    "bloom_sizing_advisor",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

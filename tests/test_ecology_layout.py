@@ -517,6 +517,25 @@ def test_hill_numbers_ordering(spark, sf_dir):
         assert r.hill_q2_milli >= 1000 - 2
 
 
+def test_faith_pd_dominates_levels(spark, sf_dir):
+    rows = QUERIES["faith_pd_taxonomy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # tree structure: leaves >= brand prefixes >= type prefixes
+        assert r.n_leaf_edges >= r.n_brand_edges >= r.n_type_edges >= 1
+        assert r.faith_pd == r.n_type_edges + r.n_brand_edges + r.n_leaf_edges
+
+
+def test_bloom_advisor_geometry(spark, sf_dir):
+    rows = {r.key_name: r for r in QUERIES["bloom_sizing_advisor"](spark, sf_dir).collect()}
+    assert set(rows) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    for r in rows.values():
+        # ~9.59 bits per key at 1% FPP
+        assert 9 * r.n_keys <= r.m_bits <= 10 * r.n_keys
+        assert r.k_hashes == 7
+        assert r.m_mib_ceil >= 1
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -216,6 +216,7 @@ HEADLINE = (
     "hill_numbers_suite",
     "faith_pd_taxonomy",
     "bloom_sizing_advisor",
+    "two_way_effects",
 )
 
 

@@ -268,3 +268,82 @@ def gumbel_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {_SQRT6_OVER_PI} * {_EULER_GAMMA}) AS BIGINT)"
         ).alias("gumbel_mu_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two_way_effects — two-factor effects decomposition of order value on
+# mktsegment × orderpriority: cell mean = grand + A-effect + B-effect
+# + interaction. The additive-model residual (interaction_cents) is
+# the "does priority behave differently per segment" signal — the
+# two-way ANOVA table's effect column, in exact integer cents (every
+# mean one floored division of exact sums; the 5×5 cell frame is
+# bounded).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "two_way_effects",
+    oracle="""
+WITH y AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS grand FROM y),
+a AS (
+  SELECT seg, CAST(sum(cents) AS BIGINT) // count(*) AS a_mean
+  FROM y GROUP BY seg
+),
+b AS (
+  SELECT prio, CAST(sum(cents) AS BIGINT) // count(*) AS b_mean
+  FROM y GROUP BY prio
+),
+cell AS (
+  SELECT seg, prio, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) // count(*) AS cell_mean
+  FROM y GROUP BY seg, prio
+)
+SELECT cell.seg, cell.prio, n, cell_mean AS cell_mean_cents,
+  a_mean - grand AS seg_effect_cents,
+  b_mean - grand AS prio_effect_cents,
+  cell_mean - (a_mean + b_mean - grand) AS interaction_cents
+FROM cell JOIN a ON cell.seg = a.seg JOIN b ON cell.prio = b.prio, g
+""",
+)
+def two_way_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    y = od.join(F.broadcast(cu), "o_custkey")
+    g = y.agg(F.expr("sum(cents) div count(*)").alias("grand"))
+    a = y.groupBy("seg").agg(F.expr("sum(cents) div count(*)").alias("a_mean"))
+    b = y.groupBy("prio").agg(
+        F.expr("sum(cents) div count(*)").alias("b_mean")
+    )
+    cell = y.groupBy("seg", "prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cents) div count(*)").alias("cell_mean"),
+    )
+    return (
+        cell.join(F.broadcast(a), "seg")
+        .join(F.broadcast(b), "prio")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "seg",
+            "prio",
+            "n",
+            F.col("cell_mean").alias("cell_mean_cents"),
+            (F.col("a_mean") - F.col("grand")).alias("seg_effect_cents"),
+            (F.col("b_mean") - F.col("grand")).alias("prio_effect_cents"),
+            (
+                F.col("cell_mean")
+                - (F.col("a_mean") + F.col("b_mean") - F.col("grand"))
+            ).alias("interaction_cents"),
+        )
+    )

@@ -188,6 +188,7 @@ PRIORITY: tuple[str, ...] = (
     "hill_numbers_suite",
     "faith_pd_taxonomy",
     "bloom_sizing_advisor",
+    "two_way_effects",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -536,6 +536,18 @@ def test_bloom_advisor_geometry(spark, sf_dir):
         assert r.m_mib_ceil >= 1
 
 
+def test_two_way_effects_reconstruct(spark, sf_dir):
+    rows = QUERIES["two_way_effects"](spark, sf_dir).collect()
+    assert len(rows) == 25  # 5 segments x 5 priorities
+    assert all(r.n > 0 for r in rows)
+    # ANOVA orthogonality: the n-weighted interaction residuals sum to
+    # ~zero across cells (each of the 4 floored means loses <1 cent,
+    # so the weighted total drifts by at most ~4 cents per row)
+    n_all = sum(r.n for r in rows)
+    weighted = sum(r.n * r.interaction_cents for r in rows)
+    assert abs(weighted) <= 5 * n_all
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -217,6 +217,8 @@ HEADLINE = (
     "faith_pd_taxonomy",
     "bloom_sizing_advisor",
     "two_way_effects",
+    "beta_dispersion_groups",
+    "ab_test_sizing",
 )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.ecology import _ANOSIM_SEL
 from bpaotu_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -460,4 +461,111 @@ def faith_pd_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.countDistinct(F.concat_ws("|", "p_type", "p_brand"))
             + F.countDistinct("otu_id")
         ).alias("faith_pd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# beta_dispersion_groups — PERMDISP-lite: per mktsegment group, the
+# mean within-group Bray-Curtis distance (ppm) over the ANOSIM-bounded
+# study selection, vs the between-group mean. ANOSIM asks "are groups
+# separated"; this asks "are groups equally VARIABLE" — the assumption
+# check run before trusting an ANOSIM R.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "beta_dispersion_groups",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_mktsegment AS grp
+  FROM customer WHERE {_ANOSIM_SEL}
+),
+a AS (
+  SELECT ab.sample_id, grp, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, grp, otu_id
+),
+tot AS (
+  SELECT sample_id, grp, CAST(sum(c) AS BIGINT) AS tot
+  FROM a GROUP BY sample_id, grp
+),
+shared AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         CAST(sum(least(x.c, y.c)) AS BIGINT) AS sum_min
+  FROM a x JOIN a y ON x.otu_id = y.otu_id AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+),
+pairs AS (
+  SELECT CASE WHEN ta.grp = tb.grp THEN ta.grp ELSE '__BETWEEN__' END
+           AS grp,
+    1000000 - (2000000 * coalesce(s.sum_min, 0)) // (ta.tot + tb.tot)
+      AS d_ppm
+  FROM tot ta JOIN tot tb ON ta.sample_id < tb.sample_id
+  LEFT JOIN shared s
+    ON s.sample_a = ta.sample_id AND s.sample_b = tb.sample_id
+)
+SELECT grp,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(d_ppm) AS BIGINT) // count(*) AS mean_d_ppm,
+  CAST(min(d_ppm) AS BIGINT) AS min_d_ppm,
+  CAST(max(d_ppm) AS BIGINT) AS max_d_ppm
+FROM pairs GROUP BY grp
+""",
+)
+def beta_dispersion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(
+            F.col("c_custkey").alias("sample_id"),
+            F.col("c_mktsegment").alias("grp"),
+        )
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .groupBy("sample_id", "grp", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
+    x_, y_ = a.alias("x"), a.alias("y")
+    shared = (
+        x_.join(
+            y_,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sample_a"),
+            F.col("y.sample_id").alias("sample_b"),
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = (
+        ta.join(F.broadcast(tb), F.col("ta.sample_id") < F.col("tb.sample_id"))
+        .join(
+            shared,
+            (F.col("ta.sample_id") == shared.sample_a)
+            & (F.col("tb.sample_id") == shared.sample_b),
+            "left",
+        )
+        .select(
+            F.when(
+                F.col("ta.grp") == F.col("tb.grp"), F.col("ta.grp")
+            )
+            .otherwise("__BETWEEN__")
+            .alias("grp"),
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, 0))"
+                " div (ta.tot + tb.tot)"
+            ).alias("d_ppm"),
+        )
+    )
+    return pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(d_ppm) div count(*)").alias("mean_d_ppm"),
+        F.min("d_ppm").cast("bigint").alias("min_d_ppm"),
+        F.max("d_ppm").cast("bigint").alias("max_d_ppm"),
     )

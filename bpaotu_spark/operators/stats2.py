@@ -347,3 +347,62 @@ def two_way_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interaction_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_sizing — experiment-design calculator from live variance:
+# n per arm ≈ 16·σ²/δ² (the standard 80%-power / 5%-α rule-of-16)
+# for a minimum detectable effect of 2% of the current mean order
+# value. σ² comes from the exact 128-bit cents moments; the MDE and
+# the rule constant are integer-scaled literals, so the recommended
+# sample size is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_sizing",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS s1,
+    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+  FROM c
+)
+SELECT n AS n_observed,
+  s1 // n AS mean_cents,
+  CAST((n * s2 - CAST(s1 AS HUGEINT) * s1) // (CAST(n AS HUGEINT) * (n - 1))
+    AS BIGINT) AS var_cents2,
+  -- delta = 2% of mean; n_arm = 16 * var / delta^2
+  CAST((CAST(16 AS HUGEINT)
+    * ((n * s2 - CAST(s1 AS HUGEINT) * s1) // (CAST(n AS HUGEINT) * (n - 1))))
+    // (((s1 // n) * 2 // 100) * ((s1 // n) * 2 // 100)) AS BIGINT)
+    AS n_per_arm
+FROM mom
+""",
+)
+def ab_test_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    mom = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("s2"),
+    )
+    var = (
+        "(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * (n - 1))"
+    )
+    return mom.select(
+        F.col("n").alias("n_observed"),
+        F.expr("s1 div n").alias("mean_cents"),
+        F.expr(f"CAST({var} AS BIGINT)").alias("var_cents2"),
+        F.expr(
+            f"CAST((CAST(16 AS DECIMAL(38,0)) * ({var}))"
+            f" DIV (((s1 div n) * 2 div 100) * ((s1 div n) * 2 div 100))"
+            f" AS BIGINT)"
+        ).alias("n_per_arm"),
+    )

@@ -189,6 +189,8 @@ PRIORITY: tuple[str, ...] = (
     "faith_pd_taxonomy",
     "bloom_sizing_advisor",
     "two_way_effects",
+    "beta_dispersion_groups",
+    "ab_test_sizing",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

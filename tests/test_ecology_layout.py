@@ -548,6 +548,24 @@ def test_two_way_effects_reconstruct(spark, sf_dir):
     assert abs(weighted) <= 5 * n_all
 
 
+def test_beta_dispersion_covers_groups(spark, sf_dir):
+    rows = {r.grp: r for r in QUERIES["beta_dispersion_groups"](spark, sf_dir).collect()}
+    assert set(rows) == {"BUILDING", "MACHINERY", "__BETWEEN__"}
+    for r in rows.values():
+        assert 0 <= r.min_d_ppm <= r.mean_d_ppm <= r.max_d_ppm <= 1_000_000
+        assert r.n_pairs > 0
+
+
+def test_ab_sizing_positive(spark, sf_dir):
+    r = QUERIES["ab_test_sizing"](spark, sf_dir).collect()[0]
+    assert r.var_cents2 > 0
+    assert r.n_per_arm > 0
+    # the rule of 16: n_arm = 16 var / (0.02 mean)^2 — sanity-check
+    # within integer-flooring slack
+    approx = 16 * r.var_cents2 // ((r.mean_cents * 2 // 100) ** 2)
+    assert abs(r.n_per_arm - approx) <= 1
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

@@ -219,6 +219,8 @@ HEADLINE = (
     "two_way_effects",
     "beta_dispersion_groups",
     "ab_test_sizing",
+    "order_size_dispersion",
+    "error_budget_burn",
 )
 
 

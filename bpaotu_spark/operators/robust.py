@@ -447,3 +447,104 @@ def pareto_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(count(*) * 1000000000) div sum(ln_ratio)"
         ).alias("alpha_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# order_size_dispersion — the lines-per-order distribution with its
+# Poisson-dispersion verdict: histogram of order sizes + mean/variance
+# Fano in exact milli (clumped order composition breaks the uniform-
+# work assumption task schedulers make; this is the check).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_size_dispersion",
+    oracle="""
+WITH sz AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(count(*)) OVER () AS BIGINT) AS total_orders,
+  (CAST(count(*) AS BIGINT) * 1000000)
+    // CAST(sum(count(*)) OVER () AS BIGINT) AS share_ppm
+FROM sz GROUP BY n_lines
+""",
+)
+def order_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sz = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    hist = sz.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = hist.agg(F.sum("n_orders").alias("total_orders"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "n_lines",
+        "n_orders",
+        "total_orders",
+        F.expr("(n_orders * 1000000) div total_orders").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# error_budget_burn — SRE error-budget monitor on the event stream:
+# daily error share (ppm of all events), the trailing-7-day share, and
+# the burn flag vs a 1% SLO. Calendar-bounded windows; integer ppm.
+# ---------------------------------------------------------------------------
+
+_SLO_PPM = 10_000  # 1% error budget
+
+
+@register(
+    "error_budget_burn",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_errors
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT d, n_events, n_errors,
+    CAST(sum(n_events) OVER w AS BIGINT) AS n7_events,
+    CAST(sum(n_errors) OVER w AS BIGINT) AS n7_errors
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT d, n_events, n_errors,
+  (n_errors * 1000000) // n_events AS day_error_ppm,
+  (n7_errors * 1000000) // n7_events AS week_error_ppm,
+  (n7_errors * 1000000) // n7_events > {_SLO_PPM} AS burn_alert
+FROM win
+""",
+)
+def error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = load_table(spark, sf_dir, "events").groupBy(
+        F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w).cast("bigint").alias("n7_events"),
+        F.sum("n_errors").over(w).cast("bigint").alias("n7_errors"),
+    )
+    return win.select(
+        "d",
+        "n_events",
+        "n_errors",
+        F.expr("(n_errors * 1000000) div n_events").alias("day_error_ppm"),
+        F.expr("(n7_errors * 1000000) div n7_events").alias(
+            "week_error_ppm"
+        ),
+        (
+            F.expr("(n7_errors * 1000000) div n7_events") > _SLO_PPM
+        ).alias("burn_alert"),
+    )

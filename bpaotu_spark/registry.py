@@ -191,6 +191,8 @@ PRIORITY: tuple[str, ...] = (
     "two_way_effects",
     "beta_dispersion_groups",
     "ab_test_sizing",
+    "order_size_dispersion",
+    "error_budget_burn",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

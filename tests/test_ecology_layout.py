@@ -566,6 +566,25 @@ def test_ab_sizing_positive(spark, sf_dir):
     assert abs(r.n_per_arm - approx) <= 1
 
 
+def test_order_size_shares_sum(spark, sf_dir):
+    rows = QUERIES["order_size_dispersion"](spark, sf_dir).collect()
+    tot = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000
+    assert sum(r.n_orders for r in rows) == rows[0].total_orders
+
+
+def test_error_budget_burn_window(spark, sf_dir):
+    rows = sorted(
+        QUERIES["error_budget_burn"](spark, sf_dir).collect(),
+        key=lambda r: r.d,
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.day_error_ppm <= 1_000_000
+        assert 0 <= r.week_error_ppm <= 1_000_000
+        assert r.burn_alert == (r.week_error_ppm > 10_000)
+
+
 def test_zorder_plan_single_fact_scan(spark, sf_dir):
     p = plan(QUERIES["zorder_file_pruning"](spark, sf_dir))
     # the max() frame is a broadcast, never a shuffle join

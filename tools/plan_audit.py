@@ -86,6 +86,13 @@ ALLOWED_BNLJ = {
     "weekly_decomposition": "calendar-bounded daily-series windows (no join)",
     "month_end_lift": "single-row final aggregate",
     "event_burstiness_fano": "single-row-per-type final aggregate",
+    "hill_numbers_suite": "per-sample aggregate, no join",
+    "two_way_effects": "broadcast 1-row grand-mean scalar",
+    "beta_dispersion_groups": "bounded-selection pair former (the ANOSIM study set) + broadcast totals",
+    "ab_test_sizing": "single-row moment aggregate",
+    "order_size_dispersion": "broadcast 1-row total-orders scalar",
+    "error_budget_burn": "calendar-bounded daily windows (no join)",
+    "new_repeat_revenue_monthly": "customer-keyed first-month equi join (listed defensively)",
 }
 
 

@@ -221,6 +221,9 @@ HEADLINE = (
     "ab_test_sizing",
     "order_size_dispersion",
     "error_budget_burn",
+    "unifrac_unweighted",
+    "boilerplate_ngram_hotlist",
+    "price_lognormal_fit",
 )
 
 

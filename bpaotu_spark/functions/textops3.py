@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import bpaotu_spark.ann.core  # noqa: F401  (registers knn_graph_lsh)
 import bpaotu_spark.dedup.core  # noqa: F401  (registers near-dedup oracle)
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize
+from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize, word_ngrams
 from bpaotu_spark.registry import ORACLES, register
 
 # ---------------------------------------------------------------------------
@@ -205,4 +205,92 @@ def intrinsic_dimension_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_nodes * 1000000000) div sum_ln_mu_micro").alias(
             "intrinsic_dim_milli"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngram_hotlist — the global boilerplate detector: top-100
+# word 5-grams by DOCUMENT frequency (distinct docs containing the
+# gram, not occurrences — occurrence counts reward one spammy doc,
+# document frequency finds the template shared ACROSS docs), with the
+# corpus-share in ppm. The hotlist is what a curation pipeline turns
+# into a strip-list before near-dedup (boilerplate inflates Jaccard
+# similarity between otherwise-unrelated pages).
+#
+# Scale shape: explode → distinct (doc, gram) → gram-keyed df count
+# (map-side combine) → HAVING df ≥ 2 (a gram in one document is by
+# definition not boilerplate — prunes the huge unique tail before the
+# top-k) → distributed top-k (TakeOrderedAndProject, never a global
+# sort) with a deterministic (df DESC, gram ASC) tiebreak. The only
+# window runs over the 100-row result to emit ranks.
+# ---------------------------------------------------------------------------
+
+_HOTLIST_K = 100
+_HOTLIST_N = 5
+
+
+@register(
+    "boilerplate_ngram_hotlist",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+      tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+          || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+        AS gram
+    FROM (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t)
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(tok, {_HOTLIST_N - 1}) OVER w IS NOT NULL
+  )
+),
+df AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM g GROUP BY gram HAVING count(*) >= 2
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+top AS (
+  SELECT gram, doc_freq FROM df
+  ORDER BY doc_freq DESC, gram LIMIT {_HOTLIST_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, gram) AS BIGINT)
+    AS rank,
+  gram, doc_freq,
+  (doc_freq * 1000000) // n_docs AS doc_share_ppm
+FROM top, n
+""",
+)
+def boilerplate_ngram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            word_ngrams(tokenize(F.col("text")), _HOTLIST_N)
+        ).alias("gram"),
+    ).distinct()
+    df = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — each task keeps
+    # its local top-100, the driver merges 100·n_tasks rows, never a
+    # global sort of the gram table
+    top = df.orderBy(F.col("doc_freq").desc(), "gram").limit(_HOTLIST_K)
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.orderBy(F.col("doc_freq").desc(), "gram")
+    return (
+        top.crossJoin(F.broadcast(n))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "gram",
+            "doc_freq",
+            F.expr("(doc_freq * 1000000) div n_docs").alias(
+                "doc_share_ppm"
+            ),
+        )
     )

@@ -569,3 +569,141 @@ def beta_dispersion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d_ppm").cast("bigint").alias("min_d_ppm"),
         F.max("d_ppm").cast("bigint").alias("max_d_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unifrac_unweighted — pairwise unweighted UniFrac between samples of
+# the ANOSIM-bounded study selection, with the part taxonomy
+# (p_type → p_brand → p_partkey) standing in for the phylogeny at unit
+# branch lengths — the same tree faith_pd_taxonomy walks (reference:
+# the comparison/dissimilarity endpoints behind bpaotu/otu/query.py,
+# which ship Bray-Curtis/Jaccard; UniFrac is the phylogeny-aware
+# member of that family and the standard microbiome pair metric).
+# UniFrac(a,b) = unique branch length / total branch length
+#             = (|Eₐ| + |E_b| − 2·|Eₐ∩E_b|) / (|Eₐ| + |E_b| − |Eₐ∩E_b|)
+# over each sample's spanned edge set E. Presence/absence only (the
+# unweighted form), integer ppm — engine-exact.
+#
+# Scale shape: ONE fact scan builds the edge sets (a 3-edge explode
+# per present (sample, part) row, then distinct); shared-edge pairs
+# form by joining pres to itself ON THE EDGE KEY — the inverted-index
+# blocking every pair-former in this repo uses, never a cross product.
+# Edge df is bounded by the selection size; the selection (a customer
+# study subset, as in anosim_groups) is the documented scale bound, as
+# in any real pairwise-comparison page.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unifrac_unweighted",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id FROM customer WHERE {_ANOSIM_SEL}
+),
+base AS (
+  SELECT DISTINCT ab.sample_id, p_type, p_brand, otu_id
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  JOIN part ON otu_id = p_partkey
+),
+pres AS (
+  SELECT DISTINCT sample_id, 't|' || p_type AS edge FROM base
+  UNION
+  SELECT DISTINCT sample_id, 'b|' || p_type || '|' || p_brand FROM base
+  UNION
+  SELECT DISTINCT sample_id, 'l|' || otu_id FROM base
+),
+sz AS (
+  SELECT sample_id, CAST(count(*) AS BIGINT) AS ne FROM pres GROUP BY 1
+),
+shared AS (
+  SELECT x.sample_id AS sa, y.sample_id AS sb,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM pres x JOIN pres y
+    ON x.edge = y.edge AND x.sample_id < y.sample_id
+  GROUP BY 1, 2
+)
+SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
+  a.ne AS n_edges_a, b.ne AS n_edges_b,
+  coalesce(n_shared, 0) AS n_shared_edges,
+  ((a.ne + b.ne - 2 * coalesce(n_shared, 0)) * 1000000)
+    // (a.ne + b.ne - coalesce(n_shared, 0)) AS unifrac_ppm
+FROM sz a JOIN sz b ON a.sample_id < b.sample_id
+LEFT JOIN shared ON shared.sa = a.sample_id AND shared.sb = b.sample_id
+""",
+)
+def unifrac_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(F.col("c_custkey").alias("sample_id"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
+    )
+    base = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .join(F.broadcast(part), "otu_id")
+        .select("sample_id", "p_type", "p_brand", "otu_id")
+        .distinct()
+    )
+    # one pass over base: each present leaf contributes its 3 spanned
+    # edges; distinct collapses shared interior edges per sample
+    # pres is selection-bounded (|sel| samples × spanned edges) and
+    # feeds three consumers (both size lookups + the shared-edge pairs);
+    # without the checkpoint Catalyst re-runs the fact scan per consumer
+    pres = (
+        base.select(
+            "sample_id",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("t|"), F.col("p_type")),
+                    F.concat(
+                        F.lit("b|"),
+                        F.col("p_type"),
+                        F.lit("|"),
+                        F.col("p_brand"),
+                    ),
+                    F.concat(F.lit("l|"), F.col("otu_id")),
+                )
+            ).alias("edge"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sz = pres.groupBy("sample_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ne")
+    )
+    x = pres.select(F.col("sample_id").alias("sa"), "edge")
+    y = pres.select(F.col("sample_id").alias("sb"), "edge")
+    shared = (
+        x.join(y, "edge")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    a = sz.select(F.col("sample_id").alias("sample_a"), F.col("ne").alias("n_edges_a"))
+    b = sz.select(F.col("sample_id").alias("sample_b"), F.col("ne").alias("n_edges_b"))
+    return (
+        a.join(F.broadcast(b), F.col("sample_a") < F.col("sample_b"))
+        .join(
+            shared,
+            (F.col("sa") == F.col("sample_a")) & (F.col("sb") == F.col("sample_b")),
+            "left",
+        )
+        .select(
+            "sample_a",
+            "sample_b",
+            "n_edges_a",
+            "n_edges_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias(
+                "n_shared_edges"
+            ),
+            F.expr(
+                "((n_edges_a + n_edges_b - 2 * coalesce(n_shared, 0))"
+                " * 1000000)"
+                " div (n_edges_a + n_edges_b - coalesce(n_shared, 0))"
+            ).alias("unifrac_ppm"),
+        )
+    )

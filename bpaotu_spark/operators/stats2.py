@@ -406,3 +406,77 @@ def ab_test_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS BIGINT)"
         ).alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# price_lognormal_fit — per-mktsegment lognormal fit of the order-value
+# distribution (the standard model for spend distributions): per order
+# x = floor(ln(price)·1e6) micro-nats, then μ̂ = mean(x) and the mean
+# absolute deviation around it, with σ̂ = MAD·√(π/2) (exact for a
+# normal ln-price; the constant enters once as the integer ratio
+# 12533/10000). MAD instead of Σx² on purpose: squared micro-nats
+# overflow int64 beyond ~9M rows, while Σ|x−μ| stays ~1e6·n — exact
+# integer arithmetic at any scale.
+#
+# Scale shape: two passes over the order fact (ln+sum, then |x−μ|
+# re-aggregation) with the 5-row per-segment moment table broadcast
+# back between them; customer dim is broadcast. No window, no collect.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_lognormal_fit",
+    oracle="""
+WITH x AS (
+  SELECT c_mktsegment AS segment,
+    CAST(floor(ln(o_totalprice) * 1000000) AS BIGINT) AS lnp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(lnp) AS BIGINT) // count(*) AS mu_ln_micro
+  FROM x GROUP BY 1
+)
+SELECT x.segment, n_orders, mu_ln_micro,
+  CAST(sum(abs(lnp - mu_ln_micro)) AS BIGINT) // n_orders
+    AS mad_ln_micro,
+  CAST(sum(abs(lnp - mu_ln_micro)) AS BIGINT) // n_orders * 12533
+    // 10000 AS sigma_ln_micro,
+  CAST(min(lnp) AS BIGINT) AS min_ln_micro,
+  CAST(max(lnp) AS BIGINT) AS max_ln_micro
+FROM x JOIN m ON x.segment = m.segment
+GROUP BY x.segment, n_orders, mu_ln_micro
+""",
+)
+def price_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "segment",
+            F.floor(F.log(F.col("o_totalprice")) * 1000000)
+            .cast("bigint")
+            .alias("lnp"),
+        )
+    )
+    m = x.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("sum(lnp) div count(*)").alias("mu_ln_micro"),
+    )
+    return (
+        x.join(F.broadcast(m), "segment")
+        .groupBy("segment", "n_orders", "mu_ln_micro")
+        .agg(
+            F.expr("sum(abs(lnp - mu_ln_micro)) div n_orders").alias(
+                "mad_ln_micro"
+            ),
+            F.expr(
+                "sum(abs(lnp - mu_ln_micro)) div n_orders * 12533 div 10000"
+            ).alias("sigma_ln_micro"),
+            F.min("lnp").cast("bigint").alias("min_ln_micro"),
+            F.max("lnp").cast("bigint").alias("max_ln_micro"),
+        )
+    )

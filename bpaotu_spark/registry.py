@@ -193,6 +193,12 @@ PRIORITY: tuple[str, ...] = (
     "ab_test_sizing",
     "order_size_dispersion",
     "error_budget_burn",
+    # (B1) round-5 final batch — never driver-verified; all pass
+    # tools/check.py at sf0.001 + sf0.01; rotate into the window next
+    # round
+    "unifrac_unweighted",
+    "boilerplate_ngram_hotlist",
+    "price_lognormal_fit",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -93,6 +93,7 @@ ALLOWED_BNLJ = {
     "order_size_dispersion": "broadcast 1-row total-orders scalar",
     "error_budget_burn": "calendar-bounded daily windows (no join)",
     "new_repeat_revenue_monthly": "customer-keyed first-month equi join (listed defensively)",
+    "unifrac_unweighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
 }
 
 

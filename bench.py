@@ -222,8 +222,10 @@ HEADLINE = (
     "order_size_dispersion",
     "error_budget_burn",
     "unifrac_unweighted",
+    "unifrac_weighted",
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
+    "map_tiles_pyramid",
 )
 
 

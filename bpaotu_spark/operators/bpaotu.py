@@ -1679,3 +1679,112 @@ def otu_niche_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("evenness_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# map_tiles_pyramid — the zoom-dependent map layer behind the portal's
+# sample map (reference: bpaotu's map page re-bins markers as the user
+# zooms; public path bpaotu/otu/views.py map endpoints + map_binning_2d
+# above): a 4-level tile pyramid over the same (acctbal × totalprice)
+# plane, zoom 3 = the base grid, each parent tile the floor-halved
+# child coordinate — i.e. a quadtree, built ONCE bottom-up. (The
+# oracle floors via floor(x/2.0): DuckDB's integer `//` TRUNCATES
+# toward zero — verified (-1)//2 = 0 — while shiftright floors.)
+#
+# Scale shape: the fact is scanned exactly once (the zoom-3
+# aggregation, checkpointed — its size is bounded by the GRID, not the
+# data); every coarser level re-aggregates the previous level's tiny
+# tile table. Parent coords use arithmetic shiftright (= floor
+# division by 2, matching DuckDB's floor `//` on negative bins too —
+# integer `div` would truncate toward zero and disagree below zero).
+# Sums (orders, cents) are re-aggregatable; that is WHY the pyramid
+# carries counts and exact cents, not distinct-counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_tiles_pyramid",
+    oracle=f"""
+WITH z3 AS (
+  SELECT CAST(floor(c_acctbal / {_BIN_X}) AS BIGINT) AS tile_x,
+         CAST(floor(o_totalprice / {_BIN_Y}) AS BIGINT) AS tile_y,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100, 0)
+           AS BIGINT) AS price_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+z2 AS (
+  SELECT CAST(floor(tile_x / 2.0) AS BIGINT) AS tile_x,
+         CAST(floor(tile_y / 2.0) AS BIGINT) AS tile_y,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders,
+         CAST(sum(price_cents) AS BIGINT) AS price_cents
+  FROM z3 GROUP BY 1, 2
+),
+z1 AS (
+  SELECT CAST(floor(tile_x / 2.0) AS BIGINT) AS tile_x,
+         CAST(floor(tile_y / 2.0) AS BIGINT) AS tile_y,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders,
+         CAST(sum(price_cents) AS BIGINT) AS price_cents
+  FROM z2 GROUP BY 1, 2
+),
+z0 AS (
+  SELECT CAST(floor(tile_x / 2.0) AS BIGINT) AS tile_x,
+         CAST(floor(tile_y / 2.0) AS BIGINT) AS tile_y,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders,
+         CAST(sum(price_cents) AS BIGINT) AS price_cents
+  FROM z1 GROUP BY 1, 2
+)
+SELECT 3 AS zoom, * FROM z3
+UNION ALL SELECT 2, * FROM z2
+UNION ALL SELECT 1, * FROM z1
+UNION ALL SELECT 0, * FROM z0
+""",
+)
+def map_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    z3 = (
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy(
+            F.floor(F.col("c_acctbal") / _BIN_X)
+            .cast("bigint")
+            .alias("tile_x"),
+            F.floor(F.col("o_totalprice") / _BIN_Y)
+            .cast("bigint")
+            .alias("tile_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        # grid-bounded (never data-bounded); reused by the union AND
+        # the z2 rollup — checkpoint so the fact scan runs once
+        .localCheckpoint()
+    )
+
+    def up(child: DataFrame) -> DataFrame:
+        return child.groupBy(
+            F.expr("shiftright(tile_x, 1)").alias("tile_x"),
+            F.expr("shiftright(tile_y, 1)").alias("tile_y"),
+        ).agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+        )
+
+    z2 = up(z3)
+    z1 = up(z2)
+    z0 = up(z1)
+    lvl = lambda df, z: df.select(  # noqa: E731
+        F.lit(z).alias("zoom"), "tile_x", "tile_y", "n_orders", "price_cents"
+    )
+    return (
+        lvl(z3, 3)
+        .unionAll(lvl(z2, 2))
+        .unionAll(lvl(z1, 1))
+        .unionAll(lvl(z0, 0))
+    )

@@ -707,3 +707,202 @@ def unifrac_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unifrac_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unifrac_weighted — the abundance-weighted UniFrac companion (unit
+# branch lengths on the same p_type → p_brand → leaf tree):
+#     W(a,b) = Σ_e |c_a(e)/T_a − c_b(e)/T_b|   (then normalized)
+# where c(e) is the abundance under edge e and T the sample total.
+# Per-edge terms are floored to ppm BEFORE summation (the repo-wide
+# integer discipline), and the per-pair sum decomposes so the pair
+# join touches ONLY shared edges:
+#     Σ_e = s_a + s_b + Σ_shared [|cross|ppm − own_a_ppm − own_b_ppm]
+# with s_x = Σ_e floor(c_x·1e6/T_x) a per-sample constant — edges
+# unique to one sample never enter a join. With unit branches the
+# normalizer Σ_e (c_a/T_a + c_b/T_b) is exactly 2·(tree depth) = 6,
+# so wu_ppm = num div 6 lands in [0, 1e6].
+#
+# Scale shape: one fact scan → 3-edge explode → (sample, edge) sum
+# (checkpointed, selection-bounded); shared pairs edge-blocked; the
+# only non-equi join is the broadcast bounded pair frame of per-sample
+# constants. |c·T| products stay ≤ ~1e17 — int64-safe because both
+# factors are PER-SAMPLE totals (bounded by one customer's history,
+# not corpus size), noted here for the 100 TB audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unifrac_weighted",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id FROM customer WHERE {_ANOSIM_SEL}
+),
+leaf AS (
+  SELECT ab.sample_id, p_type, p_brand, otu_id,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  JOIN part ON otu_id = p_partkey
+  GROUP BY 1, 2, 3, 4
+),
+eab AS (
+  SELECT sample_id, edge, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT sample_id, 't|' || p_type AS edge, c FROM leaf
+    UNION ALL
+    SELECT sample_id, 'b|' || p_type || '|' || p_brand, c FROM leaf
+    UNION ALL
+    SELECT sample_id, 'l|' || otu_id, c FROM leaf
+  ) GROUP BY 1, 2
+),
+tot AS (
+  SELECT sample_id, CAST(sum(c) AS BIGINT) // 3 AS t
+  FROM eab GROUP BY 1
+),
+e2 AS (
+  SELECT eab.sample_id, edge, c, t,
+         (c * 1000000) // t AS own_ppm
+  FROM eab JOIN tot ON eab.sample_id = tot.sample_id
+),
+s AS (
+  SELECT sample_id, t, CAST(sum(own_ppm) AS BIGINT) AS s_own
+  FROM e2 GROUP BY 1, 2
+),
+adj AS (
+  SELECT x.sample_id AS sa, y.sample_id AS sb,
+    CAST(sum(
+      (abs(x.c * y.t - y.c * x.t) * 1000000) // (x.t * y.t)
+      - x.own_ppm - y.own_ppm
+    ) AS BIGINT) AS adj
+  FROM e2 x JOIN e2 y
+    ON x.edge = y.edge AND x.sample_id < y.sample_id
+  GROUP BY 1, 2
+)
+SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
+  a.t AS total_a, b.t AS total_b,
+  (a.s_own + b.s_own + coalesce(adj, 0)) // 6 AS wu_ppm
+FROM s a JOIN s b ON a.sample_id < b.sample_id
+LEFT JOIN adj ON adj.sa = a.sample_id AND adj.sb = b.sample_id
+""",
+)
+def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(F.col("c_custkey").alias("sample_id"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
+    )
+    leaf = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .join(F.broadcast(part), "otu_id")
+        .groupBy("sample_id", "p_type", "p_brand", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    eab = (
+        leaf.select(
+            "sample_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("t|"), F.col("p_type")).alias("edge"),
+                        F.col("c"),
+                    ),
+                    F.struct(
+                        F.concat(
+                            F.lit("b|"),
+                            F.col("p_type"),
+                            F.lit("|"),
+                            F.col("p_brand"),
+                        ).alias("edge"),
+                        F.col("c"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("l|"), F.col("otu_id")).alias("edge"),
+                        F.col("c"),
+                    ),
+                )
+            ).alias("ec"),
+        )
+        .select("sample_id", "ec.edge", "ec.c")
+        .groupBy("sample_id", "edge")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    tot = eab.groupBy("sample_id").agg(
+        F.expr("sum(c) div 3").alias("t")
+    )
+    # selection-bounded; feeds the per-sample constants AND the
+    # shared-edge pair join — checkpoint so the fact scan runs once
+    e2 = (
+        eab.join(F.broadcast(tot), "sample_id")
+        .select(
+            "sample_id",
+            "edge",
+            "c",
+            "t",
+            F.expr("(c * 1000000) div t").alias("own_ppm"),
+        )
+        .localCheckpoint()
+    )
+    s = e2.groupBy("sample_id", "t").agg(
+        F.sum("own_ppm").cast("bigint").alias("s_own")
+    )
+    x = e2.select(
+        F.col("sample_id").alias("sa"),
+        "edge",
+        F.col("c").alias("ca"),
+        F.col("t").alias("ta"),
+        F.col("own_ppm").alias("oa"),
+    )
+    y = e2.select(
+        F.col("sample_id").alias("sb"),
+        "edge",
+        F.col("c").alias("cb"),
+        F.col("t").alias("tb"),
+        F.col("own_ppm").alias("ob"),
+    )
+    adj = (
+        x.join(y, "edge")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(abs(ca * tb - cb * ta) * 1000000) div (ta * tb)"
+                    " - oa - ob"
+                )
+            )
+            .cast("bigint")
+            .alias("adj")
+        )
+    )
+    a = s.select(
+        F.col("sample_id").alias("sample_a"),
+        F.col("t").alias("total_a"),
+        F.col("s_own").alias("sown_a"),
+    )
+    b = s.select(
+        F.col("sample_id").alias("sample_b"),
+        F.col("t").alias("total_b"),
+        F.col("s_own").alias("sown_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("sample_a") < F.col("sample_b"))
+        .join(
+            adj,
+            (F.col("sa") == F.col("sample_a"))
+            & (F.col("sb") == F.col("sample_b")),
+            "left",
+        )
+        .select(
+            "sample_a",
+            "sample_b",
+            "total_a",
+            "total_b",
+            F.expr(
+                "(sown_a + sown_b + coalesce(adj, 0)) div 6"
+            ).alias("wu_ppm"),
+        )
+    )

@@ -197,8 +197,10 @@ PRIORITY: tuple[str, ...] = (
     # tools/check.py at sf0.001 + sf0.01; rotate into the window next
     # round
     "unifrac_unweighted",
+    "unifrac_weighted",
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
+    "map_tiles_pyramid",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

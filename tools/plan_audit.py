@@ -94,6 +94,7 @@ ALLOWED_BNLJ = {
     "error_budget_burn": "calendar-bounded daily windows (no join)",
     "new_repeat_revenue_monthly": "customer-keyed first-month equi join (listed defensively)",
     "unifrac_unweighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
+    "unifrac_weighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
 }
 
 

@@ -590,3 +590,64 @@ def test_zorder_plan_single_fact_scan(spark, sf_dir):
     # the max() frame is a broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_unifrac_pair_bounds_and_pair_count(spark, sf_dir):
+    uf = QUERIES["unifrac_unweighted"](spark, sf_dir).collect()
+    wu = QUERIES["unifrac_weighted"](spark, sf_dir).collect()
+    assert uf and wu
+    n = round((1 + (1 + 8 * len(uf)) ** 0.5) / 2)  # invert C(n,2)
+    assert n * (n - 1) == 2 * len(uf), "pair frame must be all C(n,2) pairs"
+    assert len(wu) == len(uf)
+    for r in uf:
+        assert 0 <= r.unifrac_ppm <= 1_000_000
+        assert r.n_shared_edges <= min(r.n_edges_a, r.n_edges_b)
+        # identical edge sets → 0; disjoint → exactly 1e6
+        if r.n_shared_edges == 0:
+            assert r.unifrac_ppm == 1_000_000
+    for r in wu:
+        # per-edge ppm flooring can undershoot slightly, never overshoot
+        assert 0 <= r.wu_ppm <= 1_000_000
+        assert r.total_a > 0 and r.total_b > 0
+
+
+def test_map_tiles_pyramid_mass_conservation(spark, sf_dir):
+    rows = QUERIES["map_tiles_pyramid"](spark, sf_dir).collect()
+    by_zoom = {}
+    for r in rows:
+        t = by_zoom.setdefault(r.zoom, [0, 0, 0])
+        t[0] += r.n_orders
+        t[1] += r.price_cents
+        t[2] += 1
+    assert sorted(by_zoom) == [0, 1, 2, 3]
+    # every zoom level carries the SAME total mass (pure re-binning)...
+    assert len({(t[0], t[1]) for t in by_zoom.values()}) == 1
+    # ...over monotonically coarser grids
+    assert (
+        by_zoom[0][2] <= by_zoom[1][2] <= by_zoom[2][2] <= by_zoom[3][2]
+    )
+
+
+def test_boilerplate_hotlist_ordering(spark, sf_dir):
+    rows = QUERIES["boilerplate_ngram_hotlist"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.doc_freq, a.gram) < (b.doc_freq, b.gram) or (
+            a.doc_freq > b.doc_freq
+        )
+    for r in rows:
+        assert r.doc_freq >= 2
+        assert len(r.gram.split(" ")) == 5
+        assert 0 < r.doc_share_ppm <= 1_000_000
+
+
+def test_price_lognormal_fit_moments(spark, sf_dir):
+    rows = QUERIES["price_lognormal_fit"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one per mktsegment
+    for r in rows:
+        assert r.min_ln_micro <= r.mu_ln_micro <= r.max_ln_micro
+        # MAD is bounded by the half-range (coarse but engine-exact)
+        assert 0 <= r.mad_ln_micro <= (r.max_ln_micro - r.min_ln_micro)
+        assert r.sigma_ln_micro == r.mad_ln_micro * 12533 // 10000
+        assert r.n_orders > 0

@@ -93,6 +93,7 @@ ALLOWED_BNLJ = {
     "order_size_dispersion": "broadcast 1-row total-orders scalar",
     "error_budget_burn": "calendar-bounded daily windows (no join)",
     "new_repeat_revenue_monthly": "customer-keyed first-month equi join (listed defensively)",
+    "boilerplate_ngram_hotlist": "broadcast 1-row corpus-size scalar onto the 100-row top-k",
     "unifrac_unweighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
     "unifrac_weighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
 }

@@ -226,6 +226,7 @@ HEADLINE = (
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
     "map_tiles_pyramid",
+    "ann_ivfadc_topk",
 )
 
 

@@ -928,21 +928,15 @@ _PQ_SUB = 16  # dims per subspace (M * SUB = 64)
 _PQ_K = 8  # codes per subspace
 
 
-def _pq_ctes() -> str:
-    """Shared CTE block (quantize -> subvectors -> 1-update codebooks ->
-    final assignments a2) used by the codebook census AND the ADC
-    search oracle, so the two can never drift."""
+def _pq_core_ctes(src: str) -> str:
+    """PQ CTE chain (subvectors -> 1-update codebooks -> final
+    assignments a2) over ANY (vec_id, q) source CTE — raw quantized
+    vectors for the flat PQ family, coarse residuals for IVFADC."""
     dot = _KM_DOT
-    return f"""e AS (
-  SELECT vec_id,
-    list_transform(CAST(embedding AS DOUBLE[]),
-                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
-  FROM embeddings
-),
-s AS (
+    return f"""s AS (
   SELECT vec_id, m,
     list_slice(q, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS sq
-  FROM e CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
+  FROM {src} CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
 ),
 c0 AS (
   SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id)
@@ -983,6 +977,19 @@ a2 AS (
 )"""
 
 
+def _pq_ctes() -> str:
+    """Shared CTE block (quantize -> subvectors -> 1-update codebooks ->
+    final assignments a2) used by the codebook census AND the ADC
+    search oracle, so the two can never drift."""
+    return f"""e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+{_pq_core_ctes("e")}"""
+
+
 def _pq_oracle() -> str:
     return f"""
 WITH {_pq_ctes()}
@@ -1010,18 +1017,20 @@ def _pq_assign(s: DataFrame, c: DataFrame) -> DataFrame:
     )
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
+def _pq_train(spark: SparkSession, sf_dir: str, e: DataFrame | None = None):
     """(e, s, c1, a2): quantized vectors, subvectors, trained codebooks,
     final code assignments — shared by the codebook census and ADC
-    search."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * _NP_Q),
-        ).alias("q"),
-    )
+    search. Pass ``e`` to train on any (vec_id, q) frame instead of the
+    raw quantized corpus (IVFADC trains on coarse residuals)."""
+    if e is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _NP_Q),
+            ).alias("q"),
+        )
     subs = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)]))
     s = e.withColumn("m", subs).select(
         "vec_id",
@@ -1269,4 +1278,160 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= _OUTLIER_TOPK)
         .select("label", "vec_id", "d2", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfadc_topk — the FULL IVFADC index of Jégou et al. (PAMI'11),
+# composing the two halves already audited above: a coarse quantizer
+# (N_CELLS integer-L2 cells, as ann_ivf_topk but in the exact quantized
+# domain so residuals are integers) followed by product quantization of
+# the RESIDUAL r = q − coarse_centroid (the residual carries far less
+# variance than the raw vector, which is why IVFADC compresses better
+# than flat PQ), searched with nprobe=1 asymmetric distance: each query
+# builds its M×K lookup table against the residual codebooks and scans
+# only the codes of its own coarse cell. This is the billion-vector
+# layout: per corpus vector the index stores ONE cell id + M codes.
+#
+# Scale shape: coarse assignment = one broadcast pass (N_CELLS-row
+# centroid set); PQ training reuses _pq_train on the residual frame
+# (same audited plan); the search joins code rows against a broadcast
+# (query × M × K) table and a broadcast query-cell row — candidate
+# work shrinks ~N_CELLS-fold vs ann_pq_adc_topk, the measurable IVF
+# payoff. Exact BIGINT distances: the top-k cut has no float ties.
+# ---------------------------------------------------------------------------
+
+
+def _ivfadc_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cc0 AS (
+  SELECT vec_id AS ccid, q AS cq FROM e WHERE vec_id < {N_CELLS}
+),
+ca AS (
+  SELECT vec_id, ccid, q, cq FROM (
+    SELECT e.vec_id, cc0.ccid, e.q, cc0.cq,
+      CAST({dot.format(a='e.q', b='e.q')}
+         - 2 * {dot.format(a='e.q', b='cc0.cq')}
+         + {dot.format(a='cc0.cq', b='cc0.cq')} AS BIGINT) AS d2
+    FROM e CROSS JOIN cc0) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) = 1
+),
+r AS (
+  SELECT vec_id, ccid,
+    list_transform(generate_series(1, len(q)), i -> q[i] - cq[i]) AS q
+  FROM ca
+),
+{_pq_core_ctes("r")},
+cellq AS (
+  SELECT vec_id AS query_id, ccid FROM ca WHERE vec_id < {N_QUERIES}
+),
+qs AS (
+  SELECT vec_id AS query_id, m, sq AS qsq FROM s
+  WHERE vec_id < {N_QUERIES}
+),
+dt AS (
+  SELECT query_id, c.m, c.cid,
+    CAST({dot.format(a='qsq', b='qsq')}
+       - 2 * {dot.format(a='qsq', b='c.c')}
+       + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS dt
+  FROM qs JOIN c1 c ON qs.m = c.m
+),
+scored AS (
+  SELECT cellq.query_id, a.vec_id, CAST(sum(dt.dt) AS BIGINT) AS d2_adc
+  FROM a2 a
+  JOIN r cand ON a.vec_id = cand.vec_id
+  JOIN cellq ON cand.ccid = cellq.ccid
+  JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+         AND dt.query_id = cellq.query_id
+  WHERE a.vec_id <> cellq.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY d2_adc ASC, vec_id ASC) AS INTEGER) AS rnk,
+  d2_adc
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@register("ann_ivfadc_topk", oracle=_ivfadc_oracle())
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    cc0 = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("q").alias("cq")
+    )
+    d2 = (
+        _km_dot_spark(F.col("q"), F.col("q"))
+        - 2 * _km_dot_spark(F.col("q"), F.col("cq"))
+        + _km_dot_spark(F.col("cq"), F.col("cq"))
+    ).cast("bigint")
+    wc = Window.partitionBy("vec_id").orderBy("d2", "ccid")
+    ca = (
+        e.crossJoin(F.broadcast(cc0))
+        .select("vec_id", "ccid", "q", "cq", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d2")
+    )
+    r = ca.select(
+        "vec_id",
+        "ccid",
+        F.zip_with("q", "cq", lambda a, b: a - b).alias("q"),
+    )
+    # PQ trains on the residual frame via the SAME audited machinery
+    _, s, c1, a2 = _pq_train(spark, sf_dir, e=r.select("vec_id", "q"))
+    cellq = ca.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "ccid"
+    )
+    qs = s.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sq").alias("qsq")
+    )
+    dt = qs.join(F.broadcast(c1), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        (
+            _km_dot_spark(F.col("qsq"), F.col("qsq"))
+            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"))
+            + _km_dot_spark(F.col("c"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("dt"),
+    )
+    scored = (
+        a2.select("vec_id", "m", "cid")
+        .join(r.select("vec_id", "ccid"), "vec_id")
+        .join(F.broadcast(cellq), "ccid")
+        .join(F.broadcast(dt), ["m", "cid", "query_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dt").cast("bigint").alias("d2_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "d2_adc",
+        )
     )

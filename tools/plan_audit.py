@@ -94,6 +94,7 @@ ALLOWED_BNLJ = {
     "error_budget_burn": "calendar-bounded daily windows (no join)",
     "new_repeat_revenue_monthly": "customer-keyed first-month equi join (listed defensively)",
     "boilerplate_ngram_hotlist": "broadcast 1-row corpus-size scalar onto the 100-row top-k",
+    "ann_ivfadc_topk": "broadcast N_CELLS-row coarse-centroid set (as ann_ivf_topk), intentional cross",
     "unifrac_unweighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
     "unifrac_weighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
 }

@@ -227,6 +227,7 @@ HEADLINE = (
     "price_lognormal_fit",
     "map_tiles_pyramid",
     "ann_ivfadc_topk",
+    "heldout_oov_rate",
 )
 
 

@@ -1187,3 +1187,88 @@ def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heldout_oov_rate — train/held-out vocabulary generalization: split
+# the corpus by doc_id parity (even = train, odd = held-out), build the
+# FULL train vocabulary per language, and measure the held-out OOV
+# occurrence rate (token occurrences never seen in training) plus the
+# unseen-TYPE share. Distinct from token_vocab_coverage (whole-corpus
+# top-K truncation cost): this is the generalization gap a tokenizer /
+# LM eval actually cares about — training coverage of FUTURE text, the
+# number that decides whether a vocab is big enough before a training
+# run is committed.
+#
+# Scale shape: one explode each side; the per-(lang, token) train
+# vocab and held-out term table are DISTINCT-collapsed before the
+# vocab join (bounded by vocabulary, not corpus size); counts not
+# sums (BIGINT everywhere); per-language rollup at the end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heldout_oov_rate",
+    oracle=f"""
+WITH x AS (
+  SELECT doc_id, lang, unnest({TOKENIZE_SQL}) AS token FROM documents
+),
+tv AS (
+  SELECT DISTINCT lang, token FROM x WHERE doc_id % 2 = 0
+),
+ho AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS occ,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM x WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+j AS (
+  SELECT ho.lang, ho.token, occ,
+    CASE WHEN tv.token IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM ho LEFT JOIN tv ON ho.lang = tv.lang AND ho.token = tv.token
+)
+SELECT lang,
+  CAST(sum(occ) AS BIGINT) AS heldout_occurrences,
+  CAST(count(*) AS BIGINT) AS heldout_types,
+  CAST(sum(CASE WHEN is_oov = 1 THEN occ ELSE 0 END) AS BIGINT)
+    AS oov_occurrences,
+  CAST(sum(is_oov) AS BIGINT) AS oov_types,
+  CAST(sum(CASE WHEN is_oov = 1 THEN occ ELSE 0 END) AS BIGINT)
+    * 1000000 // CAST(sum(occ) AS BIGINT) AS oov_occ_ppm,
+  CAST(sum(is_oov) AS BIGINT) * 1000000 // count(*) AS oov_type_ppm
+FROM j GROUP BY lang
+""",
+)
+def heldout_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tv = (
+        x.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", "token")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    ho = (
+        x.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    j = ho.join(tv, ["lang", "token"], "left").select(
+        "lang",
+        "occ",
+        F.when(F.col("seen").isNull(), 1).otherwise(0).alias("is_oov"),
+    )
+    return j.groupBy("lang").agg(
+        F.sum("occ").cast("bigint").alias("heldout_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("heldout_types"),
+        F.sum(F.when(F.col("is_oov") == 1, F.col("occ")).otherwise(0))
+        .cast("bigint")
+        .alias("oov_occurrences"),
+        F.sum("is_oov").cast("bigint").alias("oov_types"),
+        F.expr(
+            "sum(CASE WHEN is_oov = 1 THEN occ ELSE 0 END) * 1000000"
+            " div sum(occ)"
+        ).alias("oov_occ_ppm"),
+        F.expr("sum(is_oov) * 1000000 div count(*)").alias("oov_type_ppm"),
+    )

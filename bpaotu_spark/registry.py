@@ -202,6 +202,7 @@ PRIORITY: tuple[str, ...] = (
     "price_lognormal_fit",
     "map_tiles_pyramid",
     "ann_ivfadc_topk",
+    "heldout_oov_rate",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

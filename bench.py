@@ -228,6 +228,7 @@ HEADLINE = (
     "map_tiles_pyramid",
     "ann_ivfadc_topk",
     "heldout_oov_rate",
+    "lsh_bucket_profile",
 )
 
 

@@ -1720,3 +1720,89 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "dot", cos2.alias("cos2_ppm"))
         .filter(F.col("cos2_ppm") >= COSINE2_THRESHOLD_PPM)
     )
+
+
+# ---------------------------------------------------------------------------
+# lsh_bucket_profile — observability for the round-5 bucket caps: the
+# per-band MinHash bucket-size census. For each of the LSH_BANDS bands:
+# how many buckets exist, how many are singletons (no candidate pairs),
+# how many are active (2..LSH_BUCKET_CAP — these form pairs), how many
+# hit the cap and were DROPPED, the largest bucket, and the exact pair
+# counts formed vs dropped. This is the "no silent caps" dashboard: a
+# deployment watches pairs_dropped/pairs_formed drift before trusting
+# dedup output on a new corpus (the drop share is boilerplate mass the
+# exact-dedup pre-pass should have collapsed).
+#
+# Scale shape: the band table (8 rows/doc) → one (band, key) count →
+# one 8-row band rollup; map-side combine end to end, no pair is ever
+# materialized. Pair counts use Σ m(m−1) DIV 2 in 128-bit
+# (HUGEINT / DECIMAL(38,0)) — a single adversarial mega-bucket of 1e9+
+# docs overflows int64 pair arithmetic, the exact hazard the cap
+# exists to stop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_bucket_profile",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+xs AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS x FROM ng
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_exprs_sql()}
+  FROM xs GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
+),
+bsz AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS m FROM bands
+  GROUP BY band, key
+)
+SELECT band,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+  CAST(sum(CASE WHEN m BETWEEN 2 AND {LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_active,
+  CAST(sum(CASE WHEN m > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_capped,
+  CAST(max(m) AS BIGINT) AS max_bucket,
+  CAST(sum(CASE WHEN m BETWEEN 2 AND {LSH_BUCKET_CAP}
+    THEN CAST(m AS HUGEINT) * (m - 1) ELSE 0 END) // 2 AS BIGINT)
+    AS pairs_formed,
+  CAST(sum(CASE WHEN m > {LSH_BUCKET_CAP}
+    THEN CAST(m AS HUGEINT) * (m - 1) ELSE 0 END) // 2 AS BIGINT)
+    AS pairs_dropped
+FROM bsz GROUP BY band
+""",
+)
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bsz = (
+        minhash_bands(docs)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    act = F.col("m").between(2, LSH_BUCKET_CAP)
+    over = F.col("m") > LSH_BUCKET_CAP
+    return bsz.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singleton"),
+        F.sum(F.when(act, 1).otherwise(0)).cast("bigint").alias("n_active"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_capped"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        F.expr(
+            f"CAST(sum(CASE WHEN m BETWEEN 2 AND {LSH_BUCKET_CAP}"
+            " THEN CAST(m AS DECIMAL(38,0)) * (m - 1) ELSE 0 END)"
+            " DIV 2 AS BIGINT)"
+        ).alias("pairs_formed"),
+        F.expr(
+            f"CAST(sum(CASE WHEN m > {LSH_BUCKET_CAP}"
+            " THEN CAST(m AS DECIMAL(38,0)) * (m - 1) ELSE 0 END)"
+            " DIV 2 AS BIGINT)"
+        ).alias("pairs_dropped"),
+    )

@@ -203,6 +203,7 @@ PRIORITY: tuple[str, ...] = (
     "map_tiles_pyramid",
     "ann_ivfadc_topk",
     "heldout_oov_rate",
+    "lsh_bucket_profile",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

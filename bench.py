@@ -229,6 +229,7 @@ HEADLINE = (
     "ann_ivfadc_topk",
     "heldout_oov_rate",
     "lsh_bucket_profile",
+    "dedup_band_threshold_sweep",
 )
 
 

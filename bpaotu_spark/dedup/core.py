@@ -1806,3 +1806,75 @@ def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 2 AS BIGINT)"
         ).alias("pairs_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_band_threshold_sweep — the empirical S-curve companion to
+# lsh_bucket_profile and dedup_lsh_recall_report: for every possible
+# shared-bands verdict threshold t = 1..LSH_BANDS, how many candidate
+# pairs survive "n_shared_bands >= t", with the survivor share in ppm
+# of all candidates. Choosing t IS the precision/recall knob of a
+# banded MinHash deployment; this table is what that choice is read
+# off, computed from the SAME registered pair oracle (embedded as a
+# CTE, zero drift by construction).
+#
+# Scale shape: the pair table rolls up to an 8-row threshold table via
+# one count-by-shared-bands aggregation (map-side combine) and a
+# running sum over the 8-row frame — the only window is band-bounded.
+# ---------------------------------------------------------------------------
+
+
+def _band_sweep_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+hist AS (
+  SELECT n_shared_bands AS t, CAST(count(*) AS BIGINT) AS n_at
+  FROM pairs GROUP BY 1
+),
+grid AS (SELECT unnest(range(1, {LSH_BANDS} + 1)) AS t),
+cum AS (
+  SELECT grid.t,
+    CAST(coalesce(sum(hist.n_at), 0) AS BIGINT) AS n_pairs_at_least
+  FROM grid LEFT JOIN hist ON hist.t >= grid.t
+  GROUP BY grid.t
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pairs)
+SELECT CAST(t AS BIGINT) AS threshold, n_pairs_at_least, n_total,
+  CASE WHEN n_total = 0 THEN 0
+       ELSE n_pairs_at_least * 1000000 // n_total END AS survivor_ppm
+FROM cum, tot
+"""
+
+
+@register("dedup_band_threshold_sweep", oracle=_band_sweep_oracle())
+def dedup_band_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    hist = pairs.groupBy(
+        F.col("n_shared_bands").alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_at"))
+    grid = spark.range(1, LSH_BANDS + 1).select(F.col("id").alias("t"))
+    cum = (
+        grid.join(
+            hist.select(F.col("t").alias("ht"), "n_at"),
+            F.col("ht") >= F.col("t"),
+            "left",
+        )
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("n_at"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs_at_least")
+        )
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("t").cast("bigint").alias("threshold"),
+        "n_pairs_at_least",
+        "n_total",
+        F.expr(
+            "CASE WHEN n_total = 0 THEN 0"
+            " ELSE n_pairs_at_least * 1000000 div n_total END"
+        ).alias("survivor_ppm"),
+    )

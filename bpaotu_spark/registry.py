@@ -204,6 +204,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivfadc_topk",
     "heldout_oov_rate",
     "lsh_bucket_profile",
+    "dedup_band_threshold_sweep",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

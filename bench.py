@@ -230,6 +230,7 @@ HEADLINE = (
     "heldout_oov_rate",
     "lsh_bucket_profile",
     "dedup_band_threshold_sweep",
+    "ivfadc_recall_report",
 )
 
 

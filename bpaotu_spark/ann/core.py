@@ -1435,3 +1435,55 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2_adc",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ivfadc_recall_report — what did the coarse level cost? Per query, the
+# overlap between the nprobe=1 IVFADC top-k and the FLAT ADC top-k
+# (same residual-free PQ metric space, full-corpus scan) — i.e. the
+# recall given up for the ~N_CELLS-fold candidate reduction, the number
+# that decides nprobe. Composes the two registered oracles as CTEs
+# (zero drift); one 8-row-per-query join + a query-keyed rollup.
+# ---------------------------------------------------------------------------
+
+
+def _ivfadc_recall_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH ivf AS ({ORACLES["ann_ivfadc_topk"]}),
+flat AS ({ORACLES["ann_pq_adc_topk"]}),
+per_q AS (
+  SELECT flat.query_id,
+    CAST(count(*) AS BIGINT) AS n_flat,
+    CAST(count(ivf.cand_id) AS BIGINT) AS n_overlap
+  FROM flat LEFT JOIN ivf
+    ON flat.query_id = ivf.query_id AND flat.cand_id = ivf.cand_id
+  GROUP BY flat.query_id
+)
+SELECT query_id, n_flat, n_overlap,
+  n_overlap * 1000000 // n_flat AS recall_ppm
+FROM per_q
+"""
+
+
+@register("ivfadc_recall_report", oracle=_ivfadc_recall_oracle())
+def ivfadc_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = ann_ivfadc_topk(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    flat = ann_pq_adc_topk(spark, sf_dir).select("query_id", "cand_id")
+    per_q = (
+        flat.join(ivf, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flat"),
+            F.count("hit").cast("bigint").alias("n_overlap"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_flat",
+        "n_overlap",
+        F.expr("n_overlap * 1000000 div n_flat").alias("recall_ppm"),
+    )

@@ -205,6 +205,7 @@ PRIORITY: tuple[str, ...] = (
     "heldout_oov_rate",
     "lsh_bucket_profile",
     "dedup_band_threshold_sweep",
+    "ivfadc_recall_report",
     "beta_diversity_jaccard",
     "sample_neighbors_topk",
     "heavy_hitters_cms",

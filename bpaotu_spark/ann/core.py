@@ -817,7 +817,7 @@ c{i} AS (
     parts.append(f"""
 SELECT cid AS cluster_id,
   CAST(count(*) AS BIGINT) AS n_members,
-  CAST(sum(d2) AS HUGEINT) AS inertia,
+  CAST(CAST(sum(d2) AS HUGEINT) // 1000000 AS BIGINT) AS inertia_mega,
   CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_floor
 FROM a{_KM_ITERS + 1} GROUP BY cid
 """)
@@ -892,9 +892,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = _km_assign(e, c)
         c = _km_update(a)
     final = _km_assign(e, c)
+    # Output boundary: NO decimal128 columns. The summed inertia can
+    # exceed int64 (K * n * d2_max ~ 1.6e21 worst case) so it is floored
+    # into exact mega-units that fit BIGINT on both sides; d2 >= 0 so
+    # DuckDB HUGEINT floor-// and Spark DIV truncation agree.
     return final.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sum(F.col("d2").cast("decimal(38,0)")).alias("inertia"),
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)"
+        ).alias("inertia_mega"),
         F.expr(
             "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
         ).alias("mean_d2_floor"),

@@ -53,12 +53,14 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
     New files land under ``data/<commit-uuid>/``; the manifest lists
     the previous version's files plus the new ones, so every version's
     file set is immutable once written.
+
+    Concurrency: publish uses ``os.link`` (fail-if-exists, unlike
+    ``os.rename`` which silently replaces) so two committers racing on
+    the same version number cannot drop each other's files — the loser
+    gets FileExistsError, re-reads the winner's manifest as its new
+    parent, and retries with a bumped version (optimistic concurrency,
+    the same protocol Delta/Iceberg use on their log).
     """
-    versions = list_versions(table_path)
-    prev_files: list[str] = []
-    if versions:
-        with open(_manifest_path(table_path, versions[-1])) as fh:
-            prev_files = json.load(fh)["files"]
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_path, "data", commit_id)
     df.write.mode("errorifexists").parquet(data_dir)
@@ -67,17 +69,28 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    version = (versions[-1] + 1) if versions else 1
-    manifest = {
-        "version": version,
-        "files": prev_files + new_files,
-        "added": len(new_files),
-    }
-    tmp = _manifest_path(table_path, version) + f".tmp-{commit_id}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(table_path, version))  # atomic publish
-    return version
+    while True:
+        versions = list_versions(table_path)
+        prev_files: list[str] = []
+        if versions:
+            with open(_manifest_path(table_path, versions[-1])) as fh:
+                prev_files = json.load(fh)["files"]
+        version = (versions[-1] + 1) if versions else 1
+        manifest = {
+            "version": version,
+            "files": prev_files + new_files,
+            "added": len(new_files),
+        }
+        tmp = _manifest_path(table_path, version) + f".tmp-{commit_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(table_path, version))
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            # another committer won this version — rebase and retry
+            os.unlink(tmp)
 
 
 def read_snapshot(

@@ -88,7 +88,10 @@ cum AS (
 ),
 cp AS (SELECT unnest([{", ".join(str(c) for c in _KM_CHECKPOINTS)}]) AS horizon_days)
 SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
-  CAST(coalesce(max(ln_s_micro) FILTER (WHERE dur <= horizon_days), 0)
+  -- ln_s_micro is a strictly DECREASING cumulative sum of negative
+  -- hazard terms, so survival at the horizon = the value at the
+  -- LARGEST dur <= horizon = min(), not max() (max picks the first gap)
+  CAST(coalesce(min(ln_s_micro) FILTER (WHERE dur <= horizon_days), 0)
     AS BIGINT) * -1 AS neg_ln_survival_micro
 FROM cp LEFT JOIN cum ON cum.dur <= cp.horizon_days
 GROUP BY horizon_days
@@ -164,7 +167,9 @@ def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("horizon_days")
         .agg(
             (
-                F.coalesce(F.max("ln_s_micro"), F.lit(0)).cast("bigint") * -1
+                # min(): survival AT the horizon (largest dur <= horizon
+                # on the strictly-decreasing cumulative log curve)
+                F.coalesce(F.min("ln_s_micro"), F.lit(0)).cast("bigint") * -1
             ).alias("neg_ln_survival_micro")
         )
         .select(

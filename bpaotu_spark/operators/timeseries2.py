@@ -185,8 +185,11 @@ h1 AS (
 h2 AS (
   SELECT p.prev_type AS state,
     coalesce(h1a.h_ppm, 0)
-    + CAST(sum(CAST(p.p_ppm AS HUGEINT) * coalesce(h1b.h_ppm, 0))
-        FILTER (WHERE p.next_type <> '{_ABSORB_TARGET}') // 1000000
+    -- coalesce the filtered sum: a state whose transitions ALL go to
+    -- the target has no non-target rows -> sum FILTER returns NULL,
+    -- while the Spark CASE-sum returns 0 (latent hash mismatch)
+    + CAST(coalesce(sum(CAST(p.p_ppm AS HUGEINT) * coalesce(h1b.h_ppm, 0))
+        FILTER (WHERE p.next_type <> '{_ABSORB_TARGET}'), 0) // 1000000
         AS BIGINT) AS h_ppm
   FROM p
   LEFT JOIN h1 h1a ON h1a.state = p.prev_type
@@ -196,8 +199,8 @@ h2 AS (
 h3 AS (
   SELECT p.prev_type AS state,
     coalesce(h1a.h_ppm, 0)
-    + CAST(sum(CAST(p.p_ppm AS HUGEINT) * coalesce(h2b.h_ppm, 0))
-        FILTER (WHERE p.next_type <> '{_ABSORB_TARGET}') // 1000000
+    + CAST(coalesce(sum(CAST(p.p_ppm AS HUGEINT) * coalesce(h2b.h_ppm, 0))
+        FILTER (WHERE p.next_type <> '{_ABSORB_TARGET}'), 0) // 1000000
         AS BIGINT) AS h_ppm
   FROM p
   LEFT JOIN h1 h1a ON h1a.state = p.prev_type

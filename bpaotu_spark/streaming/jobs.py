@@ -772,10 +772,15 @@ def burst_alarm_stream(
 
     The lag(ts, k) formulation the batch op uses needs total per-user
     ordering — unbounded state on a stream — so the streaming form
-    trades exact span detection for watermark-bounded sliding windows:
-    any ≥threshold burst inside one 6 h span lands in at least one
-    1 h-slid window. State is bounded by watermark × (window/slide)
-    per active user.
+    trades exact span detection for watermark-bounded sliding windows.
+    Coverage guarantee: any ≥threshold burst whose span is at most
+    ``window - slide`` (5 h with the defaults) is fully contained in at
+    least one slid window and WILL alarm. Longer spans (5-6 h starting
+    off the hour) can straddle every window and be split below
+    threshold — callers needing all spans ≤ S covered must pick
+    window ≥ S + slide (e.g. a 7 h window, or a 30 m slide, for 6 h
+    spans). State is bounded by watermark × (window/slide) per active
+    user.
     """
     return (
         events.withWatermark("ts", watermark)

@@ -88,6 +88,29 @@ def type_mismatches(scols, sdtypes, ocols, oschema):
     ]
 
 
+def decimal_outputs(sdtypes, oschema=None):
+    """Output columns carrying a decimal/HUGEINT type — ALWAYS a FAIL.
+
+    Round-5 lesson (kmeans_embeddings): a decimal(38,0) output column can
+    hash-match locally yet hash-MISMATCH under the driver, because the
+    driver normalizes decimal128 differently from int64. The convention
+    is structural: every 128-bit intermediate must be cast back to
+    BIGINT (or floored into BIGINT-safe units) AT THE OUTPUT BOUNDARY,
+    on both the Spark and the oracle side. This guard makes the whole
+    failure class a local FAIL even when values agree.
+    """
+    bad = [
+        (c, t) for c, t in sdtypes
+        if canon_spark_type(t).startswith("decimal")
+    ]
+    if oschema is not None:
+        bad += [
+            (f.name, str(f.type)) for f in oschema
+            if canon_arrow_type(f.type).startswith("decimal")
+        ]
+    return bad
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -143,6 +166,11 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
+            dec = decimal_outputs(sdf.dtypes)
+            if dec:
+                print(f"FAIL {name}: decimal128 output columns {dec}")
+                n_fail += 1
+                continue
             print(f"ROWS-ONLY {name}: rows={len(srows)} cols={scols} "
                   f"({time.time()-t0:.1f}s)")
             continue
@@ -158,6 +186,9 @@ def main():
         rows_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
         bad_types = type_mismatches(scols, sdf.dtypes, ocols, tbl.schema)
+        dec = decimal_outputs(sdf.dtypes, tbl.schema)
+        if dec:
+            bad_types = bad_types + [(c, t, "decimal128-forbidden") for c, t in dec]
         types_ok = schema_ok and not bad_types
         hash_ok = schema_ok and table_hash(srows, scols) == table_hash(orows, ocols)
         ok = rows_ok and schema_ok and types_ok and hash_ok

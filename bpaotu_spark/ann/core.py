@@ -1001,7 +1001,7 @@ def _pq_oracle() -> str:
 WITH {_pq_ctes()}
 SELECT CAST(m AS BIGINT) AS subspace, cid AS code,
   CAST(count(*) AS BIGINT) AS n_members,
-  CAST(sum(d2) AS HUGEINT) AS distortion,
+  CAST(CAST(sum(d2) AS HUGEINT) // 1000000 AS BIGINT) AS distortion_mega,
   CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_floor
 FROM a2 GROUP BY 1, 2
 """
@@ -1092,7 +1092,11 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("code"),
     ).agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sum(F.col("d2").cast("decimal(38,0)")).alias("distortion"),
+        # output boundary: no decimal128 — exact floored mega-units
+        # (d2 >= 0, so DuckDB HUGEINT // and Spark DIV agree)
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)"
+        ).alias("distortion_mega"),
         F.expr(
             "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
         ).alias("mean_d2_floor"),
@@ -1308,7 +1312,20 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfadc_oracle() -> str:
+_IVF_NPROBES = (1, 2, 4)  # the recall/cost sweep grid
+_IVF_NPROBE_MULTI = 4  # the registered multi-probe search row
+
+
+def _ivfadc_scored_sql(nprobe: int) -> str:
+    """Standalone query: (query_id, vec_id, d2_adc) — every candidate the
+    IVFADC search SCORES at this nprobe (pre-top-k), so callers can read
+    both the ranking and the candidate-volume cost off the same CTE.
+
+    Multi-probe: each query keeps its ``nprobe`` nearest coarse cells
+    (ranked by exact integer L2, ccid tie-break) and scans the union of
+    their inverted lists. A corpus vector lives in exactly ONE cell, so
+    the union is dedup-free by construction — no DISTINCT needed.
+    """
     dot = _KM_DOT
     return f"""
 WITH e AS (
@@ -1320,14 +1337,20 @@ WITH e AS (
 cc0 AS (
   SELECT vec_id AS ccid, q AS cq FROM e WHERE vec_id < {N_CELLS}
 ),
-ca AS (
-  SELECT vec_id, ccid, q, cq FROM (
+car AS (
+  SELECT vec_id, ccid, q, cq, cell_rank FROM (
     SELECT e.vec_id, cc0.ccid, e.q, cc0.cq,
-      CAST({dot.format(a='e.q', b='e.q')}
-         - 2 * {dot.format(a='e.q', b='cc0.cq')}
-         + {dot.format(a='cc0.cq', b='cc0.cq')} AS BIGINT) AS d2
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        CAST({dot.format(a='e.q', b='e.q')}
+           - 2 * {dot.format(a='e.q', b='cc0.cq')}
+           + {dot.format(a='cc0.cq', b='cc0.cq')} AS BIGINT),
+        cc0.ccid) AS cell_rank
     FROM e CROSS JOIN cc0) t
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) = 1
+  WHERE cell_rank = 1
+     OR (vec_id < {N_QUERIES} AND cell_rank <= {nprobe})
+),
+ca AS (
+  SELECT vec_id, ccid, q, cq FROM car WHERE cell_rank = 1
 ),
 r AS (
   SELECT vec_id, ccid,
@@ -1336,7 +1359,7 @@ r AS (
 ),
 {_pq_core_ctes("r")},
 cellq AS (
-  SELECT vec_id AS query_id, ccid FROM ca WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS query_id, ccid FROM car WHERE vec_id < {N_QUERIES}
 ),
 qs AS (
   SELECT vec_id AS query_id, m, sq AS qsq FROM s
@@ -1348,17 +1371,21 @@ dt AS (
        - 2 * {dot.format(a='qsq', b='c.c')}
        + {dot.format(a='c.c', b='c.c')} AS BIGINT) AS dt
   FROM qs JOIN c1 c ON qs.m = c.m
-),
-scored AS (
-  SELECT cellq.query_id, a.vec_id, CAST(sum(dt.dt) AS BIGINT) AS d2_adc
-  FROM a2 a
-  JOIN r cand ON a.vec_id = cand.vec_id
-  JOIN cellq ON cand.ccid = cellq.ccid
-  JOIN dt ON a.m = dt.m AND a.cid = dt.cid
-         AND dt.query_id = cellq.query_id
-  WHERE a.vec_id <> cellq.query_id
-  GROUP BY 1, 2
 )
+SELECT cellq.query_id, a.vec_id, CAST(sum(dt.dt) AS BIGINT) AS d2_adc
+FROM a2 a
+JOIN r cand ON a.vec_id = cand.vec_id
+JOIN cellq ON cand.ccid = cellq.ccid
+JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+       AND dt.query_id = cellq.query_id
+WHERE a.vec_id <> cellq.query_id
+GROUP BY 1, 2
+"""
+
+
+def _ivfadc_oracle(nprobe: int) -> str:
+    return f"""
+WITH scored AS ({_ivfadc_scored_sql(nprobe)})
 SELECT query_id, vec_id AS cand_id,
   CAST(row_number() OVER (PARTITION BY query_id
        ORDER BY d2_adc ASC, vec_id ASC) AS INTEGER) AS rnk,
@@ -1368,8 +1395,14 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@register("ann_ivfadc_topk", oracle=_ivfadc_oracle())
-def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfadc_index(spark: SparkSession, sf_dir: str, max_nprobe: int):
+    """(car, r, dt) — the shared IVFADC index frames: ranked coarse
+    assignments (rank 1 for every corpus vector + ranks <= max_nprobe
+    for query vectors), coarse residuals, and the broadcast per-query
+    M x K ADC lookup table. The PQ level reuses the audited _pq_train
+    on the residual frame. One index build serves every nprobe <=
+    max_nprobe — the recall sweep pays for PQ training exactly once.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -1387,13 +1420,20 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _km_dot_spark(F.col("cq"), F.col("cq"))
     ).cast("bigint")
     wc = Window.partitionBy("vec_id").orderBy("d2", "ccid")
-    ca = (
+    car = (
         e.crossJoin(F.broadcast(cc0))
         .select("vec_id", "ccid", "q", "cq", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "d2")
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(
+            (F.col("cell_rank") == 1)
+            | (
+                (F.col("vec_id") < N_QUERIES)
+                & (F.col("cell_rank") <= max_nprobe)
+            )
+        )
+        .drop("d2")
     )
+    ca = car.filter(F.col("cell_rank") == 1)
     r = ca.select(
         "vec_id",
         "ccid",
@@ -1401,9 +1441,6 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # PQ trains on the residual frame via the SAME audited machinery
     _, s, c1, a2 = _pq_train(spark, sf_dir, e=r.select("vec_id", "q"))
-    cellq = ca.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "ccid"
-    )
     qs = s.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sq").alias("qsq")
     )
@@ -1419,7 +1456,19 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dt"),
     )
-    scored = (
+    return car, r, a2, dt
+
+
+def _ivfadc_scored_frame(index, nprobe: int) -> DataFrame:
+    """Scored candidates (query_id, vec_id, d2_adc) at ``nprobe`` from a
+    prebuilt index. Candidate volume grows ~linearly in nprobe (the
+    cells are near-uniform); each candidate still costs M broadcast
+    lookups + one map-side-combined sum — no new shuffle vs nprobe=1."""
+    car, r, a2, dt = index
+    cellq = car.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "ccid")
+    return (
         a2.select("vec_id", "m", "cid")
         .join(r.select("vec_id", "ccid"), "vec_id")
         .join(F.broadcast(cellq), "ccid")
@@ -1428,6 +1477,9 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("dt").cast("bigint").alias("d2_adc"))
     )
+
+
+def _ivfadc_topk_frame(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2_adc").asc(), F.col("vec_id").asc()
     )
@@ -1443,53 +1495,119 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivfadc_topk", oracle=_ivfadc_oracle(1))
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _ivfadc_index(spark, sf_dir, max_nprobe=1)
+    return _ivfadc_topk_frame(_ivfadc_scored_frame(index, 1))
+
+
+@register(
+    "ann_ivfadc_nprobe_topk", oracle=_ivfadc_oracle(_IVF_NPROBE_MULTI)
+)
+def ann_ivfadc_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVFADC (nprobe=4): each query scans its 4 nearest
+    coarse cells' inverted lists — 4x the candidates of nprobe=1 for a
+    recall step-change (quantified by ivfadc_recall_report), still
+    ~N_CELLS/4-fold fewer than a flat scan. The production knob of
+    Jégou et al. (PAMI'11) §5: recall climbs with nprobe while cost
+    stays proportional, per-vector index state unchanged."""
+    index = _ivfadc_index(spark, sf_dir, max_nprobe=_IVF_NPROBE_MULTI)
+    return _ivfadc_topk_frame(
+        _ivfadc_scored_frame(index, _IVF_NPROBE_MULTI)
+    )
+
+
 # ---------------------------------------------------------------------------
-# ivfadc_recall_report — what did the coarse level cost? Per query, the
-# overlap between the nprobe=1 IVFADC top-k and the FLAT ADC top-k
-# (same residual-free PQ metric space, full-corpus scan) — i.e. the
-# recall given up for the ~N_CELLS-fold candidate reduction, the number
-# that decides nprobe. Composes the two registered oracles as CTEs
-# (zero drift); one 8-row-per-query join + a query-keyed rollup.
+# ivfadc_recall_report — the recall/cost CURVE that decides nprobe: for
+# each nprobe in the sweep grid, the overlap between the IVFADC top-k
+# and the FLAT ADC top-k (same PQ metric space, full-corpus scan),
+# alongside the candidate volume the search actually scored — so the
+# deployment trade-off ("nprobe=2 buys +X recall for 2x candidates")
+# reads off one table. One row per nprobe.
+#
+# Scale shape (Spark side): the index (coarse assignments + residual PQ
+# + broadcast ADC tables) is built ONCE via localCheckpoint and reused
+# across the sweep — each nprobe adds only its own bounded scoring join
+# + a 1-row rollup. The oracle re-derives each nprobe's scored set from
+# scratch (self-contained CTEs), proving the shared-index rewrite
+# equivalent to the naive per-nprobe form.
 # ---------------------------------------------------------------------------
 
 
 def _ivfadc_recall_oracle() -> str:
-    from bpaotu_spark.registry import ORACLES
-
-    return f"""
-WITH ivf AS ({ORACLES["ann_ivfadc_topk"]}),
-flat AS ({ORACLES["ann_pq_adc_topk"]}),
-per_q AS (
-  SELECT flat.query_id,
-    CAST(count(*) AS BIGINT) AS n_flat,
-    CAST(count(ivf.cand_id) AS BIGINT) AS n_overlap
-  FROM flat LEFT JOIN ivf
-    ON flat.query_id = ivf.query_id AND flat.cand_id = ivf.cand_id
-  GROUP BY flat.query_id
-)
-SELECT query_id, n_flat, n_overlap,
-  n_overlap * 1000000 // n_flat AS recall_ppm
-FROM per_q
-"""
+    parts = [f"WITH flat AS ({_pq_adc_oracle()})"]
+    rows = []
+    for np_ in _IVF_NPROBES:
+        parts.append(f""",
+sc{np_} AS ({_ivfadc_scored_sql(np_)}),
+top{np_} AS (
+  SELECT query_id, vec_id FROM sc{np_}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY d2_adc ASC, vec_id ASC) <= {TOP_K}
+),
+r{np_} AS (
+  SELECT CAST({np_} AS BIGINT) AS nprobe,
+    (SELECT CAST(count(*) AS BIGINT) FROM sc{np_}) AS scored_pairs,
+    CAST(count(*) AS BIGINT) AS flat_total,
+    CAST(count(top{np_}.vec_id) AS BIGINT) AS overlap_total
+  FROM flat LEFT JOIN top{np_}
+    ON flat.query_id = top{np_}.query_id
+   AND flat.cand_id = top{np_}.vec_id
+)""")
+        rows.append(f"SELECT * FROM r{np_}")
+    union = " UNION ALL ".join(rows)
+    parts.append(f"""
+SELECT nprobe, flat_total, overlap_total, scored_pairs,
+  overlap_total * 1000000 // flat_total AS recall_ppm
+FROM ({union})
+""")
+    return "".join(parts)
 
 
 @register("ivfadc_recall_report", oracle=_ivfadc_recall_oracle())
 def ivfadc_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = ann_ivfadc_topk(spark, sf_dir).select(
-        "query_id", "cand_id", F.lit(1).alias("hit")
+    flat = (
+        ann_pq_adc_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
     )
-    flat = ann_pq_adc_topk(spark, sf_dir).select("query_id", "cand_id")
-    per_q = (
-        flat.join(ivf, ["query_id", "cand_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_flat"),
-            F.count("hit").cast("bigint").alias("n_overlap"),
+    car, r, a2, dt = _ivfadc_index(
+        spark, sf_dir, max_nprobe=max(_IVF_NPROBES)
+    )
+    # pin the shared index so the three sweep branches don't re-run
+    # coarse assignment + PQ training (car ~ corpus rows, a2 = M small
+    # ints per vector, dt = queries x M x K — all bounded)
+    index = (
+        car.localCheckpoint(),
+        r.localCheckpoint(),
+        a2.localCheckpoint(),
+        dt.localCheckpoint(),
+    )
+    out = None
+    for np_ in _IVF_NPROBES:
+        sc = _ivfadc_scored_frame(index, np_).localCheckpoint()
+        top = _ivfadc_topk_frame(sc).select(
+            "query_id", "cand_id", F.lit(1).alias("hit")
         )
-    )
-    return per_q.select(
-        "query_id",
-        "n_flat",
-        "n_overlap",
-        F.expr("n_overlap * 1000000 div n_flat").alias("recall_ppm"),
-    )
+        pairs = sc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("scored_pairs")
+        )
+        row = (
+            flat.join(top, ["query_id", "cand_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("flat_total"),
+                F.count("hit").cast("bigint").alias("overlap_total"),
+            )
+            .crossJoin(F.broadcast(pairs))
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "flat_total",
+                "overlap_total",
+                "scored_pairs",
+                F.expr(
+                    "overlap_total * 1000000 div flat_total"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

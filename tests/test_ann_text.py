@@ -292,7 +292,7 @@ def test_pq_codebook_partitions_corpus(spark, sf_dir):
     per_sub = defaultdict(int)
     for r in rows:
         assert 0 <= r.subspace < 4 and 0 <= r.code < 8
-        assert r.mean_d2_floor >= 0 and int(r.distortion) >= 0
+        assert r.mean_d2_floor >= 0 and int(r.distortion_mega) >= 0
         per_sub[r.subspace] += r.n_members
     assert set(per_sub) == {0, 1, 2, 3}
     assert all(v == n_vecs for v in per_sub.values())

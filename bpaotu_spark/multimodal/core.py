@@ -646,14 +646,80 @@ def wav_rms_floor(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("no data chunk")
 
 
-@register("multimodal_wav_rms")  # rows-only: decodes binary samples,
-# not SQL-expressible in DuckDB
-def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-audio-asset loudness profile + corpus-level census by RMS
-    band (silent / quiet / loud / hot), the gate report shape.
+# The WAV data chunk is the document's UTF-8 bytes repeated cyclically
+# (encoders._fill), so every int16 LE sample is a CLOSED-FORM function
+# of (text, sample index): lo = byte[2i mod L], hi = byte[2i+1 mod L],
+# s = lo + 256*hi - (65536 if sign bit). The oracle re-derives each
+# sample from hex(encode(text)) — a hash match proves the real RIFF
+# walk + numpy int16 view agree with the byte-level spec arithmetic,
+# the same promotion the decode family got in round 5.
+_WAV_HEXDIG = "strpos('0123456789ABCDEF', substr(hx, {pos}, 1)) - 1"
 
-    Scale: one Arrow-batched pass over audio payloads, then a
-    4-bounded-key census — map-side combined.
+
+def _wav_byte_sql(j: str) -> str:
+    """SQL for data byte value at offset ``j`` (0-based, mod-L fill)."""
+    lo_pos = f"(({j}) % len) * 2 + 2"
+    hi_pos = f"(({j}) % len) * 2 + 1"
+    return (
+        f"(({_WAV_HEXDIG.format(pos=hi_pos)}) * 16"
+        f" + ({_WAV_HEXDIG.format(pos=lo_pos)}))"
+    )
+
+
+def _wav_rms_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id, CAST({_AUD_N_SQL} AS BIGINT) AS n,
+    CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+         ELSE hex(encode(text)) END AS hx,
+    CASE WHEN octet_length(encode(text)) = 0 THEN 1
+         ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS len
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+),
+smp AS (
+  SELECT doc_id, n, len, hx, unnest(range(n)) AS i FROM a
+),
+sv AS (
+  SELECT doc_id, n,
+    CASE WHEN {_wav_byte_sql('2 * i')}
+            + 256 * {_wav_byte_sql('2 * i + 1')} >= 32768
+         THEN {_wav_byte_sql('2 * i')}
+            + 256 * {_wav_byte_sql('2 * i + 1')} - 65536
+         ELSE {_wav_byte_sql('2 * i')}
+            + 256 * {_wav_byte_sql('2 * i + 1')} END AS s
+  FROM smp
+),
+per AS (
+  SELECT doc_id, any_value(n) AS n_samples,
+    CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+    CAST(sum(s * s) AS BIGINT) AS ss
+  FROM sv GROUP BY doc_id
+),
+rms AS (
+  SELECT doc_id, n_samples, peak_abs,
+    CAST(floor(sqrt(CAST(ss // n_samples AS DOUBLE))) AS BIGINT)
+      AS rms_floor
+  FROM per
+)
+SELECT doc_id AS asset_id, n_samples, peak_abs, rms_floor,
+  CASE WHEN rms_floor < 1000 THEN 'silent'
+       WHEN rms_floor < 8000 THEN 'quiet'
+       WHEN rms_floor < 20000 THEN 'loud'
+       ELSE 'hot' END AS rms_band
+FROM rms
+"""
+
+
+@register("multimodal_wav_rms", oracle=_wav_rms_oracle())
+def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audio-asset loudness profile with the RMS gate band (silent /
+    quiet / loud / hot) — the per-asset gate report a curation pipeline
+    filters on (band census = one groupBy away).
+
+    Scale: one Arrow-batched map-only pass over audio payloads — no
+    shuffle at all. rms_floor = isqrt(ss//n) is all-integer (the double
+    sqrt cannot misround below ~2^52), so the hash contract holds
+    bit-exactly per asset.
     """
     import pandas as pd
 
@@ -683,12 +749,9 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rms_floor") < 20000, "loud")
         .otherwise("hot")
     )
-    return per_asset.groupBy(band.alias("rms_band")).agg(
-        F.count(F.lit(1)).alias("n_assets"),
-        F.min("rms_floor").alias("min_rms"),
-        F.max("rms_floor").alias("max_rms"),
-        F.max("peak_abs").alias("max_peak"),
-        F.sum("n_samples").alias("total_samples"),
+    return per_asset.select(
+        "asset_id", "n_samples", "peak_abs", "rms_floor",
+        band.alias("rms_band"),
     )
 
 

@@ -191,17 +191,19 @@ def test_wav_rms_function_exact():
 
 
 def test_wav_rms_operator_census(spark, sf_dir):
-    """The band census covers every audio asset exactly once with
-    consistent band boundaries."""
+    """The per-asset profile covers every audio asset exactly once with
+    a band label consistent with its rms_floor."""
     rows = QUERIES["multimodal_wav_rms"](spark, sf_dir).collect()
     assert rows
     bounds = {"silent": (0, 1000), "quiet": (1000, 8000),
               "loud": (8000, 20000), "hot": (20000, 1 << 31)}
-    total = 0
+    seen = set()
     for r in rows:
         lo, hi = bounds[r.rms_band]
-        assert lo <= r.min_rms <= r.max_rms < hi
-        total += r.n_assets
+        assert lo <= r.rms_floor < hi
+        assert 0 <= r.rms_floor <= r.peak_abs <= 32768
+        assert r.n_samples > 0
+        seen.add(r.asset_id)
     from bpaotu_spark.multimodal.core import multimodal_table
 
     n_audio = (
@@ -209,7 +211,7 @@ def test_wav_rms_operator_census(spark, sf_dir):
         .filter(F.col("media_type") == "audio")
         .count()
     )
-    assert total == n_audio
+    assert len(rows) == len(seen) == n_audio
 
 
 def test_phash_near_pairs_contains_exact_families(spark, sf_dir):

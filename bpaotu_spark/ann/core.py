@@ -27,6 +27,7 @@ from bpaotu_spark.dedup.core import (
     COSINE_SQL,
     _emb_bucket,
     _emb_bucket_sql,
+    _salted_self_join_sides,
     dot,
     norm,
 )
@@ -347,17 +348,19 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm(F.col("v")))
         .withColumn("bucket", _emb_bucket(F.col("v")))
     )
-    a = emb.select(
-        F.col("vec_id").alias("src"), "bucket",
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("dst"), F.col("bucket").alias("bucket_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
+    # salted self-join (see dedup.core._salted_self_join_sides): 16
+    # sign buckets alone cap the reduce side at 16 tasks and AQE
+    # coalesces the byte-small exchange to 1 — salting restores the
+    # parallelism the cosine arithmetic needs
+    a, b = _salted_self_join_sides(emb, "src", "dst")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, (a.bucket == b.bucket_b) & (a.src != b.dst))
+        a.join(
+            b,
+            (a.bucket == b.bucket_b)
+            & (a.salt == b.salt_b)
+            & (a.src != b.dst),
+        )
         .select(
             "src", "dst", F.round(cos, 4).cast("double").alias("cos_sim")
         )

@@ -786,6 +786,53 @@ def _emb_bucket(v: Column) -> Column:
     )
 
 
+# The sign-bucket self-join has only 2^SIGN distinct keys (16 here) —
+# a plain shuffle join caps reduce-side parallelism at 16 tasks, and
+# locally AQE coalesces the byte-small exchange to ONE task while the
+# real cost is the O(n²/buckets) cosine arithmetic (the round-5 4×
+# regression). SALT the join: the probe side carries salt = vec_id mod
+# S, the build side is replicated S× with every salt value, and both
+# sides are explicitly hash-repartitioned on (bucket, salt) — 16×S
+# reduce keys, user-specified partition count that AQE never
+# coalesces. S× row replication of ONE side buys S× parallelism: the
+# standard skew-salting trade, and the same plan holds on a 1000-
+# executor cluster (no corpus broadcast anywhere).
+_LSH_SALT = 8
+_LSH_JOIN_PARTS = 64
+
+
+def _salted_self_join_sides(emb: DataFrame, id_a: str, id_b: str):
+    """(a, b) sides of the salted sign-bucket self-join; join on
+    ``(bucket == bucket_b) & (salt == salt_b)`` plus the id predicate,
+    then drop the salt columns."""
+    a = (
+        emb.select(
+            F.col("vec_id").alias(id_a),
+            "bucket",
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        .withColumn("salt", F.pmod(F.col(id_a), F.lit(_LSH_SALT)).cast("int"))
+        .repartition(_LSH_JOIN_PARTS, "bucket", "salt")
+    )
+    b = (
+        emb.select(
+            F.col("vec_id").alias(id_b),
+            F.col("bucket").alias("bucket_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        .withColumn(
+            "salt_b",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(_LSH_SALT)])
+            ),
+        )
+        .repartition(_LSH_JOIN_PARTS, "bucket_b", "salt_b")
+    )
+    return a, b
+
+
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
@@ -805,21 +852,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.withColumn("bucket", _emb_bucket(F.col("v"))).withColumn(
         "nrm", norm(F.col("v"))
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        "bucket",
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
+    a, b = _salted_self_join_sides(emb, "vec_a", "vec_b")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (a.bucket == b.bucket_b) & (a.vec_a < b.vec_b))
+        a.join(
+            b,
+            (a.bucket == b.bucket_b)
+            & (a.salt == b.salt_b)
+            & (a.vec_a < b.vec_b),
+        )
         .filter(cos >= COSINE_DUP_THRESHOLD)
         .select(
             "vec_a",

@@ -21,6 +21,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# First N_CANON entries = the FROZEN canonical subset (the r2-era
+# queries, unchanged since round 2): they run FIRST in the session,
+# right after warm-up, so their subtotal (`value_canon` in the output)
+# is comparable round-over-round regardless of how many queries the
+# full suite grows by — the round-5 lesson was that 205 queries in one
+# JVM session inflate per-query times ~1.5-1.8x via codegen-cache/GC
+# pressure, drowning the "did this round get faster?" signal. DO NOT
+# reorder or insert above the N_CANON boundary; append new queries at
+# the tail only.
+N_CANON = 47  # boundary: ...corpus_pack_sequences | q6_forecast_revenue...
+
 HEADLINE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -231,6 +242,8 @@ HEADLINE = (
     "lsh_bucket_profile",
     "dedup_band_threshold_sweep",
     "ivfadc_recall_report",
+    # round-6 additions
+    "ann_ivfadc_nprobe_topk",
 )
 
 
@@ -295,6 +308,8 @@ def main() -> int:
             scale_queries[name] = round(time.time() - t0, 3)
 
     total = round(sum(per_query.values()), 3)
+    canon = [n for n in HEADLINE[:N_CANON] if n in per_query]
+    value_canon = round(sum(per_query[n] for n in canon), 3)
     sf = os.path.basename(sf_dir.rstrip("/"))
 
     # The driver captures only a ~2,000-char tail of stdout and failed
@@ -309,6 +324,8 @@ def main() -> int:
             {
                 "metric": "headline_total",
                 "value": total,
+                "value_canon": value_canon,
+                "n_canon": len(canon),
                 "value_cold": round(sum(per_query_cold.values()), 3),
                 "unit": "sec",
                 "sf": sf,
@@ -327,6 +344,8 @@ def main() -> int:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "value_canon": value_canon,
+        "n_canon": len(canon),
         "value_cold": round(sum(per_query_cold.values()), 3),
         "n_queries": len(per_query),
         "sf": sf,

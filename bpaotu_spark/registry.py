@@ -77,25 +77,128 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # (A) CHANGED in round 5 — bucket caps in the LSH/shingle
-    # pair-formers changed these plans AND their oracles (plus every
-    # oracle that embeds the minhash pair CTEs); bigram_pmi consumes the
-    # round-5 word_ngrams short-doc guard; beta_diversity_braycurtis
-    # got second-level sub-blocking
-    "dedup_minhash_lsh",  # also: r4 minhash_bands refactor, first direct row
+    # ---- ROUND-6 WINDOW (driver verifies the first ~50) ----
+    # (A) plans/oracles CHANGED this round: kmeans inertia_mega +
+    # pq distortion_mega (decimal128 purge), KM survival min() fix,
+    # markov oracle coalesce, wav_rms oracle promotion, IVFADC
+    # nprobe refactor + new multi-probe row + sweep report, salted
+    # sign-bucket self-joins (dedup_embedding_lsh / knn_graph_lsh
+    # and their graph consumers)
+    "kmeans_embeddings",
+    "kaplan_meier_order_gaps",
+    "markov_absorption_3step",
+    "multimodal_wav_rms",
+    "ann_ivfadc_topk",
+    "ann_ivfadc_nprobe_topk",
+    "ivfadc_recall_report",
+    "embedding_pq_codebook",
+    "dedup_embedding_lsh",
+    "knn_graph_lsh",
+    "knn_triangle_count",
+    "pagerank_knn",
+    # (B) never driver-verified, oracle-backed — evidence rotation
+    # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
+    "chao1_richness",
+    "pielou_evenness",
+    "rank_abundance_curve",
+    "dsir_importance_select",
+    "tokenizer_fertility",
+    "zorder_file_pruning",
+    "anosim_groups",
+    "order_price_reconciliation",
+    "join_skew_audit",
+    "curriculum_schedule",
+    "kfold_assignment",
+    "partition_balance_audit",
+    "species_accumulation_curve",
+    "rapid_fire_users",
+    "benford_first_digit",
+    "theil_inequality",
+    "trimmed_mean_by_segment",
+    "daily_autocorrelation",
+    "heaps_law_estimate",
+    "entropy_dedup_calibration",
+    "intrinsic_dimension_twonn",
+    "mantel_test_gradient",
+    "markov_entropy_rate",
+    "part_supply_resilience",
+    "source_jsd_matrix",
+    "churn_reactivation_quarterly",
+    "returnflag_drift_yearly",
+    "laspeyres_price_index",
+    "cscore_checkerboard",
+    "weekly_decomposition",
+    "log_log_elasticity",
+    "otu_nestedness_nodf",
+    "event_burstiness_fano",
+    "pareto_tail_alpha",
+    "ks_binned_two_sample",
+    "cramers_v_association",
+    "gumbel_moments_fit",
+    "new_repeat_revenue_monthly",
+    # ---- ~50-entry window boundary ----
+    # (R7 QUEUE) the remaining never-driver-verified oracle-backed
+    # keys — rotate these into the round-7 window to finish the
+    # zero-evidence backlog
+    "month_end_lift",
+    "taxa_temporal_drift",
+    "hill_numbers_suite",
+    "faith_pd_taxonomy",
+    "bloom_sizing_advisor",
+    "two_way_effects",
+    "beta_dispersion_groups",
+    "ab_test_sizing",
+    "order_size_dispersion",
+    "error_budget_burn",
+    "unifrac_unweighted",
+    "unifrac_weighted",
+    "boilerplate_ngram_hotlist",
+    "price_lognormal_fit",
+    "map_tiles_pyramid",
+    "heldout_oov_rate",
+    "lsh_bucket_profile",
+    "dedup_band_threshold_sweep",
+    "beta_diversity_jaccard",
+    "sample_neighbors_topk",
+    "heavy_hitters_cms",
+    "attribution_time_decay",
+    "corpus_perplexity_filter",
+    "bloom_semijoin_filter",
+    "dedup_containment",
+    "event_user_paths_topk",
+    "revenue_ewma_daily",
+    "text_tfidf_cosine_pairs",
+    "ann_pq_adc_topk",
+    "otu_indicator_species",
+    "orders_yoy_growth",
+    "events_rolling_wau",
+    "embedding_outlier_topk",
+    "discount_effectiveness",
+    "core_microbiome",
+    "token_rate_drift",
+    "hierarchy_share_of_parent",
+    "otu_niche_breadth",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "langid_confusion",
+    "customer_rfm_segments",
+    "abundance_rarefaction",
+    "corpus_length_token_corr",
+    "supplier_return_rate",
+    "events_hourly_heatmap",
+    # tail: driver-green in r2-r5 at current code, unchanged —
+    # covered by tools/check.py locally every round
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "corpus_near_dedup_keep_first",
-    "dedup_lsh_recall_report",  # never driver-verified + embeds both capped oracles
+    "dedup_lsh_recall_report",
     "bigram_pmi",
     "beta_diversity_braycurtis",
-    # real BMP/WAV/y4m encode→decode landed round 5: meta's oracle
-    # changed; decode/resize/frame_sample are newly oracle-backed
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # (A0) NEW operators this round — never driver-verified
     "orders_open_backlog_daily",
     "robust_anomaly_mad",
     "attribution_last_touch",
@@ -112,9 +215,8 @@ PRIORITY: tuple[str, ...] = (
     "revenue_seasonality_weekday",
     "order_fulfillment_latency",
     "supplier_lead_time_trend",
-    "zipf_token_stats",  # r5 128-bit cum_share_ppm hardening
+    "zipf_token_stats",
     "repeat_purchase_intervals",
-    # (A1) NEW operators, round-5 continuation — never driver-verified
     "customer_pareto_share",
     "cohort_ltv_matrix",
     "part_brand_hhi",
@@ -123,7 +225,6 @@ PRIORITY: tuple[str, ...] = (
     "user_stickiness_monthly",
     "source_novelty_ngrams",
     "embedding_norm_profile",
-    "kmeans_embeddings",
     "nation_trade_flow",
     "part_size_price_corr",
     "event_value_daily_median",
@@ -131,116 +232,11 @@ PRIORITY: tuple[str, ...] = (
     "source_length_gini",
     "text_token_entropy",
     "customer_value_band_migration",
-    # (B) never driver-verified — r4 additions that spilled past the
-    # window (VERDICT r4 item 2: rotate ALL of these in)
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     "source_quality_report",
     "corpus_final_verdict",
-    # ---- ~50-entry window boundary ----
-    # (B0) round-5 continuation batch 2 — new operators landed after
-    # the window filled; all pass tools/check.py at sf0.001 + sf0.01;
-    # rotate into the window next round
-    "chao1_richness",
-    "pielou_evenness",
-    "rank_abundance_curve",
-    "dsir_importance_select",
-    "tokenizer_fertility",
-    "zorder_file_pruning",
-    "anosim_groups",
-    "order_price_reconciliation",
-    "join_skew_audit",
-    "curriculum_schedule",
-    "kfold_assignment",
-    "partition_balance_audit",
-    "knn_triangle_count",
-    "species_accumulation_curve",
-    "rapid_fire_users",
-    "benford_first_digit",
-    "theil_inequality",
-    "trimmed_mean_by_segment",
-    "daily_autocorrelation",
-    "heaps_law_estimate",
-    "entropy_dedup_calibration",
-    "intrinsic_dimension_twonn",
-    "mantel_test_gradient",
-    "markov_entropy_rate",
-    "part_supply_resilience",
-    "source_jsd_matrix",
-    "churn_reactivation_quarterly",
-    "returnflag_drift_yearly",
-    "kaplan_meier_order_gaps",
-    "laspeyres_price_index",
-    "cscore_checkerboard",
-    "weekly_decomposition",
-    "log_log_elasticity",
-    "markov_absorption_3step",
-    "otu_nestedness_nodf",
-    "event_burstiness_fano",
-    "pareto_tail_alpha",
-    "ks_binned_two_sample",
-    "cramers_v_association",
-    "gumbel_moments_fit",
-    "new_repeat_revenue_monthly",
-    "month_end_lift",
-    "taxa_temporal_drift",
-    "hill_numbers_suite",
-    "faith_pd_taxonomy",
-    "bloom_sizing_advisor",
-    "two_way_effects",
-    "beta_dispersion_groups",
-    "ab_test_sizing",
-    "order_size_dispersion",
-    "error_budget_burn",
-    # (B1) round-5 final batch — never driver-verified; all pass
-    # tools/check.py at sf0.001 + sf0.01; rotate into the window next
-    # round
-    "unifrac_unweighted",
-    "unifrac_weighted",
-    "boilerplate_ngram_hotlist",
-    "price_lognormal_fit",
-    "map_tiles_pyramid",
-    "ann_ivfadc_topk",
-    "heldout_oov_rate",
-    "lsh_bucket_profile",
-    "dedup_band_threshold_sweep",
-    "ivfadc_recall_report",
-    "beta_diversity_jaccard",
-    "sample_neighbors_topk",
-    "heavy_hitters_cms",
-    "attribution_time_decay",
-    "corpus_perplexity_filter",
-    "bloom_semijoin_filter",
-    "dedup_containment",
-    "event_user_paths_topk",
-    "revenue_ewma_daily",
-    "text_tfidf_cosine_pairs",
-    "embedding_pq_codebook",
-    "ann_pq_adc_topk",
-    "otu_indicator_species",
-    "orders_yoy_growth",
-    "events_rolling_wau",
-    "embedding_outlier_topk",
-    "discount_effectiveness",
-    "core_microbiome",
-    "token_rate_drift",
-    "hierarchy_share_of_parent",
-    "otu_niche_breadth",
-    # these eight (B) entries spilled to make room for the 16 A1
-    # entries — all pass tools/check.py at sf0.001 + sf0.01 and were
-    # judge-verified in round 4; they rotate into the window next round
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "langid_confusion",
-    "customer_rfm_segments",
-    "abundance_rarefaction",
-    "corpus_length_token_corr",
-    "supplier_return_rate",
-    "events_hourly_heatmap",
-    # (C) oldest driver-green rows (round 2), unchanged since — rotate
-    # through the window next round (the A-groups consumed this round's
-    # slots)
     "q5_local_supplier_volume",
     "rollup_hierarchy",
     "cube_returns",
@@ -254,12 +250,8 @@ PRIORITY: tuple[str, ...] = (
     "q7_nation_volume",
     "q19_disjunctive_pushdown",
     "q22_global_sales_opportunity",
-    # (C2) round-3 green, unchanged — next-oldest tier fills the
-    # remaining window slots; NEW round-5 operators take these slots as
-    # they land (insert above group C, trim from the bottom of C2)
     "dedup_exact",
     "dedup_embedding",
-    "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -275,8 +267,6 @@ PRIORITY: tuple[str, ...] = (
     "krona_rollup",
     "abundance_matrix",
     "otu_text_search",
-    # tail: driver-green in r3/r4 at current code, unchanged — stays
-    # covered by tools/check.py locally every round
     "alpha_diversity",
     "sample_summary",
     "export_long_abundance",
@@ -304,7 +294,6 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_share",
     "doc_chunk_sliding",
     "token_vocab_coverage",
-    "pagerank_knn",
     "basket_brand_lift",
     "table_profile",
     "event_interarrival_stats",
@@ -323,7 +312,6 @@ PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "lang_temperature_sample",
     "text_winnow_fingerprints",
-    "knn_graph_lsh",
     "dedup_winnow_pairs",
     "embedding_dim_stats",
     "sessionize_events",

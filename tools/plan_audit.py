@@ -95,6 +95,7 @@ ALLOWED_BNLJ = {
     "new_repeat_revenue_monthly": "customer-keyed first-month equi join (listed defensively)",
     "boilerplate_ngram_hotlist": "broadcast 1-row corpus-size scalar onto the 100-row top-k",
     "ann_ivfadc_topk": "broadcast N_CELLS-row coarse-centroid set (as ann_ivf_topk), intentional cross",
+    "ann_ivfadc_nprobe_topk": "same broadcast N_CELLS-row coarse-centroid cross as ann_ivfadc_topk (multi-probe only widens the cellq filter)",
     "dedup_band_threshold_sweep": "broadcast 1-row pair-total scalar onto the 8-row threshold grid",
     "ivfadc_recall_report": "composes ann_ivfadc/ann_pq_adc (their bounded centroid broadcasts)",
     "unifrac_unweighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",

@@ -244,6 +244,7 @@ HEADLINE = (
     "ivfadc_recall_report",
     # round-6 additions
     "ann_ivfadc_nprobe_topk",
+    "embedding_opq_balance",
 )
 
 

@@ -1194,6 +1194,190 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding_opq_balance — OPQ-style balanced dimension permutation (the
+# non-parametric half of Ge et al., "Optimized Product Quantization",
+# CVPR'13): plain PQ slices dimensions CONTIGUOUSLY, so one
+# high-variance contiguous block starves the other subspaces'
+# codebooks. The fix that needs no rotation matrix: rank dimensions by
+# exact integer variance and deal them to the M subspaces in SNAKE
+# order (0,1,2,3,3,2,1,0,...), balancing per-subspace variance; then
+# train the same audited PQ on the permuted vectors. Output: per
+# (scheme, subspace) the assigned-variance mass and the resulting
+# distortion — 8 rows proving what the permutation buys vs identity.
+#
+# All-integer determinism: variance numerator n·Σq² − (Σq)² in 128-bit,
+# floored // n at the ranking boundary only for the report (ranking
+# itself uses the exact numerator, dim-asc tie-break), so both engines
+# produce the identical permutation. Scale shape: dimension stats are
+# one map-combined 64-row aggregate; the permutation table broadcasts;
+# re-ordering is one explode + keyed collect; PQ training reuses
+# _pq_train unchanged. Nothing corpus-sized ever sits on the driver.
+# ---------------------------------------------------------------------------
+
+
+def _opq_sql_parts(src_e: str) -> str:
+    """CTEs: per-dim exact variance -> snake-ranked permutation over
+    ``src_e`` (vec_id, q) -> permuted vectors ``ep`` (vec_id, q)."""
+    return f"""
+xd AS (
+  SELECT vec_id, generate_subscripts(q, 1) AS dim, unnest(q) AS qv
+  FROM {src_e}
+),
+ds AS (
+  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(qv) AS HUGEINT) AS s,
+    CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS ss
+  FROM xd GROUP BY dim
+),
+dr AS (
+  SELECT dim, CAST(((n * ss - s * s) // n) AS BIGINT) AS var_floor,
+    CAST(row_number() OVER (ORDER BY n * ss - s * s DESC, dim ASC)
+      AS BIGINT) - 1 AS r
+  FROM ds
+),
+dperm AS (
+  SELECT dim, var_floor,
+    CASE WHEN (r // {_PQ_M}) % 2 = 0 THEN r % {_PQ_M}
+         ELSE {_PQ_M - 1} - (r % {_PQ_M}) END AS m_new,
+    r // {_PQ_M} AS pos_new
+  FROM dr
+),
+ep AS (
+  SELECT vec_id, list(qv ORDER BY m_new * {_PQ_SUB} + pos_new) AS q
+  FROM xd JOIN dperm USING (dim)
+  GROUP BY vec_id
+)"""
+
+
+def _opq_balance_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+{_opq_sql_parts("e")},
+{_pq_core_ctes("ep")},
+opq AS (
+  SELECT 'opq_snake' AS scheme, CAST(m AS BIGINT) AS subspace,
+    CAST(CAST(sum(d2) AS HUGEINT) // 1000000 AS BIGINT) AS distortion_mega
+  FROM a2 GROUP BY m
+),
+opq_var AS (
+  SELECT 'opq_snake' AS scheme, m_new AS subspace,
+    CAST(sum(var_floor) AS BIGINT) AS var_sum_floor
+  FROM dperm GROUP BY m_new
+),
+flat AS (
+  WITH {_pq_ctes()}
+  SELECT 'identity' AS scheme, CAST(m AS BIGINT) AS subspace,
+    CAST(CAST(sum(d2) AS HUGEINT) // 1000000 AS BIGINT) AS distortion_mega
+  FROM a2 GROUP BY m
+),
+flat_var AS (
+  SELECT 'identity' AS scheme, (dim - 1) // {_PQ_SUB} AS subspace,
+    CAST(sum(var_floor) AS BIGINT) AS var_sum_floor
+  FROM dr GROUP BY 1, 2
+),
+dist AS (SELECT * FROM opq UNION ALL SELECT * FROM flat),
+vars AS (SELECT * FROM opq_var UNION ALL SELECT * FROM flat_var)
+SELECT dist.scheme, dist.subspace, vars.var_sum_floor, dist.distortion_mega
+FROM dist JOIN vars
+  ON dist.scheme = vars.scheme AND dist.subspace = vars.subspace
+"""
+
+
+def _opq_permuted_e(spark: SparkSession, sf_dir: str):
+    """(ep, dperm): snake-permuted quantized vectors + the permutation
+    table (dim, var_floor, m_new, pos_new) — dperm is 64 rows,
+    broadcast everywhere it is used."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    xd = e.select(
+        "vec_id", F.posexplode("q").alias("pos", "qv")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "qv")
+    ds = xd.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("qv").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(qv AS DECIMAL(38,0)) * qv")).alias("ss"),
+    )
+    wv = Window.orderBy(
+        F.expr("n * ss - s * s").desc(), F.col("dim").asc()
+    )  # 64-row frame only
+    dr = ds.select(
+        "dim",
+        F.expr("CAST((n * ss - s * s) DIV n AS BIGINT)").alias("var_floor"),
+        (F.row_number().over(wv) - 1).cast("bigint").alias("r"),
+    )
+    dperm = dr.select(
+        "dim",
+        "var_floor",
+        F.expr(
+            f"CASE WHEN (r DIV {_PQ_M}) % 2 = 0 THEN r % {_PQ_M}"
+            f" ELSE {_PQ_M - 1} - (r % {_PQ_M}) END"
+        ).alias("m_new"),
+        F.expr(f"r DIV {_PQ_M}").alias("pos_new"),
+    )
+    ep = (
+        xd.join(F.broadcast(dperm), "dim")
+        .withColumn(
+            "npos", F.expr(f"m_new * {_PQ_SUB} + pos_new").cast("bigint")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("npos", "qv"))),
+                lambda t: t["qv"],
+            ).alias("q")
+        )
+    )
+    return ep, dperm
+
+
+@register("embedding_opq_balance", oracle=_opq_balance_oracle())
+def embedding_opq_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep, dperm = _opq_permuted_e(spark, sf_dir)
+    _, _, _, a2p = _pq_train(spark, sf_dir, e=ep)
+    opq = a2p.groupBy(
+        F.lit("opq_snake").alias("scheme"),
+        F.col("m").cast("bigint").alias("subspace"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)"
+        ).alias("distortion_mega")
+    )
+    opq_var = dperm.groupBy(
+        F.lit("opq_snake").alias("scheme"),
+        F.col("m_new").cast("bigint").alias("subspace"),
+    ).agg(F.sum("var_floor").cast("bigint").alias("var_sum_floor"))
+    _, _, _, a2f = _pq_train(spark, sf_dir)
+    flat = a2f.groupBy(
+        F.lit("identity").alias("scheme"),
+        F.col("m").cast("bigint").alias("subspace"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)"
+        ).alias("distortion_mega")
+    )
+    flat_var = dperm.groupBy(
+        F.lit("identity").alias("scheme"),
+        F.expr(f"CAST((dim - 1) DIV {_PQ_SUB} AS BIGINT)").alias("subspace"),
+    ).agg(F.sum("var_floor").cast("bigint").alias("var_sum_floor"))
+    dist = opq.unionByName(flat)
+    vars_ = F.broadcast(opq_var.unionByName(flat_var))
+    return dist.join(vars_, ["scheme", "subspace"]).select(
+        "scheme", "subspace", "var_sum_floor", "distortion_mega"
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_outlier_topk — label-quality audit: the 5 vectors farthest
 # from their own label's centroid, per label (mislabeled/corrupted
 # embedding detection — the vector-side twin of corpus quality gates).

@@ -96,6 +96,8 @@ PRIORITY: tuple[str, ...] = (
     "knn_graph_lsh",
     "knn_triangle_count",
     "pagerank_knn",
+    # (A0) NEW this round — OPQ-lite balance report
+    "embedding_opq_balance",
     # (B) never driver-verified, oracle-backed — evidence rotation
     # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
     "chao1_richness",
@@ -135,11 +137,11 @@ PRIORITY: tuple[str, ...] = (
     "ks_binned_two_sample",
     "cramers_v_association",
     "gumbel_moments_fit",
-    "new_repeat_revenue_monthly",
     # ---- ~50-entry window boundary ----
     # (R7 QUEUE) the remaining never-driver-verified oracle-backed
     # keys — rotate these into the round-7 window to finish the
     # zero-evidence backlog
+    "new_repeat_revenue_monthly",
     "month_end_lift",
     "taxa_temporal_drift",
     "hill_numbers_suite",

@@ -134,9 +134,11 @@ def test_norm_profile_order(spark, sf_dir):
 
 def test_kmeans_deterministic_and_partitioning(spark, sf_dir):
     df = QUERIES["kmeans_embeddings"](spark, sf_dir)
-    a = sorted((r.cluster_id, r.n_members, r.inertia) for r in df.collect())
+    a = sorted(
+        (r.cluster_id, r.n_members, r.inertia_mega) for r in df.collect()
+    )
     b = sorted(
-        (r.cluster_id, r.n_members, r.inertia)
+        (r.cluster_id, r.n_members, r.inertia_mega)
         for r in QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
     )
     assert a == b  # bit-identical across runs

@@ -189,11 +189,24 @@ def _signed_scores(v: DataFrame, lam: DataFrame, alias: str) -> DataFrame:
     )
 
 
-@register("ordination_pcoa_2d")  # rows-only: iterative, no SQL fixpoint
+@register("ordination_pcoa_2d")  # rows-only — see docstring for why
 def ordination_pcoa_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sample_id, axis1, axis2) — the 2-D ordination the comparison
     page plots. Axis 2 deflates: B₂ = B − λ₁v₁v₁ᵀ materialized by one
-    join pass over the long form, then the same power iteration."""
+    join pass over the long form, then the same power iteration.
+
+    Why rows-only (evaluated for oracle promotion in r6, VERDICT item
+    8): a fixed-point INTEGER power iteration would make each round
+    exactly reproducible, but the iterate must be re-normalized to unit
+    length every few rounds (else the λ¹⁶-scaled components overflow
+    any fixed-point width), and normalization divides by a true
+    irrational (√Σv²) — after it, Spark's and DuckDB's doubles can
+    differ in the last ulp, and 30 subsequent multiply-accumulate
+    rounds amplify that ulp across the hash boundary. The contract is
+    instead the numpy-diffed pytest (tests/test_ordination.py):
+    eigenpairs verified against numpy.linalg.eigh to 1e-6, plus
+    sign/determinism invariants — stronger evidence than a hash of an
+    unstable float, and honest about what IS engine-reproducible."""
     b = _gower_center(spark, sf_dir)
     v1 = _power_iterate(b, _start_vector(b, seed=7))
     lam1 = _eigenvalue(b, v1)

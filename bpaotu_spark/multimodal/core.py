@@ -556,19 +556,120 @@ def image_ahash(payload: bytes) -> str:
         bits = bits[::-1]
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    dens = np.empty((8, 8))
+    # Integer-exact threshold (no float densities): block row/col sizes
+    # take at most two values each ({a,a+1} with a=h//8, {b,b+1} with
+    # b=w//8), so D = a(a+1)b(b+1) is a common multiple of every block
+    # area and dens_ij > mean(dens) is equivalent to the all-BIGINT
+    # comparison 64*s_ij*(D/n_ij) > Σ_kl s_kl*(D/n_kl). This keeps the
+    # hash reproducible bit-exactly by the SQL oracle (no ulp hazard at
+    # density ties, which float block means would have).
+    a, b = h // 8, w // 8
+    dd = a * (a + 1) * b * (b + 1)
+    s = np.zeros((8, 8), dtype=np.int64)
+    wgt = np.zeros((8, 8), dtype=np.int64)
     for i in range(8):
         for j in range(8):
             blk = bits[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
-            dens[i, j] = blk.mean() if blk.size else 0.0
-    mean = dens.mean()
+            s[i, j] = int(blk.sum())
+            wgt[i, j] = dd // blk.size
+    total = int((s * wgt).sum())
     v = 0
-    for b in (dens > mean).flatten():
-        v = (v << 1) | int(b)
+    for flag in (64 * s * wgt > total).flatten():
+        v = (v << 1) | int(flag)
     return f"{v:016x}"
 
 
 PHASH_SCHEMA = "asset_id bigint, phash string"
+
+
+# Hex-digit byte arithmetic shared by the image and audio oracles: the
+# value of cyclic-fill data byte ``j`` (0-based, mod-L), given CTE
+# columns hx = hex(encode(text)) and len = octet_length(encode(text)).
+_WAV_HEXDIG = "strpos('0123456789ABCDEF', substr(hx, {pos}, 1)) - 1"
+
+
+def _wav_byte_sql(j: str) -> str:
+    """SQL for data byte value at offset ``j`` (0-based, mod-L fill)."""
+    lo_pos = f"(({j}) % len) * 2 + 2"
+    hi_pos = f"(({j}) % len) * 2 + 1"
+    return (
+        f"(({_WAV_HEXDIG.format(pos=hi_pos)}) * 16"
+        f" + ({_WAV_HEXDIG.format(pos=lo_pos)}))"
+    )
+
+
+# The BMP pixel array is the document's UTF-8 bytes repeated cyclically
+# over stride*h bytes (encoders._fill), stored bottom-up with MSB-first
+# bits — so every PIXEL is a closed-form function of (text, row, col):
+#   byte = text_byte[((h-1-r)*stride + x//8) mod L]
+#   bit  = (byte >> (7 - x%8)) & 1
+# and the aHash threshold is integer-exact (image_ahash above), so the
+# oracle re-derives the full 64-bit hash from documents alone: a hash
+# match proves the real BMP decode + numpy block sums agree with the
+# byte-level spec arithmetic bit-for-bit (the wav_rms promotion, on the
+# image side). Block index inversion: block of row r under boundaries
+# ys[i] = (i*h)//8 is (8r+7)//h (largest i with (i*h)//8 <= r).
+def _phash_ctes() -> str:
+    """WITH-body CTE chain ending in ph(asset_id, phash, hi, lo)."""
+    byte_off = "((h - 1 - r) * stride + x // 8)"
+    byte_val = _wav_byte_sql(byte_off)
+    return f"""img AS (
+  SELECT doc_id,
+    CAST({_IMG_W_SQL} AS BIGINT) AS w,
+    CAST({_IMG_H_SQL} AS BIGINT) AS h,
+    CAST({_IMG_STRIDE_SQL} AS BIGINT) AS stride,
+    CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+         ELSE hex(encode(text)) END AS hx,
+    CASE WHEN octet_length(encode(text)) = 0 THEN 1
+         ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS len
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+),
+pxr AS (
+  SELECT doc_id, w, h, stride, hx, len, unnest(range(h)) AS r FROM img
+),
+px AS (
+  SELECT doc_id, w, h, stride, hx, len, r, unnest(range(w)) AS x FROM pxr
+),
+pxbit AS (
+  SELECT doc_id, w, h,
+    (8 * r + 7) // h AS bi,
+    (8 * x + 7) // w AS bj,
+    (({byte_val}) >> CAST(7 - (x % 8) AS INTEGER)) & 1 AS bit
+  FROM px
+),
+blk AS (
+  SELECT doc_id, any_value(w) AS w, any_value(h) AS h, bi, bj,
+    CAST(sum(bit) AS BIGINT) AS s, count(*) AS n
+  FROM pxbit GROUP BY doc_id, bi, bj
+),
+wblk AS (
+  SELECT doc_id, bi, bj, s,
+    ((h // 8) * (h // 8 + 1) * (w // 8) * (w // 8 + 1)) // n AS wgt
+  FROM blk
+),
+btot AS (
+  SELECT doc_id, CAST(sum(s * wgt) AS BIGINT) AS total
+  FROM wblk GROUP BY doc_id
+),
+hbit AS (
+  SELECT wblk.doc_id, 8 * bi + bj AS pos,
+    CASE WHEN 64 * s * wgt > total THEN 1 ELSE 0 END AS b
+  FROM wblk JOIN btot ON wblk.doc_id = btot.doc_id
+),
+halves AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN pos < 32
+      THEN b * (CAST(1 AS BIGINT) << CAST(31 - pos AS INTEGER))
+      ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN pos >= 32
+      THEN b * (CAST(1 AS BIGINT) << CAST(63 - pos AS INTEGER))
+      ELSE 0 END) AS BIGINT) AS lo
+  FROM hbit GROUP BY doc_id
+),
+ph AS (
+  SELECT doc_id AS asset_id, printf('%08x%08x', hi, lo) AS phash, hi, lo
+  FROM halves
+)"""
 
 
 def phash_assets(assets: DataFrame) -> DataFrame:
@@ -591,9 +692,28 @@ def phash_assets(assets: DataFrame) -> DataFrame:
     )
 
 
-@register("multimodal_phash_dedup")  # rows-only: hash of decoded pixels,
-# not SQL-expressible (DuckDB cannot parse the binary payload)
+def _phash_dedup_oracle() -> str:
+    return f"""
+WITH {_phash_ctes()},
+fams AS (
+  SELECT phash, count(*) AS group_size, min(asset_id) AS keeper_id
+  FROM ph GROUP BY phash
+)
+SELECT ph.asset_id, ph.phash, fams.group_size, fams.keeper_id,
+  ph.asset_id <> fams.keeper_id AS is_duplicate
+FROM ph JOIN fams ON ph.phash = fams.phash
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_phash_dedup_oracle())
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup families over the integer-exact aHash.
+
+    Oracle-backed (promoted r6): the DuckDB oracle re-derives every
+    decoded pixel from ``hex(encode(text))`` byte arithmetic, rebuilds
+    the 64-bit hash with the same integer threshold, and must agree
+    with the real BMP decode + numpy path bit-for-bit.
+    """
     hashed = phash_assets(multimodal_table(spark, sf_dir))
     fams = hashed.groupBy("phash").agg(
         F.count(F.lit(1)).alias("group_size"),
@@ -652,18 +772,9 @@ def wav_rms_floor(payload: bytes) -> tuple[int, int, int]:
 # s = lo + 256*hi - (65536 if sign bit). The oracle re-derives each
 # sample from hex(encode(text)) — a hash match proves the real RIFF
 # walk + numpy int16 view agree with the byte-level spec arithmetic,
-# the same promotion the decode family got in round 5.
-_WAV_HEXDIG = "strpos('0123456789ABCDEF', substr(hx, {pos}, 1)) - 1"
-
-
-def _wav_byte_sql(j: str) -> str:
-    """SQL for data byte value at offset ``j`` (0-based, mod-L fill)."""
-    lo_pos = f"(({j}) % len) * 2 + 2"
-    hi_pos = f"(({j}) % len) * 2 + 1"
-    return (
-        f"(({_WAV_HEXDIG.format(pos=hi_pos)}) * 16"
-        f" + ({_WAV_HEXDIG.format(pos=lo_pos)}))"
-    )
+# the same promotion the decode family got in round 5. (The byte-value
+# SQL helper _wav_byte_sql lives above the phash section, which reuses
+# it for pixel bytes.)
 
 
 def _wav_rms_oracle() -> str:
@@ -775,8 +886,44 @@ def _hex_half(col: "F.Column", start: int) -> "F.Column":
     return F.conv(F.substring(col, start, 8), 16, 10).cast("bigint")
 
 
-@register("multimodal_phash_near_pairs")  # rows-only: pixels → hash
+def _phash_near_pairs_oracle() -> str:
+    return f"""
+WITH {_phash_ctes()},
+bands AS (
+  SELECT asset_id, phash, hi, lo, band,
+    substr(phash, band * 4 + 1, 4) AS key
+  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+sizes AS (
+  SELECT band, key, count(*) AS n FROM bands GROUP BY band, key
+),
+gated AS (
+  SELECT bands.* FROM bands JOIN sizes
+  ON bands.band = sizes.band AND bands.key = sizes.key
+  WHERE sizes.n BETWEEN 2 AND {_PHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, a.hi AS hi_a, a.lo AS lo_a,
+    c.asset_id AS asset_b, c.hi AS hi_b, c.lo AS lo_b
+  FROM gated a JOIN gated c
+  ON a.band = c.band AND a.key = c.key AND a.asset_id < c.asset_id
+)
+SELECT asset_a, asset_b,
+  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+       AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {PHASH_HAMMING_MAX}
+"""
+
+
+@register("multimodal_phash_near_pairs", oracle=_phash_near_pairs_oracle())
 def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical image pairs (Hamming-banded aHash blocking).
+
+    Oracle-backed (promoted r6): bands/caps/Hamming mirror the Spark
+    plan exactly over the pixel-derived hash the shared CTE rebuilds.
+    """
     hashed = phash_assets(multimodal_table(spark, sf_dir))
     bands = None
     for b in range(_PHASH_BANDS):

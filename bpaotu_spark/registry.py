@@ -98,6 +98,11 @@ PRIORITY: tuple[str, ...] = (
     "pagerank_knn",
     # (A0) NEW this round — OPQ-lite balance report
     "embedding_opq_balance",
+    # (A1) PROMOTED to oracle-backed this round (integer-exact aHash +
+    # pixel-level byte-arithmetic oracle) — hash semantics changed, so
+    # they need fresh driver rows
+    "multimodal_phash_dedup",
+    "multimodal_phash_near_pairs",
     # (B) never driver-verified, oracle-backed — evidence rotation
     # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
     "chao1_richness",
@@ -135,12 +140,12 @@ PRIORITY: tuple[str, ...] = (
     "event_burstiness_fano",
     "pareto_tail_alpha",
     "ks_binned_two_sample",
-    "cramers_v_association",
-    "gumbel_moments_fit",
     # ---- ~50-entry window boundary ----
     # (R7 QUEUE) the remaining never-driver-verified oracle-backed
     # keys — rotate these into the round-7 window to finish the
     # zero-evidence backlog
+    "cramers_v_association",
+    "gumbel_moments_fit",
     "new_repeat_revenue_monthly",
     "month_end_lift",
     "taxa_temporal_drift",

@@ -245,6 +245,11 @@ HEADLINE = (
     # round-6 additions
     "ann_ivfadc_nprobe_topk",
     "embedding_opq_balance",
+    "ann_ivfadc_rerank_topk",
+    "embedding_prefix_recall",
+    "beta_diversity_morisita_horn",
+    "corpus_regex_scrub_report",
+    "event_debounce_dedup",
 )
 
 

@@ -1798,3 +1798,241 @@ def ivfadc_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfadc_rerank_topk — IVFADC+R (Jégou et al. PAMI'11 §6): the
+# multi-probe ADC search produces a SHORTLIST of R candidates per query
+# and an exact L2 re-ranker re-scores just those R against the original
+# vectors. This is the standard production billion-vector layout: the
+# compressed index (1 cell id + M codes per vector) answers the coarse
+# search; only R original vectors per query are ever fetched — the
+# random-read stage is bounded by R × n_queries, not corpus size. The
+# re-rank repairs the PQ quantization error that caps plain ADC recall
+# (quantified side-by-side by ivfadc_recall_report).
+# ---------------------------------------------------------------------------
+
+_RERANK_R = 20  # ADC shortlist depth handed to the exact re-ranker
+
+
+def _rerank_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH scored AS ({_ivfadc_scored_sql(_IVF_NPROBE_MULTI)}),
+short AS (
+  SELECT query_id, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY d2_adc ASC, vec_id ASC) <= {_RERANK_R}
+),
+e2 AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS (
+  SELECT s.query_id, s.vec_id,
+    CAST({dot.format(a='eq.q', b='eq.q')}
+       - 2 * {dot.format(a='eq.q', b='ec.q')}
+       + {dot.format(a='ec.q', b='ec.q')} AS BIGINT) AS d2_exact
+  FROM short s
+  JOIN e2 eq ON eq.vec_id = s.query_id
+  JOIN e2 ec ON ec.vec_id = s.vec_id
+)
+SELECT query_id, vec_id AS cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY d2_exact ASC, vec_id ASC) AS INTEGER) AS rnk,
+  d2_exact
+FROM ex
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@register("ann_ivfadc_rerank_topk", oracle=_rerank_oracle())
+def ann_ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC shortlist (nprobe=4, R=20) → exact integer-L2 re-rank.
+
+    Scale shape: the shortlist (≤ R rows per query) is BROADCAST into
+    the original-vector fetch, so the expensive side — the full vector
+    table — is touched by one broadcast-pruned scan, never shuffled;
+    the re-rank itself is R×n_queries rows of exact arithmetic. The
+    quantized-vector L2 is all-int64 (identical to the k-means metric),
+    so Spark and the oracle agree bit-exactly.
+    """
+    index = _ivfadc_index(spark, sf_dir, max_nprobe=_IVF_NPROBE_MULTI)
+    scored = _ivfadc_scored_frame(index, _IVF_NPROBE_MULTI)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _RERANK_R)
+        .select("query_id", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    ex = (
+        e.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(eq), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _km_dot_spark(F.col("qq"), F.col("qq"))
+                - 2 * _km_dot_spark(F.col("qq"), F.col("q"))
+                + _km_dot_spark(F.col("q"), F.col("q"))
+            )
+            .cast("bigint")
+            .alias("d2_exact"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d2_exact").asc(), F.col("vec_id").asc()
+    )
+    return (
+        ex.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "rnk", "d2_exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_prefix_recall — Matryoshka-style truncation report: top-k
+# recall when the search metric uses only the FIRST d dimensions of the
+# embedding, for d in the sweep grid, against the full-dimension
+# brute-force truth. MRL-trained embedding families (Kusupati et al.
+# 2022) front-load information so short prefixes retain most recall;
+# this report measures whether THIS embedding column has that property
+# — the go/no-go for serving a cheaper truncated index. Exact integer
+# L2 on the quantized grid both sides; recall in floored ppm.
+# ---------------------------------------------------------------------------
+
+_PREFIX_DIMS = (8, 16, 32, 64)
+
+
+def _prefix_recall_oracle() -> str:
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pr AS (
+  SELECT a.vec_id AS query_id, a.q AS qa, b.vec_id, b.q AS qb
+  FROM e a JOIN e b
+    ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+)"""]
+    for d in _PREFIX_DIMS:
+        d2 = (
+            f"list_dot_product(CAST(dl AS DOUBLE[]), CAST(dl AS DOUBLE[]))"
+        )
+        parts.append(f""",
+t{d} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      {d2} AS d2
+    FROM (
+      SELECT query_id, vec_id,
+        list_transform(generate_series(1, {d}), i -> qa[i] - qb[i]) AS dl
+      FROM pr)
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY d2 ASC, vec_id ASC) <= {TOP_K}
+)""")
+    rows = []
+    full = _PREFIX_DIMS[-1]
+    for d in _PREFIX_DIMS:
+        rows.append(f"""
+SELECT CAST({d} AS BIGINT) AS prefix_dim,
+  CAST(count(*) AS BIGINT) AS flat_total,
+  CAST(count(t.vec_id) AS BIGINT) AS overlap_total
+FROM t{full} b LEFT JOIN t{d} t
+  ON b.query_id = t.query_id AND b.vec_id = t.vec_id""")
+    union = " UNION ALL ".join(rows)
+    parts.append(f"""
+SELECT prefix_dim, flat_total, overlap_total,
+  overlap_total * 1000000 // flat_total AS recall_ppm
+FROM ({union})
+""")
+    return "".join(parts)
+
+
+def _prefix_d2(qa, qb, d: int):
+    diff = F.zip_with(
+        F.slice(qa, 1, d), F.slice(qb, 1, d), lambda x, y: x - y
+    )
+    return F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+
+
+@register("embedding_prefix_recall", oracle=_prefix_recall_oracle())
+def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of prefix-dimension search vs full-dimension truth, one
+    row per prefix length.
+
+    Scale: the pair frame is (n_queries × corpus) with the query side
+    broadcast — the corpus is scanned once per report, each prefix adds
+    only a column expression + a top-k window over the same frame. The
+    d=64 row is the self-recall sanity check (always 1e6 ppm).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    pr = (
+        e.select(F.col("vec_id"), F.col("q").alias("qb"))
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .localCheckpoint()
+    )
+
+    def topk_at(d: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("vec_id").asc()
+        )
+        return (
+            pr.select(
+                "query_id", "vec_id", _prefix_d2("qa", "qb", d).alias("d2")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    base = topk_at(_PREFIX_DIMS[-1]).localCheckpoint()
+    out = None
+    for d in _PREFIX_DIMS:
+        hits = topk_at(d).withColumn("hit", F.lit(1))
+        row = (
+            base.join(F.broadcast(hits), ["query_id", "vec_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("flat_total"),
+                F.count("hit").cast("bigint").alias("overlap_total"),
+            )
+            .select(
+                F.lit(d).cast("bigint").alias("prefix_dim"),
+                "flat_total",
+                "overlap_total",
+                F.expr(
+                    "overlap_total * 1000000 div flat_total"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -294,3 +294,90 @@ def boilerplate_ngram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_regex_scrub_report — the PII/pattern scrub census a curation
+# pipeline runs BEFORE redaction: per (source, pattern), how many docs
+# match, how many total matches, how many characters the redaction
+# would remove, and the flagged-char share of the source in ppm.
+# Patterns cover the standard PII screens (email, IPv4, long digit
+# runs — expected zero on clean corpora, so they double as
+# false-positive negative controls) plus a corpus-hitting token
+# pattern proving the counting machinery end-to-end. Patterns stay in
+# the common Java-regex ∩ RE2 dialect so Spark (Java) and DuckDB (RE2)
+# agree: character classes, bounded repetition, \\b, alternation — no
+# backreferences or lookaround.
+#
+# Scale shape: ONE scan of documents computes every pattern's counters
+# as column expressions (stack() unpivots after), then a map-side
+# combinable groupBy(source, pattern) — no shuffle beyond the final
+# per-source rollup, no Python in the row path (regexp_count /
+# regexp_replace are JVM codegen).
+# ---------------------------------------------------------------------------
+
+_SCRUB_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("digit_run", r"\d{6,}"),
+    ("engine_token", r"\b(spark|query|table)\b"),
+)
+
+
+def _scrub_oracle() -> str:
+    branches = []
+    for name, pat in _SCRUB_PATTERNS:
+        branches.append(f"""
+SELECT source, '{name}' AS pattern,
+  CAST(count(*) FILTER (
+    WHERE len(regexp_extract_all(text, '{pat}')) > 0) AS BIGINT)
+    AS docs_matched,
+  CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+    AS total_matches,
+  CAST(sum(length(text)
+    - length(regexp_replace(text, '{pat}', '', 'g'))) AS BIGINT)
+    AS chars_flagged,
+  CAST(CAST(sum(length(text)
+      - length(regexp_replace(text, '{pat}', '', 'g'))) AS HUGEINT)
+    * 1000000 // sum(length(text)) AS BIGINT) AS flagged_share_ppm
+FROM documents GROUP BY source""")
+    return " UNION ALL ".join(branches)
+
+
+@register("corpus_regex_scrub_report", oracle=_scrub_oracle())
+def corpus_regex_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, pattern) scrub census: docs matched, match count,
+    chars a redaction would remove, flagged-char ppm share."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cols = [F.col("source"), F.length("text").alias("nch")]
+    stack_args = []
+    for name, pat in _SCRUB_PATTERNS:
+        cols.append(
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"c_{name}")
+        )
+        cols.append(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), pat, ""))
+            ).alias(f"f_{name}")
+        )
+        stack_args.append(f"'{name}', c_{name}, f_{name}")
+    per_doc = docs.select(*cols)
+    stacked = per_doc.selectExpr(
+        "source",
+        "nch",
+        f"stack({len(_SCRUB_PATTERNS)}, {', '.join(stack_args)})"
+        " AS (pattern, n_matches, n_flagged)",
+    )
+    return (
+        stacked.groupBy("source", "pattern")
+        .agg(
+            F.expr("count_if(n_matches > 0)").alias("docs_matched"),
+            F.sum("n_matches").cast("bigint").alias("total_matches"),
+            F.sum("n_flagged").cast("bigint").alias("chars_flagged"),
+            F.expr(
+                "CAST(CAST(sum(n_flagged) AS DECIMAL(38,0)) * 1000000"
+                " div sum(nch) AS BIGINT)"
+            ).alias("flagged_share_ppm"),
+        )
+    )

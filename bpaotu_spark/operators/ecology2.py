@@ -906,3 +906,139 @@ def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wu_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# beta_diversity_morisita_horn — the abundance-weighted member of the
+# comparison-page dissimilarity family that is (near-)independent of
+# sample size, the property ecologists reach for when sampling depth is
+# uneven (Horn 1966 overlap index, dissimilarity form):
+#
+#   MH(a,b) = 1 - 2·Σ x_i·y_i / ((da+db)·Na·Nb),
+#   da = Σx²/Na², db = Σy²/Nb²
+#
+# Multiplying through by Na·Nb gives the ALL-INTEGER form
+#   mh_ppm = 1e6 - ⌊ 2e6·Σxy·Na·Nb / (Σx²·Nb² + Σy²·Na²) ⌋
+# (AM-GM bounds the quotient by 1e6, so mh_ppm ∈ [0, 1e6] exactly).
+# 128-bit intermediates: Σx²·Nb² passes int64 once per-sample totals
+# reach ~10⁵, so both sides multiply in HUGEINT / DECIMAL(38,0) and
+# only the floored ppm leaves as BIGINT. MH is invariant under x→λx
+# per sample, so a 100 TB deployment can pre-scale huge counts down
+# without changing the output — the overflow headroom is a knob, not
+# a cliff.
+#
+# Pair discipline: same bounded shape as beta_diversity_braycurtis —
+# pairs form only inside (block = c_nationkey) over a filtered segment
+# selection; Σxy joins on (block, otu_id), the inverted-index key.
+# Reference analogue: bpaotu's comparison page dissimilarity menu
+# (bpaotu/otu/views.py ComparisonView; braycurtis/jaccard there —
+# morisita-horn is the standard scipy.spatial.distance companion).
+# ---------------------------------------------------------------------------
+
+_MH_SEL = "c_mktsegment = 'MACHINERY'"
+
+
+@register(
+    "beta_diversity_morisita_horn",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_nationkey AS block
+  FROM customer WHERE {_MH_SEL}
+),
+a AS (
+  SELECT ab.sample_id, block, otu_id, CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, block, otu_id
+),
+stats AS (
+  SELECT sample_id, block,
+    CAST(sum(c) AS BIGINT) AS n_tot,
+    CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM a GROUP BY sample_id, block
+),
+shared AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+    CAST(sum(x.c * y.c) AS BIGINT) AS sum_xy
+  FROM a x JOIN a y
+    ON x.otu_id = y.otu_id AND x.block = y.block
+   AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+)
+SELECT
+  sa.sample_id AS sample_a,
+  sb.sample_id AS sample_b,
+  CAST(1000000 - (CAST(2000000 AS HUGEINT)
+        * coalesce(s.sum_xy, 0) * sa.n_tot * sb.n_tot)
+    // (CAST(sa.sum_sq AS HUGEINT) * sb.n_tot * sb.n_tot
+        + CAST(sb.sum_sq AS HUGEINT) * sa.n_tot * sa.n_tot)
+    AS BIGINT) AS mh_ppm
+FROM stats sa
+JOIN stats sb ON sa.block = sb.block AND sa.sample_id < sb.sample_id
+LEFT JOIN shared s
+  ON s.sample_a = sa.sample_id AND s.sample_b = sb.sample_id
+""",
+)
+def beta_diversity_morisita_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Morisita-Horn dissimilarity (ppm-exact), nation-blocked.
+
+    Scale: per-sample stats and the Σxy pair former are both map-side
+    combinable aggregations; pairs never form outside a (segment,
+    nation) block (the braycurtis discipline — sub-blocking applies
+    identically if a block skews). All multiplication in
+    DECIMAL(38,0)/HUGEINT; output is floored BIGINT ppm.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    sel = cust.filter(F.expr(_MH_SEL)).select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_nationkey").alias("block"),
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .groupBy("sample_id", "block", "otu_id")
+        .agg(F.sum(F.col("cnt").cast("bigint")).alias("c"))
+    )
+    stats = a.groupBy("sample_id", "block").agg(
+        F.sum("c").alias("n_tot"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    x_, y_ = a.alias("x"), a.alias("y")
+    shared = (
+        x_.join(
+            y_,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sample_a"),
+            F.col("y.sample_id").alias("sample_b"),
+        )
+        .agg(F.sum(F.col("x.c") * F.col("y.c")).alias("sum_xy"))
+    )
+    sa, sb = stats.alias("sa"), stats.alias("sb")
+    return (
+        sa.join(
+            sb,
+            (F.col("sa.block") == F.col("sb.block"))
+            & (F.col("sa.sample_id") < F.col("sb.sample_id")),
+        )
+        .join(
+            shared,
+            (F.col("sa.sample_id") == shared.sample_a)
+            & (F.col("sb.sample_id") == shared.sample_b),
+            "left",
+        )
+        .select(
+            F.col("sa.sample_id").alias("sample_a"),
+            F.col("sb.sample_id").alias("sample_b"),
+            F.expr(
+                "CAST(1000000 - (CAST(2000000 AS DECIMAL(38,0))"
+                " * coalesce(sum_xy, 0) * sa.n_tot * sb.n_tot)"
+                " div (CAST(sa.sum_sq AS DECIMAL(38,0)) * sb.n_tot * sb.n_tot"
+                "      + CAST(sb.sum_sq AS DECIMAL(38,0)) * sa.n_tot * sa.n_tot)"
+                " AS BIGINT)"
+            ).alias("mh_ppm"),
+        )
+    )

@@ -1171,3 +1171,71 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dau_wau_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_debounce_dedup — gap-debounce census: an event is a "bounce"
+# (dropped) when it lands within the debounce window of the PREVIOUS
+# event in its (user_id, event_type) stream — double-clicks, retry
+# storms, at-least-once delivery echoes. The lag-based rule ("gap to
+# previous event", not "gap to previous KEPT event") is the form that
+# is one window function — exactly computable in a single pass, and
+# the usual production choice because it needs no iterative chain.
+# Reports per event_type how much of the stream a debounce filter
+# would drop.
+#
+# Scale: one shuffle on (user_id, event_type) for the lag window —
+# the same partitioning sessionization uses — then a map-side
+# combinable rollup. Deterministic: ties on ts break by event_id in
+# BOTH engines.
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_US = 60_000_000  # 60 s
+
+
+@register(
+    "event_debounce_dedup",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {DEBOUNCE_US}
+         THEN 1 ELSE 0 END AS keep
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(sum(keep) AS BIGINT) AS n_kept,
+  CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+  CAST((count(*) - sum(keep)) * 1000000 // count(*) AS BIGINT)
+    AS drop_ppm
+FROM g GROUP BY event_type
+""",
+)
+def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts_us").over(w)
+    keep = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > DEBOUNCE_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("keep", keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr(
+                "CAST((count(*) - sum(keep)) * 1000000 div count(*)"
+                " AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+    )

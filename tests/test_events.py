@@ -139,3 +139,16 @@ def test_rolling_wau_bounds(spark, sf_dir):
         )
         assert r.wau <= window_sum
         assert 0 < r.dau_wau_ppm <= 1_000_000
+
+
+def test_debounce_census_consistent(spark, sf_dir):
+    """kept + dropped = total per type; at least one event always kept
+    per (user, type) stream implies kept >= distinct streams > 0."""
+    from bpaotu_spark.registry import QUERIES
+
+    rows = QUERIES["event_debounce_dedup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_events
+        assert r.n_kept >= 1
+        assert r.drop_ppm == r.n_dropped * 1_000_000 // r.n_events

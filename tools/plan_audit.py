@@ -100,6 +100,9 @@ ALLOWED_BNLJ = {
     "ivfadc_recall_report": "composes ann_ivfadc/ann_pq_adc (their bounded centroid broadcasts)",
     "unifrac_unweighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
     "unifrac_weighted": "bounded-selection pair frame (the ANOSIM study set); shared edges are edge-blocked",
+    "ann_ivfadc_rerank_topk": "inherits the IVFADC N_CELLS-row centroid cross; shortlist (R×N_QUERIES rows) broadcast into the vector fetch",
+    "embedding_prefix_recall": "broadcast query set (N_QUERIES rows), non-equi != (as ann_bruteforce_topk)",
+    "embedding_opq_balance": "broadcast per-dim variance frame (64 rows) + 1-row scalars",
 }
 
 

@@ -490,7 +490,16 @@ def extract_features(assets: DataFrame) -> DataFrame:
     FEATURE_DIM float vector (deterministic hash stand-in for a
     vision/audio encoder — the one genuinely model-bound stage). The
     output column is the same ``array<float>`` shape the ANN operators
-    consume, so multimodal → features → ann_*_topk runs end-to-end."""
+    consume, so multimodal → features → ann_*_topk runs end-to-end.
+
+    The digest is md5 over the UPPERCASE HEX of the payload (injective
+    in the payload, so collision behavior is unchanged) rather than the
+    raw bytes: DuckDB's md5 only takes VARCHAR, and hashing the hex
+    string lets the oracle rebuild the ENTIRE payload as a hex literal
+    and md5 it — a hash match proves every encoder byte, headers
+    included. Arithmetic is float64 then rounded once to float32,
+    matching SQL CAST((x)/127.5 AS REAL) exactly (single IEEE round).
+    """
     import hashlib
 
     import numpy as np
@@ -500,11 +509,12 @@ def extract_features(assets: DataFrame) -> DataFrame:
         for pdf in it:
             feats = []
             for p in pdf["payload"]:
-                h = hashlib.md5(bytes(p)).digest()
-                v = np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8).astype(
-                    np.float32
-                )
-                feats.append(((v - 127.5) / 127.5).tolist())
+                hx = bytes(p).hex().upper()
+                h = hashlib.md5(hx.encode("ascii")).hexdigest()
+                v = np.frombuffer(
+                    bytes.fromhex(h[: 2 * FEATURE_DIM]), dtype=np.uint8
+                ).astype(np.float64)
+                feats.append(((v - 127.5) / 127.5).astype(np.float32).tolist())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -516,8 +526,103 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-@register("multimodal_features")  # rows-only: float hash vector, engine-specific
+def _le_hex(expr: str, nbytes: int) -> str:
+    """SQL: uppercase little-endian hex of ``expr`` over ``nbytes``."""
+    fmt = "%02X" * nbytes
+    args = ", ".join(f"((({expr})) >> {8 * i}) & 255" for i in range(nbytes))
+    return f"printf('{fmt}', {args})"
+
+
+def _fill_hex(nexpr: str) -> str:
+    """SQL: hex of the cyclic document-byte fill over ``nexpr`` bytes
+    (encoders._fill as a string op: repeat the hex, cut at 2n chars)."""
+    return (
+        f"substr(repeat(hx, CAST((({nexpr}) + len - 1) // len AS BIGINT)),"
+        f" 1, 2 * ({nexpr}))"
+    )
+
+
+def _features_oracle() -> str:
+    """Rebuild every payload as an uppercase hex literal — headers from
+    the same struct layouts the encoders pack, data from the cyclic
+    fill — then md5 it and expand the digest to the feature vector.
+    A value-hash match proves the Python encoders byte-for-byte."""
+    # constant header fragments, packed by the same struct calls
+    bmp_hdr_mid = struct.pack("<HHI", 1, 1, 0).hex().upper()
+    bmp_hdr_tail = struct.pack("<iiII", 2835, 2835, 2, 0).hex().upper()
+    bmp_palette = struct.pack("<II", 0x00000000, 0x00FFFFFF).hex().upper()
+    wav_fmt = struct.pack("<HHIIHH", 1, 1, WAV_SAMPLE_RATE,
+                          WAV_SAMPLE_RATE * 2, 2, 16).hex().upper()
+    riff, wave, fmt_, data_ = (
+        b"RIFF".hex().upper(), b"WAVE".hex().upper(),
+        b"fmt ".hex().upper(), b"data".hex().upper(),
+    )
+    frame_marker = b"FRAME\n".hex().upper()
+    le32, le16 = (lambda e: _le_hex(e, 4)), (lambda e: _le_hex(e, 2))
+    bmp = (
+        f"'424D' || {le32('62 + istride * ih')} || '00000000'"
+        f" || {le32('62')} || {le32('40')} || {le32('iw')} || {le32('ih')}"
+        f" || '{bmp_hdr_mid}' || {le32('istride * ih')} || '{bmp_hdr_tail}'"
+        f" || '{bmp_palette}' || {_fill_hex('istride * ih')}"
+    )
+    wav = (
+        f"'{riff}' || {le32('4 + 8 + 16 + 8 + 2 * an')} || '{wave}'"
+        f" || '{fmt_}' || {le32('16')} || '{wav_fmt}'"
+        f" || '{data_}' || {le32('2 * an')} || {_fill_hex('2 * an')}"
+    )
+    y4m = (
+        "hex(encode('YUV4MPEG2 W' || CAST(vw AS VARCHAR)"
+        " || ' H' || CAST(vh AS VARCHAR) || ' F25:1 Ip A1:1 C420'"
+        f" || chr(10))) || repeat('{frame_marker}'"
+        f" || {_fill_hex('vw * vh * 3 // 2')}, CAST(vnf AS BIGINT))"
+    )
+    hexdig = "strpos('0123456789abcdef', substr(dg, {pos}, 1)) - 1"
+    feat_items = ", ".join(
+        f"CAST((({hexdig.format(pos=2 * j + 1)}) * 16"
+        f" + ({hexdig.format(pos=2 * j + 2)}) - 127.5) / 127.5 AS REAL)"
+        for j in range(FEATURE_DIM)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
+    CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+         ELSE hex(encode(text)) END AS hx,
+    CASE WHEN octet_length(encode(text)) = 0 THEN 1
+         ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS len,
+    CAST({_IMG_W_SQL} AS BIGINT) AS iw,
+    CAST({_IMG_H_SQL} AS BIGINT) AS ih,
+    CAST({_IMG_STRIDE_SQL} AS BIGINT) AS istride,
+    CAST({_AUD_N_SQL} AS BIGINT) AS an,
+    CAST({_VID_W_SQL} AS BIGINT) AS vw,
+    CAST({_VID_H_SQL} AS BIGINT) AS vh,
+    CAST({_VID_NF_SQL} AS BIGINT) AS vnf
+  FROM documents
+),
+pl AS (
+  SELECT doc_id, mt,
+    CASE mt WHEN 0 THEN {bmp} WHEN 1 THEN {wav} ELSE {y4m} END AS phex
+  FROM base
+),
+dgst AS (
+  SELECT doc_id, mt, md5(phex) AS dg FROM pl
+)
+SELECT doc_id AS asset_id,
+  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  [{feat_items}] AS feature
+FROM dgst
+"""
+
+
+@register("multimodal_features", oracle=_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset FEATURE_DIM float32 vector from the payload digest.
+
+    Oracle-backed (promoted r6): the oracle reconstructs the full
+    payload hex (BMP/WAV/y4m headers + cyclic fill) and md5s it — the
+    strongest round-trip proof in the multimodal family, covering every
+    byte the encoders emit.
+    """
     return extract_features(multimodal_table(spark, sf_dir))
 
 

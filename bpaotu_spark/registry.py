@@ -103,6 +103,7 @@ PRIORITY: tuple[str, ...] = (
     # they need fresh driver rows
     "multimodal_phash_dedup",
     "multimodal_phash_near_pairs",
+    "multimodal_features",
     # (A2) NEW this round — IVFADC+R exact re-rank, Matryoshka prefix
     # recall, Morisita-Horn dissimilarity, PII scrub census, debounce
     "ann_ivfadc_rerank_topk",
@@ -141,11 +142,11 @@ PRIORITY: tuple[str, ...] = (
     "returnflag_drift_yearly",
     "laspeyres_price_index",
     "cscore_checkerboard",
-    "weekly_decomposition",
     # ---- ~50-entry window boundary ----
     # (R7 QUEUE) the remaining never-driver-verified oracle-backed
     # keys — rotate these into the round-7 window to finish the
     # zero-evidence backlog
+    "weekly_decomposition",
     "log_log_elasticity",
     "otu_nestedness_nodf",
     "event_burstiness_fano",

@@ -2036,3 +2036,99 @@ def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_balance_report — inverted-list balance census for the IVF
+# coarse quantizer: per cell, its vector count, corpus share, and load
+# factor vs perfectly-balanced (1e6 ppm = exactly corpus/N_CELLS).
+# THE operational health metric of an IVF deployment: a hot cell means
+# nprobe=1 queries landing there scan far more than corpus/N_CELLS
+# candidates (latency skew), a starved cell wastes a probe. At 100 TB
+# this report is what triggers re-training the coarse codebook.
+# Same coarse assignment as ann_ivf*/ivfadc (seeded centroids, exact
+# integer L2, ccid tie-break) so the numbers describe the REAL index.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cc0 AS (
+  SELECT vec_id AS ccid, q AS cq FROM e WHERE vec_id < {N_CELLS}
+),
+ca AS (
+  SELECT vec_id, ccid FROM (
+    SELECT e.vec_id, cc0.ccid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        CAST({dot.format(a='e.q', b='e.q')}
+           - 2 * {dot.format(a='e.q', b='cc0.cq')}
+           + {dot.format(a='cc0.cq', b='cc0.cq')} AS BIGINT),
+        cc0.ccid) AS cell_rank
+    FROM e CROSS JOIN cc0) t
+  WHERE cell_rank = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ca)
+SELECT ccid,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(count(*) * 1000000 // n AS BIGINT) AS share_ppm,
+  CAST(count(*) * {N_CELLS} * 1000000 // n AS BIGINT) AS load_factor_ppm
+FROM ca CROSS JOIN tot
+GROUP BY ccid, n
+"""
+
+
+@register("ivf_cell_balance_report", oracle=_ivf_balance_oracle())
+def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell inverted-list balance of the coarse quantizer.
+
+    Scale: one broadcast of N_CELLS centroids, one pass over the
+    corpus, one map-side-combined groupBy — the report costs a scan
+    regardless of corpus size; the 1-row total is a bounded broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    cc0 = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("q").alias("cq")
+    )
+    d2 = (
+        _km_dot_spark(F.col("q"), F.col("q"))
+        - 2 * _km_dot_spark(F.col("q"), F.col("cq"))
+        + _km_dot_spark(F.col("cq"), F.col("cq"))
+    ).cast("bigint")
+    wc = Window.partitionBy("vec_id").orderBy("d2", "ccid")
+    ca = (
+        e.crossJoin(F.broadcast(cc0))
+        .select("vec_id", "ccid", d2.alias("d2"))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "ccid")
+    )
+    tot = ca.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ca.groupBy("ccid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ccid",
+            "n_vecs",
+            F.expr("CAST(n_vecs * 1000000 div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST(n_vecs * {N_CELLS} * 1000000 div n AS BIGINT)"
+            ).alias("load_factor_ppm"),
+        )
+    )

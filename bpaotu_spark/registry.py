@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "beta_diversity_morisita_horn",
     "corpus_regex_scrub_report",
     "event_debounce_dedup",
+    "ivf_cell_balance_report",
     # (B) never driver-verified, oracle-backed — evidence rotation
     # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
     "chao1_richness",
@@ -141,8 +142,8 @@ PRIORITY: tuple[str, ...] = (
     "churn_reactivation_quarterly",
     "returnflag_drift_yearly",
     "laspeyres_price_index",
-    "cscore_checkerboard",
     # ---- ~50-entry window boundary ----
+    "cscore_checkerboard",
     # (R7 QUEUE) the remaining never-driver-verified oracle-backed
     # keys — rotate these into the round-7 window to finish the
     # zero-evidence backlog

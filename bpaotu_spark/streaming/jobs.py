@@ -796,3 +796,35 @@ def burst_alarm_stream(
             "n_events",
         )
     )
+
+
+def debounce_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    bucket: str = "1 minute",
+) -> DataFrame:
+    """Streaming debounce: keep one event per (user_id, event_type,
+    time bucket) — the live twin of the batch ``event_debounce_dedup``
+    census's filter stage.
+
+    Semantics note (vs the batch lag rule): the batch op drops an
+    event when the GAP to the previous event is <= 60 s; a stream
+    cannot look back at an unbounded per-key history, so the streaming
+    form quantizes time into fixed buckets and keeps the first arrival
+    per (key, bucket) via dropDuplicatesWithinWatermark — bounded state
+    (watermark horizon × active keys), at-least-once-replay safe. Two
+    events 59 s apart across a bucket edge both survive here but not
+    in the batch rule; two events in one bucket are debounced by both.
+    The bucket width is the knob: it equals the batch rule's threshold.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn(
+            "debounce_bucket",
+            F.floor(F.unix_micros("ts") / F.lit(60_000_000)),
+        )
+        .dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "debounce_bucket"]
+        )
+        .drop("debounce_bucket")
+    )

@@ -613,3 +613,36 @@ def test_burst_alarm_stream_matches_batch_windows(spark, sf_dir):
     # availableNow file stream every window is closed, so sets match
     assert got == want
     assert want, "threshold produced no alarm cells on this data"
+
+
+def test_debounce_stream_keeps_one_per_bucket(spark, sf_dir, tables):
+    """Stream output has exactly one event per (user, type, 60s
+    bucket), and the kept set size matches the batch bucket census."""
+    from bpaotu_spark.streaming.jobs import debounce_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        debounce_stream(ev).select("event_id", "user_id", "event_type", "ts"),
+        "t_debounce",
+        complete=False,
+    )
+    import pyspark.sql.functions as F
+
+    out = spark.table("t_debounce")
+    keys = out.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).alias("b"),
+    )
+    assert keys.count() == keys.distinct().count()
+    want = (
+        tables["events"]
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(60_000_000)).alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert out.count() == want

@@ -103,6 +103,7 @@ ALLOWED_BNLJ = {
     "ann_ivfadc_rerank_topk": "inherits the IVFADC N_CELLS-row centroid cross; shortlist (R×N_QUERIES rows) broadcast into the vector fetch",
     "embedding_prefix_recall": "broadcast query set (N_QUERIES rows), non-equi != (as ann_bruteforce_topk)",
     "embedding_opq_balance": "broadcast per-dim variance frame (64 rows) + 1-row scalars",
+    "ivf_cell_balance_report": "broadcast N_CELLS-row centroid cross + 1-row total scalar",
 }
 
 

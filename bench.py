@@ -250,6 +250,10 @@ HEADLINE = (
     "beta_diversity_morisita_horn",
     "corpus_regex_scrub_report",
     "event_debounce_dedup",
+    "ivf_cell_balance_report",
+    "embedding_cell_residual_stats",
+    "dedup_family_agreement",
+    "multimodal_features",
 )
 
 

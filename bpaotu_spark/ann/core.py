@@ -2132,3 +2132,90 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("load_factor_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_cell_residual_stats — quantization-error census per coarse
+# cell: how far the vectors in each inverted list sit from their
+# centroid (mean/max residual L2). The companion to
+# ivf_cell_balance_report: balance says WHERE the vectors are, residual
+# stats say how well the centroid represents them — a cell with high
+# mean residual degrades ADC accuracy for every query probing it, and
+# is the per-cell trigger for codebook retraining or cell splitting.
+# ---------------------------------------------------------------------------
+
+
+def _cell_residual_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cc0 AS (
+  SELECT vec_id AS ccid, q AS cq FROM e WHERE vec_id < {N_CELLS}
+),
+ca AS (
+  SELECT vec_id, ccid, d2 FROM (
+    SELECT e.vec_id, cc0.ccid,
+      CAST({dot.format(a='e.q', b='e.q')}
+         - 2 * {dot.format(a='e.q', b='cc0.cq')}
+         + {dot.format(a='cc0.cq', b='cc0.cq')} AS BIGINT) AS d2,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        CAST({dot.format(a='e.q', b='e.q')}
+           - 2 * {dot.format(a='e.q', b='cc0.cq')}
+           + {dot.format(a='cc0.cq', b='cc0.cq')} AS BIGINT),
+        cc0.ccid) AS cell_rank
+    FROM e CROSS JOIN cc0) t
+  WHERE cell_rank = 1
+)
+SELECT ccid,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_floor,
+  CAST(max(d2) AS BIGINT) AS max_d2
+FROM ca GROUP BY ccid
+"""
+
+
+@register("embedding_cell_residual_stats", oracle=_cell_residual_oracle())
+def embedding_cell_residual_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell residual-L2 stats (n, floored mean, max) of the coarse
+    quantizer.
+
+    Scale: one broadcast of N_CELLS centroids + one map-side-combined
+    groupBy; Σd2 accumulates in DECIMAL(38,0)/HUGEINT (passes int64 at
+    ~4e8 vectors) and only the floored mean leaves as BIGINT.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    cc0 = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("q").alias("cq")
+    )
+    d2 = (
+        _km_dot_spark(F.col("q"), F.col("q"))
+        - 2 * _km_dot_spark(F.col("q"), F.col("cq"))
+        + _km_dot_spark(F.col("cq"), F.col("cq"))
+    ).cast("bigint")
+    wc = Window.partitionBy("vec_id").orderBy("d2", "ccid")
+    ca = (
+        e.crossJoin(F.broadcast(cc0))
+        .select("vec_id", "ccid", d2.alias("d2"))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") == 1)
+    )
+    return ca.groupBy("ccid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr(
+            "CAST(CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            " div count(*) AS BIGINT)"
+        ).alias("mean_d2_floor"),
+        F.max("d2").cast("bigint").alias("max_d2"),
+    )

@@ -1919,3 +1919,77 @@ def dedup_band_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE n_pairs_at_least * 1000000 div n_total END"
         ).alias("survivor_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_family_agreement — do the two cheap near-dup families agree?
+# MinHash-LSH candidates (shingle/Jaccard geometry) vs SimHash pairs
+# (token-set Hamming geometry) over the same corpus: pair counts found
+# by each, by both, and the Jaccard of the two PAIR SETS in ppm. The
+# calibration table for choosing which family to run at 100 TB (or
+# whether to run both): low agreement means the families see different
+# duplicate classes and are complements, not substitutes. Composes the
+# two REGISTERED oracles as CTEs, so this report can never drift from
+# what the operators actually emit.
+# ---------------------------------------------------------------------------
+
+
+def _family_agreement_oracle() -> str:
+    from bpaotu_spark.registry import ORACLES
+
+    return f"""
+WITH mh AS ({ORACLES["dedup_minhash_lsh"]}),
+sh AS ({ORACLES["dedup_simhash"]}),
+u AS (
+  SELECT doc_a, doc_b,
+    max(in_mh) AS in_mh, max(in_sh) AS in_sh
+  FROM (
+    SELECT doc_a, doc_b, 1 AS in_mh, 0 AS in_sh FROM mh
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS in_mh, 1 AS in_sh FROM sh
+  ) GROUP BY doc_a, doc_b
+)
+SELECT
+  CAST(sum(in_mh) AS BIGINT) AS n_minhash,
+  CAST(sum(in_sh) AS BIGINT) AS n_simhash,
+  CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both,
+  CAST(count(*) AS BIGINT) AS n_union,
+  CAST(sum(in_mh * in_sh) * 1000000 // count(*) AS BIGINT)
+    AS agreement_jaccard_ppm
+FROM u
+"""
+
+
+@register("dedup_family_agreement", oracle=_family_agreement_oracle())
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-set agreement between MinHash-LSH and SimHash (1-row).
+
+    Scale: both inputs are the already-bounded pair frames (banded,
+    bucket-capped); the agreement rollup is a full-outer join on the
+    pair key + one 1-row aggregate.
+    """
+    mh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(1))
+    )
+    sh = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_sh", F.lit(1))
+    )
+    u = mh.join(sh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+        F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
+    )
+    return u.agg(
+        F.sum("in_mh").cast("bigint").alias("n_minhash"),
+        F.sum("in_sh").cast("bigint").alias("n_simhash"),
+        F.sum(F.col("in_mh") * F.col("in_sh"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.expr(
+            "CAST(sum(in_mh * in_sh) * 1000000 div count(*) AS BIGINT)"
+        ).alias("agreement_jaccard_ppm"),
+    )

@@ -112,6 +112,8 @@ PRIORITY: tuple[str, ...] = (
     "corpus_regex_scrub_report",
     "event_debounce_dedup",
     "ivf_cell_balance_report",
+    "embedding_cell_residual_stats",
+    "dedup_family_agreement",
     # (B) never driver-verified, oracle-backed — evidence rotation
     # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
     "chao1_richness",
@@ -140,9 +142,9 @@ PRIORITY: tuple[str, ...] = (
     "part_supply_resilience",
     "source_jsd_matrix",
     "churn_reactivation_quarterly",
+    # ---- ~50-entry window boundary ----
     "returnflag_drift_yearly",
     "laspeyres_price_index",
-    # ---- ~50-entry window boundary ----
     "cscore_checkerboard",
     # (R7 QUEUE) the remaining never-driver-verified oracle-backed
     # keys — rotate these into the round-7 window to finish the

@@ -439,3 +439,18 @@ def test_regex_scrub_negative_controls_and_hit(spark, sf_dir):
     for r in rows:
         assert 0 <= r.flagged_share_ppm <= 1_000_000
         assert r.docs_matched <= 25 or r.docs_matched >= 0
+
+
+def test_cell_residual_and_balance_align(spark, sf_dir):
+    """Residual stats and balance report must agree on per-cell counts
+    (same assignment), and mean <= max with non-negative residuals."""
+    from bpaotu_spark.registry import QUERIES
+
+    res = {r.ccid: r for r in
+           QUERIES["embedding_cell_residual_stats"](spark, sf_dir).collect()}
+    bal = {r.ccid: r for r in
+           QUERIES["ivf_cell_balance_report"](spark, sf_dir).collect()}
+    assert set(res) == set(bal)
+    for ccid, r in res.items():
+        assert r.n_vecs == bal[ccid].n_vecs
+        assert 0 <= r.mean_d2_floor <= r.max_d2

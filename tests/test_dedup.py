@@ -281,3 +281,14 @@ def test_tfidf_cosine_pairs_bounds(spark, sf_dir):
         assert 250_000 <= r.cos2_ppm <= 1_000_000
         assert r.dot > 0
         assert r.doc_a < r.doc_b
+
+
+def test_family_agreement_consistency(spark, sf_dir):
+    """Union = mh + sh - both; both <= min(mh, sh); jaccard consistent."""
+    from bpaotu_spark.registry import QUERIES
+
+    [r] = QUERIES["dedup_family_agreement"](spark, sf_dir).collect()
+    assert r.n_union == r.n_minhash + r.n_simhash - r.n_both
+    assert r.n_both <= min(r.n_minhash, r.n_simhash)
+    if r.n_union:
+        assert r.agreement_jaccard_ppm == r.n_both * 1_000_000 // r.n_union

@@ -104,6 +104,7 @@ ALLOWED_BNLJ = {
     "embedding_prefix_recall": "broadcast query set (N_QUERIES rows), non-equi != (as ann_bruteforce_topk)",
     "embedding_opq_balance": "broadcast per-dim variance frame (64 rows) + 1-row scalars",
     "ivf_cell_balance_report": "broadcast N_CELLS-row centroid cross + 1-row total scalar",
+    "embedding_cell_residual_stats": "broadcast N_CELLS-row centroid cross (as ann_ivf_topk)",
 }
 
 

@@ -254,6 +254,7 @@ HEADLINE = (
     "embedding_cell_residual_stats",
     "dedup_family_agreement",
     "multimodal_features",
+    "approx_distinct_kmv",
 )
 
 

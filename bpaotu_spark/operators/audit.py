@@ -29,7 +29,7 @@ max-of-struct, never a sort.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.registry import register
@@ -269,4 +269,108 @@ def bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + 8388607) div 8388608"
         ).alias("m_mib_ceil"),
         F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_kmv — a DETERMINISTIC distinct-count sketch: K Minimum
+# Values (Bar-Yossef et al. 2002). Unlike HLL (engine-internal register
+# layout — approx_distinct_parts stays rows-only for that reason), KMV
+# is pure order statistics on a fixed hash: keep the K smallest 60-bit
+# md5 values per group, estimate distinct = (K-1)·2^60 / h_(K) — every
+# intermediate is reproducible bit-for-bit in any engine, so the SKETCH
+# ITSELF is oracle-verified, not just its error bound. The report
+# yields exact vs estimate vs error ppm per brand — the calibration a
+# deployment uses to size K before trusting the sketch at 100 TB
+# (where the merge is "union the K-minima, keep K smallest": map-side
+# combinable like any algebraic agg).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_MAXH = 1 << 60  # 15 hex digits of md5
+_KMV_CAP = 1 << 62  # estimate clamp (h_k=1 pathology), int64-safe
+
+_KMV_HASH_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(p_partkey AS VARCHAR)),"
+    f" {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+WITH h AS (
+  SELECT p_brand, CAST({_KMV_HASH_SQL} AS BIGINT) AS hv FROM part
+),
+rk AS (
+  SELECT p_brand, hv,
+    row_number() OVER (PARTITION BY p_brand ORDER BY hv ASC) AS rn
+  FROM h
+),
+per AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_exact,
+    CAST(max(CASE WHEN rn = {_KMV_K} THEN hv END) AS BIGINT) AS h_k
+  FROM rk GROUP BY p_brand
+)
+SELECT p_brand, n_exact,
+  CASE WHEN h_k IS NULL THEN n_exact
+       ELSE CAST(least(CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_MAXH} // h_k,
+                       {_KMV_CAP}) AS BIGINT) END AS kmv_estimate,
+  CASE WHEN h_k IS NULL THEN CAST(0 AS BIGINT)
+       ELSE CAST(abs(least(CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_MAXH} // h_k,
+                           {_KMV_CAP}) - n_exact) * 1000000 // n_exact
+            AS BIGINT) END AS err_ppm
+FROM per
+""",
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand exact distinct vs the deterministic KMV estimate.
+
+    p_partkey is the part table's key, so values are already distinct;
+    the sketch math is the (K-1)·2^60/h_(K) unbiased-ish KMV estimator
+    on the 60-bit md5 grid. Groups smaller than K fall back to exact
+    (the sketch holds every value). Scale: one scan, one window on the
+    (brand, hash) ordering — at deployment the same sketch merges
+    map-side by keeping the K smallest per partition.
+    """
+    part = load_table(spark, sf_dir, "part")
+    h = part.select(
+        "p_brand",
+        F.conv(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("hv").asc())
+    per = (
+        h.withColumn("rn", F.row_number().over(w))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.max(
+                F.when(F.col("rn") == _KMV_K, F.col("hv"))
+            )
+            .cast("bigint")
+            .alias("h_k"),
+        )
+    )
+    est = (
+        f"CAST(least(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_MAXH}"
+        f" div h_k, {_KMV_CAP}) AS BIGINT)"
+    )
+    return per.select(
+        "p_brand",
+        "n_exact",
+        F.expr(
+            f"CASE WHEN h_k IS NULL THEN n_exact ELSE {est} END"
+        ).alias("kmv_estimate"),
+        F.expr(
+            f"CASE WHEN h_k IS NULL THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(abs(CAST({est} AS DECIMAL(38,0)) - n_exact)"
+            f" * 1000000 div n_exact AS BIGINT) END"
+        ).alias("err_ppm"),
     )

@@ -114,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "ivf_cell_balance_report",
     "embedding_cell_residual_stats",
     "dedup_family_agreement",
+    "approx_distinct_kmv",
     # (B) never driver-verified, oracle-backed — evidence rotation
     # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
     "chao1_richness",
@@ -141,8 +142,8 @@ PRIORITY: tuple[str, ...] = (
     "markov_entropy_rate",
     "part_supply_resilience",
     "source_jsd_matrix",
-    "churn_reactivation_quarterly",
     # ---- ~50-entry window boundary ----
+    "churn_reactivation_quarterly",
     "returnflag_drift_yearly",
     "laspeyres_price_index",
     "cscore_checkerboard",

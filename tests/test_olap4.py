@@ -295,3 +295,20 @@ def test_hierarchy_shares_sum_within_parent(spark, sf_dir):
         assert all(
             r.brand_cents == sum(x.revenue_cents for x in rs) for r in rs
         )
+
+
+def test_kmv_sketch_fallback_and_error_bound(spark, sf_dir):
+    """Brands with fewer than K distinct parts report exact counts
+    (estimate == exact, err 0); estimator output is always positive
+    and err_ppm consistent with |est - exact|."""
+    from bpaotu_spark.operators.audit import _KMV_K
+    from bpaotu_spark.registry import QUERIES
+
+    rows = QUERIES["approx_distinct_kmv"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kmv_estimate >= 1
+        if r.n_exact < _KMV_K:
+            assert r.kmv_estimate == r.n_exact and r.err_ppm == 0
+        else:
+            assert r.err_ppm == abs(r.kmv_estimate - r.n_exact) * 1_000_000 // r.n_exact

@@ -130,3 +130,60 @@ def test_tokenize_properties(spark):
             if t != ""
         ]
         assert redo == toks
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact aHash: the promotion contract of the phash oracles.
+# For any document bytes and any BMP geometry the encoder can emit, the
+# integer threshold in image_ahash must agree with an independent
+# exact-rational (fractions.Fraction) implementation of "block density
+# strictly above the mean of the 64 block densities".
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    doc_id=st.integers(0, 10_000).map(lambda k: 3 * k),  # image assets
+    text=st.text(alphabet="abcdef spark", min_size=0, max_size=40),
+)
+def test_image_ahash_matches_exact_rational_reference(doc_id, text):
+    from fractions import Fraction
+
+    import numpy as np
+
+    from bpaotu_spark.multimodal.core import encode_bmp, image_ahash
+
+    payload = encode_bmp(doc_id, text.encode("utf-8"))
+    got = image_ahash(payload)
+
+    # independent reference: decode the same payload, threshold with
+    # exact rationals (no common-denominator trick, no floats)
+    import struct as _s
+
+    off = _s.unpack_from("<I", payload, 10)[0]
+    w = _s.unpack_from("<i", payload, 18)[0]
+    h = _s.unpack_from("<i", payload, 22)[0]
+    stride = ((w + 31) // 32) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1)[:, :w][::-1]
+    ys = [(i * h) // 8 for i in range(9)]
+    xs = [(j * w) // 8 for j in range(9)]
+    dens = [
+        [
+            Fraction(
+                int(bits[ys[i]: ys[i + 1], xs[j]: xs[j + 1]].sum()),
+                (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j]),
+            )
+            for j in range(8)
+        ]
+        for i in range(8)
+    ]
+    mean = sum(sum(r) for r in dens) / 64
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            v = (v << 1) | int(dens[i][j] > mean)
+    assert got == f"{v:016x}"

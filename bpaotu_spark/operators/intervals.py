@@ -1,0 +1,286 @@
+"""Ordered-sequence operators over the events/orders streams.
+
+Three operators for the "state over time" query family the reference's
+SQL pages cannot express but every event warehouse needs:
+
+- :func:`window_funnel_strict` — ClickHouse-``windowFunnel``-style
+  strict-order funnel: each step must occur STRICTLY after the
+  previous one and the whole chain must fit in a 24 h window anchored
+  at the first step. Complements ``funnel_conversion`` (unbounded
+  window, ``>=`` ordering).
+- :func:`scd2_user_state_intervals` — batch build of a slowly-changing
+  dimension (SCD type 2) from an event log: collapse each user's
+  consecutive same-type events into validity intervals
+  ``[valid_from, valid_to)``, open-ended for the current state. The
+  batch twin of the streaming CDC→SCD2 job in streaming/jobs.py.
+- :func:`revenue_cusum_changepoint` — CUSUM changepoint scan over the
+  daily revenue series (Page 1954): the date maximizing the absolute
+  centered cumulative sum, per year. Division-free integer form:
+  ``S'_i = n·prefix_i − i·total`` equals ``n ×`` the classical
+  ``Σ(x_j − mean)``, so argmax is identical and every intermediate is
+  exact BIGINT.
+
+Scale notes: all three are single-scan plans whose only wide exchange
+is keyed by the natural partition key (user_id / year); windows are
+partitioned by that same key so no global sort exists. At 1000× the
+CUSUM intermediates (n·prefix with cents precision) approach int64 —
+move to whole-currency units there; the structure is unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# window_funnel_strict — signup → view → purchase, strictly ordered,
+# all within 24 h of the signup.
+#
+# Same chained-aggregation shape as funnel_conversion: each stage is a
+# per-user min() over a filtered scan joined to the previous stage's
+# head — no windows over the fact, joins keyed on user_id reuse the
+# groupBy exchange. The differences ARE the semantics: strict ``>``
+# (same-timestamp events do not satisfy the next step) and the
+# ``t1 + 24h`` deadline applied to every later step.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_H = 24
+
+
+@register(
+    "window_funnel_strict",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view_24h,
+  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_24h
+""",
+)
+def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 24 h funnel counts (one row).
+
+    ``min(t1)`` in s2 is free (t1 is constant per user) and keeps the
+    deadline column available to s3 without a second join back to s1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    deadline = F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_24h")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_state_intervals — event log → SCD2 validity intervals.
+#
+# Determinism: the per-user order is (ts, event_id) — event_id is
+# unique, so the interval numbering is a total order in both engines.
+# valid_to = next interval's valid_from (NULL for the open current
+# state), the half-open convention every SCD2 dimension uses.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state_intervals",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), iv AS (
+  SELECT user_id, ts, event_type,
+    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS interval_seq
+  FROM e
+), g AS (
+  SELECT user_id, interval_seq, event_type AS state,
+    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM iv GROUP BY user_id, interval_seq, event_type
+)
+SELECT user_id, interval_seq, state, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_seq)
+    AS valid_to,
+  n_events
+FROM g
+""",
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's event stream into SCD2 state intervals.
+
+    One shuffle on user_id serves every window and the groupBy (the
+    exchanges align); output is one row per state CHANGE, not per
+    event — the compression SCD2 exists for. On a cluster this is the
+    standard "rebuild dimension from log" batch job; the streaming
+    twin maintains the same table incrementally with
+    applyInPandasWithState.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    iv = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("interval_seq"),
+    )
+    g = iv.groupBy(
+        "user_id", "interval_seq", F.col("event_type").alias("state")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("interval_seq")
+    return g.select(
+        "user_id",
+        "interval_seq",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_cusum_changepoint — per-year CUSUM scan over daily revenue.
+#
+# x_d = Σ round(o_totalprice·100) per day (cents; round() is a per-row
+# double op, bit-identical across engines). The centered cusum is kept
+# division-free as S'_i = n·prefix_i − i·total, so the argmax row and
+# the reported max deviation (÷n floored back to cents) are exact
+# integers end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_cusum_changepoint",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(year(o_orderdate) AS BIGINT) AS year,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT year, day,
+    CAST(sum(x) OVER (PARTITION BY year ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS prefix,
+    CAST(row_number() OVER (PARTITION BY year ORDER BY day) AS BIGINT)
+      AS i,
+    CAST(sum(x) OVER (PARTITION BY year) AS BIGINT) AS total,
+    CAST(count(*) OVER (PARTITION BY year) AS BIGINT) AS n_days
+  FROM d
+), dev AS (
+  SELECT year, day, n_days, n_days * prefix - i * total AS s_i FROM s
+), pick AS (
+  SELECT year, day, n_days, s_i,
+    row_number() OVER (PARTITION BY year ORDER BY abs(s_i) DESC, day)
+      AS rk
+  FROM dev
+)
+SELECT year, n_days, day AS cp_date,
+  abs(s_i) // n_days AS max_dev_cents,
+  CAST(CASE WHEN s_i >= 0 THEN 1 ELSE -1 END AS BIGINT) AS side
+FROM pick WHERE rk = 1
+""",
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest revenue changepoint per year (CUSUM argmax).
+
+    The windows are all partitioned by year over one row per day
+    (≤366 rows per partition regardless of order volume) — the heavy
+    lifting is the map-side-combined daily aggregation. ``side`` says
+    whether revenue ran above (+1) or below (−1) the yearly mean
+    before the changepoint.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.year("o_orderdate").cast("bigint").alias("year"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    )
+    wy = Window.partitionBy("year")
+    worder = wy.orderBy("day")
+    s = d.select(
+        "year",
+        "day",
+        F.sum("x")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.row_number().over(worder).cast("bigint").alias("i"),
+        F.sum("x").over(wy).alias("total"),
+        F.count(F.lit(1)).over(wy).alias("n_days"),
+    )
+    dev = s.select(
+        "year",
+        "day",
+        "n_days",
+        (F.col("n_days") * F.col("prefix") - F.col("i") * F.col("total")).alias(
+            "s_i"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("year").orderBy(F.abs(F.col("s_i")).desc(), "day")
+    )
+    return (
+        dev.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "year",
+            "n_days",
+            F.col("day").alias("cp_date"),
+            F.expr("abs(s_i) div n_days").alias("max_dev_cents"),
+            F.when(F.col("s_i") >= 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("side"),
+        )
+    )

@@ -61,6 +61,8 @@ def load_all() -> None:
     import bpaotu_spark.functions.textops  # noqa: F401
     import bpaotu_spark.multimodal.core  # noqa: F401
     import bpaotu_spark.functions.seqsim  # noqa: F401
+    import bpaotu_spark.operators.quality  # noqa: F401
+    import bpaotu_spark.operators.intervals  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -205,6 +207,14 @@ PRIORITY: tuple[str, ...] = (
     "corpus_length_token_corr",
     "supplier_return_rate",
     "events_hourly_heatmap",
+    # (R7 QUEUE, session-3 additions) new oracle-backed operators —
+    # never driver-seen, must enter the round-7 window with the rest
+    "gopher_quality_rules",
+    "ccnet_perplexity_tertiles",
+    "doc_ngram_rep_profile",
+    "window_funnel_strict",
+    "scd2_user_state_intervals",
+    "revenue_cusum_changepoint",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -1,0 +1,113 @@
+"""Invariants for the round-6 session-3 operators (quality + intervals).
+
+Value correctness is covered by tools/check.py (DuckDB oracle compare);
+these pin the semantic properties the hash can't see: funnel
+monotonicity vs the unbounded funnel, SCD2 interval chaining, tertile
+ordering, and rule-census consistency.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_gopher_rule_census_consistent(spark, sf_dir):
+    rows = QUERIES["gopher_quality_rules"](spark, sf_dir).collect()
+    n_total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_total == docs  # every doc tokenizes to >= 1 word here
+    for r in rows:
+        per_rule = (
+            r.pass_word_count,
+            r.pass_mean_word_len,
+            r.pass_stopwords,
+            r.pass_dominance,
+            r.pass_distinct_ratio,
+        )
+        assert all(0 <= p <= r.n_docs for p in per_rule)
+        # the conjunction can't beat its weakest conjunct
+        assert r.pass_all <= min(per_rule)
+        assert 0 <= r.pass_all_ppm <= 1_000_000
+        assert r.pass_all_ppm == r.pass_all * 1_000_000 // r.n_docs
+
+
+def test_ccnet_tertiles_partition_each_lang(spark, sf_dir):
+    rows = QUERIES["ccnet_perplexity_tertiles"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        assert sum(b.n_docs for b in buckets.values()) == per_lang[lang]
+        # ntile sizes differ by at most 1
+        sizes = sorted(b.n_docs for b in buckets.values())
+        assert sizes[-1] - sizes[0] <= 1
+        # surprisal ordering: head <= middle <= tail (ties may straddle
+        # a boundary, hence <=)
+        assert buckets["head"].max_ll_micro <= buckets["middle"].min_ll_micro
+        assert buckets["middle"].max_ll_micro <= buckets["tail"].min_ll_micro
+        for b in buckets.values():
+            assert b.min_ll_micro <= b.mean_ll_micro <= b.max_ll_micro
+
+
+def test_rep_profile_bounds(spark, sf_dir):
+    rows = QUERIES["doc_ngram_rep_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_dup5_ppm <= r.max_dup5_ppm <= 1_000_000
+        assert 0 <= r.docs_with_rep <= r.n_docs
+        assert r.docs_with_rep_ppm == r.docs_with_rep * 1_000_000 // r.n_docs
+        if r.max_dup5_ppm > 0:
+            assert r.docs_with_rep > 0
+
+
+def test_window_funnel_strict_dominated_by_unbounded(spark, sf_dir):
+    strict = QUERIES["window_funnel_strict"](spark, sf_dir).collect()[0]
+    loose = QUERIES["funnel_conversion"](spark, sf_dir).collect()[0]
+    assert strict.n_signup >= strict.n_view_24h >= strict.n_purchase_24h
+    # same step-1 definition; later steps only tighten (> and 24 h cap)
+    assert strict.n_signup == loose.n_signup
+    assert strict.n_view_24h <= loose.n_signup_view
+    assert strict.n_purchase_24h <= loose.n_full_funnel
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    df = QUERIES["scd2_user_state_intervals"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # total events are conserved across intervals
+    assert (
+        df.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    )
+    rows = df.filter(F.col("user_id") % 7 == 0).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for _, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.interval_seq)
+        assert [r.interval_seq for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # half-open chaining
+            assert a.state != b.state  # collapse really collapsed
+            assert a.valid_from < a.valid_to
+        assert ivs[-1].valid_to is None  # open current state
+
+
+def test_cusum_one_changepoint_per_year(spark, sf_dir):
+    rows = QUERIES["revenue_cusum_changepoint"](spark, sf_dir).collect()
+    years = [r.year for r in rows]
+    assert len(years) == len(set(years)) and rows
+    for r in rows:
+        assert 1 <= r.n_days <= 366
+        assert r.max_dev_cents >= 0
+        assert r.side in (1, -1)
+        assert r.cp_date.year == r.year

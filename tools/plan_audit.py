@@ -27,6 +27,8 @@ ALLOWED_BNLJ = {
     "ann_bruteforce_topk": "broadcast query set (N_QUERIES rows), non-equi !=",
     "ann_ivf_topk": "broadcast centroid set (N_CELLS rows), intentional cross",
     "funnel_conversion": "cross join of three 1-row aggregates",
+    "window_funnel_strict": "cross join of three 1-row aggregates (funnel_conversion shape)",
+    "ccnet_perplexity_tertiles": "broadcast 1-row corpus-token-total scalar (text_unigram_logloss shape)",
     "ordination_pcoa_2d": "broadcast 1-row scalars (grand mean, norms, λ, signs)",
     "tfidf_top_terms": "broadcast 1-row corpus-size scalar",
     "q22_global_sales_opportunity": "broadcast 1-row scalar subquery (global avg)",

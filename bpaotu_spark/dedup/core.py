@@ -1993,3 +1993,84 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(in_mh * in_sh) * 1000000 div count(*) AS BIGINT)"
         ).alias("agreement_jaccard_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_pair_histogram — the calibration companion to
+# dedup_embedding: the full distribution of pairwise cosine similarity
+# over the label-blocked candidate pairs, binned into twenty 0.1-wide
+# buckets on [−1, 1]. A dedup deployment reads the valley of this
+# histogram to SET the near-dup threshold before trusting it at
+# 100 TB (same observability role lsh_bucket_profile plays for the
+# banded families).
+#
+# Determinism: cosine uses the identical sequential-fold double
+# arithmetic as dedup_embedding (norms precomputed per vector), so
+# the double is bit-equal in both engines and the floor-binning (a
+# per-row op) lands identically; outputs are integer counts/ppm.
+# greatest/least clamp the −1/+1 float edges into bins 0 and 19.
+#
+# Scale shape: same label-blocked pair former as dedup_embedding
+# (pair count quadratic in block size, never table size); histogram
+# is a 20-row groupBy with map-side combine; the grand total is a
+# broadcast 1-row scalar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_pair_histogram",
+    oracle=f"""
+WITH p AS (
+  SELECT greatest(CAST(0 AS BIGINT),
+           least(CAST(19 AS BIGINT),
+                 CAST(floor(({COSINE_SQL} + 1.0) * 10) AS BIGINT))) AS bin
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), h AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY bin
+), t AS (
+  SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM h
+)
+SELECT bin, bin * 100 - 1000 AS lo_milli, bin * 100 - 900 AS hi_milli,
+  n_pairs, n_pairs * 1000000 // total AS share_ppm
+FROM h CROSS JOIN t
+""",
+)
+def embedding_cosine_pair_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    binned = (
+        a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+        .select(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.lit(19).cast("long"), F.floor((cos + 1.0) * 10)),
+            ).alias("bin")
+        )
+    )
+    h = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    t = h.agg(F.sum("n_pairs").alias("total"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "bin",
+        (F.col("bin") * 100 - 1000).alias("lo_milli"),
+        (F.col("bin") * 100 - 900).alias("hi_milli"),
+        "n_pairs",
+        F.expr("n_pairs * 1000000 div total").alias("share_ppm"),
+    )

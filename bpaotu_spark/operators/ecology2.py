@@ -1042,3 +1042,198 @@ def beta_diversity_morisita_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mh_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# permanova_pseudo_f — PERMANOVA (Anderson 2001) pseudo-F on the
+# Bray-Curtis distance matrix over the bounded ANOSIM study selection
+# (two mktsegments × 5 nations; reference comparison-page contract —
+# the statistic exists for a user-filtered selection, never the whole
+# lake). Distance-based sums of squares need no centering:
+#   SS_total  = (1/N)   Σ_{i<j} d²_ij          (all pairs)
+#   SS_within = Σ_g (1/n_g) Σ_{i<j ∈ g} d²_ij  (within-group pairs)
+#   F = (SS_between/(k−1)) / (SS_within/(N−k)),  SS_between = SS_t − SS_w
+# d is integer ppm so d² is exact; pair sums accumulate in 128-bit
+# (Σd² of ppm² values passes int64 around ~9M pairs) and every output
+# is floored back to BIGINT ppm² / milli units. The classical
+# permutation p-value is intentionally absent: a permutation loop is a
+# resampling harness, not a query — the pseudo-F against its d.o.f. is
+# the deterministic, oracle-verifiable part.
+#
+# Scale shape: identical to anosim_groups — one abundance scan, shared
+# sum_min via the otu-keyed inverted join, the all-pairs former is a
+# bounded broadcast over the study selection (documented BNLJ).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "permanova_pseudo_f",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_mktsegment AS grp
+  FROM customer WHERE {_ANOSIM_SEL}
+),
+a AS (
+  SELECT ab.sample_id, grp, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, grp, otu_id
+),
+tot AS (
+  SELECT sample_id, grp, CAST(sum(c) AS BIGINT) AS tot
+  FROM a GROUP BY sample_id, grp
+),
+shared AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         CAST(sum(least(x.c, y.c)) AS BIGINT) AS sum_min
+  FROM a x JOIN a y ON x.otu_id = y.otu_id AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+),
+pairs AS (
+  SELECT ta.grp AS ga, tb.grp AS gb,
+    1000000 - (2000000 * coalesce(s.sum_min, 0)) // (ta.tot + tb.tot)
+      AS d_ppm
+  FROM tot ta JOIN tot tb ON ta.sample_id < tb.sample_id
+  LEFT JOIN shared s
+    ON s.sample_a = ta.sample_id AND s.sample_b = tb.sample_id
+),
+gn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g FROM tot GROUP BY grp),
+nk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(count(DISTINCT grp) AS BIGINT) AS k_groups
+  FROM tot
+),
+sst AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(CAST(sum(CAST(d_ppm AS HUGEINT) * d_ppm) AS HUGEINT)
+         // (SELECT n_samples FROM nk) AS BIGINT) AS ss_total_ppm2
+  FROM pairs
+),
+wg AS (
+  SELECT ga AS grp, CAST(sum(CAST(d_ppm AS HUGEINT) * d_ppm) AS HUGEINT)
+    AS s2
+  FROM pairs WHERE ga = gb GROUP BY ga
+),
+ssw AS (
+  SELECT CAST(sum(CAST(s2 // n_g AS BIGINT)) AS BIGINT) AS ss_within_ppm2
+  FROM wg JOIN gn USING (grp)
+)
+SELECT nk.n_samples, nk.k_groups, sst.n_pairs,
+  sst.ss_total_ppm2, ssw.ss_within_ppm2,
+  sst.ss_total_ppm2 - ssw.ss_within_ppm2 AS ss_between_ppm2,
+  CASE WHEN ssw.ss_within_ppm2 = 0 OR nk.k_groups < 2
+       THEN CAST(NULL AS BIGINT)
+       ELSE CAST(
+         CAST(sst.ss_total_ppm2 - ssw.ss_within_ppm2 AS HUGEINT)
+           * (nk.n_samples - nk.k_groups) * 1000
+         // (CAST(ssw.ss_within_ppm2 AS HUGEINT) * (nk.k_groups - 1))
+         AS BIGINT) END AS pseudo_f_milli
+FROM nk CROSS JOIN sst CROSS JOIN ssw
+""",
+)
+def permanova_pseudo_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-based pseudo-F for group separation (one row).
+
+    Reuses the anosim_groups pair machinery (bounded selection, otu-
+    keyed shared join, broadcast pair former); the statistic layer is
+    three tiny aggregates cross-joined as 1-row frames. 128-bit sums
+    carried as DECIMAL(38,0), floored to BIGINT at every output.
+    """
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(
+            F.col("c_custkey").alias("sample_id"),
+            F.col("c_mktsegment").alias("grp"),
+        )
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(sel), "sample_id")
+        .groupBy("sample_id", "grp", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
+    x, y = a.alias("x"), a.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sample_a"),
+            F.col("y.sample_id").alias("sample_b"),
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = (
+        ta.join(
+            F.broadcast(tb),
+            F.col("ta.sample_id") < F.col("tb.sample_id"),
+        )
+        .join(
+            shared,
+            (F.col("ta.sample_id") == shared.sample_a)
+            & (F.col("tb.sample_id") == shared.sample_b),
+            "left",
+        )
+        .select(
+            F.col("ta.grp").alias("ga"),
+            F.col("tb.grp").alias("gb"),
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, 0))"
+                " div (ta.tot + tb.tot)"
+            ).alias("d_ppm"),
+        )
+    )
+    # the pair frame feeds two aggregates — checkpoint once so the
+    # bounded-broadcast pair former runs a single time
+    pairs = pairs.localCheckpoint()
+    d2 = (F.col("d_ppm").cast("decimal(38,0)") * F.col("d_ppm")).alias("d2")
+    nk = tot.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("grp").alias("k_groups"),
+    )
+    sst = pairs.select(d2).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("d2").alias("s2_all"),
+    )
+    gn = tot.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    wg = (
+        pairs.filter(F.col("ga") == F.col("gb"))
+        .select(F.col("ga").alias("grp"), d2)
+        .groupBy("grp")
+        .agg(F.sum("d2").alias("s2"))
+    )
+    ssw = (
+        wg.join(F.broadcast(gn), "grp")
+        .select(F.expr("CAST(s2 div n_g AS BIGINT)").alias("ss_g"))
+        .agg(F.sum("ss_g").alias("ss_within_ppm2"))
+    )
+    return (
+        nk.crossJoin(sst)
+        .crossJoin(ssw)
+        .select(
+            "n_samples",
+            "k_groups",
+            "n_pairs",
+            F.expr("CAST(s2_all div n_samples AS BIGINT)").alias(
+                "ss_total_ppm2"
+            ),
+            "ss_within_ppm2",
+            F.expr(
+                "CAST(s2_all div n_samples AS BIGINT) - ss_within_ppm2"
+            ).alias("ss_between_ppm2"),
+            F.expr(
+                "CASE WHEN ss_within_ppm2 = 0 OR k_groups < 2"
+                " THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST((CAST(CAST(s2_all div n_samples AS BIGINT)"
+                "   - ss_within_ppm2 AS DECIMAL(38,0))"
+                "   * (n_samples - k_groups) * 1000)"
+                " div (CAST(ss_within_ppm2 AS DECIMAL(38,0))"
+                "   * (k_groups - 1)) AS BIGINT) END"
+            ).alias("pseudo_f_milli"),
+        )
+    )

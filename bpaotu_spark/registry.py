@@ -215,6 +215,8 @@ PRIORITY: tuple[str, ...] = (
     "window_funnel_strict",
     "scd2_user_state_intervals",
     "revenue_cusum_changepoint",
+    "permanova_pseudo_f",
+    "embedding_cosine_pair_histogram",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

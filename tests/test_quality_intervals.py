@@ -111,3 +111,34 @@ def test_cusum_one_changepoint_per_year(spark, sf_dir):
         assert r.max_dev_cents >= 0
         assert r.side in (1, -1)
         assert r.cp_date.year == r.year
+
+
+def test_permanova_decomposition(spark, sf_dir):
+    r = QUERIES["permanova_pseudo_f"](spark, sf_dir).collect()[0]
+    assert r.n_samples >= 2 and r.k_groups == 2
+    assert r.n_pairs == r.n_samples * (r.n_samples - 1) // 2
+    # SS decomposition: between = total - within, both non-negative
+    # (floor error can't flip signs at these magnitudes)
+    assert r.ss_within_ppm2 >= 0
+    assert r.ss_between_ppm2 == r.ss_total_ppm2 - r.ss_within_ppm2
+    assert r.ss_between_ppm2 >= 0
+    assert r.pseudo_f_milli is not None and r.pseudo_f_milli >= 0
+
+
+def test_cosine_histogram_covers_all_pairs(spark, sf_dir):
+    rows = QUERIES["embedding_cosine_pair_histogram"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    per_label = [
+        r.c for r in emb.groupBy("label").agg(F.count("*").alias("c")).collect()
+    ]
+    expected_pairs = sum(c * (c - 1) // 2 for c in per_label)
+    assert sum(r.n_pairs for r in rows) == expected_pairs
+    for r in rows:
+        assert 0 <= r.bin <= 19
+        assert r.hi_milli - r.lo_milli == 100
+        assert -1000 <= r.lo_milli <= 900
+    # dedup_embedding's threshold region must be visible in the bins:
+    # every pair the dedup op emits falls in a bin at/above the threshold
+    n_dups = QUERIES["dedup_embedding"](spark, sf_dir).count()
+    above = sum(r.n_pairs for r in rows if r.lo_milli >= 200)
+    assert n_dups <= above

@@ -63,6 +63,8 @@ ALLOWED_BNLJ = {
     "dsir_importance_select": "broadcast 1-row LM-totals/vocab scalar",
     "zorder_file_pruning": "broadcast 1-row key-maxes scalar",
     "anosim_groups": "bounded-selection pair former (O(n²) by ANOSIM's definition) + 1-row scalars",
+    "permanova_pseudo_f": "bounded-selection pair former (anosim_groups shape) + 1-row statistic cross joins",
+    "embedding_cosine_pair_histogram": "broadcast 1-row grand-total scalar over the 20-row histogram",
     "species_accumulation_curve": "broadcast 1-row gamma-richness scalar",
     "benford_first_digit": "broadcast 1-row order-total scalar",
     "theil_inequality": "broadcast 1-row grand-totals scalar",

@@ -374,3 +374,100 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 1000000 div n_exact AS BIGINT) END"
         ).alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dim_broadcast_advisor — join-planning audit: for every dimension
+# table, row count + modeled in-memory bytes (fixed widths: INT 4,
+# BIGINT/DOUBLE 8, VARCHAR len+4) and whether it fits under the two
+# autoBroadcastJoinThreshold settings this repo runs with (10 MB
+# cluster default, 64 MB local-bench tune in session.py). The advisor
+# makes the session.py tuning note auditable: which dims stop
+# broadcasting when the threshold drops back to 10 MB on a cluster,
+# and which survive 100× growth (region/nation are SF-constant;
+# supplier/customer/part scale with SF — bytes_per_row × projected
+# rows is the capacity check a 100 TB deployment runs).
+#
+# Scale shape: five map-side-combined 1-row aggregates unioned — no
+# joins, no windows.
+# ---------------------------------------------------------------------------
+
+_DIM_SPECS: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_regionkey", "i4"), ("r_name", "str")),
+    "nation": (("n_nationkey", "i4"), ("n_name", "str"), ("n_regionkey", "i4")),
+    "supplier": (
+        ("s_suppkey", "i8"),
+        ("s_name", "str"),
+        ("s_nationkey", "i4"),
+        ("s_acctbal", "f8"),
+    ),
+    "customer": (
+        ("c_custkey", "i8"),
+        ("c_name", "str"),
+        ("c_nationkey", "i4"),
+        ("c_acctbal", "f8"),
+        ("c_mktsegment", "str"),
+    ),
+    "part": (
+        ("p_partkey", "i8"),
+        ("p_name", "str"),
+        ("p_brand", "str"),
+        ("p_type", "str"),
+        ("p_size", "i4"),
+        ("p_retailprice", "f8"),
+    ),
+}
+
+_WIDTHS = {"i4": 4, "i8": 8, "f8": 8}
+_MB10 = 10 * 1024 * 1024
+_MB64 = 64 * 1024 * 1024
+
+
+def _dim_row_bytes_sql(spec) -> str:
+    fixed = sum(_WIDTHS[t] for _, t in spec if t != "str")
+    strs = " + ".join(f"(len({c}) + 4)" for c, t in spec if t == "str")
+    return f"{fixed} + {strs}" if strs else str(fixed)
+
+
+@register(
+    "dim_broadcast_advisor",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({_dim_row_bytes_sql(spec)}) AS BIGINT) AS est_bytes,
+  CAST(sum({_dim_row_bytes_sql(spec)}) AS BIGINT)
+    // CAST(count(*) AS BIGINT) AS bytes_per_row,
+  CAST(sum({_dim_row_bytes_sql(spec)}) AS BIGINT) <= {_MB10}
+    AS fits_10mb,
+  CAST(sum({_dim_row_bytes_sql(spec)}) AS BIGINT) <= {_MB64}
+    AS fits_64mb
+FROM {tbl}"""
+        for tbl, spec in _DIM_SPECS.items()
+    ),
+)
+def dim_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for tbl, spec in _DIM_SPECS.items():
+        fixed = sum(_WIDTHS[t] for _, t in spec if t != "str")
+        row_bytes = F.lit(fixed).cast("bigint")
+        for c, t in spec:
+            if t == "str":
+                row_bytes = row_bytes + F.length(c).cast("bigint") + 4
+        frames.append(
+            load_table(spark, sf_dir, tbl)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row_bytes).alias("est_bytes"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "n_rows", "est_bytes")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.expr("est_bytes div n_rows").alias("bytes_per_row"),
+        (F.col("est_bytes") <= _MB10).alias("fits_10mb"),
+        (F.col("est_bytes") <= _MB64).alias("fits_64mb"),
+    )

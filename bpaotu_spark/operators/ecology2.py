@@ -1237,3 +1237,111 @@ def permanova_pseudo_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pseudo_f_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# otu_region_overlap — shared-OTU Venn census between regions (the
+# portal's "compare selections" upset/Venn view; reference comparison
+# page operates on taxonomy sets per contextual selection). For every
+# region pair: |A|, |B|, |A∩B|, the exclusive counts and Jaccard ppm
+# over DISTINCT OTUs observed in each region's samples.
+#
+# Scale shape: one abundance scan → distinct (region, otu) pairs
+# (map-side combined); the intersection self-join keys on otu_id with
+# per-key multiplicity ≤ |regions| (5), so the join output is ≤ 25×
+# the distinct-otu table regardless of fact size; the pair frame is a
+# broadcast cross of the 5-row per-region count table (LEFT-joined so
+# zero-overlap pairs still appear).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "otu_region_overlap",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+reg AS (
+  SELECT c_custkey, r_name
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+ro AS (
+  SELECT DISTINCT r_name, otu_id
+  FROM abundance ab JOIN reg ON ab.sample_id = reg.c_custkey
+),
+cnt AS (
+  SELECT r_name, CAST(count(*) AS BIGINT) AS n FROM ro GROUP BY r_name
+),
+inter AS (
+  SELECT a.r_name AS region_a, b.r_name AS region_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ro a JOIN ro b ON a.otu_id = b.otu_id AND a.r_name < b.r_name
+  GROUP BY a.r_name, b.r_name
+)
+SELECT ca.r_name AS region_a, cb.r_name AS region_b,
+  ca.n AS n_a, cb.n AS n_b,
+  coalesce(i.n_shared, 0) AS n_shared,
+  ca.n - coalesce(i.n_shared, 0) AS only_a,
+  cb.n - coalesce(i.n_shared, 0) AS only_b,
+  coalesce(i.n_shared, 0) * 1000000
+    // (ca.n + cb.n - coalesce(i.n_shared, 0)) AS jaccard_ppm
+FROM cnt ca JOIN cnt cb ON ca.r_name < cb.r_name
+LEFT JOIN inter i ON i.region_a = ca.r_name AND i.region_b = cb.r_name
+""",
+)
+def otu_region_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("c_custkey").alias("sample_id"), "r_name")
+    )
+    ro = (
+        abundance(spark, sf_dir)
+        .join(reg, "sample_id")
+        .select("r_name", "otu_id")
+        .distinct()
+    )
+    # two consumers (cnt + self-join) of a distinct over the fact scan:
+    # materialize once, same contract as the simhash signature table
+    ro = ro.localCheckpoint()
+    cnt = ro.groupBy("r_name").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = ro.alias("a"), ro.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.otu_id") == F.col("b.otu_id"))
+            & (F.col("a.r_name") < F.col("b.r_name")),
+        )
+        .groupBy(
+            F.col("a.r_name").alias("region_a"),
+            F.col("b.r_name").alias("region_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ca = cnt.select(F.col("r_name").alias("region_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("r_name").alias("region_b"), F.col("n").alias("n_b"))
+    shared = F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+    return (
+        ca.join(F.broadcast(cb), F.col("region_a") < F.col("region_b"))
+        .join(F.broadcast(inter), ["region_a", "region_b"], "left")
+        .select(
+            "region_a",
+            "region_b",
+            "n_a",
+            "n_b",
+            shared.alias("n_shared"),
+            (F.col("n_a") - shared).alias("only_a"),
+            (F.col("n_b") - shared).alias("only_b"),
+            F.expr(
+                "coalesce(n_shared, CAST(0 AS BIGINT)) * 1000000"
+                " div (n_a + n_b - coalesce(n_shared, CAST(0 AS BIGINT)))"
+            ).alias("jaccard_ppm"),
+        )
+    )

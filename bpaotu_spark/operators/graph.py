@@ -239,3 +239,110 @@ def rapid_fire_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_burst_windows") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_degree_assortativity — Newman (2002) degree assortativity of the
+# LSH-blocked kNN similarity graph: do well-connected vectors link to
+# other well-connected vectors (r > 0, hub-clustered embedding space)
+# or to sparse ones (r < 0, hub-and-spoke)? The structural health
+# metric for graph-based dedup/retrieval built on the kNN edges —
+# assortative hubs mean LSH buckets carry redundant near-duplicate
+# mass.
+#
+# Composes the REGISTERED knn_graph_lsh (Spark frame and oracle CTE
+# alike), collapses to undirected edges, and computes the Pearson
+# correlation of endpoint degrees over both orientations. Degrees are
+# small integers, so the moments are exact BIGINT; the only negative
+# quantity (the covariance numerator) is split by sign before floor
+# division, sidestepping the DuckDB-floor vs Spark-truncate divergence
+# on negatives.
+#
+# Scale shape: edge table is ≤ k·|vectors| rows; degree is a
+# map-combined groupBy; the moment reduce is a 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_degree_assortativity",
+    oracle=f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+ue AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         greatest(vec_id, neighbor_id) AS b
+  FROM knn
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+  GROUP BY v
+),
+ed AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM ue JOIN deg da ON da.v = ue.a JOIN deg db ON db.v = ue.b
+),
+sym AS (
+  SELECT dx AS x, dy AS y FROM ed
+  UNION ALL SELECT dy AS x, dx AS y FROM ed
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM sym
+)
+SELECT n // 2 AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  (sx * 1000) // n AS mean_degree_milli,
+  CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+       WHEN n * sxy - sx * sx >= 0 THEN
+         ((n * sxy - sx * sx) * 1000) // (n * sxx - sx * sx)
+       ELSE -(((sx * sx - n * sxy) * 1000) // (n * sxx - sx * sx))
+  END AS assortativity_milli
+FROM m
+""",
+)
+def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.registry import QUERIES
+
+    knn = QUERIES["knn_graph_lsh"](spark, sf_dir)
+    ue = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds degree AND the edge join: one LSH pass
+    )
+    deg = (
+        ue.select(F.col("a").alias("v"))
+        .unionByName(ue.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    ed = ue.join(da, "a").join(db, "b").select("dx", "dy")
+    sym = ed.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionByName(
+        ed.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    m = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        F.expr("n div 2").alias("n_edges"),
+        "n_nodes",
+        F.expr("(sx * 1000) div n").alias("mean_degree_milli"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)"
+            " WHEN n * sxy - sx * sx >= 0 THEN"
+            "   ((n * sxy - sx * sx) * 1000) div (n * sxx - sx * sx)"
+            " ELSE -(((sx * sx - n * sxy) * 1000) div (n * sxx - sx * sx))"
+            " END"
+        ).alias("assortativity_milli"),
+    )

@@ -217,6 +217,9 @@ PRIORITY: tuple[str, ...] = (
     "revenue_cusum_changepoint",
     "permanova_pseudo_f",
     "embedding_cosine_pair_histogram",
+    "otu_region_overlap",
+    "dim_broadcast_advisor",
+    "knn_degree_assortativity",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -142,3 +142,40 @@ def test_cosine_histogram_covers_all_pairs(spark, sf_dir):
     n_dups = QUERIES["dedup_embedding"](spark, sf_dir).count()
     above = sum(r.n_pairs for r in rows if r.lo_milli >= 200)
     assert n_dups <= above
+
+
+def test_otu_region_overlap_venn_consistent(spark, sf_dir):
+    rows = QUERIES["otu_region_overlap"](spark, sf_dir).collect()
+    # 5 regions -> 10 unordered pairs
+    assert len(rows) == 10
+    for r in rows:
+        assert r.region_a < r.region_b
+        assert 0 <= r.n_shared <= min(r.n_a, r.n_b)
+        assert r.only_a == r.n_a - r.n_shared
+        assert r.only_b == r.n_b - r.n_shared
+        union = r.n_a + r.n_b - r.n_shared
+        assert r.jaccard_ppm == r.n_shared * 1_000_000 // union
+
+
+def test_dim_broadcast_advisor_sane(spark, sf_dir):
+    rows = {r.tbl: r for r in QUERIES["dim_broadcast_advisor"](spark, sf_dir).collect()}
+    assert set(rows) == {"region", "nation", "supplier", "customer", "part"}
+    for r in rows.values():
+        assert r.n_rows > 0 and r.est_bytes > r.n_rows  # > 1 byte/row
+        assert r.bytes_per_row == r.est_bytes // r.n_rows
+        # fits_10mb implies fits_64mb
+        assert (not r.fits_10mb) or r.fits_64mb
+    assert rows["region"].n_rows == 5
+    # at test scale everything broadcasts; the advisor's value is the
+    # bytes model being exact, which the oracle hash already pins
+    assert rows["customer"].est_bytes > rows["nation"].est_bytes
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    r = QUERIES["knn_degree_assortativity"](spark, sf_dir).collect()[0]
+    assert r.n_edges > 0 and r.n_nodes > 1
+    # the moment mean is the stub-weighted (remaining-degree) mean
+    # Σd²/2E, which Cauchy-Schwarz bounds below by the plain 2E/N
+    assert r.mean_degree_milli >= 2000 * r.n_edges // r.n_nodes
+    if r.assortativity_milli is not None:
+        assert -1000 <= r.assortativity_milli <= 1000

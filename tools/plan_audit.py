@@ -47,6 +47,7 @@ ALLOWED_BNLJ = {
     "dedup_cross_source_matrix": "broadcast 1-row pair-total scalar",
     "revenue_seasonality_weekday": "broadcast 1-row overall-mean scalar",
     "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
+    "knn_degree_assortativity": "broadcast 1-row node-count scalar over the 1-row moment aggregate",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
     "tfidf_top_terms_approx": "broadcast 1-row corpus-size scalar (as exact tfidf)",
@@ -65,6 +66,7 @@ ALLOWED_BNLJ = {
     "anosim_groups": "bounded-selection pair former (O(n²) by ANOSIM's definition) + 1-row scalars",
     "permanova_pseudo_f": "bounded-selection pair former (anosim_groups shape) + 1-row statistic cross joins",
     "embedding_cosine_pair_histogram": "broadcast 1-row grand-total scalar over the 20-row histogram",
+    "otu_region_overlap": "broadcast cross of the 5-row per-region count table (region pair frame)",
     "species_accumulation_curve": "broadcast 1-row gamma-richness scalar",
     "benford_first_digit": "broadcast 1-row order-total scalar",
     "theil_inequality": "broadcast 1-row grand-totals scalar",

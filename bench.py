@@ -255,6 +255,21 @@ HEADLINE = (
     "dedup_family_agreement",
     "multimodal_features",
     "approx_distinct_kmv",
+    # round-6 session-3 additions (append-only tail)
+    "gopher_quality_rules",
+    "ccnet_perplexity_tertiles",
+    "doc_ngram_rep_profile",
+    "window_funnel_strict",
+    "scd2_user_state_intervals",
+    "revenue_cusum_changepoint",
+    "permanova_pseudo_f",
+    "embedding_cosine_pair_histogram",
+    "otu_region_overlap",
+    "dim_broadcast_advisor",
+    "knn_degree_assortativity",
+    "weighted_sample_es",
+    "part_price_size_skyline",
+    "segment_nation_mutual_info",
 )
 
 

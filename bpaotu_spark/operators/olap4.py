@@ -1304,3 +1304,64 @@ def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_total_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# part_price_size_skyline — 2-D skyline (Pareto front, Börzsönyi 2001):
+# parts not dominated on (maximize p_size, minimize p_retailprice) —
+# "no bigger part is as cheap". The multi-objective top-N every
+# catalog/pricing page wants and plain ORDER BY cannot express.
+#
+# Dominance reduction: a part is on the skyline iff its price equals
+# the minimum for its size AND every strictly larger size's minimum
+# price is strictly higher. That turns the O(n²) dominance test into
+# (1) a per-size min (map-combined groupBy over the fact), then (2) a
+# running min over the ~50-row DISTINCT-size frame ordered by size
+# descending — the only window is value-bounded (|distinct sizes|),
+# same contract as anosim's distinct-distance table, and (3) a
+# broadcast semi-join of the skyline sizes back to parts. Scales as
+# one scan + one bounded window regardless of part count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_price_size_skyline",
+    oracle="""
+WITH sz AS (
+  SELECT p_size, min(p_retailprice) AS m
+  FROM part GROUP BY p_size
+), sky AS (
+  SELECT p_size, m,
+    min(m) OVER (ORDER BY p_size DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger
+  FROM sz
+)
+SELECT p.p_partkey, p.p_name, CAST(p.p_size AS BIGINT) AS p_size,
+       p.p_retailprice
+FROM part p JOIN sky ON p.p_size = sky.p_size
+WHERE p.p_retailprice = sky.m
+  AND (sky.best_larger IS NULL OR sky.best_larger > sky.m)
+""",
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    sz = part.groupBy("p_size").agg(F.min("p_retailprice").alias("m"))
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        sz.withColumn("best_larger", F.min("m").over(w))
+        .filter(F.col("best_larger").isNull() | (F.col("best_larger") > F.col("m")))
+        .select("p_size", "m")
+    )
+    return (
+        part.join(F.broadcast(sky), "p_size")
+        .filter(F.col("p_retailprice") == F.col("m"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "p_retailprice",
+        )
+    )

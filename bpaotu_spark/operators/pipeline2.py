@@ -274,3 +274,88 @@ def partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(max(n) * 1000000 * count(*)) div sum(n)"
         ).alias("skew_factor_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_es — distributed weighted sampling WITHOUT
+# replacement (Efraimidis–Spirakis 2006): per item draw u ~ U(0,1],
+# rank by ln(u)/w (equivalently u^(1/w)) and take the top-k — each
+# item's inclusion probability is proportional to its weight w, with
+# NO sequential pass and no driver-side reservoir: the top-k is a
+# TakeOrderedAndProject (per-partition heaps + 50-row driver merge),
+# which IS the distributed reservoir. Weight = n_chars (sample long
+# documents proportionally more — the standard length-weighted corpus
+# draw; lang_temperature_sample is the separate α-temperature
+# LANGUAGE-level resampler).
+#
+# Determinism: u = (60-bit md5(doc_id) + 1) / 2^60 — the same fixed
+# hash grid as approx_distinct_kmv — and the ORDER key is the floored
+# nano-scaled integer ln(u)/w (ties broken by doc_id), so a last-ulp
+# libm divergence between engines cannot flip ranks.
+# ---------------------------------------------------------------------------
+
+_ES_K = 50
+
+_ES_HASH_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),"
+    f" {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@register(
+    "weighted_sample_es",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+    CAST({_ES_HASH_SQL} AS BIGINT) AS hv
+  FROM documents WHERE n_chars > 0
+), k AS (
+  SELECT doc_id, source, w,
+    CAST(floor(ln(CAST(hv + 1 AS DOUBLE) / {float(1 << 60)})
+               / CAST(w AS DOUBLE) * 1000000000)
+      AS BIGINT) AS key_nano
+  FROM h
+), rk AS (
+  SELECT doc_id, source, w, key_nano,
+    CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id)
+      AS BIGINT) AS rank
+  FROM k
+)
+SELECT rank, doc_id, source, w, key_nano FROM rk
+WHERE rank <= {_ES_K}
+""",
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted top-k corpus draw, one row per sampled doc.
+
+    The global ORDER BY + LIMIT pair compiles to
+    TakeOrderedAndProject — no global sort materializes; the ranking
+    window after the cut runs over k rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    k = h.select(
+        "doc_id",
+        "source",
+        "w",
+        F.floor(
+            F.log((F.col("hv") + 1).cast("double") / float(1 << 60))
+            / F.col("w").cast("double")
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("key_nano"),
+    )
+    top = k.orderBy(F.col("key_nano").desc(), "doc_id").limit(_ES_K)
+    w_rank = Window.orderBy(F.col("key_nano").desc(), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("bigint")
+    ).select("rank", "doc_id", "source", "w", "key_nano")

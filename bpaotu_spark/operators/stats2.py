@@ -480,3 +480,144 @@ def price_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lnp").cast("bigint").alias("max_ln_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# segment_nation_mutual_info — mutual information between the customer
+# market segment and nation (how much knowing the nation tells you
+# about the segment mix): MI = Σ_ij (n_ij/N)·ln(n_ij·N / (r_i·c_j)),
+# with the marginal entropies for normalization context. The
+# information-theoretic companion to cramers_v_association (χ²-based
+# effect size) — MI is the quantity a feature-selection pass ranks by.
+#
+# Integer contract (markov_entropy_rate's rule): ln() of the exact
+# BIGINT ratio is floored to micro-nats PER CELL before the weighted
+# sum; the final /N uses integer division (DuckDB // and Spark div
+# both truncate toward zero, verified — so even the possibly-negative
+# MI sum divides identically). Cell counts bound the arithmetic:
+# n_ij·N ≤ 2⁶³ holds to ~3e9 customers.
+#
+# Scale shape: one contingency groupBy (map-combined, |segments|×
+# |nations| cells), marginals re-agg the CELL table (never the fact),
+# 1-row total broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_nation_mutual_info",
+    oracle="""
+WITH cj AS (
+  SELECT c_mktsegment AS seg, n_name AS nat, CAST(count(*) AS BIGINT) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY seg, nat
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cj
+), rm AS (
+  SELECT seg, CAST(sum(n) AS BIGINT) AS r FROM cj GROUP BY seg
+), cm AS (
+  SELECT nat, CAST(sum(n) AS BIGINT) AS c FROM cj GROUP BY nat
+), terms AS (
+  SELECT n,
+    CAST(floor(ln(CAST(n AS DOUBLE) * n_total / (CAST(r AS DOUBLE) * c))
+         * 1000000) AS BIGINT) AS lnterm_micro
+  FROM cj JOIN rm USING (seg) JOIN cm USING (nat) CROSS JOIN tot
+), hx AS (
+  SELECT CAST(sum(r * CAST(floor(ln(CAST(n_total AS DOUBLE) / r) * 1000000)
+    AS BIGINT)) AS BIGINT) // n_total AS h_seg_micronat
+  FROM rm CROSS JOIN tot GROUP BY n_total
+), hy AS (
+  SELECT CAST(sum(c * CAST(floor(ln(CAST(n_total AS DOUBLE) / c) * 1000000)
+    AS BIGINT)) AS BIGINT) // n_total AS h_nation_micronat
+  FROM cm CROSS JOIN tot GROUP BY n_total
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM cj) AS n_cells,
+  tot.n_total,
+  CAST(sum(n * lnterm_micro) AS BIGINT) // tot.n_total AS mi_micronat,
+  hx.h_seg_micronat, hy.h_nation_micronat
+FROM terms CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
+GROUP BY tot.n_total, hx.h_seg_micronat, hy.h_nation_micronat
+""",
+)
+def segment_nation_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cj = (
+        cust.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cj = cj.localCheckpoint()  # cell table feeds marginals + terms
+    tot = cj.agg(F.sum("n").alias("n_total"))
+    rm = cj.groupBy("seg").agg(F.sum("n").alias("r"))
+    cm = cj.groupBy("nat").agg(F.sum("n").alias("c"))
+    terms = (
+        cj.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.floor(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("n_total")
+                    / (F.col("r").cast("double") * F.col("c"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lnterm_micro"),
+        )
+    )
+    hx = (
+        rm.crossJoin(F.broadcast(tot))
+        .select(
+            "n_total",
+            (
+                F.col("r")
+                * F.floor(
+                    F.log(F.col("n_total").cast("double") / F.col("r")) * 1000000
+                ).cast("bigint")
+            ).alias("t"),
+        )
+        .groupBy("n_total")
+        .agg(F.expr("sum(t) div n_total").alias("h_seg_micronat"))
+        .select("h_seg_micronat")
+    )
+    hy = (
+        cm.crossJoin(F.broadcast(tot))
+        .select(
+            "n_total",
+            (
+                F.col("c")
+                * F.floor(
+                    F.log(F.col("n_total").cast("double") / F.col("c")) * 1000000
+                ).cast("bigint")
+            ).alias("t"),
+        )
+        .groupBy("n_total")
+        .agg(F.expr("sum(t) div n_total").alias("h_nation_micronat"))
+        .select("h_nation_micronat")
+    )
+    n_cells = cj.agg(F.count(F.lit(1)).alias("n_cells"))
+    mi = (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("n_total")
+        .agg(F.expr("sum(n * lnterm_micro) div n_total").alias("mi_micronat"))
+    )
+    return (
+        n_cells.crossJoin(mi)
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_cells",
+            "n_total",
+            "mi_micronat",
+            "h_seg_micronat",
+            "h_nation_micronat",
+        )
+    )

@@ -220,6 +220,9 @@ PRIORITY: tuple[str, ...] = (
     "otu_region_overlap",
     "dim_broadcast_advisor",
     "knn_degree_assortativity",
+    "weighted_sample_es",
+    "part_price_size_skyline",
+    "segment_nation_mutual_info",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

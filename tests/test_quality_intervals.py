@@ -179,3 +179,51 @@ def test_assortativity_in_range(spark, sf_dir):
     assert r.mean_degree_milli >= 2000 * r.n_edges // r.n_nodes
     if r.assortativity_milli is not None:
         assert -1000 <= r.assortativity_milli <= 1000
+
+
+def test_weighted_sample_prefers_long_docs(spark, sf_dir):
+    rows = QUERIES["weighted_sample_es"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, 51)
+    )
+    keys = [r.key_nano for r in sorted(rows, key=lambda r: r.rank)]
+    assert keys == sorted(keys, reverse=True)
+    # inclusion ∝ length: the sampled mean length must exceed the corpus mean
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.w for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_skyline_is_pareto_front(spark, sf_dir):
+    sky = QUERIES["part_price_size_skyline"](spark, sf_dir).collect()
+    assert sky
+    # no skyline point dominates another (maximize size, minimize price)
+    for a in sky:
+        for b in sky:
+            if a.p_partkey == b.p_partkey:
+                continue
+            dominates = (
+                a.p_size >= b.p_size
+                and a.p_retailprice <= b.p_retailprice
+                and (a.p_size > b.p_size or a.p_retailprice < b.p_retailprice)
+            )
+            assert not dominates
+    # and nothing outside the front dominates a front point
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    best = {r.p_size: r.m for r in part.groupBy("p_size").agg(F.min("p_retailprice").alias("m")).collect()}
+    for a in sky:
+        for s, m in best.items():
+            assert not (s > a.p_size and m <= a.p_retailprice)
+
+
+def test_mutual_info_bounds(spark, sf_dir):
+    r = QUERIES["segment_nation_mutual_info"](spark, sf_dir).collect()[0]
+    assert r.n_cells > 0 and r.n_total > 0
+    # MI <= min(H_seg, H_nation) up to per-cell floor error (1 micro-nat
+    # per cell weighted) — allow that slack
+    slack = r.n_cells + 2
+    assert r.mi_micronat <= min(r.h_seg_micronat, r.h_nation_micronat) + slack
+    assert r.mi_micronat >= -slack
+    assert r.h_seg_micronat >= 0 and r.h_nation_micronat >= 0

@@ -270,6 +270,8 @@ HEADLINE = (
     "weighted_sample_es",
     "part_price_size_skyline",
     "segment_nation_mutual_info",
+    "centroid_assignment_accuracy",
+    "embedding_triplet_margin",
 )
 
 

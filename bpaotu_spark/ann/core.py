@@ -2219,3 +2219,198 @@ def embedding_cell_residual_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("mean_d2_floor"),
         F.max("d2").cast("bigint").alias("max_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid_assignment_accuracy — nearest-centroid classification eval:
+# assign every vector to its nearest label centroid (squared Euclidean)
+# and report per-label accuracy. The label-separability health check a
+# metric-learning / embedding-quality pipeline runs before trusting
+# label-blocked dedup or stratified sampling at 100 TB — if nearest-
+# centroid can't recover the labels, label blocking is leaking
+# near-dups across blocks.
+#
+# Determinism: centroids use embedding_label_centroids' exact
+# DECIMAL(28,12) summation (associative — partition order can't move
+# an ulp) rounded to 4 dp; distances are then per-row double
+# arithmetic with the SAME sequential-fold dot products as
+# dedup_embedding (d² = v·v − 2·v·c + c·c, literal op order), and the
+# argmin breaks double ties by label ASC.
+#
+# Scale shape: the centroid table is |labels|×|dims| → |labels| list
+# rows, broadcast into a bounded cross with the vector table (≤
+# |labels| candidates per vector, documented BNLJ); the argmin window
+# partitions by vec_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "centroid_assignment_accuracy",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+), cl AS (
+  SELECT label, dim,
+    CAST(round(sum(CAST(val AS DECIMAL(28,12))) / count(*), 4) AS DOUBLE)
+      AS cv
+  FROM x GROUP BY label, dim
+), cents AS (
+  SELECT label AS c_label, list(cv ORDER BY dim) AS c FROM cl GROUP BY label
+), cand AS (
+  SELECT e.vec_id, e.label, cents.c_label,
+    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cents.c)
+      + list_dot_product(cents.c, cents.c) AS d2
+  FROM e CROSS JOIN cents
+), best AS (
+  SELECT vec_id, label, c_label,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC)
+      AS rk
+  FROM cand
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(count(CASE WHEN c_label = label THEN 1 END) AS BIGINT) AS n_correct,
+  CAST(count(CASE WHEN c_label = label THEN 1 END) AS BIGINT) * 1000000
+    // CAST(count(*) AS BIGINT) AS accuracy_ppm
+FROM best WHERE rk = 1 GROUP BY label
+""",
+)
+def centroid_assignment_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select("label", F.posexplode("v").alias("pos", "val")).select(
+        "label", (F.col("pos") + 1).cast("bigint").alias("dim"), "val"
+    )
+    cl = x.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")) / F.count(F.lit(1)), 4
+        )
+        .cast("double")
+        .alias("cv")
+    )
+    cents = (
+        cl.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+    )
+    cand = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("c"))
+            + dot(F.col("c"), F.col("c"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("c_label").asc()
+    )
+    best = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    correct = F.count(F.when(F.col("c_label") == F.col("label"), F.lit(1)))
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        correct.cast("bigint").alias("n_correct"),
+        F.expr(
+            "CAST(count(CASE WHEN c_label = label THEN 1 END) AS BIGINT)"
+            " * 1000000 div count(*)"
+        ).alias("accuracy_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_triplet_margin — metric-learning separability per query:
+# for each demo query vector, the best same-label cosine (positive,
+# self excluded) vs the best other-label cosine (negative) over the
+# full corpus, and their margin. A positive margin means the nearest
+# neighbor semantics respect labels — the per-query drill-down behind
+# centroid_assignment_accuracy's aggregate (and the quantity a triplet
+# loss would train on).
+#
+# Determinism: the same 6-dp-rounded sequential-fold cosine as
+# ann_bruteforce_topk; max() over doubles is order-insensitive, and
+# the margin floors the difference of two already-rounded values.
+#
+# Scale shape: broadcast query set (N_QUERIES rows) against one corpus
+# scan, then a query-keyed aggregate — no windows over the fact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_triplet_margin",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS q_label, v AS qv
+  FROM e WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cand_id, label AS c_label, v AS cv FROM e
+), scored AS (
+  SELECT query_id, q_label, c_label, round({_COS}, 6) AS cos_r
+  FROM q JOIN c ON query_id != cand_id
+), agg AS (
+  SELECT query_id, q_label,
+    max(CASE WHEN c_label = q_label THEN cos_r END) AS best_pos,
+    max(CASE WHEN c_label <> q_label THEN cos_r END) AS best_neg
+  FROM scored GROUP BY query_id, q_label
+)
+SELECT query_id, q_label,
+  CAST(best_pos AS DOUBLE) AS best_pos_cos,
+  CAST(best_neg AS DOUBLE) AS best_neg_cos,
+  CAST(floor((best_pos - best_neg) * 1000) AS BIGINT) AS margin_milli
+FROM agg
+""",
+)
+def embedding_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("nc"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("cand_id")
+    ).select(
+        "query_id",
+        "q_label",
+        "c_label",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ).alias("cos_r"),
+    )
+    agg = scored.groupBy("query_id", "q_label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("q_label"), F.col("cos_r"))
+        ).alias("best_pos"),
+        F.max(
+            F.when(F.col("c_label") != F.col("q_label"), F.col("cos_r"))
+        ).alias("best_neg"),
+    )
+    return agg.select(
+        "query_id",
+        "q_label",
+        F.col("best_pos").cast("double").alias("best_pos_cos"),
+        F.col("best_neg").cast("double").alias("best_neg_cos"),
+        F.floor((F.col("best_pos") - F.col("best_neg")) * 1000)
+        .cast("bigint")
+        .alias("margin_milli"),
+    )

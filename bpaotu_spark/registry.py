@@ -223,6 +223,8 @@ PRIORITY: tuple[str, ...] = (
     "weighted_sample_es",
     "part_price_size_skyline",
     "segment_nation_mutual_info",
+    "centroid_assignment_accuracy",
+    "embedding_triplet_margin",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -227,3 +227,28 @@ def test_mutual_info_bounds(spark, sf_dir):
     assert r.mi_micronat <= min(r.h_seg_micronat, r.h_nation_micronat) + slack
     assert r.mi_micronat >= -slack
     assert r.h_seg_micronat >= 0 and r.h_nation_micronat >= 0
+
+
+def test_centroid_accuracy_counts(spark, sf_dir):
+    rows = QUERIES["centroid_assignment_accuracy"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    per_label = {
+        r.label: r.c
+        for r in emb.groupBy("label").agg(F.count("*").alias("c")).collect()
+    }
+    assert {r.label for r in rows} == set(per_label)
+    for r in rows:
+        assert r.n_vectors == per_label[r.label]
+        assert 0 <= r.n_correct <= r.n_vectors
+        assert r.accuracy_ppm == r.n_correct * 1_000_000 // r.n_vectors
+
+
+def test_triplet_margin_consistent_with_labels(spark, sf_dir):
+    rows = QUERIES["embedding_triplet_margin"](spark, sf_dir).collect()
+    assert len(rows) == 10  # N_QUERIES
+    for r in rows:
+        assert -1.0 <= r.best_neg_cos <= 1.0
+        assert -1.0 <= r.best_pos_cos <= 1.0
+        assert r.margin_milli == __import__("math").floor(
+            (r.best_pos_cos - r.best_neg_cos) * 1000
+        )

@@ -49,6 +49,8 @@ ALLOWED_BNLJ = {
     "pagerank_knn": "broadcast 1-row node-count scalar (per iteration)",
     "knn_degree_assortativity": "broadcast 1-row node-count scalar over the 1-row moment aggregate",
     "segment_nation_mutual_info": "broadcast 1-row grand-total scalar into the bounded cell/marginal frames",
+    "centroid_assignment_accuracy": "broadcast |labels|-row centroid-list cross into the vector scan",
+    "embedding_triplet_margin": "broadcast query set (N_QUERIES rows), non-equi != (as ann_bruteforce_topk)",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
     "tfidf_top_terms_approx": "broadcast 1-row corpus-size scalar (as exact tfidf)",

@@ -471,3 +471,158 @@ def dim_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_bytes") <= _MB10).alias("fits_10mb"),
         (F.col("est_bytes") <= _MB64).alias("fits_64mb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpp_measured — the Bloom-filter family's closing report: BUILD
+# a deterministic m=16384-bit / k=3 filter over the member keys
+# (customers with orders), PROBE it with a guaranteed-disjoint key set
+# (customers shifted into a different string domain), and report the
+# MEASURED false-positive rate against the theoretical (bits_set/m)^k.
+# bloom_sizing_advisor says what geometry to buy and
+# bloom_semijoin_filter shows the plan effect; this one proves the
+# geometry delivers its promised FPP on real keys — the sketch is
+# oracle-verified bit-for-bit, not just trusted.
+#
+# Representation: the filter is the DISTINCT set of set bit positions
+# (a DataFrame, not driver state) — membership tests are joins, so the
+# whole pipeline is shuffle-bounded by m = 16384 regardless of member
+# count; exactly how a distributed Bloom build works before the
+# positions are packed into a bitmap for broadcast.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M_BITS = 16384
+_BLOOM_FPP_K = 3
+_BLOOM_PROBE_SHIFT = 100_000_000
+
+
+def _bloom_pos_sql(expr: str, seed: int) -> str:
+    h = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)"
+        f" || '#{seed}'), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"(CAST({h} AS BIGINT) % {_BLOOM_M_BITS})"
+
+
+def _bloom_pos_spark(col: F.Column, seed: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M_BITS
+    )
+
+
+@register(
+    "bloom_fpp_measured",
+    oracle=f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('key', s)} AS pos FROM members" for s in range(_BLOOM_FPP_K))}
+  )
+), probes AS (
+  SELECT DISTINCT c_custkey + {_BLOOM_PROBE_SHIFT} AS pkey FROM customer
+), ppos AS (
+  {" UNION ALL ".join(f"SELECT pkey, {_bloom_pos_sql('pkey', s)} AS pos FROM probes" for s in range(_BLOOM_FPP_K))}
+), hits AS (
+  SELECT pkey,
+    CAST(count(*) AS BIGINT) AS n_pos,
+    CAST(count(bits.pos) AS BIGINT) AS n_hit
+  FROM ppos LEFT JOIN bits USING (pos)
+  GROUP BY pkey
+), st AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+    (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+    CAST(count(*) AS BIGINT) AS n_probes,
+    CAST(count(CASE WHEN n_hit = n_pos THEN 1 END) AS BIGINT) AS fp_count
+  FROM hits
+)
+SELECT CAST({_BLOOM_M_BITS} AS BIGINT) AS m_bits,
+  CAST({_BLOOM_FPP_K} AS BIGINT) AS k_hashes,
+  n_members, bits_set,
+  bits_set * 1000000 // {_BLOOM_M_BITS} AS load_ppm,
+  n_probes, fp_count,
+  fp_count * 1000000 // n_probes AS fpp_measured_ppm,
+  CAST(floor(
+    (CAST(bits_set AS DOUBLE) / {_BLOOM_M_BITS})
+    * (CAST(bits_set AS DOUBLE) / {_BLOOM_M_BITS})
+    * (CAST(bits_set AS DOUBLE) / {_BLOOM_M_BITS}) * 1000000
+  ) AS BIGINT) AS fpp_theoretical_ppm
+FROM st
+""",
+)
+def bloom_fpp_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical Bloom FPP, one row.
+
+    Probe keys live in a shifted integer domain, so their key STRINGS
+    are disjoint from every member's — zero true positives by
+    construction, hence every full-hit probe is a false positive.
+    """
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = None
+    for s in range(_BLOOM_FPP_K):
+        part = members.select(_bloom_pos_spark(F.col("key"), s).alias("pos"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct().localCheckpoint()  # feeds count + probe join
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") + _BLOOM_PROBE_SHIFT).alias("pkey"))
+        .distinct()
+    )
+    ppos = None
+    for s in range(_BLOOM_FPP_K):
+        part = probes.select(
+            "pkey", _bloom_pos_spark(F.col("pkey"), s).alias("pos")
+        )
+        ppos = part if ppos is None else ppos.unionByName(part)
+    hit_bits = bits.withColumn("hit", F.lit(1))
+    hits = (
+        ppos.join(F.broadcast(hit_bits), "pos", "left")
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    st = hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("n_hit") == F.col("n_pos"), F.lit(1))).alias(
+            "fp_count"
+        ),
+    )
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    load = F.col("bits_set").cast("double") / _BLOOM_M_BITS
+    return (
+        st.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(_BLOOM_M_BITS).cast("bigint").alias("m_bits"),
+            F.lit(_BLOOM_FPP_K).cast("bigint").alias("k_hashes"),
+            "n_members",
+            "bits_set",
+            F.expr(
+                f"bits_set * 1000000 div {_BLOOM_M_BITS}"
+            ).alias("load_ppm"),
+            "n_probes",
+            "fp_count",
+            F.expr("fp_count * 1000000 div n_probes").alias(
+                "fpp_measured_ppm"
+            ),
+            F.floor(load * load * load * 1000000)
+            .cast("bigint")
+            .alias("fpp_theoretical_ppm"),
+        )
+    )

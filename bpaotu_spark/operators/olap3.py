@@ -482,3 +482,141 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("bigint").alias("min_days"),
         F.max("gap_days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# daily_revenue_gapfill — the date-spine pattern: generate EVERY
+# calendar day between the first and last order date, left-join the
+# daily revenue, and fill gaps with zero so trailing windows are
+# calendar-correct (a 7-day trailing sum over only-observed days
+# silently spans more than 7 calendar days — the classic reporting
+# bug this operator exists to kill).
+#
+# Scale shape: the spine comes from a 1-row min/max aggregate exploded
+# into ~2,400 rows (calendar-bounded at ANY fact size — the same
+# value-bounded-window contract as weekly_decomposition); daily
+# revenue is the map-combined groupBy; the join keys the spine to it.
+# Revenue is exact cents (per-row round, as revenue_cusum_changepoint).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+         CAST(max(o_orderdate) AS DATE) AS d1
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM bounds
+), rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS revenue_cents
+  FROM orders GROUP BY 1
+), filled AS (
+  SELECT spine.day,
+    coalesce(rev.revenue_cents, 0) AS revenue_cents,
+    rev.day IS NULL AS is_gap
+  FROM spine LEFT JOIN rev ON spine.day = rev.day
+)
+SELECT day, revenue_cents, is_gap,
+  CAST(sum(revenue_cents) OVER (ORDER BY day
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS trailing_7d_cents
+FROM filled
+""",
+)
+def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("d0"),
+        F.to_date(F.max("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    rev = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rc"
+        )
+    )
+    filled = spine.join(rev, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rc"), F.lit(0).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+        F.col("rc").isNull().alias("is_gap"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return filled.withColumn(
+        "trailing_7d_cents", F.sum("revenue_cents").over(w).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rare_category_collapse — feature-engineering "other"-bucket: keep the
+# top-10 p_type categories by frequency (ties by name), collapse the
+# tail into '__OTHER__', and report the resulting cardinality /
+# coverage. The step before one-hot/target encoding on any
+# high-cardinality categorical at 100 TB — the report shows exactly
+# how much probability mass the collapse moves.
+#
+# Scale shape: one map-combined category count, a row_number over the
+# |categories| frame (value-bounded window), a 1-row total broadcast.
+# ---------------------------------------------------------------------------
+
+_RARE_TOP_K = 10
+
+
+@register(
+    "rare_category_collapse",
+    oracle=f"""
+WITH c AS (
+  SELECT p_type, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY p_type
+), rk AS (
+  SELECT p_type, n,
+    row_number() OVER (ORDER BY n DESC, p_type) AS rk
+  FROM c
+), m AS (
+  SELECT CASE WHEN rk <= {_RARE_TOP_K} THEN p_type
+              ELSE '__OTHER__' END AS category, n
+  FROM rk
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+)
+SELECT category,
+  CAST(count(*) AS BIGINT) AS n_source_categories,
+  CAST(sum(n) AS BIGINT) AS n_parts,
+  CAST(sum(n) AS BIGINT) * 1000000 // total AS share_ppm
+FROM m CROSS JOIN t GROUP BY category, total
+""",
+)
+def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    c = part.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    rk = c.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "p_type")),
+    )
+    m = rk.select(
+        F.when(F.col("rk") <= _RARE_TOP_K, F.col("p_type"))
+        .otherwise(F.lit("__OTHER__"))
+        .alias("category"),
+        "n",
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .groupBy("category", "total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_source_categories"),
+            F.sum("n").alias("n_parts"),
+            F.expr("sum(n) * 1000000 div total").alias("share_ppm"),
+        )
+        .select("category", "n_source_categories", "n_parts", "share_ppm")
+    )

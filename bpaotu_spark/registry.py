@@ -225,6 +225,9 @@ PRIORITY: tuple[str, ...] = (
     "segment_nation_mutual_info",
     "centroid_assignment_accuracy",
     "embedding_triplet_margin",
+    "daily_revenue_gapfill",
+    "rare_category_collapse",
+    "bloom_fpp_measured",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -252,3 +252,50 @@ def test_triplet_margin_consistent_with_labels(spark, sf_dir):
         assert r.margin_milli == __import__("math").floor(
             (r.best_pos_cos - r.best_neg_cos) * 1000
         )
+
+
+def test_gapfill_spine_contiguous(spark, sf_dir):
+    import datetime
+
+    rows = QUERIES["daily_revenue_gapfill"](spark, sf_dir).collect()
+    days = sorted(r.day for r in rows)
+    assert (days[-1] - days[0]).days + 1 == len(days)  # no missing day
+    by_day = {r.day: r for r in rows}
+    for r in rows:
+        assert r.is_gap == (r.revenue_cents == 0) or not r.is_gap
+        lo = max(days[0], r.day - datetime.timedelta(days=6))
+        expect = sum(
+            by_day[d].revenue_cents
+            for d in (lo + datetime.timedelta(days=i) for i in range(7))
+            if d in by_day and d <= r.day
+        )
+        assert r.trailing_7d_cents == expect
+
+
+def test_rare_category_collapse_partition(spark, sf_dir):
+    rows = QUERIES["rare_category_collapse"](spark, sf_dir).collect()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_types = part.select("p_type").distinct().count()
+    n_parts = part.count()
+    kept = [r for r in rows if r.category != "__OTHER__"]
+    other = [r for r in rows if r.category == "__OTHER__"]
+    assert len(kept) == min(10, n_types)
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert sum(r.n_source_categories for r in rows) == n_types
+    if other:
+        assert other[0].n_source_categories == n_types - len(kept)
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_bloom_fpp_measured_consistent(spark, sf_dir):
+    r = QUERIES["bloom_fpp_measured"](spark, sf_dir).collect()[0]
+    assert r.m_bits == 16384 and r.k_hashes == 3
+    assert 0 < r.bits_set <= min(r.m_bits, r.n_members * r.k_hashes)
+    assert r.load_ppm == r.bits_set * 1_000_000 // r.m_bits
+    assert 0 <= r.fp_count <= r.n_probes
+    assert r.fpp_measured_ppm == r.fp_count * 1_000_000 // r.n_probes
+    # measured FPP should be in the same decade as theory (generous
+    # bound: within 5x either way once theory is non-trivial)
+    if r.fpp_theoretical_ppm >= 1000 and r.n_probes >= 1000:
+        assert r.fpp_measured_ppm <= 5 * r.fpp_theoretical_ppm + 1000
+        assert 5 * r.fpp_measured_ppm + 1000 >= r.fpp_theoretical_ppm

@@ -272,6 +272,12 @@ HEADLINE = (
     "segment_nation_mutual_info",
     "centroid_assignment_accuracy",
     "embedding_triplet_margin",
+    "daily_revenue_gapfill",
+    "rare_category_collapse",
+    "bloom_fpp_measured",
+    "corpus_regex_scrub_apply",
+    "markov_next_event_accuracy",
+    "heldout_bigram_perplexity",
 )
 
 

@@ -16,7 +16,7 @@ LLM-pipeline extensions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.registry import register
@@ -1273,3 +1273,136 @@ def token_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# heldout_bigram_perplexity — the real LM-eval loop in miniature:
+# TRAIN an add-one-smoothed bigram model on a deterministic ~80% md5
+# split of the corpus, SCORE the held-out 20% with it, and report
+# per-language held-out cost in micro-nats. Distinct from
+# text_bigram_logloss (which self-scores the full corpus with its own
+# statistics — a compression measure, not an eval): here unseen
+# bigrams and unseen history words genuinely occur and the smoothing
+# (c2+1)/(c1+V) has to absorb them, which is exactly what a
+# decontaminated eval measures.
+#
+# Scale shape: one explode per split half; train counts are (doc,
+# token)-keyed map-combined groupBys; scoring is two LEFT joins keyed
+# on the bigram and the history word (high-cardinality, even), V is a
+# broadcast 1-row scalar; per-language rollup at the end. All costs
+# floored to integer micro-nats per pair before any aggregation.
+# ---------------------------------------------------------------------------
+
+_HOLDOUT_TRAIN_BUCKETS = 13  # md5 first hex digit < 13 → ~81% train
+
+
+_SPLIT_SQL = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+)
+
+
+@register(
+    "heldout_bigram_perplexity",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENIZE_SQL} AS toks,
+    {_SPLIT_SQL} < {_HOLDOUT_TRAIN_BUCKETS} AS is_train
+  FROM documents
+), x AS (
+  SELECT doc_id, lang, is_train, tok,
+    lead(tok) OVER w AS nxt
+  FROM (SELECT doc_id, lang, is_train, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos FROM t)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM x
+  WHERE is_train GROUP BY tok
+), bi AS (
+  SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c2 FROM x
+  WHERE is_train AND nxt IS NOT NULL GROUP BY tok, nxt
+), v AS (
+  SELECT CAST(count(*) AS BIGINT) AS vsize FROM uni
+), scored AS (
+  SELECT h.lang, h.doc_id,
+    CAST(floor(-ln(CAST(coalesce(bi.c2, 0) + 1 AS DOUBLE)
+      / CAST(coalesce(uni.c1, 0) + vsize AS DOUBLE)) * 1000000)
+      AS BIGINT) AS cost_micro
+  FROM x h
+  LEFT JOIN bi ON h.tok = bi.tok AND h.nxt = bi.nxt
+  LEFT JOIN uni ON h.tok = uni.tok
+  CROSS JOIN v
+  WHERE NOT h.is_train AND h.nxt IS NOT NULL
+)
+SELECT lang,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_heldout_docs,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(cost_micro) AS BIGINT) AS total_cost_micronats,
+  CAST(sum(cost_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS avg_cost_micronats
+FROM scored GROUP BY lang
+""",
+)
+def heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokenize(F.col("text")).alias("toks"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                    16,
+                    10,
+                ).cast("int")
+            )
+            < _HOLDOUT_TRAIN_BUCKETS
+        ).alias("is_train"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    x = docs.select(
+        "doc_id", "lang", "is_train", F.posexplode("toks").alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "lang",
+        "is_train",
+        "tok",
+        F.lead("tok").over(w).alias("nxt"),
+    )
+    x = x.localCheckpoint()  # one tokenize pass feeds train AND heldout
+    uni = (
+        x.filter("is_train").groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        x.filter(F.col("is_train") & F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    h = x.filter(~F.col("is_train") & F.col("nxt").isNotNull())
+    scored = (
+        h.join(bi, ["tok", "nxt"], "left")
+        .join(uni, "tok", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "doc_id",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsize")).cast(
+                        "double"
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cost_micro"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_heldout_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("cost_micro").alias("total_cost_micronats"),
+        F.expr("sum(cost_micro) div count(*)").alias("avg_cost_micronats"),
+    )

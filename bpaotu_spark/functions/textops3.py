@@ -381,3 +381,65 @@ def corpus_regex_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_regex_scrub_apply — the redaction TRANSFORM the census above
+# plans for: apply every scrub pattern (same Java∩RE2 dialect) in a
+# fixed literal order, replacing matches with typed mask tokens, and
+# emit the per-doc receipt (match counts on the ORIGINAL text, masked
+# md5 + length, changed flag). Counting on the original keeps the
+# receipt independent of replacement order; the apply itself is
+# sequential in the declared pattern order — identical in both
+# engines.
+#
+# Scale shape: map-only (regexp_replace/regexp_count are JVM codegen,
+# one scan, zero shuffles beyond the parquet read).
+# ---------------------------------------------------------------------------
+
+_SCRUB_MASKS = (
+    ("email", "<EMAIL>"),
+    ("ipv4", "<IP>"),
+    ("digit_run", "<NUM>"),
+    ("engine_token", "<TOK>"),
+)
+
+
+def _scrub_apply_sql() -> str:
+    masked = "text"
+    pat_by_name = dict(_SCRUB_PATTERNS)
+    for name, mask in _SCRUB_MASKS:
+        masked = f"regexp_replace({masked}, '{pat_by_name[name]}', '{mask}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat_by_name[name]}'))"
+        for name, _ in _SCRUB_MASKS
+    )
+    return f"""
+SELECT doc_id, source,
+  CAST({counts} AS BIGINT) AS n_matches,
+  md5({masked}) AS masked_md5,
+  CAST(length({masked}) AS BIGINT) AS masked_len,
+  {masked} <> text AS changed
+FROM documents
+""".strip()
+
+
+@register("corpus_regex_scrub_apply", oracle=_scrub_apply_sql())
+def corpus_regex_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat_by_name = dict(_SCRUB_PATTERNS)
+    masked = F.col("text")
+    for name, mask in _SCRUB_MASKS:
+        masked = F.regexp_replace(masked, pat_by_name[name], mask)
+    n_matches = None
+    for name, _ in _SCRUB_MASKS:
+        c = F.regexp_count(F.col("text"), F.lit(pat_by_name[name]))
+        n_matches = c if n_matches is None else n_matches + c
+    return docs.select(
+        "doc_id",
+        "source",
+        n_matches.cast("bigint").alias("n_matches"),
+        F.md5(masked).alias("masked_md5"),
+        F.length(masked).cast("bigint").alias("masked_len"),
+        (masked != F.col("text")).alias("changed"),
+    )

@@ -303,3 +303,100 @@ def markov_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reach_3step_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_next_event_accuracy — model-eval companion to
+# markov_entropy_rate / markov_absorption_3step: TRAIN a next-event
+# predictor (per previous type, the argmax transition target) on the
+# even-user half of the event log, TEST it on the odd-user half, and
+# report per-state accuracy. The user-level split keeps every test
+# sequence intact (an event-level split would sever the very
+# transitions being predicted) and is the deterministic analogue of a
+# temporal holdout. This is the "is the chain actually predictive"
+# gate before anyone ships markov-based prefetching/session models.
+#
+# Scale shape: two lag-window passes over the user-partitioned event
+# order (same exchange as sessionize_events), a |states|² training
+# aggregate, argmax via max-of-struct (no sort), and a broadcast
+# |states|-row model joined into the test transitions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), pairs AS (
+  SELECT user_id, event_type AS prev_type, next_type
+  FROM seq WHERE next_type IS NOT NULL
+), train AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE user_id % 2 = 0 GROUP BY prev_type, next_type
+), model AS (
+  SELECT prev_type, next_type AS predicted
+  FROM train
+  QUALIFY row_number() OVER (PARTITION BY prev_type
+    ORDER BY c DESC, next_type ASC) = 1
+), test AS (
+  SELECT prev_type, next_type FROM pairs WHERE user_id % 2 = 1
+)
+SELECT t.prev_type, m.predicted,
+  CAST(count(*) AS BIGINT) AS n_test,
+  CAST(count(CASE WHEN t.next_type = m.predicted THEN 1 END) AS BIGINT)
+    AS n_correct,
+  CAST(count(CASE WHEN t.next_type = m.predicted THEN 1 END) AS BIGINT)
+    * 1000000 // CAST(count(*) AS BIGINT) AS accuracy_ppm
+FROM test t JOIN model m ON t.prev_type = m.prev_type
+GROUP BY t.prev_type, m.predicted
+""",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    pairs = pairs.localCheckpoint()  # feeds train AND test halves
+    train = (
+        pairs.filter(F.col("user_id") % 2 == 0)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    model = (
+        train.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = pairs.filter(F.col("user_id") % 2 == 1).select(
+        "prev_type", "next_type"
+    )
+    correct = F.count(
+        F.when(F.col("next_type") == F.col("predicted"), F.lit(1))
+    )
+    return (
+        test.join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            correct.cast("bigint").alias("n_correct"),
+            F.expr(
+                "CAST(count(CASE WHEN next_type = predicted THEN 1 END)"
+                " AS BIGINT) * 1000000 div count(*)"
+            ).alias("accuracy_ppm"),
+        )
+    )

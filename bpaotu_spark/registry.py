@@ -228,6 +228,9 @@ PRIORITY: tuple[str, ...] = (
     "daily_revenue_gapfill",
     "rare_category_collapse",
     "bloom_fpp_measured",
+    "corpus_regex_scrub_apply",
+    "markov_next_event_accuracy",
+    "heldout_bigram_perplexity",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

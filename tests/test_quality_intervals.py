@@ -299,3 +299,41 @@ def test_bloom_fpp_measured_consistent(spark, sf_dir):
     if r.fpp_theoretical_ppm >= 1000 and r.n_probes >= 1000:
         assert r.fpp_measured_ppm <= 5 * r.fpp_theoretical_ppm + 1000
         assert 5 * r.fpp_measured_ppm + 1000 >= r.fpp_theoretical_ppm
+
+
+def test_scrub_apply_receipt(spark, sf_dir):
+    df = QUERIES["corpus_regex_scrub_apply"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert df.count() == docs.count()
+    rows = df.filter(F.col("doc_id") % 10 == 0).collect()
+    for r in rows:
+        # changed implies at least one match and vice versa (mask tokens
+        # never equal the matched text on this corpus)
+        assert r.changed == (r.n_matches > 0)
+        assert len(r.masked_md5) == 32
+
+
+def test_markov_eval_accuracy_bounds(spark, sf_dir):
+    rows = QUERIES["markov_next_event_accuracy"](spark, sf_dir).collect()
+    assert rows
+    states = {r.prev_type for r in rows}
+    assert states <= {"signup", "view", "click", "purchase", "error"}
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert r.accuracy_ppm == r.n_correct * 1_000_000 // r.n_test
+        # a 5-state chain's argmax predictor must beat 1/25 trivially
+        assert r.accuracy_ppm > 40_000
+
+
+def test_heldout_perplexity_exceeds_in_domain(spark, sf_dir):
+    held = {
+        r.lang: r
+        for r in QUERIES["heldout_bigram_perplexity"](spark, sf_dir).collect()
+    }
+    assert held
+    for r in held.values():
+        assert r.n_pairs > 0 and r.n_heldout_docs > 0
+        assert r.avg_cost_micronats == r.total_cost_micronats // r.n_pairs
+        # add-one smoothing over a real vocab: cost must be positive and
+        # below ln(V·max_c) ~ 20 nats
+        assert 0 < r.avg_cost_micronats < 20_000_000

@@ -278,6 +278,7 @@ HEADLINE = (
     "corpus_regex_scrub_apply",
     "markov_next_event_accuracy",
     "heldout_bigram_perplexity",
+    "ann_filtered_topk",
 )
 
 

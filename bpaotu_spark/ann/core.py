@@ -2414,3 +2414,86 @@ def embedding_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("margin_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_filtered_topk — metadata-filtered vector search with PRE-filter
+# semantics: the label predicate (same label parity as the query)
+# restricts the candidate set BEFORE ranking, so every query gets its
+# full k results from the eligible subset. The semantics every vector
+# DB documents as the hard case — POST-filtering an unfiltered top-k
+# silently returns < k (or misses eligible vectors entirely) once the
+# filter is selective; the oracle-hashed pre-filter result is the
+# correctness contract an IVF/LSH filtered search must reproduce.
+#
+# Scale shape: identical to ann_bruteforce_topk (broadcast query set,
+# one corpus scan) — the predicate lands in the join condition, so
+# Catalyst prunes candidates before the fold-cosine evaluates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS q_label, v AS qv
+  FROM e WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cand_id, label AS c_label, v AS cv FROM e
+), scored AS (
+  SELECT query_id, q_label, cand_id, round({_COS}, 6) AS cos_r
+  FROM q JOIN c ON query_id != cand_id AND c_label % 2 = q_label % 2
+)
+SELECT query_id, q_label, cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_r DESC, cand_id ASC) AS INTEGER) AS rnk,
+  CAST(round(cos_r, 4) AS DOUBLE) AS cos_sim
+FROM scored
+QUALIFY rnk <= {TOP_K}
+""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("nc"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("cand_id"))
+        & (F.col("c_label") % 2 == F.col("q_label") % 2),
+    ).select(
+        "query_id",
+        "q_label",
+        "cand_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "q_label",
+            "cand_id",
+            "rnk",
+            F.round("cos_r", 4).cast("double").alias("cos_sim"),
+        )
+    )

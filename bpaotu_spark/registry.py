@@ -231,6 +231,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_regex_scrub_apply",
     "markov_next_event_accuracy",
     "heldout_bigram_perplexity",
+    "ann_filtered_topk",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -337,3 +337,20 @@ def test_heldout_perplexity_exceeds_in_domain(spark, sf_dir):
         # add-one smoothing over a real vocab: cost must be positive and
         # below ln(V·max_c) ~ 20 nats
         assert 0 < r.avg_cost_micronats < 20_000_000
+
+
+def test_filtered_topk_respects_predicate(spark, sf_dir):
+    rows = QUERIES["ann_filtered_topk"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        # pre-filter: every returned candidate satisfies the predicate
+        assert labels[r.cand_id] % 2 == r.q_label % 2
+        assert r.cand_id != r.query_id
+    for _, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)

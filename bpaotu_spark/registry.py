@@ -117,34 +117,48 @@ PRIORITY: tuple[str, ...] = (
     "embedding_cell_residual_stats",
     "dedup_family_agreement",
     "approx_distinct_kmv",
+    # (A3) NEW in session 3 of round 6 — the most semantics-dense of
+    # the 16 session-3 additions take the window slots freed below
+    "permanova_pseudo_f",
+    "heldout_bigram_perplexity",
+    "ccnet_perplexity_tertiles",
+    "gopher_quality_rules",
+    "scd2_user_state_intervals",
+    "revenue_cusum_changepoint",
+    "embedding_cosine_pair_histogram",
+    "bloom_fpp_measured",
+    "centroid_assignment_accuracy",
     # (B) never driver-verified, oracle-backed — evidence rotation
-    # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01
-    "chao1_richness",
+    # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01.
+    # The nine r5-judge-re-verified keys (chao1, dsir, fertility,
+    # zorder, anosim, curriculum, theil, twonn, jsd) moved below the
+    # boundary — they already hold independent evidence rows.
     "pielou_evenness",
     "rank_abundance_curve",
-    "dsir_importance_select",
-    "tokenizer_fertility",
-    "zorder_file_pruning",
-    "anosim_groups",
     "order_price_reconciliation",
     "join_skew_audit",
-    "curriculum_schedule",
     "kfold_assignment",
     "partition_balance_audit",
     "species_accumulation_curve",
     "rapid_fire_users",
     "benford_first_digit",
-    "theil_inequality",
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
     "heaps_law_estimate",
     "entropy_dedup_calibration",
-    "intrinsic_dimension_twonn",
     "mantel_test_gradient",
     "markov_entropy_rate",
     "part_supply_resilience",
-    "source_jsd_matrix",
     # ---- ~50-entry window boundary ----
+    "chao1_richness",
+    "dsir_importance_select",
+    "tokenizer_fertility",
+    "zorder_file_pruning",
+    "anosim_groups",
+    "curriculum_schedule",
+    "theil_inequality",
+    "intrinsic_dimension_twonn",
+    "source_jsd_matrix",
     "churn_reactivation_quarterly",
     "returnflag_drift_yearly",
     "laspeyres_price_index",
@@ -207,30 +221,21 @@ PRIORITY: tuple[str, ...] = (
     "corpus_length_token_corr",
     "supplier_return_rate",
     "events_hourly_heatmap",
-    # (R7 QUEUE, session-3 additions) new oracle-backed operators —
-    # never driver-seen, must enter the round-7 window with the rest
-    "gopher_quality_rules",
-    "ccnet_perplexity_tertiles",
+    # (R7 QUEUE, session-3 additions) the session-3 operators that did
+    # NOT fit the 50-slot window — never driver-seen, rotate into r7
     "doc_ngram_rep_profile",
     "window_funnel_strict",
-    "scd2_user_state_intervals",
-    "revenue_cusum_changepoint",
-    "permanova_pseudo_f",
-    "embedding_cosine_pair_histogram",
     "otu_region_overlap",
     "dim_broadcast_advisor",
     "knn_degree_assortativity",
     "weighted_sample_es",
     "part_price_size_skyline",
     "segment_nation_mutual_info",
-    "centroid_assignment_accuracy",
     "embedding_triplet_margin",
     "daily_revenue_gapfill",
     "rare_category_collapse",
-    "bloom_fpp_measured",
     "corpus_regex_scrub_apply",
     "markov_next_event_accuracy",
-    "heldout_bigram_perplexity",
     "ann_filtered_topk",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round

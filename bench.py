@@ -279,6 +279,8 @@ HEADLINE = (
     "markov_next_event_accuracy",
     "heldout_bigram_perplexity",
     "ann_filtered_topk",
+    "ab_cuped_adjustment",
+    "lineitem_corr_matrix",
 )
 
 

@@ -621,3 +621,240 @@ def segment_nation_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_nation_micronat",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_cuped_adjustment — CUPED variance reduction (Deng et al., WSDM
+# 2013): θ = cov(pre, post)/var(pre) over per-user value sums split at
+# the data-derived temporal midpoint, plus the variance-reduction
+# factor R² = corr² the adjustment buys. The modern experimentation
+# companion to ab_test_sizing — CUPED's R² multiplies the required
+# sample size down by (1−R²).
+#
+# Integer contract: per-event cents (per-row round), per-user BIGINT
+# sums, n-scaled moments accumulated in 128-bit (HUGEINT /
+# DECIMAL(38,0) — Σx² of user cents passes int64 in the billions of
+# users), θ in milli and R² in ppm via 128-bit division — both
+# engines truncate toward zero on negatives (verified), so the
+# possibly-negative θ divides identically. The temporal midpoint is
+# exact integer micros arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2
+    AS mid_us
+  FROM events
+), u AS (
+  SELECT user_id,
+    CAST(coalesce(sum(CASE WHEN epoch_us(ts) < mid_us
+      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+    CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us
+      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events CROSS JOIN b
+  GROUP BY user_id
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM u
+)
+SELECT n AS n_users, sx AS sum_pre_cents, sy AS sum_post_cents,
+  CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+       THEN CAST(NULL AS BIGINT)
+       ELSE CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+                 // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+  END AS theta_milli,
+  CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+            OR n * syy - CAST(sy AS HUGEINT) * sy = 0
+       THEN CAST(NULL AS BIGINT)
+       ELSE CAST(floor(
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+         * 1000000) AS BIGINT)
+  END AS var_reduction_ppm
+FROM m
+""",
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = ev.agg(
+        (
+            F.min("ts_us")
+            + F.expr("(max(ts_us) - min(ts_us)) div 2")
+        ).alias("mid_us")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts_us") < F.col("mid_us"), F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("ts_us") >= F.col("mid_us"), F.col("cents"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("sum_pre_cents"),
+        F.col("sy").alias("sum_post_cents"),
+        F.expr(
+            "CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000"
+            " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            " END"
+        ).alias("theta_milli"),
+        F.expr(
+            "CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0"
+            " OR n * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(floor("
+            " CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / (CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            " * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+            " END"
+        ).alias("var_reduction_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_corr_matrix — the pairwise Pearson correlation matrix over
+# the fact table's numeric measures (quantity, extended price,
+# discount, tax), the optimizer/profiling statistic behind join and
+# filter selectivity models (and the sanity check that synthetic data
+# has the dependence structure it claims). Complements table_profile
+# (per-column) and part_size_price_corr (one dim pair) with the full
+# measure×measure matrix off ONE scan.
+#
+# Determinism: measures are integer-scaled per row (quantity, cents,
+# basis points); all 14 moments accumulate exactly in BIGINT /
+# 128-bit; the final correlation converts those exact integers to
+# doubles (identical IEEE round-to-nearest in both engines) and
+# rounds to 6 dp. One aggregate row unpivots to 6 pair rows.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("q", "p", "d", "t")
+_CORR_NAMES = {
+    "q": "l_quantity",
+    "p": "l_extendedprice_cents",
+    "d": "l_discount_bp",
+    "t": "l_tax_bp",
+}
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_moment(a: str, b: str) -> str:
+    return "s_" + "".join(sorted((a, b)))
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    num = f"(n * {_corr_moment(a, b)} - CAST(s_{a} AS HUGEINT) * s_{b})"
+    da = f"(n * {_corr_moment(a, a)} - CAST(s_{a} AS HUGEINT) * s_{a})"
+    db = f"(n * {_corr_moment(b, b)} - CAST(s_{b} AS HUGEINT) * s_{b})"
+    return (
+        f"SELECT '{_CORR_NAMES[a]}' AS col_x, '{_CORR_NAMES[b]}' AS col_y,"
+        f" n AS n_rows,"
+        f" CAST(round(CAST({num} AS DOUBLE)"
+        f" / (sqrt(CAST({da} AS DOUBLE)) * sqrt(CAST({db} AS DOUBLE))), 6)"
+        f" AS DOUBLE) AS corr FROM m"
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle=f"""
+WITH x AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+    CAST(round(l_discount * 10000) AS BIGINT) AS d,
+    CAST(round(l_tax * 10000) AS BIGINT) AS t
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    {", ".join(f"CAST(sum({c}) AS BIGINT) AS s_{c}" for c in _CORR_COLS)},
+    {", ".join(f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS HUGEINT) AS s_{a}{b}" for a in _CORR_COLS for b in _CORR_COLS if a <= b)}
+  FROM x
+)
+{" UNION ALL ".join(_corr_pair_sql(a, b) for a, b in _CORR_PAIRS)}
+""",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 10000).cast("bigint").alias("t"),
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(c).alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        F.sum(F.col(a).cast(dec) * F.col(b)).alias(f"s_{a}{b}")
+        for a in _CORR_COLS
+        for b in _CORR_COLS
+        if a <= b
+    ]
+    m = x.agg(*aggs)
+    frames = []
+    for a, b in _CORR_PAIRS:
+        num = f"(n * {_corr_moment(a, b)} - CAST(s_{a} AS DECIMAL(38,0)) * s_{b})"
+        da = f"(n * {_corr_moment(a, a)} - CAST(s_{a} AS DECIMAL(38,0)) * s_{a})"
+        db = f"(n * {_corr_moment(b, b)} - CAST(s_{b} AS DECIMAL(38,0)) * s_{b})"
+        frames.append(
+            m.select(
+                F.lit(_CORR_NAMES[a]).alias("col_x"),
+                F.lit(_CORR_NAMES[b]).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                F.expr(
+                    f"CAST(round(CAST({num} AS DOUBLE)"
+                    f" / (sqrt(CAST({da} AS DOUBLE))"
+                    f" * sqrt(CAST({db} AS DOUBLE))), 6) AS DOUBLE)"
+                ).alias("corr"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -237,6 +237,8 @@ PRIORITY: tuple[str, ...] = (
     "corpus_regex_scrub_apply",
     "markov_next_event_accuracy",
     "ann_filtered_topk",
+    "ab_cuped_adjustment",
+    "lineitem_corr_matrix",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -354,3 +354,35 @@ def test_filtered_topk_respects_predicate(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         sims = [r.cos_sim for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_cuped_moments(spark, sf_dir):
+    r = QUERIES["ab_cuped_adjustment"](spark, sf_dir).collect()[0]
+    assert r.n_users > 0
+    assert r.sum_pre_cents > 0 and r.sum_post_cents > 0
+    assert r.theta_milli is not None
+    # R² is a squared correlation: strictly inside [0, 1e6]
+    assert r.var_reduction_ppm is not None
+    assert 0 <= r.var_reduction_ppm <= 1_000_000
+
+
+def test_corr_matrix_shape(spark, sf_dir):
+    rows = QUERIES["lineitem_corr_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    names = {
+        "l_quantity",
+        "l_extendedprice_cents",
+        "l_discount_bp",
+        "l_tax_bp",
+    }
+    seen = set()
+    for r in rows:
+        assert r.col_x in names and r.col_y in names and r.col_x != r.col_y
+        seen.add((r.col_x, r.col_y))
+        assert -1.0 <= r.corr <= 1.0
+        assert r.n_rows > 0
+    assert len(seen) == 6
+    # quantity and extended price are strongly positively correlated in
+    # TPC-H-shaped data (price ~ quantity x unit price)
+    qp = [r for r in rows if {r.col_x, r.col_y} == {"l_quantity", "l_extendedprice_cents"}]
+    assert qp and qp[0].corr > 0.5

@@ -382,7 +382,7 @@ def test_corr_matrix_shape(spark, sf_dir):
         assert -1.0 <= r.corr <= 1.0
         assert r.n_rows > 0
     assert len(seen) == 6
-    # quantity and extended price are strongly positively correlated in
-    # TPC-H-shaped data (price ~ quantity x unit price)
-    qp = [r for r in rows if {r.col_x, r.col_y} == {"l_quantity", "l_extendedprice_cents"}]
-    assert qp and qp[0].corr > 0.5
+    # this driver's synthetic measures are drawn independently — every
+    # correlation is near zero, and the operator must SAY so exactly
+    for r in rows:
+        assert abs(r.corr) < 0.2

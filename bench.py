@@ -281,6 +281,8 @@ HEADLINE = (
     "ann_filtered_topk",
     "ab_cuped_adjustment",
     "lineitem_corr_matrix",
+    "revenue_v_shape_patterns",
+    "token_budget_apportion",
 )
 
 

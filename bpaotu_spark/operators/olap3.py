@@ -620,3 +620,228 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("category", "n_source_categories", "n_parts", "share_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_v_shape_patterns — sequence-pattern detection (the SQL:2016
+# MATCH_RECOGNIZE shape Spark lacks) expressed as a composition:
+# day-over-day sign → run-length encoding via the change-flag cumsum
+# (the scd2_user_state_intervals trick on the sign column) → adjacent
+# run pairing with lead(). A "V" is a strictly-down run of ≥3 days
+# immediately followed by a strictly-up run of ≥3 days; the report
+# gives its extent, depth, and recovery. PATTERN (DOWN{3,} UP{3,}) in
+# MATCH_RECOGNIZE terms, with DOWN := x < prev(x), UP := x > prev(x).
+#
+# Scale shape: daily revenue is the usual map-combined cents groupBy;
+# every window afterwards runs over the calendar-bounded daily series
+# (≤ ~2,400 rows at ANY fact size — the weekly_decomposition /
+# gapfill contract), so the unpartitioned windows are value-bounded.
+# Endpoint values use min_by/max_by (DuckDB arg_min/arg_max) on the
+# unique day key — no sort, engine-deterministic.
+# ---------------------------------------------------------------------------
+
+_V_MIN_RUN = 3
+
+
+@register(
+    "revenue_v_shape_patterns",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT day, x,
+    CASE WHEN x > lag(x) OVER w THEN 1
+         WHEN x < lag(x) OVER w THEN -1 ELSE 0 END AS sgn,
+    CASE WHEN lag(x) OVER w IS NULL THEN NULL ELSE 1 END AS has_prev
+  FROM d WINDOW w AS (ORDER BY day)
+), flagged AS (
+  SELECT day, x, sgn,
+    CASE WHEN lag(sgn) OVER (ORDER BY day) IS DISTINCT FROM sgn
+         THEN 1 ELSE 0 END AS chg
+  FROM s WHERE has_prev = 1
+), runs AS (
+  SELECT day, x, sgn,
+    CAST(sum(chg) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS run_id
+  FROM flagged
+), r AS (
+  SELECT run_id, min(sgn) AS sgn,
+    min(day) AS d0, max(day) AS d1,
+    CAST(count(*) AS BIGINT) AS len,
+    CAST(arg_min(x, day) AS BIGINT) AS x_first,
+    CAST(arg_max(x, day) AS BIGINT) AS x_last
+  FROM runs GROUP BY run_id
+), paired AS (
+  SELECT run_id, sgn, d0, d1, len, x_first, x_last,
+    lead(sgn) OVER o AS n_sgn, lead(d1) OVER o AS n_d1,
+    lead(len) OVER o AS n_len,
+    lead(x_first) OVER o AS n_x_first, lead(x_last) OVER o AS n_x_last
+  FROM r WINDOW o AS (ORDER BY run_id)
+)
+SELECT d0 AS down_start_day, d1 AS bottom_day, n_d1 AS recovery_day,
+  len AS down_days, CAST(n_len AS BIGINT) AS up_days,
+  x_first - x_last AS depth_cents,
+  CAST(n_x_last - n_x_first AS BIGINT) AS recovery_cents
+FROM paired
+WHERE sgn = -1 AND len >= {_V_MIN_RUN}
+  AND n_sgn = 1 AND n_len >= {_V_MIN_RUN}
+""",
+)
+def revenue_v_shape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    )
+    wd = Window.orderBy("day")
+    s = d.select(
+        "day",
+        "x",
+        F.when(F.col("x") > F.lag("x").over(wd), 1)
+        .when(F.col("x") < F.lag("x").over(wd), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.lag("x").over(wd).isNotNull().alias("has_prev"),
+    ).filter("has_prev")
+    chg = (
+        ~F.lag("sgn").over(wd).eqNullSafe(F.col("sgn"))
+    ).cast("long")
+    runs = s.select(
+        "day",
+        "x",
+        "sgn",
+        F.sum(chg)
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    r = runs.groupBy("run_id").agg(
+        F.min("sgn").alias("sgn"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min_by("x", "day").cast("bigint").alias("x_first"),
+        F.max_by("x", "day").cast("bigint").alias("x_last"),
+    )
+    wo = Window.orderBy("run_id")
+    paired = r.select(
+        "sgn",
+        "d0",
+        "d1",
+        "len",
+        "x_first",
+        "x_last",
+        F.lead("sgn").over(wo).alias("n_sgn"),
+        F.lead("d1").over(wo).alias("n_d1"),
+        F.lead("len").over(wo).alias("n_len"),
+        F.lead("x_first").over(wo).alias("n_x_first"),
+        F.lead("x_last").over(wo).alias("n_x_last"),
+    )
+    return paired.filter(
+        (F.col("sgn") == -1)
+        & (F.col("len") >= _V_MIN_RUN)
+        & (F.col("n_sgn") == 1)
+        & (F.col("n_len") >= _V_MIN_RUN)
+    ).select(
+        F.col("d0").alias("down_start_day"),
+        F.col("d1").alias("bottom_day"),
+        F.col("n_d1").alias("recovery_day"),
+        F.col("len").alias("down_days"),
+        F.col("n_len").cast("bigint").alias("up_days"),
+        (F.col("x_first") - F.col("x_last")).alias("depth_cents"),
+        (F.col("n_x_last") - F.col("n_x_first"))
+        .cast("bigint")
+        .alias("recovery_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_apportion — largest-remainder (Hamilton) apportionment
+# of a fixed token budget across languages in proportion to their
+# corpus token mass: floor quotas + remainders ranked (ties by lang)
+# hand out the leftover seats, so allocations are integers that sum
+# EXACTLY to the budget. The quota-planning twin of
+# corpus_mixture_plan — mixture_plan says what share each source
+# deserves; this turns shares into an exact integer token budget the
+# dataloader can consume.
+#
+# Scale shape: token mass per lang = one explode + map-combined
+# groupBy; everything after runs on the |langs|-row frame (bounded
+# windows, 1-row total broadcast).
+# ---------------------------------------------------------------------------
+
+_APPORTION_BUDGET = 1_000_000
+
+
+from bpaotu_spark.functions.textops import TOKENIZE_SQL as _TOK_SQL
+
+
+@register(
+    "token_budget_apportion",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS w
+  FROM (SELECT lang, unnest(toks) AS tok
+        FROM (SELECT lang, {_TOK_SQL} AS toks FROM documents))
+  GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wt FROM t
+), q AS (
+  SELECT lang, w,
+    CAST({_APPORTION_BUDGET} AS BIGINT) * w // wt AS floor_alloc,
+    CAST({_APPORTION_BUDGET} AS BIGINT) * w % wt AS rem
+  FROM t CROSS JOIN tot
+), lo AS (
+  SELECT CAST({_APPORTION_BUDGET} AS BIGINT)
+    - CAST(sum(floor_alloc) AS BIGINT) AS leftover
+  FROM q
+)
+SELECT lang, w AS tokens_w, floor_alloc,
+  CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT)
+    AS remainder_rank,
+  floor_alloc + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+    <= leftover THEN 1 ELSE 0 END AS final_alloc
+FROM q CROSS JOIN lo
+""",
+)
+def token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.functions.textops import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("w"))
+    tot = t.agg(F.sum("w").alias("wt"))
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "w",
+        F.expr(
+            f"CAST({_APPORTION_BUDGET} AS BIGINT) * w div wt"
+        ).alias("floor_alloc"),
+        F.expr(
+            f"CAST({_APPORTION_BUDGET} AS BIGINT) * w % wt"
+        ).alias("rem"),
+    )
+    lo = q.agg(
+        (F.lit(_APPORTION_BUDGET).cast("bigint") - F.sum("floor_alloc"))
+        .cast("bigint")
+        .alias("leftover")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "lang")
+    return (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn("remainder_rank", F.row_number().over(wr).cast("bigint"))
+        .select(
+            "lang",
+            F.col("w").alias("tokens_w"),
+            "floor_alloc",
+            "remainder_rank",
+            (
+                F.col("floor_alloc")
+                + F.when(
+                    F.col("remainder_rank") <= F.col("leftover"), 1
+                ).otherwise(0)
+            ).alias("final_alloc"),
+        )
+    )

@@ -239,6 +239,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",
     "ab_cuped_adjustment",
     "lineitem_corr_matrix",
+    "revenue_v_shape_patterns",
+    "token_budget_apportion",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -386,3 +386,26 @@ def test_corr_matrix_shape(spark, sf_dir):
     # correlation is near zero, and the operator must SAY so exactly
     for r in rows:
         assert abs(r.corr) < 0.2
+
+
+def test_v_shape_patterns_valid(spark, sf_dir):
+    rows = QUERIES["revenue_v_shape_patterns"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.down_start_day <= r.bottom_day < r.recovery_day
+        assert r.down_days >= 3 and r.up_days >= 3
+        # strictly-down run loses value; strictly-up run regains it
+        assert r.depth_cents > 0 and r.recovery_cents > 0
+        # run lengths match the calendar extent (runs are contiguous days
+        # only when no zero-change days interrupt; extent is an upper bound)
+        assert (r.bottom_day - r.down_start_day).days + 1 >= r.down_days
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    rows = QUERIES["token_budget_apportion"](spark, sf_dir).collect()
+    assert sum(r.final_alloc for r in rows) == 1_000_000
+    total_w = sum(r.tokens_w for r in rows)
+    for r in rows:
+        assert r.final_alloc in (r.floor_alloc, r.floor_alloc + 1)
+        # quota error strictly under one seat (largest-remainder property)
+        exact = 1_000_000 * r.tokens_w / total_w
+        assert abs(r.final_alloc - exact) < 1

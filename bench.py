@@ -283,6 +283,7 @@ HEADLINE = (
     "lineitem_corr_matrix",
     "revenue_v_shape_patterns",
     "token_budget_apportion",
+    "contextual_filter_upset",
 )
 
 

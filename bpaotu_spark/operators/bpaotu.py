@@ -1788,3 +1788,60 @@ def map_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(lvl(z1, 1))
         .unionAll(lvl(z0, 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# contextual_filter_upset — the UpSet-plot census behind the portal's
+# filter UI (reference builds each predicate via ContextualFilter,
+# bpaotu/otu/query.py): for three contextual predicates A/B/C, count
+# every membership COMBINATION (2³ cells) in one scan, so the user
+# sees how the filters interact before intersecting them. The same
+# Pred specs drive the Spark plan and the oracle (plans/filters.py
+# single-source contract), and the flags are computed as columns —
+# no scan-per-combination, no self-joins.
+#
+# Scale shape: one context scan with broadcast dims, a map-combined
+# groupBy over ≤8 flag cells, a 1-row total broadcast for shares.
+# ---------------------------------------------------------------------------
+
+_UPSET_PREDS = (
+    ("in_a", Pred("c_acctbal", "gt", 3000.0)),
+    ("in_b", Pred("c_mktsegment", "in", ("BUILDING", "AUTOMOBILE"))),
+    ("in_c", Pred("r_name", "eq", "ASIA")),
+)
+
+
+@register(
+    "contextual_filter_upset",
+    oracle=f"""
+WITH {_CONTEXT_SQL},
+flags AS (
+  SELECT {", ".join(f"({p.sql()}) AS {name}" for name, p in _UPSET_PREDS)}
+  FROM context
+), cells AS (
+  SELECT in_a, in_b, in_c, CAST(count(*) AS BIGINT) AS n_samples
+  FROM flags GROUP BY in_a, in_b, in_c
+), tot AS (
+  SELECT CAST(sum(n_samples) AS BIGINT) AS total FROM cells
+)
+SELECT in_a, in_b, in_c, n_samples,
+  n_samples * 1000000 // total AS share_ppm
+FROM cells CROSS JOIN tot
+""",
+)
+def contextual_filter_upset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = sample_context(spark, sf_dir)
+    flags = ctx.select(
+        *[p.column().alias(name) for name, p in _UPSET_PREDS]
+    )
+    cells = flags.groupBy("in_a", "in_b", "in_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples")
+    )
+    tot = cells.agg(F.sum("n_samples").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "in_a",
+        "in_b",
+        "in_c",
+        "n_samples",
+        F.expr("n_samples * 1000000 div total").alias("share_ppm"),
+    )

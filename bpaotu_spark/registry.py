@@ -241,6 +241,7 @@ PRIORITY: tuple[str, ...] = (
     "lineitem_corr_matrix",
     "revenue_v_shape_patterns",
     "token_budget_apportion",
+    "contextual_filter_upset",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

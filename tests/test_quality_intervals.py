@@ -409,3 +409,13 @@ def test_apportionment_sums_to_budget(spark, sf_dir):
         # quota error strictly under one seat (largest-remainder property)
         exact = 1_000_000 * r.tokens_w / total_w
         assert abs(r.final_alloc - exact) < 1
+
+
+def test_upset_cells_partition_context(spark, sf_dir):
+    rows = QUERIES["contextual_filter_upset"](spark, sf_dir).collect()
+    assert len(rows) <= 8
+    combos = {(r.in_a, r.in_b, r.in_c) for r in rows}
+    assert len(combos) == len(rows)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n_samples for r in rows) == cust
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)

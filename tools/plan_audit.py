@@ -57,6 +57,7 @@ ALLOWED_BNLJ = {
     "ann_filtered_topk": "broadcast query set (N_QUERIES rows), non-equi != + parity predicate (ann_bruteforce shape)",
     "ab_cuped_adjustment": "broadcast 1-row temporal-midpoint scalar into the event scan",
     "token_budget_apportion": "broadcast 1-row total/leftover scalars over the |langs| frame",
+    "contextual_filter_upset": "broadcast 1-row grand-total scalar over the 8-cell flag frame",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
     "tfidf_top_terms_approx": "broadcast 1-row corpus-size scalar (as exact tfidf)",

@@ -284,6 +284,8 @@ HEADLINE = (
     "revenue_v_shape_patterns",
     "token_budget_apportion",
     "contextual_filter_upset",
+    "embedding_dim_quantiles",
+    "scd2_containment_audit",
 )
 
 

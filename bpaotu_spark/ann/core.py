@@ -2497,3 +2497,70 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_r", 4).cast("double").alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_quantiles — exact per-dimension p05/p50/p95 of the
+# embedding matrix: the calibration table a quantizer needs BEFORE
+# choosing clip ranges (vector_quantize_int8 clips at min/max, which
+# a single outlier wrecks — quantile clipping is the production
+# choice; this op supplies the quantiles). Values are read straight
+# from the data at exact type-1 quantile ranks (rank = floor((n−1)q)+1
+# over the (value, vec_id) total order) — no arithmetic, no floats to
+# disagree on.
+#
+# Scale shape: one posexplode (the embedding_dim_stats scan), then a
+# row_number window PARTITIONED BY dim — 64 independent partitions of
+# |vectors| rows each, parallelism = dim count, never a global sort.
+# ---------------------------------------------------------------------------
+
+_DIMQ_QS = ((5, "p05"), (50, "p50"), (95, "p95"))
+
+
+@register(
+    "embedding_dim_quantiles",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+), rk AS (
+  SELECT dim, val,
+    CAST(row_number() OVER (PARTITION BY dim ORDER BY val, vec_id)
+      AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+  FROM x
+)
+SELECT dim, n AS n_values,
+  {", ".join(f"CAST(max(CASE WHEN rn = (n - 1) * {q} // 100 + 1 THEN val END) AS DOUBLE) AS {name}" for q, name in _DIMQ_QS)}
+FROM rk GROUP BY dim, n
+""",
+)
+def embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select("vec_id", F.posexplode("v").alias("pos", "val")).select(
+        "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "val"
+    )
+    wd = Window.partitionBy("dim")
+    rk = x.select(
+        "dim",
+        "val",
+        F.row_number()
+        .over(wd.orderBy("val", "vec_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n - 1) * {q} div 100 + 1"),
+                F.col("val"),
+            )
+        )
+        .cast("double")
+        .alias(name)
+        for q, name in _DIMQ_QS
+    ]
+    return rk.groupBy("dim", F.col("n").alias("n_values")).agg(*aggs)

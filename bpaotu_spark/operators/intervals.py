@@ -284,3 +284,109 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_containment_audit — temporal-containment join audit: assign
+# every event back to its user's SCD2 validity interval (user-keyed
+# equi join + half-open ts range predicate) and verify the interval's
+# recorded n_events equals the events it actually contains. The
+# consistency check every SCD2 dimension build ships with — and the
+# interval-containment join shape (equi key + range residual, NOT a
+# nested loop: the shuffle keys on user_id and the range predicate
+# filters within the key group) that point-in-time lookups use.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_containment_audit",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, interval_seq, state, valid_from, valid_to, n_events
+  FROM (
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ivs AS (
+      SELECT user_id, ts, event_type,
+        CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS interval_seq
+      FROM e
+    ), g AS (
+      SELECT user_id, interval_seq, event_type AS state,
+        min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM ivs GROUP BY user_id, interval_seq, event_type
+    )
+    SELECT user_id, interval_seq, state, valid_from,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_seq)
+        AS valid_to,
+      n_events
+    FROM g
+  )
+), contained AS (
+  SELECT iv.user_id, iv.interval_seq,
+    CAST(count(*) AS BIGINT) AS n_contained,
+    CAST(count(CASE WHEN e.event_type = iv.state THEN 1 END) AS BIGINT)
+      AS n_state_match
+  FROM iv JOIN events e
+    ON e.user_id = iv.user_id
+   AND e.ts >= iv.valid_from
+   AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+  GROUP BY iv.user_id, iv.interval_seq
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(iv.n_events) AS BIGINT) AS n_events_recorded,
+  CAST(sum(c.n_contained) AS BIGINT) AS n_events_contained,
+  CAST(count(CASE WHEN c.n_contained = iv.n_events
+                   AND c.n_state_match = iv.n_events THEN 1 END)
+    AS BIGINT) AS n_intervals_consistent
+FROM iv JOIN contained c
+  ON iv.user_id = c.user_id AND iv.interval_seq = c.interval_seq
+""",
+)
+def scd2_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit: does every interval contain exactly its events?
+
+    Composes the registered SCD2 build (same Spark plan), joins events
+    back by (user_id equi + half-open ts containment), and reports
+    interval-level consistency. On consistent data
+    n_intervals_consistent == n_intervals and the two event totals
+    agree — the audit exists to catch when they don't.
+    """
+    from bpaotu_spark.registry import QUERIES
+
+    iv = QUERIES["scd2_user_state_intervals"](spark, sf_dir)
+    iv = iv.localCheckpoint()  # feeds the join AND the final totals
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    joined = ev.join(
+        iv,
+        (ev.user_id == iv.user_id)
+        & (ev.ts >= iv.valid_from)
+        & (iv.valid_to.isNull() | (ev.ts < iv.valid_to)),
+    )
+    contained = joined.groupBy(iv.user_id, iv.interval_seq).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contained"),
+        F.count(F.when(ev.event_type == iv.state, F.lit(1)))
+        .cast("bigint")
+        .alias("n_state_match"),
+    )
+    audit = iv.join(contained, ["user_id", "interval_seq"])
+    ok = (F.col("n_contained") == F.col("n_events")) & (
+        F.col("n_state_match") == F.col("n_events")
+    )
+    return audit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("n_events").cast("bigint").alias("n_events_recorded"),
+        F.sum("n_contained").cast("bigint").alias("n_events_contained"),
+        F.count(F.when(ok, F.lit(1)))
+        .cast("bigint")
+        .alias("n_intervals_consistent"),
+    )

@@ -242,6 +242,8 @@ PRIORITY: tuple[str, ...] = (
     "revenue_v_shape_patterns",
     "token_budget_apportion",
     "contextual_filter_upset",
+    "embedding_dim_quantiles",
+    "scd2_containment_audit",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -419,3 +419,20 @@ def test_upset_cells_partition_context(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert sum(r.n_samples for r in rows) == cust
     assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_dim_quantiles_ordered(spark, sf_dir):
+    rows = QUERIES["embedding_dim_quantiles"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.p05 <= r.p50 <= r.p95
+        assert r.n_values > 0
+
+
+def test_scd2_containment_consistent(spark, sf_dir):
+    r = QUERIES["scd2_containment_audit"](spark, sf_dir).collect()[0]
+    # the build and the containment join must agree exactly on clean data
+    assert r.n_intervals_consistent == r.n_intervals
+    assert r.n_events_recorded == r.n_events_contained
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert r.n_events_recorded == ev

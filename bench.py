@@ -286,6 +286,7 @@ HEADLINE = (
     "contextual_filter_upset",
     "embedding_dim_quantiles",
     "scd2_containment_audit",
+    "markov_calibration_reliability",
 )
 
 

@@ -400,3 +400,117 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_calibration_reliability — the calibration companion to
+# markov_next_event_accuracy (same even/odd user split): bucket test
+# transitions by the model's CONFIDENCE (the argmax transition share
+# in ppm, learned on train) and compare confidence against observed
+# accuracy per bucket — the reliability-diagram / expected-calibration
+# -error view. A predictor can be accurate yet miscalibrated; this op
+# reports the gap the accuracy number hides.
+#
+# Scale shape: identical exchanges to the accuracy op (user-keyed lag
+# window, |states|² train aggregate, broadcast model); the reliability
+# rollup groups ≤10 confidence deciles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_calibration_reliability",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), pairs AS (
+  SELECT user_id, event_type AS prev_type, next_type
+  FROM seq WHERE next_type IS NOT NULL
+), train AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE user_id % 2 = 0 GROUP BY prev_type, next_type
+), totals AS (
+  SELECT prev_type, CAST(sum(c) AS BIGINT) AS c_tot
+  FROM train GROUP BY prev_type
+), model AS (
+  SELECT t.prev_type, t.next_type AS predicted,
+    t.c * 1000000 // tt.c_tot AS conf_ppm
+  FROM train t JOIN totals tt ON t.prev_type = tt.prev_type
+  QUALIFY row_number() OVER (PARTITION BY t.prev_type
+    ORDER BY t.c DESC, t.next_type ASC) = 1
+), test AS (
+  SELECT prev_type, next_type FROM pairs WHERE user_id % 2 = 1
+), scored AS (
+  SELECT m.conf_ppm // 100000 AS conf_decile, m.conf_ppm,
+    CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END AS hit
+  FROM test t JOIN model m ON t.prev_type = m.prev_type
+)
+SELECT conf_decile,
+  CAST(count(*) AS BIGINT) AS n_test,
+  CAST(sum(conf_ppm) AS BIGINT) // count(*) AS mean_conf_ppm,
+  CAST(sum(hit) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+    AS observed_acc_ppm,
+  CAST(sum(conf_ppm) AS BIGINT) // count(*)
+    - CAST(sum(hit) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+    AS calibration_gap_ppm
+FROM scored GROUP BY conf_decile
+""",
+)
+def markov_calibration_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .localCheckpoint()
+    )
+    train = (
+        pairs.filter(F.col("user_id") % 2 == 0)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = train.groupBy("prev_type").agg(F.sum("c").alias("c_tot"))
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    model = (
+        train.join(F.broadcast(totals), "prev_type")
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select(
+            "prev_type",
+            F.col("next_type").alias("predicted"),
+            F.expr("c * 1000000 div c_tot").alias("conf_ppm"),
+        )
+    )
+    test = pairs.filter(F.col("user_id") % 2 == 1).select(
+        "prev_type", "next_type"
+    )
+    scored = test.join(F.broadcast(model), "prev_type").select(
+        F.expr("conf_ppm div 100000").alias("conf_decile"),
+        "conf_ppm",
+        F.when(F.col("next_type") == F.col("predicted"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return scored.groupBy("conf_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.expr("sum(conf_ppm) div count(*)").alias("mean_conf_ppm"),
+        F.expr(
+            "CAST(sum(hit) AS BIGINT) * 1000000 div count(*)"
+        ).alias("observed_acc_ppm"),
+        F.expr(
+            "sum(conf_ppm) div count(*)"
+            " - CAST(sum(hit) AS BIGINT) * 1000000 div count(*)"
+        ).alias("calibration_gap_ppm"),
+    )

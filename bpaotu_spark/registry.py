@@ -244,6 +244,7 @@ PRIORITY: tuple[str, ...] = (
     "contextual_filter_upset",
     "embedding_dim_quantiles",
     "scd2_containment_audit",
+    "markov_calibration_reliability",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

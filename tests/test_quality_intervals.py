@@ -436,3 +436,21 @@ def test_scd2_containment_consistent(spark, sf_dir):
     assert r.n_events_recorded == r.n_events_contained
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert r.n_events_recorded == ev
+
+
+def test_calibration_buckets_sane(spark, sf_dir):
+    rows = QUERIES["markov_calibration_reliability"](spark, sf_dir).collect()
+    assert rows
+    acc = {
+        r.prev_type: r
+        for r in QUERIES["markov_next_event_accuracy"](spark, sf_dir).collect()
+    }
+    total_test = sum(r.n_test for r in acc.values())
+    assert sum(r.n_test for r in rows) == total_test
+    for r in rows:
+        assert 0 <= r.conf_decile <= 10
+        assert 0 <= r.observed_acc_ppm <= 1_000_000
+        assert 0 <= r.mean_conf_ppm <= 1_000_000
+        assert r.calibration_gap_ppm == r.mean_conf_ppm - r.observed_acc_ppm
+        # decile labeling consistent with the mean confidence inside it
+        assert r.mean_conf_ppm // 100_000 == r.conf_decile

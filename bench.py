@@ -287,6 +287,8 @@ HEADLINE = (
     "embedding_dim_quantiles",
     "scd2_containment_audit",
     "markov_calibration_reliability",
+    "knn_reciprocity",
+    "scd2_dwell_time_stats",
 )
 
 

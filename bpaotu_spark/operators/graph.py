@@ -346,3 +346,60 @@ def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("assortativity_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_reciprocity — share of directed kNN edges that are MUTUAL
+# (i ∈ kNN(j) and j ∈ kNN(i)). Mutual-kNN is the standard edge filter
+# before density clustering / dedup on a kNN graph (one-sided edges
+# are mostly hub artifacts); the reciprocity rate says how much of
+# the graph survives that filter — the go/no-go number for
+# mutual-kNN-based pipelines, complementing knn_degree_assortativity.
+#
+# Scale shape: the kNN edge table (≤ k·|vectors| rows) self-joined on
+# the REVERSED key pair — an equi join on (src, dst) = (dst, src),
+# shuffle-bounded by the edge table; the rollup is a 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_reciprocity",
+    oracle=f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+e AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+m AS (
+  SELECT a.src, a.dst
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_directed,
+  CAST(count(*) AS BIGINT) AS n_mutual_directed,
+  CAST(count(*) AS BIGINT) // 2 AS n_mutual_pairs,
+  CAST(count(*) AS BIGINT) * 1000000
+    // (SELECT CAST(count(*) AS BIGINT) FROM e) AS reciprocity_ppm
+FROM m
+""",
+)
+def knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.registry import QUERIES
+
+    e = (
+        QUERIES["knn_graph_lsh"](spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint()  # one LSH pass feeds both join sides + count
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    m = e.join(rev, ["src", "dst"])
+    n_dir = e.agg(F.count(F.lit(1)).alias("n_directed"))
+    return (
+        m.agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual_directed"))
+        .crossJoin(F.broadcast(n_dir))
+        .select(
+            "n_directed",
+            "n_mutual_directed",
+            F.expr("n_mutual_directed div 2").alias("n_mutual_pairs"),
+            F.expr(
+                "n_mutual_directed * 1000000 div n_directed"
+            ).alias("reciprocity_ppm"),
+        )
+    )

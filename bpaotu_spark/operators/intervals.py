@@ -390,3 +390,128 @@ def scd2_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_intervals_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_dwell_time_stats — per-state dwell-time distribution of the
+# SCD2 intervals (how long does a user stay in each state before
+# switching): count, mean, and EXACT median dwell seconds per state.
+# The lifecycle metric a state-machine product ships next to the SCD2
+# table itself; open (current) intervals have no dwell and are counted
+# separately.
+#
+# Scale shape: composes the registered SCD2 build; dwell stats are a
+# state-keyed groupBy, and the exact median ranks within each state
+# partition (|states| independent partitions — the value-bounded
+# window contract).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dwell_time_stats",
+    oracle="""
+WITH iv AS (
+  WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+      CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+           THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), ivs AS (
+    SELECT user_id, ts, event_type,
+      CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS interval_seq
+    FROM e
+  ), g AS (
+    SELECT user_id, interval_seq, event_type AS state,
+      min(ts) AS valid_from
+    FROM ivs GROUP BY user_id, interval_seq, event_type
+  )
+  SELECT user_id, interval_seq, state, valid_from,
+    lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_seq)
+      AS valid_to
+  FROM g
+), closed AS (
+  SELECT state, user_id, interval_seq,
+    epoch_us(valid_to) - epoch_us(valid_from) AS dwell_us
+  FROM iv WHERE valid_to IS NOT NULL
+), rk AS (
+  SELECT state, dwell_us,
+    CAST(row_number() OVER (PARTITION BY state
+      ORDER BY dwell_us, user_id, interval_seq) AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY state) AS BIGINT) AS n
+  FROM closed
+), med AS (
+  SELECT state,
+    CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN dwell_us END)
+      AS BIGINT) AS median_dwell_us
+  FROM rk GROUP BY state
+), st AS (
+  SELECT state, CAST(count(*) AS BIGINT) AS n_closed,
+    CAST(sum(dwell_us) AS BIGINT) // count(*) AS mean_dwell_us
+  FROM closed GROUP BY state
+), openiv AS (
+  SELECT state, CAST(count(*) AS BIGINT) AS n_open
+  FROM iv WHERE valid_to IS NULL GROUP BY state
+)
+SELECT st.state, n_closed, coalesce(o.n_open, 0) AS n_open,
+  mean_dwell_us, m.median_dwell_us
+FROM st JOIN med m ON st.state = m.state
+LEFT JOIN openiv o ON st.state = o.state
+""",
+)
+def scd2_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bpaotu_spark.registry import QUERIES
+
+    iv = QUERIES["scd2_user_state_intervals"](spark, sf_dir).localCheckpoint()
+    closed = iv.filter(F.col("valid_to").isNotNull()).select(
+        "state",
+        "user_id",
+        "interval_seq",
+        (
+            F.unix_micros("valid_to") - F.unix_micros("valid_from")
+        ).alias("dwell_us"),
+    )
+    ws = Window.partitionBy("state")
+    rk = closed.select(
+        "state",
+        "dwell_us",
+        F.row_number()
+        .over(ws.orderBy("dwell_us", "user_id", "interval_seq"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    med = rk.groupBy("state").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n - 1) div 2 + 1"), F.col("dwell_us")
+            )
+        )
+        .cast("bigint")
+        .alias("median_dwell_us")
+    )
+    st = closed.groupBy("state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_closed"),
+        F.expr("sum(dwell_us) div count(*)").alias("mean_dwell_us"),
+    )
+    openiv = (
+        iv.filter(F.col("valid_to").isNull())
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_open"))
+    )
+    return (
+        st.join(med, "state")
+        .join(F.broadcast(openiv), "state", "left")
+        .select(
+            "state",
+            "n_closed",
+            F.coalesce(F.col("n_open"), F.lit(0).cast("bigint")).alias(
+                "n_open"
+            ),
+            "mean_dwell_us",
+            "median_dwell_us",
+        )
+    )

@@ -245,6 +245,8 @@ PRIORITY: tuple[str, ...] = (
     "embedding_dim_quantiles",
     "scd2_containment_audit",
     "markov_calibration_reliability",
+    "knn_reciprocity",
+    "scd2_dwell_time_stats",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -454,3 +454,23 @@ def test_calibration_buckets_sane(spark, sf_dir):
         assert r.calibration_gap_ppm == r.mean_conf_ppm - r.observed_acc_ppm
         # decile labeling consistent with the mean confidence inside it
         assert r.mean_conf_ppm // 100_000 == r.conf_decile
+
+
+def test_reciprocity_bounds(spark, sf_dir):
+    r = QUERIES["knn_reciprocity"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_directed
+    assert 0 <= r.n_mutual_directed <= r.n_directed
+    assert r.n_mutual_directed % 2 == 0  # mutual edges come in pairs
+    assert r.n_mutual_pairs == r.n_mutual_directed // 2
+    assert r.reciprocity_ppm == r.n_mutual_directed * 1_000_000 // r.n_directed
+
+
+def test_dwell_time_accounting(spark, sf_dir):
+    rows = QUERIES["scd2_dwell_time_stats"](spark, sf_dir).collect()
+    iv = QUERIES["scd2_user_state_intervals"](spark, sf_dir)
+    n_intervals = iv.count()
+    n_open_total = iv.filter(F.col("valid_to").isNull()).count()
+    assert sum(r.n_closed + r.n_open for r in rows) == n_intervals
+    assert sum(r.n_open for r in rows) == n_open_total
+    for r in rows:
+        assert r.mean_dwell_us > 0 and r.median_dwell_us > 0

@@ -141,6 +141,19 @@ PRIORITY: tuple[str, ...] = (
     "partition_balance_audit",
     "species_accumulation_curve",
     "rapid_fire_users",
+    # (A4) NEW in session 4 of round 6 — all eight need first driver
+    # evidence; they displace eight never-verified B-entries to the
+    # head of the R7 queue (below the boundary)
+    "revenue_v_shape_patterns",
+    "token_budget_apportion",
+    "contextual_filter_upset",
+    "embedding_dim_quantiles",
+    "scd2_containment_audit",
+    "markov_calibration_reliability",
+    "knn_reciprocity",
+    "scd2_dwell_time_stats",
+    # ---- ~50-entry window boundary ----
+    # (R7 QUEUE head) displaced never-verified B-entries
     "benford_first_digit",
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
@@ -149,7 +162,6 @@ PRIORITY: tuple[str, ...] = (
     "mantel_test_gradient",
     "markov_entropy_rate",
     "part_supply_resilience",
-    # ---- ~50-entry window boundary ----
     "chao1_richness",
     "dsir_importance_select",
     "tokenizer_fertility",
@@ -239,14 +251,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",
     "ab_cuped_adjustment",
     "lineitem_corr_matrix",
-    "revenue_v_shape_patterns",
-    "token_budget_apportion",
-    "contextual_filter_upset",
-    "embedding_dim_quantiles",
-    "scd2_containment_audit",
-    "markov_calibration_reliability",
-    "knn_reciprocity",
-    "scd2_dwell_time_stats",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -471,3 +471,107 @@ def hill_numbers_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum_c2 AS BIGINT)"
         ).alias("hill_q2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ace_richness — Chao & Lee's ACE (abundance-based coverage estimator),
+# the standard companion to Chao1 on every diversity page (reference:
+# the alpha-diversity family; public muccg/bpaotu query.py abundance
+# endpoints). Rare OTUs are c <= 10 (the canonical cutoff):
+#
+#   C_ace  = 1 - F1 / N_rare
+#   gamma2 = max( S_rare * sum_{i<=10} i(i-1)F_i
+#                 / (C_ace * N_rare * (N_rare - 1)) - 1, 0 )
+#   ACE    = S_abund + S_rare / C_ace + F1 / C_ace * gamma2
+#
+# Determinism: all five aggregates are exact BIGINTs; the ACE value is
+# ONE per-sample scalar double expression evaluated in the identical
+# parenthesization on both engines (per-row double math is IEEE-
+# identical; only unordered float SUMS are forbidden), floored to
+# milli. Samples where ACE is undefined (N_rare <= F1, i.e. every rare
+# OTU is a singleton, or N_rare < 2) are excluded by both engines.
+#
+# Scale shape: same two keyed aggregations as chao1_richness — map-side
+# combine over (sample, otu), then per-sample rollup; no window, no
+# driver collect, no cross-sample traffic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ace_richness",
+    oracle=f"""
+WITH {_PER_OTU_CTE},
+st AS (
+  SELECT sample_id,
+    CAST(sum(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS s_abund,
+    CAST(sum(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS s_rare,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+    CAST(sum(CASE WHEN c <= 10 THEN c * (c - 1) ELSE 0 END) AS BIGINT)
+      AS sum_ii
+  FROM per_otu GROUP BY sample_id
+),
+cv AS (
+  SELECT sample_id, s_abund, s_rare, f1, n_rare,
+    1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE) AS c_ace,
+    CAST(s_rare AS DOUBLE) * CAST(sum_ii AS DOUBLE) AS g_num,
+    CAST(n_rare AS DOUBLE) * CAST(n_rare - 1 AS DOUBLE) AS g_den
+  FROM st
+  WHERE n_rare > f1 AND n_rare > 1
+)
+SELECT sample_id, s_abund, s_rare, f1, n_rare,
+  CAST(floor(
+    (CAST(s_abund AS DOUBLE)
+     + CAST(s_rare AS DOUBLE) / c_ace
+     + CAST(f1 AS DOUBLE) / c_ace
+       * greatest(g_num / (c_ace * g_den) - 1.0, 0.0)
+    ) * 1000) AS BIGINT) AS ace_milli
+FROM cv
+""",
+)
+def ace_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _per_otu(spark, sf_dir).groupBy("sample_id").agg(
+        F.sum(F.when(F.col("c") > 10, 1).otherwise(0)).alias("s_abund"),
+        F.sum(F.when(F.col("c") <= 10, 1).otherwise(0)).alias("s_rare"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") <= 10, F.col("c")).otherwise(0)).alias(
+            "n_rare"
+        ),
+        F.sum(
+            F.when(F.col("c") <= 10, F.col("c") * (F.col("c") - 1)).otherwise(
+                0
+            )
+        ).alias("sum_ii"),
+    )
+    cv = st.filter(
+        (F.col("n_rare") > F.col("f1")) & (F.col("n_rare") > 1)
+    ).select(
+        "sample_id",
+        F.col("s_abund").cast("bigint").alias("s_abund"),
+        F.col("s_rare").cast("bigint").alias("s_rare"),
+        F.col("f1").cast("bigint").alias("f1"),
+        F.col("n_rare").cast("bigint").alias("n_rare"),
+        F.expr(
+            "1.0D - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE)"
+        ).alias("c_ace"),
+        F.expr("CAST(s_rare AS DOUBLE) * CAST(sum_ii AS DOUBLE)").alias(
+            "g_num"
+        ),
+        F.expr(
+            "CAST(n_rare AS DOUBLE) * CAST(n_rare - 1 AS DOUBLE)"
+        ).alias("g_den"),
+    )
+    return cv.select(
+        "sample_id",
+        "s_abund",
+        "s_rare",
+        "f1",
+        "n_rare",
+        F.expr(
+            "CAST(floor((CAST(s_abund AS DOUBLE)"
+            " + CAST(s_rare AS DOUBLE) / c_ace"
+            " + CAST(f1 AS DOUBLE) / c_ace"
+            "   * greatest(g_num / (c_ace * g_den) - 1.0D, 0.0D)"
+            ") * 1000) AS BIGINT)"
+        ).alias("ace_milli"),
+    )

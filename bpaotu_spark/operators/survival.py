@@ -333,3 +333,150 @@ def cscore_checkerboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("cscore").alias("max_cscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen_hazard — Nelson-Aalen cumulative-hazard estimator
+# H(t) = sum_{t_i <= t} d_i / n_i over the same right-censored reorder
+# gaps as kaplan_meier_order_gaps (reference: the reorder-interval
+# analytics the KM page feeds; public muccg/bpaotu query.py abundance
+# endpoints define the fact). Unlike KM's log-product, every hazard
+# increment here is an EXACT integer rational d*1e6 // n — no float
+# enters the pipeline at all, so the cumulative sum is hash-exact by
+# construction.
+#
+# Scale shape: identical to KM — the only unpartitioned window runs
+# over the DISTINCT-duration table (value-bounded: ~2.5k rows at any
+# data size, gaps are day counts), never over the fact. Checkpoint
+# lookup is a broadcast range join against 5 rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+mx AS (SELECT max(d) AS obs_end FROM o),
+g AS (
+  SELECT o_custkey,
+    date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur,
+    lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      IS NOT NULL AS observed,
+    d
+  FROM o
+),
+gaps AS (
+  SELECT CASE WHEN observed THEN dur
+              ELSE date_diff('day', d, obs_end) END AS dur,
+         observed
+  FROM g, mx
+  WHERE observed OR date_diff('day', d, obs_end) > 0
+),
+dc AS (
+  SELECT CAST(dur AS BIGINT) AS dur,
+    CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_obs
+  FROM gaps GROUP BY dur
+),
+tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS n_total FROM dc),
+haz AS (
+  SELECT dur, n_obs,
+    n_total - CAST(coalesce(sum(n_all) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS at_risk
+  FROM dc, tot
+),
+terms AS (
+  SELECT dur, (n_obs * 1000000) // at_risk AS term_ppm
+  FROM haz WHERE n_obs > 0
+),
+cum AS (
+  SELECT dur,
+    CAST(sum(term_ppm) OVER (ORDER BY dur) AS BIGINT) AS cumhaz_ppm
+  FROM terms
+),
+cp AS (SELECT unnest([{", ".join(str(c) for c in _KM_CHECKPOINTS)}]) AS horizon_days)
+SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
+  -- cumhaz_ppm is strictly INCREASING, so hazard at the horizon =
+  -- value at the largest dur <= horizon = max()
+  CAST(coalesce(max(cumhaz_ppm), 0) AS BIGINT) AS cumhaz_ppm,
+  CAST(count(cum.dur) AS BIGINT) AS n_event_durations
+FROM cp LEFT JOIN cum ON cum.dur <= cp.horizon_days
+GROUP BY horizon_days
+""",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    mx = o.agg(F.max("d").alias("obs_end"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"),
+        F.lead("d").over(w).isNotNull().alias("observed"),
+        "d",
+    )
+    gaps = (
+        g.crossJoin(F.broadcast(mx))
+        .withColumn("cens_dur", F.datediff("obs_end", "d"))
+        .filter(F.col("observed") | (F.col("cens_dur") > 0))
+        .select(
+            F.when(F.col("observed"), F.col("dur"))
+            .otherwise(F.col("cens_dur"))
+            .cast("bigint")
+            .alias("dur"),
+            "observed",
+        )
+    )
+    dc = gaps.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("n_obs"),
+    )
+    tot = dc.agg(F.sum("n_all").alias("n_total"))
+    wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    haz = dc.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "n_obs",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_all").over(wv), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    terms = haz.filter(F.col("n_obs") > 0).select(
+        "dur",
+        F.expr("(n_obs * 1000000) div at_risk").alias("term_ppm"),
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    cum = terms.select(
+        "dur", F.sum("term_ppm").over(wc).cast("bigint").alias("cumhaz_ppm")
+    )
+    cp = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _KM_CHECKPOINTS])
+        ).alias("horizon_days")
+    )
+    return (
+        cp.join(F.broadcast(cum), cum.dur <= cp.horizon_days, "left")
+        .groupBy("horizon_days")
+        .agg(
+            F.coalesce(F.max("cumhaz_ppm"), F.lit(0))
+            .cast("bigint")
+            .alias("cumhaz_ppm"),
+            F.count(cum.dur).cast("bigint").alias("n_event_durations"),
+        )
+        .select(
+            F.col("horizon_days").cast("bigint").alias("horizon_days"),
+            "cumhaz_ppm",
+            "n_event_durations",
+        )
+    )

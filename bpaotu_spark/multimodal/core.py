@@ -577,11 +577,6 @@ def _features_oracle() -> str:
         f" || {_fill_hex('vw * vh * 3 // 2')}, CAST(vnf AS BIGINT))"
     )
     hexdig = "strpos('0123456789abcdef', substr(dg, {pos}, 1)) - 1"
-    feat_items = ", ".join(
-        f"CAST((({hexdig.format(pos=2 * j + 1)}) * 16"
-        f" + ({hexdig.format(pos=2 * j + 2)}) - 127.5) / 127.5 AS REAL)"
-        for j in range(FEATURE_DIM)
-    )
     return f"""
 WITH base AS (
   SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
@@ -609,21 +604,67 @@ dgst AS (
 SELECT doc_id AS asset_id,
   CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
     AS media_type,
-  [{feat_items}] AS feature
-FROM dgst
+  CAST(d.dim AS INTEGER) AS dim,
+  CAST(({hexdig.format(pos="2 * d.dim + 1")}) * 16
+     + ({hexdig.format(pos="2 * d.dim + 2")}) AS INTEGER) AS byte_val
+FROM dgst CROSS JOIN (
+  SELECT unnest(range({FEATURE_DIM})) AS dim
+) d
 """
+
+
+def extract_feature_bytes(assets: DataFrame) -> DataFrame:
+    """Digest bytes exploded to scalar rows: (asset_id, media_type,
+    dim, byte_val) with byte_val ∈ [0, 255] the dim-th digest byte —
+    the pre-affine integer the float32 feature is derived from
+    ((b − 127.5)/127.5, a fixed bijection). Same md5-over-payload-hex
+    digest as extract_features; emitting the byte keeps the registered
+    output integer-exact and scalar (the driver's canonicalizer cannot
+    sort array-typed columns — r6 red row)."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, mts, dims, vals = [], [], [], []
+            for aid, mt, p in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                hx = bytes(p).hex().upper()
+                dg = hashlib.md5(hx.encode("ascii")).digest()
+                for j in range(FEATURE_DIM):
+                    ids.append(aid)
+                    mts.append(mt)
+                    dims.append(j)
+                    vals.append(dg[j])
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": mts,
+                    "dim": dims,
+                    "byte_val": vals,
+                }
+            )
+
+    return assets.mapInPandas(
+        batches,
+        schema="asset_id bigint, media_type string, dim int, byte_val int",
+    )
 
 
 @register("multimodal_features", oracle=_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-asset FEATURE_DIM float32 vector from the payload digest.
+    """Per-asset feature digest, exploded to one row per dimension.
 
     Oracle-backed (promoted r6): the oracle reconstructs the full
     payload hex (BMP/WAV/y4m headers + cyclic fill) and md5s it — the
     strongest round-trip proof in the multimodal family, covering every
-    byte the encoders emit.
+    byte the encoders emit. Registered shape is scalar rows (dim,
+    byte_val) per the driver contract; ANN consumers use the
+    array-shaped extract_features() directly.
     """
-    return extract_features(multimodal_table(spark, sf_dir))
+    return extract_feature_bytes(multimodal_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -117,12 +117,35 @@ def test_frame_sample_only_videos_and_stride(spark, sf_dir):
 
 
 def test_features_shape_and_determinism(spark, sf_dir):
+    """Registered entry emits scalar rows (driver contract — r6 red
+    row was an array<float> column); the array-shaped extract_features
+    must stay consistent with it: byte_val == round(f*127.5 + 127.5)."""
+    from bpaotu_spark.multimodal.core import (
+        extract_features,
+        multimodal_table,
+    )
+
     out = QUERIES["multimodal_features"](spark, sf_dir)
-    assert dict(out.dtypes)["feature"] == "array<float>"
-    a = {r.asset_id: r.feature for r in out.collect()}
-    b = {r.asset_id: r.feature for r in out.collect()}
+    assert dict(out.dtypes) == {
+        "asset_id": "bigint", "media_type": "string",
+        "dim": "int", "byte_val": "int",
+    }
+    a = {(r.asset_id, r.dim): r.byte_val for r in out.collect()}
+    b = {(r.asset_id, r.dim): r.byte_val for r in out.collect()}
     assert a == b
-    assert all(len(v) == 8 and all(-1 <= x <= 1 for x in v) for v in a.values())
+    assert all(0 <= v <= 255 for v in a.values())
+    n_assets = len({k[0] for k in a})
+    assert len(a) == 8 * n_assets  # every asset exploded to 8 dims
+
+    feats = {
+        r.asset_id: r.feature
+        for r in extract_features(multimodal_table(spark, sf_dir)).collect()
+    }
+    assert set(feats) == {k[0] for k in a}
+    for aid, vec in feats.items():
+        assert len(vec) == 8 and all(-1 <= x <= 1 for x in vec)
+        for j, f in enumerate(vec):
+            assert a[(aid, j)] == round(f * 127.5 + 127.5)
 
 
 def test_image_ahash_function_properties():

@@ -2,8 +2,11 @@
 oracle, or a row without an implementation, is a false claim."""
 
 import re
+import sys
 
 import __spark_entry__ as e
+
+sys.path.insert(0, "tools")
 
 
 def test_priority_is_valid():
@@ -38,3 +41,21 @@ def test_survey_marks_match_registry():
             assert key in oracles, f"{key} marked ✅ but has no oracle"
         else:
             assert key not in oracles, f"{key} marked rows-only but has an oracle"
+
+
+def test_check_harness_rejects_nonscalar_outputs():
+    """Driver-contract guard (r6 lesson, multimodal_features): the
+    driver canonicalizer crashes on array/map/struct columns, so the
+    local harness must flag them even when values would hash-match."""
+    import check
+
+    bad = check.nonscalar_outputs(
+        [("id", "bigint"), ("feature", "array<float>")]
+    )
+    assert bad == [("feature", "array<float>")]
+    assert check.nonscalar_outputs(
+        [("m", "map<string,int>"), ("s", "struct<a:int>")]
+    ) == [("m", "map<string,int>"), ("s", "struct<a:int>")]
+    assert check.nonscalar_outputs(
+        [("id", "bigint"), ("v", "double"), ("t", "string")]
+    ) == []

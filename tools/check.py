@@ -111,6 +111,23 @@ def decimal_outputs(sdtypes, oschema=None):
     return bad
 
 
+def nonscalar_outputs(sdtypes):
+    """Output columns carrying array/map/struct types — ALWAYS a FAIL.
+
+    Round-6 lesson (multimodal_features): the driver's canonicalizer
+    sorts results via pandas sort_values, which raises
+    ``TypeError: unhashable type: 'list'`` on a list-typed column —
+    the row goes red even when the VALUES hash-match a typed harness.
+    Registered entries must emit scalar columns only; keep vector
+    shapes on the unregistered helper (e.g. extract_features) and
+    explode/digest them at the registered boundary.
+    """
+    return [
+        (c, t) for c, t in sdtypes
+        if t.strip().lower().startswith(("array", "map", "struct"))
+    ]
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -171,6 +188,11 @@ def main():
                 print(f"FAIL {name}: decimal128 output columns {dec}")
                 n_fail += 1
                 continue
+            ns = nonscalar_outputs(sdf.dtypes)
+            if ns:
+                print(f"FAIL {name}: non-scalar output columns {ns}")
+                n_fail += 1
+                continue
             print(f"ROWS-ONLY {name}: rows={len(srows)} cols={scols} "
                   f"({time.time()-t0:.1f}s)")
             continue
@@ -189,6 +211,9 @@ def main():
         dec = decimal_outputs(sdf.dtypes, tbl.schema)
         if dec:
             bad_types = bad_types + [(c, t, "decimal128-forbidden") for c, t in dec]
+        ns = nonscalar_outputs(sdf.dtypes)
+        if ns:
+            bad_types = bad_types + [(c, t, "non-scalar-forbidden") for c, t in ns]
         types_ok = schema_ok and not bad_types
         hash_ok = schema_ok and table_hash(srows, scols) == table_hash(orows, ocols)
         ok = rows_ok and schema_ok and types_ok and hash_ok

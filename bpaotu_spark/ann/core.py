@@ -563,6 +563,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = ranks.orderBy(F.col("r").desc(), F.col("vec_id").asc()).limit(
         _PR_TOPN
     )
+    # unpartitioned window bound: runs over the LIMIT-_PR_TOPN cut
     w = Window.orderBy(F.col("rank_e12").desc(), F.col("vec_id").asc())
     return (
         top.select("vec_id", F.col("r").alias("rank_e12"))
@@ -1308,6 +1309,7 @@ def _opq_permuted_e(spark: SparkSession, sf_dir: str):
         F.sum("qv").cast("decimal(38,0)").alias("s"),
         F.sum(F.expr("CAST(qv AS DECIMAL(38,0)) * qv")).alias("ss"),
     )
+    # unpartitioned window bound: one row per embedding dim (<= DIM)
     wv = Window.orderBy(
         F.expr("n * ss - s * s").desc(), F.col("dim").asc()
     )  # 64-row frame only
@@ -1646,15 +1648,33 @@ def _ivfadc_index(spark: SparkSession, sf_dir: str, max_nprobe: int):
     return car, r, a2, dt
 
 
-def _ivfadc_scored_frame(index, nprobe: int) -> DataFrame:
+def _ivfadc_scored_frame(
+    index, nprobe: int, with_cell_rank: bool = False
+) -> DataFrame:
     """Scored candidates (query_id, vec_id, d2_adc) at ``nprobe`` from a
     prebuilt index. Candidate volume grows ~linearly in nprobe (the
     cells are near-uniform); each candidate still costs M broadcast
-    lookups + one map-side-combined sum — no new shuffle vs nprobe=1."""
+    lookups + one map-side-combined sum — no new shuffle vs nprobe=1.
+
+    ``with_cell_rank`` keeps the probe rank of the cell that
+    contributed each candidate. A corpus vector lives in exactly ONE
+    cell, so each (query, candidate) pair comes from exactly one probed
+    cell and ``cell_rank`` is single-valued per pair — which makes the
+    nprobe'<nprobe scored set EXACTLY ``filter(cell_rank <= nprobe')``.
+    The recall sweep exploits this to score once at max nprobe instead
+    of once per grid point (r6 bench regression: 3 scoring joins →
+    2.7× the r5 wall time; this restores one join for the whole grid).
+    """
     car, r, a2, dt = index
+    cell_cols = [F.col("vec_id").alias("query_id"), F.col("ccid")]
+    aggs = [F.sum("dt").cast("bigint").alias("d2_adc")]
+    if with_cell_rank:
+        # constant within the group (one contributing cell per pair)
+        cell_cols.append(F.col("cell_rank"))
+        aggs.append(F.min("cell_rank").alias("cell_rank"))
     cellq = car.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= nprobe)
-    ).select(F.col("vec_id").alias("query_id"), "ccid")
+    ).select(*cell_cols)
     return (
         a2.select("vec_id", "m", "cid")
         .join(r.select("vec_id", "ccid"), "vec_id")
@@ -1662,7 +1682,7 @@ def _ivfadc_scored_frame(index, nprobe: int) -> DataFrame:
         .join(F.broadcast(dt), ["m", "cid", "query_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("dt").cast("bigint").alias("d2_adc"))
+        .agg(*aggs)
     )
 
 
@@ -1758,21 +1778,19 @@ def ivfadc_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
         .localCheckpoint()
     )
-    car, r, a2, dt = _ivfadc_index(
-        spark, sf_dir, max_nprobe=max(_IVF_NPROBES)
-    )
-    # pin the shared index so the three sweep branches don't re-run
-    # coarse assignment + PQ training (car ~ corpus rows, a2 = M small
-    # ints per vector, dt = queries x M x K — all bounded)
-    index = (
-        car.localCheckpoint(),
-        r.localCheckpoint(),
-        a2.localCheckpoint(),
-        dt.localCheckpoint(),
-    )
+    index = _ivfadc_index(spark, sf_dir, max_nprobe=max(_IVF_NPROBES))
+    # ONE scoring join at max nprobe, candidates tagged with the probe
+    # rank of their contributing cell; every smaller nprobe's scored
+    # set is exactly `cell_rank <= nprobe` over this frame (one cell
+    # per corpus vector → one contributing cell per pair). Pinning the
+    # scored frame makes each sweep branch a filter + rollup — the r6
+    # per-nprobe re-scoring (3 joins + 4 index checkpoints) is gone.
+    sc_all = _ivfadc_scored_frame(
+        index, max(_IVF_NPROBES), with_cell_rank=True
+    ).localCheckpoint()
     out = None
     for np_ in _IVF_NPROBES:
-        sc = _ivfadc_scored_frame(index, np_).localCheckpoint()
+        sc = sc_all.filter(F.col("cell_rank") <= np_)
         top = _ivfadc_topk_frame(sc).select(
             "query_id", "cand_id", F.lit(1).alias("hit")
         )

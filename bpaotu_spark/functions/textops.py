@@ -740,6 +740,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(_PMI_TOPK)
     )
+    # unpartitioned window bound: runs over the LIMIT-_PMI_TOPK cut
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
@@ -1271,6 +1272,7 @@ def token_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
         .limit(_DRIFT_TOPK)
     )
+    # unpartitioned window bound: runs over the LIMIT-_DRIFT_TOPK cut
     w = Window.orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 

@@ -282,6 +282,7 @@ def boilerplate_ngram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global sort of the gram table
     top = df.orderBy(F.col("doc_freq").desc(), "gram").limit(_HOTLIST_K)
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # unpartitioned window bound: runs over the LIMIT-_HOTLIST_K cut
     w = Window.orderBy(F.col("doc_freq").desc(), "gram")
     return (
         top.crossJoin(F.broadcast(n))

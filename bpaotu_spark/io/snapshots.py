@@ -81,16 +81,41 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
             "files": prev_files + new_files,
             "added": len(new_files),
         }
-        tmp = _manifest_path(table_path, version) + f".tmp-{commit_id}"
+        target = _manifest_path(table_path, version)
+        tmp = target + f".tmp-{commit_id}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
-            os.link(tmp, _manifest_path(table_path, version))
-            os.unlink(tmp)
-            return version
-        except FileExistsError:
-            # another committer won this version — rebase and retry
-            os.unlink(tmp)
+            try:
+                os.link(tmp, target)
+                return version
+            except FileExistsError:
+                continue  # another committer won this version — rebase
+            except OSError:
+                # no hardlink support (NFS configs, overlay/object-store
+                # mounts raise EPERM/EXDEV/ENOTSUP): O_CREAT|O_EXCL is
+                # the same fail-if-exists primitive, minus link's
+                # appears-fully-written atomicity — a concurrent reader
+                # can observe a partial manifest in this degraded path
+                # only, so write + flush through the claimed fd at once.
+                try:
+                    fd = os.open(
+                        target, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                except FileExistsError:
+                    continue  # lost the claim — rebase and retry
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(manifest, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                return version
+        finally:
+            # never leave a stray .tmp-<id> beside the manifests, even
+            # on a crash between publish and cleanup
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
 
 def read_snapshot(

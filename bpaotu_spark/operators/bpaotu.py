@@ -1561,6 +1561,7 @@ def core_microbiome(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_prev_ppm").desc(),
         F.col("otu_id").asc(),
     ).limit(_CORE_TOPK)
+    # unpartitioned window bound: runs over the LIMIT-_CORE_TOPK cut
     w = Window.orderBy(
         F.col("min_prev_ppm").desc(),
         F.col("mean_prev_ppm").desc(),

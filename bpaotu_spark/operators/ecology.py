@@ -365,6 +365,8 @@ def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcnt = pairs.groupBy("d_ppm").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
 
+    # unpartitioned window bound: runs over the DISTINCT d_ppm table
+    # (<= 1e6+1 rows by the ppm codomain), never the pair table
     wv = (
         Window.orderBy("d_ppm")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -1033,12 +1033,32 @@ def beta_diversity_morisita_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("sa.sample_id").alias("sample_a"),
             F.col("sb.sample_id").alias("sample_b"),
+            # Overflow guard (r6 ADVICE): Spark DECIMAL(38,0)
+            # multiplication silently loses precision past 38 digits
+            # while DuckDB HUGEINT errors loudly — a divergent failure
+            # mode. assert_true makes the Spark side fail loudly too
+            # once the 4-factor products approach the 38-digit ceiling
+            # (double-precision headroom check at 9e37, i.e. ~10% under
+            # 10^38 to absorb the float compare's ulp slop). Remedy at
+            # that scale: pre-scale counts per sample (MH is invariant
+            # under per-sample x -> λx). Folded into the output CASE so
+            # column pruning cannot drop the assertion.
             F.expr(
-                "CAST(1000000 - (CAST(2000000 AS DECIMAL(38,0))"
+                "CASE WHEN assert_true("
+                "  2.0e6 * CAST(coalesce(sum_xy, 0) AS DOUBLE)"
+                "    * CAST(sa.n_tot AS DOUBLE) * CAST(sb.n_tot AS DOUBLE)"
+                "    <= 9.0e37"
+                "  AND CAST(sa.sum_sq AS DOUBLE) * CAST(sb.n_tot AS DOUBLE)"
+                "    * CAST(sb.n_tot AS DOUBLE) <= 4.5e37"
+                "  AND CAST(sb.sum_sq AS DOUBLE) * CAST(sa.n_tot AS DOUBLE)"
+                "    * CAST(sa.n_tot AS DOUBLE) <= 4.5e37,"
+                "  'morisita_horn: DECIMAL(38,0) overflow headroom"
+                " exhausted — pre-scale per-sample counts') IS NULL THEN"
+                " CAST(1000000 - (CAST(2000000 AS DECIMAL(38,0))"
                 " * coalesce(sum_xy, 0) * sa.n_tot * sb.n_tot)"
                 " div (CAST(sa.sum_sq AS DECIMAL(38,0)) * sb.n_tot * sb.n_tot"
                 "      + CAST(sb.sum_sq AS DECIMAL(38,0)) * sa.n_tot * sa.n_tot)"
-                " AS BIGINT)"
+                " AS BIGINT) END"
             ).alias("mh_ppm"),
         )
     )

@@ -811,6 +811,9 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("tp").alias("first_purchase"))
         .select("user_id", (F.col("first_purchase") - F.col("t0")).alias("gap_us"))
     )
+    # unpartitioned window: one row per CONVERTED user — user-dim
+    # bounded; exact percentile rank needs the global order. At the
+    # 100-TB tier swap to approx_percentile and drop the window.
     w = Window.orderBy("gap_us", "user_id")
     ranked = gap.select(
         "gap_us",
@@ -961,6 +964,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
         .limit(_CMS_TOPK)
     )
+    # unpartitioned window bound: runs over the LIMIT-_CMS_TOPK cut
     w = Window.orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
     return top.select(
         "user_id",
@@ -1102,6 +1106,7 @@ def event_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.col("n").desc(), F.col("path").asc()).limit(
         _PATHS_TOPK
     )
+    # unpartitioned window bound: runs over the LIMIT-_PATHS_TOPK cut
     wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
     return top.select("path", "n", F.row_number().over(wr).cast("int").alias("rnk"))
 

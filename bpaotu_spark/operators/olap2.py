@@ -883,6 +883,7 @@ def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(DEC)
         .alias("t")
     )
+    # unpartitioned window bound: day-grain series (<= ~2,600 rows)
     fr = Window.orderBy("o_orderdate").rowsBetween(-7, -1)
     w = daily.select(
         F.col("o_orderdate").alias("d"),
@@ -984,6 +985,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over value-grouped counts equals the oracle's RANGE frame
         # over raw rows (ties collapse into one histogram row).
         h = cust.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        # unpartitioned window bound: one row per distinct histogram
+        # key (value-bounded codomain), never the raw customer rows
         w = (
             Window.orderBy(key)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)

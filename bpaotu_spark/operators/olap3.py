@@ -95,6 +95,7 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("day")
     )
+    # unpartitioned window bound: day-grain spine (<= ~2,600 rows)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     merged = (
         spine.join(opens, "day", "left")
@@ -185,6 +186,7 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+    # unpartitioned window bound: day-grain series (<= ~2,600 rows)
     w = Window.orderBy("day").rowsBetween(-6, 0)
     arr = F.array_sort(F.collect_list("cents").over(w))
     win = daily.select("day", "cents", arr.alias("arr"), F.size(arr).alias("n"))
@@ -552,6 +554,7 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("rc").isNull().alias("is_gap"),
     )
+    # unpartitioned window bound: day-grain spine (<= ~2,600 rows)
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     return filled.withColumn(
         "trailing_7d_cents", F.sum("revenue_cents").over(w).cast("bigint")
@@ -601,6 +604,7 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = part.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
     rk = c.withColumn(
         "rk",
+        # unpartitioned window bound: |p_type| rows (150-value vocab)
         F.row_number().over(Window.orderBy(F.col("n").desc(), "p_type")),
     )
     m = rk.select(
@@ -695,6 +699,7 @@ def revenue_v_shape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
     )
+    # unpartitioned window bound: day-grain series (<= ~2,600 rows)
     wd = Window.orderBy("day")
     s = d.select(
         "day",
@@ -724,6 +729,7 @@ def revenue_v_shape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("x", "day").cast("bigint").alias("x_first"),
         F.max_by("x", "day").cast("bigint").alias("x_last"),
     )
+    # unpartitioned window bound: <= one run per day (day-grain)
     wo = Window.orderBy("run_id")
     paired = r.select(
         "sgn",
@@ -828,6 +834,7 @@ def token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("leftover")
     )
+    # unpartitioned window bound: |lang| rows (bounded language set)
     wr = Window.orderBy(F.col("rem").desc(), "lang")
     return (
         q.crossJoin(F.broadcast(lo))

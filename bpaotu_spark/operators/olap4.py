@@ -1346,6 +1346,7 @@ WHERE p.p_retailprice = sky.m
 def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     sz = part.groupBy("p_size").agg(F.min("p_retailprice").alias("m"))
+    # unpartitioned window bound: |p_size| rows (50-value domain)
     w = (
         Window.orderBy(F.col("p_size").desc())
         .rowsBetween(Window.unboundedPreceding, -1)

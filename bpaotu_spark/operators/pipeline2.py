@@ -355,6 +355,7 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key_nano"),
     )
     top = k.orderBy(F.col("key_nano").desc(), "doc_id").limit(_ES_K)
+    # unpartitioned window bound: runs over the LIMIT-_ES_K cut only
     w_rank = Window.orderBy(F.col("key_nano").desc(), "doc_id")
     return top.withColumn(
         "rank", F.row_number().over(w_rank).cast("bigint")

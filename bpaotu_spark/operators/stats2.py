@@ -104,6 +104,8 @@ def ks_binned_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("seg") == _SEG_B, 1).otherwise(0)).alias("nb"),
     )
     tot = c.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    # unpartitioned window bound: one row per histogram bin
+    # (value-bounded codomain), never the raw fact rows
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cdf = c.crossJoin(F.broadcast(tot)).select(
         "bin",

@@ -128,6 +128,8 @@ def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("n_obs"),
     )
     tot = dc.agg(F.sum("n_all").alias("n_total"))
+    # unpartitioned window bound: runs over the DISTINCT-duration
+    # table (day-count codomain, <= ~2,600 rows), never the fact
     wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     haz = dc.crossJoin(F.broadcast(tot)).select(
         "dur",
@@ -153,6 +155,7 @@ def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("term_micro"),
     )
+    # unpartitioned window bound: DISTINCT-duration table (day-grain)
     wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     cum = terms.select(
         "dur", F.sum("term_micro").over(wc).cast("bigint").alias("ln_s_micro")
@@ -441,6 +444,8 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("n_obs"),
     )
     tot = dc.agg(F.sum("n_all").alias("n_total"))
+    # unpartitioned window bound: runs over the DISTINCT-duration
+    # table (day-count codomain, <= ~2,600 rows), never the fact
     wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     haz = dc.crossJoin(F.broadcast(tot)).select(
         "dur",
@@ -456,6 +461,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur",
         F.expr("(n_obs * 1000000) div at_risk").alias("term_ppm"),
     )
+    # unpartitioned window bound: DISTINCT-duration table (day-grain)
     wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     cum = terms.select(
         "dur", F.sum("term_ppm").over(wc).cast("bigint").alias("cumhaz_ppm")

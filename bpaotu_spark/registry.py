@@ -79,81 +79,25 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-6 WINDOW (driver verifies the first ~50) ----
-    # (A) plans/oracles CHANGED this round: kmeans inertia_mega +
-    # pq distortion_mega (decimal128 purge), KM survival min() fix,
-    # markov oracle coalesce, wav_rms oracle promotion, IVFADC
-    # nprobe refactor + new multi-probe row + sweep report, salted
-    # sign-bucket self-joins (dedup_embedding_lsh / knn_graph_lsh
-    # and their graph consumers)
-    "kmeans_embeddings",
-    "kaplan_meier_order_gaps",
-    "markov_absorption_3step",
-    "multimodal_wav_rms",
-    "ann_ivfadc_topk",
-    "ann_ivfadc_nprobe_topk",
-    "ivfadc_recall_report",
-    "embedding_pq_codebook",
-    "dedup_embedding_lsh",
-    "knn_graph_lsh",
-    "knn_triangle_count",
-    "pagerank_knn",
-    # (A0) NEW this round — OPQ-lite balance report
-    "embedding_opq_balance",
-    # (A1) PROMOTED to oracle-backed this round (integer-exact aHash +
-    # pixel-level byte-arithmetic oracle) — hash semantics changed, so
-    # they need fresh driver rows
-    "multimodal_phash_dedup",
-    "multimodal_phash_near_pairs",
+    # ---- ROUND-7 WINDOW (driver verifies the first ~50) ----
+    # (A) plans CHANGED this round: multimodal_features now emits
+    # scalar (dim, byte_val) rows per the driver-canonicalizer
+    # contract (r6's one red row); ivfadc_recall_report scores ONCE at
+    # max nprobe carrying each candidate's contributing cell rank and
+    # derives the smaller-nprobe sets as rank filters (r6 bench
+    # regression fix); morisita_horn gains the DECIMAL(38,0) overflow
+    # assert (r6 ADVICE).
     "multimodal_features",
-    # (A2) NEW this round — IVFADC+R exact re-rank, Matryoshka prefix
-    # recall, Morisita-Horn dissimilarity, PII scrub census, debounce
-    "ann_ivfadc_rerank_topk",
-    "embedding_prefix_recall",
+    "ivfadc_recall_report",
     "beta_diversity_morisita_horn",
-    "corpus_regex_scrub_report",
-    "event_debounce_dedup",
-    "ivf_cell_balance_report",
-    "embedding_cell_residual_stats",
-    "dedup_family_agreement",
-    "approx_distinct_kmv",
-    # (A3) NEW in session 3 of round 6 — the most semantics-dense of
-    # the 16 session-3 additions take the window slots freed below
-    "permanova_pseudo_f",
-    "heldout_bigram_perplexity",
-    "ccnet_perplexity_tertiles",
-    "gopher_quality_rules",
-    "scd2_user_state_intervals",
-    "revenue_cusum_changepoint",
-    "embedding_cosine_pair_histogram",
-    "bloom_fpp_measured",
-    "centroid_assignment_accuracy",
-    # (B) never driver-verified, oracle-backed — evidence rotation
-    # (VERDICT r5 item 2); all pass tools/check.py at sf0.001+sf0.01.
-    # The nine r5-judge-re-verified keys (chao1, dsir, fertility,
-    # zorder, anosim, curriculum, theil, twonn, jsd) moved below the
-    # boundary — they already hold independent evidence rows.
-    "pielou_evenness",
-    "rank_abundance_curve",
-    "order_price_reconciliation",
-    "join_skew_audit",
-    "kfold_assignment",
-    "partition_balance_audit",
-    "species_accumulation_curve",
-    "rapid_fire_users",
-    # (A4) NEW in session 4 of round 6 — all eight need first driver
-    # evidence; they displace eight never-verified B-entries to the
-    # head of the R7 queue (below the boundary)
-    "revenue_v_shape_patterns",
-    "token_budget_apportion",
-    "contextual_filter_upset",
-    "embedding_dim_quantiles",
-    "scd2_containment_audit",
-    "markov_calibration_reliability",
-    "knn_reciprocity",
-    "scd2_dwell_time_stats",
-    # ---- ~50-entry window boundary ----
-    # (R7 QUEUE head) displaced never-verified B-entries
+    # (A1) first SURVEY §2 rows this round, never driver-windowed
+    # (judge-verified r6) — the registry/SURVEY drift pair
+    "ace_richness",
+    "nelson_aalen_hazard",
+    # (B) r7 rotation of the never-driver-windowed backlog (VERDICT r6
+    # item 3): queue head = the nine r5-judge-re-verified keys + the
+    # displaced B-entries, then the old queue in order. All pass
+    # tools/check.py at sf0.01; this window gives them driver rows.
     "benford_first_digit",
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
@@ -175,9 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "returnflag_drift_yearly",
     "laspeyres_price_index",
     "cscore_checkerboard",
-    # (R7 QUEUE) the remaining never-driver-verified oracle-backed
-    # keys — rotate these into the round-7 window to finish the
-    # zero-evidence backlog
     "weekly_decomposition",
     "log_log_elasticity",
     "otu_nestedness_nodf",
@@ -202,6 +143,9 @@ PRIORITY: tuple[str, ...] = (
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
     "map_tiles_pyramid",
+    # ---- ~50-entry window boundary ----
+    # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
+    # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",
     "lsh_bucket_profile",
     "dedup_band_threshold_sweep",
@@ -233,8 +177,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_length_token_corr",
     "supplier_return_rate",
     "events_hourly_heatmap",
-    # (R7 QUEUE, session-3 additions) the session-3 operators that did
-    # NOT fit the 50-slot window — never driver-seen, rotate into r7
     "doc_ngram_rep_profile",
     "window_funnel_strict",
     "otu_region_overlap",
@@ -251,6 +193,55 @@ PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",
     "ab_cuped_adjustment",
     "lineitem_corr_matrix",
+    # r6-window keys, driver-green in CORRECTNESS_r06 at current code
+    # (unchanged since) — covered by tools/check.py locally
+    "kmeans_embeddings",
+    "kaplan_meier_order_gaps",
+    "markov_absorption_3step",
+    "multimodal_wav_rms",
+    "ann_ivfadc_topk",
+    "ann_ivfadc_nprobe_topk",
+    "embedding_pq_codebook",
+    "dedup_embedding_lsh",
+    "knn_graph_lsh",
+    "knn_triangle_count",
+    "pagerank_knn",
+    "embedding_opq_balance",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near_pairs",
+    "ann_ivfadc_rerank_topk",
+    "embedding_prefix_recall",
+    "corpus_regex_scrub_report",
+    "event_debounce_dedup",
+    "ivf_cell_balance_report",
+    "embedding_cell_residual_stats",
+    "dedup_family_agreement",
+    "approx_distinct_kmv",
+    "permanova_pseudo_f",
+    "heldout_bigram_perplexity",
+    "ccnet_perplexity_tertiles",
+    "gopher_quality_rules",
+    "scd2_user_state_intervals",
+    "revenue_cusum_changepoint",
+    "embedding_cosine_pair_histogram",
+    "bloom_fpp_measured",
+    "centroid_assignment_accuracy",
+    "pielou_evenness",
+    "rank_abundance_curve",
+    "order_price_reconciliation",
+    "join_skew_audit",
+    "kfold_assignment",
+    "partition_balance_audit",
+    "species_accumulation_curve",
+    "rapid_fire_users",
+    "revenue_v_shape_patterns",
+    "token_budget_apportion",
+    "contextual_filter_upset",
+    "embedding_dim_quantiles",
+    "scd2_containment_audit",
+    "markov_calibration_reliability",
+    "knn_reciprocity",
+    "scd2_dwell_time_stats",
     # tail: driver-green in r2-r5 at current code, unchanged —
     # covered by tools/check.py locally every round
     "dedup_minhash_lsh",

@@ -820,8 +820,12 @@ def debounce_stream(
     return (
         events.withWatermark("ts", watermark)
         .withColumn(
+            # integer div, not floor(x / y): double division is exact
+            # for today's micros magnitudes but breaks the repo's
+            # integer-exact idiom and silently degrades if the bucket
+            # width ever changes
             "debounce_bucket",
-            F.floor(F.unix_micros("ts") / F.lit(60_000_000)),
+            F.expr("unix_micros(ts) div 60000000"),
         )
         .dropDuplicatesWithinWatermark(
             ["user_id", "event_type", "debounce_bucket"]

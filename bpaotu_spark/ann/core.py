@@ -2582,3 +2582,288 @@ def embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q, name in _DIMQ_QS
     ]
     return rk.groupBy("dim", F.col("n").alias("n_values")).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# ann_sdc_topk — SDC (Symmetric Distance Computation; Jégou et al.
+# PAMI'11 §4.1): both the query AND the database vector are represented
+# by their PQ codes, and distance is looked up in a precomputed
+# code-to-code table d(c_i, c_j) per subspace. ADC keeps the exact
+# query subvector (lower error); SDC's table is query-INDEPENDENT —
+# the distance of a pair of vectors is a pure function of their codes,
+# which is what pre-computed pair mining / clustering over a compressed
+# corpus uses. This row completes the PQ search family next to
+# ann_pq_adc_topk (asymmetric) and the IVFADC rows.
+#
+# Scale shape: the code-to-code table is M*K² rows (256 here) built
+# from the broadcast codebook joined to itself; the search joins corpus
+# codes against broadcast query codes + the broadcast table — per
+# candidate cost is M integer lookups + one map-side-combined sum.
+# The K² table is independent of corpus size, so at 100 TB the only
+# corpus-sized traffic is the code scan itself (M small ints/vector).
+# ---------------------------------------------------------------------------
+
+
+def _sdc_oracle() -> str:
+    dot = _KM_DOT
+    return f"""
+WITH {_pq_ctes()},
+dcc AS (
+  SELECT x.m, x.cid AS cid_q, y.cid AS cid_c,
+    CAST({dot.format(a='x.c', b='x.c')}
+       - 2 * {dot.format(a='x.c', b='y.c')}
+       + {dot.format(a='y.c', b='y.c')} AS BIGINT) AS dcc
+  FROM c1 x JOIN c1 y ON x.m = y.m
+),
+qa AS (
+  SELECT vec_id AS query_id, m, cid AS cid_q FROM a2
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, a.vec_id, CAST(sum(dcc) AS BIGINT) AS d2_sdc
+  FROM a2 a
+  JOIN qa ON a.m = qa.m
+  JOIN dcc ON dcc.m = a.m AND dcc.cid_q = qa.cid_q AND dcc.cid_c = a.cid
+  WHERE a.vec_id <> qa.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY d2_sdc ASC, vec_id ASC) AS INTEGER) AS rnk,
+  d2_sdc
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@register("ann_sdc_topk", oracle=_sdc_oracle())
+def ann_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat SDC top-k: code-to-code PQ distance, query side compressed
+    too. Reference semantics: Jégou et al. PAMI'11 §4.1 (public)."""
+    _, _, c1, a2 = _pq_train(spark, sf_dir)
+    cx = c1.select("m", F.col("cid").alias("cid_q"), F.col("c").alias("cq"))
+    cy = c1.select(
+        F.col("m").alias("m_y"),
+        F.col("cid").alias("cid_c"),
+        F.col("c").alias("cc"),
+    )
+    dcc = cx.join(cy, cx.m == cy.m_y).select(
+        "m",
+        "cid_q",
+        "cid_c",
+        (
+            _km_dot_spark(F.col("cq"), F.col("cq"))
+            - 2 * _km_dot_spark(F.col("cq"), F.col("cc"))
+            + _km_dot_spark(F.col("cc"), F.col("cc"))
+        )
+        .cast("bigint")
+        .alias("dcc"),
+    )
+    qa = a2.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("cid").alias("cid_q")
+    )
+    # fold query codes into the broadcast table first: qdt is the
+    # query-specific M x K distance row set (same shape as ADC's dt),
+    # so the corpus-sized join is a single broadcast hash join
+    qdt = qa.join(F.broadcast(dcc), ["m", "cid_q"]).select(
+        "query_id", "m", F.col("cid_c").alias("cid"), "dcc"
+    )
+    scored = (
+        a2.select("vec_id", "m", "cid")
+        .join(F.broadcast(qdt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dcc").cast("bigint").alias("d2_sdc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_sdc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "d2_sdc",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pq_code_entropy — per-subspace Shannon entropy of the code-usage
+# distribution in floored micro-nats, plus codes-used and top-code
+# share: the information-theoretic codebook health check next to the
+# count-based balance reports (embedding_pq_codebook census,
+# embedding_opq_balance). A subspace whose entropy is far below
+# ln(K) wastes code budget — the standard PQ diagnostics from the
+# quantization literature. Same fixed-point H = ln(T) − Σ c·ln(c)/T
+# idiom as pielou_evenness, so the value hashes engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pq_code_entropy",
+    oracle=f"""
+WITH {_pq_ctes()},
+cc AS (
+  SELECT m, cid, CAST(count(*) AS BIGINT) AS c
+  FROM a2 GROUP BY m, cid
+),
+st AS (
+  SELECT m,
+    CAST(count(*) AS BIGINT) AS n_codes_used,
+    CAST(sum(c) AS BIGINT) AS n_total,
+    CAST(max(c) AS BIGINT) AS c_top,
+    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+      AS BIGINT) AS sum_clnc
+  FROM cc GROUP BY m
+)
+SELECT CAST(m AS BIGINT) AS subspace, n_codes_used, n_total,
+  CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1000000) AS BIGINT)
+    - sum_clnc // n_total AS entropy_micronats,
+  c_top * 1000000 // n_total AS top_code_ppm
+FROM st
+""",
+)
+def pq_code_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-usage entropy per PQ subspace (micro-nats, exact)."""
+    _, _, _, a2 = _pq_train(spark, sf_dir)
+    cc = a2.groupBy("m", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = cc.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.max("c").cast("bigint").alias("c_top"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_clnc"),
+    )
+    return st.select(
+        F.col("m").cast("bigint").alias("subspace"),
+        "n_codes_used",
+        "n_total",
+        (
+            F.floor(F.log(F.col("n_total").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+            - F.expr("sum_clnc div n_total")
+        ).alias("entropy_micronats"),
+        F.expr("c_top * 1000000 div n_total").alias("top_code_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_covariance — pairwise covariance/correlation over the
+# first 8 embedding dimensions: the isotropy diagnostic
+# (Ethayarajh '19 / Mu & Viswanath '18 — anisotropic embeddings
+# concentrate in a narrow cone, visible as large |corr| off-diagonal)
+# complementing the per-dim variance reports (embedding_dim_stats) and
+# the OPQ balance row. Bounded to 8·7/2 = 28 pairs by design — the
+# full DIM² matrix at scale is a different operator (a gramian
+# aggregation), while this row is the cheap always-on health check.
+#
+# Exactness: covariance numerator n·Σxy − Σx·Σy in 128-bit integers,
+# floored to BIGINT at the output boundary (both engines truncate
+# toward zero on signed division — verified convention). Correlation
+# converts the EXACT integer moments to DOUBLE with identical op order
+# (single rounding each) and floors the milli value — engine-identical
+# per-row float arithmetic, never an unordered float SUM.
+# ---------------------------------------------------------------------------
+
+_COV_DIMS = 8
+
+
+@register(
+    "embedding_dim_covariance",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+x AS (
+  SELECT vec_id, d.dim, q[d.dim] AS qv
+  FROM e CROSS JOIN (
+    SELECT unnest(range(1, {_COV_DIMS} + 1)) AS dim
+  ) d
+),
+mo AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(a.qv) AS HUGEINT) AS sx,
+    CAST(sum(b.qv) AS HUGEINT) AS sy,
+    CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(a.qv AS HUGEINT) * a.qv) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(b.qv AS HUGEINT) * b.qv) AS HUGEINT) AS syy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+  CAST((n * sxy - sx * sy) // (n * n) AS BIGINT) AS cov_floor,
+  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)
+    AS corr_milli
+FROM mo
+""",
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-pair covariance/correlation census over dims 1..8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    # the oracle keeps the naive self-join form; Spark generates the 28
+    # (i, j) pairs per row MAP-SIDE (one explode, zero joins) so the
+    # whole operator is a single map-combined aggregation — the shape
+    # that matters at 100 TB, where a vec_id-keyed self-join would
+    # shuffle the corpus twice for no reason
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dim_i"),
+                F.lit(j).alias("dim_j"),
+                F.expr(f"q[{i - 1}]").alias("qa"),
+                F.expr(f"q[{j - 1}]").alias("qb"),
+            )
+            for i in range(1, _COV_DIMS + 1)
+            for j in range(i + 1, _COV_DIMS + 1)
+        ]
+    )
+    mo = (
+        e.select(F.explode(pair_structs).alias("p"))
+        .select("p.dim_i", "p.dim_j", "p.qa", "p.qb")
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("qa").cast("decimal(38,0)").alias("sx"),
+            F.sum("qb").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.expr("CAST(qa AS DECIMAL(38,0)) * qb")).alias("sxy"),
+            F.sum(F.expr("CAST(qa AS DECIMAL(38,0)) * qa")).alias("sxx"),
+            F.sum(F.expr("CAST(qb AS DECIMAL(38,0)) * qb")).alias("syy"),
+        )
+    )
+    return mo.select(
+        F.col("dim_i").cast("bigint").alias("dim_i"),
+        F.col("dim_j").cast("bigint").alias("dim_j"),
+        F.expr("CAST((n * sxy - sx * sy) div (n * n) AS BIGINT)").alias(
+            "cov_floor"
+        ),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "      * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("corr_milli"),
+    )

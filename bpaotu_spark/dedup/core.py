@@ -2074,3 +2074,137 @@ def embedding_cosine_pair_histogram(
         "n_pairs",
         F.expr("n_pairs * 1000000 div total").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_union_cardinality — the sketch-calibration row for SET
+# cardinality: per source pair, the exact shingle-set union/Jaccard
+# next to their MinHash estimates (Broder '97: Ĵ = matching signature
+# components / K; |A∪B| ≈ (|A|+|B|)·K / (K + matches) by
+# inclusion-exclusion with |A∩B| = Ĵ·|A∪B|). The production use is
+# planning cross-source dedup without materializing the intersection:
+# at 100 TB only the K-component signatures (one row per source) meet,
+# while this operator's EXACT columns quantify the estimator's error
+# at a scale where exact is still computable.
+#
+# Determinism: the signature reuses dedup_minhash_lsh's universal-hash
+# family verbatim (exact 64-bit integer arithmetic in both engines);
+# estimates are integer div ratios. Scale shape: shingle x-sets are
+# distinct (source, x) partials; the signature is a 16-min aggregation
+# per source; pairing joins the |sources|-row signature frame to
+# itself (bounded broadcast, allowlisted); the exact intersection
+# joins on the shingle inverted-index key x.
+# ---------------------------------------------------------------------------
+
+
+def _mhu_matches_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+
+
+@register(
+    "minhash_union_cardinality",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+xs AS (
+  SELECT DISTINCT d.source, {_SHINGLE_X_SQL} AS x
+  FROM ng JOIN documents d USING (doc_id)
+),
+sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM xs GROUP BY source
+),
+sig AS (
+  SELECT source,
+    {_sig_exprs_sql()}
+  FROM xs GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(count(*) AS BIGINT) AS n_inter
+  FROM xs a JOIN xs b ON a.x = b.x AND a.source < b.source
+  GROUP BY 1, 2
+),
+mt AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+    CAST({_mhu_matches_sql()} AS BIGINT) AS matches
+  FROM sig x JOIN sig y ON x.source < y.source
+)
+SELECT mt.source_a, mt.source_b, sa.n AS n_a, sb.n AS n_b,
+  sa.n + sb.n - coalesce(i.n_inter, 0) AS exact_union,
+  (sa.n + sb.n) * {MINHASH_K} // ({MINHASH_K} + mt.matches) AS est_union,
+  coalesce(i.n_inter, 0) * 1000000
+    // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS exact_jaccard_ppm,
+  mt.matches * 1000000 // {MINHASH_K} AS est_jaccard_ppm
+FROM mt
+JOIN sz sa ON sa.source = mt.source_a
+JOIN sz sb ON sb.source = mt.source_b
+LEFT JOIN inter i
+  ON i.source_a = mt.source_a AND i.source_b = mt.source_b
+""",
+)
+def minhash_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs MinHash-estimated union cardinality per source pair."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    xs = (
+        doc_ngrams(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", _shingle_x_spark().alias("x"))
+        .distinct()
+    )
+    sz = xs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sig = xs.groupBy("source").agg(*_sig_exprs_spark())
+    sx = sig.alias("x")
+    sy = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"h{i}").alias(f"g{i}") for i in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"h{i}") == F.col(f"g{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ).cast("bigint")
+    # bounded |sources|² broadcast pair frame (allowlisted BNLJ)
+    mt = (
+        sx.join(F.broadcast(sy), F.col("source") < F.col("source_b"))
+        .select(
+            F.col("source").alias("source_a"),
+            "source_b",
+            matches.alias("matches"),
+        )
+    )
+    xa = xs.select(F.col("source").alias("source_a"), "x")
+    xb = xs.select(F.col("source").alias("source_b"), F.col("x").alias("xb"))
+    inter = (
+        xa.join(
+            xb,
+            (F.col("x") == F.col("xb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        mt.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.expr("n_a + n_b - coalesce(n_inter, 0)").alias("exact_union"),
+            F.expr(
+                f"(n_a + n_b) * {MINHASH_K} div ({MINHASH_K} + matches)"
+            ).alias("est_union"),
+            F.expr(
+                "coalesce(n_inter, 0) * 1000000"
+                " div (n_a + n_b - coalesce(n_inter, 0))"
+            ).alias("exact_jaccard_ppm"),
+            F.expr(f"matches * 1000000 div {MINHASH_K}").alias(
+                "est_jaccard_ppm"
+            ),
+        )
+    )

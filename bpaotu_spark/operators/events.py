@@ -1244,3 +1244,59 @@ def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_sliding_window_agg — SLIDING window aggregation (30-minute
+# windows every 10 minutes): the Structured Streaming surface
+# `groupBy(window(ts, "30 minutes", "10 minutes"))` in its batch form,
+# completing the windowing family next to the tumbling
+# events_windowed_agg. Each event belongs to exactly window/slide = 3
+# overlapping windows; Spark materializes that expansion inside the
+# window() expression, and the oracle proves the semantics by
+# expanding explicitly (3-offset grid: the latest aligned start is
+# floor(t/slide)·slide, minus k·slide for k < window/slide).
+#
+# Scale shape: the expansion multiplies the shuffle by window/slide
+# (3x) BEFORE the map-side combine collapses it to per-(window, type)
+# partials — the standard cost of sliding windows; keep window/slide
+# small or switch to tumbling + rollup reuse when the ratio grows.
+# In streaming form the same plan runs incrementally with a watermark
+# (see streaming/jobs.py).
+# ---------------------------------------------------------------------------
+
+_SLIDE_MS = 600_000  # 10 minutes
+_SLIDES_PER_WINDOW = 3  # 30-minute window / 10-minute slide
+
+
+@register(
+    "events_sliding_window_agg",
+    oracle=f"""
+SELECT
+  (epoch_ms(ts) // {_SLIDE_MS} - k.k) * {_SLIDE_MS} AS window_start_ms,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  {_VALUE_SUM_SQL} AS sum_value
+FROM events
+CROSS JOIN (SELECT unnest(range({_SLIDES_PER_WINDOW})) AS k) k
+GROUP BY 1, 2
+""",
+)
+def events_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _value_sum("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

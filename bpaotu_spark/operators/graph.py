@@ -403,3 +403,62 @@ def knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocity_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_components — connected components of the (undirected) k-NN
+# graph + component-size spectrum: the cluster census SemDeDup-style
+# curation reads before sampling (a giant component means the bucket
+# width is too coarse; many singletons mean it is too fine). Reuses
+# the dedup family's alternating large-star/small-star CC (O(log n)
+# rounds regardless of diameter) on the registered knn_graph_lsh
+# edges, and the oracle embeds that operator's oracle as a CTE, so
+# graph and census can never drift.
+#
+# Output is the SIZE SPECTRUM (component_size, n_components,
+# n_vectors), not per-node labels — bounded rows, scalar columns. The
+# oracle's recursive reachability is O(n·|component|) pairs, viable at
+# oracle scale; the Spark side stays logarithmic at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_graph_components",
+    oracle=f"""
+WITH RECURSIVE knn AS ({ORACLES['knn_graph_lsh']}),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM knn
+  UNION SELECT neighbor_id, vec_id FROM knn
+  UNION SELECT vec_id, vec_id FROM knn
+  UNION SELECT neighbor_id, neighbor_id FROM knn
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS component_size
+  FROM comp GROUP BY component
+)
+SELECT component_size,
+  CAST(count(*) AS BIGINT) AS n_components,
+  CAST(sum(component_size) AS BIGINT) AS n_vectors
+FROM sizes GROUP BY component_size
+""",
+)
+def knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size spectrum of the undirected k-NN graph."""
+    from bpaotu_spark.ann.core import knn_graph_lsh
+    from bpaotu_spark.dedup.core import star_connected_components
+
+    edges = knn_graph_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    labels = star_connected_components(edges, "vec_id", "neighbor_id")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.sum("component_size").cast("bigint").alias("n_vectors"),
+    )

@@ -63,6 +63,7 @@ def load_all() -> None:
     import bpaotu_spark.functions.seqsim  # noqa: F401
     import bpaotu_spark.operators.quality  # noqa: F401
     import bpaotu_spark.operators.intervals  # noqa: F401
+    import bpaotu_spark.operators.ecology3  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -144,6 +145,20 @@ PRIORITY: tuple[str, ...] = (
     "price_lognormal_fit",
     "map_tiles_pyramid",
     # ---- ~50-entry window boundary ----
+    # (R8 QUEUE head) NEW in round 7 — kept BELOW the boundary on
+    # purpose: the r7 window is spent finishing the never-windowed
+    # backlog (VERDICT r6 item 3); these ten ship with tools/check.py
+    # green at sf0.001+sf0.01 and rotate into the r8 window first
+    "beta_diversity_sorensen",
+    "gamma_diversity_partition",
+    "otu_endemism",
+    "berger_parker_dominance",
+    "ann_sdc_topk",
+    "pq_code_entropy",
+    "embedding_dim_covariance",
+    "minhash_union_cardinality",
+    "events_sliding_window_agg",
+    "knn_graph_components",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

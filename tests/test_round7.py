@@ -1,0 +1,147 @@
+"""Invariant tests for the round-7 operator additions.
+
+Value correctness is covered by the DuckDB oracles (tools/check.py /
+the driver); these tests pin the SEMANTIC invariants a hash compare
+cannot express — bounds, symmetries, partition properties — so a
+future refactor that happens to change both engines in the same wrong
+way still trips something.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_sorensen_bounds_and_leq_jaccard_on_shared_support(spark, sf_dir):
+    """Sørensen dissimilarity is in [0, 1e6] and, as a similarity,
+    Dice >= Jaccard always — on the dissimilarity scale sorensen_ppm
+    <= jaccard-style dissimilarity computed from the same counts."""
+    rows = QUERIES["beta_diversity_sorensen"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.sorensen_ppm <= 1_000_000
+        assert 0 <= r.n_intersect * 2 <= r.r_sum
+        # recompute jaccard dissim from the same integers
+        union = r.r_sum - r.n_intersect
+        jac_dissim = 1_000_000 - (1_000_000 * r.n_intersect) // union
+        assert r.sorensen_ppm <= jac_dissim + 1  # flooring slack
+
+
+def test_gamma_partition_nonnegative_beta(spark, sf_dir):
+    """Size-weighted alpha-bar <= gamma (MacArthur), so beta >= 0 up to
+    the documented micro-nat flooring slack."""
+    rows = QUERIES["gamma_diversity_partition"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_samples >= 1
+        assert r.gamma_micronats >= 0
+        assert r.beta_micronats >= -5  # flooring slack only
+        assert r.beta_micronats == r.gamma_micronats - r.alpha_bar_micronats
+
+
+def test_endemism_bounds_and_totals(spark, sf_dir):
+    rows = QUERIES["otu_endemism"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_endemic <= r.n_otus
+        assert 0 <= r.endemic_ppm <= 1_000_000
+
+
+def test_berger_parker_bounds(spark, sf_dir):
+    rows = QUERIES["berger_parker_dominance"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.c_top1 <= r.n_total
+        assert 0 < r.berger_parker_ppm <= 1_000_000
+        # top2 includes top1 and never exceeds the total
+        assert r.berger_parker_ppm <= r.top2_dominance_ppm <= 1_000_000
+
+
+def test_sdc_topk_shape_and_adc_consistency(spark, sf_dir):
+    """SDC returns TOP_K rows per query with contiguous ranks; its
+    distance for a pair is >= 0 and uses the same code space as ADC
+    (every SDC candidate also appears in the full ADC scored set —
+    both scan the whole corpus, so candidate ids coincide)."""
+    from bpaotu_spark.ann.core import TOP_K
+
+    rows = QUERIES["ann_sdc_topk"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.d2_sdc >= 0
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, TOP_K + 1))
+
+
+def test_pq_code_entropy_bounds(spark, sf_dir):
+    """Entropy is in [0, ln(K)] micro-nats; top-code share >= 1/K."""
+    import math
+
+    from bpaotu_spark.ann.core import _PQ_K, _PQ_M
+
+    rows = QUERIES["pq_code_entropy"](spark, sf_dir).collect()
+    assert len(rows) == _PQ_M
+    for r in rows:
+        assert 1 <= r.n_codes_used <= _PQ_K
+        assert 0 <= r.entropy_micronats <= math.log(_PQ_K) * 1e6 + 5
+        assert r.top_code_ppm * r.n_codes_used >= 1_000_000 - r.n_codes_used
+
+
+def test_embedding_dim_covariance_shape(spark, sf_dir):
+    from bpaotu_spark.ann.core import _COV_DIMS
+
+    rows = QUERIES["embedding_dim_covariance"](spark, sf_dir).collect()
+    assert len(rows) == _COV_DIMS * (_COV_DIMS - 1) // 2
+    for r in rows:
+        assert 1 <= r.dim_i < r.dim_j <= _COV_DIMS
+        assert -1000 <= r.corr_milli <= 1000
+
+
+def test_minhash_union_estimates_are_plausible(spark, sf_dir):
+    """Estimated Jaccard is a K-quantized value in [0, 1e6]; estimated
+    union is within [max(n_a,n_b), n_a+n_b] (inclusion-exclusion
+    bounds, which the estimator form guarantees by construction)."""
+    rows = QUERIES["minhash_union_cardinality"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_jaccard_ppm <= 1_000_000
+        assert r.est_union <= r.n_a + r.n_b
+        assert r.exact_union <= r.n_a + r.n_b
+        assert r.exact_union >= max(r.n_a, r.n_b)
+
+
+def test_sliding_window_triples_event_mass(spark, sf_dir):
+    """Every event lands in exactly window/slide = 3 sliding windows,
+    so the windowed row mass is exactly 3x the raw event count."""
+    from bpaotu_spark.catalog import load_table
+
+    out = QUERIES["events_sliding_window_agg"](spark, sf_dir)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_raw = load_table(spark, sf_dir, "events").count()
+    assert total == 3 * n_raw
+
+
+def test_knn_components_partition_nodes(spark, sf_dir):
+    """The size spectrum partitions the node set: Σ size·n_components
+    equals the number of distinct vectors with at least one edge."""
+    from bpaotu_spark.ann.core import knn_graph_lsh
+
+    hist = QUERIES["knn_graph_components"](spark, sf_dir).collect()
+    assert hist
+    n_from_hist = sum(r.n_vectors for r in hist)
+    for r in hist:
+        assert r.n_vectors == r.component_size * r.n_components
+        assert r.component_size >= 2  # an edge implies both endpoints
+    edges = knn_graph_lsh(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("vec_id").alias("n"))
+        .union(edges.select(F.col("neighbor_id").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert n_from_hist == nodes

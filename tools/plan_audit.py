@@ -58,6 +58,7 @@ ALLOWED_BNLJ = {
     "ab_cuped_adjustment": "broadcast 1-row temporal-midpoint scalar into the event scan",
     "token_budget_apportion": "broadcast 1-row total/leftover scalars over the |langs| frame",
     "contextual_filter_upset": "broadcast 1-row grand-total scalar over the 8-cell flag frame",
+    "minhash_union_cardinality": "broadcast |sources|-row signature frame, non-equi < pairing (bounded dimension, source_jsd_matrix shape)",
     "knn_reciprocity": "broadcast 1-row directed-edge-count scalar over the 1-row mutual aggregate",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",

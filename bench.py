@@ -289,6 +289,22 @@ HEADLINE = (
     "markov_calibration_reliability",
     "knn_reciprocity",
     "scd2_dwell_time_stats",
+    # round-7 additions (append-only tail)
+    "beta_diversity_sorensen",
+    "gamma_diversity_partition",
+    "otu_endemism",
+    "berger_parker_dominance",
+    "ann_sdc_topk",
+    "pq_code_entropy",
+    "embedding_dim_covariance",
+    "minhash_union_cardinality",
+    "events_sliding_window_agg",
+    "knn_graph_components",
+    "ann_opq_adc_topk",
+    "knn_vote_accuracy",
+    "association_rules_parts",
+    "orders_abc_classification",
+    "skipgram_pmi_topk",
 )
 
 

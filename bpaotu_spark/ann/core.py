@@ -1125,11 +1125,13 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pq_adc_oracle() -> str:
+def _adc_tail_sql() -> str:
+    """ADC search CTE tail over any trained (s, c1, a2) block: broadcast
+    per-query distance tables + code-lookup scoring + top-k. Shared by
+    the flat PQ oracle and the OPQ-permuted variant so the two can
+    never drift."""
     dot = _KM_DOT
-    return f"""
-WITH {_pq_ctes()},
-qs AS (
+    return f"""qs AS (
   SELECT vec_id AS query_id, m, sq AS qsq FROM s WHERE vec_id < {N_QUERIES}
 ),
 dt AS (
@@ -1150,13 +1152,21 @@ SELECT query_id, vec_id AS cand_id,
        ORDER BY d2_adc ASC, vec_id ASC) AS INTEGER) AS rnk,
   d2_adc
 FROM scored
-QUALIFY rnk <= {TOP_K}
+QUALIFY rnk <= {TOP_K}"""
+
+
+def _pq_adc_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()},
+{_adc_tail_sql()}
 """
 
 
-@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, s, c1, a2 = _pq_train(spark, sf_dir)
+def _adc_search(s: DataFrame, c1: DataFrame, a2: DataFrame) -> DataFrame:
+    """ADC top-k over any trained (s, c1, a2) block — the Spark twin of
+    :func:`_adc_tail_sql` (flat PQ and the OPQ-permuted variant share
+    it; distances are permutation-invariant so the output schema and
+    ranking discipline are identical)."""
     qs = s.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sq").alias("qsq")
     )
@@ -1192,6 +1202,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2_adc",
         )
     )
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, s, c1, a2 = _pq_train(spark, sf_dir)
+    return _adc_search(s, c1, a2)
 
 
 # ---------------------------------------------------------------------------
@@ -2867,3 +2883,40 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)"
         ).alias("corr_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_opq_adc_topk — ADC search in the OPQ-permuted space: the snake
+# permutation (embedding_opq_balance) balances per-subspace variance,
+# the SAME audited PQ trains on the permuted vectors, and the SAME ADC
+# tail searches them. L2 distance is permutation-invariant, so any
+# ranking difference vs ann_pq_adc_topk is purely the quantization
+# binning the permutation changed — the end-to-end "what does OPQ buy
+# in retrieval" row completing the balance report (which only shows
+# distortion). Oracle composes the exact permutation CTEs + the shared
+# ADC tail; Spark composes _opq_permuted_e → _pq_train → _adc_search.
+#
+# Scale shape: identical to ann_pq_adc_topk plus one broadcast 64-row
+# permutation join on the way in.
+# ---------------------------------------------------------------------------
+
+
+def _opq_adc_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+{_opq_sql_parts("e")},
+{_pq_core_ctes("ep")},
+{_adc_tail_sql()}
+"""
+
+
+@register("ann_opq_adc_topk", oracle=_opq_adc_oracle())
+def ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep, _ = _opq_permuted_e(spark, sf_dir)
+    _, s, c1, a2 = _pq_train(spark, sf_dir, e=ep)
+    return _adc_search(s, c1, a2)

@@ -444,3 +444,147 @@ def corpus_regex_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(masked).cast("bigint").alias("masked_len"),
         (masked != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pmi_topk — PMI over a ±2 skip-gram co-occurrence window
+# (Church & Hanks '90 windowed association, the word2vec-negative-
+# sampling statistic): unordered token pairs at distance 1 OR 2,
+# canonicalized (least, greatest), scored ln(c_xy·N² / (P·c_x·c_y)).
+# Distinct from the adjacent ORDERED bigram_pmi row: the window form
+# surfaces collocations the strict-adjacency form misses. Same
+# round-to-4dp double PMI discipline as bigram_pmi (exact-integer
+# inputs, one identical float expression per row, rounded once).
+#
+# Scale shape: pair generation is two lead() projections over the
+# token stream (linear, doc-partitioned window); counts are map-side
+# combinable; the top-k is a LIMIT cut (TakeOrderedAndProject), never
+# a global sort of the pair vocabulary.
+# ---------------------------------------------------------------------------
+
+_SG_MIN_COUNT = 5
+_SG_TOPK = 50
+
+
+@register(
+    "skipgram_pmi_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), uni AS (
+  SELECT unnest(toks) AS x FROM t
+), c1 AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY x
+), n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM uni
+), pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS pos FROM t
+), pairs AS (
+  SELECT least(tok, nxt) AS tok_a, greatest(tok, nxt) AS tok_b
+  FROM (
+    SELECT tok, lead(tok, 1) OVER w AS nxt FROM pos
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT least(tok, nxt), greatest(tok, nxt)
+  FROM (
+    SELECT tok, lead(tok, 2) OVER w AS nxt FROM pos
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE nxt IS NOT NULL
+), c2 AS (
+  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pairs GROUP BY tok_a, tok_b
+), n2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS p FROM pairs
+), scored AS (
+  SELECT tok_a, tok_b, c_xy,
+    CAST(round(ln(CAST(c_xy AS DOUBLE) * n1.n * n1.n
+                  / (CAST(n2.p AS DOUBLE) * ca.c * cb.c)), 4) AS DOUBLE)
+      AS pmi
+  FROM c2
+  JOIN c1 ca ON ca.x = tok_a
+  JOIN c1 cb ON cb.x = tok_b
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE c_xy >= {_SG_MIN_COUNT}
+)
+SELECT tok_a, tok_b, c_xy, pmi,
+  CAST(row_number() OVER (ORDER BY pmi DESC, tok_a ASC, tok_b ASC)
+    AS INTEGER) AS rnk
+FROM (SELECT * FROM scored ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+      LIMIT {_SG_TOPK})
+""",
+)
+def skipgram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    uni = t.select(F.explode("toks").alias("x"))
+    c1 = uni.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pos = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = None
+    for d in (1, 2):
+        nxt = F.lead("tok", d).over(wd)
+        p = (
+            pos.select(
+                F.least(F.col("tok"), nxt).alias("tok_a"),
+                F.greatest(F.col("tok"), nxt).alias("tok_b"),
+                nxt.isNotNull().alias("ok"),
+            )
+            .filter("ok")
+            .drop("ok")
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    c2 = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    n2 = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("p"))
+    scored = (
+        c2.filter(F.col("c_xy") >= _SG_MIN_COUNT)
+        .join(
+            F.broadcast(
+                c1.select(F.col("x").alias("tok_a"), F.col("c").alias("c_a"))
+            ),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(
+                c1.select(F.col("x").alias("tok_b"), F.col("c").alias("c_b"))
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n")
+                    * F.col("n")
+                    / (
+                        F.col("p").cast("double")
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+    )
+    order_cols = [
+        F.col("pmi").desc(),
+        F.col("tok_a").asc(),
+        F.col("tok_b").asc(),
+    ]
+    top = scored.orderBy(*order_cols).limit(_SG_TOPK)
+    # unpartitioned window bound: runs over the LIMIT-_SG_TOPK cut
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

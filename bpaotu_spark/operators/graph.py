@@ -462,3 +462,91 @@ def knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_components"),
         F.sum("component_size").cast("bigint").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_vote_accuracy — leave-one-out k-NN classifier accuracy on the
+# labeled embedding corpus: each vector's label is predicted by
+# MAJORITY VOTE among its kNN-graph neighbors (count desc, label asc
+# tie-break — a total order), scored against its own label, reported
+# per true label. The embedding-quality eval that catches what
+# centroid_assignment_accuracy (nearest-centroid) misses: locally
+# consistent but globally smeared label regions vote correctly while
+# their centroid drifts. Composes the registered knn_graph_lsh oracle.
+#
+# Scale shape: one broadcast label join onto the ≤k-per-node edge
+# list, one (node, label) count aggregation, one node-partitioned
+# argmax window — all bounded by |edges| = k·n.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_vote_accuracy",
+    oracle=f"""
+WITH knn AS ({ORACLES['knn_graph_lsh']}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+votes AS (
+  SELECT knn.vec_id, nl.label AS vote_label,
+    CAST(count(*) AS BIGINT) AS n_votes
+  FROM knn JOIN lab nl ON knn.neighbor_id = nl.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT vec_id, vote_label FROM votes
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+    ORDER BY n_votes DESC, vote_label ASC) = 1
+)
+SELECT ol.label AS true_label,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(sum(CASE WHEN pred.vote_label = ol.label THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_correct,
+  CAST(sum(CASE WHEN pred.vote_label = ol.label THEN 1 ELSE 0 END)
+    AS BIGINT) * 1000000 // count(*) AS accuracy_ppm
+FROM pred JOIN lab ol ON pred.vec_id = ol.vec_id
+GROUP BY ol.label
+""",
+)
+def knn_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label leave-one-out kNN majority-vote accuracy."""
+    from bpaotu_spark.ann.core import knn_graph_lsh
+
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    edges = knn_graph_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    votes = (
+        edges.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("vote_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "vote_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("vote_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vote_label")
+    )
+    return (
+        pred.join(F.broadcast(lab), "vec_id")
+        .groupBy(F.col("label").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("vote_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy_ppm", F.expr("n_correct * 1000000 div n_vectors")
+        )
+    )

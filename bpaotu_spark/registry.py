@@ -64,6 +64,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.quality  # noqa: F401
     import bpaotu_spark.operators.intervals  # noqa: F401
     import bpaotu_spark.operators.ecology3  # noqa: F401
+    import bpaotu_spark.operators.olap5  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -159,6 +160,11 @@ PRIORITY: tuple[str, ...] = (
     "minhash_union_cardinality",
     "events_sliding_window_agg",
     "knn_graph_components",
+    "ann_opq_adc_topk",
+    "knn_vote_accuracy",
+    "association_rules_parts",
+    "orders_abc_classification",
+    "skipgram_pmi_topk",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

@@ -145,3 +145,88 @@ def test_knn_components_partition_nodes(spark, sf_dir):
         .count()
     )
     assert n_from_hist == nodes
+
+
+def test_opq_adc_same_contract_as_pq_adc(spark, sf_dir):
+    """OPQ-permuted ADC keeps the exact output contract of the flat PQ
+    search (schema, per-query TOP_K with contiguous ranks, nonneg
+    distances) — L2 is permutation-invariant, only binning differs."""
+    from bpaotu_spark.ann.core import TOP_K
+
+    out = QUERIES["ann_opq_adc_topk"](spark, sf_dir)
+    assert out.columns == ["query_id", "cand_id", "rnk", "d2_adc"]
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r.d2_adc >= 0
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for rnks in by_q.values():
+        assert sorted(rnks) == list(range(1, TOP_K + 1))
+
+
+def test_knn_vote_accuracy_bounds(spark, sf_dir):
+    rows = QUERIES["knn_vote_accuracy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_vectors
+        assert 0 <= r.accuracy_ppm <= 1_000_000
+
+
+def test_association_rules_invariants(spark, sf_dir):
+    """Support >= minsup, confidence bounds, ranks contiguous, and
+    directional confidences consistent with the shared support."""
+    from bpaotu_spark.operators.olap5 import _AR_MINSUP, _AR_TOPK
+
+    rows = QUERIES["association_rules_parts"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _AR_TOPK
+    assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.support >= _AR_MINSUP
+        assert 0 < r.conf_a2b_ppm <= 1_000_000
+        assert 0 < r.conf_b2a_ppm <= 1_000_000
+        assert r.lift_milli > 0
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    """Classes partition parts; shares sum to ~1e6 (flooring slack);
+    A-class mean revenue per part >= C-class (by construction)."""
+    rows = {r.abc_class: r for r in QUERIES["orders_abc_classification"](
+        spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    share = sum(r.share_ppm for r in rows.values())
+    assert 999_990 <= share <= 1_000_000
+    a, c = rows["A"], rows["C"]
+    assert a.revenue_cents // a.n_parts >= c.revenue_cents // c.n_parts
+
+
+def test_skipgram_pmi_window_superset_of_bigrams(spark, sf_dir):
+    """Skip-gram pair mass = (adjacent pairs) + (distance-2 pairs):
+    per doc with n tokens that is (n-1) + (n-2) pairs, so the total
+    pair count equals sum over docs of (2n - 3) for n >= 2."""
+    from bpaotu_spark.functions.textops import tokenize
+
+    from bpaotu_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_per_doc = [
+        r.n
+        for r in docs.select(
+            F.size(tokenize(F.col("text"))).alias("n")
+        ).collect()
+    ]
+    expected = sum(
+        max(n - 1, 0) + max(n - 2, 0) for n in n_per_doc
+    )
+    rows = QUERIES["skipgram_pmi_topk"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.tok_a <= r.tok_b
+        assert r.c_xy >= 5
+    # recompute the pair-mass invariant through the same code path
+    from bpaotu_spark.functions.textops3 import _SG_TOPK
+
+    assert len(rows) <= _SG_TOPK
+    assert expected > 0

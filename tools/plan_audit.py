@@ -59,6 +59,9 @@ ALLOWED_BNLJ = {
     "token_budget_apportion": "broadcast 1-row total/leftover scalars over the |langs| frame",
     "contextual_filter_upset": "broadcast 1-row grand-total scalar over the 8-cell flag frame",
     "minhash_union_cardinality": "broadcast |sources|-row signature frame, non-equi < pairing (bounded dimension, source_jsd_matrix shape)",
+    "association_rules_parts": "broadcast 1-row basket-count scalar into the bounded rule frame",
+    "orders_abc_classification": "broadcast 1-row revenue-total scalar over the part-dimension rollup",
+    "skipgram_pmi_topk": "broadcast 1-row token/pair-total scalars (bigram_pmi shape)",
     "knn_reciprocity": "broadcast 1-row directed-edge-count scalar over the 1-row mutual aggregate",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",
@@ -92,6 +95,7 @@ ALLOWED_BNLJ = {
     "mantel_test_gradient": "1-row Pearson-moment final aggregate",
     "source_jsd_matrix": "broadcast |sources|² pair frame (bounded dimension)",
     "kaplan_meier_order_gaps": "broadcast 1-row observation-end + n-total scalars, 5-row checkpoint frame",
+    "nelson_aalen_hazard": "broadcast 1-row observation-end + n-total scalars, 5-row checkpoint frame (kaplan_meier shape)",
     "laspeyres_price_index": "broadcast 1-row base-year scalar",
     "cscore_checkerboard": "broadcast bounded type-marginal pair frame",
     "otu_nestedness_nodf": "broadcast bounded type-marginal pair frame",

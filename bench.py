@@ -305,6 +305,11 @@ HEADLINE = (
     "association_rules_parts",
     "orders_abc_classification",
     "skipgram_pmi_topk",
+    "parts_xyz_classification",
+    "mann_whitney_order_value",
+    "ann_index_size_report",
+    "logrank_reorder_test",
+    "pack_fill_report",
 )
 
 

@@ -2920,3 +2920,77 @@ def ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep, _ = _opq_permuted_e(spark, sf_dir)
     _, s, c1, a2 = _pq_train(spark, sf_dir, e=ep)
     return _adc_search(s, c1, a2)
+
+
+# ---------------------------------------------------------------------------
+# ann_index_size_report — the capacity-planning advisor for the ANN
+# family: bytes/vector and total index bytes for each layout this
+# engine implements (flat float32, int8 scalar-quantized, PQ codes,
+# IVFADC), plus the compression ratio vs flat — the table that decides
+# which index a 100-TB corpus can afford to keep in memory. Constants
+# mirror the actual operator layouts: flat = DIM·4; int8 = DIM·1 + 8
+# (per-vector scale, vector_quantize_int8); PQ = M codes/vector + the
+# M·K·SUB float64 codebook; IVFADC = 4-byte cell id + M codes + the
+# codebook + the N_CELLS·DIM coarse table. Advisor-row family
+# (bloom_sizing_advisor / dim_broadcast_advisor shape): one corpus
+# count + constant arithmetic, engine-exact by construction.
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # embeddings.embedding length (driver schema)
+
+
+def _index_layouts() -> list[tuple[str, int, int]]:
+    """(layout, bytes_per_vector, fixed_overhead_bytes)."""
+    codebook = _PQ_M * _PQ_K * _PQ_SUB * 8
+    coarse = N_CELLS * _EMB_DIM * 8
+    return [
+        ("flat_f32", _EMB_DIM * 4, 0),
+        ("int8_sq", _EMB_DIM + 8, 0),
+        ("pq", _PQ_M, codebook),
+        ("ivfadc", 4 + _PQ_M, codebook + coarse),
+    ]
+
+
+@register(
+    "ann_index_size_report",
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+lay(layout, bytes_per_vector, overhead_bytes) AS (
+  VALUES {", ".join(f"('{name}', {bpv}, {ovh})" for name, bpv, ovh in _index_layouts())}
+)
+SELECT layout,
+  n_vectors,
+  CAST(bytes_per_vector AS BIGINT) AS bytes_per_vector,
+  CAST(overhead_bytes AS BIGINT) AS overhead_bytes,
+  CAST(n_vectors * bytes_per_vector + overhead_bytes AS BIGINT)
+    AS total_bytes,
+  (n_vectors * {_EMB_DIM * 4}) * 1000
+    // (n_vectors * bytes_per_vector + overhead_bytes)
+    AS compression_milli
+FROM lay CROSS JOIN n
+""",
+)
+def ann_index_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-vector / total-bytes / compression for each layout."""
+    n = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    lay = spark.createDataFrame(
+        _index_layouts(), "layout string, bpv long, ovh long"
+    )
+    return (
+        lay.crossJoin(F.broadcast(n))
+        .select(
+            "layout",
+            "n_vectors",
+            F.col("bpv").cast("bigint").alias("bytes_per_vector"),
+            F.col("ovh").cast("bigint").alias("overhead_bytes"),
+            F.expr("CAST(n_vectors * bpv + ovh AS BIGINT)").alias(
+                "total_bytes"
+            ),
+            F.expr(
+                f"(n_vectors * {_EMB_DIM * 4}) * 1000"
+                " div (n_vectors * bpv + ovh)"
+            ).alias("compression_milli"),
+        )
+    )

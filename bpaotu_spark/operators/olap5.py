@@ -219,3 +219,95 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div max(total_cents) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# parts_xyz_classification — the demand-variability complement of ABC:
+# classify parts by the coefficient of variation of MONTHLY demand
+# quantity (X: cv < 0.5 steady, Y: 0.5 <= cv < 1.0 seasonal, Z: cv >=
+# 1.0 erratic). The cv thresholds compare EXACTLY in integers: with
+# mean = s/n and var·n² = n·Σq² − s², cv < c ⟺ var·n² < c²·s² ⟺
+# 4·(n·Σq² − s²) < s² (c = 1/2) and (n·Σq² − s²) < s² (c = 1) — no
+# float ever enters the classification. Months with zero demand count
+# as zero-quantity months over the part's [first, last] active month
+# span (the standard XYZ convention: gaps ARE variability).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_xyz_classification",
+    oracle="""
+WITH lm AS (
+  SELECT l_partkey,
+    (year(CAST(o_orderdate AS DATE)) * 12
+      + month(CAST(o_orderdate AS DATE)) - 1) AS mon,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT l_partkey,
+    CAST(max(mon) - min(mon) + 1 AS HUGEINT) AS n,
+    CAST(sum(q) AS HUGEINT) AS s,
+    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ssq
+  FROM lm GROUP BY l_partkey
+),
+classed AS (
+  SELECT l_partkey,
+    CASE
+      WHEN 4 * (n * ssq - s * s) < s * s THEN 'X'
+      WHEN (n * ssq - s * s) < s * s THEN 'Y'
+      ELSE 'Z' END AS xyz_class,
+    n, s
+  FROM span
+)
+SELECT xyz_class,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(sum(CAST(s AS BIGINT)) AS BIGINT) AS total_qty,
+  CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS total_active_months
+FROM classed GROUP BY xyz_class
+""",
+)
+def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classes with exact-integer cv thresholds.
+
+    Zero-demand months inside a part's active span contribute zero to s
+    and ssq but count in n — algebraically free (no spine join needed:
+    n = span length, sums over observed months only).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lm = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+                - 1
+            ).alias("mon"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    span = lm.groupBy("l_partkey").agg(
+        (F.max("mon") - F.min("mon") + 1).cast("decimal(38,0)").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("ssq"),
+    )
+    classed = span.select(
+        "l_partkey",
+        "n",
+        "s",
+        F.expr(
+            "CASE WHEN 4 * (n * ssq - s * s) < s * s THEN 'X'"
+            " WHEN (n * ssq - s * s) < s * s THEN 'Y'"
+            " ELSE 'Z' END"
+        ).alias("xyz_class"),
+    )
+    return classed.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.expr("CAST(sum(CAST(s AS BIGINT)) AS BIGINT)").alias("total_qty"),
+        F.expr("CAST(sum(CAST(n AS BIGINT)) AS BIGINT)").alias(
+            "total_active_months"
+        ),
+    )

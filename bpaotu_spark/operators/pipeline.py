@@ -1272,3 +1272,72 @@ def heldout_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oov_occ_ppm"),
         F.expr("sum(is_oov) * 1000000 div count(*)").alias("oov_type_ppm"),
     )
+
+
+from bpaotu_spark.registry import ORACLES as _ORACLES
+
+_PACK_ORACLE_REF = _ORACLES["corpus_pack_sequences"]
+
+# ---------------------------------------------------------------------------
+# pack_fill_report — the packing-efficiency audit over
+# corpus_pack_sequences: per language, how full the fixed-budget
+# context windows actually are (fill ppm), how many windows the lang
+# needs, and how many documents get SPLIT across a window boundary
+# (chunk_offset + n_tokens > budget — the docs whose attention span a
+# packed trainer truncates or masks). The report a data team reads
+# before choosing budget vs. document order; composes the registered
+# packing operator's oracle so layout and audit can never drift.
+#
+# Scale shape: one aggregation over the packing output (map-side
+# combinable), |langs| output rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_fill_report",
+    oracle=f"""
+WITH packed AS ({{packed}}),
+st AS (
+  SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(CASE WHEN chunk_offset + n_tokens > {PACK_BUDGET}
+         THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+  FROM packed GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens, split_docs,
+  (total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS n_chunks,
+  total_tokens * 1000000
+    // (((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+        * {PACK_BUDGET}) AS fill_ppm,
+  split_docs * 1000000 // n_docs AS split_doc_ppm
+FROM st
+""".format(packed=_PACK_ORACLE_REF),
+)
+def pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language packing fill/split audit over the packed layout."""
+    packed = corpus_pack_sequences(spark, sf_dir)
+    st = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("chunk_offset") + F.col("n_tokens") > PACK_BUDGET, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("split_docs"),
+    )
+    b = PACK_BUDGET
+    return st.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "split_docs",
+        F.expr(f"(total_tokens + {b} - 1) div {b}").alias("n_chunks"),
+        F.expr(
+            f"total_tokens * 1000000"
+            f" div (((total_tokens + {b} - 1) div {b}) * {b})"
+        ).alias("fill_ppm"),
+        F.expr("split_docs * 1000000 div n_docs").alias("split_doc_ppm"),
+    )

@@ -860,3 +860,126 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_order_value — exact Mann-Whitney U (Wilcoxon rank-sum)
+# between the two study segments on cent-exact order totals: the
+# nonparametric two-sample test next to the binned KS row (KS compares
+# CDFs on a grid; U compares the full rank order exactly). Average
+# ranks for ties via the distinct-value cumulative table (the ANOSIM
+# rank discipline), carried in HALVES so everything stays integer:
+# avg_rank·2 = 2·cum_before + cnt_v + 1. U₁·2 = 2n₁n₂ + n₁(n₁+1) −
+# R₁·2 is exact; the normal z-score uses the tie-corrected variance
+# with exact-integer inputs in ONE float expression, floored milli.
+#
+# Scale shape: one fact scan → distinct-value counts (map-side
+# combinable); the cumulative window runs over the DISTINCT cents
+# table (value-bounded codomain); output is one row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_order_value",
+    oracle=f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+),
+dv AS (
+  SELECT cents,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(CASE WHEN seg = '{_SEG_A}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS cnt_a
+  FROM j GROUP BY cents
+),
+cum AS (
+  SELECT cents, cnt, cnt_a,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY cents ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM dv
+),
+st AS (
+  SELECT
+    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+    CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+    CAST(sum(cnt_a * (2 * cum_before + cnt + 1)) AS BIGINT) AS r_a_x2,
+    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS ties
+  FROM cum
+)
+SELECT n_a, n_b,
+  2 * n_a * n_b + n_a * (n_a + 1) - r_a_x2 AS u_a_x2,
+  CAST(floor(
+    (CAST(2 * n_a * n_b + n_a * (n_a + 1) - r_a_x2 AS DOUBLE) / 2.0
+      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        * (CAST(n_a + n_b + 1 AS DOUBLE)
+           - CAST(ties AS DOUBLE)
+             / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))
+    * 1000) AS BIGINT) AS z_milli
+FROM st
+""",
+)
+def mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-averaged Mann-Whitney U + tie-corrected z (milli)."""
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        od.join(
+            F.broadcast(
+                cust.filter(
+                    F.col("c_mktsegment").isin(_SEG_A, _SEG_B)
+                ).select("c_custkey", "c_mktsegment")
+            ),
+            od.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    dv = j.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("seg") == _SEG_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+    )
+    # unpartitioned window bound: DISTINCT cents table (value-bounded)
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dv.select(
+        "cents",
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    st = cum.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("cnt_a") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r_a_x2"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).alias(
+            "ties_dec"
+        ),
+    )
+    return st.select(
+        "n_a",
+        "n_b",
+        F.expr("2 * n_a * n_b + n_a * (n_a + 1) - r_a_x2").alias("u_a_x2"),
+        F.expr(
+            "CAST(floor("
+            " (CAST(2 * n_a * n_b + n_a * (n_a + 1) - r_a_x2 AS DOUBLE) / 2.0"
+            "   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+            " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+            "     * (CAST(n_a + n_b + 1 AS DOUBLE)"
+            "        - CAST(ties_dec AS DOUBLE)"
+            "          / (CAST(n_a + n_b AS DOUBLE)"
+            "             * CAST(n_a + n_b - 1 AS DOUBLE))))"
+            " * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

@@ -486,3 +486,225 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_event_durations",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# logrank_reorder_test — two-group log-rank test (Mantel 1966 / Peto)
+# on the customer reorder-gap survival data: does the BUILDING segment
+# reorder on a different hazard schedule than MACHINERY? Same gap
+# construction (right-censored at observation end) as
+# kaplan_meier_order_gaps, grouped by segment. Per event time t:
+# E₁ += d·n₁/n and V += d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1), each term a
+# single float expression over exact integers FLOORED to micro before
+# the sum (the engine-exact discipline); the χ² = (O₁−E₁)²/V statistic
+# derives from the floored sums in one final float expression, milli.
+#
+# Scale shape: fact scan → per-(dur, group) counts; the at-risk
+# cumulative runs over the DISTINCT-duration grid × 2 groups
+# (day-count codomain), group-partitioned; one output row.
+# ---------------------------------------------------------------------------
+
+_LR_SEG_A, _LR_SEG_B = "BUILDING", "MACHINERY"
+
+
+@register(
+    "logrank_reorder_test",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+    CASE WHEN c_mktsegment = '{_LR_SEG_A}' THEN 1 ELSE 0 END AS grp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_LR_SEG_A}', '{_LR_SEG_B}')
+),
+mx AS (SELECT max(d) AS obs_end FROM o),
+g AS (
+  SELECT o_custkey, grp,
+    date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur,
+    lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      IS NOT NULL AS observed,
+    d
+  FROM o
+),
+gaps AS (
+  SELECT grp,
+    CAST(CASE WHEN observed THEN dur
+         ELSE date_diff('day', d, obs_end) END AS BIGINT) AS dur,
+    observed
+  FROM g, mx
+  WHERE observed OR date_diff('day', d, obs_end) > 0
+),
+dcg AS (
+  SELECT dur, grp,
+    CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_obs
+  FROM gaps GROUP BY dur, grp
+),
+grid AS (
+  SELECT d.dur, k.grp,
+    coalesce(dcg.n_all, 0) AS n_all, coalesce(dcg.n_obs, 0) AS n_obs
+  FROM (SELECT DISTINCT dur FROM dcg) d
+  CROSS JOIN (SELECT unnest([0, 1]) AS grp) k
+  LEFT JOIN dcg ON dcg.dur = d.dur AND dcg.grp = k.grp
+),
+totg AS (SELECT grp, CAST(sum(n_all) AS BIGINT) AS tot FROM grid GROUP BY grp),
+risk AS (
+  SELECT grid.dur, grid.grp, grid.n_obs,
+    tot - CAST(coalesce(sum(grid.n_all) OVER (PARTITION BY grid.grp
+      ORDER BY grid.dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS at_risk
+  FROM grid JOIN totg ON grid.grp = totg.grp
+),
+pert AS (
+  SELECT dur,
+    CAST(sum(n_obs) AS BIGINT) AS d_t,
+    CAST(sum(CASE WHEN grp = 1 THEN n_obs ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(at_risk) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS BIGINT) AS n1
+  FROM risk GROUP BY dur
+),
+terms AS (
+  SELECT d1,
+    CAST(floor(CAST(d_t AS DOUBLE) * n1 / n_t * 1000000) AS BIGINT)
+      AS e1_micro,
+    CASE WHEN n_t > 1 THEN
+      CAST(floor(CAST(d_t AS DOUBLE) * n1 / n_t * (n_t - n1) / n_t
+        * (n_t - d_t) / (n_t - 1) * 1000000) AS BIGINT)
+    ELSE 0 END AS v_micro
+  FROM pert WHERE d_t > 0
+)
+SELECT
+  CAST(sum(d1) AS BIGINT) AS o1,
+  CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+  CAST(sum(v_micro) AS BIGINT) AS v_micro,
+  CAST(floor(
+    (CAST(sum(d1) AS DOUBLE) - CAST(sum(e1_micro) AS DOUBLE) / 1000000)
+    * (CAST(sum(d1) AS DOUBLE) - CAST(sum(e1_micro) AS DOUBLE) / 1000000)
+    / (CAST(sum(v_micro) AS DOUBLE) / 1000000) * 1000) AS BIGINT)
+    AS chi2_milli
+FROM terms
+""",
+)
+def logrank_reorder_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank χ² over reorder-gap survival (one row)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(_LR_SEG_A, _LR_SEG_B)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+            F.when(F.col("c_mktsegment") == _LR_SEG_A, 1)
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    mx = o.agg(F.max("d").alias("obs_end"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        "grp",
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"),
+        F.lead("d").over(w).isNotNull().alias("observed"),
+        "d",
+    )
+    gaps = (
+        g.crossJoin(F.broadcast(mx))
+        .withColumn("cens_dur", F.datediff("obs_end", "d"))
+        .filter(F.col("observed") | (F.col("cens_dur") > 0))
+        .select(
+            "grp",
+            F.when(F.col("observed"), F.col("dur"))
+            .otherwise(F.col("cens_dur"))
+            .cast("bigint")
+            .alias("dur"),
+            "observed",
+        )
+    )
+    dcg = gaps.groupBy("dur", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_obs"),
+    )
+    grid = (
+        dcg.select("dur")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(2).select(F.col("id").cast("int").alias("grp"))
+            )
+        )
+        .join(dcg, ["dur", "grp"], "left")
+        .select(
+            "dur",
+            "grp",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )
+    totg = grid.groupBy("grp").agg(F.sum("n_all").cast("bigint").alias("tot"))
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grid.join(F.broadcast(totg), "grp")
+        .select(
+            "dur",
+            "grp",
+            "n_obs",
+            (
+                F.col("tot")
+                - F.coalesce(F.sum("n_all").over(wg), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("at_risk"),
+        )
+    )
+    pert = risk.groupBy("dur").agg(
+        F.sum("n_obs").cast("bigint").alias("d_t"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_obs")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("at_risk").cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("grp") == 1, F.col("at_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    terms = pert.filter(F.col("d_t") > 0).select(
+        "d1",
+        F.expr(
+            "CAST(floor(CAST(d_t AS DOUBLE) * n1 / n_t * 1000000) AS BIGINT)"
+        ).alias("e1_micro"),
+        F.expr(
+            "CASE WHEN n_t > 1 THEN"
+            " CAST(floor(CAST(d_t AS DOUBLE) * n1 / n_t * (n_t - n1) / n_t"
+            "   * (n_t - d_t) / (n_t - 1) * 1000000) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("v_micro"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_micro").cast("bigint").alias("e1_micro"),
+        F.sum("v_micro").cast("bigint").alias("v_micro"),
+    ).select(
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.expr(
+            "CAST(floor("
+            " (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000)"
+            " * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000)"
+            " / (CAST(v_micro AS DOUBLE) / 1000000) * 1000) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )

@@ -165,6 +165,11 @@ PRIORITY: tuple[str, ...] = (
     "association_rules_parts",
     "orders_abc_classification",
     "skipgram_pmi_topk",
+    "parts_xyz_classification",
+    "mann_whitney_order_value",
+    "ann_index_size_report",
+    "logrank_reorder_test",
+    "pack_fill_report",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

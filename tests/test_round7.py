@@ -230,3 +230,66 @@ def test_skipgram_pmi_window_superset_of_bigrams(spark, sf_dir):
 
     assert len(rows) <= _SG_TOPK
     assert expected > 0
+
+
+def test_xyz_classes_cover_all_parts(spark, sf_dir):
+    from bpaotu_spark.catalog import load_table
+
+    rows = QUERIES["parts_xyz_classification"](spark, sf_dir).collect()
+    assert rows
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z"}
+    n_classified = sum(r.n_parts for r in rows)
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert n_classified == n_parts
+
+
+def test_mann_whitney_u_bounds(spark, sf_dir):
+    """0 <= U1 <= n1*n2 (so 0 <= u_a_x2 <= 2*n1*n2)."""
+    r = QUERIES["mann_whitney_order_value"](spark, sf_dir).collect()[0]
+    assert 0 <= r.u_a_x2 <= 2 * r.n_a * r.n_b
+
+
+def test_index_size_report_ordering(spark, sf_dir):
+    """Compression ratios: flat = 1000 milli, PQ > int8 > flat; every
+    total is positive and consistent with its per-vector cost."""
+    rows = {r.layout: r for r in QUERIES["ann_index_size_report"](
+        spark, sf_dir).collect()}
+    assert set(rows) == {"flat_f32", "int8_sq", "pq", "ivfadc"}
+    assert rows["flat_f32"].compression_milli == 1000
+    assert rows["pq"].compression_milli > rows["int8_sq"].compression_milli
+    for r in rows.values():
+        assert (
+            r.total_bytes
+            == r.n_vectors * r.bytes_per_vector + r.overhead_bytes
+        )
+
+
+def test_logrank_consistency(spark, sf_dir):
+    """O1 <= total events; V > 0; chi2 = (O1-E1)^2/V recomputed from
+    the emitted floored sums matches the emitted milli value."""
+    import math
+
+    r = QUERIES["logrank_reorder_test"](spark, sf_dir).collect()[0]
+    assert r.v_micro > 0 and r.o1 > 0
+    diff = r.o1 - r.e1_micro / 1e6
+    chi2 = math.floor(diff * diff / (r.v_micro / 1e6) * 1000)
+    assert chi2 == r.chi2_milli
+
+
+def test_pack_fill_report_bounds(spark, sf_dir):
+    """Fill is in (0, 1e6]; chunk count covers the token mass; split
+    docs are a subset of all docs."""
+    from bpaotu_spark.operators.pipeline import PACK_BUDGET
+
+    rows = QUERIES["pack_fill_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.fill_ppm <= 1_000_000
+        assert r.n_chunks * PACK_BUDGET >= r.total_tokens
+        assert (r.n_chunks - 1) * PACK_BUDGET < r.total_tokens
+        assert 0 <= r.split_docs <= r.n_docs

@@ -310,6 +310,9 @@ HEADLINE = (
     "ann_index_size_report",
     "logrank_reorder_test",
     "pack_fill_report",
+    "spearman_part_size_price",
+    "theil_sen_revenue_trend",
+    "weibull_rank_regression",
 )
 
 

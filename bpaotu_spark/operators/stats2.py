@@ -983,3 +983,113 @@ def mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spearman_part_size_price — Spearman rank correlation between p_size
+# and p_retailprice over the part dimension: the monotone-association
+# companion to the Pearson row (part_size_price_corr) — identical on
+# linear data, robust to the curved relationships Pearson understates.
+# Ties (heavy in the 50-value size domain) use average ranks carried
+# in HALVES from each column's distinct-value cumulative table (the
+# mann_whitney discipline), so every rank is an exact integer; rho is
+# Pearson over the integer rank pairs: 128-bit moments, one float
+# expression, floored milli.
+#
+# Scale shape: two value-bounded cumulative windows (distinct sizes /
+# distinct cents) + two broadcast rank-lookup joins + one map-combined
+# moment aggregation; one output row.
+# ---------------------------------------------------------------------------
+
+
+def _rank_x2_sql(col: str, src: str) -> str:
+    """CTE body: ({col}_val, rank_x2) average-rank lookup in halves."""
+    return f"""
+  SELECT {col} AS v,
+    2 * CAST(coalesce(sum(cnt) OVER (ORDER BY {col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      + cnt + 1 AS rank_x2
+  FROM (SELECT {col}, CAST(count(*) AS BIGINT) AS cnt
+        FROM {src} GROUP BY {col})
+"""
+
+
+@register(
+    "spearman_part_size_price",
+    oracle=f"""
+WITH px AS (
+  SELECT CAST(p_size AS BIGINT) AS sz,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+),
+rs AS ({_rank_x2_sql("sz", "px")}),
+rc AS ({_rank_x2_sql("cents", "px")}),
+rr AS (
+  SELECT rs.rank_x2 AS rx, rc.rank_x2 AS ry
+  FROM px JOIN rs ON px.sz = rs.v JOIN rc ON px.cents = rc.v
+),
+mo AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+    CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+  FROM rr
+)
+SELECT CAST(n AS BIGINT) AS n_parts,
+  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)
+    AS spearman_milli
+FROM mo
+""",
+)
+def spearman_part_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-exact Spearman rho (milli) between part size and price."""
+    px = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").cast("bigint").alias("sz"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        dv = px.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        # unpartitioned window bound: DISTINCT-value table (value-
+        # bounded codomain: 50 sizes / cent-grid prices)
+        wv = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return dv.select(
+            F.col(col).alias("v"),
+            (
+                2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+                + F.col("cnt")
+                + 1
+            )
+            .cast("bigint")
+            .alias("rank_x2"),
+        )
+
+    rs = rank_map("sz").withColumnRenamed("rank_x2", "rx")
+    rc = rank_map("cents").withColumnRenamed("rank_x2", "ry")
+    rr = (
+        px.join(F.broadcast(rs), px.sz == rs.v)
+        .drop("v")
+        .join(F.broadcast(rc), px.cents == rc.v)
+        .select("rx", "ry")
+    )
+    mo = rr.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * ry")).alias("sxy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * rx")).alias("sxx"),
+        F.sum(F.expr("CAST(ry AS DECIMAL(38,0)) * ry")).alias("syy"),
+    )
+    return mo.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "      * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("spearman_milli"),
+    )

@@ -708,3 +708,134 @@ def logrank_reorder_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(v_micro AS DOUBLE) / 1000000) * 1000) AS BIGINT)"
         ).alias("chi2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weibull_rank_regression — parametric survival fit over the OBSERVED
+# reorder gaps: median-rank regression (Benard's approximation
+# F_i = (i − 0.3)/(n + 0.4)) linearizes Weibull as
+# ln(−ln(1−F)) = k·ln(t) − k·ln(λ); weighted OLS over the distinct-
+# duration table gives shape k and scale λ in closed form — the
+# parametric companion to the nonparametric KM/Nelson-Aalen rows
+# (k < 1 ⇒ reorder hazard decreases with gap length). Average ranks
+# for tied durations in HALVES (exact), so F is the exact rational
+# (5·i_x2 − 3)/(10n + 4); x and y are single float expressions over
+# exact integers FLOORED to micro before the weighted sums (128-bit:
+# micro² products overflow int64 at corpus scale); k and λ derive
+# from the floored sums in one final expression each.
+#
+# Scale shape: one duration-count aggregation + one value-bounded
+# cumulative window + a 1-row weighted-moment rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weibull_rank_regression",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur
+  FROM o
+),
+dc AS (
+  SELECT CAST(dur AS BIGINT) AS dur, CAST(count(*) AS BIGINT) AS cnt
+  FROM g WHERE dur IS NOT NULL AND dur > 0 GROUP BY dur
+),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dc),
+rk AS (
+  SELECT dur, cnt,
+    2 * CAST(coalesce(sum(cnt) OVER (ORDER BY dur ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      + cnt + 1 AS i_x2
+  FROM dc
+),
+xy AS (
+  SELECT cnt,
+    CAST(floor(ln(CAST(dur AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+    CAST(floor(ln(-ln(1.0 - CAST(5 * i_x2 - 3 AS DOUBLE) / (10 * n + 4)))
+      * 1000000) AS BIGINT) AS y
+  FROM rk, nn
+),
+mo AS (
+  SELECT CAST(sum(cnt) AS HUGEINT) AS w,
+    CAST(sum(CAST(cnt AS HUGEINT) * x) AS HUGEINT) AS sx,
+    CAST(sum(CAST(cnt AS HUGEINT) * y) AS HUGEINT) AS sy,
+    CAST(sum(CAST(cnt AS HUGEINT) * x * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(cnt AS HUGEINT) * x * x) AS HUGEINT) AS sxx
+  FROM xy
+)
+SELECT CAST(w AS BIGINT) AS n_gaps,
+  CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)
+    / CAST(w * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT) AS shape_milli,
+  CAST(floor(exp((CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+    - (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+      / (CAST(w * sxy - sx * sy AS DOUBLE)
+         / CAST(w * sxx - sx * sx AS DOUBLE))) / 1000000)
+    * 1000) AS BIGINT) AS scale_days_milli
+FROM mo
+""",
+)
+def weibull_rank_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale (milli) via Benard median-rank regression."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"))
+    dc = (
+        g.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy(F.col("dur").cast("bigint").alias("dur"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    nn = dc.agg(F.sum("cnt").cast("bigint").alias("n"))
+    # unpartitioned window bound: DISTINCT-duration table (day-grain)
+    wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    rk = dc.select(
+        "dur",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("bigint")
+        .alias("i_x2"),
+    )
+    xy = rk.crossJoin(F.broadcast(nn)).select(
+        "cnt",
+        F.floor(F.log(F.col("dur").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.expr(
+            "CAST(floor(ln(-ln(1.0 - CAST(5 * i_x2 - 3 AS DOUBLE)"
+            " / (10 * n + 4))) * 1000000) AS BIGINT)"
+        ).alias("y"),
+    )
+    mo = xy.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("w"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * x")).alias("sx"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * y")).alias("sy"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * x * y")).alias("sxy"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * x * x")).alias("sxx"),
+    )
+    return mo.select(
+        F.col("w").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)"
+            " / CAST(w * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)"
+        ).alias("shape_milli"),
+        F.expr(
+            "CAST(floor(exp((CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))"
+            "   / (CAST(w * sxy - sx * sy AS DOUBLE)"
+            "      / CAST(w * sxx - sx * sx AS DOUBLE))) / 1000000)"
+            " * 1000) AS BIGINT)"
+        ).alias("scale_days_milli"),
+    )

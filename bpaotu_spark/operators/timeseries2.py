@@ -514,3 +514,148 @@ def markov_calibration_reliability(
             " - CAST(sum(hit) AS BIGINT) * 1000000 div count(*)"
         ).alias("calibration_gap_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_revenue_trend — robust trend over the daily revenue
+# series: the Theil-Sen estimator (median of all pairwise slopes — up
+# to 29 % outlier breakdown where OLS has 0 %) plus the Mann-Kendall
+# monotone-trend test (S = #concordant − #discordant pairs, exact
+# integer; tie-corrected normal z). The pair former is the DAY-GRAIN
+# self-pair (calendar-bounded: |days|² pairs regardless of fact size —
+# ~2.9M at a 6.6-year span), an allowlisted bounded non-equi join; the
+# median is a fixed-rank (lower-median) pick over the deterministic
+# (slope, day_i, day_j) total order, engine-identical because every
+# slope is one float division of exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_revenue_trend",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+pr AS (
+  SELECT a.d AS d_i, b.d AS d_j,
+    CAST(b.c - a.c AS DOUBLE) / date_diff('day', a.d, b.d) AS slope,
+    CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+  SELECT slope,
+    row_number() OVER (ORDER BY slope ASC, d_i ASC, d_j ASC) AS rn,
+    count(*) OVER () AS p
+  FROM pr
+),
+ties AS (
+  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+    AS HUGEINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY c)
+  WHERE t > 1
+),
+st AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+    (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs,
+    (SELECT CAST(sum(sgn) AS BIGINT) FROM pr) AS mk_s,
+    (SELECT CAST(round(slope, 4) AS DOUBLE) FROM ranked
+      WHERE rn = (p + 1) // 2) AS sen_slope,
+    (SELECT tie_term FROM ties) AS tie_term
+)
+SELECT n_days, n_pairs, sen_slope, mk_s,
+  CAST(floor(
+    CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)
+         WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)
+         ELSE 0.0 END
+    / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+            - CAST(tie_term AS DOUBLE)) / 18.0) * 1000) AS BIGINT)
+    AS mk_z_milli
+FROM st
+""",
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope (cents/day, 4dp) + Mann-Kendall S and z."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    a = daily.select(F.col("d").alias("d_i"), F.col("c").alias("c_i"))
+    b = daily.select(F.col("d").alias("d_j"), F.col("c").alias("c_j"))
+    # bounded day-grain self-pair: |days|² regardless of fact size
+    pr = a.join(F.broadcast(b), F.col("d_i") < F.col("d_j")).select(
+        "d_i",
+        "d_j",
+        (
+            (F.col("c_j") - F.col("c_i")).cast("double")
+            / F.datediff("d_j", "d_i")
+        ).alias("slope"),
+        F.when(F.col("c_j") > F.col("c_i"), 1)
+        .when(F.col("c_j") < F.col("c_i"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    # unpartitioned window bound: day-grain pair frame (|days|²,
+    # calendar-bounded — ~2.9M rows at the full 6.6-year span)
+    wr = Window.orderBy(
+        F.col("slope").asc(), F.col("d_i").asc(), F.col("d_j").asc()
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pr.select(
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("p"),
+    )
+    sen = ranked.filter(
+        F.col("rn") == F.expr("(p + 1) div 2")
+    ).select(F.round("slope", 4).cast("double").alias("sen_slope"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie_term")
+        )
+    )
+    st = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("mk_s"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(sen))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "n_pairs",
+            "sen_slope",
+            "mk_s",
+            F.expr(
+                "CAST(floor("
+                " CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)"
+                "      WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)"
+                "      ELSE 0.0 END"
+                " / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1)"
+                "         * (2 * n_days + 5)"
+                "         - CAST(tie_term AS DOUBLE)) / 18.0)"
+                " * 1000) AS BIGINT)"
+            ).alias("mk_z_milli"),
+        )
+    )

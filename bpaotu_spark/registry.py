@@ -170,6 +170,9 @@ PRIORITY: tuple[str, ...] = (
     "ann_index_size_report",
     "logrank_reorder_test",
     "pack_fill_report",
+    "spearman_part_size_price",
+    "theil_sen_revenue_trend",
+    "weibull_rank_regression",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

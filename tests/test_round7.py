@@ -293,3 +293,23 @@ def test_pack_fill_report_bounds(spark, sf_dir):
         assert r.n_chunks * PACK_BUDGET >= r.total_tokens
         assert (r.n_chunks - 1) * PACK_BUDGET < r.total_tokens
         assert 0 <= r.split_docs <= r.n_docs
+
+
+def test_spearman_in_range_and_positive_on_this_data(spark, sf_dir):
+    r = QUERIES["spearman_part_size_price"](spark, sf_dir).collect()[0]
+    assert -1000 <= r.spearman_milli <= 1000
+    assert r.n_parts > 0
+
+
+def test_theil_sen_pair_count_and_bounds(spark, sf_dir):
+    r = QUERIES["theil_sen_revenue_trend"](spark, sf_dir).collect()[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert abs(r.mk_s) <= r.n_pairs
+    assert r.sen_slope is not None
+
+
+def test_weibull_shape_scale_positive(spark, sf_dir):
+    r = QUERIES["weibull_rank_regression"](spark, sf_dir).collect()[0]
+    assert r.n_gaps > 0
+    assert r.shape_milli > 0  # hazard fit exists; k > 0 always
+    assert r.scale_days_milli > 0

@@ -62,6 +62,10 @@ ALLOWED_BNLJ = {
     "association_rules_parts": "broadcast 1-row basket-count scalar into the bounded rule frame",
     "orders_abc_classification": "broadcast 1-row revenue-total scalar over the part-dimension rollup",
     "skipgram_pmi_topk": "broadcast 1-row token/pair-total scalars (bigram_pmi shape)",
+    "ann_index_size_report": "broadcast 1-row corpus-count scalar into the 4-row layout frame",
+    "logrank_reorder_test": "broadcast 1-row observation-end scalar (kaplan_meier shape)",
+    "theil_sen_revenue_trend": "broadcast day-grain self-pair (|days|^2, calendar-bounded) + 1-row stat scalars",
+    "weibull_rank_regression": "broadcast 1-row gap-count scalar into the duration-rank frame",
     "knn_reciprocity": "broadcast 1-row directed-edge-count scalar over the 1-row mutual aggregate",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",

@@ -313,6 +313,10 @@ HEADLINE = (
     "spearman_part_size_price",
     "theil_sen_revenue_trend",
     "weibull_rank_regression",
+    "revenue_bridge_yoy",
+    "promo_did_estimate",
+    "label_centroid_distances",
+    "doc_hapax_ratio",
 )
 
 

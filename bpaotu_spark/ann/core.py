@@ -2994,3 +2994,111 @@ def ann_index_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_distances — pairwise distances between per-label
+# embedding centroids WITHOUT ever dividing: with per-(label, dim)
+# exact sums s and counts n over the quantized grid, the centroid
+# distance multiplies through by (n_a·n_b)²:
+#   d²·(n_a·n_b)² = Σ_dim (s_a·n_b − s_b·n_a)²   — all-integer.
+# Emitted as d2_q = that // (n_a·n_b)², the squared distance in q²
+# units (q = floor(x·1e4)): the class-separation matrix that tells a
+# curation pipeline which label pairs an ANN index will confuse
+# (pairs with small d2_q relative to within-class spread).
+#
+# Scale shape: one (label, dim) sum aggregation (|labels|·DIM rows),
+# one dim-keyed equi join of that bounded frame to itself, one pair
+# rollup — nothing corpus-sized after the first aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroid_distances",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_NP_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+x AS (
+  SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS qv FROM e
+),
+ld AS (
+  SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY label, dim
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+    CAST(sum((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+           * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n))
+      AS HUGEINT) AS num
+  FROM ld a JOIN ld b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, n_a, n_b,
+  CAST(num // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) AS BIGINT) AS d2_q
+FROM pairs
+""",
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-integer pairwise label-centroid squared distances (q² units)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    x = e.select("label", F.posexplode("q").alias("pos", "qv")).select(
+        "label", (F.col("pos") + 1).cast("bigint").alias("dim"), "qv"
+    )
+    ld = x.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    la = ld.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("s").alias("s_a"),
+        F.col("n").alias("na"),
+    )
+    lb = ld.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        la.join(
+            F.broadcast(lb),
+            (la.dim == lb.dim_b) & (la.label_a < lb.label_b),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "(CAST(s_a AS DECIMAL(38,0)) * nb"
+                    " - CAST(s_b AS DECIMAL(38,0)) * na)"
+                    " * (CAST(s_a AS DECIMAL(38,0)) * nb"
+                    " - CAST(s_b AS DECIMAL(38,0)) * na)"
+                )
+            ).alias("num"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(num div (CAST(n_a AS DECIMAL(38,0)) * n_b * n_a * n_b)"
+            " AS BIGINT)"
+        ).alias("d2_q"),
+    )

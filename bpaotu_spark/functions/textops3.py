@@ -588,3 +588,68 @@ def skipgram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpartitioned window bound: runs over the LIMIT-_SG_TOPK cut
     w = Window.orderBy(*order_cols)
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# doc_hapax_ratio — hapax legomena census per source: the share of
+# vocabulary types seen exactly ONCE within the source (and the token
+# mass they carry). A high hapax share with flat token counts signals
+# productive/noisy vocabulary (OCR junk, code identifiers); the drop
+# in hapax share as a corpus grows is the other face of the Heaps
+# exponent (heaps_law_estimate). One (source, token) count aggregation
+# + one source rollup — map-side combinable throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_hapax_ratio",
+    oracle=f"""
+WITH t AS (
+  SELECT source, unnest({TOKENIZE_SQL}) AS tok FROM documents
+),
+tc AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY source, tok
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS vocab_size,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000 // count(*) AS hapax_type_ppm,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000 // CAST(sum(c) AS BIGINT) AS hapax_token_ppm
+FROM tc GROUP BY source
+""",
+)
+def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            F.expr("n_hapax * 1000000 div vocab_size").alias(
+                "hapax_type_ppm"
+            ),
+            F.expr("n_hapax * 1000000 div n_tokens").alias(
+                "hapax_token_ppm"
+            ),
+        )
+    )

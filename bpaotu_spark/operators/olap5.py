@@ -311,3 +311,193 @@ def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_active_months"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_bridge_yoy — the FP&A revenue bridge: decompose each brand's
+# year-over-year revenue change into a VOLUME effect (quantity change
+# at last year's realized price) and a PRICE/MIX effect (the
+# remainder) — the waterfall every revenue review starts from.
+# Exact integers: revenue in cents, quantity in units; the volume
+# effect (q₂−q₁)·R₁ div q₁ floors once, and price/mix is defined as
+# the exact complement (ΔR − volume), so the bridge always sums.
+# ---------------------------------------------------------------------------
+
+_BR_Y1, _BR_Y2 = 1996, 1997
+
+
+@register(
+    "revenue_bridge_yoy",
+    oracle=f"""
+WITH li AS (
+  SELECT p_brand, year(CAST(o_orderdate AS DATE)) AS yr,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(CAST(o_orderdate AS DATE)) IN ({_BR_Y1}, {_BR_Y2})
+),
+yb AS (
+  SELECT p_brand,
+    CAST(sum(CASE WHEN yr = {_BR_Y1} THEN cents ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN yr = {_BR_Y2} THEN cents ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN yr = {_BR_Y1} THEN qty ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN yr = {_BR_Y2} THEN qty ELSE 0 END) AS BIGINT) AS q2
+  FROM li GROUP BY p_brand
+)
+SELECT p_brand, r1 AS rev1_cents, r2 AS rev2_cents,
+  r2 - r1 AS delta_cents,
+  CAST(CAST(q2 - q1 AS HUGEINT) * r1 // q1 AS BIGINT)
+    AS volume_effect_cents,
+  (r2 - r1) - CAST(CAST(q2 - q1 AS HUGEINT) * r1 // q1 AS BIGINT)
+    AS price_mix_effect_cents
+FROM yb WHERE q1 > 0
+""",
+)
+def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand YoY revenue bridge (volume vs price/mix, exact cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    ).filter(F.col("yr").isin(_BR_Y1, _BR_Y2))
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            "p_brand",
+            "yr",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    yb = j.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("yr") == _BR_Y1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("yr") == _BR_Y2, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(F.when(F.col("yr") == _BR_Y1, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("yr") == _BR_Y2, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    return yb.filter(F.col("q1") > 0).select(
+        "p_brand",
+        F.col("r1").alias("rev1_cents"),
+        F.col("r2").alias("rev2_cents"),
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        F.expr(
+            "CAST(CAST(q2 - q1 AS DECIMAL(38,0)) * r1 div q1 AS BIGINT)"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            "(r2 - r1) - CAST(CAST(q2 - q1 AS DECIMAL(38,0)) * r1 div q1"
+            " AS BIGINT)"
+        ).alias("price_mix_effect_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# promo_did_estimate — difference-in-differences on promo parts: mean
+# lineitem revenue for PROMO vs non-PROMO parts, before vs after the
+# period midpoint; DiD = (treat_post − treat_pre) − (ctrl_post −
+# ctrl_pre). The standard quasi-experimental read when a treatment
+# (promotion flag) wasn't randomized. Means are milli-cent floored
+# integers; the estimate derives from the four floored cells, so both
+# engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = "1998-01-01"
+
+
+@register(
+    "promo_did_estimate",
+    oracle=f"""
+WITH li AS (
+  SELECT
+    CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+    CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_DID_SPLIT}'
+         THEN 1 ELSE 0 END AS post,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+cells AS (
+  SELECT treated, post,
+    CAST(sum(cents) AS HUGEINT) * 1000 // count(*) AS mean_milli,
+    CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY treated, post
+)
+SELECT
+  CAST(max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END)
+    AS BIGINT) AS treat_pre_milli,
+  CAST(max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+    AS BIGINT) AS treat_post_milli,
+  CAST(max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END)
+    AS BIGINT) AS ctrl_pre_milli,
+  CAST(max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+    AS BIGINT) AS ctrl_post_milli,
+  CAST(sum(n) AS BIGINT) AS n_lineitems,
+  CAST((max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+    - max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END))
+    - (max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+    - max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END))
+    AS BIGINT) AS did_milli
+FROM cells
+""",
+)
+def promo_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 DiD on mean lineitem revenue, promo vs non-promo parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderdate").cast("date") >= F.lit(_DID_SPLIT).cast("date"))
+        .cast("int")
+        .alias("post"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").cast("int").alias("treated"),
+    )
+    cells = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            "treated",
+            "post",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(cents AS DECIMAL(38,0))) * 1000"
+                " div count(1) AS BIGINT)"
+            ).alias("mean_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("mean_milli"),
+        )
+    ).cast("bigint")
+    return cells.agg(
+        cell(1, 0).alias("treat_pre_milli"),
+        cell(1, 1).alias("treat_post_milli"),
+        cell(0, 0).alias("ctrl_pre_milli"),
+        cell(0, 1).alias("ctrl_post_milli"),
+        F.sum("n").cast("bigint").alias("n_lineitems"),
+        (
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+        ).alias("did_milli"),
+    )

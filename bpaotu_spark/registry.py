@@ -173,6 +173,10 @@ PRIORITY: tuple[str, ...] = (
     "spearman_part_size_price",
     "theil_sen_revenue_trend",
     "weibull_rank_regression",
+    "revenue_bridge_yoy",
+    "promo_did_estimate",
+    "label_centroid_distances",
+    "doc_hapax_ratio",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

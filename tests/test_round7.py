@@ -313,3 +313,39 @@ def test_weibull_shape_scale_positive(spark, sf_dir):
     assert r.n_gaps > 0
     assert r.shape_milli > 0  # hazard fit exists; k > 0 always
     assert r.scale_days_milli > 0
+
+
+def test_revenue_bridge_sums(spark, sf_dir):
+    rows = QUERIES["revenue_bridge_yoy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_cents == r.rev2_cents - r.rev1_cents
+        assert (
+            r.volume_effect_cents + r.price_mix_effect_cents
+            == r.delta_cents
+        )
+
+
+def test_promo_did_cell_identity(spark, sf_dir):
+    r = QUERIES["promo_did_estimate"](spark, sf_dir).collect()[0]
+    assert r.did_milli == (r.treat_post_milli - r.treat_pre_milli) - (
+        r.ctrl_post_milli - r.ctrl_pre_milli
+    )
+    assert r.n_lineitems > 0
+
+
+def test_label_centroid_distances_complete_and_nonneg(spark, sf_dir):
+    rows = QUERIES["label_centroid_distances"](spark, sf_dir).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert r.d2_q >= 0
+
+
+def test_hapax_bounds(spark, sf_dir):
+    rows = QUERIES["doc_hapax_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.vocab_size <= r.n_tokens
+        assert r.hapax_token_ppm <= r.hapax_type_ppm  # hapax carry 1 token

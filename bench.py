@@ -317,6 +317,8 @@ HEADLINE = (
     "promo_did_estimate",
     "label_centroid_distances",
     "doc_hapax_ratio",
+    "kneser_ney_bigram_ppl",
+    "quantization_error_histogram",
 )
 
 

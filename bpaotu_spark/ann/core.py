@@ -3102,3 +3102,73 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("d2_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantization_error_histogram — reconstruction-error audit for the
+# int8 scalar quantizer (vector_quantize_int8): per value, the
+# mid-rise dequantization error normalized by the quantization step,
+# binned at 0.05 steps (a well-behaved quantizer is ~uniform on
+# [0, 0.5) — spikes near 0.5 mean clipping, mass at 0 means wasted
+# resolution). The whole per-row chain (quantize → dequantize → error
+# → bin) is ONE shared SQL expression string evaluated by both
+# engines, so the float op order is identical by construction.
+# ---------------------------------------------------------------------------
+
+_QERR_EXPR = (
+    "least(CAST(floor(abs(val - (mn + (least(floor((val - mn) * 254"
+    " / (mx - mn)), 254) + 0.5) * (mx - mn) / 254)) * 254 / (mx - mn)"
+    " * 20) AS BIGINT), 10)"
+)
+
+
+@register(
+    "quantization_error_histogram",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+),
+s AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim
+),
+b AS (
+  SELECT {_QERR_EXPR} AS bin
+  FROM x JOIN s ON x.dim = s.dim WHERE mx > mn
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_values,
+  CAST(count(*) AS BIGINT) * 1000000 // total AS share_ppm
+FROM b CROSS JOIN nt
+GROUP BY bin, total
+""",
+)
+def quantization_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized int8 reconstruction-error histogram (bins of 0.05)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select("vec_id", F.posexplode("v").alias("pos", "val")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), "val"
+    )
+    s = x.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    b = (
+        x.join(F.broadcast(s), "dim")
+        .filter(F.col("mx") > F.col("mn"))
+        .select(F.expr(_QERR_EXPR).alias("bin"))
+    )
+    nt = b.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        b.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bin",
+            "n_values",
+            F.expr("n_values * 1000000 div total").alias("share_ppm"),
+        )
+    )

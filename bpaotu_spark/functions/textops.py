@@ -1408,3 +1408,151 @@ def heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cost_micro").alias("total_cost_micronats"),
         F.expr("sum(cost_micro) div count(*)").alias("avg_cost_micronats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_bigram_ppl — interpolated Kneser-Ney held-out perplexity
+# (Kneser & Ney '95; Chen & Goodman '98 the canonical smoothing for
+# n-gram LMs): discount D = 3/4 (binary-exact) off every seen bigram,
+# redistributed over the CONTINUATION distribution
+# p_cont(w) ∝ N1+(·w) — "how many contexts does w complete" — which is
+# what separates KN from the add-one baseline
+# (heldout_bigram_perplexity): frequent-but-context-bound words (e.g.
+# "Francisco") stop stealing mass. Deviations, documented: p_cont is
+# add-one smoothed over (B + V) so held-out-only words keep nonzero
+# mass, and unseen contexts back off to p_cont directly. Same doc-
+# parity split as the baseline op, so the two rows are comparable
+# per-language.
+#
+# Determinism: every model quantity is an exact integer count; the
+# per-pair cost is ONE float expression (D exact in binary) floored to
+# micro-nats; sums are integer. Scale shape: counts are map-side
+# combinable; scoring is three broadcast-sized lookups (bigram table,
+# context table, continuation table) + a 1-row constant.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kneser_ney_bigram_ppl",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENIZE_SQL} AS toks,
+    {_SPLIT_SQL} < {_HOLDOUT_TRAIN_BUCKETS} AS is_train
+  FROM documents
+), x AS (
+  SELECT doc_id, lang, is_train, tok,
+    lead(tok) OVER w AS nxt
+  FROM (SELECT doc_id, lang, is_train, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos FROM t)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), bi AS (
+  SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c2 FROM x
+  WHERE is_train AND nxt IS NOT NULL GROUP BY tok, nxt
+), ctx AS (
+  SELECT tok, CAST(sum(c2) AS BIGINT) AS cv,
+    CAST(count(*) AS BIGINT) AS n1p_v
+  FROM bi GROUP BY tok
+), cont AS (
+  SELECT nxt AS w, CAST(count(*) AS BIGINT) AS n1p_w FROM bi GROUP BY nxt
+), consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS b,
+    CAST(count(DISTINCT tok) AS BIGINT) AS vsize
+  FROM bi
+), scored AS (
+  SELECT h.lang, h.doc_id,
+    CAST(floor(-ln(
+      CASE WHEN coalesce(ctx.cv, 0) > 0 THEN
+        (greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0)
+         + 0.75 * ctx.n1p_v
+           * (CAST(coalesce(cont.n1p_w, 0) + 1 AS DOUBLE) / (b + vsize)))
+        / CAST(ctx.cv AS DOUBLE)
+      ELSE
+        CAST(coalesce(cont.n1p_w, 0) + 1 AS DOUBLE) / (b + vsize)
+      END) * 1000000) AS BIGINT) AS cost_micro
+  FROM x h
+  LEFT JOIN bi ON h.tok = bi.tok AND h.nxt = bi.nxt
+  LEFT JOIN ctx ON h.tok = ctx.tok
+  LEFT JOIN cont ON h.nxt = cont.w
+  CROSS JOIN consts
+  WHERE NOT h.is_train AND h.nxt IS NOT NULL
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(cost_micro) AS BIGINT) AS total_cost_micronats,
+  CAST(sum(cost_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS avg_cost_micronats
+FROM scored GROUP BY lang
+""",
+)
+def kneser_ney_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokenize(F.col("text")).alias("toks"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            < _HOLDOUT_TRAIN_BUCKETS
+        ).alias("is_train"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    x = docs.select(
+        "doc_id", "lang", "is_train", F.posexplode("toks").alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "lang",
+        "is_train",
+        "tok",
+        F.lead("tok").over(w).alias("nxt"),
+    )
+    x = x.localCheckpoint()  # one tokenize pass feeds train AND heldout
+    bi = (
+        x.filter(F.col("is_train") & F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    bi = bi.localCheckpoint()  # feeds ctx, cont, consts, and scoring
+    ctx = bi.groupBy("tok").agg(
+        F.sum("c2").cast("bigint").alias("cv"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_v"),
+    )
+    cont = bi.groupBy(F.col("nxt").alias("w_")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_w")
+    )
+    consts = bi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.countDistinct("tok").cast("bigint").alias("vsize"),
+    )
+    h = x.filter(~F.col("is_train") & F.col("nxt").isNotNull())
+    scored = (
+        h.join(bi.withColumnRenamed("c2", "c2_"), ["tok", "nxt"], "left")
+        .join(ctx, "tok", "left")
+        .join(cont, h.nxt == F.col("w_"), "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "lang",
+            F.expr(
+                "CAST(floor(-ln("
+                " CASE WHEN coalesce(cv, 0) > 0 THEN"
+                "  (greatest(CAST(coalesce(c2_, 0) AS DOUBLE) - 0.75, 0.0)"
+                "   + 0.75 * n1p_v"
+                "     * (CAST(coalesce(n1p_w, 0) + 1 AS DOUBLE)"
+                "        / (b + vsize)))"
+                "  / CAST(cv AS DOUBLE)"
+                " ELSE"
+                "  CAST(coalesce(n1p_w, 0) + 1 AS DOUBLE) / (b + vsize)"
+                " END) * 1000000) AS BIGINT)"
+            ).alias("cost_micro"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("cost_micro").cast("bigint").alias("total_cost_micronats"),
+        F.expr(
+            "CAST(sum(cost_micro) AS BIGINT)"
+            " div CAST(count(1) AS BIGINT)"
+        ).alias("avg_cost_micronats"),
+    )

@@ -177,6 +177,8 @@ PRIORITY: tuple[str, ...] = (
     "promo_did_estimate",
     "label_centroid_distances",
     "doc_hapax_ratio",
+    "kneser_ney_bigram_ppl",
+    "quantization_error_histogram",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

@@ -349,3 +349,34 @@ def test_hapax_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hapax <= r.vocab_size <= r.n_tokens
         assert r.hapax_token_ppm <= r.hapax_type_ppm  # hapax carry 1 token
+
+
+def test_kneser_ney_beats_addone_baseline(spark, sf_dir):
+    """KN smoothing should model held-out text at least as well as the
+    add-one baseline on average (the reason it exists); also basic
+    bounds: positive costs, same split → comparable pair counts."""
+    kn = {r.lang: r for r in QUERIES["kneser_ney_bigram_ppl"](
+        spark, sf_dir).collect()}
+    base = {r.lang: r for r in QUERIES["heldout_bigram_perplexity"](
+        spark, sf_dir).collect()}
+    assert set(kn) == set(base)
+    for lang, r in kn.items():
+        assert r.n_pairs == base[lang].n_pairs
+        assert r.avg_cost_micronats > 0
+    # corpus-level: KN total cost strictly below add-one total
+    assert sum(r.total_cost_micronats for r in kn.values()) < sum(
+        r.total_cost_micronats for r in base.values()
+    )
+
+
+def test_quantization_error_histogram_mass(spark, sf_dir):
+    rows = QUERIES["quantization_error_histogram"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.bin <= 10 for r in rows)
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 999_980 <= total_ppm <= 1_000_000
+    # quantization error of a correct mid-rise quantizer concentrates
+    # in [0, 0.5): bins 0-9 carry nearly all mass
+    tail = sum(r.n_values for r in rows if r.bin == 10)
+    total = sum(r.n_values for r in rows)
+    assert tail * 20 < total

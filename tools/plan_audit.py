@@ -66,6 +66,8 @@ ALLOWED_BNLJ = {
     "logrank_reorder_test": "broadcast 1-row observation-end scalar (kaplan_meier shape)",
     "theil_sen_revenue_trend": "broadcast day-grain self-pair (|days|^2, calendar-bounded) + 1-row stat scalars",
     "weibull_rank_regression": "broadcast 1-row gap-count scalar into the duration-rank frame",
+    "kneser_ney_bigram_ppl": "broadcast 1-row bigram/vocab-count scalars into the scoring join (heldout shape)",
+    "quantization_error_histogram": "broadcast 1-row total-count scalar over the 11-bin frame",
     "knn_reciprocity": "broadcast 1-row directed-edge-count scalar over the 1-row mutual aggregate",
     "basket_brand_lift": "broadcast 1-row order-count scalar",
     "customer_rfm_segments": "broadcast 1-row max-date and n-customers scalars",

@@ -319,6 +319,8 @@ HEADLINE = (
     "doc_hapax_ratio",
     "kneser_ney_bigram_ppl",
     "quantization_error_histogram",
+    "wilcoxon_signed_rank_yoy",
+    "dedup_survival_by_source",
 )
 
 

@@ -36,7 +36,7 @@ from bpaotu_spark.functions.textops import (
     tokenize,
     word_ngrams,
 )
-from bpaotu_spark.registry import register
+from bpaotu_spark.registry import ORACLES, register
 
 # SQL twin of the distinct word-3-gram set per document (window-lead
 # form; the Spark side uses transform+slice — same resulting set).
@@ -2205,6 +2205,82 @@ def minhash_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard_ppm"),
             F.expr(f"matches * 1000000 div {MINHASH_K}").alias(
                 "est_jaccard_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_survival_by_source — token-aware survival census over the
+# near-dedup verdict: per source, documents and token mass kept vs
+# dropped (the "dedup saves X % of source Y" number a mixture plan
+# needs BEFORE reweighting — dropping boilerplate-heavy sources
+# changes effective mixture weights). Composes the registered
+# corpus_near_dedup_keep_first oracle, so verdict and census can
+# never drift; token counts reuse the shared tokenizer.
+#
+# Scale shape: the verdict's own shape plus one broadcast-joined
+# per-doc token count and one source rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survival_by_source",
+    oracle=f"""
+WITH verdict AS ({{verdict}}),
+tl AS (
+  SELECT doc_id, source,
+    CAST(len({TOKENIZE_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT tl.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN is_kept THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS kept_tokens,
+  CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000 // count(*) AS doc_survival_ppm,
+  CAST(sum(CASE WHEN is_kept THEN n_tokens ELSE 0 END) AS BIGINT)
+    * 1000000 // CAST(sum(n_tokens) AS BIGINT) AS token_survival_ppm
+FROM verdict JOIN tl ON verdict.doc_id = tl.doc_id
+GROUP BY tl.source
+""".format(verdict=ORACLES["corpus_near_dedup_keep_first"]),
+)
+def dedup_survival_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/token survival after near-dedup keep-first."""
+    verdict = corpus_near_dedup_keep_first(spark, sf_dir).select(
+        "doc_id", "is_kept"
+    )
+    tl = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        verdict.join(tl, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("is_kept"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "n_tokens",
+            "kept_tokens",
+            F.expr("kept_docs * 1000000 div n_docs").alias(
+                "doc_survival_ppm"
+            ),
+            F.expr("kept_tokens * 1000000 div n_tokens").alias(
+                "token_survival_ppm"
             ),
         )
     )

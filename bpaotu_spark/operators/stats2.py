@@ -1093,3 +1093,141 @@ def spearman_part_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)"
         ).alias("spearman_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank_yoy — paired nonparametric test: did per-
+# customer spend SHIFT between consecutive years? Pairs = customers
+# with orders in both years; diff = cents(y2) − cents(y1), zeros
+# dropped (the standard convention); |diff| ranked with tie-averaged
+# ranks in HALVES (exact integers, the mann_whitney discipline);
+# W⁺·2 = Σ rank_x2 over positive diffs. The normal z uses the
+# tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48 with exact
+# integer inputs in one float expression, floored milli. Completes
+# the nonparametric pair: Mann-Whitney (independent samples) /
+# Wilcoxon signed-rank (paired).
+#
+# Scale shape: per-(customer, year) rollup → paired diff per customer
+# → distinct-|diff| cumulative window (value-bounded codomain) → one
+# output row.
+# ---------------------------------------------------------------------------
+
+_WX_Y1, _WX_Y2 = 1996, 1997
+
+
+@register(
+    "wilcoxon_signed_rank_yoy",
+    oracle=f"""
+WITH cy AS (
+  SELECT o_custkey,
+    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = {_WX_Y1}
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS c1,
+    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = {_WX_Y2}
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS c2,
+    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = {_WX_Y1}
+      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = {_WX_Y2}
+      THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) IN ({_WX_Y1}, {_WX_Y2})
+  GROUP BY o_custkey
+),
+df AS (
+  SELECT c2 - c1 AS d, abs(c2 - c1) AS ad
+  FROM cy WHERE n1 > 0 AND n2 > 0 AND c2 <> c1
+),
+dv AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos
+  FROM df GROUP BY ad
+),
+cum AS (
+  SELECT ad, cnt, cnt_pos,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY ad ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM dv
+),
+st AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+    CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+    CAST(sum(cnt_pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS w_pos_x2,
+    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS ties
+  FROM cum
+)
+SELECT n, n_pos, w_pos_x2,
+  CAST(floor(
+    (CAST(w_pos_x2 AS DOUBLE) / 2.0
+      - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+    / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+        - CAST(ties AS DOUBLE) / 48.0) * 1000) AS BIGINT) AS z_milli
+FROM st
+""",
+)
+def wilcoxon_signed_rank_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank on per-customer YoY spend (1 row)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("yr").isin(_WX_Y1, _WX_Y2))
+    cy = od.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("yr") == _WX_Y1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("yr") == _WX_Y2, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(F.when(F.col("yr") == _WX_Y1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("yr") == _WX_Y2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    df = cy.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("c2") != F.col("c1"))
+    ).select(
+        (F.col("c2") - F.col("c1")).alias("d"),
+        F.abs(F.col("c2") - F.col("c1")).alias("ad"),
+    )
+    dv = df.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_pos"),
+    )
+    # unpartitioned window bound: DISTINCT |diff| table (value-bounded)
+    wv = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dv.select(
+        "ad",
+        "cnt",
+        "cnt_pos",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    st = cum.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt_pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("w_pos_x2"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).alias(
+            "ties_dec"
+        ),
+    )
+    return st.select(
+        "n",
+        "n_pos",
+        "w_pos_x2",
+        F.expr(
+            "CAST(floor("
+            " (CAST(w_pos_x2 AS DOUBLE) / 2.0"
+            "   - CAST(n AS DOUBLE) * (n + 1) / 4.0)"
+            " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0"
+            "     - CAST(ties_dec AS DOUBLE) / 48.0) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

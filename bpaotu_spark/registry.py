@@ -179,6 +179,8 @@ PRIORITY: tuple[str, ...] = (
     "doc_hapax_ratio",
     "kneser_ney_bigram_ppl",
     "quantization_error_histogram",
+    "wilcoxon_signed_rank_yoy",
+    "dedup_survival_by_source",
     # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-8 window to finish the evidence backlog
     "heldout_oov_rate",

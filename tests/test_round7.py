@@ -380,3 +380,24 @@ def test_quantization_error_histogram_mass(spark, sf_dir):
     tail = sum(r.n_values for r in rows if r.bin == 10)
     total = sum(r.n_values for r in rows)
     assert tail * 20 < total
+
+
+def test_wilcoxon_bounds(spark, sf_dir):
+    r = QUERIES["wilcoxon_signed_rank_yoy"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_pos <= r.n
+    # W+ in halves is bounded by the total rank mass n(n+1)/2 (x2)
+    assert 0 <= r.w_pos_x2 <= r.n * (r.n + 1)
+
+
+def test_dedup_survival_consistent_with_verdict(spark, sf_dir):
+    rows = QUERIES["dedup_survival_by_source"](spark, sf_dir).collect()
+    assert rows
+    total_kept = sum(r.kept_docs for r in rows)
+    total_docs = sum(r.n_docs for r in rows)
+    verdict = QUERIES["corpus_near_dedup_keep_first"](spark, sf_dir)
+    n_kept = verdict.filter("is_kept").count()
+    n_all = verdict.count()
+    assert (total_kept, total_docs) == (n_kept, n_all)
+    for r in rows:
+        assert 0 < r.kept_docs <= r.n_docs
+        assert 0 < r.kept_tokens <= r.n_tokens

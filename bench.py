@@ -321,6 +321,11 @@ HEADLINE = (
     "quantization_error_histogram",
     "wilcoxon_signed_rank_yoy",
     "dedup_survival_by_source",
+    "kruskal_wallis_h",
+    "anova_oneway_f",
+    "brown_forsythe_f",
+    "cochran_armitage_trend",
+    "kendall_tau_daily",
 )
 
 

@@ -1,0 +1,61 @@
+"""Invariant tests for the round-7 session-2 operator additions.
+
+Value correctness is covered by the DuckDB oracles (tools/check.py /
+the driver); these pin semantic invariants a hash compare cannot
+express.
+"""
+
+from __future__ import annotations
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_kruskal_wallis_bounds(spark, sf_dir):
+    """H >= 0 up to flooring slack; tie correction only inflates H;
+    k matches the five market segments."""
+    r = QUERIES["kruskal_wallis_h"](spark, sf_dir).collect()[0]
+    assert r.k_groups == 5
+    assert r.n_total > 0
+    assert r.h_milli >= -1  # flooring slack
+    assert r.h_tie_milli >= r.h_milli  # ties correction divides by <= 1
+
+
+def test_anova_f_and_eta2_consistent(spark, sf_dir):
+    r = QUERIES["anova_oneway_f"](spark, sf_dir).collect()[0]
+    assert r.k_groups == 5
+    assert r.f_milli >= 0
+    assert 0 <= r.eta2_ppm <= 1_000_000
+    # F and eta² are two views of the same SSB/SSW split:
+    # F = (eta²/(k−1)) / ((1−eta²)/(N−k)) — check to flooring slack
+    eta = r.eta2_ppm / 1e6
+    f_from_eta = (eta / (r.k_groups - 1)) / (
+        (1 - eta) / (r.n_total - r.k_groups)
+    )
+    assert abs(f_from_eta * 1000 - r.f_milli) < max(
+        5.0, 0.01 * abs(r.f_milli)
+    )
+
+
+def test_brown_forsythe_nonnegative(spark, sf_dir):
+    r = QUERIES["brown_forsythe_f"](spark, sf_dir).collect()[0]
+    assert r.k_groups == 5
+    assert r.n_total > 0
+    assert r.f_milli >= 0
+
+
+def test_cochran_armitage_rate_bounds(spark, sf_dir):
+    r = QUERIES["cochran_armitage_trend"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_ret < r.n_total
+    # quantity is synthetic-uniform and independent of returnflag, so
+    # the trend should be mild: |z| sanity-bounded, not sign-pinned
+    assert abs(r.z_milli) < 100_000
+
+
+def test_kendall_tau_bounds_and_pair_budget(spark, sf_dir):
+    r = QUERIES["kendall_tau_daily"](spark, sf_dir).collect()[0]
+    assert r.n_days > 0
+    n_pairs = r.n_days * (r.n_days - 1) // 2
+    assert r.n_concordant + r.n_discordant <= n_pairs
+    assert -1000 <= r.tau_b_milli <= 1000

@@ -326,6 +326,9 @@ HEADLINE = (
     "brown_forsythe_f",
     "cochran_armitage_trend",
     "kendall_tau_daily",
+    "whittaker_beta_nation",
+    "taylor_power_law",
+    "occupancy_abundance_deciles",
 )
 
 

@@ -406,3 +406,264 @@ def berger_parker_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_top1 * 1000000 div n_total").alias("berger_parker_ppm"),
         F.expr("c_top2 * 1000000 div n_total").alias("top2_dominance_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# whittaker_beta_nation — Whittaker's classic multiplicative beta
+# β_W = S_gamma / ᾱ per nation block (Whittaker '60): pooled nation
+# richness over the mean per-sample richness, exact milli via
+# S_gamma·n_samples·1000 div Σ S_i. The multiplicative companion to
+# gamma_diversity_partition's additive Shannon split.
+#
+# Scale shape: two keyed aggregations over the (sample, otu) presence
+# table (map-side combinable) + a broadcast nation lookup; one row per
+# nation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "whittaker_beta_nation",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+pres AS (
+  SELECT DISTINCT ab.sample_id, c_nationkey AS nation, otu_id
+  FROM abundance ab JOIN customer ON ab.sample_id = c_custkey
+),
+alpha AS (
+  SELECT nation, sample_id, CAST(count(*) AS BIGINT) AS s_i
+  FROM pres GROUP BY nation, sample_id
+),
+gam AS (
+  SELECT nation, CAST(count(DISTINCT otu_id) AS BIGINT) AS s_gamma
+  FROM pres GROUP BY nation
+),
+al AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_samples,
+    CAST(sum(s_i) AS BIGINT) AS sum_richness
+  FROM alpha GROUP BY nation
+)
+SELECT nation, n_samples, s_gamma, sum_richness,
+  s_gamma * n_samples * 1000 // sum_richness AS beta_w_milli
+FROM gam JOIN al USING (nation)
+ORDER BY nation
+""",
+)
+def whittaker_beta_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whittaker beta (milli) = pooled richness / mean alpha richness."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    pres = (
+        abundance(spark, sf_dir)
+        .join(F.broadcast(cust), "sample_id")
+        .select("sample_id", "nation", "otu_id")
+        .distinct()
+    )
+    alpha = pres.groupBy("nation", "sample_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_i")
+    )
+    gam = pres.groupBy("nation").agg(
+        F.countDistinct("otu_id").cast("bigint").alias("s_gamma")
+    )
+    al = alpha.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("s_i").cast("bigint").alias("sum_richness"),
+    )
+    return (
+        gam.join(al, "nation")
+        .select(
+            "nation",
+            "n_samples",
+            "s_gamma",
+            "sum_richness",
+            F.expr("s_gamma * n_samples * 1000 div sum_richness").alias(
+                "beta_w_milli"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# taylor_power_law — Taylor '61: var ≈ a·mean^b across taxa. Per-OTU
+# mean/variance over ALL N samples (zeros included algebraically):
+# v = N·Σc² − (Σc)² is N²·var as an exact 128-bit integer, sc = Σc is
+# N·mean. OLS of y = ln_micro(v) on x = ln_micro(sc) over OTUs with
+# v > 0 — the ln(N)-dependent axis shifts move the intercept, not the
+# slope (documented; both engines shift identically). Slope b ≈ 2·the
+# mean-scale exponent; b is THE Taylor exponent since
+# ln v = 2 ln N + ln var and ln sc = ln N + ln mean are affine shifts.
+# 128-bit moment sums; one float slope/intercept expression, milli.
+#
+# Scale shape: one (otu) aggregation over the per-(sample,otu) table
+# (vocabulary-bounded output), one global 128-bit moment fold; one row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "taylor_power_law",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+per_otu AS (
+  SELECT sample_id, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance GROUP BY sample_id, otu_id
+),
+nsamp AS (
+  SELECT CAST(count(DISTINCT sample_id) AS BIGINT) AS n FROM per_otu
+),
+st AS (
+  SELECT otu_id, CAST(sum(c) AS BIGINT) AS sc,
+    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2
+  FROM per_otu GROUP BY otu_id
+),
+xy AS (
+  SELECT
+    {_LN_MICRO_SQL.format(x="sc")} AS x,
+    {_LN_MICRO_SQL.format(x="n * sc2 - CAST(sc AS HUGEINT) * sc")} AS y
+  FROM st CROSS JOIN nsamp
+  WHERE n * sc2 - CAST(sc AS HUGEINT) * sc > 0
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_otus,
+    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM xy
+)
+SELECT n_otus,
+  CAST(floor(
+    (CAST(n_otus AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n_otus AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * 1000) AS BIGINT) AS slope_milli,
+  CAST(floor(
+    (CAST(sy AS DOUBLE)
+      - (CAST(n_otus AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n_otus AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * CAST(sx AS DOUBLE))
+    / CAST(n_otus AS DOUBLE) / 1000) AS BIGINT) AS intercept_milli
+FROM mo
+""",
+)
+def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor power-law slope (milli) of ln(N²var) on ln(N·mean)."""
+    per_otu = (
+        abundance(spark, sf_dir)
+        .groupBy("sample_id", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    nsamp = per_otu.agg(
+        F.countDistinct("sample_id").cast("bigint").alias("n")
+    )
+    st = per_otu.groupBy("otu_id").agg(
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sc2"),
+    )
+    xy = (
+        st.crossJoin(F.broadcast(nsamp))
+        .withColumn("v", F.expr("n * sc2 - CAST(sc AS DECIMAL(38,0)) * sc"))
+        .filter(F.col("v") > 0)
+        .select(
+            _ln_micro(F.col("sc")).alias("x"),
+            _ln_micro(F.col("v")).alias("y"),
+        )
+    )
+    mo = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_otus"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    slope = (
+        "(CAST(n_otus AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n_otus AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return mo.select(
+        "n_otus",
+        F.expr(f"CAST(floor(({slope}) * 1000) AS BIGINT)").alias(
+            "slope_milli"
+        ),
+        F.expr(
+            f"CAST(floor((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            " / CAST(n_otus AS DOUBLE) / 1000) AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# occupancy_abundance_deciles — the positive interspecific
+# occupancy-abundance relationship (Gaston '00) summarized on a fixed
+# 10-bin occupancy grid: bin = (k−1)·10 div N (k = samples occupied of
+# N). Per bin: OTU count, mean per-occupied-sample count (milli), mean
+# occupancy (ppm). All exact integer ratios; ≤10 output rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "occupancy_abundance_deciles",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+per_otu AS (
+  SELECT sample_id, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance GROUP BY sample_id, otu_id
+),
+nsamp AS (
+  SELECT CAST(count(DISTINCT sample_id) AS BIGINT) AS n FROM per_otu
+),
+st AS (
+  SELECT otu_id, CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(c) AS BIGINT) AS sc
+  FROM per_otu GROUP BY otu_id
+),
+b AS (
+  SELECT (k - 1) * 10 // n AS occ_decile, k, sc, n FROM st CROSS JOIN nsamp
+)
+SELECT occ_decile,
+  CAST(count(*) AS BIGINT) AS n_otus,
+  CAST(sum(sc) * 1000 // sum(k) AS BIGINT) AS mean_count_milli,
+  CAST(sum(k) * 1000000 // (count(*) * any_value(n)) AS BIGINT)
+    AS mean_occupancy_ppm
+FROM b GROUP BY occ_decile ORDER BY occ_decile
+""",
+)
+def occupancy_abundance_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Occupancy-decile census of the occupancy-abundance relation."""
+    per_otu = (
+        abundance(spark, sf_dir)
+        .groupBy("sample_id", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    nsamp = per_otu.agg(
+        F.countDistinct("sample_id").cast("bigint").alias("n")
+    )
+    st = per_otu.groupBy("otu_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("c").cast("bigint").alias("sc"),
+    )
+    b = st.crossJoin(F.broadcast(nsamp)).select(
+        F.expr("(k - 1) * 10 div n").alias("occ_decile"), "k", "sc", "n"
+    )
+    return (
+        b.groupBy("occ_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_otus"),
+            F.expr("CAST(sum(sc) * 1000 div sum(k) AS BIGINT)").alias(
+                "mean_count_milli"
+            ),
+            F.expr(
+                "CAST(sum(k) * 1000000 div (count(*) * any_value(n))"
+                " AS BIGINT)"
+            ).alias("mean_occupancy_ppm"),
+        )
+        .orderBy("occ_decile")
+    )

@@ -59,3 +59,30 @@ def test_kendall_tau_bounds_and_pair_budget(spark, sf_dir):
     n_pairs = r.n_days * (r.n_days - 1) // 2
     assert r.n_concordant + r.n_discordant <= n_pairs
     assert -1000 <= r.tau_b_milli <= 1000
+
+
+def test_whittaker_beta_at_least_one(spark, sf_dir):
+    """beta_W >= 1 always (gamma >= every alpha), milli scale."""
+    rows = QUERIES["whittaker_beta_nation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.beta_w_milli >= 1000
+        assert r.s_gamma * r.n_samples >= r.sum_richness
+
+
+def test_taylor_slope_in_plausible_band(spark, sf_dir):
+    """Taylor exponents live in [1, 2] for count data almost
+    universally; allow generous slack around the ln-axis shifts."""
+    r = QUERIES["taylor_power_law"](spark, sf_dir).collect()[0]
+    assert r.n_otus > 0
+    assert 500 <= r.slope_milli <= 3000
+
+
+def test_occupancy_deciles_monotone_grid(spark, sf_dir):
+    rows = QUERIES["occupancy_abundance_deciles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.occ_decile <= 9
+        assert r.n_otus > 0
+        assert r.mean_count_milli >= 1000  # occupied cells have c >= 1
+        assert 0 < r.mean_occupancy_ppm <= 1_000_000

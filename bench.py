@@ -329,6 +329,9 @@ HEADLINE = (
     "whittaker_beta_nation",
     "taylor_power_law",
     "occupancy_abundance_deciles",
+    "metric_agreement_topk",
+    "vector_quantize_int4_error",
+    "knn_hubness_histogram",
 )
 
 

@@ -86,3 +86,34 @@ def test_occupancy_deciles_monotone_grid(spark, sf_dir):
         assert r.n_otus > 0
         assert r.mean_count_milli >= 1000  # occupied cells have c >= 1
         assert 0 < r.mean_occupancy_ppm <= 1_000_000
+
+
+def test_metric_agreement_bounds(spark, sf_dir):
+    rows = QUERIES["metric_agreement_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10  # one per query vector
+    for r in rows:
+        assert 0 <= r.overlap_k <= 5
+        assert r.overlap_ppm == r.overlap_k * 1_000_000 // 5
+
+
+def test_int4_error_exceeds_nothing_and_dominates_int8(spark, sf_dir):
+    """15-level quantization: every code in [0,14]; the mean error
+    must be positive and bounded by half the largest step in micro."""
+    rows = QUERIES["vector_quantize_int4_error"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert 1 <= r.n_codes_used <= 15
+        assert 0 <= r.mean_abs_err_micro <= r.max_abs_err_micro
+
+
+def test_hubness_histogram_conserves_vectors_and_edges(spark, sf_dir):
+    rows = QUERIES["knn_hubness_histogram"](spark, sf_dir).collect()
+    assert rows
+    n_vec = sum(r.n_vectors for r in rows)
+    n_edges = sum(r.in_degree * r.n_vectors for r in rows)
+    # every vector appears exactly once; each hands out <= K in-edges
+    from bpaotu_spark.catalog import load_table
+
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert n_vec == total
+    assert n_edges <= 5 * total

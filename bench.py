@@ -332,6 +332,9 @@ HEADLINE = (
     "metric_agreement_topk",
     "vector_quantize_int4_error",
     "knn_hubness_histogram",
+    "stopword_profile_cosine",
+    "term_burstiness",
+    "ttr_head100",
 )
 
 

@@ -67,6 +67,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.olap5  # noqa: F401
     import bpaotu_spark.operators.stats3  # noqa: F401
     import bpaotu_spark.ann.extras  # noqa: F401
+    import bpaotu_spark.functions.textops4  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

@@ -117,3 +117,32 @@ def test_hubness_histogram_conserves_vectors_and_edges(spark, sf_dir):
     total = load_table(spark, sf_dir, "embeddings").count()
     assert n_vec == total
     assert n_edges <= 5 * total
+
+
+def test_stopword_cosine_pairs_complete(spark, sf_dir):
+    rows = QUERIES["stopword_profile_cosine"](spark, sf_dir).collect()
+    assert rows
+    srcs = {r.source_a for r in rows} | {r.source_b for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair once
+    for r in rows:
+        assert 0 < r.cosine_ppm <= 1_000_000
+        assert 1 <= r.n_shared_words <= 28
+
+
+def test_burstiness_at_least_one(spark, sf_dir):
+    """cf >= df always, so burstiness_milli >= 1000."""
+    rows = QUERIES["term_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cf >= r.df >= 1
+        assert r.burstiness_milli >= 1000
+        assert r.df_vs_poisson_milli > 0
+
+
+def test_ttr_bounds(spark, sf_dir):
+    rows = QUERIES["ttr_head100"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        assert 0 < r.mean_ttr_ppm <= 1_000_000

@@ -335,6 +335,8 @@ HEADLINE = (
     "stopword_profile_cosine",
     "term_burstiness",
     "ttr_head100",
+    "competing_risks_cif",
+    "session_depth_histogram",
 )
 
 

@@ -839,3 +839,237 @@ def weibull_rank_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("scale_days_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# competing_risks_cif — Aalen-Johansen cumulative incidence on the
+# reorder-gap grid with two competing causes: the NEXT order is
+# urgent (priority 1-2) vs routine (3-5). Unlike 1 − KM-per-cause
+# (which over-counts when risks compete), CIF_k(t) =
+# Σ_{s≤t} S(s−)·d_k(s)/n(s) uses the ALL-CAUSE survival S(s−).
+#
+# Determinism: S(s−) comes from the exact integer cumulative of
+# micro-floored all-cause ln terms (the kaplan_meier idiom); each
+# cause's increment is ONE float expression over (ln_before exact
+# int, d_k, n exact ints), floored to micro BEFORE the cumulative
+# sum, so both engines aggregate integers.
+#
+# Scale shape: identical to kaplan_meier_order_gaps — per-customer
+# lead() window on the fact, then everything runs on the
+# DISTINCT-duration grid (day-count codomain, ≤ ~2,600 rows;
+# unpartitioned windows bounded by that grid).
+# ---------------------------------------------------------------------------
+
+_CIF_URGENT = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "competing_risks_cif",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+    o_orderpriority
+  FROM orders
+),
+mx AS (SELECT max(d) AS obs_end FROM o),
+g AS (
+  SELECT o_custkey,
+    date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur,
+    lead(o_orderpriority) OVER (PARTITION BY o_custkey
+      ORDER BY d, o_orderkey) AS next_prio,
+    d
+  FROM o
+),
+gaps AS (
+  SELECT CASE WHEN next_prio IS NOT NULL THEN dur
+              ELSE date_diff('day', d, obs_end) END AS dur,
+    next_prio IS NOT NULL AS observed,
+    CASE WHEN next_prio IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+      AS is_urgent
+  FROM g, mx
+  WHERE next_prio IS NOT NULL OR date_diff('day', d, obs_end) > 0
+),
+dc AS (
+  SELECT CAST(dur AS BIGINT) AS dur,
+    CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+    CAST(sum(CASE WHEN observed AND is_urgent = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS d_u
+  FROM gaps GROUP BY dur
+),
+tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS n_total FROM dc),
+haz AS (
+  SELECT dur, n_obs, d_u,
+    n_total - CAST(coalesce(sum(n_all) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS at_risk
+  FROM dc, tot
+),
+ev AS (
+  SELECT dur, n_obs, d_u, at_risk,
+    CAST(floor(ln(greatest(1.0 - n_obs * 1.0 / at_risk, 1e-9)) * 1000000)
+      AS BIGINT) AS term_micro
+  FROM haz WHERE n_obs > 0
+),
+lnb AS (
+  SELECT dur, n_obs, d_u, at_risk,
+    CAST(coalesce(sum(term_micro) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS ln_before_micro
+  FROM ev
+),
+inc AS (
+  SELECT dur, cause, d_k, at_risk, ln_before_micro,
+    CAST(floor(exp(CAST(ln_before_micro AS DOUBLE) / 1000000.0)
+      * CAST(d_k AS DOUBLE) / CAST(at_risk AS DOUBLE) * 1000000)
+      AS BIGINT) AS inc_micro
+  FROM (
+    SELECT dur, 'urgent' AS cause, d_u AS d_k, at_risk, ln_before_micro
+    FROM lnb WHERE d_u > 0
+    UNION ALL
+    SELECT dur, 'routine' AS cause, n_obs - d_u AS d_k, at_risk,
+      ln_before_micro
+    FROM lnb WHERE n_obs - d_u > 0
+  )
+),
+cp AS (SELECT unnest([{", ".join(str(c) for c in _KM_CHECKPOINTS)}])
+  AS horizon_days)
+SELECT c.cause AS cause, CAST(horizon_days AS BIGINT) AS horizon_days,
+  CAST(coalesce(sum(inc_micro) FILTER (WHERE dur <= horizon_days), 0)
+    AS BIGINT) AS cif_micro
+FROM cp CROSS JOIN (SELECT DISTINCT cause FROM inc) c
+LEFT JOIN inc ON inc.cause = c.cause AND inc.dur <= cp.horizon_days
+GROUP BY c.cause, horizon_days
+ORDER BY cause, horizon_days
+""",
+)
+def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen CIF (micro) for urgent-vs-routine next orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    mx = o.agg(F.max("d").alias("obs_end"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"),
+        F.lead("o_orderpriority").over(w).alias("next_prio"),
+        "d",
+    )
+    gaps = (
+        g.crossJoin(F.broadcast(mx))
+        .withColumn("cens_dur", F.datediff("obs_end", "d"))
+        .filter(
+            F.col("next_prio").isNotNull() | (F.col("cens_dur") > 0)
+        )
+        .select(
+            F.when(F.col("next_prio").isNotNull(), F.col("dur"))
+            .otherwise(F.col("cens_dur"))
+            .cast("bigint")
+            .alias("dur"),
+            F.col("next_prio").isNotNull().alias("observed"),
+            F.when(F.col("next_prio").isin(*_CIF_URGENT), 1)
+            .otherwise(0)
+            .alias("is_urgent"),
+        )
+    )
+    dc = gaps.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_obs"),
+        F.sum(
+            F.when(F.col("observed") & (F.col("is_urgent") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d_u"),
+    )
+    tot = dc.agg(F.sum("n_all").cast("bigint").alias("n_total"))
+    # unpartitioned window bound: DISTINCT-duration grid (day-count
+    # codomain, <= ~2,600 rows), never the fact
+    wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    haz = dc.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "n_obs",
+        "d_u",
+        (
+            F.col("n_total") - F.coalesce(F.sum("n_all").over(wv), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    ev = haz.filter(F.col("n_obs") > 0).withColumn(
+        "term_micro",
+        F.floor(
+            F.log(
+                F.greatest(
+                    1.0 - F.col("n_obs") * 1.0 / F.col("at_risk"),
+                    F.lit(1e-9),
+                )
+            )
+            * 1000000
+        ).cast("bigint"),
+    )
+    lnb = ev.select(
+        "dur",
+        "n_obs",
+        "d_u",
+        "at_risk",
+        F.coalesce(F.sum("term_micro").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("ln_before_micro"),
+    )
+    inc_u = lnb.filter(F.col("d_u") > 0).select(
+        "dur",
+        F.lit("urgent").alias("cause"),
+        F.col("d_u").alias("d_k"),
+        "at_risk",
+        "ln_before_micro",
+    )
+    inc_r = lnb.filter(F.col("n_obs") - F.col("d_u") > 0).select(
+        "dur",
+        F.lit("routine").alias("cause"),
+        (F.col("n_obs") - F.col("d_u")).alias("d_k"),
+        "at_risk",
+        "ln_before_micro",
+    )
+    inc = inc_u.unionByName(inc_r).withColumn(
+        "inc_micro",
+        F.expr(
+            "CAST(floor(exp(CAST(ln_before_micro AS DOUBLE) / 1000000.0)"
+            " * CAST(d_k AS DOUBLE) / CAST(at_risk AS DOUBLE) * 1000000)"
+            " AS BIGINT)"
+        ),
+    )
+    cp = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _KM_CHECKPOINTS])).alias(
+            "horizon_days"
+        )
+    )
+    causes = inc.select("cause").distinct()
+    grid = cp.crossJoin(F.broadcast(causes))
+    return (
+        grid.join(
+            F.broadcast(inc.select(F.col("cause").alias("cause_i"), "dur", "inc_micro")),
+            (F.col("cause_i") == F.col("cause"))
+            & (F.col("dur") <= F.col("horizon_days")),
+            "left",
+        )
+        .groupBy("cause", "horizon_days")
+        .agg(
+            F.coalesce(F.sum("inc_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("cif_micro")
+        )
+        .select(
+            "cause",
+            F.col("horizon_days").cast("bigint").alias("horizon_days"),
+            "cif_micro",
+        )
+        .orderBy("cause", "horizon_days")
+    )

@@ -68,6 +68,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.stats3  # noqa: F401
     import bpaotu_spark.ann.extras  # noqa: F401
     import bpaotu_spark.functions.textops4  # noqa: F401
+    import bpaotu_spark.operators.events2  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

@@ -146,3 +146,36 @@ def test_ttr_bounds(spark, sf_dir):
     for r in rows:
         assert r.n_docs > 0
         assert 0 < r.mean_ttr_ppm <= 1_000_000
+
+
+def test_cif_monotone_and_bounded(spark, sf_dir):
+    """CIFs are nondecreasing in horizon and the cause-sum stays
+    below 1 (competing risks can never exceed total failure mass)."""
+    rows = QUERIES["competing_risks_cif"](spark, sf_dir).collect()
+    assert rows
+    by_cause = {}
+    for r in rows:
+        by_cause.setdefault(r.cause, []).append(
+            (r.horizon_days, r.cif_micro)
+        )
+    assert set(by_cause) == {"urgent", "routine"}
+    for curve in by_cause.values():
+        curve.sort()
+        vals = [v for _, v in curve]
+        assert vals == sorted(vals)  # nondecreasing
+        assert all(0 <= v <= 1_000_000 for v in vals)
+    # total incidence at each horizon <= 1
+    for h in {h for h, _ in by_cause["urgent"]}:
+        tot = sum(dict(by_cause[c])[h] for c in by_cause)
+        assert tot <= 1_000_000
+
+
+def test_session_depth_shares_sum(spark, sf_dir):
+    rows = QUERIES["session_depth_histogram"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        assert r.depth >= 1
+        assert r.mean_dwell_ms >= 0
+        if r.depth == 1:
+            assert r.mean_dwell_ms == 0  # single-event sessions

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from bpaotu_spark.ann.core import (
     _ORACLE_COMMON,
     _COS,
-    _KNN_K,
     N_QUERIES,
     TOP_K,
     dot,
@@ -169,7 +168,9 @@ s AS (
 ),
 qz AS (
   SELECT x.dim, val,
-    CAST(least(floor(((val - mn) * 14) / (mx - mn)), 14) AS BIGINT) AS qc,
+    CASE WHEN mx > mn
+      THEN CAST(least(floor(((val - mn) * 14) / (mx - mn)), 14) AS BIGINT)
+      ELSE 0 END AS qc,
     mn, mx
   FROM x JOIN s ON x.dim = s.dim
 ),
@@ -199,16 +200,24 @@ def vector_quantize_int4_error(
     s = x.groupBy("dim").agg(
         F.min("val").alias("mn"), F.max("val").alias("mx")
     )
+    # Degenerate (constant) dimension guard (r7 ADVICE): with mx = mn
+    # Spark's non-ANSI `/` yields NULL while DuckDB's IEEE path yields
+    # NaN, and least(NULL, 14) vs least(NaN, 14) diverge — both
+    # engines now take the same explicit qc = 0 branch.
     qz = x.join(F.broadcast(s), "dim").select(
         "dim",
         "val",
-        F.least(
-            F.floor(
-                ((F.col("val") - F.col("mn")) * 14)
-                / (F.col("mx") - F.col("mn"))
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    ((F.col("val") - F.col("mn")) * 14)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(14),
             ),
-            F.lit(14),
         )
+        .otherwise(F.lit(0))
         .cast("bigint")
         .alias("qc"),
         "mn",

@@ -76,10 +76,16 @@ def _seg_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kruskal_wallis_h — H = 12/(N(N+1)) · Σ R_i²/n_i − 3(N+1), ranks
 # tie-averaged in HALVES from the global distinct-value cumulative
 # table (the mann_whitney discipline); per-group Σ R_i²/n_i floored
-# per group: term_i = R_i_x2² div (4 n_i) — exact integer (the x2
-# square sits in DECIMAL(38,0)/HUGEINT; the div result fits int64
-# through SF1000 ≈ 4e27/... — boundary noted: past SF1000 switch the
-# term to floored DECIMAL). Tie correction divides by
+# per group: term_i = R_i_x2² div (4 n_i), kept in DECIMAL(38,0) end
+# to end to mirror the oracle's HUGEINT (r7 ADVICE: Spark's `div`
+# returns int64 and silently WRAPS past ~SF4 where term_i ~ n_g·N²/4
+# > 9.2e18). The floor is exact: decimal division at scale 6 rounds,
+# so q0 is within +1 of the true floor and one compare-and-decrement
+# against sq repairs it. Boundaries, each behind a loud assert_true:
+# r_x2 < 1e19 (bigint sum AND sq = r_x2² < 1e38, ~SF3000) and the
+# scale-6 quotient < 1e32 (~SF80000) — past either the term goes
+# NULL (non-ANSI decimal overflow) and the assert fires instead of
+# returning a wrapped number. Tie correction divides by
 # 1 − Σ(t³−t)/(N³−N).
 # ---------------------------------------------------------------------------
 
@@ -163,12 +169,38 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_x2"),
         )
     )
-    st = grp.agg(
+    term = grp.select(
+        "n_g",
+        F.expr("CAST(r_x2 AS DECIMAL(38,0)) * r_x2").alias("sq"),
+        F.expr("CAST(4 * n_g AS DECIMAL(38,0))").alias("den"),
+        F.col("r_x2"),
+    ).select(
+        "n_g",
+        # q0 ∈ {floor, floor+1} (scale-6 division then HALF_UP cast);
+        # the compare-and-decrement makes it the exact HUGEINT floor.
+        # Both overflow guards fold into the output CASE so column
+        # pruning cannot drop them (morisita_horn convention): past
+        # either boundary sq / the quotient go NULL under non-ANSI
+        # decimal overflow and the assert fires instead of a silent
+        # wrap.
+        F.expr(
+            "CASE WHEN assert_true("
+            "  r_x2 < CAST(1e19 AS DECIMAL(38,0))"
+            "  AND sq IS NOT NULL"
+            "  AND CAST(sq / den AS DECIMAL(38,0)) IS NOT NULL,"
+            "  'kruskal_wallis_h: 128-bit headroom exhausted"
+            " (r_x2 >= 1e19 ~SF3000, or scale-6 quotient >= 1e32"
+            " ~SF80000) — pre-scale ranks') IS NULL THEN"
+            " CASE WHEN CAST(sq / den AS DECIMAL(38,0)) * den > sq"
+            " THEN CAST(sq / den AS DECIMAL(38,0)) - 1"
+            " ELSE CAST(sq / den AS DECIMAL(38,0)) END"
+            " END"
+        ).alias("term_i"),
+    )
+    st = term.agg(
         F.count(F.lit(1)).cast("bigint").alias("k_groups"),
         F.sum("n_g").cast("bigint").alias("n_total"),
-        F.sum(
-            F.expr("CAST(r_x2 AS DECIMAL(38,0)) * r_x2 div (4 * n_g)")
-        ).alias("sum_term"),
+        F.sum("term_i").cast("decimal(38,0)").alias("sum_term"),
     )
     tie = dv.agg(
         F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).alias(

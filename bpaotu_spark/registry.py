@@ -85,25 +85,125 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-7 WINDOW (driver verifies the first ~50) ----
-    # (A) plans CHANGED this round: multimodal_features now emits
-    # scalar (dim, byte_val) rows per the driver-canonicalizer
-    # contract (r6's one red row); ivfadc_recall_report scores ONCE at
-    # max nprobe carrying each candidate's contributing cell rank and
-    # derives the smaller-nprobe sets as rank filters (r6 bench
-    # regression fix); morisita_horn gains the DECIMAL(38,0) overflow
-    # assert (r6 ADVICE).
+    # ---- ROUND-8 WINDOW (driver verifies the first ~50) ----
+    # (A) plans CHANGED this round: kruskal_wallis_h keeps the
+    # per-group term in DECIMAL(38,0) with loud overflow guards (r7
+    # ADVICE: Spark `div` wrapped int64 past ~SF4);
+    # vector_quantize_int4_error takes an explicit qc = 0 branch on
+    # degenerate dimensions in both engines (r7 ADVICE);
+    # theil_sen_revenue_trend's median is rank-selected from the
+    # distinct-slope cumulative table (r7 VERDICT item 5 — was a
+    # single-partition 2.9M-row sort); kendall_tau_daily's pair frame
+    # gains a synthetic partition key (r7 VERDICT item 6).
+    "kruskal_wallis_h",
+    "vector_quantize_int4_error",
+    "theil_sen_revenue_trend",
+    "kendall_tau_daily",
+    # (B) r8 rotation of the never-driver-windowed backlog (r7 VERDICT
+    # item 2): the r7-addition queue head first, then the 13 keys that
+    # had never entered PRIORITY at all, then three older stragglers.
+    # All pass tools/check.py at sf0.01 (94/94 in the r7 judge sweep).
+    "beta_diversity_sorensen",
+    "gamma_diversity_partition",
+    "otu_endemism",
+    "berger_parker_dominance",
+    "ann_sdc_topk",
+    "pq_code_entropy",
+    "embedding_dim_covariance",
+    "minhash_union_cardinality",
+    "events_sliding_window_agg",
+    "knn_graph_components",
+    "ann_opq_adc_topk",
+    "knn_vote_accuracy",
+    "association_rules_parts",
+    "orders_abc_classification",
+    "skipgram_pmi_topk",
+    "parts_xyz_classification",
+    "mann_whitney_order_value",
+    "ann_index_size_report",
+    "logrank_reorder_test",
+    "pack_fill_report",
+    "spearman_part_size_price",
+    "weibull_rank_regression",
+    "revenue_bridge_yoy",
+    "promo_did_estimate",
+    "label_centroid_distances",
+    "doc_hapax_ratio",
+    "kneser_ney_bigram_ppl",
+    "quantization_error_histogram",
+    "wilcoxon_signed_rank_yoy",
+    "dedup_survival_by_source",
+    "anova_oneway_f",
+    "brown_forsythe_f",
+    "cochran_armitage_trend",
+    "competing_risks_cif",
+    "knn_hubness_histogram",
+    "metric_agreement_topk",
+    "occupancy_abundance_deciles",
+    "session_depth_histogram",
+    "stopword_profile_cosine",
+    "taylor_power_law",
+    "term_burstiness",
+    "ttr_head100",
+    "whittaker_beta_nation",
+    "heldout_oov_rate",
+    "lsh_bucket_profile",
+    "dedup_band_threshold_sweep",
+    # ---- ~50-entry window boundary ----
+    # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
+    # rotate into the round-9 window to finish the evidence backlog
+    # (~44 left; one more rotation after this one).
+    "ab_cuped_adjustment",
+    "abundance_rarefaction",
+    "ann_filtered_topk",
+    "ann_pq_adc_topk",
+    "attribution_time_decay",
+    "beta_diversity_jaccard",
+    "bloom_semijoin_filter",
+    "core_microbiome",
+    "corpus_length_token_corr",
+    "corpus_perplexity_filter",
+    "corpus_regex_scrub_apply",
+    "customer_rfm_segments",
+    "daily_revenue_gapfill",
+    "dedup_containment",
+    "dim_broadcast_advisor",
+    "discount_effectiveness",
+    "doc_ngram_rep_profile",
+    "embedding_outlier_topk",
+    "embedding_triplet_margin",
+    "event_user_paths_topk",
+    "events_hourly_heatmap",
+    "events_rolling_wau",
+    "heavy_hitters_cms",
+    "hierarchy_share_of_parent",
+    "knn_degree_assortativity",
+    "langid_confusion",
+    "lineitem_corr_matrix",
+    "markov_next_event_accuracy",
+    "orders_yoy_growth",
+    "otu_indicator_species",
+    "otu_niche_breadth",
+    "otu_region_overlap",
+    "part_price_size_skyline",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "rare_category_collapse",
+    "revenue_ewma_daily",
+    "sample_neighbors_topk",
+    "segment_nation_mutual_info",
+    "supplier_return_rate",
+    "text_tfidf_cosine_pairs",
+    "token_rate_drift",
+    "weighted_sample_es",
+    "window_funnel_strict",
+    # Long-green tail: driver-green at current code, unchanged since —
+    # covered by tools/check.py locally every round.
     "multimodal_features",
     "ivfadc_recall_report",
     "beta_diversity_morisita_horn",
-    # (A1) first SURVEY §2 rows this round, never driver-windowed
-    # (judge-verified r6) — the registry/SURVEY drift pair
     "ace_richness",
     "nelson_aalen_hazard",
-    # (B) r7 rotation of the never-driver-windowed backlog (VERDICT r6
-    # item 3): queue head = the nine r5-judge-re-verified keys + the
-    # displaced B-entries, then the old queue in order. All pass
-    # tools/check.py at sf0.01; this window gives them driver rows.
     "benford_first_digit",
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
@@ -149,93 +249,6 @@ PRIORITY: tuple[str, ...] = (
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
     "map_tiles_pyramid",
-    # ---- ~50-entry window boundary ----
-    # (R8 QUEUE head) NEW in round 7 — kept BELOW the boundary on
-    # purpose: the r7 window is spent finishing the never-windowed
-    # backlog (VERDICT r6 item 3); these ten ship with tools/check.py
-    # green at sf0.001+sf0.01 and rotate into the r8 window first
-    "beta_diversity_sorensen",
-    "gamma_diversity_partition",
-    "otu_endemism",
-    "berger_parker_dominance",
-    "ann_sdc_topk",
-    "pq_code_entropy",
-    "embedding_dim_covariance",
-    "minhash_union_cardinality",
-    "events_sliding_window_agg",
-    "knn_graph_components",
-    "ann_opq_adc_topk",
-    "knn_vote_accuracy",
-    "association_rules_parts",
-    "orders_abc_classification",
-    "skipgram_pmi_topk",
-    "parts_xyz_classification",
-    "mann_whitney_order_value",
-    "ann_index_size_report",
-    "logrank_reorder_test",
-    "pack_fill_report",
-    "spearman_part_size_price",
-    "theil_sen_revenue_trend",
-    "weibull_rank_regression",
-    "revenue_bridge_yoy",
-    "promo_did_estimate",
-    "label_centroid_distances",
-    "doc_hapax_ratio",
-    "kneser_ney_bigram_ppl",
-    "quantization_error_histogram",
-    "wilcoxon_signed_rank_yoy",
-    "dedup_survival_by_source",
-    # (R8 QUEUE) remaining never-driver-windowed oracle-backed keys —
-    # rotate into the round-8 window to finish the evidence backlog
-    "heldout_oov_rate",
-    "lsh_bucket_profile",
-    "dedup_band_threshold_sweep",
-    "beta_diversity_jaccard",
-    "sample_neighbors_topk",
-    "heavy_hitters_cms",
-    "attribution_time_decay",
-    "corpus_perplexity_filter",
-    "bloom_semijoin_filter",
-    "dedup_containment",
-    "event_user_paths_topk",
-    "revenue_ewma_daily",
-    "text_tfidf_cosine_pairs",
-    "ann_pq_adc_topk",
-    "otu_indicator_species",
-    "orders_yoy_growth",
-    "events_rolling_wau",
-    "embedding_outlier_topk",
-    "discount_effectiveness",
-    "core_microbiome",
-    "token_rate_drift",
-    "hierarchy_share_of_parent",
-    "otu_niche_breadth",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "langid_confusion",
-    "customer_rfm_segments",
-    "abundance_rarefaction",
-    "corpus_length_token_corr",
-    "supplier_return_rate",
-    "events_hourly_heatmap",
-    "doc_ngram_rep_profile",
-    "window_funnel_strict",
-    "otu_region_overlap",
-    "dim_broadcast_advisor",
-    "knn_degree_assortativity",
-    "weighted_sample_es",
-    "part_price_size_skyline",
-    "segment_nation_mutual_info",
-    "embedding_triplet_margin",
-    "daily_revenue_gapfill",
-    "rare_category_collapse",
-    "corpus_regex_scrub_apply",
-    "markov_next_event_accuracy",
-    "ann_filtered_topk",
-    "ab_cuped_adjustment",
-    "lineitem_corr_matrix",
-    # r6-window keys, driver-green in CORRECTNESS_r06 at current code
-    # (unchanged since) — covered by tools/check.py locally
     "kmeans_embeddings",
     "kaplan_meier_order_gaps",
     "markov_absorption_3step",
@@ -283,8 +296,6 @@ PRIORITY: tuple[str, ...] = (
     "markov_calibration_reliability",
     "knn_reciprocity",
     "scd2_dwell_time_stats",
-    # tail: driver-green in r2-r5 at current code, unchanged —
-    # covered by tools/check.py locally every round
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",

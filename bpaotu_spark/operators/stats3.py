@@ -596,7 +596,13 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    a = d.select(
+    # Spread the |days|² BNLJ pair former across the executor threads:
+    # AQE coalesces the ~2.4k-row day-grain aggregate to one partition,
+    # which would put all ~3M predicate evaluations on a single task
+    # (r7 VERDICT item 6) — a fixed 32-way repartition of the stream
+    # side fans the nested loop out while the broadcast side stays one
+    # copy per thread.
+    a = d.repartition(32, "day").select(
         F.col("day").alias("day_a"),
         F.col("n_orders").alias("na"),
         F.col("cents").alias("ca"),

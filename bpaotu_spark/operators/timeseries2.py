@@ -587,7 +587,12 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
-    a = daily.select(F.col("d").alias("d_i"), F.col("c").alias("c_i"))
+    # 32-way repartition of the stream side keeps the |days|² nested
+    # loop fanned out (AQE would otherwise coalesce the tiny day-grain
+    # aggregate to one partition and serialize ~3M predicate evals)
+    a = daily.repartition(32, "d").select(
+        F.col("d").alias("d_i"), F.col("c").alias("c_i")
+    )
     b = daily.select(F.col("d").alias("d_j"), F.col("c").alias("c_j"))
     # bounded day-grain self-pair: |days|² regardless of fact size
     pr = a.join(F.broadcast(b), F.col("d_i") < F.col("d_j")).select(
@@ -602,22 +607,52 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("sgn"),
     )
-    # unpartitioned window bound: day-grain pair frame (|days|²,
-    # calendar-bounded — ~2.9M rows at the full 6.6-year span)
-    wr = Window.orderBy(
-        F.col("slope").asc(), F.col("d_i").asc(), F.col("d_j").asc()
+    # Distributed exact rank-selection for the lower median (r7
+    # VERDICT #5 — was a single-partition 2.9M-row WindowExec sort):
+    # range-partition the pair frame on the (slope, d_i, d_j) total
+    # order (the TeraSort discipline), localCheckpoint ONCE so the
+    # partition layout seen by the offset table and by the local
+    # ranks is the same physical data (RangePartitioner samples per
+    # execution; without the checkpoint the two subtrees could draw
+    # different bounds), then global rank = partition offset + local
+    # row_number — a 32-way parallel sort, exact at any scale.
+    # sgn rides along so the Mann-Kendall aggregate below reads the
+    # checkpoint too — the |days|² pair former runs exactly ONCE.
+    rng = (
+        pr.select("slope", "d_i", "d_j", "sgn")
+        .repartitionByRange(32, "slope", "d_i", "d_j")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    cnts = rng.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    ranked = pr.select(
-        "slope",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("p"),
+    # window-free cumulative offsets over the fixed 32-row partition
+    # census (triangular self-join ≤ 32² — avoids an unpartitioned
+    # WindowExec even on a trivial frame)
+    cx, cy = cnts.alias("cx"), cnts.alias("cy")
+    ofs = (
+        cx.join(cy, F.col("cy.pid") < F.col("cx.pid"), "left")
+        .groupBy(F.col("cx.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("cy.cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("offset")
+        )
     )
-    sen = ranked.filter(
-        F.col("rn") == F.expr("(p + 1) div 2")
-    ).select(F.round("slope", 4).cast("double").alias("sen_slope"))
+    tot = cnts.agg(F.sum("cnt").cast("bigint").alias("p"))
+    wloc = Window.partitionBy("pid").orderBy("slope", "d_i", "d_j")
+    sen = (
+        rng.join(F.broadcast(ofs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "slope",
+            (F.row_number().over(wloc) + F.col("offset")).alias("rn"),
+            "p",
+        )
+        .filter(F.col("rn") == F.expr("(p + 1) div 2"))
+        .select(F.round("slope", 4).cast("double").alias("sen_slope"))
+    )
     ties = (
         daily.groupBy("c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
@@ -633,7 +668,7 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tie_term")
         )
     )
-    st = pr.agg(
+    st = rng.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("sgn").cast("bigint").alias("mk_s"),
     )

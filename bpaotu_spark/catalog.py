@@ -41,6 +41,56 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def maybe_broadcast(df: DataFrame, bound: str = "") -> DataFrame:
+    """Size-guarded broadcast hint (r7 VERDICT item 4).
+
+    A literal ``F.broadcast()`` FORCES the build side regardless of
+    size — it overrides ``spark.sql.autoBroadcastJoinThreshold`` —
+    which is right for genuinely bounded frames but an executor OOM
+    for SF-scaling tables at a literal 100-TB read (customer is
+    ~1.5 B rows there). This helper applies the hint only while
+    Catalyst's own size estimate for the optimized subplan stays
+    under the session broadcast threshold; past it (or when the user
+    disabled auto-broadcast with threshold <= 0) the hint is withheld
+    and AQE picks the join strategy from runtime statistics instead.
+
+    ``bound`` documents WHY the frame is expected to be small at the
+    bpaotu mapping (e.g. "SampleContext ~1e5 rows") — it is part of
+    the call-site contract, not used at runtime.
+    """
+    spark = df.sparkSession
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # plain integer form first: "-1" (the documented disable
+            # value) is not a valid byte string for JavaUtils
+            thresh = int(raw)
+        except ValueError:
+            thresh = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(raw)
+            )
+    except Exception:
+        thresh = 10 * 1024 * 1024
+    if thresh <= 0:
+        # auto-broadcast disabled by config: never force past the
+        # user's explicit choice
+        return df
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+    except Exception:
+        # estimate unavailable (exotic plan): keep the historical
+        # forced-hint behavior — every call site is bounded at the
+        # bpaotu mapping per its `bound` note
+        return F.broadcast(df)
+    if est <= thresh:
+        return F.broadcast(df)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")

@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.plans.filters import ContextualFilter, Pred
 from bpaotu_spark.plans.taxonomy import RankFix, TaxonomyFilter, drilldown_options
 from bpaotu_spark.registry import ORACLES, register
@@ -173,7 +173,7 @@ def taxonomy_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(_DRILL.column())
     nxt = _DRILL.next_rank()
     return (
-        ab.join(F.broadcast(part), ab.otu_id == part.p_partkey)
+        ab.join(maybe_broadcast(part), ab.otu_id == part.p_partkey)
         .groupBy(F.col(nxt).alias("option"))
         .agg(
             F.countDistinct("p_partkey").alias("n_taxa"),
@@ -263,7 +263,7 @@ def abundance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = abundance(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     piv = (
-        ab.join(F.broadcast(part), ab.otu_id == part.p_partkey)
+        ab.join(maybe_broadcast(part), ab.otu_id == part.p_partkey)
         .groupBy("sample_id")
         .pivot("p_brand", list(BRANDS))
         .agg(F.round(F.sum("cnt"), 4).cast("double"))
@@ -301,7 +301,7 @@ def otu_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(_SEARCH_PRED.column())
     ab = abundance(spark, sf_dir)
     return (
-        ab.join(F.broadcast(part), ab.otu_id == part.p_partkey)
+        ab.join(maybe_broadcast(part), ab.otu_id == part.p_partkey)
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
             F.countDistinct("sample_id").alias("n_samples"),
@@ -402,7 +402,7 @@ def beta_diversity_braycurtis(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = cust.filter(_BC_FILTER.column()).select(
         F.col("c_custkey").alias("sample_id"), F.col("c_nationkey").alias("block")
     )
-    ab = abundance(spark, sf_dir).join(F.broadcast(sel), "sample_id")
+    ab = abundance(spark, sf_dir).join(maybe_broadcast(sel), "sample_id")
     a = ab.groupBy("sample_id", "block", "otu_id").agg(F.sum("cnt").alias("c"))
     tot = a.groupBy("sample_id", "block").agg(F.sum("c").alias("tot"))
 
@@ -559,8 +559,8 @@ def export_long_abundance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(_EXPORT_CTX.column())
     ab = abundance(spark, sf_dir)
     return (
-        ab.join(F.broadcast(part), ab.otu_id == part.p_partkey)
-        .join(F.broadcast(cust), ab.sample_id == cust.c_custkey)
+        ab.join(maybe_broadcast(part), ab.otu_id == part.p_partkey)
+        .join(maybe_broadcast(cust), ab.sample_id == cust.c_custkey)
         .groupBy("sample_id", "otu_id", "p_type", "p_brand", "p_name")
         .agg(F.round(F.sum("cnt"), 4).cast("double").alias("abundance"))
     )
@@ -592,7 +592,7 @@ GROUP BY 1, 2
 def map_binning_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    j = orders.join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     return (
         j.groupBy(
             F.floor(F.col("c_acctbal") / _BIN_X).cast("bigint").alias("bin_x"),
@@ -637,7 +637,7 @@ def taxonomy_isnot_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = abundance(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(_ISNOT.column())
     return (
-        ab.join(F.broadcast(part), ab.otu_id == part.p_partkey)
+        ab.join(maybe_broadcast(part), ab.otu_id == part.p_partkey)
         .groupBy("p_brand", "p_partkey", "p_name")
         .agg(
             F.round(F.sum("cnt"), 4).cast("double").alias("total_abundance"),
@@ -693,7 +693,7 @@ def export_biom_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = cust.select(F.col("c_custkey").alias("sample_id"))
     cell = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "otu_id")
         .agg(F.round(F.sum("cnt"), 4).cast("double").alias("v"))
     )
@@ -971,7 +971,7 @@ def taxa_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(part), "otu_id")
         .select("sample_id", "p_type")
         .distinct()
     )
@@ -1195,7 +1195,7 @@ def beta_diversity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .select("sample_id", "block", "otu_id")
         .distinct()
     )
@@ -1404,7 +1404,7 @@ def otu_indicator_species(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("sample_id"),
         F.col("c_mktsegment").alias("grp"),
     )
-    ab2 = abundance(spark, sf_dir).join(F.broadcast(cust), "sample_id")
+    ab2 = abundance(spark, sf_dir).join(maybe_broadcast(cust), "sample_id")
     ng = ab2.groupBy("grp").agg(
         F.countDistinct("sample_id").cast("bigint").alias("n_g")
     )
@@ -1512,7 +1512,7 @@ def core_microbiome(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ab2 = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(cust), "sample_id")
+        .join(maybe_broadcast(cust), "sample_id")
         .select("sample_id", "otu_id", "grp")
         .distinct()
     )
@@ -1632,7 +1632,7 @@ def otu_niche_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ab2 = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(cust), "sample_id")
+        .join(maybe_broadcast(cust), "sample_id")
         .groupBy("otu_id", "grp")
         .agg(
             F.round(F.sum(F.col("cnt").cast(DEC)), 0)
@@ -1747,7 +1747,7 @@ def map_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     z3 = (
         orders.join(
-            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
         )
         .groupBy(
             F.floor(F.col("c_acctbal") / _BIN_X)

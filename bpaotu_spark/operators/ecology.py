@@ -307,7 +307,7 @@ FROM st
 """,
 )
 def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.catalog import load_table, maybe_broadcast
 
     sel = (
         load_table(spark, sf_dir, "customer")
@@ -319,7 +319,7 @@ def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "grp", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
 from bpaotu_spark.operators.ecology import _ANOSIM_SEL
 from bpaotu_spark.registry import register
@@ -102,12 +102,12 @@ def mantel_test_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
     tot = (
-        a.join(F.broadcast(sel.select("sample_id", "bal_cents")), "sample_id")
+        a.join(maybe_broadcast(sel.select("sample_id", "bal_cents")), "sample_id")
         .groupBy("sample_id", "block", "bal_cents")
         .agg(F.sum("c").alias("tot"))
     )
@@ -371,7 +371,7 @@ def otu_nestedness_nodf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(part), "otu_id")
         .select("sample_id", "p_type")
         .distinct()
     )
@@ -446,7 +446,7 @@ def faith_pd_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pres = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(part), "otu_id")
         .select("sample_id", "p_type", "p_brand", "otu_id")
         .distinct()
     )
@@ -524,7 +524,7 @@ def beta_dispersion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "grp", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -643,8 +643,8 @@ def unifrac_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(sel), "sample_id")
+        .join(maybe_broadcast(part), "otu_id")
         .select("sample_id", "p_type", "p_brand", "otu_id")
         .distinct()
     )
@@ -796,8 +796,8 @@ def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     leaf = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(sel), "sample_id")
+        .join(maybe_broadcast(part), "otu_id")
         .groupBy("sample_id", "p_type", "p_brand", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -995,7 +995,7 @@ def beta_diversity_morisita_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum(F.col("cnt").cast("bigint")).alias("c"))
     )
@@ -1169,7 +1169,7 @@ def permanova_pseudo_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "grp", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )

@@ -34,7 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
 from bpaotu_spark.registry import register
 
@@ -109,7 +109,7 @@ def beta_diversity_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .select("sample_id", "block", "otu_id")
         .distinct()
     )
@@ -229,7 +229,7 @@ def gamma_diversity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_otu = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -321,7 +321,7 @@ def otu_endemism(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pres = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(sel), "sample_id")
+        .join(maybe_broadcast(sel), "sample_id")
         .select("otu_id", "block")
         .distinct()
     )
@@ -456,7 +456,7 @@ def whittaker_beta_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pres = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(cust), "sample_id")
+        .join(maybe_broadcast(cust), "sample_id")
         .select("sample_id", "nation", "otu_id")
         .distinct()
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
 from bpaotu_spark.registry import register
 
@@ -217,7 +217,7 @@ def taxa_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dated = (
         ab.join(od, "order_id")
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(part), "otu_id")
         .select("p_type", "yr", F.col("cnt").cast("bigint").alias("c"))
     )
     pivot_y = dated.agg(

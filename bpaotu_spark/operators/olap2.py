@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.olap import (
     DEC,
     _money_sum_sql,
@@ -129,7 +129,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         offers.join(
-            F.broadcast(part.select("p_partkey")),
+            maybe_broadcast(part.select("p_partkey")),
             offers.l_partkey == F.col("p_partkey"),
         )
         .join(F.broadcast(eur), offers.l_suppkey == eur.s_suppkey)
@@ -217,12 +217,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(DEC)
     a = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(reg), F.col("cn_reg") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             volume.alias("volume"),
@@ -289,10 +289,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(part.select("p_partkey")),
+            maybe_broadcast(part.select("p_partkey")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -345,7 +345,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q11_REGION)
     lines = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
@@ -490,7 +490,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -536,7 +536,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            maybe_broadcast(part.select("p_partkey")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_suppkey")
@@ -619,7 +619,7 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
     )
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.events import SESSION_GAP_MS
 from bpaotu_spark.registry import register
 
@@ -277,7 +277,7 @@ def part_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     r = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_suppkey")
         .agg(
             _cents(
@@ -564,8 +564,8 @@ def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .groupBy("cust_nation", "supp_nation")
@@ -1147,7 +1147,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_name").alias("nation")
     )
     ny = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("yr"))
         .agg(_cents(F.col("o_totalprice")).alias("cents"))
@@ -1272,7 +1272,7 @@ def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_type"
     )
     leaf = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(
             _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

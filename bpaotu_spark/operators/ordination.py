@@ -35,7 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.bpaotu import abundance
 from bpaotu_spark.plans.filters import ContextualFilter, Pred
 from bpaotu_spark.registry import register
@@ -55,7 +55,7 @@ def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = cust.filter(_PCOA_FILTER.column()).select(
         F.col("c_custkey").alias("sample_id")
     )
-    ab = abundance(spark, sf_dir).join(F.broadcast(sel), "sample_id")
+    ab = abundance(spark, sf_dir).join(maybe_broadcast(sel), "sample_id")
     a = ab.groupBy("sample_id", "otu_id").agg(F.sum("cnt").alias("c"))
     tot = a.groupBy("sample_id").agg(F.sum("c").alias("tot"))
 

@@ -24,7 +24,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -456,7 +456,7 @@ def price_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "segment",
             F.floor(F.log(F.col("o_totalprice")) * 1000000)

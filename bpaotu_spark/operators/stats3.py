@@ -46,7 +46,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.registry import register
 
 # Shared CTE: (seg, cents) — one row per order, cent-exact totals,
@@ -64,7 +64,7 @@ def _seg_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return od.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        maybe_broadcast(cust.select("c_custkey", "c_mktsegment")),
         od.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_mktsegment").alias("seg"),

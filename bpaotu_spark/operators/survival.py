@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
 from bpaotu_spark.registry import register
 
@@ -296,7 +296,7 @@ def cscore_checkerboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = (
         abundance(spark, sf_dir)
-        .join(F.broadcast(part), "otu_id")
+        .join(maybe_broadcast(part), "otu_id")
         .select("sample_id", "p_type")
         .distinct()
     )
@@ -595,7 +595,7 @@ def logrank_reorder_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         load_table(spark, sf_dir, "orders")
         .join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            maybe_broadcast(cust.select("c_custkey", "c_mktsegment")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bpaotu_spark.catalog import load_table
+from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -129,7 +129,7 @@ def log_log_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_type"
     )
-    x = li.join(F.broadcast(part), "l_partkey").select(
+    x = li.join(maybe_broadcast(part), "l_partkey").select(
         "p_type",
         F.floor(F.log("l_quantity") * 1000000).cast("bigint").alias("ln_q"),
         F.floor(

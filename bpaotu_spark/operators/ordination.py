@@ -5,59 +5,93 @@ comparison endpoints + the frontend MDS plot) ordinates the filtered
 sample set from its pairwise dissimilarity matrix. Re-expressed
 Spark-first:
 
-1. the Bray-Curtis dissimilarity pairs come from the same blocked
-   pipeline as ``beta_diversity_braycurtis`` (here block-free within a
-   *filtered, bounded* sample selection — ordination is a plot of a
-   user-selected cohort, not of all samples);
+1. the Bray-Curtis dissimilarities come from the same pipeline as
+   ``beta_diversity_braycurtis``, kept in exact integer ppm
+   (block-free within a *filtered, bounded* sample selection —
+   ordination is a plot of a user-selected cohort, not of all
+   samples; the selection carries an absolute id cap so the cohort —
+   and with it the |cohort|² matrix — is bounded at EVERY scale
+   factor, like a portal user's picked study);
 2. classical PCoA double-centers the squared dissimilarity matrix
-   (Gower: B = -1/2 · J D² J) — expressed as DataFrame ops over the
-   (i, j, d) long form: row means, column means, grand mean are three
-   aggregates joined back;
-3. the first TWO principal coordinates come from **distributed power
-   iteration**: repeated matrix-vector products (join on j, groupBy i)
-   with periodic rescale; axis 2 iterates on the deflated operator
-   B₂ = B − λ₁v₁v₁ᵀ, materialized in one join pass. Deterministic:
-   fixed iteration counts, hash-derived start vector, sign fixed by
-   the lowest-id sample's loading.
+   (Gower: B = -1/2 · J D² J). We iterate on the INTEGER operator
+   B' = 2n²·B = -(n²·d2 − n·rs_i − n·rs_j + gs) — same eigenvectors,
+   scaled eigenvalues — built from exact integer row/grand sums;
+3. the first TWO principal coordinates come from **distributed
+   fixed-point power iteration** (r7 VERDICT item 7, promoted from
+   rows-only): the iterate lives in ppm integers; each round is one
+   broadcast join + keyed sum with every multiply-accumulate in
+   DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), then a sign-split
+   truncating rescale v ← sign(u)·(|u|·10⁶ div max|u|). Every round
+   is therefore EXACT integer arithmetic — the two engines compute
+   bit-identical sequences, which is what makes a value-hash oracle
+   possible for an iterative eigensolver (the r6 blocker was float
+   renormalization: Σ-order nondeterminism + ulp drift across 30
+   MAC rounds; integers have neither). Axis 2 iterates on the
+   integer-deflated operator B₂ = den₁·B' − num₁·v₁ᵐv₁ᵐᵀ (v₁ᵐ =
+   milli-truncated v₁; Rayleigh num/den are exact integers), scaled
+   back into headroom by one data-dependent integer divisor.
+   Floats appear ONLY in the final per-sample score expression
+   (sqrt of exact-integer ratios — correctly-rounded IEEE in both
+   engines), micro-floored to BIGINT for the hash contract.
+
+Start vectors are md5-derived integers (the train_test_split
+hash_bucket idiom) — engine-identical, and generically non-degenerate
+(the all-ones vector lies in B's null space; a hash does not).
 
 Scale: the matrix is |cohort|² entries in long form, partitioned by
-row — each product is one join + one groupBy shuffle; vectors are
-broadcast-sized by construction. This is the standard shape for
-distributed spectral methods (PageRank-style iteration).
+row — each product is one broadcast join + one groupBy shuffle;
+vectors are broadcast-sized by construction. This is the standard
+shape for distributed spectral methods (PageRank-style iteration),
+with per-segment localCheckpoint to cut the join-loop lineage.
 
-No SQL oracle (iterative; DuckDB has no fixpoint linear algebra) —
-driver records the rows-only check; the pytest cross-checks both axes
-against numpy eigendecomposition at sf0.001.
+Overflow discipline: all bounds are documented per step below; the
+Spark side folds a loud assert_true over the Rayleigh scalars (NULL
+under non-ANSI decimal overflow) while DuckDB HUGEINT errors loudly
+on its own — no silent wrap in either engine.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
-from bpaotu_spark.operators.bpaotu import abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.pipeline import hash_bucket, hash_bucket_sql
 from bpaotu_spark.plans.filters import ContextualFilter, Pred
 from bpaotu_spark.registry import register
 
-_PCOA_FILTER = ContextualFilter.of([Pred("c_mktsegment", "eq", "MACHINERY")], "and")
+# The absolute c_custkey cap bounds the cohort (and the |cohort|²
+# matrix) at every SF — at sf0.001/sf0.01 it keeps the historical
+# cohort bit-identical (max custkey 150/1500 < 4000).
+_PCOA_FILTER = ContextualFilter.of(
+    [Pred("c_mktsegment", "eq", "MACHINERY"), Pred("c_custkey", "lt", 4000)],
+    "and",
+)
 
-# Convergence is geometric at (λ_next/λ_target)^k; the synthetic cohorts
-# show ratios ≈ 0.93, so ~100 products reach ~1e-3 relative error.
+# Convergence is geometric at (λ_next/λ_target)^k; the synthetic
+# cohorts show ratios ≈ 0.93, so ~100 products reach the pytest's
+# 5e-3 bar. The per-round ppm truncation adds ≤1e-6 relative noise —
+# self-corrected by the iteration itself.
 _POWER_ITERS = 100
-_RESCALE_EVERY = 10
+# axis-2 operator is divided back into ≤1e18 so each MAC stays inside
+# DECIMAL(38,0): n·1e18·1e6 ≤ 1e38 up to n ~ 3e6 cohort rows
+_B2_TARGET = 10**18
 
 
 def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric (i, j, d) Bray-Curtis long form over the filtered
-    cohort, diagonal included (d=0)."""
+    """Symmetric (i, j, dp) Bray-Curtis ppm long form over the
+    filtered cohort, diagonal included (dp=0). Exact integers:
+    dp = 1e6 − (2e6·sum_min) div (tot_i + tot_j)."""
     cust = load_table(spark, sf_dir, "customer")
     sel = cust.filter(_PCOA_FILTER.column()).select(
         F.col("c_custkey").alias("sample_id")
     )
     ab = abundance(spark, sf_dir).join(maybe_broadcast(sel), "sample_id")
-    a = ab.groupBy("sample_id", "otu_id").agg(F.sum("cnt").alias("c"))
-    tot = a.groupBy("sample_id").agg(F.sum("c").alias("tot"))
+    a = ab.groupBy("sample_id", "otu_id").agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+    tot = a.groupBy("sample_id").agg(F.sum("c").cast("bigint").alias("tot"))
 
     ax = a.select(F.col("sample_id").alias("i"), "otu_id", F.col("c").alias("ca"))
     ay = a.select(
@@ -68,7 +102,7 @@ def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = (
         ax.join(ay, (ax.otu_id == ay.otu_y) & (ax.i < ay.j))
         .groupBy("i", "j")
-        .agg(F.sum(F.least("ca", "cb")).alias("sum_min"))
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("sum_min"))
     )
     ti = tot.select(F.col("sample_id").alias("i"), F.col("tot").alias("tot_i"))
     tj = tot.select(F.col("sample_id").alias("j"), F.col("tot").alias("tot_j"))
@@ -78,155 +112,418 @@ def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            (
-                1.0
-                - 2.0 * F.coalesce(F.col("sum_min"), F.lit(0.0))
-                / (F.col("tot_i") + F.col("tot_j"))
-            ).alias("d"),
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, CAST(0 AS BIGINT)))"
+                " div (tot_i + tot_j)"
+            ).alias("dp"),
         )
     )
     diag = tot.select(
         F.col("sample_id").alias("i"),
         F.col("sample_id").alias("j"),
-        F.lit(0.0).alias("d"),
+        F.lit(0).cast("bigint").alias("dp"),
     )
     return upper.unionByName(
-        upper.select(F.col("j").alias("i"), F.col("i").alias("j"), "d")
+        upper.select(F.col("j").alias("i"), F.col("i").alias("j"), "dp")
     ).unionByName(diag)
 
 
-def _gower_center(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B = -1/2 · J D² J in (i, j, b) long form, materialized once."""
-    d = _bc_pairs_full(spark, sf_dir).select(
-        "i", "j", (F.col("d") * F.col("d")).alias("d2")
+def _gower_b(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Integer Gower operator B' = -(n²·d2 − n·rs_i − n·rs_j + gs) in
+    (i, j, b DECIMAL(38,0)) long form plus the (gs, n) scalar frame.
+    B' = 2n²·B — same eigenvectors as the centered matrix."""
+    d2 = (
+        _bc_pairs_full(spark, sf_dir)
+        .select("i", "j", F.expr("CAST(dp AS DECIMAL(38,0)) * dp").alias("d2"))
+        .localCheckpoint()  # reused by rs + gn + the join
     )
-    d = d.localCheckpoint()  # D² is reused by three aggregates + the join
-    row_m = d.groupBy("i").agg(F.avg("d2").alias("rm"))
-    col_m = d.groupBy("j").agg(F.avg("d2").alias("cm"))
-    grand = d.agg(F.avg("d2").alias("gm"))
-    return (
-        d.join(row_m, "i")
-        .join(col_m, "j")
-        .crossJoin(F.broadcast(grand))
+    rs = d2.groupBy("i").agg(F.sum("d2").cast("decimal(38,0)").alias("rs"))
+    gn = d2.agg(
+        F.sum("d2").cast("decimal(38,0)").alias("gs"),
+        F.countDistinct("i").cast("decimal(38,0)").alias("n"),
+    )
+    b = (
+        d2.join(rs.select("i", F.col("rs").alias("rs_i")), "i")
+        .join(rs.select(F.col("i").alias("j"), F.col("rs").alias("rs_j")), "j")
+        .crossJoin(F.broadcast(gn))
         .select(
             "i",
             "j",
-            (-0.5 * (F.col("d2") - F.col("rm") - F.col("cm") + F.col("gm"))).alias(
-                "b"
-            ),
+            F.expr("-(n * n * d2 - n * rs_i - n * rs_j + gs)").alias("b"),
         )
-        .localCheckpoint()  # the iteration loop reuses the operator every round
+        .localCheckpoint()  # the iteration loop reuses the operator
     )
+    return b, gn
 
 
 def _start_vector(b: DataFrame, seed: int) -> DataFrame:
-    """Deterministic hash start: must not lie in B's null space — the
-    all-ones vector DOES (double-centering zeroes every row sum). A
-    hash of the sample id is generic: non-degenerate projection onto
-    the target eigenvector with probability 1."""
+    """md5-derived integer start in [-1000, 1000]: engine-identical
+    (hash_bucket idiom) and generically outside B's null space (the
+    all-ones vector IS in it — double-centering zeroes row sums)."""
     return (
         b.select("j")
         .distinct()
         .select(
             "j",
             (
-                F.pmod(F.xxhash64("j", F.lit(seed)), F.lit(1000)).cast("double")
-                / 500.0
-                - 1.0
-            ).alias("v"),
+                hash_bucket(
+                    F.concat(F.col("j").cast("string"), F.lit(f":{seed}")),
+                    2001,
+                )
+                - 1000
+            )
+            .cast("bigint")
+            .alias("v"),
         )
     )
 
 
-def _power_iterate(b: DataFrame, v: DataFrame) -> DataFrame:
-    """Dominant unit eigenvector of the long-form operator ``b``.
-
-    No per-product normalization: the scale drifts as λ^k, which a
-    periodic rescale absorbs — two extra stages every _RESCALE_EVERY
-    products instead of every product."""
-    for it in range(_POWER_ITERS):
-        v = (
-            b.join(v, "j")
+def _int_power_iterate(b: DataFrame, v: DataFrame) -> DataFrame:
+    """Dominant eigenvector direction of the long-form integer
+    operator ``b`` in ppm fixed point. Each round: exact
+    DECIMAL(38,0) matrix-vector product, then the sign-split
+    truncating rescale v ← sign(u)·(|u|·10⁶ div max|u|) — nonneg
+    numerator and positive divisor, so Spark `div` and DuckDB `//`
+    agree exactly."""
+    for _ in range(_POWER_ITERS):
+        u = (
+            b.join(F.broadcast(v), "j")
             .groupBy("i")
-            .agg(F.sum(F.col("b") * F.col("v")).alias("v"))
-            .select(F.col("i").alias("j"), "v")
+            .agg(F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * v")).alias("u"))
         )
-        if it % _RESCALE_EVERY == _RESCALE_EVERY - 1 or it == _POWER_ITERS - 1:
-            nrm = v.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
-            v = (
-                v.crossJoin(F.broadcast(nrm))
-                .select("j", (F.col("v") / F.col("n")).alias("v"))
-                .localCheckpoint()  # cut the join-loop lineage
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        # EAGER checkpoint every round: u feeds BOTH the max subtree
+        # and the rescale projection, so without materialization each
+        # round doubles the recomputation of everything before it
+        # (2^k blowup when exchange reuse misses). The checkpointed
+        # frame is |cohort| rows — one tiny job per round, linear
+        # total, and the next round's broadcast reads it directly.
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    "CASE WHEN u < 0 THEN -1 ELSE 1 END"
+                    " * ((abs(u) * 1000000)"
+                    "    div greatest(m, CAST(1 AS DECIMAL(38,0))))"
+                )
+                .cast("bigint")
+                .alias("v"),
             )
+            .localCheckpoint()
+        )
     return v
 
 
-def _eigenvalue(b: DataFrame, v: DataFrame) -> DataFrame:
-    """Rayleigh quotient λ = vᵀBv (v unit) as a 1-row DataFrame."""
-    bv = b.join(v, "j").groupBy("i").agg(F.sum(F.col("b") * F.col("v")).alias("bv"))
-    return bv.join(v.select(F.col("j").alias("i"), "v"), "i").agg(
-        F.sum(F.col("bv") * F.col("v")).alias("lam")
+def _milli(v: DataFrame) -> DataFrame:
+    """Milli-truncated copy (3 digits) — shrinks Rayleigh/deflation
+    magnitudes by 1e6 so every product keeps DECIMAL(38,0) headroom."""
+    return v.select(
+        "j",
+        F.expr(
+            "CASE WHEN v < 0 THEN -1 ELSE 1 END * (abs(v) div 1000)"
+        ).alias("vm"),
     )
 
 
-def _signed_scores(v: DataFrame, lam: DataFrame, alias: str) -> DataFrame:
-    """Axis scores v·√λ with the lowest-id loading forced non-negative."""
-    first = v.orderBy("j").limit(1).select(F.signum(F.col("v")).alias("sgn"))
+def _rayleigh_m(b: DataFrame, vm: DataFrame) -> DataFrame:
+    """num = vmᵀ B vm (exact integer, 1-row)."""
+    bv = (
+        b.join(F.broadcast(vm), "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * vm")).alias("bv"))
+    )
+    return bv.join(
+        F.broadcast(vm.select(F.col("j").alias("i"), "vm")), "i"
+    ).agg(F.sum(F.expr("bv * vm")).cast("decimal(38,0)").alias("num"))
+
+
+# No explicit micro multiplier: d2 sits on the ppm² grid, so λ_int =
+# 1e12·λ_true and √λ_int = 1e6·√λ_true — the micro scaling is already
+# inside the integer operator.
+_AXIS_EXPR = (
+    "CAST(floor(CAST(sgn * v AS DOUBLE)"
+    " * sqrt(greatest(CAST(num AS DOUBLE), 0.0)"
+    "        / (CAST(greatest(den_m, 1) AS DOUBLE) * 2.0))"
+    " / (CAST(n AS DOUBLE) * sqrt(CAST(greatest(den, 1) AS DOUBLE))))"
+    " AS BIGINT)"
+)
+
+
+def _axis_scores(
+    v: DataFrame,
+    num: DataFrame,
+    den: DataFrame,
+    den_m: DataFrame,
+    gn: DataFrame,
+    alias: str,
+    guard: str,
+) -> DataFrame:
+    """axis_i = v̂_i·√λ_B micro-floored: v̂ = v/√den, λ_B = num/(den_m·
+    2n²). Token-identical float expression in the oracle; sign fixed
+    by the lowest-id loading (ties-to-positive so a zero loading
+    cannot zero the axis)."""
+    sgn = (
+        v.orderBy("j")
+        .limit(1)
+        .select(
+            F.expr("CASE WHEN v < 0 THEN -1 ELSE 1 END")
+            .cast("bigint")
+            .alias("sgn")
+        )
+    )
     return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(first))
+        v.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(den_m))
+        .crossJoin(F.broadcast(gn.select("n")))
+        .crossJoin(F.broadcast(sgn))
         .select(
             F.col("j").alias("sample_id"),
-            F.round(
-                F.col("v")
-                * F.col("sgn")
-                * F.sqrt(F.greatest(F.col("lam"), F.lit(0.0))),
-                4,
-            )
-            .cast("double")
-            .alias(alias),
+            F.expr(
+                # loud overflow guard (morisita_horn convention):
+                # non-ANSI decimal overflow upstream surfaces as NULL
+                # scalars here; fail instead of hashing a wrong axis
+                f"CASE WHEN assert_true(num IS NOT NULL AND den IS NOT NULL"
+                f" AND den_m IS NOT NULL AND v IS NOT NULL,"
+                f" '{guard}') IS NULL THEN {_AXIS_EXPR} END"
+            ).alias(alias),
         )
     )
 
 
-@register("ordination_pcoa_2d")  # rows-only — see docstring for why
+def _pcoa_oracle() -> str:
+    """Unrolled DuckDB twin of the fixed-point iteration: identical
+    integer recurrence (HUGEINT MACs, `//` on nonneg operands),
+    identical float-only score expression."""
+    v0a = hash_bucket_sql("CAST(i AS VARCHAR) || ':7'", 2001)
+    v0b = hash_bucket_sql("CAST(i AS VARCHAR) || ':11'", 2001)
+
+    def rounds(mat: str, tag: str) -> str:
+        out = []
+        prev = f"v0{tag}"
+        for k in range(1, _POWER_ITERS + 1):
+            out.append(
+                f"u{k}{tag} AS MATERIALIZED (\n"
+                f"  SELECT b.i AS j, CAST(sum(b.b * v.v) AS HUGEINT) AS u\n"
+                f"  FROM {mat} b JOIN {prev} v ON b.j = v.j GROUP BY b.i\n"
+                f"),\n"
+                f"v{k}{tag} AS MATERIALIZED (\n"
+                f"  SELECT j, CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END\n"
+                f"    * ((abs(u) * 1000000)\n"
+                f"       // greatest(max(abs(u)) OVER (), 1))"
+                f" AS HUGEINT) AS v\n"
+                f"  FROM u{k}{tag}\n"
+                f")"
+            )
+            prev = f"v{k}{tag}"
+        return ",\n".join(out)
+
+    last = _POWER_ITERS
+    ax = _AXIS_EXPR
+    axis1 = (
+        ax.replace("sgn * v", "s1.sgn * va.v")
+        .replace("CAST(num AS DOUBLE)", "CAST(n1.num AS DOUBLE)")
+        .replace("greatest(den_m, 1)", "greatest(dm1.den_m, 1)")
+        .replace("CAST(n AS DOUBLE)", "CAST(g.n AS DOUBLE)")
+        .replace("greatest(den, 1)", "greatest(d1.den, 1)")
+    )
+    axis2 = (
+        ax.replace("sgn * v", "s2g.sgn * vb.v")
+        .replace("CAST(num AS DOUBLE)", "CAST(n2.num AS DOUBLE)")
+        .replace("greatest(den_m, 1)", "greatest(dm2.den_m, 1)")
+        .replace("CAST(n AS DOUBLE)", "CAST(g.n AS DOUBLE)")
+        .replace("greatest(den, 1)", "greatest(d2x.den, 1)")
+    )
+    return f"""
+WITH {ABUNDANCE_CTE},
+sel AS MATERIALIZED (
+  SELECT c_custkey AS sample_id FROM customer WHERE {_PCOA_FILTER.sql()}
+),
+a AS MATERIALIZED (
+  SELECT ab.sample_id, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, otu_id
+),
+tot AS MATERIALIZED (
+  SELECT sample_id, CAST(sum(c) AS BIGINT) AS tot FROM a GROUP BY sample_id
+),
+shared AS MATERIALIZED (
+  SELECT x.sample_id AS i, y.sample_id AS j,
+    CAST(sum(least(x.c, y.c)) AS BIGINT) AS sum_min
+  FROM a x JOIN a y ON x.otu_id = y.otu_id AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+),
+up AS MATERIALIZED (
+  SELECT ti.sample_id AS i, tj.sample_id AS j,
+    1000000 - (2000000 * coalesce(s.sum_min, CAST(0 AS BIGINT)))
+      // (ti.tot + tj.tot) AS dp
+  FROM tot ti JOIN tot tj ON ti.sample_id < tj.sample_id
+  LEFT JOIN shared s ON s.i = ti.sample_id AND s.j = tj.sample_id
+),
+dmat AS MATERIALIZED (
+  SELECT i, j, dp FROM up
+  UNION ALL SELECT j, i, dp FROM up
+  UNION ALL SELECT sample_id, sample_id, CAST(0 AS BIGINT) FROM tot
+),
+d2m AS MATERIALIZED (SELECT i, j, CAST(dp AS HUGEINT) * dp AS d2 FROM dmat),
+rs AS MATERIALIZED (SELECT i, CAST(sum(d2) AS HUGEINT) AS rs FROM d2m GROUP BY i),
+gn AS MATERIALIZED (
+  SELECT CAST(sum(d2) AS HUGEINT) AS gs,
+    CAST(count(DISTINCT i) AS HUGEINT) AS n
+  FROM d2m
+),
+bmat AS MATERIALIZED (
+  SELECT d.i, d.j,
+    -(g.n * g.n * d.d2 - g.n * ri.rs - g.n * rj.rs + g.gs) AS b
+  FROM d2m d
+  JOIN rs ri ON d.i = ri.i
+  JOIN rs rj ON d.j = rj.i
+  CROSS JOIN gn g
+),
+v0a AS MATERIALIZED (
+  SELECT i AS j, CAST({v0a} - 1000 AS HUGEINT) AS v FROM rs
+),
+{rounds('bmat', 'a')},
+v1m AS MATERIALIZED (
+  SELECT j, CASE WHEN v < 0 THEN -1 ELSE 1 END * (abs(v) // 1000) AS vm
+  FROM v{last}a
+),
+den1 AS MATERIALIZED (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v{last}a),
+den1m AS MATERIALIZED (SELECT CAST(sum(vm * vm) AS HUGEINT) AS den_m FROM v1m),
+bv1 AS MATERIALIZED (
+  SELECT b.i, CAST(sum(b.b * v.vm) AS HUGEINT) AS bv
+  FROM bmat b JOIN v1m v ON b.j = v.j GROUP BY b.i
+),
+num1 AS MATERIALIZED (
+  SELECT CAST(sum(bv.bv * v.vm) AS HUGEINT) AS num
+  FROM bv1 bv JOIN v1m v ON bv.i = v.j
+),
+b2 AS MATERIALIZED (
+  SELECT b.i, b.j,
+    dm.den_m * dm.den_m * b.b - n1.num * vi.vm * vj.vm AS braw
+  FROM bmat b
+  JOIN v1m vi ON b.i = vi.j
+  JOIN v1m vj ON b.j = vj.j
+  CROSS JOIN den1m dm CROSS JOIN num1 n1
+),
+s2 AS MATERIALIZED (
+  SELECT greatest(max(abs(braw)) // {_B2_TARGET} + 1, 1) AS s FROM b2
+),
+b2s AS MATERIALIZED (
+  SELECT i, j, CAST(CASE WHEN braw < 0 THEN -1 ELSE 1 END
+    * (abs(braw) // s.s) AS HUGEINT) AS b
+  FROM b2 CROSS JOIN s2 s
+),
+v0b AS MATERIALIZED (
+  SELECT i AS j, CAST({v0b} - 1000 AS HUGEINT) AS v FROM rs
+),
+{rounds('b2s', 'b')},
+v2m AS MATERIALIZED (
+  SELECT j, CASE WHEN v < 0 THEN -1 ELSE 1 END * (abs(v) // 1000) AS vm
+  FROM v{last}b
+),
+den2 AS MATERIALIZED (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v{last}b),
+den2m AS MATERIALIZED (SELECT CAST(sum(vm * vm) AS HUGEINT) AS den_m FROM v2m),
+bv2 AS MATERIALIZED (
+  SELECT b.i, CAST(sum(b.b * v.vm) AS HUGEINT) AS bv
+  FROM bmat b JOIN v2m v ON b.j = v.j GROUP BY b.i
+),
+num2 AS MATERIALIZED (
+  SELECT CAST(sum(bv.bv * v.vm) AS HUGEINT) AS num
+  FROM bv2 bv JOIN v2m v ON bv.i = v.j
+),
+sg1 AS MATERIALIZED (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn FROM v{last}a
+  WHERE j = (SELECT min(j) FROM v{last}a)
+),
+sg2 AS MATERIALIZED (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn FROM v{last}b
+  WHERE j = (SELECT min(j) FROM v{last}b)
+)
+SELECT va.j AS sample_id,
+  {axis1} AS axis1_micro,
+  {axis2} AS axis2_micro
+FROM v{last}a va
+JOIN v{last}b vb ON va.j = vb.j
+CROSS JOIN num1 n1 CROSS JOIN den1 d1 CROSS JOIN den1m dm1
+CROSS JOIN num2 n2 CROSS JOIN den2 d2x CROSS JOIN den2m dm2
+CROSS JOIN gn g CROSS JOIN sg1 s1 CROSS JOIN sg2 s2g
+"""
+
+
+@register("ordination_pcoa_2d", oracle=_pcoa_oracle())
 def ordination_pcoa_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(sample_id, axis1, axis2) — the 2-D ordination the comparison
-    page plots. Axis 2 deflates: B₂ = B − λ₁v₁v₁ᵀ materialized by one
-    join pass over the long form, then the same power iteration.
+    """(sample_id, axis1_micro, axis2_micro) — the 2-D ordination the
+    comparison page plots, oracle-backed since r8 via the fixed-point
+    integer iteration documented in the module docstring. Axis 2
+    deflates on B₂ = den₁·B' − num₁·v₁ᵐv₁ᵐᵀ, integer-rescaled into
+    DECIMAL(38,0) headroom; λ for both axes is the exact-integer
+    Rayleigh quotient on the ORIGINAL operator."""
+    b, gn = _gower_b(spark, sf_dir)
+    v1 = _int_power_iterate(b, _start_vector(b, seed=7))
+    v1m = _milli(v1)
+    den1 = v1.agg(
+        F.sum(F.expr("v * v")).cast("decimal(38,0)").alias("den")
+    )
+    den1m = v1m.agg(
+        F.sum(F.expr("vm * vm")).cast("decimal(38,0)").alias("den_m")
+    )
+    num1 = _rayleigh_m(b, v1m)
 
-    Why rows-only (evaluated for oracle promotion in r6, VERDICT item
-    8): a fixed-point INTEGER power iteration would make each round
-    exactly reproducible, but the iterate must be re-normalized to unit
-    length every few rounds (else the λ¹⁶-scaled components overflow
-    any fixed-point width), and normalization divides by a true
-    irrational (√Σv²) — after it, Spark's and DuckDB's doubles can
-    differ in the last ulp, and 30 subsequent multiply-accumulate
-    rounds amplify that ulp across the hash boundary. The contract is
-    instead the numpy-diffed pytest (tests/test_ordination.py):
-    eigenpairs verified against numpy.linalg.eigh to 1e-6, plus
-    sign/determinism invariants — stronger evidence than a hash of an
-    unstable float, and honest about what IS engine-reproducible."""
-    b = _gower_center(spark, sf_dir)
-    v1 = _power_iterate(b, _start_vector(b, seed=7))
-    lam1 = _eigenvalue(b, v1)
-
-    v1i = v1.select(F.col("j").alias("i"), F.col("v").alias("v1i"))
-    v1j = v1.select("j", F.col("v").alias("v1j"))
+    vmi = v1m.select(F.col("j").alias("i"), F.col("vm").alias("vmi"))
+    vmj = v1m.select("j", F.col("vm").alias("vmj"))
     b2 = (
-        b.join(v1i, "i")
-        .join(v1j, "j")
-        .crossJoin(F.broadcast(lam1))
+        b.join(F.broadcast(vmi), "i")
+        .join(F.broadcast(vmj), "j")
+        .crossJoin(F.broadcast(den1m))
+        .crossJoin(F.broadcast(num1))
         .select(
             "i",
             "j",
-            (F.col("b") - F.col("lam") * F.col("v1i") * F.col("v1j")).alias("b"),
+            # B₂ = den_m²·(B − λ₁v̂₁v̂₁ᵀ) with λ₁ = num/den_m and
+            # v̂₁ = v1m/√den_m — den_m SQUARED on the B term
+            F.expr("den_m * den_m * b - num * vmi * vmj").alias("braw"),
+        )
+    )
+    s2 = b2.agg(
+        F.expr(
+            f"greatest(max(abs(braw)) div CAST({_B2_TARGET} AS DECIMAL(38,0))"
+            " + 1, CAST(1 AS BIGINT))"
+        ).alias("s")
+    )
+    b2s = (
+        b2.crossJoin(F.broadcast(s2))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(CASE WHEN braw < 0 THEN -1 ELSE 1 END"
+                " * (abs(braw) div s) AS DECIMAL(38,0))"
+            ).alias("b"),
         )
         .localCheckpoint()
     )
-    v2 = _power_iterate(b2, _start_vector(b2, seed=11))
-    lam2 = _eigenvalue(b, v2)
+    v2 = _int_power_iterate(b2s, _start_vector(b, seed=11))
+    v2m = _milli(v2)
+    den2 = v2.agg(
+        F.sum(F.expr("v * v")).cast("decimal(38,0)").alias("den")
+    )
+    den2m = v2m.agg(
+        F.sum(F.expr("vm * vm")).cast("decimal(38,0)").alias("den_m")
+    )
+    num2 = _rayleigh_m(b, v2m)
 
-    a1 = _signed_scores(v1, lam1, "axis1")
-    a2 = _signed_scores(v2, lam2, "axis2")
+    a1 = _axis_scores(
+        v1, num1, den1, den1m, gn, "axis1_micro",
+        "ordination_pcoa_2d axis1: DECIMAL(38,0) overflow — shrink the"
+        " cohort cap or rescale the operator",
+    )
+    a2 = _axis_scores(
+        v2, num2, den2, den2m, gn, "axis2_micro",
+        "ordination_pcoa_2d axis2: DECIMAL(38,0) overflow — shrink the"
+        " cohort cap or rescale the operator",
+    )
     return a1.join(a2, "sample_id")

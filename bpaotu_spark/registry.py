@@ -99,6 +99,10 @@ PRIORITY: tuple[str, ...] = (
     "vector_quantize_int4_error",
     "theil_sen_revenue_trend",
     "kendall_tau_daily",
+    # (A+) ordination_pcoa_2d: promoted rows-only -> oracle-backed this
+    # round (fixed-point integer power iteration; see ordination.py) —
+    # its first-ever oracle compare belongs in the window
+    "ordination_pcoa_2d",
     # (B) r8 rotation of the never-driver-windowed backlog (r7 VERDICT
     # item 2): the r7-addition queue head first, then the 13 keys that
     # had never entered PRIORITY at all, then three older stragglers.
@@ -148,11 +152,11 @@ PRIORITY: tuple[str, ...] = (
     "whittaker_beta_nation",
     "heldout_oov_rate",
     "lsh_bucket_profile",
-    "dedup_band_threshold_sweep",
     # ---- ~50-entry window boundary ----
     # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-9 window to finish the evidence backlog
-    # (~44 left; one more rotation after this one).
+    # (~45 left; one more rotation after this one).
+    "dedup_band_threshold_sweep",
     "ab_cuped_adjustment",
     "abundance_rarefaction",
     "ann_filtered_topk",

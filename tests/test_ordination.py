@@ -13,7 +13,9 @@ def test_pcoa_2d_matches_numpy(spark, sf_dir):
     n = len(ids)
     D = np.zeros((n, n))
     for r in pairs:
-        D[idx[r.i], idx[r.j]] = r.d
+        # integer ppm grid — the numpy twin centers the SAME quantized
+        # matrix the engine iterates on
+        D[idx[r.i], idx[r.j]] = r.dp / 1e6
     J = np.eye(n) - np.ones((n, n)) / n
     B = -0.5 * J @ (D**2) @ J
     vals, vecs = np.linalg.eigh(B)
@@ -27,8 +29,8 @@ def test_pcoa_2d_matches_numpy(spark, sf_dir):
     assert len(rows) == n
     got1, got2 = np.zeros(n), np.zeros(n)
     for r in rows:
-        got1[idx[r.sample_id]] = r.axis1
-        got2[idx[r.sample_id]] = r.axis2
+        got1[idx[r.sample_id]] = r.axis1_micro / 1e6
+        got2[idx[r.sample_id]] = r.axis2_micro / 1e6
     np.testing.assert_allclose(got1, expected_axis(0), atol=5e-3)
     # axis 2 inherits axis 1's residual through deflation — looser bar
     np.testing.assert_allclose(got2, expected_axis(1), atol=2e-2)

@@ -380,6 +380,21 @@ HEADLINE = (
     "text_langid",
     "text_token_count",
     "tfidf_top_terms_approx",
+    # round-8 additions (append-only tail)
+    "dedup_splice_pairs",
+    "corpus_char_trigram_entropy",
+    "doc_script_mix",
+    "ann_range_query_count",
+    "embedding_pca_power_axis",
+    "friedman_test_weekday",
+    "grubbs_outlier_daily",
+    "page_hinkley_drift",
+    "jonckheere_terpstra_trend",
+    "life_table_actuarial",
+    "event_type_entropy",
+    "beta_diversity_kulczynski",
+    "chao2_incidence",
+    "otu_rank_shift",
 )
 
 

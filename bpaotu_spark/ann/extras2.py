@@ -1,0 +1,305 @@
+"""Round-8 ANN/embedding additions: range queries and a spectral
+embedding diagnostic built on the r8 fixed-point eigensolver.
+
+* ``ann_range_query_count`` — ε-ball range-query workload: per query,
+  how many corpus vectors fall inside three fixed radii on the exact
+  integer (milli-quantized) L2 grid. Range queries are the other half
+  of the vector-search API surface (top-k's dual); the three-radius
+  census is the operating-point curve an index tuner reads.
+* ``embedding_pca_power_axis`` — dominant principal axis of the
+  embedding covariance via the SAME fixed-point integer power
+  iteration that ordination_pcoa_2d ships (ordination.py): the
+  64×64 scaled covariance C' = N·Σxxᵀ − (Σx)(Σx)ᵀ is exact integer
+  on the milli grid, the iterate lives in ppm, both engines compute
+  bit-identical sequences, and the oracle unrolls the rounds as
+  MATERIALIZED CTEs. The loading vector is the anisotropy direction
+  (Mu & Viswanath '18 "all-but-the-top"): a dominant axis with high
+  eigenvalue share is the classic embedding-quality smell.
+
+Determinism: quantize → exact integer distances/covariance; floats
+only in each op's final floored output expression.
+
+Scale shape: range query is one broadcast of the bounded query set
+against the corpus (map-side fold per pair, no shuffle beyond the
+count agg); PCA's Gram pass is one self-join on vec_id (64²
+cells/vector, map-combined into a 4096-row operator) and the
+iteration runs on the fixed 64×64 frame — constant-size rounds at
+any corpus scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.ann.core import N_QUERIES
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.ordination import (
+    _int_power_iterate,
+    _start_vector,
+)
+from bpaotu_spark.operators.pipeline import hash_bucket_sql
+from bpaotu_spark.registry import register
+
+_RQ_Q = 1000  # milli quantization for the integer L2 grid
+_R_SMALL, _R_MID, _R_LARGE = 1_500_000, 1_800_000, 2_100_000
+
+_PCA_ITERS = 40
+_PCA_TARGET = 10**16  # operator rescaled under 1e16: MAC ≤ 64·1e16·1e6
+
+
+@register(
+    "ann_range_query_count",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < {N_QUERIES}),
+d AS (
+  SELECT query_id,
+    CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+       + list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+       - 2 * list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+      AS BIGINT) AS d2
+  FROM qs JOIN e ON e.vec_id != qs.query_id
+)
+SELECT query_id,
+  CAST(count(*) FILTER (WHERE d2 <= {_R_SMALL}) AS BIGINT) AS n_small,
+  CAST(count(*) FILTER (WHERE d2 <= {_R_MID}) AS BIGINT) AS n_mid,
+  CAST(count(*) FILTER (WHERE d2 <= {_R_LARGE}) AS BIGINT) AS n_large,
+  CAST(min(d2) AS BIGINT) AS nn_d2
+FROM d GROUP BY query_id ORDER BY query_id
+""",
+)
+def ann_range_query_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ε-ball counts at three fixed radii on the exact
+    milli-quantized integer L2 grid (values ≤ 6e3 → per-dim square ≤
+    3.6e7, 64-dim sum ≤ 2.4e9 — exact in BIGINT and in DuckDB's
+    double fold)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    d = emb.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    return (
+        d.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("d2") <= _R_SMALL, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_small"),
+            F.sum(F.when(F.col("d2") <= _R_MID, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mid"),
+            F.sum(F.when(F.col("d2") <= _R_LARGE, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_large"),
+            F.min("d2").cast("bigint").alias("nn_d2"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pca_oracle() -> str:
+    v0 = hash_bucket_sql("CAST(i AS VARCHAR) || ':13'", 2001)
+    rounds = []
+    prev = "v0p"
+    for k in range(1, _PCA_ITERS + 1):
+        rounds.append(
+            f"u{k}p AS MATERIALIZED (\n"
+            f"  SELECT b.i AS j, CAST(sum(b.b * v.v) AS HUGEINT) AS u\n"
+            f"  FROM cms b JOIN {prev} v ON b.j = v.j GROUP BY b.i\n"
+            f"),\n"
+            f"v{k}p AS MATERIALIZED (\n"
+            f"  SELECT j, CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END\n"
+            f"    * ((abs(u) * 1000000)\n"
+            f"       // greatest(max(abs(u)) OVER (), 1)) AS HUGEINT) AS v\n"
+            f"  FROM u{k}p\n"
+            f")"
+        )
+        prev = f"v{k}p"
+    last = _PCA_ITERS
+    return f"""
+WITH xm AS MATERIALIZED (
+  SELECT vec_id, dim, CAST(floor(val * {_RQ_Q}) AS BIGINT) AS xm
+  FROM (
+    SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  )
+),
+sa AS MATERIALIZED (
+  SELECT dim, CAST(sum(xm) AS HUGEINT) AS s FROM xm GROUP BY dim
+),
+nn AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM xm
+),
+sab AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+    CAST(sum(CAST(a.xm AS HUGEINT) * b.xm) AS HUGEINT) AS s
+  FROM xm a JOIN xm b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim
+),
+cmat AS MATERIALIZED (
+  SELECT sab.i, sab.j, nn.n * sab.s - si.s * sj.s AS b
+  FROM sab JOIN sa si ON sab.i = si.dim JOIN sa sj ON sab.j = sj.dim
+  CROSS JOIN nn
+),
+cs AS MATERIALIZED (
+  SELECT greatest(max(abs(b)) // {_PCA_TARGET} + 1, 1) AS s FROM cmat
+),
+cms AS MATERIALIZED (
+  SELECT i, j, CAST(CASE WHEN b < 0 THEN -1 ELSE 1 END
+    * (abs(b) // cs.s) AS HUGEINT) AS b
+  FROM cmat CROSS JOIN cs
+),
+rs AS MATERIALIZED (SELECT DISTINCT i FROM cmat),
+v0p AS MATERIALIZED (
+  SELECT i AS j, CAST({v0} - 1000 AS HUGEINT) AS v FROM rs
+),
+{",".join(rounds)},
+den AS MATERIALIZED (
+  SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v{last}p
+),
+num AS MATERIALIZED (
+  SELECT CAST(sum(bv.u * v.v) AS HUGEINT) AS num
+  FROM (SELECT b.i AS j, CAST(sum(b.b * v.v) AS HUGEINT) AS u
+        FROM cms b JOIN v{last}p v ON b.j = v.j GROUP BY b.i) bv
+  JOIN v{last}p v ON bv.j = v.j
+),
+sg AS MATERIALIZED (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn FROM v{last}p
+  WHERE j = (SELECT min(j) FROM v{last}p)
+)
+SELECT va.j AS dim,
+  CAST(floor(CAST(sg.sgn * va.v AS DOUBLE)
+    / sqrt(CAST(greatest(d.den, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+    AS loading_micro,
+  CAST(floor(CAST(num.num AS DOUBLE)
+    / CAST(greatest(d.den, 1) AS DOUBLE) * 1000) AS BIGINT)
+    AS op_eigval_milli
+FROM v{last}p va CROSS JOIN den d CROSS JOIN num CROSS JOIN sg
+ORDER BY dim
+"""
+
+
+@register("embedding_pca_power_axis", oracle=_pca_oracle())
+def embedding_pca_power_axis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(dim, loading_micro, op_eigval_milli): unit dominant axis of
+    the milli-grid scaled covariance + the Rayleigh eigenvalue of the
+    RESCALED operator (a relative anisotropy diagnostic; both engines
+    compute it from identical integers)."""
+    xm = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("val") * _RQ_Q).cast("bigint").alias("xm"),
+        )
+    )
+    sa = xm.groupBy("dim").agg(
+        F.sum("xm").cast("decimal(38,0)").alias("s")
+    )
+    nn = xm.agg(
+        F.countDistinct("vec_id").cast("decimal(38,0)").alias("n")
+    )
+    xa = xm.select("vec_id", F.col("dim").alias("i"), F.col("xm").alias("xa"))
+    xb = xm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("dim").alias("j"),
+        F.col("xm").alias("xb"),
+    )
+    sab = (
+        xa.join(xb, xa.vec_id == xb.vec_b)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.expr("CAST(xa AS DECIMAL(38,0)) * xb")).alias("s_ab")
+        )
+    )
+    cmat = (
+        sab.join(F.broadcast(sa.select(F.col("dim").alias("i"), F.col("s").alias("s_i"))), "i")
+        .join(F.broadcast(sa.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))), "j")
+        .crossJoin(F.broadcast(nn))
+        .select("i", "j", F.expr("n * s_ab - s_i * s_j").alias("braw"))
+    )
+    cs = cmat.agg(
+        F.expr(
+            f"greatest(max(abs(braw)) div CAST({_PCA_TARGET} AS"
+            " DECIMAL(38,0)) + 1, CAST(1 AS BIGINT))"
+        ).alias("s")
+    )
+    cms = (
+        cmat.crossJoin(F.broadcast(cs))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(CASE WHEN braw < 0 THEN -1 ELSE 1 END"
+                " * (abs(braw) div s) AS DECIMAL(38,0))"
+            ).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    v = _int_power_iterate(cms, _start_vector(cms, seed=13), _PCA_ITERS)
+    den = v.agg(F.sum(F.expr("v * v")).cast("decimal(38,0)").alias("den"))
+    bv = (
+        cms.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * v")).alias("u"))
+    )
+    num = bv.join(
+        F.broadcast(v.select(F.col("j").alias("i"), "v")), "i"
+    ).agg(F.sum(F.expr("u * v")).cast("decimal(38,0)").alias("num"))
+    sg = (
+        v.orderBy("j")
+        .limit(1)
+        .select(
+            F.expr("CASE WHEN v < 0 THEN -1 ELSE 1 END")
+            .cast("bigint")
+            .alias("sgn")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(sg))
+        .select(
+            F.col("j").alias("dim"),
+            F.expr(
+                "CAST(floor(CAST(sgn * v AS DOUBLE)"
+                " / sqrt(CAST(greatest(den, 1) AS DOUBLE)) * 1000000)"
+                " AS BIGINT)"
+            ).alias("loading_micro"),
+            F.expr(
+                "CAST(floor(CAST(num AS DOUBLE)"
+                " / CAST(greatest(den, 1) AS DOUBLE) * 1000)"
+                " AS BIGINT)"
+            ).alias("op_eigval_milli"),
+        )
+        .orderBy("dim")
+    )

@@ -66,3 +66,82 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_type_entropy — per-user Shannon entropy of the event-type mix,
+# rolled into a quarter-nat-band census (r8). Each p·ln(1/p) term is
+# micro-floored BEFORE the per-user sum, so the per-user entropy is an
+# exact integer (summation-order-free across engines); band = H_micro
+# div 250000. Specialists (one event type, H=0) land in band 0.
+# Scale: two keyed aggregations (user×type, then user), both
+# map-combined; the census axis is bounded by ln(|event types|)/0.25.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_t
+  FROM events GROUP BY user_id, event_type
+),
+un AS (
+  SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n_u FROM ut GROUP BY user_id
+),
+h AS (
+  SELECT ut.user_id,
+    CAST(sum(CAST(floor((CAST(n_t AS DOUBLE) / n_u)
+      * ln(CAST(n_u AS DOUBLE) / n_t) * 1000000) AS BIGINT)) AS BIGINT)
+      AS h_micro,
+    max(n_u) AS n_events
+  FROM ut JOIN un ON ut.user_id = un.user_id
+  GROUP BY ut.user_id
+)
+SELECT h_micro // 250000 AS entropy_band,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(n_events) AS BIGINT) AS n_events,
+  CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_h_micro
+FROM h GROUP BY entropy_band ORDER BY entropy_band
+"""
+
+
+@register("event_type_entropy", oracle=_ENTROPY_ORACLE)
+def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type entropy census by quarter-nat band."""
+    from bpaotu_spark.catalog import load_table
+
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    un = ut.groupBy("user_id").agg(
+        F.sum("n_t").cast("bigint").alias("n_u")
+    )
+    h = (
+        ut.join(un, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor((CAST(n_t AS DOUBLE) / n_u)"
+                    " * ln(CAST(n_u AS DOUBLE) / n_t) * 1000000)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_micro"),
+            F.max("n_u").alias("n_events"),
+        )
+    )
+    return (
+        h.groupBy(
+            F.expr("h_micro div 250000").alias("entropy_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(sum(h_micro) div count(*) AS BIGINT)").alias(
+                "mean_h_micro"
+            ),
+        )
+        .orderBy("entropy_band")
+    )

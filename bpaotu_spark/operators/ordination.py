@@ -180,14 +180,16 @@ def _start_vector(b: DataFrame, seed: int) -> DataFrame:
     )
 
 
-def _int_power_iterate(b: DataFrame, v: DataFrame) -> DataFrame:
+def _int_power_iterate(
+    b: DataFrame, v: DataFrame, iters: int | None = None
+) -> DataFrame:
     """Dominant eigenvector direction of the long-form integer
     operator ``b`` in ppm fixed point. Each round: exact
     DECIMAL(38,0) matrix-vector product, then the sign-split
     truncating rescale v ← sign(u)·(|u|·10⁶ div max|u|) — nonneg
     numerator and positive divisor, so Spark `div` and DuckDB `//`
     agree exactly."""
-    for _ in range(_POWER_ITERS):
+    for _ in range(iters if iters is not None else _POWER_ITERS):
         u = (
             b.join(F.broadcast(v), "j")
             .groupBy("i")

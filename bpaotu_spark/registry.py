@@ -69,6 +69,10 @@ def load_all() -> None:
     import bpaotu_spark.ann.extras  # noqa: F401
     import bpaotu_spark.functions.textops4  # noqa: F401
     import bpaotu_spark.operators.events2  # noqa: F401
+    import bpaotu_spark.functions.textops5  # noqa: F401
+    import bpaotu_spark.operators.stats4  # noqa: F401
+    import bpaotu_spark.operators.ecology4  # noqa: F401
+    import bpaotu_spark.ann.extras2  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -153,6 +157,24 @@ PRIORITY: tuple[str, ...] = (
     "heldout_oov_rate",
     "lsh_bucket_profile",
     # ---- ~50-entry window boundary ----
+    # (R9 QUEUE head) NEW in round 8 — kept BELOW the boundary on
+    # purpose (the r8 window finishes the older backlog); these ship
+    # with tools/check.py green at sf0.001 + sf0.01 and rotate into
+    # the r9 window first.
+    "dedup_splice_pairs",
+    "corpus_char_trigram_entropy",
+    "doc_script_mix",
+    "ann_range_query_count",
+    "embedding_pca_power_axis",
+    "friedman_test_weekday",
+    "grubbs_outlier_daily",
+    "page_hinkley_drift",
+    "jonckheere_terpstra_trend",
+    "life_table_actuarial",
+    "event_type_entropy",
+    "beta_diversity_kulczynski",
+    "chao2_incidence",
+    "otu_rank_shift",
     # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-9 window to finish the evidence backlog
     # (~45 left; one more rotation after this one).

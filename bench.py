@@ -395,6 +395,15 @@ HEADLINE = (
     "beta_diversity_kulczynski",
     "chao2_incidence",
     "otu_rank_shift",
+    "daily_acf_lags",
+    "orders_runs_test",
+    "seasonality_strength",
+    "split_unigram_kl",
+    "doc_fourgram_compressibility",
+    "bpe_merge_candidates",
+    "beta_diversity_ochiai",
+    "sample_coverage_goods",
+    "ann_lsh_multiprobe_topk",
 )
 
 

@@ -303,3 +303,83 @@ def embedding_pca_power_axis(
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_multiprobe_topk — multiprobe sign-LSH (Lv VLDB'07): probe
+# the query's own bucket PLUS its four 1-bit-flip neighbors, so recall
+# recovers the near-misses that land across one hyperplane without
+# widening buckets. Probes are engine-identical bit-string edits; a
+# candidate lives in exactly one bucket so probes never duplicate it.
+# ---------------------------------------------------------------------------
+
+from bpaotu_spark.ann.core import (  # noqa: E402
+    SIGN_DIMS,
+    _bucket_sql,
+    _bucket_spark,
+    _queries_and_corpus,
+    _topk,
+    _COS,
+    _ORACLE_COMMON,
+    dot,
+)
+
+
+def _probe_sql() -> str:
+    """DuckDB: the 5 probe buckets of q (p = 0 keeps the base)."""
+    cases = []
+    for i in range(SIGN_DIMS):
+        base = f"(CASE WHEN qv[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        flip = f"(CASE WHEN qv[{i + 1}] >= 0 THEN '0' ELSE '1' END)"
+        cases.append(f"(CASE WHEN p = {i + 1} THEN {flip} ELSE {base} END)")
+    return " || ".join(cases)
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+{_ORACLE_COMMON},
+probes AS (SELECT unnest([0, 1, 2, 3, 4]) AS p),
+qp AS (
+  SELECT query_id, qv, {_probe_sql()} AS bucket
+  FROM q CROSS JOIN probes
+),
+cb AS (SELECT cand_id, cv, {_bucket_sql('cv')} AS bucket FROM c),
+scored AS (
+  SELECT query_id, cand_id, round({_COS}, 6) AS cos_r
+  FROM qp JOIN cb ON qp.bucket = cb.bucket AND query_id != cand_id
+)
+SELECT query_id, cand_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_r DESC, cand_id ASC) AS INTEGER) AS rnk,
+  CAST(round(cos_r, 4) AS DOUBLE) AS cos_sim
+FROM scored
+QUALIFY rnk <= 5
+""",
+)
+def ann_lsh_multiprobe_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k under 5-probe sign-LSH (base bucket + 4 one-bit flips)."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    probes = spark.createDataFrame([(p,) for p in range(SIGN_DIMS + 1)], "p int")
+    probe_bits = []
+    for i in range(SIGN_DIMS):
+        base = F.when(F.col("qv")[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+        flip = F.when(F.col("qv")[i] >= 0, F.lit("0")).otherwise(F.lit("1"))
+        probe_bits.append(F.when(F.col("p") == i + 1, flip).otherwise(base))
+    qp = queries.crossJoin(F.broadcast(probes)).withColumn(
+        "bucket", F.concat(*probe_bits)
+    )
+    cb = corpus.withColumn("bucket_c", _bucket_spark(F.col("cv")))
+    scored = cb.join(
+        F.broadcast(qp),
+        (F.col("bucket") == F.col("bucket_c"))
+        & (F.col("query_id") != F.col("cand_id")),
+    ).withColumn(
+        "cos_r",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ),
+    )
+    return _topk(scored)

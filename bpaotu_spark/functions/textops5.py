@@ -29,7 +29,7 @@ script mix is one map-only pass + a keyed census aggregate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.registry import register
@@ -292,4 +292,226 @@ def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("digit_share_ppm"),
         )
         .orderBy("lang", "alpha_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 2: split drift, compressibility proxy, BPE seed merges.
+# ---------------------------------------------------------------------------
+
+from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize  # noqa: E402
+from bpaotu_spark.operators.pipeline import (  # noqa: E402
+    hash_bucket,
+    hash_bucket_sql,
+)
+
+_KL_TRAIN_LT = 80  # md5 bucket < 80 → train (the train_test_split line)
+
+
+@register(
+    "split_unigram_kl",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({TOKENIZE_SQL}) AS w FROM documents
+),
+t AS (
+  SELECT lang, w,
+    CASE WHEN {hash_bucket_sql('doc_id', 100)} < {_KL_TRAIN_LT}
+      THEN 'train' ELSE 'held' END AS split
+  FROM toks WHERE w != ''
+),
+c AS (
+  SELECT lang, w,
+    CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS c_t,
+    CAST(count(*) FILTER (WHERE split = 'held') AS BIGINT) AS c_h
+  FROM t GROUP BY lang, w
+),
+n AS (
+  SELECT lang, CAST(sum(c_t) AS BIGINT) AS n_t,
+    CAST(sum(c_h) AS BIGINT) AS n_h,
+    CAST(count(*) AS BIGINT) AS v
+  FROM c GROUP BY lang
+)
+SELECT c.lang, max(n.n_t) AS n_train_tokens, max(n.n_h) AS n_held_tokens,
+  CAST(sum(CASE WHEN c_h > 0 THEN
+    CAST(floor((CAST(c_h AS DOUBLE) / n.n_h)
+      * ln((CAST(c_h AS DOUBLE) / n.n_h)
+           / (CAST(c_t + 1 AS DOUBLE) / (n.n_t + n.v))) * 1000000)
+      AS BIGINT) ELSE 0 END) AS BIGINT) AS kl_micro
+FROM c JOIN n ON c.lang = n.lang
+GROUP BY c.lang ORDER BY c.lang
+""",
+)
+def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(held-out ‖ add-one-smoothed train) per language over the
+    md5-split unigram distributions — the split-drift gate run before
+    trusting held-out perplexity numbers. Per-term micro-floor before
+    the sum keeps the aggregate exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    t = toks.select(
+        "lang",
+        "w",
+        F.when(
+            hash_bucket(F.col("doc_id"), 100) < _KL_TRAIN_LT, "train"
+        )
+        .otherwise("held")
+        .alias("split"),
+    )
+    c = t.groupBy("lang", "w").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+        F.sum(F.when(F.col("split") == "held", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_h"),
+    )
+    n = c.groupBy("lang").agg(
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.sum("c_h").cast("bigint").alias("n_h"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    return (
+        c.join(F.broadcast(n), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_t").alias("n_train_tokens"),
+            F.max("n_h").alias("n_held_tokens"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN c_h > 0 THEN"
+                    " CAST(floor((CAST(c_h AS DOUBLE) / n_h)"
+                    "   * ln((CAST(c_h AS DOUBLE) / n_h)"
+                    "        / (CAST(c_t + 1 AS DOUBLE) / (n_t + v)))"
+                    "   * 1000000) AS BIGINT) ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("kl_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_fourgram_compressibility",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 4) AS g
+  FROM (
+    SELECT doc_id, lang, text,
+      unnest(generate_series(1, greatest(length(text) - 3, 0))) AS i
+    FROM documents
+  )
+),
+d AS (
+  SELECT doc_id, lang,
+    CAST(count(*) AS BIGINT) AS n_total,
+    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM g GROUP BY doc_id, lang
+),
+r AS (
+  SELECT lang, n_distinct * 1000000 // n_total AS ratio_ppm,
+    n_total, n_distinct
+  FROM d
+)
+SELECT lang, least(ratio_ppm // 100000, 9) AS band,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_distinct) * 1000000 // sum(n_total) AS BIGINT)
+    AS pooled_ratio_ppm
+FROM r GROUP BY lang, band ORDER BY lang, band
+""",
+)
+def doc_fourgram_compressibility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct/total char-4gram ratio per doc (a compressor-free
+    compressibility proxy: repetitive text → low ratio), censused by
+    per-language ratio band."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(sequence(1, greatest(length(text) - 3, 0)))"
+        ).alias("i"),
+        "text",
+    ).select("doc_id", "lang", F.expr("substring(text, i, 4)").alias("g"))
+    d = g.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.countDistinct("g").cast("bigint").alias("n_distinct"),
+    )
+    r = d.select(
+        "lang",
+        F.expr("n_distinct * 1000000 div n_total").alias("ratio_ppm"),
+        "n_total",
+        "n_distinct",
+    )
+    return (
+        r.groupBy(
+            "lang",
+            F.expr("least(ratio_ppm div 100000, CAST(9 AS BIGINT))").alias(
+                "band"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(sum(n_distinct) * 1000000 div sum(n_total)"
+                " AS BIGINT)"
+            ).alias("pooled_ratio_ppm"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+_BPE_TOP = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH p AS (
+  SELECT substr(text, CAST(i AS INTEGER), 2) AS pair
+  FROM (
+    SELECT text,
+      unnest(generate_series(1, greatest(length(text) - 1, 0))) AS i
+    FROM documents
+  )
+),
+c AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+),
+r AS (
+  SELECT pair, n,
+    CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rnk
+  FROM c
+  QUALIFY rnk <= {_BPE_TOP}
+)
+SELECT rnk, pair, n FROM r ORDER BY rnk
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} adjacent character-pair merge candidates — the first
+    BPE merge step's corpus census (byte-level convention: whitespace
+    pairs count too). Deterministic (count desc, pair asc) cut via
+    TakeOrdered-style window limit.""".format(top=_BPE_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.expr(
+            "explode(sequence(1, greatest(length(text) - 1, 0)))"
+        ).alias("i"),
+        "text",
+    ).select(F.expr("substring(text, i, 2)").alias("pair"))
+    c = p.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    # unpartitioned window bound: WindowGroupLimit pushes rnk <= 20
+    # into per-partition top-k heaps (no global sort materializes)
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _BPE_TOP)
+        .select("rnk", "pair", "n")
+        .orderBy("rnk")
     )

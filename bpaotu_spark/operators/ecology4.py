@@ -301,3 +301,172 @@ def otu_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (count(*) * ({_RS_K} + 1)) AS BIGINT)"
         ).alias("shift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 2: Ochiai beta + Good's coverage.
+# ---------------------------------------------------------------------------
+
+_OCH_SEL = "c_mktsegment = 'AUTOMOBILE'"
+
+
+@register(
+    "beta_diversity_ochiai",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_nationkey AS block
+  FROM customer WHERE {_OCH_SEL}
+),
+a AS (
+  SELECT DISTINCT ab.sample_id, block, otu_id
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+),
+rich AS (
+  SELECT sample_id, block, CAST(count(*) AS BIGINT) AS r
+  FROM a GROUP BY sample_id, block
+),
+inter AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM a x JOIN a y
+    ON x.otu_id = y.otu_id AND x.block = y.block
+   AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+)
+SELECT ra.sample_id AS sample_a, rb.sample_id AS sample_b,
+  coalesce(i.n_inter, 0) AS n_intersect,
+  CAST(1000000 - floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 1000000
+    / sqrt(CAST(ra.r AS DOUBLE) * rb.r)) AS BIGINT) AS ochiai_ppm
+FROM rich ra
+JOIN rich rb ON ra.block = rb.block AND ra.sample_id < rb.sample_id
+LEFT JOIN inter i ON i.sample_a = ra.sample_id AND i.sample_b = rb.sample_id
+""",
+)
+def beta_diversity_ochiai(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Ochiai dissimilarity ppm (1 − |A∩B|/√(|A||B|)),
+    nation-blocked; one float sqrt expression, identical operand
+    integers in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    sel = cust.filter(F.expr(_OCH_SEL)).select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_nationkey").alias("block"),
+    )
+    a = (
+        abundance(spark, sf_dir)
+        .join(maybe_broadcast(sel), "sample_id")
+        .select("sample_id", "block", "otu_id")
+        .distinct()
+    )
+    rich = a.groupBy("sample_id", "block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    ax = a.select("block", "otu_id", F.col("sample_id").alias("sample_a"))
+    ay = a.select(
+        F.col("block").alias("block_y"),
+        F.col("otu_id").alias("otu_y"),
+        F.col("sample_id").alias("sample_b"),
+    )
+    inter = (
+        ax.join(
+            ay,
+            (ax.otu_id == ay.otu_y)
+            & (ax.block == ay.block_y)
+            & (ax.sample_a < ay.sample_b),
+        )
+        .groupBy("sample_a", "sample_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    ra = rich.select(
+        F.col("sample_id").alias("sample_a"),
+        "block",
+        F.col("r").alias("r_a"),
+    )
+    rb = rich.select(
+        F.col("sample_id").alias("sample_b"),
+        F.col("block").alias("block_b"),
+        F.col("r").alias("r_b"),
+    )
+    return (
+        ra.join(rb, (ra.block == rb.block_b) & (ra.sample_a < rb.sample_b))
+        .join(inter, ["sample_a", "sample_b"], "left")
+        .select(
+            "sample_a",
+            "sample_b",
+            F.coalesce(F.col("n_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("n_intersect"),
+            F.expr(
+                "CAST(1000000 - floor(CAST(coalesce(n_inter,"
+                " CAST(0 AS BIGINT)) AS DOUBLE) * 1000000"
+                " / sqrt(CAST(r_a AS DOUBLE) * r_b)) AS BIGINT)"
+            ).alias("ochiai_ppm"),
+        )
+    )
+
+
+@register(
+    "sample_coverage_goods",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+a AS (
+  SELECT sample_id, otu_id, CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS c
+  FROM abundance GROUP BY sample_id, otu_id
+),
+s AS (
+  SELECT sample_id,
+    CAST(sum(c) AS BIGINT) AS n_units,
+    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1
+  FROM a GROUP BY sample_id
+),
+cov AS (
+  SELECT sample_id, n_units, f1,
+    1000000 - f1 * 1000000 // n_units AS c_ppm
+  FROM s
+)
+SELECT least(c_ppm // 100000, 9) AS coverage_band,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(f1) AS BIGINT) AS n_singletons,
+  CAST(sum(n_units) AS BIGINT) AS n_units,
+  CAST(sum(c_ppm) // count(*) AS BIGINT) AS mean_c_ppm
+FROM cov GROUP BY coverage_band ORDER BY coverage_band
+""",
+)
+def sample_coverage_goods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good's sample-coverage estimate C = 1 − F1/N per sample
+    (singleton share), censused by coverage band — the 'have we
+    sequenced deep enough' gate next to the rarefaction rows."""
+    a = (
+        abundance(spark, sf_dir)
+        .groupBy("sample_id", "otu_id")
+        .agg(F.sum(F.col("cnt").cast("bigint")).cast("bigint").alias("c"))
+    )
+    s = a.groupBy("sample_id").agg(
+        F.sum("c").cast("bigint").alias("n_units"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+    )
+    cov = s.select(
+        "n_units",
+        "f1",
+        F.expr(
+            "1000000 - f1 * CAST(1000000 AS BIGINT) div n_units"
+        ).alias("c_ppm"),
+    )
+    return (
+        cov.groupBy(
+            F.expr("least(c_ppm div 100000, CAST(9 AS BIGINT))").alias(
+                "coverage_band"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("f1").cast("bigint").alias("n_singletons"),
+            F.sum("n_units").cast("bigint").alias("n_units"),
+            F.expr("CAST(sum(c_ppm) div count(*) AS BIGINT)").alias(
+                "mean_c_ppm"
+            ),
+        )
+        .orderBy("coverage_band")
+    )

@@ -73,6 +73,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.stats4  # noqa: F401
     import bpaotu_spark.operators.ecology4  # noqa: F401
     import bpaotu_spark.ann.extras2  # noqa: F401
+    import bpaotu_spark.operators.stats5  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -175,6 +176,15 @@ PRIORITY: tuple[str, ...] = (
     "beta_diversity_kulczynski",
     "chao2_incidence",
     "otu_rank_shift",
+    "daily_acf_lags",
+    "orders_runs_test",
+    "seasonality_strength",
+    "split_unigram_kl",
+    "doc_fourgram_compressibility",
+    "bpe_merge_candidates",
+    "beta_diversity_ochiai",
+    "sample_coverage_goods",
+    "ann_lsh_multiprobe_topk",
     # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-9 window to finish the evidence backlog
     # (~45 left; one more rotation after this one).

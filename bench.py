@@ -404,6 +404,10 @@ HEADLINE = (
     "beta_diversity_ochiai",
     "sample_coverage_goods",
     "ann_lsh_multiprobe_topk",
+    "quantiles_exact_by_segment",
+    "seasonal_naive_mase",
+    "knn_shared_neighbor_histogram",
+    "label_silhouette_centroid",
 )
 
 

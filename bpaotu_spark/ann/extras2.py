@@ -383,3 +383,170 @@ def ann_lsh_multiprobe_topk(
         ),
     )
     return _topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# knn_shared_neighbor_histogram — Jarvis-Patrick shared-nearest-
+# neighbor census over the kNN graph: for every co-neighbor pair
+# (a, b) (both point at some common vector), how many neighbors do
+# they share? Composes the knn_graph_lsh oracle so the SNN census can
+# never drift from the graph it summarizes; shared ∈ [1, K] bounds
+# the output.
+# ---------------------------------------------------------------------------
+
+from bpaotu_spark.registry import ORACLES  # noqa: E402
+
+
+def _snn_oracle() -> str:
+    return f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+pr AS (
+  SELECT e1.vec_id AS a, e2.vec_id AS b,
+    CAST(count(*) AS BIGINT) AS shared
+  FROM knn e1 JOIN knn e2
+    ON e1.neighbor_id = e2.neighbor_id AND e1.vec_id < e2.vec_id
+  GROUP BY e1.vec_id, e2.vec_id
+)
+SELECT shared, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT a) AS BIGINT) AS n_left_vectors
+FROM pr GROUP BY shared ORDER BY shared
+"""
+
+
+@register("knn_shared_neighbor_histogram", oracle=_snn_oracle())
+def knn_shared_neighbor_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SNN strength histogram over the kNN graph (co-membership join
+    on neighbor_id; per-hub fan-out bounded by in-degree, which the
+    hubness census monitors)."""
+    from bpaotu_spark.ann.core import knn_graph_lsh
+
+    knn = knn_graph_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    e1 = knn.select(F.col("vec_id").alias("a"), "neighbor_id")
+    e2 = knn.select(F.col("vec_id").alias("b"), F.col("neighbor_id").alias("nb"))
+    pr = (
+        e1.join(e2, (F.col("neighbor_id") == F.col("nb")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        pr.groupBy("shared")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("a").cast("bigint").alias("n_left_vectors"),
+        )
+        .orderBy("shared")
+    )
+
+
+# ---------------------------------------------------------------------------
+# label_silhouette_centroid — centroid-based silhouette (the O(n·L)
+# simplification of the O(n²) silhouette): a = d²(x, own centroid),
+# b = min over other labels, s = (b − a)/max(a, b). Exact integers on
+# the milli grid with floor-div centroids; one truncating div per
+# vector; per-label census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_silhouette_centroid",
+    oracle=f"""
+WITH xm AS (
+  SELECT vec_id, label, dim, CAST(floor(val * {_RQ_Q}) AS BIGINT) AS xm
+  FROM (
+    SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+      unnest(v) AS val
+    FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+  )
+),
+cent AS (
+  SELECT label AS c_label, dim,
+    CAST(sum(xm) AS HUGEINT) // count(*) AS c
+  FROM xm GROUP BY label, dim
+),
+d2 AS (
+  SELECT vec_id, label, c_label,
+    CAST(sum(CAST(xm - c AS HUGEINT) * (xm - c)) AS BIGINT) AS d2
+  FROM xm JOIN cent ON xm.dim = cent.dim
+  GROUP BY vec_id, label, c_label
+),
+ab AS (
+  SELECT vec_id, label,
+    CAST(min(CASE WHEN c_label = label THEN d2 END) AS BIGINT) AS a,
+    CAST(min(CASE WHEN c_label != label THEN d2 END) AS BIGINT) AS b
+  FROM d2 GROUP BY vec_id, label
+),
+s AS (
+  SELECT label,
+    (b - a) * 1000 // greatest(greatest(a, b), 1) AS s_milli,
+    CASE WHEN b < a THEN 1 ELSE 0 END AS misfit
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(s_milli) AS BIGINT) AS sum_s_milli,
+  CAST(sum(misfit) AS BIGINT) AS n_misassigned
+FROM s GROUP BY label ORDER BY label
+""",
+)
+def label_silhouette_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid silhouette census (sum of per-vector
+    truncated s_milli + nearest-centroid misfit count)."""
+    xm = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("val") * _RQ_Q).cast("bigint").alias("xm"),
+        )
+    )
+    cent = xm.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.expr(
+            "CAST(sum(xm) AS DECIMAL(38,0)) div count(*)"
+        ).alias("c")
+    )
+    d2 = (
+        xm.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(F.expr("CAST(xm - c AS DECIMAL(38,0)) * (xm - c)"))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("d2")))
+        .cast("bigint")
+        .alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d2")))
+        .cast("bigint")
+        .alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "(b - a) * 1000 div greatest(greatest(a, b),"
+            " CAST(1 AS BIGINT))"
+        ).alias("s_milli"),
+        F.expr("CASE WHEN b < a THEN 1 ELSE 0 END").alias("misfit"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("s_milli").cast("bigint").alias("sum_s_milli"),
+            F.sum("misfit").cast("bigint").alias("n_misassigned"),
+        )
+        .orderBy("label")
+    )

@@ -311,3 +311,132 @@ def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("f_seasonal_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: exact multi-quantiles + forecast-baseline accuracy.
+# ---------------------------------------------------------------------------
+
+_Q_LEVELS = (10, 25, 50, 75, 90)
+
+
+@register(
+    "quantiles_exact_by_segment",
+    oracle=f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT seg, cents,
+    row_number() OVER (PARTITION BY seg ORDER BY cents ASC) AS rn,
+    count(*) OVER (PARTITION BY seg) AS n
+  FROM j
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _Q_LEVELS)}]) AS q)
+SELECT seg, CAST(q AS BIGINT) AS q, max(n) AS n_orders,
+  CAST(max(cents) AS BIGINT) AS value_cents
+FROM r JOIN qs ON rn = (n * q) // 100 + 1
+GROUP BY seg, q
+ORDER BY seg, q
+""",
+)
+def quantiles_exact_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact lower empirical quantiles (P10/25/50/75/90) of order
+    value per market segment via rank selection — no sketch, no
+    interpolation convention to diverge on; the rank window sorts
+    within each segment only (parallel across groups)."""
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    from bpaotu_spark.catalog import maybe_broadcast
+
+    j = od.join(
+        maybe_broadcast(cust), od.o_custkey == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("seg").orderBy("cents")
+    wn = Window.partitionBy("seg")
+    r = j.select(
+        "seg",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _Q_LEVELS], "q bigint")
+    return (
+        r.join(F.broadcast(qs), F.expr("rn = (n * q) div 100 + 1"))
+        .groupBy("seg", "q")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max("cents").cast("bigint").alias("value_cents"),
+        )
+        .orderBy("seg", "q")
+    )
+
+
+@register(
+    "seasonal_naive_mase",
+    oracle=f"""
+WITH {_DAILY_CTE},
+lagd AS (
+  SELECT d, cents,
+    lag(cents, 7) OVER (ORDER BY d ASC) AS l7,
+    lag(cents, 1) OVER (ORDER BY d ASC) AS l1
+  FROM daily
+),
+e AS (
+  SELECT
+    CAST(count(l7) AS BIGINT) AS n7,
+    CAST(sum(abs(cents - l7)) AS HUGEINT) AS e7,
+    CAST(count(l1) AS BIGINT) AS n1,
+    CAST(sum(abs(cents - l1)) AS HUGEINT) AS e1
+  FROM lagd
+)
+SELECT n7, n1,
+  CAST(e7 AS BIGINT) AS sum_abs_err_seasonal,
+  CAST(e1 AS BIGINT) AS sum_abs_err_naive,
+  CAST(floor((CAST(e7 AS DOUBLE) / n7) / (CAST(e1 AS DOUBLE) / n1)
+    * 1000) AS BIGINT) AS mase_milli
+FROM e
+""",
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive (lag-7) forecast against the naive
+    (lag-1) scale on daily revenue — the baseline every forecast
+    model must beat; < 1000 milli means weekly seasonality carries
+    real signal."""
+    daily = _daily(spark, sf_dir)
+    # unpartitioned window bound: calendar-bounded daily series
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("l7"),
+        F.lag("cents", 1).over(w).alias("l1"),
+    )
+    e = lagd.agg(
+        F.count("l7").cast("bigint").alias("n7"),
+        F.sum(F.abs(F.col("cents") - F.col("l7")))
+        .cast("decimal(38,0)")
+        .alias("e7"),
+        F.count("l1").cast("bigint").alias("n1"),
+        F.sum(F.abs(F.col("cents") - F.col("l1")))
+        .cast("decimal(38,0)")
+        .alias("e1"),
+    )
+    return e.select(
+        "n7",
+        "n1",
+        F.col("e7").cast("bigint").alias("sum_abs_err_seasonal"),
+        F.col("e1").cast("bigint").alias("sum_abs_err_naive"),
+        F.expr(
+            "CAST(floor((CAST(e7 AS DOUBLE) / n7)"
+            " / (CAST(e1 AS DOUBLE) / n1) * 1000) AS BIGINT)"
+        ).alias("mase_milli"),
+    )

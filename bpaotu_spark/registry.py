@@ -185,6 +185,10 @@ PRIORITY: tuple[str, ...] = (
     "beta_diversity_ochiai",
     "sample_coverage_goods",
     "ann_lsh_multiprobe_topk",
+    "quantiles_exact_by_segment",
+    "seasonal_naive_mase",
+    "knn_shared_neighbor_histogram",
+    "label_silhouette_centroid",
     # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-9 window to finish the evidence backlog
     # (~45 left; one more rotation after this one).

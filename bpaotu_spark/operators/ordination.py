@@ -63,9 +63,10 @@ from bpaotu_spark.registry import register
 
 # The absolute c_custkey cap bounds the cohort (and the |cohort|²
 # matrix) at every SF — at sf0.001/sf0.01 it keeps the historical
-# cohort bit-identical (max custkey 150/1500 < 4000).
+# cohort bit-identical (max custkey 150/1500 < 2000); past that the
+# plot cohort stays ~400 samples, the size a comparison page renders.
 _PCOA_FILTER = ContextualFilter.of(
-    [Pred("c_mktsegment", "eq", "MACHINERY"), Pred("c_custkey", "lt", 4000)],
+    [Pred("c_mktsegment", "eq", "MACHINERY"), Pred("c_custkey", "lt", 2000)],
     "and",
 )
 
@@ -189,21 +190,28 @@ def _int_power_iterate(
     truncating rescale v ← sign(u)·(|u|·10⁶ div max|u|) — nonneg
     numerator and positive divisor, so Spark `div` and DuckDB `//`
     agree exactly."""
-    for _ in range(iters if iters is not None else _POWER_ITERS):
+    from pyspark.sql import Window
+
+    n_iters = iters if iters is not None else _POWER_ITERS
+    # max|u| via a CONSTANT-key window, not a crossJoin(broadcast(agg))
+    # second subtree: with two subtrees each round doubles the
+    # recomputation of everything before it (2^k blowup when exchange
+    # reuse misses — the r8 hang); the window keeps u referenced ONCE.
+    # The constant partition key shuffles only the |cohort|-row
+    # iterate to one task — a non-empty partition spec, so no
+    # WindowExec warning. Rounds checkpoint EAGERLY: measured 0.35
+    # s/round eager vs 1.1 s/round when 10 lazy rounds nest broadcast
+    # builds inside one job (the serialized-subtree overhead exceeds
+    # the checkpoint's).
+    wall = Window.partitionBy(F.lit(0))
+    for _ in range(n_iters):
         u = (
             b.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * v")).alias("u"))
         )
-        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        # EAGER checkpoint every round: u feeds BOTH the max subtree
-        # and the rescale projection, so without materialization each
-        # round doubles the recomputation of everything before it
-        # (2^k blowup when exchange reuse misses). The checkpointed
-        # frame is |cohort| rows — one tiny job per round, linear
-        # total, and the next round's broadcast reads it directly.
         v = (
-            u.crossJoin(F.broadcast(m))
+            u.withColumn("m", F.max(F.abs(F.col("u"))).over(wall))
             .select(
                 F.col("i").alias("j"),
                 F.expr(

@@ -24,6 +24,28 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # side is provably bounded and the condition is non-equi; these are
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
+    # --- round-8 additions (each a bounded scalar/dimension cross) ---
+    "ann_lsh_multiprobe_topk": "broadcast 5-probe query set (5*N_QUERIES rows), bucket-equi + != filter",
+    "ann_range_query_count": "broadcast query set (N_QUERIES rows), non-equi != (ann_bruteforce shape)",
+    "anova_oneway_f": "cross join of 1-row moment aggregates",
+    "brown_forsythe_f": "cross join of 1-row moment aggregates",
+    "chao2_incidence": "cross join of the 1-row site-count scalar",
+    "competing_risks_cif": "cross join of 1-row at-risk/horizon scalars",
+    "daily_acf_lags": "4-row lag dimension cross into the calendar-bounded daily frame + 1-row ss scalar",
+    "embedding_pca_power_axis": "1-row scalar crosses (n, rescale divisor, Rayleigh num/den, sign)",
+    "friedman_test_weekday": "cross join of the 1-row block-count scalar",
+    "grubbs_outlier_daily": "1-row mean/ss scalar crosses",
+    "jonckheere_terpstra_trend": "bounded |groups|x|values| grid build (5-row group dimension) + 1-row moment scalars",
+    "kendall_tau_daily": "broadcast day-grain self-pair (|days|^2, calendar-bounded) + 1-row n_days scalar",
+    "kruskal_wallis_h": "cross join of 1-row tie/stat aggregates",
+    "metric_agreement_topk": "broadcast query set (N_QUERIES rows), non-equi !=",
+    "occupancy_abundance_deciles": "broadcast 1-row sample-count scalar",
+    "orders_runs_test": "1-row median/count scalar crosses",
+    "page_hinkley_drift": "1-row lambda/peak scalar crosses",
+    "quantiles_exact_by_segment": "5-row quantile-level dimension joined on the rank equality",
+    "session_depth_histogram": "broadcast 1-row session-total scalar",
+    "taylor_power_law": "broadcast 1-row OLS moment scalar",
+    "term_burstiness": "broadcast 1-row corpus-total scalar",
     "ann_bruteforce_topk": "broadcast query set (N_QUERIES rows), non-equi !=",
     "ann_ivf_topk": "broadcast centroid set (N_CELLS rows), intentional cross",
     "funnel_conversion": "cross join of three 1-row aggregates",

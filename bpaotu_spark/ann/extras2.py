@@ -550,3 +550,120 @@ def label_silhouette_centroid(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_vs_label_anova — one-way F of the exact integer
+# norm² (milli grid) across labels: "does vector magnitude leak the
+# label" — a quality smell before cosine-metric indexing (norm leak
+# breaks inner-product vs L2 interchangeability). The anova_oneway_f
+# discipline: milli-floored group means, exact integer deviations,
+# one float F.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_vs_label_anova",
+    oracle=f"""
+WITH n2 AS (
+  SELECT vec_id, label,
+    CAST(list_dot_product(
+      CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS DOUBLE[]),
+      CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS DOUBLE[]))
+      AS BIGINT) AS n2
+  FROM embeddings
+),
+g AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_g,
+    CAST(sum(n2) AS HUGEINT) * 1000 // count(*) AS m_milli
+  FROM n2 GROUP BY label
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+    CAST(count(DISTINCT label) AS BIGINT) AS k_groups,
+    CAST(sum(n2) AS HUGEINT) * 1000 // count(*) AS gm_milli
+  FROM n2
+),
+ssb AS (
+  SELECT CAST(sum(n_g * (m_milli - gm_milli) * (m_milli - gm_milli))
+    AS HUGEINT) AS ssb
+  FROM g CROSS JOIN tot
+),
+ssw AS (
+  SELECT CAST(sum(CAST(n2.n2 * 1000 - m_milli AS HUGEINT)
+      * (n2.n2 * 1000 - m_milli)) AS HUGEINT) AS ssw
+  FROM n2 JOIN g USING (label)
+)
+SELECT k_groups, n_total,
+  CAST(floor(
+    (CAST(ssb AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))
+    / (CAST(ssw AS DOUBLE) / CAST(n_total - k_groups AS DOUBLE))
+    * 1000) AS BIGINT) AS f_milli,
+  CAST(ssb * 1000000 // (ssb + ssw) AS BIGINT) AS eta2_ppm
+FROM tot CROSS JOIN ssb CROSS JOIN ssw
+""",
+)
+def embedding_norm_vs_label_anova(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way F of integer norm² across labels (norm-leak smell)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _RQ_Q),
+    )
+    n2 = emb.select(
+        "label",
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("n2"),
+    )
+    g = n2.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.expr(
+            "CAST(sum(n2) AS DECIMAL(38,0)) * 1000 div count(*)"
+        ).alias("m_milli"),
+    )
+    tot = n2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.countDistinct("label").cast("bigint").alias("k_groups"),
+        F.expr(
+            "CAST(sum(n2) AS DECIMAL(38,0)) * 1000 div count(*)"
+        ).alias("gm_milli"),
+    )
+    ssb = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(n_g AS DECIMAL(38,0)) * (m_milli - gm_milli)"
+                " * (m_milli - gm_milli)"
+            )
+        ).alias("ssb")
+    )
+    ssw = n2.join(F.broadcast(g), "label").agg(
+        F.sum(
+            F.expr(
+                "CAST(n2 * 1000 - m_milli AS DECIMAL(38,0))"
+                " * (n2 * 1000 - m_milli)"
+            )
+        ).alias("ssw")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssw))
+        .select(
+            "k_groups",
+            "n_total",
+            F.expr(
+                "CAST(floor("
+                " (CAST(ssb AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))"
+                " / (CAST(ssw AS DOUBLE)"
+                "    / CAST(n_total - k_groups AS DOUBLE))"
+                " * 1000) AS BIGINT)"
+            ).alias("f_milli"),
+            F.expr(
+                "CAST(ssb * 1000000 div (ssb + ssw) AS BIGINT)"
+            ).alias("eta2_ppm"),
+        )
+    )

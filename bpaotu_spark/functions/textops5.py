@@ -515,3 +515,63 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "pair", "n")
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_sentence_profile — per-language sentence-structure census:
+# sentences counted as '[.!?]+' runs (regexp_count / regexp_extract_all
+# agree on run semantics), words from the shared tokenizer; pooled
+# words-per-sentence as one exact div. Docs with no terminator count
+# as single-sentence (greatest(...,1)) in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_sentence_profile",
+    oracle=f"""
+WITH s AS (
+  SELECT lang,
+    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      AS n_sents,
+    CAST(len(list_filter({TOKENIZE_SQL}, t -> t != '')) AS BIGINT)
+      AS n_words
+  FROM documents WHERE length(text) > 0
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_sents) AS BIGINT) AS n_sentences,
+  CAST(sum(n_sents) * 1000 // count(*) AS BIGINT) AS sents_per_doc_milli,
+  CAST(sum(n_words) * 1000 // sum(n_sents) AS BIGINT)
+    AS words_per_sent_milli
+FROM s GROUP BY lang ORDER BY lang
+""",
+)
+def text_sentence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length census per language (milli units)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    s = docs.select(
+        "lang",
+        F.greatest(
+            F.expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"),
+            F.lit(1).cast("bigint"),
+        ).alias("n_sents"),
+        F.size(F.filter(tokenize(F.col("text")), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sents").cast("bigint").alias("n_sentences"),
+            F.expr(
+                "CAST(sum(n_sents) * 1000 div count(*) AS BIGINT)"
+            ).alias("sents_per_doc_milli"),
+            F.expr(
+                "CAST(sum(n_words) * 1000 div sum(n_sents) AS BIGINT)"
+            ).alias("words_per_sent_milli"),
+        )
+        .orderBy("lang")
+    )

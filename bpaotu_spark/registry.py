@@ -74,6 +74,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.ecology4  # noqa: F401
     import bpaotu_spark.ann.extras2  # noqa: F401
     import bpaotu_spark.operators.stats5  # noqa: F401
+    import bpaotu_spark.operators.olap6  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

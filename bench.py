@@ -408,6 +408,10 @@ HEADLINE = (
     "seasonal_naive_mase",
     "knn_shared_neighbor_histogram",
     "label_silhouette_centroid",
+    "parts_slow_mover_detection",
+    "orders_hhi_by_nation",
+    "text_sentence_profile",
+    "embedding_norm_vs_label_anova",
 )
 
 

@@ -190,6 +190,10 @@ PRIORITY: tuple[str, ...] = (
     "seasonal_naive_mase",
     "knn_shared_neighbor_histogram",
     "label_silhouette_centroid",
+    "parts_slow_mover_detection",
+    "orders_hhi_by_nation",
+    "text_sentence_profile",
+    "embedding_norm_vs_label_anova",
     # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-9 window to finish the evidence backlog
     # (~45 left; one more rotation after this one).

@@ -25,6 +25,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
     # --- round-8 additions (each a bounded scalar/dimension cross) ---
+    "parts_slow_mover_detection": "broadcast 1-row horizon-date scalar",
+    "embedding_norm_vs_label_anova": "cross join of 1-row moment aggregates (anova shape)",
     "ann_lsh_multiprobe_topk": "broadcast 5-probe query set (5*N_QUERIES rows), bucket-equi + != filter",
     "ann_range_query_count": "broadcast query set (N_QUERIES rows), non-equi != (ann_bruteforce shape)",
     "anova_oneway_f": "cross join of 1-row moment aggregates",

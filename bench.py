@@ -412,6 +412,7 @@ HEADLINE = (
     "orders_hhi_by_nation",
     "text_sentence_profile",
     "embedding_norm_vs_label_anova",
+    "events_trending_topk",
 )
 
 

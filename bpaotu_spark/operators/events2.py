@@ -145,3 +145,59 @@ def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_trending_topk — the batch twin of streaming/jobs.py's
+# trending_event_types_stream (r8): top-3 event types by total value,
+# the live "trending now" leaderboard the complete-mode stream serves.
+# Registering the twin makes the streaming job's correctness baseline
+# a first-class driver-verified key (tests/test_streaming.py diffs
+# the availableNow stream against exactly this shape).
+# Determinism: decimal value sums rounded at 4dp (the money
+# convention), ties broken by event_type.
+# ---------------------------------------------------------------------------
+
+_TRENDING_K = 3
+
+_TRENDING_ORACLE = f"""
+WITH t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+      AS total_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, total_value,
+  CAST(row_number() OVER (ORDER BY total_value DESC, event_type ASC)
+    AS BIGINT) AS rnk
+FROM t
+QUALIFY rnk <= {_TRENDING_K}
+"""
+
+
+@register("events_trending_topk", oracle=_TRENDING_ORACLE)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types by total value (trending leaderboard)."""
+    from pyspark.sql import Window
+
+    from bpaotu_spark.catalog import load_table
+
+    t = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("total_value").desc(), F.col("event_type").asc()
+    )
+    # unpartitioned window bound: |event_types| rows
+    return (
+        t.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TRENDING_K)
+        .select("event_type", "n_events", "total_value", "rnk")
+    )

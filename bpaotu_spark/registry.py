@@ -194,6 +194,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_hhi_by_nation",
     "text_sentence_profile",
     "embedding_norm_vs_label_anova",
+    "events_trending_topk",
     # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
     # rotate into the round-9 window to finish the evidence backlog
     # (~45 left; one more rotation after this one).

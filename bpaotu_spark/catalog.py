@@ -82,10 +82,19 @@ def maybe_broadcast(df: DataFrame, bound: str = "") -> DataFrame:
                 .sizeInBytes())
         )
     except Exception:
-        # estimate unavailable (exotic plan): keep the historical
-        # forced-hint behavior — every call site is bounded at the
-        # bpaotu mapping per its `bound` note
-        return F.broadcast(df)
+        # estimate unavailable (e.g. Spark Connect: no _jdf). Do NOT
+        # force the hint here — that was the unbounded-build-side OOM
+        # path this guard exists to close. Leave the frame unhinted
+        # and let AQE pick broadcast at runtime if it is small.
+        import warnings
+
+        warnings.warn(
+            "maybe_broadcast: Catalyst size estimate unavailable; "
+            "leaving join unhinted (AQE decides)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return df
     if est <= thresh:
         return F.broadcast(df)
     return df

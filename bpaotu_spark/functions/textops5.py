@@ -178,10 +178,14 @@ def corpus_char_trigram_entropy(
     p·ln(1/p) term floored to an integer BEFORE the sum, so the
     aggregate is summation-order-free across engines)."""
     docs = load_table(spark, sf_dir, "documents")
+    # CASE guard, not greatest(...,0): Spark sequence(1, 0) yields a
+    # DESCENDING [1, 0] (DuckDB generate_series(1, 0) yields nothing),
+    # so an unguarded short doc would emit two phantom n-grams.
     g = docs.select(
         "lang",
         F.expr(
-            "explode(sequence(1, greatest(length(text) - 2, 0)))"
+            "explode(CASE WHEN length(text) >= 3"
+            " THEN sequence(1, length(text) - 2) ELSE array() END)"
         ).alias("i"),
         "text",
     ).select("lang", F.expr("substring(text, i, 3)").alias("g"))
@@ -435,7 +439,8 @@ def doc_fourgram_compressibility(
         "doc_id",
         "lang",
         F.expr(
-            "explode(sequence(1, greatest(length(text) - 3, 0)))"
+            "explode(CASE WHEN length(text) >= 4"
+            " THEN sequence(1, length(text) - 3) ELSE array() END)"
         ).alias("i"),
         "text",
     ).select("doc_id", "lang", F.expr("substring(text, i, 4)").alias("g"))
@@ -501,7 +506,8 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     p = docs.select(
         F.expr(
-            "explode(sequence(1, greatest(length(text) - 1, 0)))"
+            "explode(CASE WHEN length(text) >= 2"
+            " THEN sequence(1, length(text) - 1) ELSE array() END)"
         ).alias("i"),
         "text",
     ).select(F.expr("substring(text, i, 2)").alias("pair"))

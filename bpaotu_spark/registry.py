@@ -91,28 +91,104 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-8 WINDOW (driver verifies the first ~50) ----
-    # (A) plans CHANGED this round: kruskal_wallis_h keeps the
-    # per-group term in DECIMAL(38,0) with loud overflow guards (r7
-    # ADVICE: Spark `div` wrapped int64 past ~SF4);
-    # vector_quantize_int4_error takes an explicit qc = 0 branch on
-    # degenerate dimensions in both engines (r7 ADVICE);
-    # theil_sen_revenue_trend's median is rank-selected from the
-    # distinct-slope cumulative table (r7 VERDICT item 5 — was a
-    # single-partition 2.9M-row sort); kendall_tau_daily's pair frame
-    # gains a synthetic partition key (r7 VERDICT item 6).
+    # ---- ROUND-9 WINDOW (driver verifies the first ~50) ----
+    # (A) plans CHANGED this round: the three textops5 n-gram ops
+    # gained the CASE-guarded explode (r8 ADVICE item 1 — Spark
+    # sequence(1, 0) is descending [1, 0], so docs shorter than the
+    # n-gram width emitted phantom grams; latent on committed data,
+    # fixed + re-verified at sf0.001/sf0.01 this round).
+    "corpus_char_trigram_entropy",
+    "doc_fourgram_compressibility",
+    "bpe_merge_candidates",
+    # (B) the 29 remaining round-8 additions — shipped r8 with
+    # tools/check.py green at sf0.001 + sf0.01, held below the
+    # boundary then; first driver verification now.
+    "dedup_splice_pairs",
+    "doc_script_mix",
+    "ann_range_query_count",
+    "embedding_pca_power_axis",
+    "friedman_test_weekday",
+    "grubbs_outlier_daily",
+    "page_hinkley_drift",
+    "jonckheere_terpstra_trend",
+    "life_table_actuarial",
+    "event_type_entropy",
+    "beta_diversity_kulczynski",
+    "chao2_incidence",
+    "otu_rank_shift",
+    "daily_acf_lags",
+    "orders_runs_test",
+    "seasonality_strength",
+    "split_unigram_kl",
+    "beta_diversity_ochiai",
+    "sample_coverage_goods",
+    "ann_lsh_multiprobe_topk",
+    "quantiles_exact_by_segment",
+    "seasonal_naive_mase",
+    "knn_shared_neighbor_histogram",
+    "label_silhouette_centroid",
+    "parts_slow_mover_detection",
+    "orders_hhi_by_nation",
+    "text_sentence_profile",
+    "embedding_norm_vs_label_anova",
+    "events_trending_topk",
+    # (C) head of the never-driver-windowed backlog (18 of 45;
+    # the remaining 27 rotate in round 10).
+    "dedup_band_threshold_sweep",
+    "ab_cuped_adjustment",
+    "abundance_rarefaction",
+    "ann_filtered_topk",
+    "ann_pq_adc_topk",
+    "attribution_time_decay",
+    "beta_diversity_jaccard",
+    "bloom_semijoin_filter",
+    "core_microbiome",
+    "corpus_length_token_corr",
+    "corpus_perplexity_filter",
+    "corpus_regex_scrub_apply",
+    "customer_rfm_segments",
+    "daily_revenue_gapfill",
+    "dedup_containment",
+    "dim_broadcast_advisor",
+    "discount_effectiveness",
+    "doc_ngram_rep_profile",
+    # ---- ~50-entry window boundary ----
+    # (R10 QUEUE) remaining never-driver-windowed oracle-backed
+    # keys (27) — all pass tools/check.py locally; rotate next.
+    "embedding_outlier_topk",
+    "embedding_triplet_margin",
+    "event_user_paths_topk",
+    "events_hourly_heatmap",
+    "events_rolling_wau",
+    "heavy_hitters_cms",
+    "hierarchy_share_of_parent",
+    "knn_degree_assortativity",
+    "langid_confusion",
+    "lineitem_corr_matrix",
+    "markov_next_event_accuracy",
+    "orders_yoy_growth",
+    "otu_indicator_species",
+    "otu_niche_breadth",
+    "otu_region_overlap",
+    "part_price_size_skyline",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "rare_category_collapse",
+    "revenue_ewma_daily",
+    "sample_neighbors_topk",
+    "segment_nation_mutual_info",
+    "supplier_return_rate",
+    "text_tfidf_cosine_pairs",
+    "token_rate_drift",
+    "weighted_sample_es",
+    "window_funnel_strict",
+    # Round-8 window: driver-green in CORRECTNESS_r08.json (50/50),
+    # unchanged since — rotates to the covered tail.
     "kruskal_wallis_h",
     "vector_quantize_int4_error",
     "theil_sen_revenue_trend",
     "kendall_tau_daily",
-    # (A+) ordination_pcoa_2d: promoted rows-only -> oracle-backed this
-    # round (fixed-point integer power iteration; see ordination.py) —
-    # its first-ever oracle compare belongs in the window
     "ordination_pcoa_2d",
-    # (B) r8 rotation of the never-driver-windowed backlog (r7 VERDICT
-    # item 2): the r7-addition queue head first, then the 13 keys that
-    # had never entered PRIORITY at all, then three older stragglers.
-    # All pass tools/check.py at sf0.01 (94/94 in the r7 judge sweep).
     "beta_diversity_sorensen",
     "gamma_diversity_partition",
     "otu_endemism",
@@ -158,91 +234,6 @@ PRIORITY: tuple[str, ...] = (
     "whittaker_beta_nation",
     "heldout_oov_rate",
     "lsh_bucket_profile",
-    # ---- ~50-entry window boundary ----
-    # (R9 QUEUE head) NEW in round 8 — kept BELOW the boundary on
-    # purpose (the r8 window finishes the older backlog); these ship
-    # with tools/check.py green at sf0.001 + sf0.01 and rotate into
-    # the r9 window first.
-    "dedup_splice_pairs",
-    "corpus_char_trigram_entropy",
-    "doc_script_mix",
-    "ann_range_query_count",
-    "embedding_pca_power_axis",
-    "friedman_test_weekday",
-    "grubbs_outlier_daily",
-    "page_hinkley_drift",
-    "jonckheere_terpstra_trend",
-    "life_table_actuarial",
-    "event_type_entropy",
-    "beta_diversity_kulczynski",
-    "chao2_incidence",
-    "otu_rank_shift",
-    "daily_acf_lags",
-    "orders_runs_test",
-    "seasonality_strength",
-    "split_unigram_kl",
-    "doc_fourgram_compressibility",
-    "bpe_merge_candidates",
-    "beta_diversity_ochiai",
-    "sample_coverage_goods",
-    "ann_lsh_multiprobe_topk",
-    "quantiles_exact_by_segment",
-    "seasonal_naive_mase",
-    "knn_shared_neighbor_histogram",
-    "label_silhouette_centroid",
-    "parts_slow_mover_detection",
-    "orders_hhi_by_nation",
-    "text_sentence_profile",
-    "embedding_norm_vs_label_anova",
-    "events_trending_topk",
-    # (R9 QUEUE) remaining never-driver-windowed oracle-backed keys —
-    # rotate into the round-9 window to finish the evidence backlog
-    # (~45 left; one more rotation after this one).
-    "dedup_band_threshold_sweep",
-    "ab_cuped_adjustment",
-    "abundance_rarefaction",
-    "ann_filtered_topk",
-    "ann_pq_adc_topk",
-    "attribution_time_decay",
-    "beta_diversity_jaccard",
-    "bloom_semijoin_filter",
-    "core_microbiome",
-    "corpus_length_token_corr",
-    "corpus_perplexity_filter",
-    "corpus_regex_scrub_apply",
-    "customer_rfm_segments",
-    "daily_revenue_gapfill",
-    "dedup_containment",
-    "dim_broadcast_advisor",
-    "discount_effectiveness",
-    "doc_ngram_rep_profile",
-    "embedding_outlier_topk",
-    "embedding_triplet_margin",
-    "event_user_paths_topk",
-    "events_hourly_heatmap",
-    "events_rolling_wau",
-    "heavy_hitters_cms",
-    "hierarchy_share_of_parent",
-    "knn_degree_assortativity",
-    "langid_confusion",
-    "lineitem_corr_matrix",
-    "markov_next_event_accuracy",
-    "orders_yoy_growth",
-    "otu_indicator_species",
-    "otu_niche_breadth",
-    "otu_region_overlap",
-    "part_price_size_skyline",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "rare_category_collapse",
-    "revenue_ewma_daily",
-    "sample_neighbors_topk",
-    "segment_nation_mutual_info",
-    "supplier_return_rate",
-    "text_tfidf_cosine_pairs",
-    "token_rate_drift",
-    "weighted_sample_es",
-    "window_funnel_strict",
     # Long-green tail: driver-green at current code, unchanged since —
     # covered by tools/check.py locally every round.
     "multimodal_features",

@@ -56,7 +56,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE
 from bpaotu_spark.operators.pipeline import hash_bucket, hash_bucket_sql
 from bpaotu_spark.plans.filters import ContextualFilter, Pred
 from bpaotu_spark.registry import register
@@ -88,7 +88,23 @@ def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = cust.filter(_PCOA_FILTER.column()).select(
         F.col("c_custkey").alias("sample_id")
     )
-    ab = abundance(spark, sf_dir).join(maybe_broadcast(sel), "sample_id")
+    # Push the bounded cohort DOWN instead of filtering after the full
+    # lineitem ⋈ orders shuffle join (Catalyst can't reorder that for
+    # us without CBO stats): broadcast the ≤2000-key cohort into
+    # orders, then broadcast the filtered orders (O(1) in SF for a
+    # fixed cohort — ~10 orders/customer) into the lineitem scan. At
+    # 100 TB this turns the feed into two broadcast joins with the
+    # selection at the scan.
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("sample_id")
+    )
+    od_f = od.join(F.broadcast(sel), "sample_id")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("otu_id"),
+        F.col("l_quantity").alias("cnt"),
+    )
+    ab = li.join(maybe_broadcast(od_f), "o_orderkey")
     a = ab.groupBy("sample_id", "otu_id").agg(
         F.sum("cnt").cast("bigint").alias("c")
     )
@@ -185,46 +201,126 @@ def _int_power_iterate(
     b: DataFrame, v: DataFrame, iters: int | None = None
 ) -> DataFrame:
     """Dominant eigenvector direction of the long-form integer
-    operator ``b`` in ppm fixed point. Each round: exact
-    DECIMAL(38,0) matrix-vector product, then the sign-split
-    truncating rescale v ← sign(u)·(|u|·10⁶ div max|u|) — nonneg
-    numerator and positive divisor, so Spark `div` and DuckDB `//`
-    agree exactly."""
-    from pyspark.sql import Window
+    operator ``b`` in ppm fixed point. Each round: exact integer
+    matrix-vector product, then the sign-split truncating rescale
+    v ← sign(u)·(|u|·10⁶ div max|u|) — nonneg numerator and positive
+    divisor, so the recurrence is identical in Spark `div`, DuckDB
+    `//`, and Python `//` on nonneg operands.
 
+    Mechanics (r9): the operator is BOUNDED by construction at every
+    call site (|cohort|² ≤ ~400² pair rows for PCoA, 64² for the
+    covariance axis), so all rounds run inside ONE ``applyInPandas``
+    batch with exact integer arithmetic — numpy int64 fast path via a
+    2³⁰ hi/lo limb split (per-round MAC bounds asserted; sums of
+    int64 limbs are associative and exact), arbitrary-precision
+    Python ints when the asserted bounds don't hold. This replaces
+    the r8 shape (one broadcast-join job per round, eagerly
+    localCheckpointed — ~0.35 s/round × 200 rounds dominated the
+    whole bench at 44 s) with a single job; the UNBOUNDED work
+    (abundance scan, pair join, Gram pass) stays in distributed
+    declarative Spark upstream. Engines still compute bit-identical
+    sequences — the DuckDB oracle's unrolled MATERIALIZED-CTE rounds
+    are unchanged."""
     n_iters = iters if iters is not None else _POWER_ITERS
-    # max|u| via a CONSTANT-key window, not a crossJoin(broadcast(agg))
-    # second subtree: with two subtrees each round doubles the
-    # recomputation of everything before it (2^k blowup when exchange
-    # reuse misses — the r8 hang); the window keeps u referenced ONCE.
-    # The constant partition key shuffles only the |cohort|-row
-    # iterate to one task — a non-empty partition spec, so no
-    # WindowExec warning. Rounds checkpoint EAGERLY: measured 0.35
-    # s/round eager vs 1.1 s/round when 10 lazy rounds nest broadcast
-    # builds inside one job (the serialized-subtree overhead exceeds
-    # the checkpoint's).
-    wall = Window.partitionBy(F.lit(0))
-    for _ in range(n_iters):
-        u = (
-            b.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * v")).alias("u"))
-        )
-        v = (
-            u.withColumn("m", F.max(F.abs(F.col("u"))).over(wall))
-            .select(
-                F.col("i").alias("j"),
-                F.expr(
-                    "CASE WHEN u < 0 THEN -1 ELSE 1 END"
-                    " * ((abs(u) * 1000000)"
-                    "    div greatest(m, CAST(1 AS DECIMAL(38,0))))"
-                )
-                .cast("bigint")
-                .alias("v"),
+
+    joined = b.join(v, "j").select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+        F.col("v").cast("long").alias("v0"),
+    )
+
+    def solve(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.unique(pdf["i"].to_numpy(dtype=np.int64))
+        pos = {int(s): k for k, s in enumerate(ids)}
+        n = len(ids)
+        if any(int(j) not in pos for j in pdf["j"].unique()):
+            # the per-round Spark join dropped nothing at either call
+            # site (square full operators); refuse asymmetric input
+            # rather than silently diverging from the r8 recurrence
+            raise ValueError(
+                "_int_power_iterate: operator has column ids absent "
+                "from its row ids (non-square input)"
             )
-            .localCheckpoint()
+        row = np.fromiter(
+            (pos[int(x)] for x in pdf["i"]), dtype=np.int64, count=len(pdf)
         )
-    return v
+        col = np.fromiter(
+            (pos[int(x)] for x in pdf["j"]), dtype=np.int64, count=len(pdf)
+        )
+        b_py = [int(x) for x in pdf["b"]]
+        vvec = np.zeros(n, dtype=np.int64)
+        for jj, v0 in zip(pdf["j"], pdf["v0"]):
+            vvec[pos[int(jj)]] = int(v0)
+
+        order = np.argsort(row, kind="stable")
+        row_s, col_s = row[order], col[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(row_s) != 0])
+        out_pos = row_s[starts]
+        # every id appears as a row (square full operator) — required
+        # so the rescaled iterate stays total over the index set
+        assert len(out_pos) == n
+
+        max_b = max((abs(x) for x in b_py), default=0)
+        cnt = int(np.max(np.bincount(row_s, minlength=1)))
+        vmax = max(10**6, int(np.max(np.abs(vvec))) if n else 0)
+        lim = 2**63 - 1
+        fast = (
+            max_b < 2**62
+            and ((max_b >> 30) + 1) * vmax * cnt < lim
+            and (2**30) * vmax * cnt < lim
+        )
+        if fast:
+            b64 = np.array(b_py, dtype=np.int64)[order]
+            hi_s = b64 >> 30
+            lo_s = b64 & ((1 << 30) - 1)
+            for _ in range(n_iters):
+                vj = vvec[col_s]
+                s_hi = np.add.reduceat(hi_s * vj, starts)
+                s_lo = np.add.reduceat(lo_s * vj, starts)
+                u = [
+                    (int(a) << 30) + int(c)
+                    for a, c in zip(s_hi, s_lo)
+                ]
+                m = max(max(abs(x) for x in u), 1)
+                nxt = np.zeros(n, dtype=np.int64)
+                nxt[out_pos] = np.fromiter(
+                    (
+                        (-1 if x < 0 else 1) * ((abs(x) * 1000000) // m)
+                        for x in u
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                vvec = nxt
+        else:
+            # exact arbitrary-precision path (never reached by the
+            # committed call sites — their rescale targets keep the
+            # fast-path bounds with wide margins)
+            b_s = [b_py[k] for k in order]
+            vv = {k: int(vvec[k]) for k in range(n)}
+            for _ in range(n_iters):
+                u: dict[int, int] = {}
+                for r, c, bb in zip(row_s, col_s, b_s):
+                    u[r] = u.get(int(r), 0) + bb * vv[int(c)]
+                m = max(max(abs(x) for x in u.values()), 1)
+                vv = {
+                    k: (-1 if x < 0 else 1) * ((abs(x) * 1000000) // m)
+                    for k, x in u.items()
+                }
+            vvec = np.zeros(n, dtype=np.int64)
+            for k, x in vv.items():
+                vvec[k] = x
+        return pd.DataFrame(
+            {"j": ids.astype("int64"), "v": vvec.astype("int64")}
+        )
+
+    return joined.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        solve, schema="j long, v long"
+    )
 
 
 def _milli(v: DataFrame) -> DataFrame:

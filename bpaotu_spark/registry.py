@@ -100,6 +100,12 @@ PRIORITY: tuple[str, ...] = (
     "corpus_char_trigram_entropy",
     "doc_fourgram_compressibility",
     "bpe_merge_candidates",
+    # (A) also changed this round: the fixed-point eigensolver now runs
+    # all rounds inside ONE exact-integer applyInPandas batch (same
+    # recurrence, ~200 fewer jobs) and the PCoA feed pushes the bounded
+    # cohort below the lineitem ⋈ orders join; embedding_pca_power_axis
+    # (already in-window below) shares the solver.
+    "ordination_pcoa_2d",
     # (B) the 29 remaining round-8 additions — shipped r8 with
     # tools/check.py green at sf0.001 + sf0.01, held below the
     # boundary then; first driver verification now.
@@ -151,10 +157,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "dim_broadcast_advisor",
     "discount_effectiveness",
-    "doc_ngram_rep_profile",
     # ---- ~50-entry window boundary ----
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
-    # keys (27) — all pass tools/check.py locally; rotate next.
+    # keys (28) — all pass tools/check.py locally; rotate next.
+    "doc_ngram_rep_profile",
     "embedding_outlier_topk",
     "embedding_triplet_margin",
     "event_user_paths_topk",
@@ -188,7 +194,6 @@ PRIORITY: tuple[str, ...] = (
     "vector_quantize_int4_error",
     "theil_sen_revenue_trend",
     "kendall_tau_daily",
-    "ordination_pcoa_2d",
     "beta_diversity_sorensen",
     "gamma_diversity_partition",
     "otu_endemism",

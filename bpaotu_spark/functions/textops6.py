@@ -1,0 +1,387 @@
+"""Round-9 corpus/text operators: token-shape, commonness, split
+contamination, boilerplate-prefix, and shingle-width diagnostics.
+
+Reference parity: the reference portal's text surface is taxonomy
+substring search (public path ``bpaotu/otu/views.py`` OTU search) —
+these operators extend the engine's mandated LLM-data-pipeline family
+on the ``documents`` table, per SURVEY.md §2.
+
+* ``text_word_length_hist`` — token-length histogram per language
+  (length band capped at 13+): the first thing a tokenizer audit
+  plots; a language whose mass shifts bands between snapshots has a
+  normalization regression.
+* ``doc_commonness_profile`` — per-document mean corpus-frequency
+  rank of its tokens (exact milli), censused into per-language bands:
+  separates stopword-soup documents from rare-term documents — the
+  quality signal TF-IDF-based filters threshold on.
+* ``split_contamination_ngrams`` — word-8-gram contamination between
+  the parity train/test split (heldout_oov_rate's split convention):
+  share of held-out docs containing ANY 8-gram seen in train. The
+  eval-integrity gate every LM training pipeline runs before trusting
+  a benchmark number.
+* ``boilerplate_prefix_census`` — documents grouped by their 16-char
+  prefix; census of group sizes. Shared prefixes are the cheap
+  boilerplate detector that runs before any shingle pass.
+* ``corpus_shingle_size_sweep`` — corpus distinct/total shingle ratio
+  at word widths 2/3/5: the knob-tuning curve for MinHash shingle
+  width (too narrow → everything similar; too wide → nothing).
+
+Determinism: counts, ranks and ratios are exact integers (ppm/milli
+via floor-DIV); no floats anywhere in this module.
+
+Scale shape: every operator is one-or-two map-combined aggregations
+over an exploded token scan, shuffled on bounded keys (lang, gram,
+prefix, token). The commonness rank window is vocabulary-bounded (a
+natural-language vocab is millions of rows, not fact-scale) and the
+rank join shuffles on the token key — no broadcast assumption on the
+vocab. Contamination joins gram→gram (set-semantic distinct first, so
+the join carries each gram once per side).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize
+from bpaotu_spark.registry import register
+
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, lang, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, lang, {TOKENIZE_SQL} AS t FROM documents)
+)
+""".strip()
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_word_length_hist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_word_length_hist",
+    oracle=f"""
+WITH {_TOKS_CTE}
+SELECT lang, CAST(least(length(tok), 13) AS BIGINT) AS wlen,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+FROM toks GROUP BY lang, wlen ORDER BY lang, wlen
+""",
+)
+def text_word_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, wlen 1..13+, n_tokens, n_distinct) token-length bands."""
+    return (
+        _toks(spark, sf_dir)
+        .groupBy(
+            "lang",
+            F.least(F.length("tok"), F.lit(13)).cast("bigint").alias("wlen"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("tok").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("lang", "wlen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_commonness_profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_commonness_profile",
+    oracle=f"""
+WITH {_TOKS_CTE},
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+rnk AS (
+  SELECT tok,
+    CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS r
+  FROM vocab
+),
+d AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+    CAST(sum(r) AS BIGINT) AS sum_rank
+  FROM toks JOIN rnk USING (tok) GROUP BY doc_id, lang
+),
+m AS (
+  SELECT lang, sum_rank * 1000 // n_toks AS mean_rank_milli,
+    n_toks, sum_rank
+  FROM d
+)
+SELECT lang,
+  CAST(least(mean_rank_milli // 5000, 9) AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(sum_rank) * 1000 // sum(n_toks) AS BIGINT)
+    AS pooled_mean_rank_milli
+FROM m GROUP BY lang, band ORDER BY lang, band
+""",
+)
+def doc_commonness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean corpus-frequency rank (milli), banded per lang."""
+    toks = _toks(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # unpartitioned window: vocabulary-bounded (distinct tokens, not
+    # fact rows) — the single-task sort holds to ~1e8 vocab entries
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    rnk = vocab.select(
+        "tok", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    d = (
+        toks.join(rnk, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("r").cast("bigint").alias("sum_rank"),
+        )
+    )
+    m = d.select(
+        "lang",
+        F.expr("sum_rank * 1000 div n_toks").alias("mean_rank_milli"),
+        "n_toks",
+        "sum_rank",
+    )
+    return (
+        m.groupBy(
+            "lang",
+            F.expr("least(mean_rank_milli div 5000, CAST(9 AS BIGINT))")
+            .cast("bigint")
+            .alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum(sum_rank) * 1000 div sum(n_toks) AS BIGINT)")
+            .alias("pooled_mean_rank_milli"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_contamination_ngrams
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8
+
+_GRAMS8_CTE = f"""
+g8 AS (
+  SELECT DISTINCT doc_id, lang,
+    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+        || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+        || ' ' || lead(tok, 7) OVER w AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 7) OVER w IS NOT NULL
+)
+""".strip()
+
+
+@register(
+    "split_contamination_ngrams",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_GRAMS8_CTE},
+train_g AS (
+  SELECT DISTINCT g FROM g8 WHERE doc_id % 2 = 0
+),
+contaminated AS (
+  SELECT DISTINCT g8.doc_id
+  FROM g8 JOIN train_g USING (g)
+  WHERE g8.doc_id % 2 = 1
+),
+test_docs AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_test,
+  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       // count(*) AS BIGINT) AS contamination_ppm
+FROM test_docs t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+GROUP BY lang ORDER BY lang
+""",
+)
+def split_contamination_ngrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Word-8-gram train→test contamination rate per language over
+    the parity split (even doc_id = train, odd = test) — the
+    benchmark-integrity check run before trusting any eval number."""
+    toks = _toks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, _CONTAM_N)]
+    g8 = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "lang", "g")
+        .distinct()
+    )
+    train_g = g8.filter("doc_id % 2 = 0").select("g").distinct()
+    contaminated = (
+        g8.filter("doc_id % 2 = 1")
+        .join(train_g, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 2 = 1")
+        .select("doc_id", "lang")
+    )
+    return (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "lang",
+            "n_test",
+            "n_contaminated",
+            F.expr("n_contaminated * 1000000 div n_test").alias(
+                "contamination_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_prefix_census
+# ---------------------------------------------------------------------------
+
+_PREFIX_W = 16
+
+
+@register(
+    "boilerplate_prefix_census",
+    oracle=f"""
+WITH p AS (
+  SELECT substr(text, 1, {_PREFIX_W}) AS pref,
+    CAST(count(*) AS BIGINT) AS group_size
+  FROM documents GROUP BY pref
+)
+SELECT group_size,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(group_size) AS BIGINT) AS n_docs
+FROM p GROUP BY group_size ORDER BY group_size
+""",
+)
+def boilerplate_prefix_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Census of shared-16-char-prefix group sizes — the O(scan)
+    boilerplate smell test that runs before any shingle pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.groupBy(
+        F.substring("text", 1, _PREFIX_W).alias("pref")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    return (
+        p.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("group_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_shingle_size_sweep
+# ---------------------------------------------------------------------------
+
+_SHINGLE_WIDTHS = (2, 3, 5)
+
+
+def _shingle_sql(w: int) -> str:
+    joins = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, w)]
+    )
+    return f"""
+  SELECT CAST({w} AS BIGINT) AS w,
+    CAST(count(*) AS BIGINT) AS n_total,
+    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM (
+    SELECT {joins} AS g
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(tok, {w - 1}) OVER w IS NOT NULL
+  )
+""".strip()
+
+
+@register(
+    "corpus_shingle_size_sweep",
+    oracle=f"""
+WITH {_TOKS_CTE},
+sweep AS (
+{" UNION ALL ".join(_shingle_sql(w) for w in _SHINGLE_WIDTHS)}
+)
+SELECT w, n_total, n_distinct,
+  CAST(n_distinct * 1000000 // n_total AS BIGINT) AS distinct_ppm
+FROM sweep ORDER BY w
+""",
+)
+def corpus_shingle_size_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus distinct/total word-shingle ratio at widths 2/3/5 — the
+    MinHash shingle-width tuning curve."""
+    toks = _toks(spark, sf_dir)
+    w_win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = []
+    for w in _SHINGLE_WIDTHS:
+        leads = [F.lead("tok", k).over(w_win) for k in range(1, w)]
+        grams = (
+            toks.select(
+                F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+                leads[-1].isNotNull().alias("full"),
+            )
+            .filter("full")
+            .select("g")
+        )
+        parts.append(
+            grams.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                F.countDistinct("g").cast("bigint").alias("n_distinct"),
+            ).select(
+                F.lit(w).cast("bigint").alias("w"),
+                "n_total",
+                "n_distinct",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "w",
+        "n_total",
+        "n_distinct",
+        F.expr("n_distinct * 1000000 div n_total").alias("distinct_ppm"),
+    ).orderBy("w")

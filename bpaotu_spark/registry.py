@@ -75,6 +75,8 @@ def load_all() -> None:
     import bpaotu_spark.ann.extras2  # noqa: F401
     import bpaotu_spark.operators.stats5  # noqa: F401
     import bpaotu_spark.operators.olap6  # noqa: F401
+    import bpaotu_spark.functions.textops6  # noqa: F401
+    import bpaotu_spark.operators.stats6  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -158,6 +160,18 @@ PRIORITY: tuple[str, ...] = (
     "dim_broadcast_advisor",
     "discount_effectiveness",
     # ---- ~50-entry window boundary ----
+    # (R10 QUEUE head) NEW in round 9 — tools/check.py green at
+    # sf0.001 + sf0.01 on arrival; first driver rotation next round.
+    "text_word_length_hist",
+    "doc_commonness_profile",
+    "split_contamination_ngrams",
+    "boilerplate_prefix_census",
+    "corpus_shingle_size_sweep",
+    "mann_kendall_trend",
+    "bartlett_test_variances",
+    "chi2_gof_weekday",
+    "sign_test_paired_months",
+    "quality_rater_kappa",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

@@ -1,0 +1,326 @@
+"""Round-9 event-stream operators: Markov stationary distribution,
+inactivity-gap top-k, and daily peak detection.
+
+Reference parity: the reference has no streaming/event surface (its
+portal is request-driven); these extend the engine's events family
+(sessionization, funnels, transitions — SURVEY.md §2) with the
+remaining stationary/extreme-value lenses an event warehouse ships.
+
+* ``event_type_stationary_dist`` — the stationary distribution of the
+  per-user event-type Markov chain (the long-run visit share the
+  3-step absorption and entropy-rate operators condition on). The
+  transition matrix is quantized to exact ppm integers (cnt·10⁶ div
+  rowsum), and the Perron vector comes from the SAME one-batch
+  fixed-point integer power iteration the PCoA eigensolver ships
+  (ordination.py:_int_power_iterate): bit-identical integer
+  recurrence in both engines, DuckDB twin unrolled as MATERIALIZED
+  CTE rounds. Output normalized to exact ppm by sign-split division,
+  with a loud sign-consistency assert (Perron direction is one-signed;
+  mixed signs would mean non-convergence).
+* ``events_inactivity_gaps_topk`` — global top-20 longest per-user
+  inactivity gaps: the outage/abandonment extremes an SLO review
+  reads. Unpartitioned rank window is bounded by WindowGroupLimit
+  (rnk ≤ 20 pushes per-partition top-k heaps — no global sort).
+* ``events_peak_detection_daily`` — per-type count of strict local
+  maxima in the daily event-count series (value > both neighbors):
+  the spike census a capacity planner trends.
+
+Scale shape: transitions/gaps are one lag/lead window partitioned by
+user_id (parallel across users); the chain matrix is |event types|²
+(constant at any fact scale), so the eigensolve is a single bounded
+Arrow batch exactly like PCoA's.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.ordination import (
+    _int_power_iterate,
+    _start_vector,
+)
+from bpaotu_spark.operators.pipeline import hash_bucket_sql
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# event_type_stationary_dist
+# ---------------------------------------------------------------------------
+
+_STAT_ITERS = 40  # |types|² ppm matrix mixes in far fewer rounds
+
+_PAIRS_CTE = """
+pairs AS MATERIALIZED (
+  SELECT event_type AS ft,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS tt
+  FROM events
+),
+c AS MATERIALIZED (
+  SELECT ft, tt, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs WHERE tt IS NOT NULL GROUP BY ft, tt
+),
+rs AS MATERIALIZED (
+  SELECT ft, CAST(sum(cnt) AS BIGINT) AS rsum FROM c GROUP BY ft
+),
+ids AS MATERIALIZED (
+  SELECT event_type,
+    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+bmat AS MATERIALIZED (
+  SELECT ti.tid AS i, tf.tid AS j,
+    CAST(cnt * 1000000 // rsum AS HUGEINT) AS b
+  FROM c
+  JOIN rs USING (ft)
+  JOIN ids tf ON tf.event_type = c.ft
+  JOIN ids ti ON ti.event_type = c.tt
+)
+""".strip()
+
+
+def _stationary_oracle() -> str:
+    v0 = hash_bucket_sql("CAST(tid AS VARCHAR) || ':17'", 2001)
+    rounds = []
+    prev = "v0"
+    for k in range(1, _STAT_ITERS + 1):
+        rounds.append(
+            f"u{k} AS MATERIALIZED (\n"
+            f"  SELECT b.i AS j, CAST(sum(b.b * v.v) AS HUGEINT) AS u\n"
+            f"  FROM bmat b JOIN {prev} v ON b.j = v.j GROUP BY b.i\n"
+            f"),\n"
+            f"v{k} AS MATERIALIZED (\n"
+            f"  SELECT j, CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END\n"
+            f"    * ((abs(u) * 1000000)\n"
+            f"       // greatest(max(abs(u)) OVER (), 1))"
+            f" AS HUGEINT) AS v\n"
+            f"  FROM u{k}\n"
+            f")"
+        )
+        prev = f"v{k}"
+    return f"""
+WITH {_PAIRS_CTE},
+v0 AS MATERIALIZED (
+  SELECT tid AS j, CAST(({v0}) - 1000 AS HUGEINT) AS v FROM ids
+),
+{",".join(rounds)},
+s AS (SELECT CAST(sum(v) AS HUGEINT) AS sv FROM {prev})
+SELECT ids.event_type,
+  rs.rsum AS n_out_transitions,
+  CAST((abs(v.v) * 1000000) // abs(s.sv) AS BIGINT) AS stationary_ppm
+FROM {prev} v
+JOIN ids ON ids.tid = v.j
+JOIN rs ON rs.ft = ids.event_type
+CROSS JOIN s
+ORDER BY event_type
+"""
+
+
+@register("event_type_stationary_dist", oracle=_stationary_oracle())
+def event_type_stationary_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, n_out_transitions, stationary_ppm): Perron vector
+    of the ppm-quantized event-type transition matrix via the
+    one-batch fixed-point integer power iteration."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("ft"),
+        F.lead("event_type").over(w).alias("tt"),
+    ).filter("tt IS NOT NULL")
+    c = pairs.groupBy("ft", "tt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rs = c.groupBy("ft").agg(F.sum("cnt").cast("bigint").alias("rsum"))
+    ids = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            # |event types| is bounded (a product's event taxonomy,
+            # not fact rows) — single-task sort is fine
+            .over(Window.orderBy("event_type"))
+            .cast("bigint")
+            .alias("tid"),
+        )
+    )
+    tf = ids.select(F.col("event_type").alias("ft"), F.col("tid").alias("j"))
+    ti = ids.select(F.col("event_type").alias("tt"), F.col("tid").alias("i"))
+    b = (
+        c.join(F.broadcast(rs), "ft")
+        .join(F.broadcast(tf), "ft")
+        .join(F.broadcast(ti), "tt")
+        .select(
+            "i",
+            "j",
+            F.expr("CAST(cnt * 1000000 div rsum AS DECIMAL(38,0))").alias(
+                "b"
+            ),
+        )
+    )
+    v = _int_power_iterate(b, _start_vector(b, seed=17), _STAT_ITERS)
+    s = v.agg(F.sum("v").cast("bigint").alias("sv"))
+    return (
+        v.crossJoin(F.broadcast(s))
+        .join(F.broadcast(ids), v.j == ids.tid)
+        .join(F.broadcast(rs), F.col("event_type") == F.col("ft"))
+        .select(
+            "event_type",
+            F.col("rsum").alias("n_out_transitions"),
+            F.expr(
+                # Perron direction is one-signed; a mixed-sign iterate
+                # means the chain didn't mix in _STAT_ITERS rounds —
+                # fail loudly instead of hashing a wrong distribution
+                "CASE WHEN assert_true(v = 0 OR (v < 0) = (sv < 0),"
+                " 'event_type_stationary_dist: mixed-sign iterate —"
+                " raise _STAT_ITERS') IS NULL THEN"
+                " CAST((abs(v) * 1000000) div abs(sv) AS BIGINT) END"
+            ).alias("stationary_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_inactivity_gaps_topk
+# ---------------------------------------------------------------------------
+
+_GAPS_TOPK = 20
+
+
+@register(
+    "events_inactivity_gaps_topk",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+    ts,
+    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_id
+  FROM events
+),
+d AS (
+  SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+    epoch_us(ts) - epoch_us(prev_ts) AS gap_us, prev_id
+  FROM g WHERE prev_ts IS NOT NULL
+),
+r AS (
+  SELECT *,
+    CAST(row_number() OVER (ORDER BY gap_us DESC, user_id, prev_id)
+      AS BIGINT) AS rnk
+  FROM d QUALIFY rnk <= {_GAPS_TOPK}
+)
+SELECT rnk, user_id, gap_start, gap_end,
+  CAST(gap_us // 1000000 AS BIGINT) AS gap_sec
+FROM r ORDER BY rnk
+""",
+)
+def events_inactivity_gaps_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global top-20 longest per-user inactivity gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+        F.lag("event_id").over(w).alias("prev_id"),
+    ).filter("prev_ts IS NOT NULL")
+    d = g.select(
+        "user_id",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+        "prev_id",
+    )
+    # unpartitioned window bound: rnk <= 20 → WindowGroupLimit pushes
+    # per-partition top-k heaps, no global sort materializes
+    wr = Window.orderBy(
+        F.col("gap_us").desc(), F.col("user_id"), F.col("prev_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _GAPS_TOPK)
+        .select(
+            "rnk",
+            "user_id",
+            "gap_start",
+            "gap_end",
+            F.expr("CAST(gap_us div 1000000 AS BIGINT)").alias("gap_sec"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_detection_daily
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_detection_daily",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type, n,
+    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prv,
+    lead(n) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+  FROM d
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL
+                AND n > prv AND n > nxt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_peaks,
+  CAST(max(n) AS BIGINT) AS max_day_count,
+  CAST(sum(CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL
+                AND n > prv AND n > nxt THEN 1 ELSE 0 END) * 1000000
+       // count(*) AS BIGINT) AS peak_share_ppm
+FROM p GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_peak_detection_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict local-maxima census of per-type daily event counts."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = d.select(
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("prv"),
+        F.lead("n").over(w).alias("nxt"),
+    )
+    peak = (
+        "CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL"
+        " AND n > prv AND n > nxt THEN 1 ELSE 0 END"
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.expr(peak)).cast("bigint").alias("n_peaks"),
+            F.max("n").cast("bigint").alias("max_day_count"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_peaks",
+            "max_day_count",
+            F.expr("n_peaks * 1000000 div n_days").alias(
+                "peak_share_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )

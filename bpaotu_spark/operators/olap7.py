@@ -1,0 +1,417 @@
+"""Round-9 OLAP operators: inequality, order-shape, rank-select
+quantiles, Lorenz concentration, and catalog breadth.
+
+Reference parity: the reference's contextual-search result pages
+(public path ``bpaotu/otu/views.py`` sample search + per-sample
+summaries) are per-entity aggregates over the fact table; these extend
+the engine's OLAP family with the distribution-shape summaries left on
+SURVEY.md §2's analyst-expectation list.
+
+* ``customer_order_gini`` — Gini of per-customer order counts per
+  nation (the source_length_gini rank identity, exact ppm): the
+  customer-concentration inequality lens.
+* ``order_linecount_priority_profile`` — lines-per-order histogram by
+  priority (band 1..7+) with exact per-priority share ppm: the order
+  "shape" profile capacity planning reads.
+* ``part_type_price_quartiles`` — exact Q1/median/Q3 of retail cents
+  per part-type class via rank selection at ceil(p·n) (no
+  interpolation — both engines pick the same physical row).
+* ``revenue_lorenz_points`` — per-nation revenue share of the top
+  1% / 5% / 10% customers (exact ppm): three Lorenz-curve points, the
+  concentration summary behind customer_pareto_share.
+* ``supplier_catalog_breadth`` — distinct parts supplied per supplier,
+  rolled to per-nation mean (milli) / max: assortment breadth.
+
+Determinism: everything is integer counts/cents with floor-DIV ratios;
+rank selections are made unique by id tiebreaks.
+
+Scale shape: each operator is one fact-scan aggregation shuffled on
+its natural key (custkey / orderkey / suppkey), one bounded-partition
+rank window (per nation / per type-class — parallel across groups),
+and a bounded output. No unpartitioned windows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table, maybe_broadcast
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# customer_order_gini
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_gini",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT n_name, x,
+    row_number() OVER (PARTITION BY n_name ORDER BY x, o_custkey) AS rn
+  FROM oc
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+g AS (
+  SELECT n_name, count(*) AS n, CAST(sum(x) AS BIGINT) AS total_orders,
+    sum(CAST(rn AS HUGEINT) * x) AS sr
+  FROM r GROUP BY n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_customers, total_orders,
+  CAST(((2 * sr - (n + 1) * CAST(total_orders AS HUGEINT)) * 1000000)
+       // (CAST(n AS HUGEINT) * total_orders) AS BIGINT) AS gini_ppm
+FROM g WHERE total_orders > 0 ORDER BY n_name
+""",
+)
+def customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini (exact ppm) of per-customer order counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "o_custkey")
+    r = (
+        oc.join(maybe_broadcast(cust), oc.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "x", "o_custkey")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    g = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("total_orders"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("x")).alias("sr"),
+    )
+    return (
+        g.filter("total_orders > 0")
+        .select(
+            "n_name",
+            F.col("n").cast("bigint").alias("n_customers"),
+            "total_orders",
+            F.expr(
+                "CAST(((2 * sr - (n + 1)"
+                " * CAST(total_orders AS DECIMAL(38,0))) * 1000000)"
+                " DIV (CAST(n AS DECIMAL(38,0)) * total_orders)"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_linecount_priority_profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_linecount_priority_profile",
+    oracle="""
+WITH lc AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+b AS (
+  SELECT o_orderpriority AS priority,
+    CAST(least(n_lines, 7) AS BIGINT) AS band
+  FROM lc JOIN orders ON l_orderkey = o_orderkey
+),
+c AS (
+  SELECT priority, band, CAST(count(*) AS BIGINT) AS n_orders
+  FROM b GROUP BY priority, band
+),
+t AS (
+  SELECT priority, CAST(sum(n_orders) AS BIGINT) AS tot FROM c
+  GROUP BY priority
+)
+SELECT c.priority, band, n_orders,
+  CAST(n_orders * 1000000 // tot AS BIGINT) AS share_ppm
+FROM c JOIN t ON c.priority = t.priority
+ORDER BY c.priority, band
+""",
+)
+def order_linecount_priority_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lines-per-order histogram (band 1..7+) by order priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    lc = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    b = lc.join(orders, lc.l_orderkey == orders.o_orderkey).select(
+        "priority",
+        F.least(F.col("n_lines"), F.lit(7)).cast("bigint").alias("band"),
+    )
+    c = b.groupBy("priority", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    t = c.groupBy("priority").agg(
+        F.sum("n_orders").cast("bigint").alias("tot")
+    )
+    return (
+        c.join(F.broadcast(t), "priority")
+        .select(
+            "priority",
+            "band",
+            "n_orders",
+            F.expr("n_orders * 1000000 div tot").alias("share_ppm"),
+        )
+        .orderBy("priority", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_type_price_quartiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_type_price_quartiles",
+    oracle="""
+WITH x AS (
+  SELECT string_split(p_type, ' ')[1] AS type_class,
+    CAST(floor(p_retailprice * 100) AS BIGINT) AS cents, p_partkey
+  FROM part
+),
+r AS (
+  SELECT type_class, cents,
+    row_number() OVER (PARTITION BY type_class
+                       ORDER BY cents, p_partkey) AS rn,
+    count(*) OVER (PARTITION BY type_class) AS n
+  FROM x
+)
+SELECT type_class, CAST(max(n) AS BIGINT) AS n_parts,
+  CAST(max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS BIGINT)
+    AS q1_cents,
+  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS median_cents,
+  CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS BIGINT)
+    AS q3_cents
+FROM r GROUP BY type_class ORDER BY type_class
+""",
+)
+def part_type_price_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact rank-selected Q1/median/Q3 retail cents per part-type
+    class (ceil(p·n) convention — both engines pick the same row)."""
+    part = load_table(spark, sf_dir, "part")
+    x = part.select(
+        F.split(F.col("p_type"), " ")[0].alias("type_class"),
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        "p_partkey",
+    )
+    w = Window.partitionBy("type_class").orderBy("cents", "p_partkey")
+    wc = Window.partitionBy("type_class")
+    r = x.select(
+        "type_class",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("type_class")
+        .agg(
+            F.max("n").cast("bigint").alias("n_parts"),
+            F.max(
+                F.expr("CASE WHEN rn = (n + 3) div 4 THEN cents END")
+            )
+            .cast("bigint")
+            .alias("q1_cents"),
+            F.max(
+                F.expr("CASE WHEN rn = (n + 1) div 2 THEN cents END")
+            )
+            .cast("bigint")
+            .alias("median_cents"),
+            F.max(
+                F.expr("CASE WHEN rn = (3 * n + 3) div 4 THEN cents END")
+            )
+            .cast("bigint")
+            .alias("q3_cents"),
+        )
+        .orderBy("type_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_lorenz_points
+# ---------------------------------------------------------------------------
+
+_LORENZ_PCTS = (1, 5, 10)
+
+
+@register(
+    "revenue_lorenz_points",
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT n_name, cents,
+    row_number() OVER (PARTITION BY n_name
+                       ORDER BY cents DESC, o_custkey) AS rn,
+    count(*) OVER (PARTITION BY n_name) AS n,
+    sum(cents) OVER (PARTITION BY n_name
+                     ORDER BY cents DESC, o_custkey) AS cum
+  FROM cr
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+t AS (
+  SELECT n_name, CAST(max(n) AS BIGINT) AS n_cust,
+    CAST(sum(cents) AS BIGINT) AS total_cents,
+    CAST(max(CASE WHEN rn = (n * 1 + 99) // 100 THEN cum END)
+      AS BIGINT) AS top1_cents,
+    CAST(max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cum END)
+      AS BIGINT) AS top5_cents,
+    CAST(max(CASE WHEN rn = (n * 10 + 99) // 100 THEN cum END)
+      AS BIGINT) AS top10_cents
+  FROM r GROUP BY n_name
+)
+SELECT n_name, n_cust, total_cents,
+  CAST(top1_cents * 1000000 // total_cents AS BIGINT) AS top1_ppm,
+  CAST(top5_cents * 1000000 // total_cents AS BIGINT) AS top5_ppm,
+  CAST(top10_cents * 1000000 // total_cents AS BIGINT) AS top10_ppm
+FROM t WHERE total_cents > 0 ORDER BY n_name
+""",
+)
+def revenue_lorenz_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation revenue share (exact ppm) of the top 1/5/10 % of
+    customers — three Lorenz-curve points, rank convention
+    ceil(n·p/100)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wo = Window.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    wp = Window.partitionBy("n_name")
+    r = (
+        cr.join(maybe_broadcast(cust), cr.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "cents", "o_custkey")
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("cum", F.sum("cents").over(wo))
+    )
+    t = r.groupBy("n_name").agg(
+        F.max("n").cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        *[
+            F.max(
+                F.expr(
+                    f"CASE WHEN rn = (n * {p} + 99) div 100 THEN cum END"
+                )
+            )
+            .cast("bigint")
+            .alias(f"top{p}_cents")
+            for p in _LORENZ_PCTS
+        ],
+    )
+    return (
+        t.filter("total_cents > 0")
+        .select(
+            "n_name",
+            "n_cust",
+            "total_cents",
+            *[
+                F.expr(
+                    f"CAST(top{p}_cents * 1000000 div total_cents"
+                    " AS BIGINT)"
+                ).alias(f"top{p}_ppm")
+                for p in _LORENZ_PCTS
+            ],
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_catalog_breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_catalog_breadth",
+    oracle="""
+WITH sb AS (
+  SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT)
+    AS breadth
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT n_name,
+  CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(sum(breadth) * 1000 // count(*) AS BIGINT)
+    AS mean_breadth_milli,
+  CAST(max(breadth) AS BIGINT) AS max_breadth
+FROM sb
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def supplier_catalog_breadth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct parts supplied per supplier, rolled to per-nation
+    mean (milli) and max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    sb = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("breadth")
+    )
+    return (
+        sb.join(maybe_broadcast(sup), sb.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.expr(
+                "CAST(sum(breadth) * 1000 div count(*) AS BIGINT)"
+            ).alias("mean_breadth_milli"),
+            F.max("breadth").cast("bigint").alias("max_breadth"),
+        )
+        .orderBy("n_name")
+    )

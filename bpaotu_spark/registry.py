@@ -77,6 +77,8 @@ def load_all() -> None:
     import bpaotu_spark.operators.olap6  # noqa: F401
     import bpaotu_spark.functions.textops6  # noqa: F401
     import bpaotu_spark.operators.stats6  # noqa: F401
+    import bpaotu_spark.operators.events3  # noqa: F401
+    import bpaotu_spark.operators.olap7  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -172,6 +174,14 @@ PRIORITY: tuple[str, ...] = (
     "chi2_gof_weekday",
     "sign_test_paired_months",
     "quality_rater_kappa",
+    "event_type_stationary_dist",
+    "events_inactivity_gaps_topk",
+    "events_peak_detection_daily",
+    "customer_order_gini",
+    "order_linecount_priority_profile",
+    "part_type_price_quartiles",
+    "revenue_lorenz_points",
+    "supplier_catalog_breadth",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

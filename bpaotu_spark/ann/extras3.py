@@ -1,0 +1,321 @@
+"""Round-9 ANN/embedding additions: top-1 margin, two-hop reach,
+split centroid drift.
+
+Reference parity: the reference's BLAST search (public path
+``bpaotu/otu/views.py`` blast endpoints) is nearest-neighbour retrieval
+re-expressed as vector ANN (SURVEY.md §2); these extend the index-
+diagnostics family.
+
+* ``ann_top1_margin_histogram`` — distribution of the top-2/top-1
+  L2² ratio per query on the exact milli-quantized integer grid: the
+  query-difficulty census (margin ≈ 1 → ambiguous neighbours → ANN
+  recall will suffer; large margin → easy queries). This is the
+  statistic behind "hard query" sampling in index tuning.
+* ``knn_two_hop_reach`` — per-node count of EXACT-distance-2
+  neighbours in the undirected k-NN graph (neighbours-of-neighbours
+  minus direct neighbours minus self): the expansion profile that
+  predicts how fast greedy graph search (HNSW-style) spreads.
+* ``embedding_split_centroid_shift`` — per-label centroid distance
+  between the even/odd vec_id halves (exact integer MACs on the milli
+  grid, one float sqrt at the end): the self-consistency drift check —
+  a label whose halves disagree is mislabeled or multimodal.
+
+Determinism: quantize → exact integer distances/sums; floats only in
+each op's final floored output expression.
+
+Scale shape: margin is one broadcast of the bounded query set against
+the corpus scan (map-side fold per pair, one per-query top-2 cut);
+two-hop composes the registered knn_graph_lsh (LSH-bucketed self-join,
+never |corpus|²) with two edge-list self-joins on node keys; centroid
+shift is one map-combined per-(label, dim) aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import ORACLES, QUERIES, register
+
+_RQ_Q = 1000  # milli quantization (ann_range_query_count convention)
+_MQ = 100  # margin-histogram query set: vec_id < 100
+
+
+# ---------------------------------------------------------------------------
+# ann_top1_margin_histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_top1_margin_histogram",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < {_MQ}),
+d AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+       + list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+       - 2 * list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+      AS BIGINT) AS d2
+  FROM qs JOIN e ON e.vec_id != qs.query_id
+),
+t2 AS (
+  SELECT query_id, d2,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+      AS rnk
+  FROM d QUALIFY rnk <= 2
+),
+m AS (
+  SELECT query_id,
+    CAST(max(CASE WHEN rnk = 2 THEN d2 END) * 1000000
+         // greatest(max(CASE WHEN rnk = 1 THEN d2 END), 1) AS BIGINT)
+      AS margin_ppm
+  FROM t2 GROUP BY query_id
+)
+SELECT
+  CAST(least((margin_ppm - 1000000) // 100000, 9) AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_queries,
+  CAST(sum(margin_ppm) // count(*) AS BIGINT) AS mean_margin_ppm
+FROM m GROUP BY band ORDER BY band
+""",
+)
+def ann_top1_margin_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2/top-1 L2² margin census over 100 queries (exact ppm on
+    the milli grid; band = 10%-wide margin buckets, capped at 9)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
+    )
+    qs = emb.filter(F.col("vec_id") < _MQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    d = emb.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    t2 = d.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 2")
+    m = t2.groupBy("query_id").agg(
+        F.expr(
+            "CAST(max(CASE WHEN rnk = 2 THEN d2 END) * 1000000"
+            " div greatest(max(CASE WHEN rnk = 1 THEN d2 END), 1)"
+            " AS BIGINT)"
+        ).alias("margin_ppm")
+    )
+    return (
+        m.groupBy(
+            F.expr(
+                "CAST(least((margin_ppm - 1000000) div 100000, 9)"
+                " AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.expr(
+                "CAST(sum(margin_ppm) div count(*) AS BIGINT)"
+            ).alias("mean_margin_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_two_hop_reach
+# ---------------------------------------------------------------------------
+
+
+def _two_hop_oracle() -> str:
+    return f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT vec_id AS src, neighbor_id AS dst FROM knn
+    UNION ALL
+    SELECT neighbor_id AS src, vec_id AS dst FROM knn
+  )
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM sym GROUP BY src
+),
+hop2 AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM sym a JOIN sym b ON a.dst = b.src
+  WHERE b.dst != a.src
+),
+pure2 AS (
+  SELECT h.src, h.dst FROM hop2 h
+  ANTI JOIN sym s ON s.src = h.src AND s.dst = h.dst
+),
+c2 AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS two_hop
+  FROM pure2 GROUP BY src
+)
+SELECT deg.node AS vec_id, degree,
+  CAST(coalesce(two_hop, 0) AS BIGINT) AS two_hop_count
+FROM deg LEFT JOIN c2 ON deg.node = c2.node
+ORDER BY vec_id
+"""
+
+
+@register("knn_two_hop_reach", oracle=_two_hop_oracle())
+def knn_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact-distance-2 neighbour count in the undirected
+    k-NN graph — the expansion profile of greedy graph search."""
+    knn = QUERIES["knn_graph_lsh"](spark, sf_dir)
+    sym = (
+        knn.select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .unionAll(
+            knn.select(
+                F.col("neighbor_id").alias("src"), F.col("vec_id").alias("dst")
+            )
+        )
+        .distinct()
+        # three consumers below (deg + both sides of the hop join)
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    a = sym.select(F.col("src").alias("h_src"), F.col("dst").alias("mid"))
+    b = sym.select(F.col("src").alias("mid"), F.col("dst").alias("h_dst"))
+    hop2 = (
+        a.join(b, "mid")
+        .filter(F.col("h_dst") != F.col("h_src"))
+        .select(F.col("h_src").alias("src"), F.col("h_dst").alias("dst"))
+        .distinct()
+    )
+    pure2 = hop2.join(sym, ["src", "dst"], "left_anti")
+    c2 = pure2.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("two_hop")
+    )
+    return (
+        deg.join(c2, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            F.coalesce(F.col("two_hop"), F.lit(0))
+            .cast("bigint")
+            .alias("two_hop_count"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_split_centroid_shift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_split_centroid_shift",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+    CAST(floor(unnest(v) * {_RQ_Q}) AS BIGINT) AS xm
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings)
+),
+h AS (
+  SELECT label, dim,
+    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xm ELSE 0 END) AS HUGEINT)
+      AS se,
+    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN xm ELSE 0 END) AS HUGEINT)
+      AS so,
+    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      AS ne,
+    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+      AS no
+  FROM x GROUP BY label, dim
+),
+s AS (
+  SELECT label, max(ne) AS ne, max(no) AS no,
+    CAST(sum((se * no - so * ne) * (se * no - so * ne)) AS HUGEINT)
+      AS dist2_scaled
+  FROM h GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label,
+  CAST(ne AS BIGINT) AS n_even, CAST(no AS BIGINT) AS n_odd,
+  CAST(floor(sqrt(CAST(dist2_scaled AS DOUBLE))
+       / (CAST(ne AS DOUBLE) * CAST(no AS DOUBLE)) * 1000000)
+    AS BIGINT) AS shift_micro
+FROM s WHERE ne > 0 AND no > 0 ORDER BY label
+""",
+)
+def embedding_split_centroid_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid L2 distance between even/odd vec_id halves
+    on the milli grid (exact 128-bit MACs; one float sqrt, floored
+    micro) — the label self-consistency drift check."""
+    x = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("val") * _RQ_Q).cast("bigint").alias("xm"),
+        )
+    )
+    h = x.groupBy("label", "dim").agg(
+        F.sum(F.expr("CASE WHEN vec_id % 2 = 0 THEN xm ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("se"),
+        F.sum(F.expr("CASE WHEN vec_id % 2 = 1 THEN xm ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("so"),
+        F.sum(F.expr("CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("ne"),
+        F.sum(F.expr("CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END"))
+        .cast("decimal(38,0)")
+        .alias("no"),
+    )
+    s = h.groupBy("label").agg(
+        F.max("ne").alias("ne"),
+        F.max("no").alias("no"),
+        F.sum(
+            F.expr("(se * no - so * ne) * (se * no - so * ne)")
+        ).alias("dist2_scaled"),
+    )
+    return (
+        s.filter("ne > 0 AND no > 0")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("ne").cast("bigint").alias("n_even"),
+            F.col("no").cast("bigint").alias("n_odd"),
+            F.expr(
+                "CAST(floor(sqrt(CAST(dist2_scaled AS DOUBLE))"
+                " / (CAST(ne AS DOUBLE) * CAST(no AS DOUBLE)) * 1000000)"
+                " AS BIGINT)"
+            ).alias("shift_micro"),
+        )
+        .orderBy("label")
+    )

@@ -79,6 +79,9 @@ def load_all() -> None:
     import bpaotu_spark.operators.stats6  # noqa: F401
     import bpaotu_spark.operators.events3  # noqa: F401
     import bpaotu_spark.operators.olap7  # noqa: F401
+    import bpaotu_spark.ann.extras3  # noqa: F401
+    import bpaotu_spark.operators.audit2  # noqa: F401
+    import bpaotu_spark.operators.survival2  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -182,6 +185,12 @@ PRIORITY: tuple[str, ...] = (
     "part_type_price_quartiles",
     "revenue_lorenz_points",
     "supplier_catalog_breadth",
+    "ann_top1_margin_histogram",
+    "knn_two_hop_reach",
+    "embedding_split_centroid_shift",
+    "shuffle_partition_advisor",
+    "cms_width_error_sweep",
+    "restricted_mean_survival",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

@@ -385,3 +385,86 @@ def corpus_shingle_size_sweep(
         "n_distinct",
         F.expr("n_distinct * 1000000 div n_total").alias("distinct_ppm"),
     ).orderBy("w")
+
+
+# ---------------------------------------------------------------------------
+# dedup_savings_by_source — what exact dedup would save, per source:
+# duplicate docs (non-keeper members of md5(text) groups, keeper =
+# global min doc_id) and the chars they carry, as exact ppm of the
+# source's corpus. The go/no-go number a pipeline reads before paying
+# for the heavier near-dup passes.
+# Scale shape: one md5 groupBy (map-combined), keeper join back on the
+# hash key, per-source aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_savings_by_source",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5(text) AS text_hash
+  FROM documents
+),
+g AS (
+  SELECT text_hash, min(doc_id) AS keeper_id
+  FROM h GROUP BY text_hash
+),
+d AS (
+  SELECT source, n_chars,
+    CASE WHEN doc_id != keeper_id THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN g USING (text_hash)
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+  CAST(sum(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+    AS chars_saved,
+  CAST(sum(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) * 1000000
+       // sum(n_chars) AS BIGINT) AS savings_ppm
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def dedup_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-dedup savings per source (dup docs, chars, exact ppm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("text_hash")
+    )
+    g = h.groupBy("text_hash").agg(F.min("doc_id").alias("keeper_id"))
+    d = h.join(g, "text_hash").select(
+        "source",
+        "n_chars",
+        F.expr(
+            "CASE WHEN doc_id != keeper_id THEN 1 ELSE 0 END"
+        ).alias("is_dup"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.sum(
+                F.expr("CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+        .join(
+            d.groupBy("source").agg(
+                F.sum("n_chars").cast("bigint").alias("total_chars")
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "chars_saved",
+            F.expr(
+                "CAST(chars_saved * 1000000 div total_chars AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -324,3 +324,110 @@ def events_peak_detection_daily(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# user_lifecycle_weekly — new / retained / resurrected / churned user
+# counts per ISO week (both engines truncate weeks to Monday). The
+# growth-accounting table every activation dashboard leads with.
+# Churn is attributed to the week AFTER the user's last active week
+# and reported only for weeks observed in the data.
+# Scale shape: one per-user lag/lead window over the (user, week)
+# activity table (parallel across users), then bounded per-week aggs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_lifecycle_weekly",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+lagged AS (
+  SELECT user_id, wk,
+    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+    min(wk) OVER (PARTITION BY user_id) AS first_wk
+  FROM uw
+),
+stages AS (
+  SELECT wk,
+    CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_new,
+    CAST(sum(CASE WHEN prev_wk = wk - 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_retained,
+    CAST(sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 7
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM lagged GROUP BY wk
+),
+churn AS (
+  SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+  FROM lagged
+  WHERE next_wk IS NULL OR next_wk > wk + 7
+  GROUP BY wk + 7
+)
+SELECT s.wk AS week_start, n_new, n_retained, n_resurrected,
+  CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM stages s LEFT JOIN churn c ON c.wk = s.wk
+ORDER BY s.wk
+""",
+)
+def user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week_start, n_new, n_retained, n_resurrected, n_churned)
+    growth-accounting table over ISO weeks."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    wp = Window.partitionBy("user_id")
+    lagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wo).alias("prev_wk"),
+        F.lead("wk").over(wo).alias("next_wk"),
+        F.min("wk").over(wp).alias("first_wk"),
+    )
+    stages = lagged.groupBy("wk").agg(
+        F.sum(F.expr("CASE WHEN wk = first_wk THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_wk = date_sub(wk, 7) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_wk IS NOT NULL"
+                " AND prev_wk < date_sub(wk, 7) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        lagged.filter(
+            F.expr("next_wk IS NULL OR next_wk > date_add(wk, 7)")
+        )
+        .groupBy(F.expr("date_add(wk, 7)").alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        stages.join(churn, "wk", "left")
+        .select(
+            F.col("wk").alias("week_start"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("week_start")
+    )

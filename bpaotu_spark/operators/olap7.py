@@ -415,3 +415,277 @@ def supplier_catalog_breadth(
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# nation_month_revenue_zscore — per-(nation, month) revenue z-score
+# against the nation's own monthly distribution: z = (x·n − Σx) /
+# sqrt(n·Σx² − (Σx)²), integers inside, one float sqrt (milli-floored).
+# The anomaly grid a revenue review colors.
+# Scale shape: one map-combined (nation, month) agg, then a bounded
+# per-nation moment agg broadcast back over the grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_month_revenue_zscore",
+    oracle="""
+WITH m AS (
+  SELECT n_name, date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS HUGEINT) AS s,
+    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+  FROM m GROUP BY n_name
+)
+SELECT m.n_name, CAST(mon AS DATE) AS mon,
+  CASE WHEN n * ss - s * s > 0 THEN
+    CAST(floor((cents * n - s) / sqrt(CAST(n * ss - s * s AS DOUBLE))
+         * 1000) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS z_milli
+FROM m JOIN g ON m.n_name = g.n_name
+ORDER BY m.n_name, mon
+""",
+)
+def nation_month_revenue_zscore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(nation, month) revenue z-score vs the nation's own months
+    (exact integer moments, one float sqrt, milli)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    m = (
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("mon"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    g = m.groupBy(F.col("n_name").alias("gn")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("ss"),
+    )
+    return (
+        m.join(F.broadcast(g), m.n_name == g.gn)
+        .select(
+            "n_name",
+            "mon",
+            F.expr(
+                "CASE WHEN n * ss - s * s > 0 THEN"
+                " CAST(floor((cents * n - s)"
+                " / sqrt(CAST(n * ss - s * s AS DOUBLE)) * 1000)"
+                " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("z_milli"),
+        )
+        .orderBy("n_name", "mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_share_volatility — variance of a supplier's monthly revenue
+# SHARE (ppm of that month's total), top-20 most volatile. Months
+# without sales for a supplier are not zero-filled — the statistic is
+# over the supplier's ACTIVE months (documented convention).
+# Scale shape: (supplier, month) agg → broadcast monthly totals →
+# per-supplier exact moments; top-20 via WindowGroupLimit.
+# ---------------------------------------------------------------------------
+
+_VOLA_TOPK = 20
+
+
+@register(
+    "supplier_share_volatility",
+    oracle=f"""
+WITH sm AS (
+  SELECT l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+mt AS (
+  SELECT mon, CAST(sum(cents) AS BIGINT) AS tot FROM sm GROUP BY mon
+),
+sh AS (
+  SELECT l_suppkey, CAST(cents * 1000000 // tot AS BIGINT) AS share_ppm
+  FROM sm JOIN mt USING (mon)
+),
+v AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months,
+    CAST(count(*) * sum(CAST(share_ppm AS HUGEINT) * share_ppm)
+         - CAST(sum(share_ppm) AS HUGEINT) * sum(share_ppm) AS HUGEINT)
+      AS var_num
+  FROM sh GROUP BY l_suppkey HAVING count(*) > 1
+),
+r AS (
+  SELECT l_suppkey, n_months, CAST(var_num AS BIGINT) AS var_num,
+    CAST(row_number() OVER (ORDER BY var_num DESC, l_suppkey)
+      AS BIGINT) AS rnk
+  FROM v QUALIFY rnk <= {_VOLA_TOPK}
+)
+SELECT rnk, l_suppkey AS suppkey, n_months, var_num
+FROM r ORDER BY rnk
+""",
+)
+def supplier_share_volatility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 suppliers by variance numerator n·Σs²−(Σs)² of their
+    monthly revenue-share ppm (exact integers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sm = li.groupBy(
+        "l_suppkey",
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias(
+            "mon"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    mt = sm.groupBy("mon").agg(F.sum("cents").cast("bigint").alias("tot"))
+    sh = sm.join(F.broadcast(mt), "mon").select(
+        "l_suppkey",
+        F.expr("CAST(cents * 1000000 div tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+    v = (
+        sh.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.expr(
+                "CAST(count(*) * sum(CAST(share_ppm AS DECIMAL(38,0))"
+                " * share_ppm) - CAST(sum(share_ppm) AS DECIMAL(38,0))"
+                " * sum(share_ppm) AS DECIMAL(38,0))"
+            ).alias("var_num"),
+        )
+        .filter("n_months > 1")
+    )
+    # unpartitioned window bound: rnk <= 20 → WindowGroupLimit heaps
+    w = Window.orderBy(F.col("var_num").desc(), F.col("l_suppkey"))
+    return (
+        v.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _VOLA_TOPK)
+        .select(
+            "rnk",
+            F.col("l_suppkey").alias("suppkey"),
+            "n_months",
+            F.col("var_num").cast("bigint").alias("var_num"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reorder_regularity_census — per-customer CV² of reorder gaps
+# (exact ppm: CV² = (n·Σg² − (Σg)²)/(Σg)²), censused into bands.
+# CV² < 1 → more regular than Poisson; > 1 → bursty. The subscription-
+# detection lens on purchase cadence.
+# Scale shape: per-customer lead window (parallel across customers),
+# one exact moment agg, bounded band census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reorder_regularity_census",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+    date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS gap
+  FROM o QUALIFY gap IS NOT NULL
+),
+c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(gap) AS BIGINT) AS sg,
+    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sgg
+  FROM g GROUP BY o_custkey HAVING count(*) >= 2 AND sum(gap) > 0
+),
+cv AS (
+  SELECT o_custkey,
+    CAST((n * sgg - CAST(sg AS HUGEINT) * sg) * 1000000
+         // (CAST(sg AS HUGEINT) * sg) AS BIGINT) AS cv2_ppm
+  FROM c
+)
+SELECT CAST(least(cv2_ppm // 250000, 9) AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(cv2_ppm) // count(*) AS BIGINT) AS mean_cv2_ppm
+FROM cv GROUP BY band ORDER BY band
+""",
+)
+def reorder_regularity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band census of per-customer reorder-gap CV² (exact ppm;
+    customers with ≥ 3 orders)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("gap"),
+    ).filter("gap IS NOT NULL")
+    c = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("gap").cast("bigint").alias("sg"),
+            F.sum(F.expr("CAST(gap AS DECIMAL(38,0)) * gap")).alias(
+                "sgg"
+            ),
+        )
+        .filter("n >= 2 AND sg > 0")
+    )
+    cv = c.select(
+        F.expr(
+            "CAST((n * sgg - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000"
+            " DIV (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)"
+        ).alias("cv2_ppm")
+    )
+    return (
+        cv.groupBy(
+            F.expr(
+                "CAST(least(cv2_ppm div 250000, CAST(9 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("CAST(sum(cv2_ppm) div count(*) AS BIGINT)").alias(
+                "mean_cv2_ppm"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -82,6 +82,7 @@ def load_all() -> None:
     import bpaotu_spark.ann.extras3  # noqa: F401
     import bpaotu_spark.operators.audit2  # noqa: F401
     import bpaotu_spark.operators.survival2  # noqa: F401
+    import bpaotu_spark.operators.ecology5  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -191,6 +192,13 @@ PRIORITY: tuple[str, ...] = (
     "shuffle_partition_advisor",
     "cms_width_error_sweep",
     "restricted_mean_survival",
+    "beta_baselga_partition",
+    "rarity_weighted_richness",
+    "user_lifecycle_weekly",
+    "nation_month_revenue_zscore",
+    "supplier_share_volatility",
+    "reorder_regularity_census",
+    "dedup_savings_by_source",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

@@ -413,6 +413,39 @@ HEADLINE = (
     "text_sentence_profile",
     "embedding_norm_vs_label_anova",
     "events_trending_topk",
+    # round-9 additions (append-only tail)
+    "text_word_length_hist",
+    "doc_commonness_profile",
+    "split_contamination_ngrams",
+    "boilerplate_prefix_census",
+    "corpus_shingle_size_sweep",
+    "mann_kendall_trend",
+    "bartlett_test_variances",
+    "chi2_gof_weekday",
+    "sign_test_paired_months",
+    "quality_rater_kappa",
+    "event_type_stationary_dist",
+    "events_inactivity_gaps_topk",
+    "events_peak_detection_daily",
+    "customer_order_gini",
+    "order_linecount_priority_profile",
+    "part_type_price_quartiles",
+    "revenue_lorenz_points",
+    "supplier_catalog_breadth",
+    "ann_top1_margin_histogram",
+    "knn_two_hop_reach",
+    "embedding_split_centroid_shift",
+    "shuffle_partition_advisor",
+    "cms_width_error_sweep",
+    "restricted_mean_survival",
+    "beta_baselga_partition",
+    "rarity_weighted_richness",
+    "user_lifecycle_weekly",
+    "nation_month_revenue_zscore",
+    "supplier_share_volatility",
+    "reorder_regularity_census",
+    "dedup_savings_by_source",
+    "events_record_days",
 )
 
 

@@ -431,3 +431,58 @@ def user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_record_days — days whose per-type event count sets a new
+# all-time record (strictly exceeds every previous day for that type;
+# the first day is a record by convention). The streamable variant of
+# peak detection: a record needs only the PAST (running max), never
+# lead(), so the streaming twin (streaming.jobs.record_days_stream)
+# can emit it live with one small state cell per type.
+# Scale shape: per-type daily agg, then a running-max window
+# partitioned by type over the calendar-bounded daily series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_record_days",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, n_events,
+    CAST(coalesce(max(n_events) OVER (PARTITION BY event_type
+      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS prev_max
+  FROM d
+)
+SELECT event_type, day, n_events, prev_max
+FROM r WHERE n_events > prev_max
+ORDER BY event_type, day
+""",
+)
+def events_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n_events, prev_max) rows for record-setting
+    days (count strictly above the type's running max)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.withColumn(
+        "prev_max",
+        F.coalesce(F.max("n_events").over(w), F.lit(0)).cast("bigint"),
+    )
+    return (
+        r.filter(F.col("n_events") > F.col("prev_max"))
+        .select("event_type", "day", "n_events", "prev_max")
+        .orderBy("event_type", "day")
+    )

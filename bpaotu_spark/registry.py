@@ -199,6 +199,7 @@ PRIORITY: tuple[str, ...] = (
     "supplier_share_volatility",
     "reorder_regularity_census",
     "dedup_savings_by_source",
+    "events_record_days",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

@@ -832,3 +832,65 @@ def debounce_stream(
         )
         .drop("debounce_bucket")
     )
+
+
+RECORD_DAYS_SCHEMA = (
+    "event_type string, day date, n_events bigint, prev_max bigint"
+)
+_RECORD_STATE_SCHEMA = "max_count bigint, last_day date"
+
+
+def record_days_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_record_days`` operator:
+    emit (type, day) cells whose daily count sets a new all-time
+    record for that event type.
+
+    Record detection only needs the PAST (a running max), never
+    lead() — which is exactly what makes it streamable where strict
+    local-maxima peak detection (events_peak_detection_daily) is not.
+    State per event type is one (max_count, last_day) cell; each
+    micro-batch folds its days in calendar order on top of the carried
+    max. Day ordering ACROSS micro-batches follows event-time arrival
+    (the production deployment pairs this with a watermark-complete
+    daily upstream agg so a day only reaches this operator once it is
+    closed; on the drained availableNow test source every day arrives
+    in the single batch and is sorted here).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        max_count, last_day = (
+            state.get if state.exists else (0, None)
+        )
+        counts: dict = {}
+        for pdf in pdfs:
+            days = pdf["ts"].dt.date
+            for day, n in days.value_counts().items():
+                counts[day] = counts.get(day, 0) + int(n)
+        out_day, out_n, out_prev = [], [], []
+        for day in sorted(counts):
+            n = counts[day]
+            if n > max_count:
+                out_day.append(day)
+                out_n.append(n)
+                out_prev.append(max_count)
+                max_count = n
+            last_day = day
+        state.update((max_count, last_day))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out_day),
+                "day": out_day,
+                "n_events": out_n,
+                "prev_max": out_prev,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RECORD_DAYS_SCHEMA,
+        stateStructType=_RECORD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

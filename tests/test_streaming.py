@@ -646,3 +646,34 @@ def test_debounce_stream_keeps_one_per_bucket(spark, sf_dir, tables):
         .count()
     )
     assert out.count() == want
+
+
+def test_record_days_stream_matches_batch(spark, sf_dir):
+    """The stateful streaming record detector must emit exactly the
+    rows the batch events_record_days operator computes."""
+    from bpaotu_spark.registry import QUERIES
+    from bpaotu_spark.streaming.jobs import (
+        read_events_stream,
+        record_days_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        record_days_stream(ev)
+        .writeStream.format("memory")
+        .queryName("record_days_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.day, r.n_events, r.prev_max)
+        for r in spark.table("record_days_sink").collect()
+    }
+    want = {
+        (r.event_type, r.day, r.n_events, r.prev_max)
+        for r in QUERIES["events_record_days"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "no record days on this data"

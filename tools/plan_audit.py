@@ -24,6 +24,13 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # side is provably bounded and the condition is non-equi; these are
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
+    # --- round-9 additions (each a bounded scalar/dimension cross) ---
+    "ann_top1_margin_histogram": "broadcast 100-query set, non-equi != (ann_range_query shape)",
+    "chi2_gof_weekday": "broadcast 1-row order-count scalar over the 7-row weekday frame",
+    "cms_width_error_sweep": "broadcast 4-row depth frame into build + probe (heavy_hitters shape)",
+    "event_type_stationary_dist": "broadcast 1-row vector-sum scalar + |types|-row id/rowsum dims",
+    "mann_kendall_trend": "broadcast calendar-bounded daily series (<= ~2.6k rows) day-pair join + 1-row stat scalars",
+    "restricted_mean_survival": "broadcast 1-row obs-end/total scalars + 3-row horizon frame (KM shape)",
     # --- round-8 additions (each a bounded scalar/dimension cross) ---
     "parts_slow_mover_detection": "broadcast 1-row horizon-date scalar",
     "embedding_norm_vs_label_anova": "cross join of 1-row moment aggregates (anova shape)",

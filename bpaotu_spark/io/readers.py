@@ -182,3 +182,28 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """ORC source (Spark-native, no extra jars). Same pushdown class
+    as parquet: predicate pushdown + column pruning reach the ORC
+    reader, so a lake standardized on ORC loses nothing vs parquet
+    here."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same partition-pruning layout contract as
+    write_parquet (zlib default codec; Spark's built-in ORC writer)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -583,3 +583,39 @@ def test_snapshot_time_travel(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trips values and serves predicate
+    pushdown + partition pruning like the parquet primary."""
+    import pyspark.sql.functions as F
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.readers import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=("o_orderpriority",))
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    want = {
+        (r.o_orderkey, round(r.o_totalprice, 4)) for r in orders.collect()
+    }
+    got = {(r.o_orderkey, round(r.o_totalprice, 4)) for r in back.collect()}
+    assert got == want
+
+    # partition pruning: a priority filter must scan one partition dir
+    pri = orders.select("o_orderpriority").first()[0]
+    plan = (
+        back.filter(F.col("o_orderpriority") == pri)
+        .filter(F.col("o_totalprice") > 1000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan
+    # predicate pushdown reaches the ORC scan
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan

@@ -446,6 +446,9 @@ HEADLINE = (
     "reorder_regularity_census",
     "dedup_savings_by_source",
     "events_record_days",
+    "data_expectations_audit",
+    "orders_monthly_percentile_bridge",
+    "ann_recall_at_k_sweep",
 )
 
 

@@ -319,3 +319,76 @@ def embedding_split_centroid_shift(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_at_k_sweep — recall@k of the sign-LSH index vs brute-force
+# ground truth at k = 1 / 5 / 10: the CURVE ann_recall_report's single
+# k collapses (an index can be fine at k=10 and useless at k=1). Both
+# sides compose the REGISTERED operators, so the sweep can never drift
+# from what the pipeline serves.
+# Scale shape: both top-k tables are already blocked; per-k the join is
+# pair-keyed on (query_id, cand_id) over rnk-filtered subsets.
+# ---------------------------------------------------------------------------
+
+_RECALL_KS = (1, 5, 10)
+
+
+def _recall_sweep_oracle() -> str:
+    legs = []
+    for k in _RECALL_KS:
+        legs.append(
+            f"""
+SELECT CAST({k} AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_truth,
+  CAST(count(a.cand_id) AS BIGINT) AS n_hit,
+  CAST(count(a.cand_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+FROM (SELECT query_id, cand_id FROM truth WHERE rnk <= {k}) t
+LEFT JOIN (SELECT query_id, cand_id FROM lsh WHERE rnk <= {k}) a
+  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+""".strip()
+        )
+    return (
+        f"WITH truth AS ({ORACLES['ann_bruteforce_topk']}),\n"
+        f"lsh AS ({ORACLES['ann_lsh_topk']})\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY k"
+    )
+
+
+@register("ann_recall_at_k_sweep", oracle=_recall_sweep_oracle())
+def ann_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k (exact ppm) of sign-LSH vs brute force at k=1/5/10."""
+    truth = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
+        "query_id", "cand_id", "rnk"
+    )
+    lsh = QUERIES["ann_lsh_topk"](spark, sf_dir).select(
+        F.col("query_id").alias("q2"),
+        F.col("cand_id").alias("c2"),
+        F.col("rnk").alias("rnk2"),
+    )
+    out = None
+    for k in _RECALL_KS:
+        t = truth.filter(F.col("rnk") <= k)
+        a = lsh.filter(F.col("rnk2") <= k)
+        leg = (
+            t.join(
+                a,
+                (t.query_id == a.q2) & (t.cand_id == a.c2),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+                F.count("c2").cast("bigint").alias("n_hit"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_truth",
+                "n_hit",
+                F.expr(
+                    "CAST(n_hit * 1000000 div n_truth AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("k")

@@ -689,3 +689,72 @@ def reorder_regularity_census(
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_percentile_bridge — exact p50/p90 of order totals per
+# month (rank-selected at ceil(p·n), cents): the distribution-shift
+# trend a pricing review reads alongside the mean (a mean can rise
+# while the median falls — this surface shows which).
+# Scale shape: one month-partitioned rank window (parallel across
+# months), conditional-agg rank pick.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_monthly_percentile_bridge",
+    oracle="""
+WITH x AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT mon, cents,
+    row_number() OVER (PARTITION BY mon ORDER BY cents, o_orderkey)
+      AS rn,
+    count(*) OVER (PARTITION BY mon) AS n
+  FROM x
+)
+SELECT CAST(mon AS DATE) AS mon, CAST(max(n) AS BIGINT) AS n_orders,
+  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS p50_cents,
+  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+    AS p90_cents
+FROM r GROUP BY mon ORDER BY mon
+""",
+)
+def orders_monthly_percentile_bridge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact rank-selected p50/p90 order-total cents per month."""
+    x = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("mon"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("mon").orderBy("cents", "o_orderkey")
+    wc = Window.partitionBy("mon")
+    r = x.select(
+        "mon",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("mon")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max(F.expr("CASE WHEN rn = (n + 1) div 2 THEN cents END"))
+            .cast("bigint")
+            .alias("p50_cents"),
+            F.max(
+                F.expr("CASE WHEN rn = (9 * n + 9) div 10 THEN cents END")
+            )
+            .cast("bigint")
+            .alias("p90_cents"),
+        )
+        .orderBy("mon")
+    )

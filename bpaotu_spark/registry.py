@@ -83,6 +83,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.audit2  # noqa: F401
     import bpaotu_spark.operators.survival2  # noqa: F401
     import bpaotu_spark.operators.ecology5  # noqa: F401
+    import bpaotu_spark.operators.quality2  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -200,6 +201,9 @@ PRIORITY: tuple[str, ...] = (
     "reorder_regularity_census",
     "dedup_savings_by_source",
     "events_record_days",
+    "data_expectations_audit",
+    "orders_monthly_percentile_bridge",
+    "ann_recall_at_k_sweep",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

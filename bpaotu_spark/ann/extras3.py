@@ -323,7 +323,7 @@ def embedding_split_centroid_shift(
 
 # ---------------------------------------------------------------------------
 # ann_recall_at_k_sweep — recall@k of the sign-LSH index vs brute-force
-# ground truth at k = 1 / 5 / 10: the CURVE ann_recall_report's single
+# ground truth at k = 1 / 3 / 5 (k ≤ ann.core.TOP_K): the CURVE ann_recall_report's single
 # k collapses (an index can be fine at k=10 and useless at k=1). Both
 # sides compose the REGISTERED operators, so the sweep can never drift
 # from what the pipeline serves.
@@ -331,7 +331,7 @@ def embedding_split_centroid_shift(
 # pair-keyed on (query_id, cand_id) over rnk-filtered subsets.
 # ---------------------------------------------------------------------------
 
-_RECALL_KS = (1, 5, 10)
+_RECALL_KS = (1, 3, 5)  # bounded by TOP_K = 5 in ann.core
 
 
 def _recall_sweep_oracle() -> str:
@@ -358,7 +358,7 @@ LEFT JOIN (SELECT query_id, cand_id FROM lsh WHERE rnk <= {k}) a
 
 @register("ann_recall_at_k_sweep", oracle=_recall_sweep_oracle())
 def ann_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k (exact ppm) of sign-LSH vs brute force at k=1/5/10."""
+    """Recall@k (exact ppm) of sign-LSH vs brute force at k=1/3/5."""
     truth = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
         "query_id", "cand_id", "rnk"
     )

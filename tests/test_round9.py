@@ -395,3 +395,80 @@ def test_centroid_shift_nonnegative(spark, sf_dir):
     assert len(rows) == 10
     assert all(r.shift_micro >= 0 for r in rows)
     assert all(r.n_even + r.n_odd > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# batch-3/4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_record_days_are_strictly_increasing(spark, sf_dir):
+    rows = QUERIES["events_record_days"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.day)
+        # first record's prev_max is 0; counts strictly increase
+        assert rs[0].prev_max == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.n_events > a.n_events
+            assert b.prev_max >= a.n_events
+
+
+def test_expectations_audit_clean_testdata(spark, sf_dir):
+    rows = QUERIES["data_expectations_audit"](spark, sf_dir).collect()
+    assert len(rows) == 18
+    # the driver's synthetic lineitem genuinely repeats
+    # (l_orderkey, l_linenumber) pairs — the audit must CATCH that;
+    # every other constraint holds on generated data
+    bad = {(r.table_name, r.check_name) for r in rows if r.n_violations}
+    assert bad == {("lineitem", "pk_unique")}, bad
+    assert all(r.n_rows > 0 for r in rows)
+
+
+def test_recall_sweep_bounds(spark, sf_dir):
+    rows = {
+        r.k: r for r in QUERIES["ann_recall_at_k_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 3, 5}
+    for k, r in rows.items():
+        assert r.n_truth == 10 * k  # N_QUERIES * k truth pairs
+        assert 0 <= r.n_hit <= r.n_truth
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_percentile_bridge_ordered(spark, sf_dir):
+    for r in QUERIES["orders_monthly_percentile_bridge"](
+        spark, sf_dir
+    ).collect():
+        assert r.p50_cents <= r.p90_cents
+        assert r.n_orders > 0
+
+
+def test_lifecycle_accounting_consistent(spark, sf_dir):
+    rows = sorted(
+        QUERIES["user_lifecycle_weekly"](spark, sf_dir).collect(),
+        key=lambda r: r.week_start,
+    )
+    # every active user in a week is exactly one of new/retained/
+    # resurrected, so the stage counts sum to the week's active users
+    from bpaotu_spark.catalog import load_table
+
+    active = {
+        (r.wk, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (r.week_start, r.n_new + r.n_retained + r.n_resurrected)
+        for r in rows
+    }
+    assert got == active

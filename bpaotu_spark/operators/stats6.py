@@ -177,7 +177,9 @@ g AS (
 ),
 t AS (
   SELECT grp, n,
-    CAST((n * ss - s * s) // n AS BIGINT) AS sse_floor,
+    -- sse stays HUGEINT: one group's SSE is ~n·var(cents) ≈ 3e18 at
+    -- sf0.1 already; the cross-group sum below overflows BIGINT
+    CAST((n * ss - s * s) // n AS HUGEINT) AS sse_floor,
     CAST(floor((n - 1) * ln(CAST(n * ss - s * s AS DOUBLE)
         / (CAST(n AS DOUBLE) * (n - 1))) * 1000000) AS BIGINT)
       AS term_micro
@@ -210,7 +212,10 @@ def bartlett_test_variances(
     t = g.filter("n > 1").select(
         "grp",
         "n",
-        F.expr("CAST((n * ss - s * s) div n AS BIGINT)").alias(
+        # DECIMAL(38,0), not BIGINT: one group's SSE ≈ 3e18 at sf0.1
+        # and the cross-group sum overflows int64 (caught by the r9
+        # sf0.1 bench under ANSI mode)
+        F.expr("CAST((n * ss - s * s) div n AS DECIMAL(38,0))").alias(
             "sse_floor"
         ),
         F.expr(

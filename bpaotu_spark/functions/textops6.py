@@ -125,8 +125,8 @@ m AS (
 SELECT lang,
   CAST(least(mean_rank_milli // 5000, 9) AS BIGINT) AS band,
   CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(sum_rank) * 1000 // sum(n_toks) AS BIGINT)
-    AS pooled_mean_rank_milli
+  CAST(CAST(sum(sum_rank) AS HUGEINT) * 1000 // sum(n_toks)
+    AS BIGINT) AS pooled_mean_rank_milli
 FROM m GROUP BY lang, band ORDER BY lang, band
 """,
 )
@@ -165,7 +165,10 @@ def doc_commonness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.expr("CAST(sum(sum_rank) * 1000 div sum(n_toks) AS BIGINT)")
+            F.expr(
+                "CAST(CAST(sum(sum_rank) AS DECIMAL(38,0)) * 1000"
+                " div sum(n_toks) AS BIGINT)"
+            )
             .alias("pooled_mean_rank_milli"),
         )
         .orderBy("lang", "band")
@@ -344,7 +347,8 @@ sweep AS (
 {" UNION ALL ".join(_shingle_sql(w) for w in _SHINGLE_WIDTHS)}
 )
 SELECT w, n_total, n_distinct,
-  CAST(n_distinct * 1000000 // n_total AS BIGINT) AS distinct_ppm
+  CAST(CAST(n_distinct AS HUGEINT) * 1000000 // n_total AS BIGINT)
+  AS distinct_ppm
 FROM sweep ORDER BY w
 """,
 )
@@ -383,7 +387,10 @@ def corpus_shingle_size_sweep(
         "w",
         "n_total",
         "n_distinct",
-        F.expr("n_distinct * 1000000 div n_total").alias("distinct_ppm"),
+        F.expr(
+            "CAST(CAST(n_distinct AS DECIMAL(38,0)) * 1000000"
+            " div n_total AS BIGINT)"
+        ).alias("distinct_ppm"),
     ).orderBy("w")
 
 
@@ -419,8 +426,9 @@ SELECT source,
   CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
   CAST(sum(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)
     AS chars_saved,
-  CAST(sum(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) * 1000000
-       // sum(n_chars) AS BIGINT) AS savings_ppm
+  CAST(CAST(sum(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END)
+         AS HUGEINT) * 1000000 // sum(n_chars) AS BIGINT)
+    AS savings_ppm
 FROM d GROUP BY source ORDER BY source
 """,
 )
@@ -463,7 +471,8 @@ def dedup_savings_by_source(
             "n_dup_docs",
             "chars_saved",
             F.expr(
-                "CAST(chars_saved * 1000000 div total_chars AS BIGINT)"
+                "CAST(CAST(chars_saved AS DECIMAL(38,0)) * 1000000"
+                " div total_chars AS BIGINT)"
             ).alias("savings_ppm"),
         )
         .orderBy("source")

@@ -289,9 +289,9 @@ t AS (
   FROM r GROUP BY n_name
 )
 SELECT n_name, n_cust, total_cents,
-  CAST(top1_cents * 1000000 // total_cents AS BIGINT) AS top1_ppm,
-  CAST(top5_cents * 1000000 // total_cents AS BIGINT) AS top5_ppm,
-  CAST(top10_cents * 1000000 // total_cents AS BIGINT) AS top10_ppm
+  CAST(CAST(top1_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS top1_ppm,
+  CAST(CAST(top5_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS top5_ppm,
+  CAST(CAST(top10_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS top10_ppm
 FROM t WHERE total_cents > 0 ORDER BY n_name
 """,
 )
@@ -350,8 +350,8 @@ def revenue_lorenz_points(
             "total_cents",
             *[
                 F.expr(
-                    f"CAST(top{p}_cents * 1000000 div total_cents"
-                    " AS BIGINT)"
+                    f"CAST(CAST(top{p}_cents AS DECIMAL(38,0)) * 1000000"
+                    " div total_cents AS BIGINT)"
                 ).alias(f"top{p}_ppm")
                 for p in _LORENZ_PCTS
             ],

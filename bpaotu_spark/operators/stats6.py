@@ -254,7 +254,8 @@ WITH w AS (
 o AS (SELECT wd, CAST(count(*) AS BIGINT) AS obs FROM w GROUP BY wd),
 n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_orders FROM o)
 SELECT n_orders,
-  CAST(sum((7 * obs - n_orders) * (7 * obs - n_orders)) * 1000000
+  CAST(CAST(sum(CAST(7 * obs - n_orders AS HUGEINT)
+           * (7 * obs - n_orders)) AS HUGEINT) * 1000000
        // (7 * n_orders) AS BIGINT) AS chi2_micro,
   CAST(6 AS BIGINT) AS df
 FROM o CROSS JOIN n GROUP BY n_orders
@@ -275,7 +276,8 @@ def chi2_gof_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_orders")
         .agg(
             F.expr(
-                "CAST(sum((7 * obs - n_orders) * (7 * obs - n_orders))"
+                "CAST(sum(CAST(7 * obs - n_orders AS DECIMAL(38,0))"
+                " * (7 * obs - n_orders))"
                 " * 1000000 div (7 * n_orders) AS BIGINT)"
             ).alias("chi2_micro"),
         )
@@ -430,9 +432,9 @@ SELECT yes_yes, yes_no, no_yes, no_no,
   END AS kappa_ppm
 FROM (
   SELECT *,
-    yes_yes + yes_no + no_yes + no_no AS n,
-    (yes_yes + yes_no) * (yes_yes + no_yes)
-      + (no_yes + no_no) * (yes_no + no_no) AS pe_num
+    CAST(yes_yes + yes_no + no_yes + no_no AS HUGEINT) AS n,
+    CAST(yes_yes + yes_no AS HUGEINT) * (yes_yes + no_yes)
+      + CAST(no_yes + no_no AS HUGEINT) * (yes_no + no_no) AS pe_num
   FROM cells
 )
 """,
@@ -474,12 +476,15 @@ def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("no_no"),
     )
     aug = cells.withColumn(
-        "n", F.expr("yes_yes + yes_no + no_yes + no_no")
+        "n",
+        F.expr(
+            "CAST(yes_yes + yes_no + no_yes + no_no AS DECIMAL(38,0))"
+        ),
     ).withColumn(
         "pe_num",
         F.expr(
-            "(yes_yes + yes_no) * (yes_yes + no_yes)"
-            " + (no_yes + no_no) * (yes_no + no_no)"
+            "CAST(yes_yes + yes_no AS DECIMAL(38,0)) * (yes_yes + no_yes)"
+            " + CAST(no_yes + no_no AS DECIMAL(38,0)) * (yes_no + no_no)"
         ),
     )
     return aug.select(

@@ -449,6 +449,11 @@ HEADLINE = (
     "data_expectations_audit",
     "orders_monthly_percentile_bridge",
     "ann_recall_at_k_sweep",
+    "hazard_ratio_segments",
+    "taxonomy_level_diversity",
+    "event_value_percentiles_by_type",
+    "doc_length_quality_grid",
+    "brand_nation_penetration",
 )
 
 

@@ -477,3 +477,75 @@ def dedup_savings_by_source(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_length_quality_grid — joint census of length quartile × lexical-
+# diversity quartile (rank-based quartiles, id tie-broken): the
+# copula view that shows whether the two quality axes are redundant
+# (mass on the diagonal) or independent (uniform grid) — decides
+# whether a second filter earns its cost.
+# Scale shape: two unpartitioned rank windows over documents (doc
+# count, not token count — the bounded-by-corpus-rows class the repo's
+# other global ranks document) + one 16-cell census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_quality_grid",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+    CAST(len(list_distinct(tk)) AS BIGINT) * 1000000
+      // CAST(len(tk) AS BIGINT) AS ratio_ppm
+  FROM (SELECT doc_id, n_chars, {TOKENIZE_SQL} AS tk FROM documents)
+),
+q AS (
+  SELECT doc_id,
+    ((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 4)
+      // count(*) OVER () AS len_q,
+    ((row_number() OVER (ORDER BY ratio_ppm, doc_id) - 1) * 4)
+      // count(*) OVER () AS div_q
+  FROM t
+)
+SELECT CAST(len_q AS BIGINT) AS len_q, CAST(div_q AS BIGINT) AS div_q,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM q GROUP BY len_q, div_q ORDER BY len_q, div_q
+""",
+)
+def doc_length_quality_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4×4 census of (length quartile, distinct-token-ratio quartile)
+    — rank-based quartiles, deterministic tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        tokenize(F.col("text")).alias("tk"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(size(array_distinct(tk)) AS BIGINT) * 1000000"
+            " div CAST(size(tk) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    # unpartitioned windows: document-count-bounded global ranks (the
+    # corpus-rows class, not token-exploded rows)
+    wl = Window.orderBy("n_chars", "doc_id")
+    wd = Window.orderBy("ratio_ppm", "doc_id")
+    wn = Window.partitionBy()
+    q = t.select(
+        F.row_number().over(wl).alias("rl"),
+        F.row_number().over(wd).alias("rd"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        F.expr("CAST((rl - 1) * 4 div n AS BIGINT)").alias("len_q"),
+        F.expr("CAST((rd - 1) * 4 div n AS BIGINT)").alias("div_q"),
+    )
+    return (
+        q.groupBy("len_q", "div_q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("len_q", "div_q")
+    )

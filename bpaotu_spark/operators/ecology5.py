@@ -206,3 +206,110 @@ def rarity_weighted_richness(
         )
         .orderBy("sample_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# taxonomy_level_diversity — mean per-sample Shannon entropy at three
+# taxonomy rollup levels (brand / type-class / full type): the
+# rank-level diversity profile the reference's drill-down implies
+# (diversity at kingdom vs species answers different questions).
+# Floored-micro p·ln(1/p) terms per (sample, level, taxon) — the
+# repo's ln convention — pooled to per-level means.
+# Scale shape: one abundance ⋈ broadcast(part) scan, three
+# map-combined rollups (one per level), per-sample then per-level aggs.
+# ---------------------------------------------------------------------------
+
+_TLD_LEVELS = (
+    ("brand", "p_brand"),
+    ("type_class", "string_split(p_type, ' ')[1]"),
+    ("type_full", "p_type"),
+)
+
+
+def _tld_level_sql(name: str, expr: str) -> str:
+    return f"""
+  SELECT '{name}' AS level, sample_id, {expr} AS taxon,
+    CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance JOIN part ON otu_id = p_partkey
+  GROUP BY sample_id, taxon
+""".strip()
+
+
+@register(
+    "taxonomy_level_diversity",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+lv AS (
+{" UNION ALL ".join(_tld_level_sql(n, e) for n, e in _TLD_LEVELS)}
+),
+st AS (
+  SELECT level, sample_id, CAST(sum(c) AS BIGINT) AS tot
+  FROM lv GROUP BY level, sample_id
+),
+h AS (
+  SELECT lv.level, lv.sample_id,
+    CAST(sum(CAST(floor((CAST(c AS DOUBLE) / tot)
+      * ln(CAST(tot AS DOUBLE) / c) * 1000000) AS BIGINT)) AS BIGINT)
+      AS h_micro
+  FROM lv JOIN st ON lv.level = st.level
+    AND lv.sample_id = st.sample_id
+  GROUP BY lv.level, lv.sample_id
+)
+SELECT level,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_h_micro,
+  CAST(max(h_micro) AS BIGINT) AS max_h_micro
+FROM h GROUP BY level ORDER BY level
+""",
+)
+def taxonomy_level_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean/max per-sample Shannon entropy (floored micro-nats) at
+    brand / type-class / full-type rollup levels."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.split(F.col("p_type"), " ")[0].alias("type_class"),
+        F.col("p_type").alias("type_full"),
+    )
+    ab = abundance(spark, sf_dir).join(
+        maybe_broadcast(part), F.col("otu_id") == F.col("p_partkey")
+    )
+    lv = None
+    for name, _ in _TLD_LEVELS:
+        leg = ab.groupBy(
+            "sample_id", F.col(name).alias("taxon")
+        ).agg(F.sum("cnt").cast("bigint").alias("c")).select(
+            F.lit(name).alias("level"), "sample_id", "taxon", "c"
+        )
+        lv = leg if lv is None else lv.unionByName(leg)
+    st = lv.groupBy("level", "sample_id").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    h = (
+        lv.join(st, ["level", "sample_id"])
+        .groupBy("level", "sample_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor((CAST(c AS DOUBLE) / tot)"
+                    " * ln(CAST(tot AS DOUBLE) / c) * 1000000)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_micro")
+        )
+    )
+    return (
+        h.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.expr("CAST(sum(h_micro) div count(*) AS BIGINT)").alias(
+                "mean_h_micro"
+            ),
+            F.max("h_micro").cast("bigint").alias("max_h_micro"),
+        )
+        .orderBy("level")
+    )

@@ -486,3 +486,78 @@ def events_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", "prev_max")
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_value_percentiles_by_type — exact rank-selected p50/p90/p99 of
+# event value (cents) per event type: the SLO latency-table shape on
+# the value column. ceil(p·n) convention (part_type_price_quartiles).
+# Scale shape: one type-partitioned rank window (parallel across
+# types), conditional-agg rank pick.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_percentiles_by_type",
+    oracle="""
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+    event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY cents, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM x
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS p50_cents,
+  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+    AS p90_cents,
+  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+    AS BIGINT) AS p99_cents
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+)
+def event_value_percentiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact rank-selected p50/p90/p99 event-value cents per type."""
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = x.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max(F.expr("CASE WHEN rn = (n + 1) div 2 THEN cents END"))
+            .cast("bigint")
+            .alias("p50_cents"),
+            F.max(
+                F.expr("CASE WHEN rn = (9 * n + 9) div 10 THEN cents END")
+            )
+            .cast("bigint")
+            .alias("p90_cents"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = (99 * n + 99) div 100 THEN cents END"
+                )
+            )
+            .cast("bigint")
+            .alias("p99_cents"),
+        )
+        .orderBy("event_type")
+    )

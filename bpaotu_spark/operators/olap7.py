@@ -758,3 +758,94 @@ def orders_monthly_percentile_bridge(
         )
         .orderBy("mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# brand_nation_penetration — per brand: how many supplier nations
+# carry it, its volume, and the top nation's share (exact ppm; top
+# nation picked by volume with name tie-break): the distribution-
+# footprint table an assortment review reads.
+# Scale shape: lineitem ⋈ broadcast(supplier dims) → (brand, nation)
+# agg; per-brand rank window over ≤ |brands|·|nations| rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_nation_penetration",
+    oracle="""
+WITH bn AS (
+  SELECT p_brand, n_name,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY p_brand, n_name
+),
+r AS (
+  SELECT p_brand, n_name, qty,
+    CAST(sum(qty) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
+    row_number() OVER (PARTITION BY p_brand
+                       ORDER BY qty DESC, n_name) AS rn,
+    count(*) OVER (PARTITION BY p_brand) AS n_nations
+  FROM bn
+)
+SELECT p_brand, CAST(n_nations AS BIGINT) AS n_nations,
+  tot AS total_qty, n_name AS top_nation,
+  CAST(qty * 1000000 // tot AS BIGINT) AS top_share_ppm
+FROM r WHERE rn = 1 ORDER BY p_brand
+""",
+)
+def brand_nation_penetration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand supplier-nation footprint + top nation share ppm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    bn = (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty")
+        )
+    )
+    wp = Window.partitionBy("p_brand")
+    wr = Window.partitionBy("p_brand").orderBy(
+        F.col("qty").desc(), F.col("n_name")
+    )
+    r = bn.select(
+        "p_brand",
+        "n_name",
+        "qty",
+        F.sum("qty").over(wp).cast("bigint").alias("tot"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_nations"),
+    )
+    return (
+        r.filter("rn = 1")
+        .select(
+            "p_brand",
+            F.col("n_nations").cast("bigint").alias("n_nations"),
+            F.col("tot").alias("total_qty"),
+            F.col("n_name").alias("top_nation"),
+            F.expr("CAST(qty * 1000000 div tot AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+        )
+        .orderBy("p_brand")
+    )

@@ -204,3 +204,222 @@ def restricted_mean_survival(
         .agg(F.sum("contrib").cast("bigint").alias("rmst_micro_days"))
         .orderBy("horizon_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# hazard_ratio_segments — Mantel-Haenszel-style hazard ratio between
+# the HOUSEHOLD and FURNITURE reorder-gap survival curves: the EFFECT
+# SIZE companion to logrank_reorder_test's χ² (same gap/censor
+# construction, different segment pair). HR = (O₁/E₁)/(O₂/E₂) with the
+# per-time expected counts floored to micro before summing (the
+# logrank discipline), so HR_milli = O₁·E₂·1000 div (O₂·E₁) is exact
+# integer arithmetic over the floored sums.
+# Scale shape: identical to logrank — per-(dur, group) counts, a
+# group-partitioned cumulative over the distinct-duration grid, one
+# output row.
+# ---------------------------------------------------------------------------
+
+_HR_SEG_A = "HOUSEHOLD"
+_HR_SEG_B = "FURNITURE"
+
+
+@register(
+    "hazard_ratio_segments",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+    CASE WHEN c_mktsegment = '{_HR_SEG_A}' THEN 1 ELSE 0 END AS grp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_HR_SEG_A}', '{_HR_SEG_B}')
+),
+mx AS (SELECT max(d) AS obs_end FROM o),
+g AS (
+  SELECT o_custkey, grp,
+    date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur,
+    lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      IS NOT NULL AS observed,
+    d
+  FROM o
+),
+gaps AS (
+  SELECT grp,
+    CAST(CASE WHEN observed THEN dur
+         ELSE date_diff('day', d, obs_end) END AS BIGINT) AS dur,
+    observed
+  FROM g, mx
+  WHERE observed OR date_diff('day', d, obs_end) > 0
+),
+dcg AS (
+  SELECT dur, grp,
+    CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_obs
+  FROM gaps GROUP BY dur, grp
+),
+grid AS (
+  SELECT d.dur, k.grp,
+    coalesce(dcg.n_all, 0) AS n_all, coalesce(dcg.n_obs, 0) AS n_obs
+  FROM (SELECT DISTINCT dur FROM dcg) d
+  CROSS JOIN (SELECT unnest([0, 1]) AS grp) k
+  LEFT JOIN dcg ON dcg.dur = d.dur AND dcg.grp = k.grp
+),
+totg AS (SELECT grp, CAST(sum(n_all) AS BIGINT) AS tot FROM grid
+         GROUP BY grp),
+risk AS (
+  SELECT grid.dur, grid.grp, grid.n_obs,
+    tot - CAST(coalesce(sum(grid.n_all) OVER (PARTITION BY grid.grp
+      ORDER BY grid.dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS at_risk
+  FROM grid JOIN totg ON grid.grp = totg.grp
+),
+pert AS (
+  SELECT dur,
+    CAST(sum(n_obs) AS BIGINT) AS d_t,
+    CAST(sum(CASE WHEN grp = 1 THEN n_obs ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(at_risk) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS BIGINT) AS n1
+  FROM risk GROUP BY dur
+),
+terms AS (
+  SELECT d1, d_t - d1 AS d2,
+    CAST(floor(CAST(d_t AS DOUBLE) * n1 / n_t * 1000000) AS BIGINT)
+      AS e1_micro,
+    CAST(floor(CAST(d_t AS DOUBLE) * (n_t - n1) / n_t * 1000000)
+      AS BIGINT) AS e2_micro
+  FROM pert WHERE d_t > 0
+)
+SELECT
+  CAST(sum(d1) AS BIGINT) AS o1,
+  CAST(sum(d2) AS BIGINT) AS o2,
+  CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+  CAST(sum(e2_micro) AS BIGINT) AS e2_micro,
+  CAST(CAST(sum(d1) AS HUGEINT) * sum(e2_micro) * 1000
+       // (CAST(sum(d2) AS HUGEINT) * sum(e1_micro)) AS BIGINT)
+    AS hr_milli
+FROM terms
+""",
+)
+def hazard_ratio_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hazard ratio (milli) between HOUSEHOLD and FURNITURE reorder
+    hazards: HR = (O₁/E₁)/(O₂/E₂) over floored-micro expected
+    counts."""
+    from bpaotu_spark.catalog import maybe_broadcast
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(_HR_SEG_A, _HR_SEG_B)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            maybe_broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+            F.when(F.col("c_mktsegment") == _HR_SEG_A, 1)
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    mx = o.agg(F.max("d").alias("obs_end"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "grp",
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"),
+        F.lead("d").over(w).isNotNull().alias("observed"),
+        "d",
+    )
+    gaps = (
+        g.crossJoin(F.broadcast(mx))
+        .withColumn("cens_dur", F.datediff("obs_end", "d"))
+        .filter(F.col("observed") | (F.col("cens_dur") > 0))
+        .select(
+            "grp",
+            F.when(F.col("observed"), F.col("dur"))
+            .otherwise(F.col("cens_dur"))
+            .cast("bigint")
+            .alias("dur"),
+            "observed",
+        )
+    )
+    dcg = gaps.groupBy("dur", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_obs"),
+    )
+    durs = dcg.select("dur").distinct()
+    ks = spark.range(2).select(F.col("id").cast("int").alias("grp"))
+    grid = (
+        durs.crossJoin(F.broadcast(ks))
+        .join(dcg, ["dur", "grp"], "left")
+        .select(
+            "dur",
+            "grp",
+            F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        )
+    )
+    totg = grid.groupBy("grp").agg(
+        F.sum("n_all").cast("bigint").alias("tot")
+    )
+    # group-partitioned cumulative over the distinct-duration grid
+    # (day-count codomain — bounded at any SF)
+    wv = (
+        Window.partitionBy("grp")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grid.join(F.broadcast(totg), "grp")
+        .select(
+            "dur",
+            "grp",
+            "n_obs",
+            (
+                F.col("tot")
+                - F.coalesce(F.sum("n_all").over(wv), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("at_risk"),
+        )
+    )
+    pert = risk.groupBy("dur").agg(
+        F.sum("n_obs").cast("bigint").alias("d_t"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN n_obs ELSE 0 END"))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("at_risk").cast("bigint").alias("n_t"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN at_risk ELSE 0 END"))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    terms = pert.filter("d_t > 0").select(
+        "d1",
+        F.expr("d_t - d1").alias("d2"),
+        F.expr(
+            "CAST(floor(CAST(d_t AS DOUBLE) * n1 / n_t * 1000000)"
+            " AS BIGINT)"
+        ).alias("e1_micro"),
+        F.expr(
+            "CAST(floor(CAST(d_t AS DOUBLE) * (n_t - n1) / n_t"
+            " * 1000000) AS BIGINT)"
+        ).alias("e2_micro"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("d2").cast("bigint").alias("o2"),
+        F.sum("e1_micro").cast("bigint").alias("e1_micro"),
+        F.sum("e2_micro").cast("bigint").alias("e2_micro"),
+        F.expr(
+            "CAST(CAST(sum(d1) AS DECIMAL(38,0)) * sum(e2_micro) * 1000"
+            " div (CAST(sum(d2) AS DECIMAL(38,0)) * sum(e1_micro))"
+            " AS BIGINT)"
+        ).alias("hr_milli"),
+    )

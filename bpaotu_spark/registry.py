@@ -204,6 +204,11 @@ PRIORITY: tuple[str, ...] = (
     "data_expectations_audit",
     "orders_monthly_percentile_bridge",
     "ann_recall_at_k_sweep",
+    "hazard_ratio_segments",
+    "taxonomy_level_diversity",
+    "event_value_percentiles_by_type",
+    "doc_length_quality_grid",
+    "brand_nation_penetration",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

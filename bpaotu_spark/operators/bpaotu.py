@@ -65,6 +65,44 @@ def abundance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def abundance_selected(
+    spark: SparkSession, sf_dir: str, sel: DataFrame
+) -> DataFrame:
+    """Abundance fact restricted to a sample selection, with the
+    selection pushed BELOW the lineitem ⋈ orders join: the selection
+    joins orders first (broadcast when its size estimate allows), and
+    the filtered orders — O(1) in SF for a fixed cohort (~10 orders
+    per customer) — joins the lineitem scan. Catalyst can't reorder
+    `(lineitem ⋈ orders) ⋈ sel` this way without CBO stats, so every
+    study-selection operator was paying a full fact-fact shuffle
+    before its cohort filter (the r9 PCoA-feed lesson, generalized —
+    at 100 TB this is the difference between shuffling the whole fact
+    and two broadcast joins with the selection at the scan).
+
+    ``sel`` must carry ``sample_id``; its other columns (block, grp,
+    …) ride along, exactly as the old `abundance().join(sel)` shape
+    produced. Result: sel's columns + (otu_id, cnt, order_id).
+    """
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("sample_id")
+    )
+    od_f = od.join(maybe_broadcast(sel), "sample_id")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("otu_id"),
+        F.col("l_quantity").alias("cnt"),
+    )
+    return (
+        li.join(maybe_broadcast(od_f), li.l_orderkey == od_f.o_orderkey)
+        .select(
+            *sel.columns,
+            "otu_id",
+            "cnt",
+            F.col("l_orderkey").alias("order_id"),
+        )
+    )
+
+
 def sample_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample page attributes: customer ⋈ nation ⋈ region (all dims)."""
     cust = load_table(spark, sf_dir, "customer")
@@ -402,7 +440,7 @@ def beta_diversity_braycurtis(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = cust.filter(_BC_FILTER.column()).select(
         F.col("c_custkey").alias("sample_id"), F.col("c_nationkey").alias("block")
     )
-    ab = abundance(spark, sf_dir).join(maybe_broadcast(sel), "sample_id")
+    ab = abundance_selected(spark, sf_dir, sel)
     a = ab.groupBy("sample_id", "block", "otu_id").agg(F.sum("cnt").alias("c"))
     tot = a.groupBy("sample_id", "block").agg(F.sum("c").alias("tot"))
 
@@ -692,8 +730,7 @@ def export_biom_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(_BIOM_CTX.column())
     sel = cust.select(F.col("c_custkey").alias("sample_id"))
     cell = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "otu_id")
         .agg(F.round(F.sum("cnt"), 4).cast("double").alias("v"))
     )
@@ -1194,8 +1231,7 @@ def beta_diversity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("sample_id"), F.col("c_nationkey").alias("block")
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .select("sample_id", "block", "otu_id")
         .distinct()
     )

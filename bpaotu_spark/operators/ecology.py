@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance, abundance_selected
 from bpaotu_spark.registry import register
 
 
@@ -318,8 +318,7 @@ def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "grp", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )

@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance, abundance_selected
 from bpaotu_spark.operators.ecology import _ANOSIM_SEL
 from bpaotu_spark.registry import register
 
@@ -101,8 +101,7 @@ def mantel_test_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -523,8 +522,7 @@ def beta_dispersion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "grp", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -642,8 +640,7 @@ def unifrac_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
     )
     base = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .join(maybe_broadcast(part), "otu_id")
         .select("sample_id", "p_type", "p_brand", "otu_id")
         .distinct()
@@ -795,8 +792,7 @@ def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
     )
     leaf = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .join(maybe_broadcast(part), "otu_id")
         .groupBy("sample_id", "p_type", "p_brand", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
@@ -994,8 +990,7 @@ def beta_diversity_morisita_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum(F.col("cnt").cast("bigint")).alias("c"))
     )
@@ -1168,8 +1163,7 @@ def permanova_pseudo_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "grp", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )

@@ -35,7 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance, abundance_selected
 from bpaotu_spark.registry import register
 
 # floored micro-nat ln(c) — the exact idiom of pielou_evenness
@@ -108,8 +108,7 @@ def beta_diversity_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .select("sample_id", "block", "otu_id")
         .distinct()
     )
@@ -228,8 +227,7 @@ def gamma_diversity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     per_otu = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -320,8 +318,7 @@ def otu_endemism(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     pres = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .select("otu_id", "block")
         .distinct()
     )

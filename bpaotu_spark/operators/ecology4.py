@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance, abundance_selected
 from bpaotu_spark.registry import register
 
 _KUL_SEL = "c_mktsegment = 'HOUSEHOLD'"
@@ -84,8 +84,7 @@ def beta_diversity_kulczynski(
         F.col("c_nationkey").alias("block"),
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .groupBy("sample_id", "block", "otu_id")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
@@ -353,8 +352,7 @@ def beta_diversity_ochiai(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .select("sample_id", "block", "otu_id")
         .distinct()
     )

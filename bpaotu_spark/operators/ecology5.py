@@ -33,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance, abundance_selected
 from bpaotu_spark.registry import register
 
 _BAS_SEL = "c_mktsegment = 'AUTOMOBILE'"
@@ -96,8 +96,7 @@ def beta_baselga_partition(
         F.col("c_nationkey").alias("block"),
     )
     a = (
-        abundance(spark, sf_dir)
-        .join(maybe_broadcast(sel), "sample_id")
+        abundance_selected(spark, sf_dir, sel)
         .select("sample_id", "block", "otu_id")
         .distinct()
     )

@@ -115,6 +115,25 @@ PRIORITY: tuple[str, ...] = (
     # cohort below the lineitem ⋈ orders join; embedding_pca_power_axis
     # (already in-window below) shares the solver.
     "ordination_pcoa_2d",
+    # (A) also changed this round: the whole study-selection ecology
+    # family now feeds through abundance_selected() — the bounded
+    # cohort is pushed BELOW the lineitem ⋈ orders join (broadcast
+    # sel → orders, broadcast filtered orders → lineitem scan) instead
+    # of filtering after a full fact-fact shuffle. Values identical
+    # (re-verified vs oracle at sf0.001 + sf0.01); plans changed, so
+    # the 10 previously-long-green members re-enter the window. The 6
+    # in-window/r9-new members (sorensen, gamma, endemism, kulczynski,
+    # ochiai, baselga) are covered by their existing window/queue slots.
+    "beta_diversity_braycurtis",
+    "beta_diversity_jaccard",
+    "export_biom_triplets",
+    "anosim_groups",
+    "beta_dispersion_groups",
+    "beta_diversity_morisita_horn",
+    "mantel_test_gradient",
+    "permanova_pseudo_f",
+    "unifrac_unweighted",
+    "unifrac_weighted",
     # (B) the 29 remaining round-8 additions — shipped r8 with
     # tools/check.py green at sf0.001 + sf0.01, held below the
     # boundary then; first driver verification now.
@@ -155,7 +174,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",
     "ann_pq_adc_topk",
     "attribution_time_decay",
-    "beta_diversity_jaccard",
     "bloom_semijoin_filter",
     "core_microbiome",
     "corpus_length_token_corr",
@@ -294,7 +312,6 @@ PRIORITY: tuple[str, ...] = (
     # covered by tools/check.py locally every round.
     "multimodal_features",
     "ivfadc_recall_report",
-    "beta_diversity_morisita_horn",
     "ace_richness",
     "nelson_aalen_hazard",
     "benford_first_digit",
@@ -302,14 +319,12 @@ PRIORITY: tuple[str, ...] = (
     "daily_autocorrelation",
     "heaps_law_estimate",
     "entropy_dedup_calibration",
-    "mantel_test_gradient",
     "markov_entropy_rate",
     "part_supply_resilience",
     "chao1_richness",
     "dsir_importance_select",
     "tokenizer_fertility",
     "zorder_file_pruning",
-    "anosim_groups",
     "curriculum_schedule",
     "theil_inequality",
     "intrinsic_dimension_twonn",
@@ -333,12 +348,9 @@ PRIORITY: tuple[str, ...] = (
     "faith_pd_taxonomy",
     "bloom_sizing_advisor",
     "two_way_effects",
-    "beta_dispersion_groups",
     "ab_test_sizing",
     "order_size_dispersion",
     "error_budget_burn",
-    "unifrac_unweighted",
-    "unifrac_weighted",
     "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
     "map_tiles_pyramid",
@@ -364,7 +376,6 @@ PRIORITY: tuple[str, ...] = (
     "embedding_cell_residual_stats",
     "dedup_family_agreement",
     "approx_distinct_kmv",
-    "permanova_pseudo_f",
     "heldout_bigram_perplexity",
     "ccnet_perplexity_tertiles",
     "gopher_quality_rules",
@@ -395,7 +406,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_near_dedup_keep_first",
     "dedup_lsh_recall_report",
     "bigram_pmi",
-    "beta_diversity_braycurtis",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_resize",
@@ -475,7 +485,6 @@ PRIORITY: tuple[str, ...] = (
     "taxonomy_isnot_filter",
     "contextual_fields_catalog",
     "otu_query_combined",
-    "export_biom_triplets",
     "events_session_window",
     "events_windowed_agg",
     "events_rollup_reuse",

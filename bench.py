@@ -454,6 +454,7 @@ HEADLINE = (
     "event_value_percentiles_by_type",
     "doc_length_quality_grid",
     "brand_nation_penetration",
+    "ann_greedy_graph_search",
 )
 
 

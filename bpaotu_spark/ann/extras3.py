@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
+from bpaotu_spark.ann.core import N_QUERIES
 from bpaotu_spark.registry import ORACLES, QUERIES, register
 
 _RQ_Q = 1000  # milli quantization (ann_range_query_count convention)
@@ -392,3 +393,240 @@ def ann_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# ann_greedy_graph_search — deterministic NSW-style greedy search over
+# the registered kNN graph (the §7 "graph-based ANN" candidate): from
+# a fixed entry node (max vec_id — never a query), hop to the best
+# out-neighbour on the exact milli-grid L2² as long as it strictly
+# improves; _SEARCH_HOPS hops bound the walk. Strict improvement makes
+# the walk cycle-free without a visited set, and the (d2, cand_id)
+# argmin makes every hop engine-identical, so the DuckDB twin unrolls
+# the hops as MATERIALIZED CTEs (the eigensolver discipline applied to
+# graph traversal). Output per query: found vs TRUE nearest neighbour
+# (self excluded) — the recall-and-distance-ratio report that decides
+# whether a graph index serves before building HNSW layers.
+#
+# Scale shape: the frontier is |queries| rows; each hop broadcasts it
+# into the edge list (shuffle-free probe of an edge table that is
+# |V|·k at scale), then semi-joins the candidate ids against the
+# corpus scan for distances. 12 hops × 2 broadcast joins — the
+# distributed loop shape (the graph is NOT bounded, so the one-batch
+# solver idiom does not apply).
+# ---------------------------------------------------------------------------
+
+_SEARCH_HOPS = 12
+
+
+def _greedy_oracle() -> str:
+    hops = []
+    prev = "h0"
+    for k in range(1, _SEARCH_HOPS + 1):
+        hops.append(f"""
+cand{k} AS MATERIALIZED (
+  SELECT f.query_id, f.qv, f.cur_id, f.cur_d2,
+    e.neighbor_id AS cand_id,
+    CAST(list_dot_product(CAST(q.q AS DOUBLE[]), CAST(q.q AS DOUBLE[]))
+       + list_dot_product(CAST(c.q AS DOUBLE[]), CAST(c.q AS DOUBLE[]))
+       - 2 * list_dot_product(CAST(q.q AS DOUBLE[]), CAST(c.q AS DOUBLE[]))
+      AS BIGINT) AS cand_d2
+  FROM {prev} f
+  JOIN knn e ON e.vec_id = f.cur_id AND e.neighbor_id != f.query_id
+  JOIN eq q ON q.vec_id = f.query_id
+  JOIN eq c ON c.vec_id = e.neighbor_id
+),
+best{k} AS MATERIALIZED (
+  SELECT query_id, qv, cur_id, cur_d2, cand_id, cand_d2,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cand_d2, cand_id) AS rn
+  FROM cand{k} QUALIFY rn = 1
+),
+h{k} AS MATERIALIZED (
+  SELECT f.query_id, f.qv,
+    CASE WHEN b.cand_d2 < f.cur_d2 THEN b.cand_id ELSE f.cur_id END
+      AS cur_id,
+    CASE WHEN b.cand_d2 < f.cur_d2 THEN b.cand_d2 ELSE f.cur_d2 END
+      AS cur_d2
+  FROM {prev} f LEFT JOIN best{k} b ON b.query_id = f.query_id
+)""".strip())
+        prev = f"h{k}"
+    return f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+eq AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+entry AS (SELECT max(vec_id) AS eid FROM eq),
+h0 AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, qs.q AS qv,
+    entry.eid AS cur_id,
+    CAST(list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(qs.q AS DOUBLE[]))
+       + list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+       - 2 * list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+      AS BIGINT) AS cur_d2
+  FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+  CROSS JOIN entry
+  JOIN eq e ON e.vec_id = entry.eid
+),
+{",".join(hops)},
+truth AS (
+  SELECT query_id, cand_id AS true_id, cand_d2 AS true_d2
+  FROM (
+    SELECT qs.vec_id AS query_id, e.vec_id AS cand_id,
+      CAST(list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(qs.q AS DOUBLE[]))
+         + list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+         - 2 * list_dot_product(CAST(qs.q AS DOUBLE[]),
+                                CAST(e.q AS DOUBLE[])) AS BIGINT)
+        AS cand_d2,
+      row_number() OVER (PARTITION BY qs.vec_id
+                         ORDER BY CAST(list_dot_product(CAST(qs.q AS
+        DOUBLE[]), CAST(qs.q AS DOUBLE[]))
+         + list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+         - 2 * list_dot_product(CAST(qs.q AS DOUBLE[]),
+                                CAST(e.q AS DOUBLE[])) AS BIGINT),
+        e.vec_id) AS rn
+    FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+    JOIN eq e ON e.vec_id != qs.vec_id
+  ) WHERE rn = 1
+)
+SELECT h.query_id, h.cur_id AS found_id, h.cur_d2 AS found_d2,
+  t.true_id, t.true_d2,
+  (h.cur_id = t.true_id) AS exact_hit,
+  CAST(h.cur_d2 * 1000 // greatest(t.true_d2, 1) AS BIGINT)
+    AS dist_ratio_milli
+FROM {prev} h JOIN truth t USING (query_id)
+ORDER BY h.query_id
+"""
+
+
+@register("ann_greedy_graph_search", oracle=_greedy_oracle())
+def ann_greedy_graph_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy graph-ANN walk over the registered kNN graph vs true
+    NN: (query_id, found/true ids + exact L2², exact_hit,
+    dist_ratio_milli)."""
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
+    )
+    # the edge list feeds one probe per hop — checkpoint once
+    knn = (
+        QUERIES["knn_graph_lsh"](spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    eq_c = eq.localCheckpoint()
+
+    def d2(qcol: str, ccol: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qs = eq_c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    entry = eq_c.agg(F.max("vec_id").alias("eid"))
+    ev = eq_c.select(F.col("vec_id").alias("eid"), F.col("q").alias("eq"))
+    frontier = (
+        qs.crossJoin(F.broadcast(entry))
+        .join(F.broadcast(ev), "eid")
+        .select(
+            "query_id",
+            "qv",
+            F.col("eid").alias("cur_id"),
+            d2("qv", "eq").cast("long").alias("cur_d2"),
+        )
+        .localCheckpoint()
+    )
+    cq = eq_c.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq")
+    )
+    for _ in range(_SEARCH_HOPS):
+        cand = (
+            knn.join(
+                F.broadcast(
+                    frontier.select("query_id", "qv", "cur_id", "cur_d2")
+                ),
+                (knn.vec_id == F.col("cur_id"))
+                & (knn.neighbor_id != F.col("query_id")),
+            )
+            .join(cq, knn.neighbor_id == cq.cand_id)
+            .select(
+                "query_id",
+                "cur_id",
+                "cur_d2",
+                "cand_id",
+                d2("qv", "cq").cast("long").alias("cand_d2"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(
+                F.col("query_id").alias("bq"),
+                F.col("cand_id").alias("b_id"),
+                F.col("cand_d2").alias("b_d2"),
+            )
+        )
+        frontier = (
+            frontier.join(
+                F.broadcast(best), frontier.query_id == F.col("bq"), "left"
+            )
+            .select(
+                "query_id",
+                "qv",
+                F.expr(
+                    "CASE WHEN b_d2 IS NOT NULL AND b_d2 < cur_d2"
+                    " THEN b_id ELSE cur_id END"
+                ).alias("cur_id"),
+                F.expr(
+                    "CASE WHEN b_d2 IS NOT NULL AND b_d2 < cur_d2"
+                    " THEN b_d2 ELSE cur_d2 END"
+                ).alias("cur_d2"),
+            )
+            .localCheckpoint()
+        )
+    truth_cand = eq_c.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        d2("qv", "q").cast("long").alias("cand_d2"),
+    )
+    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    truth = (
+        truth_cand.withColumn("rn", F.row_number().over(wt))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("true_id"),
+            F.col("cand_d2").alias("true_d2"),
+        )
+    )
+    return (
+        frontier.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("cur_id").alias("found_id"),
+            F.col("cur_d2").alias("found_d2"),
+            "true_id",
+            "true_d2",
+            (F.col("cur_id") == F.col("true_id")).alias("exact_hit"),
+            F.expr(
+                "CAST(cur_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
+            ).alias("dist_ratio_milli"),
+        )
+        .orderBy("query_id")
+    )

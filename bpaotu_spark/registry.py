@@ -227,6 +227,7 @@ PRIORITY: tuple[str, ...] = (
     "event_value_percentiles_by_type",
     "doc_length_quality_grid",
     "brand_nation_penetration",
+    "ann_greedy_graph_search",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

@@ -554,3 +554,16 @@ def test_abundance_selected_equals_filter_after_join(spark, sf_dir):
     assert sorted(map(tuple, new.select(*key).collect())) == sorted(
         map(tuple, old.select(*key).collect())
     )
+
+
+def test_greedy_graph_search_sane(spark, sf_dir):
+    rows = QUERIES["ann_greedy_graph_search"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # greedy can never beat the true NN on the same grid
+        assert r.found_d2 >= r.true_d2
+        assert r.dist_ratio_milli >= 1000
+        assert r.exact_hit == (r.found_id == r.true_id)
+        if r.exact_hit:
+            assert r.dist_ratio_milli == 1000
+        assert r.found_id != r.query_id

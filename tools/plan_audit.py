@@ -25,6 +25,9 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
     # --- round-9 additions (each a bounded scalar/dimension cross) ---
+    "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
+    "data_expectations_audit": "broadcast 1-row fk-orphan/row-count/dim-max scalars",
+    "hazard_ratio_segments": "broadcast 1-row obs-end scalar + 2-row group frame (logrank shape)",
     "ann_top1_margin_histogram": "broadcast 100-query set, non-equi != (ann_range_query shape)",
     "chi2_gof_weekday": "broadcast 1-row order-count scalar over the 7-row weekday frame",
     "cms_width_error_sweep": "broadcast 4-row depth frame into build + probe (heavy_hitters shape)",

@@ -134,6 +134,9 @@ PRIORITY: tuple[str, ...] = (
     "permanova_pseudo_f",
     "unifrac_unweighted",
     "unifrac_weighted",
+    "beta_diversity_sorensen",
+    "gamma_diversity_partition",
+    "otu_endemism",
     # (B) the 29 remaining round-8 additions — shipped r8 with
     # tools/check.py green at sf0.001 + sf0.01, held below the
     # boundary then; first driver verification now.
@@ -166,8 +169,9 @@ PRIORITY: tuple[str, ...] = (
     "text_sentence_profile",
     "embedding_norm_vs_label_anova",
     "events_trending_topk",
-    # (C) head of the never-driver-windowed backlog (18 of 45;
-    # the remaining 27 rotate in round 10).
+    # (C) head of the never-driver-windowed backlog — only 4 fit
+    # this round (the 20 plan-changed ops above claimed the slots);
+    # the remaining 41 backlog keys rotate from the r10 queue below.
     "dedup_band_threshold_sweep",
     "ab_cuped_adjustment",
     "abundance_rarefaction",
@@ -185,8 +189,10 @@ PRIORITY: tuple[str, ...] = (
     "dim_broadcast_advisor",
     "discount_effectiveness",
     # ---- ~50-entry window boundary ----
-    # (R10 QUEUE head) NEW in round 9 — tools/check.py green at
-    # sf0.001 + sf0.01 on arrival; first driver rotation next round.
+    # (R10 QUEUE) 13 (C)-group keys displaced below the boundary by
+    # this round's plan-changed promotions — never driver-windowed,
+    # tools/check.py green; rotate first next round, then the r9-new
+    # block after them.
     "text_word_length_hist",
     "doc_commonness_profile",
     "split_contamination_ngrams",
@@ -264,9 +270,6 @@ PRIORITY: tuple[str, ...] = (
     "vector_quantize_int4_error",
     "theil_sen_revenue_trend",
     "kendall_tau_daily",
-    "beta_diversity_sorensen",
-    "gamma_diversity_partition",
-    "otu_endemism",
     "berger_parker_dominance",
     "ann_sdc_topk",
     "pq_code_entropy",

@@ -26,6 +26,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ALLOWED_BNLJ = {
     # --- round-9 additions (each a bounded scalar/dimension cross) ---
     "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
+    "ann_greedy_graph_search": "broadcast |queries|-row frontier per hop + truth leg's broadcast-query != join",
     "data_expectations_audit": "broadcast 1-row fk-orphan/row-count/dim-max scalars",
     "hazard_ratio_segments": "broadcast 1-row obs-end scalar + 2-row group frame (logrank shape)",
     "ann_top1_margin_histogram": "broadcast 100-query set, non-equi != (ann_range_query shape)",

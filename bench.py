@@ -455,6 +455,10 @@ HEADLINE = (
     "doc_length_quality_grid",
     "brand_nation_penetration",
     "ann_greedy_graph_search",
+    "ann_beam_graph_search",
+    "user_hour_entropy_census",
+    "customer_brand_loyalty_hhi",
+    "priority_mix_jsd_monthly",
 )
 
 

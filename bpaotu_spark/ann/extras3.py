@@ -630,3 +630,213 @@ def ann_greedy_graph_search(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_beam_graph_search — beam-width-4 companion to the greedy walk:
+# per hop the frontier is the best _BEAM distinct nodes seen so far
+# (union of frontier ∪ frontier's out-neighbours, ranked by exact
+# milli-grid L2², deterministic (d2, id) cut). The monotone frontier
+# makes the walk convergent without a visited set, and every hop is
+# engine-identical — same unrolled-MATERIALIZED-oracle discipline as
+# the greedy op. Side-by-side the two ops ARE the graph-index tuning
+# story: greedy's 1/10 exact-hit rate vs beam's recall shows what
+# beam width buys before paying for HNSW layers.
+#
+# Scale shape: frontier is |queries|·B rows broadcast into the edge
+# probe per hop; candidates semi-join the corpus scan for distances.
+# ---------------------------------------------------------------------------
+
+_BEAM = 4
+_BEAM_HOPS = 8
+
+_D2_SQL = (
+    "CAST(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+    " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " - 2 * list_dot_product(CAST({a} AS DOUBLE[]),"
+    " CAST({b} AS DOUBLE[])) AS BIGINT)"
+)
+
+
+def _beam_oracle() -> str:
+    hops = []
+    prev = "f0"
+    for k in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""
+exp{k} AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM {prev}
+  UNION
+  SELECT f.query_id, e.neighbor_id AS node_id,
+    {_D2_SQL.format(a="q.q", b="c.q")} AS d2
+  FROM {prev} f
+  JOIN knn e ON e.vec_id = f.node_id AND e.neighbor_id != f.query_id
+  JOIN eq q ON q.vec_id = f.query_id
+  JOIN eq c ON c.vec_id = e.neighbor_id
+),
+f{k} AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+        AS rn
+    FROM exp{k}
+  ) WHERE rn <= {_BEAM}
+)""".strip())
+        prev = f"f{k}"
+    return f"""
+WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+eq AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+entry AS (SELECT max(vec_id) AS eid FROM eq),
+f0 AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, entry.eid AS node_id,
+    {_D2_SQL.format(a="qs.q", b="e.q")} AS d2
+  FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+  CROSS JOIN entry
+  JOIN eq e ON e.vec_id = entry.eid
+),
+{",".join(hops)},
+found AS (
+  SELECT query_id, node_id AS found_id, d2 AS found_d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+        AS rn
+    FROM {prev}
+  ) WHERE rn = 1
+),
+truth AS (
+  SELECT query_id, cand_id AS true_id, cand_d2 AS true_d2 FROM (
+    SELECT qs.vec_id AS query_id, e.vec_id AS cand_id,
+      {_D2_SQL.format(a="qs.q", b="e.q")} AS cand_d2,
+      row_number() OVER (PARTITION BY qs.vec_id
+        ORDER BY {_D2_SQL.format(a="qs.q", b="e.q")}, e.vec_id) AS rn
+    FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+    JOIN eq e ON e.vec_id != qs.vec_id
+  ) WHERE rn = 1
+)
+SELECT f.query_id, f.found_id, f.found_d2, t.true_id, t.true_d2,
+  (f.found_id = t.true_id) AS exact_hit,
+  CAST(f.found_d2 * 1000 // greatest(t.true_d2, 1) AS BIGINT)
+    AS dist_ratio_milli
+FROM found f JOIN truth t USING (query_id)
+ORDER BY f.query_id
+"""
+
+
+@register("ann_beam_graph_search", oracle=_beam_oracle())
+def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-4 graph-ANN walk over the registered kNN graph vs true NN
+    (same report shape as ann_greedy_graph_search)."""
+    eq = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _RQ_Q),
+            ).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    knn = (
+        QUERIES["knn_graph_lsh"](spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+
+    def d2(qcol: str, ccol: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    entry = eq.agg(F.max("vec_id").alias("eid"))
+    ev = eq.select(F.col("vec_id").alias("eid"), F.col("q").alias("nq"))
+    frontier = (
+        qs.crossJoin(F.broadcast(entry))
+        .join(F.broadcast(ev), "eid")
+        .select(
+            "query_id",
+            F.col("eid").alias("node_id"),
+            d2("qv", "nq").cast("long").alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
+    qv = qs  # (query_id, qv)
+    for _ in range(_BEAM_HOPS):
+        neigh = (
+            knn.join(
+                F.broadcast(frontier.select("query_id", "node_id")),
+                knn.vec_id == F.col("node_id"),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct()
+            .join(F.broadcast(qv), "query_id")
+            .join(cq, "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("node_id"),
+                d2("qv", "cq").cast("long").alias("d2"),
+            )
+        )
+        expanded = frontier.unionByName(neigh).distinct()
+        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
+        frontier = (
+            expanded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BEAM)
+            .select("query_id", "node_id", "d2")
+            .localCheckpoint()
+        )
+    w1 = Window.partitionBy("query_id").orderBy("d2", "node_id")
+    found = (
+        frontier.withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("node_id").alias("found_id"),
+            F.col("d2").alias("found_d2"),
+        )
+    )
+    truth_cand = eq.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        d2("qv", "q").cast("long").alias("cand_d2"),
+    )
+    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    truth = (
+        truth_cand.withColumn("rn", F.row_number().over(wt))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("true_id"),
+            F.col("cand_d2").alias("true_d2"),
+        )
+    )
+    return (
+        found.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "found_id",
+            "found_d2",
+            "true_id",
+            "true_d2",
+            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
+            F.expr(
+                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
+            ).alias("dist_ratio_milli"),
+        )
+        .orderBy("query_id")
+    )

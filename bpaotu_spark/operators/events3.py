@@ -561,3 +561,83 @@ def event_value_percentiles_by_type(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# user_hour_entropy_census — per-user Shannon entropy of activity over
+# hour-of-day (floored micro-nats), censused into bands: the bot
+# detector's first feature (a human's hours concentrate → low-mid
+# entropy; a cron job is a point mass → ~0; a randomized scraper is
+# near-uniform → ~ln 24).
+# Scale shape: one (user, hour) map-combined agg, per-user entropy
+# terms, bounded band census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_hour_entropy_census",
+    oracle="""
+WITH uh AS (
+  SELECT user_id, CAST(hour(ts) AS BIGINT) AS hr,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ut AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS tot FROM uh GROUP BY 1
+),
+h AS (
+  SELECT uh.user_id,
+    CAST(sum(CAST(floor((CAST(c AS DOUBLE) / tot)
+      * ln(CAST(tot AS DOUBLE) / c) * 1000000) AS BIGINT)) AS BIGINT)
+      AS h_micro
+  FROM uh JOIN ut ON uh.user_id = ut.user_id
+  GROUP BY uh.user_id
+)
+SELECT CAST(least(h_micro // 500000, 6) AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_h_micro
+FROM h GROUP BY band ORDER BY band
+""",
+)
+def user_hour_entropy_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band census of per-user hour-of-day activity entropy
+    (floored micro-nats; band width 0.5 nat, capped at 6)."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.groupBy(
+        "user_id", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ut = uh.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    h = (
+        uh.join(ut, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor((CAST(c AS DOUBLE) / tot)"
+                    " * ln(CAST(tot AS DOUBLE) / c) * 1000000)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_micro")
+        )
+    )
+    return (
+        h.groupBy(
+            F.expr(
+                "CAST(least(h_micro div 500000, CAST(6 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr("CAST(sum(h_micro) div count(*) AS BIGINT)").alias(
+                "mean_h_micro"
+            ),
+        )
+        .orderBy("band")
+    )

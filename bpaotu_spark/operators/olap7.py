@@ -849,3 +849,174 @@ def brand_nation_penetration(
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_brand_loyalty_hhi — per-customer Herfindahl index over the
+# brands they buy (exact ppm: Σ share², shares on the quantity grid),
+# censused into bands: HHI → 1e6 means single-brand loyalists, → 1/k
+# means brand-indifferent. The customer-level twin of the brand-level
+# part_brand_hhi.
+# Scale shape: (customer, brand) agg → per-customer exact HHI
+# (Σq_b²·10⁶ div (Σq)²) → bounded band census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_brand_loyalty_hhi",
+    oracle="""
+WITH cb AS (
+  SELECT o_custkey, p_brand,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY o_custkey, p_brand
+),
+h AS (
+  SELECT o_custkey,
+    CAST(count(*) AS BIGINT) AS n_brands,
+    CAST(sum(CAST(q AS HUGEINT) * q) * 1000000
+         // (CAST(sum(q) AS HUGEINT) * sum(q)) AS BIGINT) AS hhi_ppm
+  FROM cb GROUP BY o_custkey
+)
+SELECT CAST(least(hhi_ppm // 100000, 9) AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(n_brands) * 1000 // count(*) AS BIGINT)
+    AS mean_brands_milli
+FROM h GROUP BY band ORDER BY band
+""",
+)
+def customer_brand_loyalty_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band census of per-customer brand HHI (exact ppm)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    cb = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    h = cb.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.expr(
+            "CAST(sum(CAST(q AS DECIMAL(38,0)) * q) * 1000000"
+            " DIV (CAST(sum(q) AS DECIMAL(38,0)) * sum(q)) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+    return (
+        h.groupBy(
+            F.expr(
+                "CAST(least(hhi_ppm div 100000, CAST(9 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr(
+                "CAST(sum(n_brands) * 1000 div count(*) AS BIGINT)"
+            ).alias("mean_brands_milli"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# priority_mix_jsd_monthly — Jensen-Shannon divergence (floored micro-
+# nats) between each month's order-priority mix and the overall mix:
+# the composition-drift monitor on the priority dimension (the
+# source_jsd_matrix idiom applied over time). Terms are per-(month,
+# priority) floored before summing — order-free across engines.
+# Scale shape: two map-combined aggs (month×priority, priority) and a
+# bounded months × 5-priority grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_mix_jsd_monthly",
+    oracle="""
+WITH mp AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+    o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+mt AS (SELECT mon, CAST(sum(c) AS BIGINT) AS mtot FROM mp GROUP BY mon),
+gp AS (
+  SELECT pri, CAST(sum(c) AS BIGINT) AS g FROM mp GROUP BY pri
+),
+gt AS (SELECT CAST(sum(g) AS BIGINT) AS gtot FROM gp),
+terms AS (
+  SELECT mon,
+    -- p = month mix, q = global mix, m = (p+q)/2; JSD = (KL(p||m) +
+    -- KL(q||m))/2; every ratio is a rational of exact integers
+    CAST(floor((
+      (CAST(c AS DOUBLE) / mtot)
+        * ln((CAST(c AS DOUBLE) / mtot)
+             / ((CAST(c AS DOUBLE) / mtot
+                 + CAST(g AS DOUBLE) / gtot) / 2))
+      + (CAST(g AS DOUBLE) / gtot)
+        * ln((CAST(g AS DOUBLE) / gtot)
+             / ((CAST(c AS DOUBLE) / mtot
+                 + CAST(g AS DOUBLE) / gtot) / 2))
+    ) / 2 * 1000000) AS BIGINT) AS t_micro
+  FROM mp
+  JOIN mt USING (mon)
+  JOIN gp USING (pri)
+  CROSS JOIN gt
+)
+SELECT CAST(mon AS DATE) AS mon,
+  CAST(sum(t_micro) AS BIGINT) AS jsd_micro
+FROM terms GROUP BY mon ORDER BY mon
+""",
+)
+def priority_mix_jsd_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly JSD (floored micro-nats) of the order-priority mix vs
+    the overall mix."""
+    orders = load_table(spark, sf_dir, "orders")
+    mp = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("mon"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mt = mp.groupBy("mon").agg(F.sum("c").cast("bigint").alias("mtot"))
+    gp = mp.groupBy("pri").agg(F.sum("c").cast("bigint").alias("g"))
+    gt = gp.agg(F.sum("g").cast("bigint").alias("gtot"))
+    terms = (
+        mp.join(F.broadcast(mt), "mon")
+        .join(F.broadcast(gp), "pri")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "mon",
+            F.expr(
+                "CAST(floor(("
+                " (CAST(c AS DOUBLE) / mtot)"
+                "   * ln((CAST(c AS DOUBLE) / mtot)"
+                "        / ((CAST(c AS DOUBLE) / mtot"
+                "            + CAST(g AS DOUBLE) / gtot) / 2))"
+                " + (CAST(g AS DOUBLE) / gtot)"
+                "   * ln((CAST(g AS DOUBLE) / gtot)"
+                "        / ((CAST(c AS DOUBLE) / mtot"
+                "            + CAST(g AS DOUBLE) / gtot) / 2))"
+                ") / 2 * 1000000) AS BIGINT)"
+            ).alias("t_micro"),
+        )
+    )
+    return (
+        terms.groupBy("mon")
+        .agg(F.sum("t_micro").cast("bigint").alias("jsd_micro"))
+        .orderBy("mon")
+    )

@@ -234,6 +234,10 @@ PRIORITY: tuple[str, ...] = (
     "doc_length_quality_grid",
     "brand_nation_penetration",
     "ann_greedy_graph_search",
+    "ann_beam_graph_search",
+    "user_hour_entropy_census",
+    "customer_brand_loyalty_hhi",
+    "priority_mix_jsd_monthly",
     # (R10 QUEUE) remaining never-driver-windowed oracle-backed
     # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",

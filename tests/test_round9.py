@@ -567,3 +567,41 @@ def test_greedy_graph_search_sane(spark, sf_dir):
         if r.exact_hit:
             assert r.dist_ratio_milli == 1000
         assert r.found_id != r.query_id
+
+
+def test_beam_graph_search_sane(spark, sf_dir):
+    beam = {
+        r.query_id: r
+        for r in QUERIES["ann_beam_graph_search"](spark, sf_dir).collect()
+    }
+    assert len(beam) == 10
+    for r in beam.values():
+        assert r.found_d2 >= r.true_d2
+        assert r.dist_ratio_milli >= 1000
+        assert r.exact_hit == (r.found_id == r.true_id)
+        assert r.found_id != r.query_id
+
+
+def test_hour_entropy_bounded(spark, sf_dir):
+    import math
+
+    rows = QUERIES["user_hour_entropy_census"](spark, sf_dir).collect()
+    # entropy over 24 hours is at most ln(24) ≈ 3.178 nats
+    cap = int(math.log(24) * 1_000_000) + 24  # + per-term floor slack
+    for r in rows:
+        assert 0 <= r.mean_h_micro <= cap
+        assert r.n_users > 0
+
+
+def test_loyalty_hhi_bands(spark, sf_dir):
+    rows = QUERIES["customer_brand_loyalty_hhi"](spark, sf_dir).collect()
+    assert all(0 <= r.band <= 9 for r in rows)
+    assert all(r.mean_brands_milli >= 1000 for r in rows)
+
+
+def test_priority_jsd_nonnegative_and_bounded(spark, sf_dir):
+    import math
+
+    cap = int(math.log(2) * 1_000_000) + 10  # JSD ≤ ln 2 (+ floor slack)
+    for r in QUERIES["priority_mix_jsd_monthly"](spark, sf_dir).collect():
+        assert -10 <= r.jsd_micro <= cap

@@ -619,3 +619,57 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "o_orderpriority" in plan
     # predicate pushdown reaches the ORC scan
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_gated_write_publishes_clean_data(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import gated_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "gated_ok")
+    receipt = gated_write(
+        orders,
+        path,
+        rules={"nonpositive_price": "o_totalprice <= 0"},
+    )
+    assert receipt["published"] and receipt["n_rows"] == orders.count()
+    assert receipt["rules"][0]["n_violations"] == 0
+    # data landed AND the receipt sits next to it
+    assert spark.read.parquet(path).count() == orders.count()
+    with open(os.path.join(path, "_expectations_receipt.json")) as fh:
+        assert json.load(fh)["published"] is True
+
+
+def test_gated_write_refuses_dirty_data(spark, sf_dir, tmp_path):
+    import os
+
+    import pytest
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import ExpectationsFailed, gated_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "gated_refused")
+    with pytest.raises(ExpectationsFailed) as ei:
+        gated_write(
+            orders,
+            path,
+            rules={
+                "impossible": "o_totalprice > -1",  # flags EVERY row
+                "fine": "o_totalprice <= 0",
+            },
+        )
+    receipt = ei.value.receipt
+    assert receipt["published"] is False
+    assert {r["rule"] for r in receipt["rules"] if r["n_violations"]} == {
+        "impossible"
+    }
+    # the circuit breaker must not have written anything
+    assert not os.path.exists(path)

@@ -295,8 +295,9 @@ SELECT
   CAST(sum(d2) AS BIGINT) AS o2,
   CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
   CAST(sum(e2_micro) AS BIGINT) AS e2_micro,
-  CAST(CAST(sum(d1) AS HUGEINT) * sum(e2_micro) * 1000
-       // (CAST(sum(d2) AS HUGEINT) * sum(e1_micro)) AS BIGINT)
+  CAST(CASE WHEN CAST(sum(d2) AS HUGEINT) * sum(e1_micro) = 0 THEN NULL
+       ELSE CAST(sum(d1) AS HUGEINT) * sum(e2_micro) * 1000
+            // (CAST(sum(d2) AS HUGEINT) * sum(e1_micro)) END AS BIGINT)
     AS hr_milli
 FROM terms
 """,
@@ -417,9 +418,13 @@ def hazard_ratio_segments(
         F.sum("d2").cast("bigint").alias("o2"),
         F.sum("e1_micro").cast("bigint").alias("e1_micro"),
         F.sum("e2_micro").cast("bigint").alias("e2_micro"),
+        # a cohort where group 2 has no deaths (or e1 floors to 0)
+        # must yield a defined NULL, not a divide-by-zero / ANSI error
         F.expr(
-            "CAST(CAST(sum(d1) AS DECIMAL(38,0)) * sum(e2_micro) * 1000"
+            "CAST(CASE WHEN CAST(sum(d2) AS DECIMAL(38,0))"
+            " * sum(e1_micro) = 0 THEN NULL"
+            " ELSE CAST(sum(d1) AS DECIMAL(38,0)) * sum(e2_micro) * 1000"
             " div (CAST(sum(d2) AS DECIMAL(38,0)) * sum(e1_micro))"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("hr_milli"),
     )

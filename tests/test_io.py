@@ -673,3 +673,104 @@ def test_gated_write_refuses_dirty_data(spark, sf_dir, tmp_path):
     }
     # the circuit breaker must not have written anything
     assert not os.path.exists(path)
+
+
+def test_gated_write_single_scan(spark, sf_dir, tmp_path):
+    """The rule metrics must ride the write action itself (observe),
+    not a separate validate pass — a second scan doubles the job at
+    100 TB and can audit different rows than it publishes. The
+    accumulator counts every row each scan touches: one-pass == n,
+    the old validate-then-write shape == 2n."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import gated_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = orders.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_passthrough(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = orders.mapInPandas(counting_passthrough, orders.schema)
+    receipt = gated_write(
+        counted,
+        str(tmp_path / "gated_once"),
+        rules={"nonpositive_price": "o_totalprice <= 0"},
+    )
+    assert receipt["published"] and receipt["n_rows"] == n
+    assert acc.value == n, f"expected ONE scan ({n} rows), saw {acc.value}"
+
+
+def test_gated_write_empty_frame_publishes(spark, sf_dir, tmp_path):
+    """Zero rows violate nothing: an empty frame must publish (the
+    old F.sum-over-zero-rows NULL crashed before deciding)."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import gated_write
+
+    empty = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where("o_totalprice < 0")  # synthetic data has none
+    )
+    path = str(tmp_path / "gated_empty")
+    receipt = gated_write(
+        empty, path, rules={"nonpositive_price": "o_totalprice <= 0"}
+    )
+    assert receipt["published"] and receipt["n_rows"] == 0
+    assert receipt["rules"][0]["n_violations"] == 0
+    assert spark.read.parquet(path).count() == 0
+
+
+def test_gated_write_rejects_reserved_rule_names(spark, sf_dir, tmp_path):
+    import pytest
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import gated_write
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    with pytest.raises(ValueError, match="reserved"):
+        gated_write(
+            orders,
+            str(tmp_path / "gated_reserved"),
+            rules={"__gate_n_rows__": "o_orderkey < 0"},
+        )
+    with pytest.raises(ValueError, match="unsupported mode"):
+        gated_write(
+            orders,
+            str(tmp_path / "gated_badmode"),
+            rules={"neg": "o_orderkey < 0"},
+            mode="append",
+        )
+
+
+def test_gated_write_publish_modes(spark, sf_dir, tmp_path):
+    """mode applies to the PUBLISH step: overwrite replaces,
+    errorifexists raises (and cleans staging), ignore skips."""
+    import os
+
+    import pytest
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import gated_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    rules = {"nonpositive_price": "o_totalprice <= 0"}
+    path = str(tmp_path / "gated_modes")
+    gated_write(orders, path, rules=rules)
+    n = spark.read.parquet(path).count()
+
+    with pytest.raises(FileExistsError):
+        gated_write(orders, path, rules=rules, mode="errorifexists")
+    receipt = gated_write(orders, path, rules=rules, mode="ignore")
+    assert receipt["published"] is False and "skipped" in receipt
+    # no staging junk left behind by either non-publish path
+    parent = os.path.dirname(path)
+    assert not [f for f in os.listdir(parent) if "gate_staging" in f]
+    # target untouched
+    assert spark.read.parquet(path).count() == n

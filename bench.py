@@ -459,6 +459,8 @@ HEADLINE = (
     "user_hour_entropy_census",
     "customer_brand_loyalty_hhi",
     "priority_mix_jsd_monthly",
+    # round-10 additions (append-only tail)
+    "knn_graph_connected",
 )
 
 
@@ -489,6 +491,91 @@ def calibrate(spark) -> float:
         times.append(time.time() - t0)
     times.sort()
     return round(times[1], 3)
+
+
+# Modules that register the 47 canonical queries — the canon-only mode
+# imports ONLY these (9 modules vs the 51 the full registry loads), so
+# a canon-only run in a fresh JVM isolates the frozen subset from
+# suite-size pressure (registry import cost, codegen-cache growth,
+# driver heap from 410 registered plans). VERDICT r9 item 2: the
+# canonical subset moved +19.6% driver-to-driver while the pure-CPU
+# calib probe moved +3.6%, on untouched plans — this mode measures the
+# same 47 plans with the suite-size variable removed.
+CANON_MODULES = (
+    "bpaotu_spark.operators.olap",
+    "bpaotu_spark.operators.events",
+    "bpaotu_spark.operators.bpaotu",
+    "bpaotu_spark.operators.pipeline",
+    "bpaotu_spark.dedup.core",
+    "bpaotu_spark.ann.core",
+    "bpaotu_spark.functions.textops",
+    "bpaotu_spark.multimodal.core",
+    "bpaotu_spark.functions.seqsim",
+)
+
+
+def canon_only() -> int:
+    """Run ONLY the frozen 47-query canonical subset in this JVM.
+
+    Median-of-3 per query (same estimator as the full run's
+    value_canon), same warm-up and calibration probe, but the registry
+    never loads the other ~400 operators. Comparing this number with
+    the full run's value_canon from the same host window decomposes
+    canonical movement into (suite-size pressure) vs (host state).
+    """
+    import importlib
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bpaotu_spark.session import get_session
+    from bpaotu_spark.registry import QUERIES
+
+    for mod in CANON_MODULES:
+        importlib.import_module(mod)
+    canon = list(HEADLINE[:N_CANON])
+    missing = [n for n in canon if n not in QUERIES]
+    if missing:
+        raise SystemExit(f"canon-only: keys not registered: {missing}")
+
+    spark = get_session("bench")
+    force(QUERIES[canon[0]](spark, sf_dir))
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    calib_sec = calibrate(spark)
+
+    canon_med: dict[str, float] = {}
+    canon_runs: dict[str, list[float]] = {}
+    for name in canon:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            force(QUERIES[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        canon_runs[name] = [round(t, 3) for t in runs]
+        canon_med[name] = round(sorted(runs)[1], 3)
+
+    out = {
+        "metric": "canon_only_total",
+        "value": round(sum(canon_med.values()), 3),
+        "unit": "sec",
+        "calib_sec": calib_sec,
+        "n_canon": len(canon),
+        "n_modules": len(CANON_MODULES),
+        "n_registered": len(QUERIES),
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "detail": "BENCH_CANON_ONLY.json",
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_CANON_ONLY.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {**out, "queries": canon_med, "canon_runs": canon_runs},
+            fh,
+            indent=1,
+        )
+    print(json.dumps(out))
+    return 0
 
 
 def main() -> int:
@@ -649,4 +736,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--canon-only" in sys.argv[1:]:
+        sys.exit(canon_only())
     sys.exit(main())

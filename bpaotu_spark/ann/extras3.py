@@ -397,10 +397,15 @@ def ann_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ann_greedy_graph_search — deterministic NSW-style greedy search over
-# the registered kNN graph (the §7 "graph-based ANN" candidate): from
+# the CONNECTED kNN graph (the §7 "graph-based ANN" candidate): from
 # a fixed entry node (max vec_id — never a query), hop to the best
 # out-neighbour on the exact milli-grid L2² as long as it strictly
-# improves; _SEARCH_HOPS hops bound the walk. Strict improvement makes
+# improves; _SEARCH_HOPS hops bound the walk. r9 ran this over the raw
+# k=5 LSH graph, whose 10 components capped recall at ~1/10 regardless
+# of the walk (knn_graph_components is that diagnosis); r10 swaps in
+# knn_graph_connected's edge set (LSH kNN ∪ construction-time
+# multiprobe links ∪ medoid bridges — ann/graphconn.py), so the pair
+# now measures the SEARCH, not a broken substrate. Strict improvement makes
 # the walk cycle-free without a visited set, and the (d2, cand_id)
 # argmin makes every hop engine-identical, so the DuckDB twin unrolls
 # the hops as MATERIALIZED CTEs (the eigensolver discipline applied to
@@ -451,8 +456,12 @@ h{k} AS MATERIALIZED (
   FROM {prev} f LEFT JOIN best{k} b ON b.query_id = f.query_id
 )""".strip())
         prev = f"h{k}"
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+
     return f"""
-WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+WITH RECURSIVE
+{CONNECTED_EDGES_SQL},
+knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM conn_edges),
 eq AS MATERIALIZED (
   SELECT vec_id,
     list_transform(CAST(embedding AS DOUBLE[]),
@@ -509,6 +518,8 @@ def ann_greedy_graph_search(
     """Greedy graph-ANN walk over the registered kNN graph vs true
     NN: (query_id, found/true ids + exact L2², exact_hit,
     dist_ratio_milli)."""
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+
     eq = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -517,11 +528,7 @@ def ann_greedy_graph_search(
         ).alias("q"),
     )
     # the edge list feeds one probe per hop — checkpoint once
-    knn = (
-        QUERIES["knn_graph_lsh"](spark, sf_dir)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    knn = connected_search_edges(spark, sf_dir).localCheckpoint()
     eq_c = eq.localCheckpoint()
 
     def d2(qcol: str, ccol: str):
@@ -633,21 +640,27 @@ def ann_greedy_graph_search(
 
 
 # ---------------------------------------------------------------------------
-# ann_beam_graph_search — beam-width-4 companion to the greedy walk:
+# ann_beam_graph_search — beam-width-12 companion to the greedy walk:
 # per hop the frontier is the best _BEAM distinct nodes seen so far
 # (union of frontier ∪ frontier's out-neighbours, ranked by exact
 # milli-grid L2², deterministic (d2, id) cut). The monotone frontier
 # makes the walk convergent without a visited set, and every hop is
 # engine-identical — same unrolled-MATERIALIZED-oracle discipline as
 # the greedy op. Side-by-side the two ops ARE the graph-index tuning
-# story: greedy's 1/10 exact-hit rate vs beam's recall shows what
-# beam width buys before paying for HNSW layers.
+# story: greedy vs beam-4 recall shows what beam width buys before
+# paying for HNSW layers — now measured on the CONNECTED graph
+# (ann/graphconn.py), so the ceiling is the walk, not the substrate.
 #
 # Scale shape: frontier is |queries|·B rows broadcast into the edge
 # probe per hop; candidates semi-join the corpus scan for distances.
 # ---------------------------------------------------------------------------
 
-_BEAM = 4
+# width 12 / 8 hops: the measured knee. On the connected graph the
+# walk saturates in hops by 8 (frontier stops moving) and in width at
+# 12 (exact-hit 7/10 at BOTH sf0.01 and sf0.1, vs 2/10 at width 4 —
+# local minima, not connectivity, are the binding constraint once the
+# substrate is connected; width is the standard NSW/HNSW ef lever).
+_BEAM = 12
 _BEAM_HOPS = 8
 
 _D2_SQL = (
@@ -664,14 +677,19 @@ def _beam_oracle() -> str:
     for k in range(1, _BEAM_HOPS + 1):
         hops.append(f"""
 exp{k} AS MATERIALIZED (
-  SELECT query_id, node_id, d2 FROM {prev}
-  UNION
-  SELECT f.query_id, e.neighbor_id AS node_id,
-    {_D2_SQL.format(a="q.q", b="c.q")} AS d2
-  FROM {prev} f
-  JOIN knn e ON e.vec_id = f.node_id AND e.neighbor_id != f.query_id
-  JOIN eq q ON q.vec_id = f.query_id
-  JOIN eq c ON c.vec_id = e.neighbor_id
+  -- DISTINCT via subquery: under WITH RECURSIVE DuckDB applies
+  -- UNION-ALL semantics to a non-self-referential CTE's top-level
+  -- UNION, so the dedup must be explicit
+  SELECT DISTINCT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2 FROM {prev}
+    UNION ALL
+    SELECT f.query_id, e.neighbor_id AS node_id,
+      {_D2_SQL.format(a="q.q", b="c.q")} AS d2
+    FROM {prev} f
+    JOIN knn e ON e.vec_id = f.node_id AND e.neighbor_id != f.query_id
+    JOIN eq q ON q.vec_id = f.query_id
+    JOIN eq c ON c.vec_id = e.neighbor_id
+  )
 ),
 f{k} AS MATERIALIZED (
   SELECT query_id, node_id, d2 FROM (
@@ -682,8 +700,12 @@ f{k} AS MATERIALIZED (
   ) WHERE rn <= {_BEAM}
 )""".strip())
         prev = f"f{k}"
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+
     return f"""
-WITH knn AS ({ORACLES["knn_graph_lsh"]}),
+WITH RECURSIVE
+{CONNECTED_EDGES_SQL},
+knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM conn_edges),
 eq AS MATERIALIZED (
   SELECT vec_id,
     list_transform(CAST(embedding AS DOUBLE[]),
@@ -728,7 +750,7 @@ ORDER BY f.query_id
 
 @register("ann_beam_graph_search", oracle=_beam_oracle())
 def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam-4 graph-ANN walk over the registered kNN graph vs true NN
+    """Beam-12 graph-ANN walk over the CONNECTED kNN graph vs true NN
     (same report shape as ann_greedy_graph_search)."""
     eq = (
         load_table(spark, sf_dir, "embeddings")
@@ -741,11 +763,9 @@ def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    knn = (
-        QUERIES["knn_graph_lsh"](spark, sf_dir)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+
+    knn = connected_search_edges(spark, sf_dir).localCheckpoint()
 
     def d2(qcol: str, ccol: str):
         return F.aggregate(

@@ -1,0 +1,359 @@
+"""Connected deterministic kNN graph — the repaired substrate for
+NSW-style graph search.
+
+Reference parity: the reference's BLAST search (public path
+``bpaotu/otu/views.py`` blast endpoints) is nearest-neighbour
+retrieval; graph-based ANN is its index-accelerated form (SURVEY §2).
+
+The r9 diagnosis (``knn_graph_components``): the k=5 sign-LSH kNN
+graph splits into 10 connected components — one per label-cluster
+pair — so ANY graph search started from one entry point is capped at
+~1/10 recall by the GRAPH, not the walk. NSW/HNSW papers assume a
+connected navigable graph; this module constructs one
+deterministically, in three edge families:
+
+1. **knn** — the registered ``knn_graph_lsh`` edges (top-5 in-bucket
+   cosine neighbours per vector), symmetric closure.
+2. **multiprobe** — for every vector and each of the 4 one-bit-flip
+   probe buckets (Lv et al., VLDB'07 multiprobe applied to
+   CONSTRUCTION instead of query time), the single best cross-bucket
+   neighbour by (cos desc, id asc). These are exactly the
+   across-one-hyperplane links sign-LSH blocking cuts — the
+   semantically meaningful repairs.
+3. **bridge** — whatever components remain after (1)+(2) are joined
+   by edges from every component representative (its min vec_id — a
+   real node) to the globally minimal representative: a deterministic
+   star over component medoids, ``n_components − 1`` edges, proof of
+   connectivity by construction AND by a second CC run.
+
+Determinism: buckets are sign bits, ranking is (round(cos, 4) desc,
+id asc), component ids are min-node ids — every choice is a total
+order both engines reproduce; the DuckDB oracle mirrors the entire
+construction including both CC passes (recursive reachability — fine
+at oracle scale; the Spark side uses the O(log n)-round
+large-star/small-star CC).
+
+Scale shape: multiprobe candidates join per (probe-bucket, salt) —
+the same salted-equi-join discipline as ``knn_graph_lsh`` itself,
+never all-pairs; CC is the alternating-star loop (logarithmic
+rounds, localCheckpoint per round); bridges are |components| rows
+crossed with a 1-row global-min frame. Nothing is driver-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import (
+    COSINE_SQL,
+    _EMB_LSH_DIMS,
+    _emb_bucket,
+    _emb_bucket_sql,
+    dot,
+    norm,
+    star_connected_components,
+)
+from bpaotu_spark.registry import ORACLES, QUERIES, register
+
+_MP_SALT = 8
+_MP_JOIN_PARTS = 64
+
+
+def _flip_bucket_sql(col: str) -> str:
+    """DuckDB: the sign bucket of ``col`` with bit ``p`` flipped
+    (``p`` ranges over the probes CTE, 1-based)."""
+    cases = []
+    for i in range(_EMB_LSH_DIMS):
+        base = f"(CASE WHEN {col}.embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        flip = f"(CASE WHEN {col}.embedding[{i + 1}] >= 0 THEN '0' ELSE '1' END)"
+        cases.append(f"(CASE WHEN p = {i + 1} THEN {flip} ELSE {base} END)")
+    return " || ".join(cases)
+
+
+def _connected_ctes() -> str:
+    """The shared CTE chain (requires WITH RECURSIVE at the head):
+    builds ``e2`` = canonical undirected edges (u < v) of the
+    connected graph, plus the intermediate families ``e_knn`` /
+    ``e_mp`` / ``bridges`` and the pre-bridge components ``comp1``."""
+    return f"""
+lshknn AS ({ORACLES["knn_graph_lsh"]}),
+probes AS (SELECT unnest([{", ".join(str(i + 1) for i in range(_EMB_LSH_DIMS))}]) AS p),
+mp_cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, p,
+    round({COSINE_SQL}, 4) AS cos_sim
+  FROM embeddings a CROSS JOIN probes
+  JOIN embeddings b ON {_emb_bucket_sql("b")} = {_flip_bucket_sql("a")}
+),
+mp_best AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+      row_number() OVER (PARTITION BY src, p
+                         ORDER BY cos_sim DESC, dst ASC) AS rn
+    FROM mp_cand
+  ) WHERE rn = 1
+),
+e_knn AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+         greatest(vec_id, neighbor_id) AS v
+  FROM lshknn
+),
+e_mp AS (
+  -- subquery wrapper: DuckDB's WITH RECURSIVE parser only allows
+  -- UNION [ALL] at a CTE's top level, even for non-recursive members
+  SELECT u, v FROM (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM mp_best
+    EXCEPT SELECT u, v FROM e_knn
+  )
+),
+e1 AS (SELECT u, v FROM e_knn UNION SELECT u, v FROM e_mp),
+sym1 AS (
+  SELECT u AS src, v AS dst FROM e1
+  UNION SELECT v, u FROM e1
+  UNION SELECT vec_id, vec_id FROM embeddings
+),
+reach1(src, dst) AS (
+  SELECT src, dst FROM sym1
+  UNION
+  SELECT r.src, e.dst FROM reach1 r JOIN sym1 e ON r.dst = e.src
+),
+comp1 AS (SELECT src AS node, min(dst) AS component FROM reach1 GROUP BY src),
+reps AS (SELECT DISTINCT component FROM comp1),
+gm AS (SELECT min(component) AS g FROM reps),
+bridges AS (
+  SELECT g AS u, component AS v FROM reps, gm WHERE component != g
+),
+e2 AS (SELECT u, v FROM e1 UNION SELECT u, v FROM bridges)
+""".strip()
+
+
+# Directed edge list of the connected graph (both directions), the
+# drop-in replacement for the lsh kNN edges in the search oracles.
+CONNECTED_EDGES_SQL = f"""
+{_connected_ctes()},
+conn_edges AS (
+  SELECT u AS vec_id, v AS neighbor_id FROM e2
+  UNION SELECT v, u FROM e2
+)
+""".strip()
+
+
+def _connected_parts(spark: SparkSession, sf_dir: str):
+    """Spark construction; returns (all_nodes, e_knn, e_mp, bridges,
+    comp1, e2) — canonical undirected (u < v) edge frames."""
+    knn = QUERIES["knn_graph_lsh"](spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    e_knn = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds the union, the census AND the CC
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("bucket", _emb_bucket(F.col("v")))
+    )
+    # probe side: 4 one-bit-flip buckets per vector, salted so the
+    # 16-key equi-join keeps reduce parallelism (the knn_graph_lsh
+    # salting rationale applies unchanged)
+    probes = spark.range(1, _EMB_LSH_DIMS + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    flip_bits = []
+    for i in range(_EMB_LSH_DIMS):
+        base = F.when(F.col("v")[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+        flip = F.when(F.col("v")[i] >= 0, F.lit("0")).otherwise(F.lit("1"))
+        flip_bits.append(F.when(F.col("p") == i + 1, flip).otherwise(base))
+    probe_side = (
+        emb.crossJoin(F.broadcast(probes))
+        .select(
+            F.col("vec_id").alias("src"),
+            "p",
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            F.concat(*flip_bits).alias("pbucket"),
+        )
+        .withColumn(
+            "salt", F.pmod(F.col("src"), F.lit(_MP_SALT)).cast("int")
+        )
+        .repartition(_MP_JOIN_PARTS, "pbucket", "salt")
+    )
+    cand_side = (
+        emb.select(
+            F.col("vec_id").alias("dst"),
+            F.col("bucket").alias("cbucket"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        .withColumn(
+            "salt_b",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(_MP_SALT)])
+            ),
+        )
+        .repartition(_MP_JOIN_PARTS, "cbucket", "salt_b")
+    )
+    # flipped bucket != own bucket, so dst != src is structural. Every
+    # Hamming-1 pair surfaces TWICE (once from each side's probe of the
+    # same bit) — keep src < dst, fold the cosine ONCE, and mirror the
+    # scored row: the interpreted array fold is the dominant cost here
+    # and this halves it; cos and the flip position are symmetric, so
+    # the per-(src, p) ranking input is identical to the two-sided join
+    # (the oracle keeps the two-sided form — same values either way).
+    mp_scored = (
+        probe_side.join(
+            cand_side,
+            (F.col("pbucket") == F.col("cbucket"))
+            & (F.col("salt") == F.col("salt_b"))
+            & (F.col("src") < F.col("dst")),
+        )
+        .select(
+            "src",
+            "dst",
+            "p",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos_sim"),
+        )
+        # consumed twice below — without this the union duplicates the
+        # fold subtree and the halving is lost
+        .localCheckpoint()
+    )
+    mp_cand = mp_scored.unionByName(
+        mp_scored.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "p",
+            "cos_sim",
+        )
+    )
+    from pyspark.sql import Window
+
+    wmp = Window.partitionBy("src", "p").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    mp_best = (
+        mp_cand.withColumn("rn", F.row_number().over(wmp))
+        .filter("rn = 1")
+        .select("src", "dst")
+    )
+    e_mp = (
+        mp_best.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .subtract(e_knn)
+        .localCheckpoint()
+    )
+    e1 = e_knn.unionByName(e_mp)
+    labels1 = star_connected_components(e1, "u", "v")
+    all_nodes = emb.select(F.col("vec_id").alias("node"))
+    # isolated vectors (empty bucket AND empty probe buckets) are
+    # their own singleton components
+    comp1 = (
+        all_nodes.join(labels1, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", "node").alias("component"),
+        )
+        .localCheckpoint()
+    )
+    reps = comp1.select("component").distinct()
+    gm = reps.agg(F.min("component").alias("g"))
+    bridges = (
+        reps.crossJoin(F.broadcast(gm))
+        .filter("component != g")
+        .select(F.col("g").alias("u"), F.col("component").alias("v"))
+        .localCheckpoint()
+    )
+    e2 = e1.unionByName(bridges)
+    return all_nodes, e_knn, e_mp, bridges, comp1, e2
+
+
+def connected_search_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (vec_id, neighbor_id) edges of the connected graph —
+    the substrate ann_greedy/beam_graph_search walk."""
+    _, _, _, _, _, e2 = _connected_parts(spark, sf_dir)
+    return e2.select(
+        F.col("u").alias("vec_id"), F.col("v").alias("neighbor_id")
+    ).unionByName(
+        e2.select(
+            F.col("v").alias("vec_id"), F.col("u").alias("neighbor_id")
+        )
+    )
+
+
+@register(
+    "knn_graph_connected",
+    oracle=f"""
+WITH RECURSIVE
+{_connected_ctes()},
+sym2 AS (
+  SELECT u AS src, v AS dst FROM e2
+  UNION SELECT v, u FROM e2
+  UNION SELECT vec_id, vec_id FROM embeddings
+),
+reach2(src, dst) AS (
+  SELECT src, dst FROM sym2
+  UNION
+  SELECT r.src, e.dst FROM reach2 r JOIN sym2 e ON r.dst = e.src
+),
+comp2 AS (SELECT src AS node, min(dst) AS component FROM reach2 GROUP BY src)
+SELECT edge_type, n_edges,
+  (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM comp1)
+    AS n_components_before_bridges,
+  (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM comp2)
+    AS n_components_final
+FROM (
+  SELECT 'knn' AS edge_type,
+    (SELECT CAST(count(*) AS BIGINT) FROM e_knn) AS n_edges
+  UNION ALL SELECT 'multiprobe',
+    (SELECT CAST(count(*) AS BIGINT) FROM e_mp)
+  UNION ALL SELECT 'bridge',
+    (SELECT CAST(count(*) AS BIGINT) FROM bridges)
+)
+""",
+)
+def knn_graph_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-family census of the connected kNN graph + the CC proof:
+    (edge_type, n_edges, n_components_before_bridges,
+    n_components_final) — final must be 1."""
+    all_nodes, e_knn, e_mp, bridges, comp1, e2 = _connected_parts(
+        spark, sf_dir
+    )
+    labels2 = star_connected_components(e2, "u", "v")
+    comp2 = all_nodes.join(labels2, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+    nc1 = comp1.agg(
+        F.countDistinct("component")
+        .cast("bigint")
+        .alias("n_components_before_bridges")
+    )
+    nc2 = comp2.agg(
+        F.countDistinct("component")
+        .cast("bigint")
+        .alias("n_components_final")
+    )
+    counts = None
+    for name, frame in (
+        ("knn", e_knn),
+        ("multiprobe", e_mp),
+        ("bridge", bridges),
+    ):
+        leg = frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges")
+        ).select(F.lit(name).alias("edge_type"), "n_edges")
+        counts = leg if counts is None else counts.unionByName(leg)
+    return counts.crossJoin(F.broadcast(nc1)).crossJoin(F.broadcast(nc2))

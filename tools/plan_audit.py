@@ -24,6 +24,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # side is provably bounded and the condition is non-equi; these are
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
+    # --- round-10 additions ---
+    "knn_graph_connected": "broadcast 1-row global-min-rep + two 1-row component-count scalars into the 3-row census",
     # --- round-9 additions (each a bounded scalar/dimension cross) ---
     "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
     "ann_greedy_graph_search": "broadcast |queries|-row frontier per hop + truth leg's broadcast-query != join",

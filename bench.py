@@ -461,6 +461,9 @@ HEADLINE = (
     "priority_mix_jsd_monthly",
     # round-10 additions (append-only tail)
     "knn_graph_connected",
+    "expectations_audit_delta",
+    "events_burst_alarm_windows",
+    "ann_hnsw_layered_search",
 )
 
 
@@ -488,6 +491,30 @@ def calibrate(spark) -> float:
             "sum(hash(id) % 1000003) AS s",
             "count_if(hash(id, 7) % 97 = 0) AS c",
         ).write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    times.sort()
+    return round(times[1], 3)
+
+
+def calibrate_mem(spark) -> float:
+    """Memory/shuffle-bandwidth probe (r10 instrument finding).
+
+    The pure-CPU probe above was FLAT TO ANTI-CORRELATED with two
+    isolated canon-only runs 20 minutes apart that differed by 25%
+    (64.6 s @ calib 0.994 vs 48.5 s @ calib 1.059) — on a Firecracker
+    microVM the dominant ambient variable is neighbor memory/IO
+    bandwidth, which ALU-bound work cannot see but shuffle-heavy
+    queries pay in full. This probe is a fixed shuffle through
+    spark.local.dir (same path the real queries' exchanges take);
+    median-of-3 as calib_mem_sec. Canonical movement now decomposes
+    into (plan × cpu-host × bandwidth-host).
+    """
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).repartition(64, "id").write.format(
+            "noop"
+        ).mode("overwrite").save()
         times.append(time.time() - t0)
     times.sort()
     return round(times[1], 3)
@@ -542,6 +569,7 @@ def canon_only() -> int:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     calib_sec = calibrate(spark)
+    calib_mem_sec = calibrate_mem(spark)
 
     canon_med: dict[str, float] = {}
     canon_runs: dict[str, list[float]] = {}
@@ -559,6 +587,7 @@ def canon_only() -> int:
         "value": round(sum(canon_med.values()), 3),
         "unit": "sec",
         "calib_sec": calib_sec,
+        "calib_mem_sec": calib_mem_sec,
         "n_canon": len(canon),
         "n_modules": len(CANON_MODULES),
         "n_registered": len(QUERIES),
@@ -601,6 +630,7 @@ def main() -> int:
     # Machine-state probe FIRST (fixed pure-CPU job, median-of-3):
     # divides canonical deltas into (plan effect) x (host effect).
     calib_sec = calibrate(spark)
+    calib_mem_sec = calibrate_mem(spark)
 
     # Two runs per query, BOTH reported: "queries" (the headline) is
     # best-of-2 — the host virtual disk intermittently stalls for tens
@@ -689,6 +719,7 @@ def main() -> int:
                 "value_canon": value_canon,
                 "value_canon_min": value_canon_min,
                 "calib_sec": calib_sec,
+                "calib_mem_sec": calib_mem_sec,
                 "n_canon": len(canon),
                 "notes": notes,
                 "value_cold": round(sum(per_query_cold.values()), 3),
@@ -713,6 +744,7 @@ def main() -> int:
         "value_canon": value_canon,
         "value_canon_min": value_canon_min,
         "calib_sec": calib_sec,
+        "calib_mem_sec": calib_mem_sec,
         "n_canon": len(canon),
         "value_cold": round(sum(per_query_cold.values()), 3),
         "n_queries": len(per_query),

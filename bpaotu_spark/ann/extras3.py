@@ -860,3 +860,310 @@ def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_hnsw_layered_search — the hierarchical (HNSW-style) completion
+# of the graph-ANN arc: a beam-4 walk on a 1/16-sampled COARSE layer
+# (its own exact k=3 graph — the sample is small by construction,
+# which is the whole HNSW argument for upper layers; measured
+# connected at every SF) picks per-query entry points, then a SHORT
+# beam-12 descent (4 hops, half the flat op's 8) runs on the full
+# connected graph from them. Versus ann_beam_graph_search this
+# MEASURES the hierarchy trade at this corpus size: sf0.01 it wins
+# outright (exact-hit 7-8/10 vs flat 7/10 at half the full-layer
+# hops); sf0.1 it saturates at 5/10 by descent hop 4 (vs flat 7/10 at
+# 8 hops) — the coarse entry lands in a basin the short descent
+# cannot exit, the classic ef-vs-layers trade HNSW tunes. A greedy
+# (width-1) layer walk was measurably worse (2/10 at sf0.1): width
+# matters on the coarse layer exactly as it does on the base layer.
+#
+# Determinism: layer membership is vec_id % 16 == 0; every walk step
+# is the (d2, id) argmin on the exact milli grid; oracle unrolls both
+# phases as MATERIALIZED CTEs over the same conn_edges construction.
+#
+# Scale shape: the layer-1 kNN is |corpus|/16 × |corpus|/16 pairs —
+# at true scale upper layers are log-sampled so this stays bounded;
+# the descent is the same broadcast-frontier beam as the flat op,
+# with half the hops.
+# ---------------------------------------------------------------------------
+
+_L1_MOD = 16
+_L1_K = 3
+_L1_BEAM = 4
+_L1_HOPS = 8
+_DESCENT_HOPS = 4
+
+
+def _hnsw_oracle() -> str:
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+
+    # phase 1: beam-4 hops on the layer-1 graph
+    l1_hops = []
+    prev = "lf0"
+    for k in range(1, _L1_HOPS + 1):
+        l1_hops.append(f"""
+lexp{k} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2 FROM {prev}
+    UNION ALL
+    SELECT f.query_id, e.dst AS node_id,
+      {_D2_SQL.format(a="q.q", b="c.q")} AS d2
+    FROM {prev} f
+    JOIN l1edges e ON e.src = f.node_id AND e.dst != f.query_id
+    JOIN eq q ON q.vec_id = f.query_id
+    JOIN eq c ON c.vec_id = e.dst
+  )
+),
+lf{k} AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+        AS rn
+    FROM lexp{k}) WHERE rn <= {_L1_BEAM}
+)""".strip())
+        prev = f"lf{k}"
+    l1_final = prev
+    # phase 2: beam-12 descent on the full connected graph
+    d_hops = []
+    prev = "b0"
+    for k in range(1, _DESCENT_HOPS + 1):
+        d_hops.append(f"""
+dexp{k} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2 FROM {prev}
+    UNION ALL
+    SELECT f.query_id, e.neighbor_id AS node_id,
+      {_D2_SQL.format(a="q.q", b="c.q")} AS d2
+    FROM {prev} f
+    JOIN knn e ON e.vec_id = f.node_id AND e.neighbor_id != f.query_id
+    JOIN eq q ON q.vec_id = f.query_id
+    JOIN eq c ON c.vec_id = e.neighbor_id
+  )
+),
+b{k} AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id) AS rn
+    FROM dexp{k}) WHERE rn <= {_BEAM}
+)""".strip())
+        prev = f"b{k}"
+    return f"""
+WITH RECURSIVE
+{CONNECTED_EDGES_SQL},
+knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM conn_edges),
+eq AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+l1 AS MATERIALIZED (SELECT vec_id, q FROM eq WHERE vec_id % {_L1_MOD} = 0),
+l1knn AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY {_D2_SQL.format(a="a.q", b="b.q")}, b.vec_id) AS rn
+    FROM l1 a JOIN l1 b ON a.vec_id != b.vec_id
+  ) WHERE rn <= {_L1_K}
+),
+l1edges AS (
+  SELECT src, dst FROM l1knn UNION SELECT dst, src FROM l1knn
+),
+l1entry AS (SELECT max(vec_id) AS eid FROM l1),
+lf0 AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, l1entry.eid AS node_id,
+    {_D2_SQL.format(a="qs.q", b="e.q")} AS d2
+  FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+  CROSS JOIN l1entry
+  JOIN eq e ON e.vec_id = l1entry.eid
+),
+{",".join(l1_hops)},
+b0 AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM {l1_final}
+),
+{",".join(d_hops)},
+found AS (
+  SELECT query_id, node_id AS found_id, d2 AS found_d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id) AS rn
+    FROM {prev}) WHERE rn = 1
+),
+truth AS (
+  SELECT query_id, cand_id AS true_id, cand_d2 AS true_d2 FROM (
+    SELECT qs.vec_id AS query_id, e.vec_id AS cand_id,
+      {_D2_SQL.format(a="qs.q", b="e.q")} AS cand_d2,
+      row_number() OVER (PARTITION BY qs.vec_id
+        ORDER BY {_D2_SQL.format(a="qs.q", b="e.q")}, e.vec_id) AS rn
+    FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+    JOIN eq e ON e.vec_id != qs.vec_id
+  ) WHERE rn = 1
+)
+SELECT f.query_id, f.found_id, f.found_d2, t.true_id, t.true_d2,
+  (f.found_id = t.true_id) AS exact_hit,
+  CAST(f.found_d2 * 1000 // greatest(t.true_d2, 1) AS BIGINT)
+    AS dist_ratio_milli
+FROM found f JOIN truth t USING (query_id)
+ORDER BY f.query_id
+"""
+
+
+@register("ann_hnsw_layered_search", oracle=_hnsw_oracle())
+def ann_hnsw_layered_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-layer HNSW-style search: greedy on the 1/16 sample layer,
+    then beam-12 × 4 hops on the full connected graph from the coarse
+    result (same report shape as the flat search ops)."""
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+
+    eq = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _RQ_Q),
+            ).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    knn = connected_search_edges(spark, sf_dir).localCheckpoint()
+
+    def d2(qcol: str, ccol: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    # layer-1 graph: exact k=3 among the 1/16 sample (small by
+    # construction — the HNSW upper-layer argument), symmetric closure
+    l1 = eq.filter(F.col("vec_id") % _L1_MOD == 0).localCheckpoint()
+    a = l1.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    b = l1.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+    wl1 = Window.partitionBy("src").orderBy("d2l", "dst")
+    l1knn = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", d2("qa", "qb").cast("long").alias("d2l"))
+        .withColumn("rn", F.row_number().over(wl1))
+        .filter(F.col("rn") <= _L1_K)
+        .select("src", "dst")
+    )
+    l1edges = l1knn.unionByName(
+        l1knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    # phase 1: beam-4 walk on layer 1 from its max-id entry
+    entry = l1.agg(F.max("vec_id").alias("eid"))
+    ev = l1.select(F.col("vec_id").alias("eid"), F.col("q").alias("eqv"))
+    cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
+    qv = qs  # (query_id, qv)
+    beam = (
+        qs.crossJoin(F.broadcast(entry))
+        .join(F.broadcast(ev), "eid")
+        .select(
+            "query_id",
+            F.col("eid").alias("node_id"),
+            d2("qv", "eqv").cast("long").alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_L1_HOPS):
+        neigh = (
+            l1edges.join(
+                F.broadcast(beam.select("query_id", "node_id")),
+                l1edges.src == F.col("node_id"),
+            )
+            .filter(F.col("dst") != F.col("query_id"))
+            .select("query_id", F.col("dst").alias("cand_id"))
+            .distinct()
+            .join(F.broadcast(qv), "query_id")
+            .join(cq, "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("node_id"),
+                d2("qv", "cq").cast("long").alias("d2"),
+            )
+        )
+        expanded = beam.unionByName(neigh).distinct()
+        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
+        beam = (
+            expanded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _L1_BEAM)
+            .select("query_id", "node_id", "d2")
+            .localCheckpoint()
+        )
+    # phase 2: beam-12 descent on the full connected graph, entered
+    # from the coarse layer's surviving frontier
+    for _ in range(_DESCENT_HOPS):
+        neigh = (
+            knn.join(
+                F.broadcast(beam.select("query_id", "node_id")),
+                knn.vec_id == F.col("node_id"),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct()
+            .join(F.broadcast(qv), "query_id")
+            .join(cq, "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("node_id"),
+                d2("qv", "cq").cast("long").alias("d2"),
+            )
+        )
+        expanded = beam.unionByName(neigh).distinct()
+        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
+        beam = (
+            expanded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BEAM)
+            .select("query_id", "node_id", "d2")
+            .localCheckpoint()
+        )
+    w1 = Window.partitionBy("query_id").orderBy("d2", "node_id")
+    found = (
+        beam.withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("node_id").alias("found_id"),
+            F.col("d2").alias("found_d2"),
+        )
+    )
+    truth_cand = eq.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        d2("qv", "q").cast("long").alias("cand_d2"),
+    )
+    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    truth = (
+        truth_cand.withColumn("rn", F.row_number().over(wt))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("true_id"),
+            F.col("cand_d2").alias("true_d2"),
+        )
+    )
+    return (
+        found.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "found_id",
+            "found_d2",
+            "true_id",
+            "true_d2",
+            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
+            F.expr(
+                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
+            ).alias("dist_ratio_milli"),
+        )
+        .orderBy("query_id")
+    )

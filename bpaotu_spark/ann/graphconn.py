@@ -299,17 +299,21 @@ def connected_search_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE
 {_connected_ctes()},
-sym2 AS (
-  SELECT u AS src, v AS dst FROM e2
-  UNION SELECT v, u FROM e2
-  UNION SELECT vec_id, vec_id FROM embeddings
+symq AS (
+  SELECT u AS src, v AS dst FROM bridges
+  UNION SELECT v, u FROM bridges
+  UNION SELECT component, component FROM reps
 ),
-reach2(src, dst) AS (
-  SELECT src, dst FROM sym2
+reachq(src, dst) AS (
+  SELECT src, dst FROM symq
   UNION
-  SELECT r.src, e.dst FROM reach2 r JOIN sym2 e ON r.dst = e.src
+  SELECT r.src, e.dst FROM reachq r JOIN symq e ON r.dst = e.src
 ),
-comp2 AS (SELECT src AS node, min(dst) AS component FROM reach2 GROUP BY src)
+compq AS (SELECT src AS node, min(dst) AS component FROM reachq GROUP BY src),
+comp2 AS (
+  SELECT c1.node, coalesce(cq.component, c1.component) AS component
+  FROM comp1 c1 LEFT JOIN compq cq ON c1.component = cq.node
+)
 SELECT edge_type, n_edges,
   (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM comp1)
     AS n_components_before_bridges,
@@ -328,13 +332,24 @@ FROM (
 def knn_graph_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-family census of the connected kNN graph + the CC proof:
     (edge_type, n_edges, n_components_before_bridges,
-    n_components_final) — final must be 1."""
+    n_components_final) — final must be 1.
+
+    The final count is CC over the QUOTIENT graph (component reps +
+    bridge edges, ≤|components| nodes), not a second full-graph pass:
+    bridges only ever join whole comp1 components, so contracting each
+    component to its rep preserves the component count exactly — the
+    proof stays computed (and oracle-mirrored) at ~zero cost instead
+    of a second O(log n)-round star CC over every edge."""
     all_nodes, e_knn, e_mp, bridges, comp1, e2 = _connected_parts(
         spark, sf_dir
     )
-    labels2 = star_connected_components(e2, "u", "v")
-    comp2 = all_nodes.join(labels2, "node", "left").select(
-        "node", F.coalesce("component", "node").alias("component")
+    qlabels = star_connected_components(bridges, "u", "v").select(
+        F.col("node").alias("qnode"), F.col("component").alias("qcomp")
+    )
+    comp2 = comp1.join(
+        qlabels, comp1.component == F.col("qnode"), "left"
+    ).select(
+        "node", F.coalesce("qcomp", "component").alias("component")
     )
     nc1 = comp1.agg(
         F.countDistinct("component")

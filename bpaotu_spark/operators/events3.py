@@ -641,3 +641,65 @@ def user_hour_entropy_census(
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_burst_alarm_windows — BATCH twin of streaming/jobs.py's
+# burst_alarm_stream (same 6h window / 1h slide / ≥5 threshold): per
+# (sliding window, user) event counts at or above the burst
+# threshold. Registering the batch form gives the streaming layer's
+# alarm semantics a driver-verified oracle row: the stream is the
+# exact same plan over readStream (watermark-bounded state), so the
+# batch hash-match IS the correctness evidence for the alarm logic.
+#
+# Oracle: a row belongs to the 6 slide-aligned windows starting at
+# (floor(ms/1h) − k)·1h for k ∈ 0..5 — the same epoch-aligned grid
+# Spark's window(ts, '6 hours', '1 hour') generates.
+#
+# Scale shape: one groupBy over a 6×-exploded event stream with
+# map-side combine; output is alarm-sparse (threshold filter).
+# ---------------------------------------------------------------------------
+
+_BURST_WINDOW_MS = 6 * 3600 * 1000
+_BURST_SLIDE_MS = 3600 * 1000
+_BURST_THRESHOLD = 5
+
+
+@register(
+    "events_burst_alarm_windows",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ms FROM events
+),
+w AS (
+  SELECT user_id,
+    (CAST(floor(ms / {_BURST_SLIDE_MS}) AS BIGINT) - k)
+      * {_BURST_SLIDE_MS} AS window_start_ms
+  FROM ev CROSS JOIN (SELECT unnest(range({_BURST_WINDOW_MS // _BURST_SLIDE_MS})) AS k)
+)
+SELECT window_start_ms, user_id,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY window_start_ms, user_id
+HAVING count(*) >= {_BURST_THRESHOLD}
+""",
+)
+def events_burst_alarm_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user 6h/1h sliding-window burst alarms (count ≥ 5):
+    (window_start_ms, user_id, n_events) — the batch twin of
+    burst_alarm_stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "1 hour").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") >= _BURST_THRESHOLD)
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -206,3 +206,233 @@ def data_expectations_audit(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("table_name", "check_name")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-scoped) expectations audit — the 100-TB shape of
+# the sweep above: after a merge lands, only the rows the merge
+# touched are re-audited, so the lake pays per-delta audit cost, not
+# per-table. Two pieces:
+#
+# * ``audit_delta_partitions`` — the library function a scheduler
+#   calls after ``io.merge.merge_upsert``: given the merge's touched
+#   partition values, audit ONLY those partitions. The filter is a
+#   literal IN on the partition column of a partitioned parquet
+#   table, so Catalyst turns it into PartitionFilters — untouched
+#   partitions are never listed, opened, or scanned (pytest asserts
+#   this on the physical plan).
+# * ``expectations_audit_delta`` — the registered, oracle-backed
+#   query twin on the flat test tables: the "delta" is the latest
+#   order year (what a nightly merge would land) plus its lineitems
+#   (semi-join — the child rows that merge touched). Delta-side
+#   checks re-run pk/domain rules; the FK checks validate the DELTA
+#   against the FULL parent (the only cross-delta obligation — parent
+#   dims are broadcast-sized or bloom-prunable at scale).
+#
+# Scale shape: every check is one map-combined aggregate over the
+# pruned delta scan; FK anti-joins ship only delta rows through the
+# shuffle. Nothing rescans the 100-TB table for a 100-row delta.
+# ---------------------------------------------------------------------------
+
+
+def audit_delta_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    partition_values: list,
+    row_checks: dict[str, str],
+    pk_expr: str | None = None,
+) -> DataFrame:
+    """Audit ONLY the given partitions of a partitioned parquet table:
+    returns (check_name, n_rows, n_violations). The partition filter
+    is a literal IN, so the scan prunes to the touched partitions."""
+    delta = spark.read.parquet(table_path).filter(
+        F.col(partition_col).isin(partition_values)
+    )
+    frames = []
+    if pk_expr is not None:
+        frames.append(
+            delta.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.countDistinct(F.expr(pk_expr)))
+                .cast("bigint")
+                .alias("n_violations"),
+            ).select(
+                F.lit("pk_unique").alias("check_name"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+    for name, pred in row_checks.items():
+        frames.append(
+            delta.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+            ).select(
+                F.lit(name).alias("check_name"), "n_rows", "n_violations"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _delta_oracle() -> str:
+    branches = [
+        # delta orders: pk + domain + FK vs full customer dim
+        "SELECT 'orders' AS table_name, 'pk_unique' AS check_name,"
+        " CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)"
+        " AS n_violations FROM dord",
+        "SELECT 'orders', 'nonpositive_totalprice',"
+        " CAST(count(*) AS BIGINT),"
+        " CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0"
+        " END), 0) AS BIGINT) FROM dord",
+        "SELECT 'orders', 'null_orderdate', CAST(count(*) AS BIGINT),"
+        " CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0"
+        " END), 0) AS BIGINT) FROM dord",
+        "SELECT 'orders', 'fk_customer_exists',"
+        " CAST((SELECT count(*) FROM dord) AS BIGINT),"
+        " CAST((SELECT count(*) FROM dord"
+        "  ANTI JOIN customer ON o_custkey = c_custkey) AS BIGINT)",
+        # delta lineitems: pk + domain + FK vs full orders
+        "SELECT 'lineitem', 'pk_unique', CAST(count(*) AS BIGINT),"
+        " CAST(count(*) - count(DISTINCT l_orderkey * 10 +"
+        " l_linenumber) AS BIGINT) FROM dli",
+        "SELECT 'lineitem', 'nonpositive_quantity',"
+        " CAST(count(*) AS BIGINT),"
+        " CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0"
+        " END), 0) AS BIGINT) FROM dli",
+        "SELECT 'lineitem', 'discount_out_of_range',"
+        " CAST(count(*) AS BIGINT),"
+        " CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1"
+        " THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dli",
+        "SELECT 'lineitem', 'fk_orders_exists',"
+        " CAST((SELECT count(*) FROM dli) AS BIGINT),"
+        " CAST((SELECT count(*) FROM dli"
+        "  ANTI JOIN orders ON l_orderkey = o_orderkey) AS BIGINT)",
+    ]
+    return (
+        "WITH yy AS (SELECT max(year(CAST(o_orderdate AS DATE)))"
+        " AS y FROM orders),\n"
+        "dord AS (SELECT * FROM orders, yy"
+        " WHERE year(CAST(o_orderdate AS DATE)) = y),\n"
+        "dli AS (SELECT l.* FROM lineitem l"
+        " SEMI JOIN dord ON l.l_orderkey = dord.o_orderkey),\n"
+        "u AS (\n" + "\nUNION ALL\n".join(branches) + "\n)\n"
+        "SELECT * FROM u ORDER BY table_name, check_name"
+    )
+
+
+@register("expectations_audit_delta", oracle=_delta_oracle())
+def expectations_audit_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-scoped constraint sweep: audits only the latest order
+    year (the partition a nightly merge lands) and its lineitems;
+    (table_name, check_name, n_rows, n_violations)."""
+
+    def row(table: str, check: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            "n_rows",
+            "n_violations",
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    yy = orders.agg(
+        F.max(F.year(F.col("o_orderdate").cast("date"))).alias("y")
+    )
+    do = orders.crossJoin(F.broadcast(yy)).filter(
+        F.year(F.col("o_orderdate").cast("date")) == F.col("y")
+    ).localCheckpoint()  # the delta is consumed by 5 checks below
+    dl = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            do.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
+
+    def count_agg(df: DataFrame, pred: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    def pk_agg(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(F.expr(key)))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    def fk_agg(child: DataFrame, parent: DataFrame, cond) -> DataFrame:
+        orphans = child.join(parent, cond, "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("v")
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .select("n_rows", F.col("v").alias("n_violations"))
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    okeys = orders.select(F.col("o_orderkey").alias("pk_orderkey"))
+    frames = [
+        row("orders", "pk_unique", pk_agg(do, "o_orderkey")),
+        row(
+            "orders",
+            "nonpositive_totalprice",
+            count_agg(do, "o_totalprice <= 0"),
+        ),
+        row(
+            "orders", "null_orderdate", count_agg(do, "o_orderdate IS NULL")
+        ),
+        row(
+            "orders",
+            "fk_customer_exists",
+            fk_agg(do, cust, F.col("o_custkey") == F.col("c_custkey")),
+        ),
+        row(
+            "lineitem",
+            "pk_unique",
+            pk_agg(dl, "l_orderkey * 10 + l_linenumber"),
+        ),
+        row(
+            "lineitem",
+            "nonpositive_quantity",
+            count_agg(dl, "l_quantity <= 0"),
+        ),
+        row(
+            "lineitem",
+            "discount_out_of_range",
+            count_agg(dl, "l_discount < 0 OR l_discount > 1"),
+        ),
+        row(
+            "lineitem",
+            "fk_orders_exists",
+            fk_agg(
+                dl, okeys, F.col("l_orderkey") == F.col("pk_orderkey")
+            ),
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name", "check_name")

@@ -101,99 +101,28 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-9 WINDOW (driver verifies the first ~50) ----
-    # (A) plans CHANGED this round: the three textops5 n-gram ops
-    # gained the CASE-guarded explode (r8 ADVICE item 1 — Spark
-    # sequence(1, 0) is descending [1, 0], so docs shorter than the
-    # n-gram width emitted phantom grams; latent on committed data,
-    # fixed + re-verified at sf0.001/sf0.01 this round).
-    "corpus_char_trigram_entropy",
-    "doc_fourgram_compressibility",
-    "bpe_merge_candidates",
-    # (A) also changed this round: the fixed-point eigensolver now runs
-    # all rounds inside ONE exact-integer applyInPandas batch (same
-    # recurrence, ~200 fewer jobs) and the PCoA feed pushes the bounded
-    # cohort below the lineitem ⋈ orders join; embedding_pca_power_axis
-    # (already in-window below) shares the solver.
-    "ordination_pcoa_2d",
-    # (A) also changed this round: the whole study-selection ecology
-    # family now feeds through abundance_selected() — the bounded
-    # cohort is pushed BELOW the lineitem ⋈ orders join (broadcast
-    # sel → orders, broadcast filtered orders → lineitem scan) instead
-    # of filtering after a full fact-fact shuffle. Values identical
-    # (re-verified vs oracle at sf0.001 + sf0.01); plans changed, so
-    # the 10 previously-long-green members re-enter the window. The 6
-    # in-window/r9-new members (sorensen, gamma, endemism, kulczynski,
-    # ochiai, baselga) are covered by their existing window/queue slots.
-    "beta_diversity_braycurtis",
-    "beta_diversity_jaccard",
-    "export_biom_triplets",
-    "anosim_groups",
-    "beta_dispersion_groups",
-    "beta_diversity_morisita_horn",
-    "mantel_test_gradient",
-    "permanova_pseudo_f",
-    "unifrac_unweighted",
-    "unifrac_weighted",
-    "beta_diversity_sorensen",
-    "gamma_diversity_partition",
-    "otu_endemism",
-    # (B) the 29 remaining round-8 additions — shipped r8 with
-    # tools/check.py green at sf0.001 + sf0.01, held below the
-    # boundary then; first driver verification now.
-    "dedup_splice_pairs",
-    "doc_script_mix",
-    "ann_range_query_count",
-    "embedding_pca_power_axis",
-    "friedman_test_weekday",
-    "grubbs_outlier_daily",
-    "page_hinkley_drift",
-    "jonckheere_terpstra_trend",
-    "life_table_actuarial",
-    "event_type_entropy",
-    "beta_diversity_kulczynski",
-    "chao2_incidence",
-    "otu_rank_shift",
-    "daily_acf_lags",
-    "orders_runs_test",
-    "seasonality_strength",
-    "split_unigram_kl",
-    "beta_diversity_ochiai",
-    "sample_coverage_goods",
-    "ann_lsh_multiprobe_topk",
-    "quantiles_exact_by_segment",
-    "seasonal_naive_mase",
-    "knn_shared_neighbor_histogram",
-    "label_silhouette_centroid",
-    "parts_slow_mover_detection",
-    "orders_hhi_by_nation",
-    "text_sentence_profile",
-    "embedding_norm_vs_label_anova",
-    "events_trending_topk",
-    # (C) head of the never-driver-windowed backlog — only 4 fit
-    # this round (the 20 plan-changed ops above claimed the slots);
-    # the remaining 41 backlog keys rotate from the r10 queue below.
-    "dedup_band_threshold_sweep",
-    "ab_cuped_adjustment",
-    "abundance_rarefaction",
-    "ann_filtered_topk",
-    "ann_pq_adc_topk",
-    "attribution_time_decay",
-    "bloom_semijoin_filter",
-    "core_microbiome",
-    "corpus_length_token_corr",
-    "corpus_perplexity_filter",
-    "corpus_regex_scrub_apply",
-    "customer_rfm_segments",
-    "daily_revenue_gapfill",
-    "dedup_containment",
-    "dim_broadcast_advisor",
-    "discount_effectiveness",
-    # ---- ~50-entry window boundary ----
-    # (R10 QUEUE) 13 (C)-group keys displaced below the boundary by
-    # this round's plan-changed promotions — never driver-windowed,
-    # tools/check.py green; rotate first next round, then the r9-new
-    # block after them.
+    # ---- ROUND-10 WINDOW (driver verifies the first ~50) ----
+    # (A) NEW or plan-CHANGED this round:
+    #  - knn_graph_connected: NEW — connectivity-repaired kNN graph
+    #    (LSH kNN ∪ construction-time multiprobe ∪ medoid bridges)
+    #    with the two-CC census proof.
+    #  - expectations_audit_delta: NEW — delta-scoped expectations
+    #    audit (latest order year + its lineitems).
+    #  - events_burst_alarm_windows: NEW — burst-alarm batch twin;
+    #    +1 driver-keyed streaming semantics row.
+    #  - ann_greedy/beam_graph_search: plans CHANGED — they now walk
+    #    the connected graph; beam width 4 → 12 (measured knee).
+    #  - hazard_ratio_segments: plan CHANGED — zero-denominator CASE
+    #    guard on hr_milli (r9 ADVICE item 4), both engines.
+    "knn_graph_connected",
+    "expectations_audit_delta",
+    "events_burst_alarm_windows",
+    "ann_greedy_graph_search",
+    "ann_beam_graph_search",
+    "hazard_ratio_segments",
+    # (C) the never-driver-verified backlog, oldest first — all
+    # tools/check.py green at sf0.001 + sf0.01 (85/85 also passed the
+    # r9 judge's typed harness); pure rotation coverage.
     "text_word_length_hist",
     "doc_commonness_profile",
     "split_contamination_ngrams",
@@ -229,20 +158,20 @@ PRIORITY: tuple[str, ...] = (
     "data_expectations_audit",
     "orders_monthly_percentile_bridge",
     "ann_recall_at_k_sweep",
-    "hazard_ratio_segments",
     "taxonomy_level_diversity",
     "event_value_percentiles_by_type",
     "doc_length_quality_grid",
     "brand_nation_penetration",
-    "ann_greedy_graph_search",
-    "ann_beam_graph_search",
     "user_hour_entropy_census",
     "customer_brand_loyalty_hhi",
     "priority_mix_jsd_monthly",
-    # (R10 QUEUE) remaining never-driver-windowed oracle-backed
-    # keys (28) — all pass tools/check.py locally; rotate next.
     "doc_ngram_rep_profile",
     "embedding_outlier_topk",
+    # ---- ~50-entry window boundary ----
+    # (R11 QUEUE) remaining never-driver-verified oracle-backed keys
+    # — rotate next round; this closes the board. Late-r10 additions
+    # (hnsw search) queue here too.
+    "ann_hnsw_layered_search",
     "embedding_triplet_margin",
     "event_user_paths_topk",
     "events_hourly_heatmap",
@@ -269,8 +198,71 @@ PRIORITY: tuple[str, ...] = (
     "token_rate_drift",
     "weighted_sample_es",
     "window_funnel_strict",
-    # Round-8 window: driver-green in CORRECTNESS_r08.json (50/50),
+    # Round-9 window (first 50 driver-green in CORRECTNESS_r09.json; the
+    # 12 past its cut were judge-harness green) — rotates to the tail.
     # unchanged since — rotates to the covered tail.
+    "corpus_char_trigram_entropy",
+    "doc_fourgram_compressibility",
+    "bpe_merge_candidates",
+    "ordination_pcoa_2d",
+    "beta_diversity_braycurtis",
+    "beta_diversity_jaccard",
+    "export_biom_triplets",
+    "anosim_groups",
+    "beta_dispersion_groups",
+    "beta_diversity_morisita_horn",
+    "mantel_test_gradient",
+    "permanova_pseudo_f",
+    "unifrac_unweighted",
+    "unifrac_weighted",
+    "beta_diversity_sorensen",
+    "gamma_diversity_partition",
+    "otu_endemism",
+    "dedup_splice_pairs",
+    "doc_script_mix",
+    "ann_range_query_count",
+    "embedding_pca_power_axis",
+    "friedman_test_weekday",
+    "grubbs_outlier_daily",
+    "page_hinkley_drift",
+    "jonckheere_terpstra_trend",
+    "life_table_actuarial",
+    "event_type_entropy",
+    "beta_diversity_kulczynski",
+    "chao2_incidence",
+    "otu_rank_shift",
+    "daily_acf_lags",
+    "orders_runs_test",
+    "seasonality_strength",
+    "split_unigram_kl",
+    "beta_diversity_ochiai",
+    "sample_coverage_goods",
+    "ann_lsh_multiprobe_topk",
+    "quantiles_exact_by_segment",
+    "seasonal_naive_mase",
+    "knn_shared_neighbor_histogram",
+    "label_silhouette_centroid",
+    "parts_slow_mover_detection",
+    "orders_hhi_by_nation",
+    "text_sentence_profile",
+    "embedding_norm_vs_label_anova",
+    "events_trending_topk",
+    "dedup_band_threshold_sweep",
+    "ab_cuped_adjustment",
+    "abundance_rarefaction",
+    "ann_filtered_topk",
+    "ann_pq_adc_topk",
+    "attribution_time_decay",
+    "bloom_semijoin_filter",
+    "core_microbiome",
+    "corpus_length_token_corr",
+    "corpus_perplexity_filter",
+    "corpus_regex_scrub_apply",
+    "customer_rfm_segments",
+    "daily_revenue_gapfill",
+    "dedup_containment",
+    "dim_broadcast_advisor",
+    "discount_effectiveness",
     "kruskal_wallis_h",
     "vector_quantize_int4_error",
     "theil_sen_revenue_trend",
@@ -317,8 +309,6 @@ PRIORITY: tuple[str, ...] = (
     "whittaker_beta_nation",
     "heldout_oov_rate",
     "lsh_bucket_profile",
-    # Long-green tail: driver-green at current code, unchanged since —
-    # covered by tools/check.py locally every round.
     "multimodal_features",
     "ivfadc_recall_report",
     "ace_richness",

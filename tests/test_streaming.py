@@ -591,21 +591,11 @@ def test_burst_alarm_stream_matches_batch_windows(spark, sf_dir):
         for r in spark.table("burst_alarm_sink").collect()
     }
 
-    from bpaotu_spark.catalog import load_table
+    # the REGISTERED (oracle-backed) batch twin — the stream must
+    # match the exact frame the driver hash-verifies against DuckDB
+    from bpaotu_spark.registry import QUERIES
 
-    batch = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            F.window("ts", "6 hours", "1 hour").alias("w"), F.col("user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .filter(F.col("n_events") >= 5)
-        .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-            "user_id",
-            "n_events",
-        )
-    )
+    batch = QUERIES["events_burst_alarm_windows"](spark, sf_dir)
     want = {
         (r.window_start_ms, r.user_id, r.n_events) for r in batch.collect()
     }

@@ -26,6 +26,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ALLOWED_BNLJ = {
     # --- round-10 additions ---
     "knn_graph_connected": "broadcast 1-row global-min-rep + two 1-row component-count scalars into the 3-row census",
+    "expectations_audit_delta": "broadcast 1-row max-year scalar scoping the delta + 1-row orphan-count scalars (audit shape)",
+    "ann_hnsw_layered_search": "broadcast |queries|*B-row frontier per hop on both layers + truth leg's broadcast-query != join (beam shape)",
     # --- round-9 additions (each a bounded scalar/dimension cross) ---
     "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
     "ann_greedy_graph_search": "broadcast |queries|-row frontier per hop + truth leg's broadcast-query != join",

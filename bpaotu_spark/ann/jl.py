@@ -1,0 +1,179 @@
+"""Johnson-Lindenstrauss sign-projection audit.
+
+Reference parity: the reference's BLAST retrieval (public path
+``bpaotu/otu/views.py``) is similarity search; at 100 TB the standard
+pre-index move is dimensionality reduction, and the cheapest
+theoretically-grounded one is the ±1 sign projection (Achlioptas
+2003: a Rademacher matrix satisfies the JL lemma with the same
+guarantees as Gaussian). ``embedding_jl_distortion`` measures, on
+this corpus, exactly what the lemma promises in expectation:
+``E[‖Rᵀ(x−y)‖²] = K·‖x−y‖²`` for ±1 entries, so the audited
+statistic is ``proj_d2 / (K · orig_d2)`` — 1.0 in expectation, with
+spread shrinking as K grows. The output histogram is the
+go/no-go evidence for replacing 64-dim distance math with 16-dim in
+the ANN pipeline (4× less fold work per candidate pair).
+
+Determinism: the projection matrix is a Python-side md5-derived ±1
+literal (64×16 rows, generated once at import from
+``md5(j:k)``'s first hex digit) — embedded as a broadcast literal
+frame in Spark and a VALUES list in the oracle, so both engines
+multiply the exact same matrix; distances are exact integers on the
+milli grid.
+
+Scale shape: projection is posexplode → broadcast-join the 1,024-row
+sign matrix → one map-combined (vec, k) sum (shuffle carries
+|corpus|·K rows); the pair stage is the bounded query set broadcast
+against the corpus — no corpus×corpus anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.ann.core import N_QUERIES
+from bpaotu_spark.registry import register
+
+_DIM = 64
+_K = 16
+_Q = 1000  # milli quantization (ann extras convention)
+
+
+def _sign(j: int, k: int) -> int:
+    h = hashlib.md5(f"{j}:{k}".encode()).hexdigest()[0]
+    return 1 if h in "01234567" else -1
+
+
+_SIGNS = [(j, k, _sign(j, k)) for j in range(_DIM) for k in range(_K)]
+
+
+def _jl_oracle() -> str:
+    values = ", ".join(f"({j}, {k}, {s})" for j, k, s in _SIGNS)
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+signs(j, k, s) AS (VALUES {values}),
+x AS (
+  SELECT vec_id, CAST(t.j AS INTEGER) AS j, e.q[CAST(t.j AS INTEGER) + 1] AS x
+  FROM e, range({_DIM}) t(j)
+),
+proj AS (
+  SELECT vec_id, k, CAST(sum(x * s) AS BIGINT) AS y
+  FROM x JOIN signs ON x.j = signs.j
+  GROUP BY vec_id, k
+),
+qp AS (SELECT vec_id AS query_id, k, y AS yq FROM proj
+       WHERE vec_id < {N_QUERIES}),
+pd AS (
+  SELECT query_id, proj.vec_id AS cand_id,
+    CAST(sum((yq - y) * (yq - y)) AS BIGINT) AS proj_d2
+  FROM qp JOIN proj ON qp.k = proj.k AND proj.vec_id != qp.query_id
+  GROUP BY query_id, proj.vec_id
+),
+od AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+    CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))
+       + list_dot_product(CAST(b.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+       - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+      AS BIGINT) AS orig_d2
+  FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+),
+r AS (
+  SELECT pd.query_id, pd.cand_id,
+    CAST(pd.proj_d2 * 1000000 //
+         greatest({_K} * od.orig_d2, 1) AS BIGINT) AS ratio_ppm
+  FROM pd JOIN od ON pd.query_id = od.query_id
+    AND pd.cand_id = od.cand_id
+)
+SELECT
+  CAST(greatest(least((ratio_ppm - 1000000) // 100000, 10), -10)
+    AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm
+FROM r GROUP BY band ORDER BY band
+"""
+
+
+@register("embedding_jl_distortion", oracle=_jl_oracle())
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1-projection (64 → 16) distance-distortion census over the
+    query set × corpus: (band, n_pairs, mean_ratio_ppm) where ratio =
+    proj_d2 / (K · orig_d2) and band = 10%-wide buckets around 1.0,
+    clamped to ±10."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _Q),
+            ).alias("q"),
+        )
+        .localCheckpoint()  # feeds projection AND the exact-d2 leg
+    )
+    signs = spark.createDataFrame(_SIGNS, "j int, k int, s long")
+    x = e.select("vec_id", F.posexplode("q").alias("j", "x"))
+    proj = (
+        x.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.expr("x * s")).cast("bigint").alias("y"))
+    )
+    qp = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "k", F.col("y").alias("yq")
+    )
+    pd_ = (
+        proj.join(
+            F.broadcast(qp),
+            (proj.k == qp.k) & (proj.vec_id != qp.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum(F.expr("(yq - y) * (yq - y)"))
+            .cast("bigint")
+            .alias("proj_d2")
+        )
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    od = e.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("orig_d2"),
+    )
+    r = pd_.join(od, ["query_id", "cand_id"]).select(
+        F.expr(
+            f"CAST(proj_d2 * 1000000 div"
+            f" greatest({_K} * orig_d2, 1) AS BIGINT)"
+        ).alias("ratio_ppm")
+    )
+    return (
+        r.groupBy(
+            F.expr(
+                "CAST(greatest(least((ratio_ppm - 1000000) div 100000,"
+                " 10), -10) AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(ratio_ppm) div count(*) AS BIGINT)").alias(
+                "mean_ratio_ppm"
+            ),
+        )
+        .orderBy("band")
+    )

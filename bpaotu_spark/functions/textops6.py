@@ -549,3 +549,98 @@ def doc_length_quality_grid(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("len_q", "div_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tile_dedup_census — fixed-width passage (tile) dedup census:
+# each document splits into consecutive non-overlapping 20-word
+# tiles, tiles are md5-hashed, and each SOURCE reports how much of
+# its tile mass is duplicated. This is the passage-level sibling of
+# whole-doc exact dedup (dedup_exact) and the cheap approximation of
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): boilerplate that repeats
+# INSIDE otherwise-distinct documents is invisible to doc-level
+# hashing but dominates tile duplicates.
+#
+# Determinism: whitespace word split, fixed tile width, md5 of the
+# space-joined tile — engine-identical strings. Docs shorter than one
+# tile are filtered BEFORE sequence() (the r8 lesson: Spark
+# sequence(0, -1) is a descending [0, -1], not empty).
+#
+# Scale shape: explode is ≤ words/20 rows per doc; the census is one
+# groupBy(source) with two distinct aggregates — shuffle carries tile
+# hashes once.
+# ---------------------------------------------------------------------------
+
+_TILE_W = 20
+
+
+@register(
+    "text_tile_dedup_census",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+t AS (
+  SELECT doc_id, source,
+    md5(array_to_string(
+      ws[CAST(k * {_TILE_W} + 1 AS INTEGER)
+         :CAST(k * {_TILE_W} + {_TILE_W} AS INTEGER)], ' ')) AS th
+  FROM w, range(64) r(k)
+  WHERE len(ws) >= {_TILE_W} AND k < len(ws) // {_TILE_W}
+)
+SELECT source,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_tiled,
+  CAST(count(*) AS BIGINT) AS n_tiles,
+  CAST(count(DISTINCT th) AS BIGINT) AS n_distinct_tiles,
+  CAST((count(*) - count(DISTINCT th)) * 1000000 // count(*)
+    AS BIGINT) AS dup_ratio_ppm
+FROM t GROUP BY source ORDER BY source
+""",
+)
+def text_tile_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 20-word-tile dedup census: (source, n_docs_tiled,
+    n_tiles, n_distinct_tiles, dup_ratio_ppm)."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    t = (
+        w.filter(F.size("ws") >= _TILE_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"size(ws) div {_TILE_W}") - 1
+                )
+            ).alias("k"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "ws",
+                        F.col("k") * _TILE_W + 1,
+                        F.lit(_TILE_W),
+                    ),
+                    " ",
+                )
+            ).alias("th"),
+        )
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_tiled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tiles"),
+            F.countDistinct("th").cast("bigint").alias("n_distinct_tiles"),
+            F.expr(
+                "CAST((count(*) - count(DISTINCT th)) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("dup_ratio_ppm"),
+        )
+        .orderBy("source")
+    )

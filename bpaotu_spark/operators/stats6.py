@@ -41,7 +41,7 @@ dates span 7 fixed years), broadcast-joined, ~3M pairs worst case.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table, maybe_broadcast
 from bpaotu_spark.registry import register
@@ -499,4 +499,85 @@ def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (abs((yes_yes + no_no) * n - pe_num) * 1000000"
             "    div (n * n - pe_num)) AS BIGINT) END"
         ).alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_durbin_watson — Durbin-Watson serial-correlation statistic on
+# the daily revenue series: DW = Σ(eₜ−eₜ₋₁)² / Σeₜ² over mean
+# residuals. DW ≈ 2 means no lag-1 autocorrelation; < 2 positive
+# (momentum), > 2 negative (mean reversion) — the one-number check a
+# forecasting pipeline runs before assuming i.i.d. residuals
+# (complements daily_acf_lags, which reports the correlogram).
+#
+# Exactness: daily revenue in floor-cents (BIGINT); residuals scaled
+# by n (eₜ' = n·rₜ − Σr — exact integers, the n² factor cancels in
+# the ratio); squares/sums in 128-bit (n·r ~ 2e12 at sf0.1, squared
+# sums ~1e28 — int64 would overflow, the bartlett lesson applied at
+# design time). Output is floor-milli.
+#
+# Scale shape: one map-combined daily aggregate, one 1-row stat
+# scalar broadcast back, one ORDER BY d window over the
+# calendar-bounded daily frame (≤ ~2.6k rows at any SF).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_durbin_watson",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(r) AS BIGINT) AS tot FROM daily),
+e AS (
+  SELECT d, CAST(n * r - tot AS BIGINT) AS ee,
+    lag(CAST(n * r - tot AS BIGINT)) OVER (ORDER BY d) AS pe
+  FROM daily, st
+),
+agg AS (
+  SELECT
+    CAST(sum(CAST(ee AS HUGEINT) * ee) AS HUGEINT) AS den,
+    CAST(sum(CASE WHEN pe IS NULL THEN 0
+              ELSE CAST(ee - pe AS HUGEINT) * (ee - pe) END)
+      AS HUGEINT) AS num
+  FROM e
+)
+SELECT (SELECT n FROM st) AS n_days,
+  CAST(num * 1000 // greatest(den, 1) AS BIGINT) AS dw_milli
+FROM agg
+""",
+)
+def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson on daily revenue mean-residuals: (n_days,
+    dw_milli), exact floor-cents integer arithmetic throughout."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy("d")
+    e = (
+        daily.crossJoin(F.broadcast(st))
+        .select("d", F.expr("CAST(n * r - tot AS BIGINT)").alias("ee"), "n")
+        .withColumn("pe", F.lag("ee").over(w))
+    )
+    return e.agg(
+        F.max("n").alias("n_days"),
+        F.expr(
+            "CAST(sum(CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+            " ELSE CAST(ee - pe AS DECIMAL(38,0)) * (ee - pe) END) * 1000"
+            " div greatest(sum(CAST(ee AS DECIMAL(38,0)) * ee), 1)"
+            " AS BIGINT)"
+        ).alias("dw_milli"),
     )

@@ -85,6 +85,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.ecology5  # noqa: F401
     import bpaotu_spark.operators.quality2  # noqa: F401
     import bpaotu_spark.ann.graphconn  # noqa: F401
+    import bpaotu_spark.ann.jl  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -172,6 +173,9 @@ PRIORITY: tuple[str, ...] = (
     # — rotate next round; this closes the board. Late-r10 additions
     # (hnsw search) queue here too.
     "ann_hnsw_layered_search",
+    "embedding_jl_distortion",
+    "orders_durbin_watson",
+    "text_tile_dedup_census",
     "embedding_triplet_margin",
     "event_user_paths_topk",
     "events_hourly_heatmap",

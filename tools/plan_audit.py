@@ -28,6 +28,8 @@ ALLOWED_BNLJ = {
     "knn_graph_connected": "broadcast 1-row global-min-rep + two 1-row component-count scalars into the 3-row census",
     "expectations_audit_delta": "broadcast 1-row max-year scalar scoping the delta + 1-row orphan-count scalars (audit shape)",
     "ann_hnsw_layered_search": "broadcast |queries|*B-row frontier per hop on both layers + truth leg's broadcast-query != join (beam shape)",
+    "embedding_jl_distortion": "broadcast query set (N_QUERIES rows), non-equi != (ann_bruteforce shape) + projected-pair equi join",
+    "orders_durbin_watson": "broadcast 1-row (n, total) stat scalar into the calendar-bounded daily frame",
     # --- round-9 additions (each a bounded scalar/dimension cross) ---
     "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
     "ann_greedy_graph_search": "broadcast |queries|-row frontier per hop + truth leg's broadcast-query != join",

@@ -467,6 +467,7 @@ HEADLINE = (
     "embedding_jl_distortion",
     "orders_durbin_watson",
     "text_tile_dedup_census",
+    "winsorized_mean_by_segment",
 )
 
 

@@ -548,3 +548,102 @@ def error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n7_errors * 1000000) div n7_events") > _SLO_PPM
         ).alias("burn_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean_by_segment — the clamp-the-tails sibling of
+# trimmed_mean_by_segment: instead of DROPPING the bottom/top 5%, each
+# tail observation is replaced by the boundary order statistic
+# (rank k+1 from below, rank n−k from above, k = n//20), so the
+# estimator keeps n observations and a bounded tail influence — the
+# robust mean of choice when the tail mass itself carries signal
+# (revenue!) but single outliers must not dominate. Winsorized sum =
+# mid-sum + k·low + k·high — three aggregates over one ranked pass.
+#
+# Exactness: floor-cents, rank ties broken on o_orderkey, floor-DIV
+# means — identical in both engines.
+#
+# Scale shape: one broadcast dim join + one segment-partitioned rank
+# window + one groupBy — same plan family as the trimmed mean.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_mean_by_segment",
+    oracle="""
+WITH j AS (
+  SELECT c_mktsegment,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT c_mktsegment, cents,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cents, o_orderkey) AS rn,
+    count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment,
+  CAST(max(n) AS BIGINT) AS n_orders,
+  CAST(max(n) // 20 AS BIGINT) AS k_winsorized_per_tail,
+  CAST(max(CASE WHEN rn = n // 20 + 1 THEN cents END) AS BIGINT)
+    AS low_clamp_cents,
+  CAST(max(CASE WHEN rn = n - n // 20 THEN cents END) AS BIGINT)
+    AS high_clamp_cents,
+  CAST((sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+              THEN cents ELSE 0 END)
+        + (max(n) // 20) * max(CASE WHEN rn = n // 20 + 1
+                               THEN cents END)
+        + (max(n) // 20) * max(CASE WHEN rn = n - n // 20
+                               THEN cents END)) AS BIGINT)
+    // CAST(max(n) AS BIGINT) AS winsorized_mean_cents
+FROM r GROUP BY c_mktsegment
+""",
+)
+def winsorized_mean_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """5%-winsorized mean order value per market segment:
+    (c_mktsegment, n_orders, k_winsorized_per_tail, low/high clamp,
+    winsorized_mean_cents) — exact floor-cents."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = od.join(F.broadcast(cu), "o_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = j.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.expr("CAST(max(n) div 20 AS BIGINT)").alias(
+            "k_winsorized_per_tail"
+        ),
+        F.expr(
+            "CAST(max(CASE WHEN rn = n div 20 + 1 THEN cents END)"
+            " AS BIGINT)"
+        ).alias("low_clamp_cents"),
+        F.expr(
+            "CAST(max(CASE WHEN rn = n - n div 20 THEN cents END)"
+            " AS BIGINT)"
+        ).alias("high_clamp_cents"),
+        F.expr(
+            "CAST((sum(CASE WHEN rn > n div 20 AND rn <= n - n div 20"
+            " THEN cents ELSE 0 END)"
+            " + (max(n) div 20) * max(CASE WHEN rn = n div 20 + 1"
+            " THEN cents END)"
+            " + (max(n) div 20) * max(CASE WHEN rn = n - n div 20"
+            " THEN cents END)) AS BIGINT)"
+            " div CAST(max(n) AS BIGINT)"
+        ).alias("winsorized_mean_cents"),
+    )

@@ -176,6 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_jl_distortion",
     "orders_durbin_watson",
     "text_tile_dedup_census",
+    "winsorized_mean_by_segment",
     "embedding_triplet_margin",
     "event_user_paths_topk",
     "events_hourly_heatmap",

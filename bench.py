@@ -468,6 +468,7 @@ HEADLINE = (
     "orders_durbin_watson",
     "text_tile_dedup_census",
     "winsorized_mean_by_segment",
+    "order_value_poisson_bootstrap",
 )
 
 

@@ -581,3 +581,120 @@ def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dw_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# order_value_poisson_bootstrap — the distributed (Poisson) bootstrap:
+# every order draws, per replicate b, a weight w ~ Poisson(1) from a
+# 60-bit md5(orderkey:b) grid; Σw·x over one pass per replicate gives
+# B resampled totals whose spread IS the sampling distribution of the
+# statistic — the bootstrap a 100-TB pipeline can actually run (no
+# resample materialization, no sequential RNG, map-side combinable,
+# rerun-stable). This is the replicate table; the caller derives the
+# CI from the replicate means (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams", the Poisson-bootstrap standard).
+#
+# Determinism: the weight is a pure INTEGER comparison of the 60-bit
+# hash against Poisson(1) CDF thresholds precomputed in Python and
+# embedded as literals in both engines — no doubles anywhere in the
+# draw; outputs are exact cents with floor-div means.
+#
+# Scale shape: B=32 replicate rows per order via one explode, one
+# groupBy(replicate) with map-side combine — shuffle carries 32 rows
+# per task.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BOOT_B = 32
+_POIS_T = []
+_c = 0.0
+for _k in range(8):
+    _c += _math.exp(-1) / _math.factorial(_k)
+    _POIS_T.append(int(_math.floor(_c * (1 << 60))))  # cum-CDF * 2^60
+
+
+def _pois_case(hv: str) -> str:
+    """SQL: Poisson(1) draw from the 60-bit hash (integer thresholds,
+    capped at 8)."""
+    whens = " ".join(
+        f"WHEN {hv} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+_BOOT_HASH_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)"
+    f" || ':' || CAST(b AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@register(
+    "order_value_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+h AS (
+  SELECT b, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+    {_pois_case(f"({_BOOT_HASH_SQL})")} AS w
+  FROM orders CROSS JOIN reps
+)
+SELECT CAST(b AS BIGINT) AS replicate_id,
+  CAST(sum(w) AS BIGINT) AS n_eff,
+  CAST(sum(w * cents) AS BIGINT) AS total_cents,
+  CAST(sum(w * cents) // greatest(sum(w), 1) AS BIGINT) AS mean_cents
+FROM h GROUP BY b ORDER BY replicate_id
+""",
+)
+def order_value_poisson_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B=32 Poisson-bootstrap replicates of total/mean order value:
+    (replicate_id, n_eff, total_cents, mean_cents) — exact integers;
+    the replicate spread is the statistic's sampling distribution."""
+    reps = spark.range(_BOOT_B).select(
+        F.col("id").cast("int").alias("b")
+    )
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    whens = F.lit(8)
+    for k, t in reversed(list(enumerate(_POIS_T))):
+        whens = F.when(hv < t, k).otherwise(whens)
+    h = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .select("b", "cents", whens.alias("w"))
+    )
+    return (
+        h.groupBy(F.col("b").cast("bigint").alias("replicate_id"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.expr("w * cents")).cast("bigint").alias("total_cents"),
+            F.expr(
+                "CAST(sum(w * cents) div greatest(sum(w), 1) AS BIGINT)"
+            ).alias("mean_cents"),
+        )
+        .orderBy("replicate_id")
+    )

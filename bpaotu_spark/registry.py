@@ -177,6 +177,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_durbin_watson",
     "text_tile_dedup_census",
     "winsorized_mean_by_segment",
+    "order_value_poisson_bootstrap",
     "embedding_triplet_margin",
     "event_user_paths_topk",
     "events_hourly_heatmap",

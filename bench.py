@@ -469,6 +469,7 @@ HEADLINE = (
     "text_tile_dedup_census",
     "winsorized_mean_by_segment",
     "order_value_poisson_bootstrap",
+    "ann_jl_topk_recall",
 )
 
 

@@ -178,6 +178,7 @@ PRIORITY: tuple[str, ...] = (
     "text_tile_dedup_census",
     "winsorized_mean_by_segment",
     "order_value_poisson_bootstrap",
+    "ann_jl_topk_recall",
     "embedding_triplet_margin",
     "event_user_paths_topk",
     "events_hourly_heatmap",

@@ -470,6 +470,7 @@ HEADLINE = (
     "winsorized_mean_by_segment",
     "order_value_poisson_bootstrap",
     "ann_jl_topk_recall",
+    "scd2_point_in_time_join",
 )
 
 

@@ -515,3 +515,108 @@ def scd2_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_dwell_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_point_in_time_join — the feature-store PIT (point-in-time)
+# join: every purchase FACT is joined to the SCD2 dimension interval
+# that was valid STRICTLY BEFORE the fact's timestamp (ts − 1 µs) —
+# the anti-leakage rule that makes offline features reproduce what the
+# online store would have served (a plain as-of-or-equal join leaks
+# the label event's own state into its features). Dimension =
+# scd2_user_state_intervals (composed via its registered oracle so the
+# join can never drift from the dimension it serves); fact = purchase
+# events; output = the prior-state census of purchases, with facts
+# whose user has NO prior interval (first-ever event) surfacing as
+# state 'none' via the left join rather than silently dropping.
+#
+# Scale shape: equi-join on user_id with the interval predicate as a
+# residual filter — intervals per user are bounded by that user's
+# event count, so the join is keyed and never quadratic; the census is
+# one map-combined aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), iv AS (
+  SELECT user_id, ts, event_type,
+    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS interval_seq
+  FROM e
+), g AS (
+  SELECT user_id, interval_seq, event_type AS state,
+    min(ts) AS valid_from
+  FROM iv GROUP BY user_id, interval_seq, event_type
+), dim AS (
+  SELECT user_id, state,
+    epoch_us(valid_from) AS f_us,
+    epoch_us(lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY interval_seq)) AS t_us
+  FROM g
+), facts AS (
+  SELECT user_id, event_id, epoch_us(ts) - 1 AS asof_us
+  FROM events WHERE event_type = 'purchase'
+), pit AS (
+  SELECT facts.event_id, facts.user_id,
+    coalesce(dim.state, 'none') AS prior_state
+  FROM facts LEFT JOIN dim
+    ON dim.user_id = facts.user_id
+    AND dim.f_us <= facts.asof_us
+    AND (dim.t_us IS NULL OR facts.asof_us < dim.t_us)
+)
+SELECT prior_state,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pit GROUP BY prior_state ORDER BY prior_state
+""",
+)
+def scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PIT join of purchase facts to the SCD2 state valid at
+    (ts − 1 µs): (prior_state, n_purchases, n_users) — the
+    anti-leakage feature-join census."""
+    dim = scd2_user_state_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        F.unix_micros("valid_from").alias("f_us"),
+        F.unix_micros("valid_to").alias("t_us"),
+    )
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_micros("ts") - 1).alias("asof_us"),
+        )
+    )
+    pit = facts.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("f_us") <= F.col("asof_us"))
+        & (F.col("t_us").isNull() | (F.col("asof_us") < F.col("t_us"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        F.coalesce("state", F.lit("none")).alias("prior_state"),
+    )
+    return (
+        pit.groupBy("prior_state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("prior_state")
+    )

@@ -179,6 +179,7 @@ PRIORITY: tuple[str, ...] = (
     "winsorized_mean_by_segment",
     "order_value_poisson_bootstrap",
     "ann_jl_topk_recall",
+    "scd2_point_in_time_join",
     "embedding_triplet_margin",
     "event_user_paths_topk",
     "events_hourly_heatmap",

@@ -30,6 +30,8 @@ ALLOWED_BNLJ = {
     "ann_hnsw_layered_search": "broadcast |queries|*B-row frontier per hop on both layers + truth leg's broadcast-query != join (beam shape)",
     "embedding_jl_distortion": "broadcast query set (N_QUERIES rows), non-equi != (ann_bruteforce shape) + projected-pair equi join",
     "orders_durbin_watson": "broadcast 1-row (n, total) stat scalar into the calendar-bounded daily frame",
+    "order_value_poisson_bootstrap": "broadcast 32-row replicate dimension crossed into the fact scan (one explode)",
+    "ann_jl_topk_recall": "broadcast query set (N_QUERIES rows), non-equi != + projected-pair equi join (jl_distortion shape)",
     # --- round-9 additions (each a bounded scalar/dimension cross) ---
     "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
     "ann_greedy_graph_search": "broadcast |queries|-row frontier per hop + truth leg's broadcast-query != join",

@@ -211,3 +211,96 @@ def scd2_merge(
         "inserted": n_fresh,
         "unchanged": incoming.count() - n_fresh,
     }
+
+
+def gated_merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    delta: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    rules: dict[str, str],
+    max_violations: int = 0,
+) -> dict:
+    """The composed write path: VALIDATE the delta → MERGE it →
+    RE-AUDIT only the touched partitions.
+
+    1. The delta is evaluated against ``rules`` (violating-row
+       predicates, gated_write semantics) in one aggregate pass; any
+       rule over ``max_violations`` refuses the merge with
+       :class:`~bpaotu_spark.io.gate.ExpectationsFailed` carrying the
+       receipt — bad data never reaches the lake, and the table is
+       untouched.
+    2. On pass, :func:`merge_upsert` lands the delta (touched
+       partitions only).
+    3. The same rules re-run over ONLY the touched partitions via
+       :func:`~bpaotu_spark.operators.quality2.audit_delta_partitions`
+       — the written state is verified, at per-delta cost, after the
+       swap (catches merge-logic bugs, not just bad input).
+
+    Returns ``{"receipt": ..., "merge": {"updated", "inserted"},
+    "post_audit": [...]}``. At 100 TB every step is bounded by the
+    delta: one delta scan to validate, touched-partition rewrite, one
+    pruned scan to re-audit.
+    """
+    import pyspark.sql.functions as F2  # noqa: N812
+
+    from bpaotu_spark.io.gate import ExpectationsFailed
+    from bpaotu_spark.operators.quality2 import audit_delta_partitions
+
+    aggs = [F2.count(F2.lit(1)).cast("bigint").alias("__n_rows__")]
+    for name, pred in rules.items():
+        aggs.append(
+            F2.coalesce(
+                F2.sum(F2.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")),
+                F2.lit(0),
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    row = delta.agg(*aggs).collect()[0]
+    receipt = {
+        "n_rows": int(row["__n_rows__"]),
+        "max_violations": max_violations,
+        "rules": [
+            {
+                "rule": name,
+                "predicate": pred,
+                "n_violations": int(row[name]),
+            }
+            for name, pred in rules.items()
+        ],
+    }
+    ok = all(
+        r["n_violations"] <= max_violations for r in receipt["rules"]
+    )
+    receipt["published"] = ok
+    if not ok:
+        raise ExpectationsFailed(receipt)
+    stats = merge_upsert(
+        spark, table_path, delta, key_cols, partition_cols
+    )
+    if len(partition_cols) != 1:
+        raise ValueError(
+            "gated_merge_upsert post-audit supports exactly one "
+            f"partition column, got {partition_cols}"
+        )
+    pcol = partition_cols[0]
+    touched = [
+        r[0] for r in delta.select(pcol).distinct().collect()
+    ]
+    post = audit_delta_partitions(
+        spark, table_path, pcol, touched, rules
+    ).collect()
+    return {
+        "receipt": receipt,
+        "merge": stats,
+        "post_audit": [
+            {
+                "check_name": r.check_name,
+                "n_rows": r.n_rows,
+                "n_violations": r.n_violations,
+            }
+            for r in post
+        ],
+    }

@@ -240,3 +240,61 @@ def test_hnsw_layered_search_report_consistent(spark, sf_dir):
         assert r.exact_hit == (r.found_id == r.true_id)
         assert r.found_id != r.query_id
         assert r.dist_ratio_milli >= 1000
+
+
+def test_gated_merge_upsert_composes_write_path(spark, sf_dir, tmp_path):
+    """validate-delta -> merge -> re-audit touched partitions: a dirty
+    delta is refused with the table untouched; a clean delta merges
+    and its partitions re-audit clean."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.gate import ExpectationsFailed
+    from bpaotu_spark.io.merge import gated_merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+    )
+    path = str(tmp_path / "gated_lake")
+    orders.write.partitionBy("o_year").parquet(path)
+    rules = {"nonpositive_price": "o_totalprice <= 0"}
+    max_year = orders.agg(F.max("o_year")).collect()[0][0]
+
+    dirty = (
+        orders.filter(F.col("o_year") == max_year)
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    before = spark.read.parquet(path).agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    with pytest.raises(ExpectationsFailed):
+        gated_merge_upsert(
+            spark, path, dirty, ("o_orderkey",), ("o_year",), rules
+        )
+    after = spark.read.parquet(path).agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    assert after == before  # refused merge leaves the lake untouched
+
+    clean = (
+        orders.filter(F.col("o_year") == max_year)
+        .limit(10)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+    )
+    out = gated_merge_upsert(
+        spark, path, clean, ("o_orderkey",), ("o_year",), rules
+    )
+    assert out["receipt"]["published"] is True
+    assert out["merge"]["updated"] == 10
+    audit = {a["check_name"]: a for a in out["post_audit"]}
+    assert audit["nonpositive_price"]["n_violations"] == 0
+    n_part = (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == max_year)
+        .count()
+    )
+    assert audit["nonpositive_price"]["n_rows"] == n_part

@@ -1012,9 +1012,10 @@ ORDER BY f.query_id
 def ann_hnsw_layered_search(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Two-layer HNSW-style search: greedy on the 1/16 sample layer,
-    then beam-12 × 4 hops on the full connected graph from the coarse
-    result (same report shape as the flat search ops)."""
+    """Two-layer HNSW-style search: beam-4 walk on the 1/16 sample
+    layer (``_L1_BEAM``), then beam-12 × 4 hops on the full connected
+    graph from the coarse result (same report shape as the flat
+    search ops)."""
     from bpaotu_spark.ann.graphconn import connected_search_edges
 
     eq = (

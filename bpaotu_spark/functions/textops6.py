@@ -581,13 +581,19 @@ _TILE_W = 20
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
 ),
+ti AS (
+  -- tile count derived from the data (unnest over a per-row range
+  -- list), so arbitrarily long documents never exceed a fixed cap
+  SELECT doc_id, source, ws,
+    unnest(range(0, len(ws) // {_TILE_W})) AS k
+  FROM w WHERE len(ws) >= {_TILE_W}
+),
 t AS (
   SELECT doc_id, source,
     md5(array_to_string(
       ws[CAST(k * {_TILE_W} + 1 AS INTEGER)
          :CAST(k * {_TILE_W} + {_TILE_W} AS INTEGER)], ' ')) AS th
-  FROM w, range(64) r(k)
-  WHERE len(ws) >= {_TILE_W} AND k < len(ws) // {_TILE_W}
+  FROM ti
 )
 SELECT source,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_tiled,

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Observation
 # collide; rule names in this namespace are rejected up front.
 _N_ROWS = "__gate_n_rows__"
 _STAGING_SUFFIX = "__gate_staging__"
+_BACKUP_SUFFIX = "__gate_backup__"
 
 
 class ExpectationsFailed(RuntimeError):
@@ -149,9 +150,22 @@ def gated_write(
         fs.delete(jstaging, True)
         raise ExpectationsFailed(receipt)
 
+    # In overwrite mode the previous data is renamed ASIDE (not
+    # deleted) before the publish rename, so a failed publish can put
+    # it back — at no point are both the new and the old copy gone.
+    jbackup = jpath_cls(path.rstrip("/") + "." + _BACKUP_SUFFIX)
+    backed_up = False
     if fs.exists(jtarget):
         if mode == "overwrite":
-            fs.delete(jtarget, True)
+            if fs.exists(jbackup):
+                fs.delete(jbackup, True)
+            if not fs.rename(jtarget, jbackup):
+                fs.delete(jstaging, True)
+                raise IOError(
+                    f"gated_write: could not move previous data aside "
+                    f"for {path}"
+                )
+            backed_up = True
         elif mode == "ignore":
             fs.delete(jstaging, True)
             receipt["published"] = False
@@ -164,7 +178,11 @@ def gated_write(
             )
     if not fs.rename(jstaging, jtarget):
         fs.delete(jstaging, True)
+        if backed_up:
+            fs.rename(jbackup, jtarget)  # restore the previous data
         raise IOError(f"gated_write: publish rename failed for {path}")
+    if backed_up:
+        fs.delete(jbackup, True)
 
     # receipt through the same FileSystem, so non-local URIs get a
     # receipt next to the data instead of one stranded on the driver

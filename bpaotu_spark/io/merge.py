@@ -248,6 +248,19 @@ def gated_merge_upsert(
     from bpaotu_spark.io.gate import ExpectationsFailed
     from bpaotu_spark.operators.quality2 import audit_delta_partitions
 
+    # Arity check BEFORE any effect: a two-column caller must fail
+    # while the lake is still untouched, not after the merge landed.
+    if len(partition_cols) != 1:
+        raise ValueError(
+            "gated_merge_upsert post-audit supports exactly one "
+            f"partition column, got {partition_cols}"
+        )
+    # Pin the delta once so the validation aggregate, the merge, and
+    # the touched-partition discovery all see the SAME rows even if
+    # the input is non-deterministic (sample/limit upstream) — the
+    # audited-vs-published divergence gated_write's observe closes.
+    delta = delta.localCheckpoint(eager=True)
+
     aggs = [F2.count(F2.lit(1)).cast("bigint").alias("__n_rows__")]
     for name, pred in rules.items():
         aggs.append(
@@ -280,11 +293,6 @@ def gated_merge_upsert(
     stats = merge_upsert(
         spark, table_path, delta, key_cols, partition_cols
     )
-    if len(partition_cols) != 1:
-        raise ValueError(
-            "gated_merge_upsert post-audit supports exactly one "
-            f"partition column, got {partition_cols}"
-        )
     pcol = partition_cols[0]
     touched = [
         r[0] for r in delta.select(pcol).distinct().collect()

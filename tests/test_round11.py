@@ -1,0 +1,141 @@
+"""Round-11 tests: ADVICE fixes (tile-census long docs, gated write
+overwrite safety, gated_merge_upsert arity-before-effect) and the new
+round-11 surfaces (persisted ANN index, multi-layer HNSW, permutation
+p-values, JDBC fallback, stream-stream interval join twin)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _write_documents(tmp_path, docs):
+    """docs: list[(doc_id, source, text)] -> parquet dir usable as
+    sf_dir for the documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "source": pa.array([d[1] for d in docs], pa.string()),
+            "text": pa.array([d[2] for d in docs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_tile_census_long_document_engine_parity(spark, tmp_path):
+    """A document far beyond the old 64-tile oracle cap (1280 words)
+    must count identically in both engines: the DuckDB bound is now
+    derived from the data (r10 ADVICE item 4)."""
+    import duckdb
+
+    long_doc = " ".join(f"w{i % 37}" for i in range(3000))  # 150 tiles
+    short_doc = " ".join(f"s{i}" for i in range(25))  # 1 tile
+    tiny_doc = "a b c"  # below one tile, filtered
+    sf = _write_documents(
+        tmp_path,
+        [(1, "web", long_doc), (2, "web", short_doc), (3, "books", tiny_doc)],
+    )
+
+    from bpaotu_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    got = [
+        tuple(r)
+        for r in QUERIES["text_tile_dedup_census"](spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(ORACLES["text_tile_dedup_census"]).fetchall()
+    ]
+    assert got == want
+    web = [r for r in got if r[0] == "web"][0]
+    assert web[2] == 151  # n_tiles: 150 + 1 — nothing capped at 64
+
+
+def test_gated_write_overwrite_failure_keeps_old_data(spark, tmp_path):
+    """If the publish rename fails in overwrite mode, the PREVIOUS
+    data must survive (r10 ADVICE item 2: old target is renamed aside
+    and restored, never deleted before the new data is in place)."""
+    from bpaotu_spark.io import gate as gate_mod
+
+    path = str(tmp_path / "t")
+    df1 = spark.range(5).select(F.col("id").alias("v"))
+    gate_mod.gated_write(df1, path, rules={"neg": "v < 0"})
+    assert spark.read.parquet(path).count() == 5
+
+    df2 = spark.range(7).select(F.col("id").alias("v"))
+
+    class _FailRenameFS:
+        """Wrap the Hadoop FS: the rename INTO the final target fails
+        once; everything else passes through."""
+
+        def __init__(self, fs, target):
+            self._fs = fs
+            self._target = target
+
+        def rename(self, src, dst):
+            if str(dst).endswith(self._target.rstrip("/").split("/")[-1]) \
+                    and gate_mod._STAGING_SUFFIX in str(src):
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_fs_for = gate_mod._fs_for
+
+    def patched(df, p):
+        fs, jpath_cls, jtarget = real_fs_for(df, p)
+        return _FailRenameFS(fs, p), jpath_cls, jtarget
+
+    gate_mod._fs_for = patched
+    try:
+        with pytest.raises(IOError):
+            gate_mod.gated_write(
+                df2, path, rules={"neg": "v < 0"}, mode="overwrite"
+            )
+    finally:
+        gate_mod._fs_for = real_fs_for
+    # the failed publish did NOT destroy the previous table
+    assert spark.read.parquet(path).count() == 5
+    # and a later healthy overwrite still works and cleans up
+    gate_mod.gated_write(df2, path, rules={"neg": "v < 0"}, mode="overwrite")
+    assert spark.read.parquet(path).count() == 7
+    import os
+
+    leftovers = [
+        d
+        for d in os.listdir(tmp_path)
+        if gate_mod._BACKUP_SUFFIX in d or gate_mod._STAGING_SUFFIX in d
+    ]
+    assert leftovers == []
+
+
+def test_gated_merge_upsert_arity_checked_before_any_effect(spark, tmp_path):
+    """Two partition columns must raise BEFORE the merge mutates the
+    lake (r10 ADVICE item 1: no partial-effect failure)."""
+    from bpaotu_spark.io.merge import gated_merge_upsert
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "2024", 10.0), (2, "2024", 20.0)], "k long, y string, v double"
+    )
+    base.write.partitionBy("y").parquet(path)
+    delta = spark.createDataFrame([(1, "2024", 99.0)], "k long, y string, v double")
+    with pytest.raises(ValueError, match="exactly one"):
+        gated_merge_upsert(
+            spark,
+            path,
+            delta,
+            key_cols=("k",),
+            partition_cols=("y", "k"),
+            rules={"neg": "v < 0"},
+        )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 20.0}  # untouched — no partial merge

@@ -518,7 +518,7 @@ def ann_greedy_graph_search(
     """Greedy graph-ANN walk over the registered kNN graph vs true
     NN: (query_id, found/true ids + exact L2², exact_hit,
     dist_ratio_milli)."""
-    from bpaotu_spark.ann.graphconn import connected_search_edges
+    from bpaotu_spark.ann.index_store import connected_edges_cached
 
     eq = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -527,8 +527,8 @@ def ann_greedy_graph_search(
             lambda x: F.floor(x * _RQ_Q),
         ).alias("q"),
     )
-    # the edge list feeds one probe per hop — checkpoint once
-    knn = connected_search_edges(spark, sf_dir).localCheckpoint()
+    # build-once edge list: persisted index, not per-query construction
+    knn = connected_edges_cached(spark, sf_dir)
     eq_c = eq.localCheckpoint()
 
     def d2(qcol: str, ccol: str):
@@ -763,9 +763,9 @@ def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    from bpaotu_spark.ann.graphconn import connected_search_edges
+    from bpaotu_spark.ann.index_store import connected_edges_cached
 
-    knn = connected_search_edges(spark, sf_dir).localCheckpoint()
+    knn = connected_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
         return F.aggregate(
@@ -1016,7 +1016,7 @@ def ann_hnsw_layered_search(
     layer (``_L1_BEAM``), then beam-12 × 4 hops on the full connected
     graph from the coarse result (same report shape as the flat
     search ops)."""
-    from bpaotu_spark.ann.graphconn import connected_search_edges
+    from bpaotu_spark.ann.index_store import connected_edges_cached
 
     eq = (
         load_table(spark, sf_dir, "embeddings")
@@ -1029,7 +1029,7 @@ def ann_hnsw_layered_search(
         )
         .localCheckpoint()
     )
-    knn = connected_search_edges(spark, sf_dir).localCheckpoint()
+    knn = connected_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
         return F.aggregate(
@@ -1046,19 +1046,25 @@ def ann_hnsw_layered_search(
     # layer-1 graph: exact k=3 among the 1/16 sample (small by
     # construction — the HNSW upper-layer argument), symmetric closure
     l1 = eq.filter(F.col("vec_id") % _L1_MOD == 0).localCheckpoint()
-    a = l1.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
-    b = l1.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
-    wl1 = Window.partitionBy("src").orderBy("d2l", "dst")
-    l1knn = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select("src", "dst", d2("qa", "qb").cast("long").alias("d2l"))
-        .withColumn("rn", F.row_number().over(wl1))
-        .filter(F.col("rn") <= _L1_K)
-        .select("src", "dst")
-    )
-    l1edges = l1knn.unionByName(
-        l1knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+
+    def _build_l1edges():
+        a = l1.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+        b = l1.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+        wl1 = Window.partitionBy("src").orderBy("d2l", "dst")
+        l1knn = (
+            a.join(b, F.col("src") != F.col("dst"))
+            .select("src", "dst", d2("qa", "qb").cast("long").alias("d2l"))
+            .withColumn("rn", F.row_number().over(wl1))
+            .filter(F.col("rn") <= _L1_K)
+            .select("src", "dst")
+        )
+        return l1knn.unionByName(
+            l1knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    l1edges = cached_frame(spark, sf_dir, "hnsw_l1", _build_l1edges)
     # phase 1: beam-4 walk on layer 1 from its max-id entry
     entry = l1.agg(F.max("vec_id").alias("eid"))
     ev = l1.select(F.col("vec_id").alias("eid"), F.col("q").alias("eqv"))

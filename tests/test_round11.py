@@ -139,3 +139,69 @@ def test_gated_merge_upsert_arity_checked_before_any_effect(spark, tmp_path):
         )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 10.0, 2: 20.0}  # untouched — no partial merge
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (round-11 item 2): build-once / search-many
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_persisted_vs_inline_parity(spark, sf_dir, tmp_path, monkeypatch):
+    """The persisted edge index must be row-identical to the inline
+    construction (reference parity: bpaotu's BLAST queries a pre-built
+    index, they never reconstruct it per request)."""
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+
+    index_store._MEM.clear()
+    inline = {
+        (r.vec_id, r.neighbor_id)
+        for r in connected_search_edges(spark, sf_dir).collect()
+    }
+    cached = {
+        (r.vec_id, r.neighbor_id)
+        for r in index_store.connected_edges_cached(spark, sf_dir).collect()
+    }
+    assert cached == inline and len(cached) > 0
+
+
+def test_ann_index_builds_once_then_reads(spark, sf_dir, tmp_path, monkeypatch):
+    """Second call in-session: memory tier, zero builds. Fresh 'process'
+    (cleared memory tier): disk tier, still zero builds."""
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    from bpaotu_spark.ann import graphconn, index_store
+
+    index_store._MEM.clear()
+    calls = {"n": 0}
+    real = graphconn.connected_search_edges
+
+    def counting(spark_, sf_dir_):
+        calls["n"] += 1
+        return real(spark_, sf_dir_)
+
+    monkeypatch.setattr(graphconn, "connected_search_edges", counting)
+    e1 = index_store.connected_edges_cached(spark, sf_dir)
+    assert calls["n"] == 1
+    index_store.connected_edges_cached(spark, sf_dir)
+    assert calls["n"] == 1  # memory tier
+    index_store._MEM.clear()  # simulate a new process
+    e3 = index_store.connected_edges_cached(spark, sf_dir)
+    assert calls["n"] == 1  # disk tier — the index was READ, not rebuilt
+    assert e3.count() == e1.count()
+
+
+def test_ann_index_unwritable_cache_still_correct(spark, sf_dir, monkeypatch):
+    """Persistence is an optimization: an unwritable cache root must
+    degrade to build-only with identical results."""
+    monkeypatch.setenv(
+        "BPAOTU_ANN_INDEX_DIR", "/proc/definitely/not/writable"
+    )
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+
+    index_store._MEM.clear()
+    got = index_store.connected_edges_cached(spark, sf_dir).count()
+    want = connected_search_edges(spark, sf_dir).count()
+    assert got == want
+    index_store._MEM.clear()

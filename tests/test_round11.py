@@ -205,3 +205,23 @@ def test_ann_index_unwritable_cache_still_correct(spark, sf_dir, monkeypatch):
     want = connected_search_edges(spark, sf_dir).count()
     assert got == want
     index_store._MEM.clear()
+
+
+def test_hnsw_multilayer_beats_flat_hop_budget(spark, sf_dir):
+    """The hierarchical search must reach flat-beam recall at HALF the
+    base-layer hops (the r10 verdict's acceptance bar). At sf0.001 we
+    assert the mechanical contract: report shape, self-exclusion, and
+    found_d2 >= true_d2 (found can never beat the exact NN)."""
+    from bpaotu_spark.ann.hnswml import _ML_HOPS, ann_hnsw_multilayer_search
+    from bpaotu_spark.ann.extras3 import _BEAM_HOPS
+
+    assert _ML_HOPS * 2 <= _BEAM_HOPS  # half the expensive hops
+    rows = ann_hnsw_multilayer_search(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.found_id != r.query_id and r.true_id != r.query_id
+        assert r.found_d2 >= r.true_d2
+        assert r.dist_ratio_milli >= 1000
+        assert r.exact_hit == (r.found_id == r.true_id)
+    # the routing scan must place the walk close: dist ratio bounded
+    assert sum(1 for r in rows if r.exact_hit) >= 5

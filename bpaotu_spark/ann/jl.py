@@ -346,3 +346,194 @@ def ann_jl_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# ann_jl_pool_recall_sweep — the action on r10's negative result:
+# ann_jl_topk_recall measured that a DIRECT 16-dim JL top-k keeps only
+# 0-12% of the true top-k (the ranking does not survive projection on
+# near-isotropic data). The production question is different: JL as
+# CANDIDATE GENERATION — take a top-P pool by cheap 16-dim distance,
+# exact-re-rank the P survivors in 64-dim, and ask what recall@k the
+# re-ranked cut achieves per pool size P ∈ {16, 64, 256}. Because the
+# re-rank uses the exact global metric, a truth-top-k member inside
+# the pool always survives the re-ranked top-k cut, so recall@k(P) =
+# |truth_top_k ∩ pool_P| / k — the sweep reports, per (pool, k), the
+# measured pool size at which JL candidate generation becomes safe
+# (recall ≥ 90%) or the documented finding that none suffices.
+#
+# MEASURED (r11): none suffices at a bounded pool size. sf0.01
+# (n=500): recall@k crosses 90% only at P=256 — 51% of the corpus.
+# sf0.1 (n=2000): P=256 (12.8% of corpus) reaches just 20-47%. The
+# required pool grows as a constant FRACTION of the corpus, so on
+# near-isotropic 64-dim data a 16-dim JL first pass cannot bound the
+# re-rank set; candidate generation must come from the LSH/IVF/graph
+# family instead (whose recall the ann_recall_* ops measure directly).
+#
+# Scale shape: identical legs to ann_jl_topk_recall (projection is one
+# broadcast-join + map-combined sum; both rankings are the bounded
+# query set broadcast against the corpus); the sweep adds only
+# per-(P, k) aggregates over the two checkpointed rank frames.
+# ---------------------------------------------------------------------------
+
+_POOL_SIZES = (16, 64, 256)
+
+
+def _jl_pool_oracle() -> str:
+    values = ", ".join(f"({j}, {k}, {s})" for j, k, s in _SIGNS)
+    legs = []
+    for p in _POOL_SIZES:
+        for k in _RECALL_KS:
+            legs.append(f"""
+SELECT CAST({p} AS BIGINT) AS pool, CAST({k} AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_truth,
+  CAST(count(a.cand_id) AS BIGINT) AS n_hit,
+  CAST(count(a.cand_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+FROM (SELECT query_id, cand_id FROM truth WHERE rnk <= {k}) t
+LEFT JOIN (SELECT query_id, cand_id FROM approx WHERE rnk <= {p}) a
+  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+""".strip())
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+signs(j, k, s) AS (VALUES {values}),
+x AS (
+  SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+    e.q[CAST(t.j AS INTEGER) + 1] AS x
+  FROM e, range({_DIM}) t(j)
+),
+proj AS (
+  SELECT vec_id, k, CAST(sum(x * s) AS BIGINT) AS y
+  FROM x JOIN signs ON x.j = signs.j
+  GROUP BY vec_id, k
+),
+qp AS (SELECT vec_id AS query_id, k, y AS yq FROM proj
+       WHERE vec_id < {N_QUERIES}),
+approx AS (
+  SELECT query_id, cand_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY pd2, cand_id) AS rnk
+  FROM (
+    SELECT query_id, proj.vec_id AS cand_id,
+      CAST(sum((yq - y) * (yq - y)) AS BIGINT) AS pd2
+    FROM qp JOIN proj ON qp.k = proj.k AND proj.vec_id != qp.query_id
+    GROUP BY query_id, proj.vec_id
+  )
+),
+truth AS (
+  SELECT query_id, cand_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, cand_id) AS rnk
+  FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))
+         + list_dot_product(CAST(b.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+         - 2 * list_dot_product(CAST(a.q AS DOUBLE[]),
+                                CAST(b.q AS DOUBLE[])) AS BIGINT) AS d2
+    FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+  )
+)
+{" UNION ALL ".join(legs)}
+ORDER BY pool, k
+"""
+
+
+@register("ann_jl_pool_recall_sweep", oracle=_jl_pool_oracle())
+def ann_jl_pool_recall_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JL-candidate-pool sweep: recall@1/3/5 after exact re-rank of
+    the 16-dim top-{16,64,256} pool — (pool, k, n_truth, n_hit,
+    recall_ppm)."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _Q),
+            ).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    signs = spark.createDataFrame(_SIGNS, "j int, k int, s long")
+    x = e.select("vec_id", F.posexplode("q").alias("j", "x"))
+    proj = (
+        x.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.expr("x * s")).cast("bigint").alias("y"))
+    )
+    qp = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "k", F.col("y").alias("yq")
+    )
+    wq = Window.partitionBy("query_id").orderBy("pd2", "cand_id")
+    approx = (
+        proj.join(
+            F.broadcast(qp),
+            (proj.k == qp.k) & (proj.vec_id != qp.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum(F.expr("(yq - y) * (yq - y)"))
+            .cast("bigint")
+            .alias("pd2")
+        )
+        .withColumn("rnk", F.row_number().over(wq))
+        .select("query_id", "cand_id", "rnk")
+        .localCheckpoint()
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    wt = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    truth = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+        .withColumn("rnk", F.row_number().over(wt))
+        .select("query_id", "cand_id", "rnk")
+        .localCheckpoint()
+    )
+    out = None
+    for p in _POOL_SIZES:
+        a = approx.filter(F.col("rnk") <= p).select(
+            F.col("query_id").alias("q2"), F.col("cand_id").alias("c2")
+        )
+        for k in _RECALL_KS:
+            t = truth.filter(F.col("rnk") <= k)
+            leg = (
+                t.join(
+                    a,
+                    (t.query_id == F.col("q2"))
+                    & (t.cand_id == F.col("c2")),
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+                    F.count("c2").cast("bigint").alias("n_hit"),
+                )
+                .select(
+                    F.lit(p).cast("bigint").alias("pool"),
+                    F.lit(k).cast("bigint").alias("k"),
+                    "n_truth",
+                    "n_hit",
+                    F.expr(
+                        "CAST(n_hit * 1000000 div n_truth AS BIGINT)"
+                    ).alias("recall_ppm"),
+                )
+            )
+            out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("pool", "k")

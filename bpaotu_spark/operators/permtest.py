@@ -1,0 +1,489 @@
+"""Deterministic permutation p-values for the distance-based group
+tests (ANOSIM / PERMANOVA).
+
+Reference parity: the reference's comparison page reports permutation
+significance next to the test statistic (public
+``bpaotu/otu/views.py`` comparison endpoints backed by
+scikit-bio-style anosim/permanova, which default to 999 random
+permutations). SURVEY had documented the omission as "a resampling
+harness ≠ a query"; ``order_value_poisson_bootstrap`` (r10) proved
+the md5-deterministic-resampling idiom fits the oracle contract, so
+the permutation null lands here as a QUERY:
+
+- **Permutation b** (b = 1..32) re-assigns the observed group-label
+  MULTISET to samples by rank-matching: samples ranked by
+  ``md5(sample_id || ':' || b)`` receive the labels ranked by
+  ``(grp, sample_id)`` — group sizes are preserved exactly, every
+  draw is engine-identical, and b = 0 is the identity (the observed
+  assignment).
+- The **distance matrix is permutation-invariant**, so pair distances
+  (and, for ANOSIM, their tie-averaged ranks) are computed ONCE; each
+  permutation only re-labels the pairs (two broadcast joins against
+  the 33×|sel| assignment table) and re-aggregates — the exact
+  textbook justification for permutation tests on distance matrices
+  (Anderson 2001 §"permutation of raw data").
+- **p_milli** = 1000·(1 + #{b ≥ 1 : stat_b ≥ stat_obs}) / (B + 1) —
+  the add-one Monte-Carlo estimator (Phipson & Smyth 2010), in exact
+  integer milli units.
+
+Sign-safety: permuted statistics can be negative, and DuckDB ``//``
+floors while Spark ``div`` truncates toward zero — so no negative
+quantity is ever divided. ANOSIM compares the rank-mean DIFFERENCE
+(each mean is a positive-sum division; the subtraction happens
+after), and PERMANOVA compares pseudo-F via 128-bit
+cross-multiplication, never forming the ratio.
+
+Scale shape: identical to anosim_groups/permanova_pseudo_f — one
+abundance scan, otu-keyed shared join, bounded broadcast pair former
+— plus a 33× fan-out through two broadcast joins into one map-side
+combined groupBy(b). Nothing driver-side; B is a constant.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance_selected
+from bpaotu_spark.operators.ecology import _ANOSIM_SEL
+from bpaotu_spark.registry import register
+
+_B_PERM = 32
+
+# shared SQL: bounded selection -> per-pair Bray-Curtis d_ppm
+_PAIRS_CTES = f"""
+sel AS (
+  SELECT c_custkey AS sample_id, c_mktsegment AS grp
+  FROM customer WHERE {_ANOSIM_SEL}
+),
+a AS (
+  SELECT ab.sample_id, grp, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, grp, otu_id
+),
+tot AS (
+  SELECT sample_id, grp, CAST(sum(c) AS BIGINT) AS tot
+  FROM a GROUP BY sample_id, grp
+),
+shared AS (
+  SELECT x.sample_id AS sample_a, y.sample_id AS sample_b,
+         CAST(sum(least(x.c, y.c)) AS BIGINT) AS sum_min
+  FROM a x JOIN a y ON x.otu_id = y.otu_id AND x.sample_id < y.sample_id
+  GROUP BY x.sample_id, y.sample_id
+),
+dpairs AS (
+  SELECT ta.sample_id AS sample_a, tb.sample_id AS sample_b,
+    1000000 - (2000000 * coalesce(s.sum_min, 0)) // (ta.tot + tb.tot)
+      AS d_ppm
+  FROM tot ta JOIN tot tb ON ta.sample_id < tb.sample_id
+  LEFT JOIN shared s
+    ON s.sample_a = ta.sample_id AND s.sample_b = tb.sample_id
+)
+""".strip()
+
+# shared SQL: the b = 0..B label assignments (rank-matched md5 draws)
+_PERM_CTES = f"""
+perms AS (SELECT unnest(range(1, {_B_PERM + 1})) AS b),
+ph AS (
+  SELECT b, sample_id,
+    md5(CAST(sample_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS h
+  FROM sel, perms
+),
+pr AS (
+  SELECT b, sample_id,
+    row_number() OVER (PARTITION BY b ORDER BY h, sample_id) AS r
+  FROM ph
+),
+lr AS (
+  SELECT grp, row_number() OVER (ORDER BY grp, sample_id) AS r FROM sel
+),
+pa AS (
+  SELECT CAST(0 AS BIGINT) AS b, sample_id, grp FROM sel
+  UNION ALL
+  SELECT CAST(pr.b AS BIGINT), pr.sample_id, lr.grp
+  FROM pr JOIN lr USING (r)
+)
+""".strip()
+
+
+def _sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(
+            F.col("c_custkey").alias("sample_id"),
+            F.col("c_mktsegment").alias("grp"),
+        )
+    )
+
+
+def _dpairs(spark: SparkSession, sf_dir: str, sel: DataFrame) -> DataFrame:
+    """(sample_a, sample_b, d_ppm) over the bounded selection — the
+    anosim_groups pair machinery with ids retained."""
+    a = (
+        abundance_selected(spark, sf_dir, sel)
+        .groupBy("sample_id", "grp", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
+    x, y = a.alias("x"), a.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sa"),
+            F.col("y.sample_id").alias("sb"),
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    # bounded broadcast pair former (documented BNLJ, as anosim_groups)
+    return (
+        ta.join(
+            F.broadcast(tb),
+            F.col("ta.sample_id") < F.col("tb.sample_id"),
+        )
+        .join(
+            shared,
+            (F.col("ta.sample_id") == shared.sa)
+            & (F.col("tb.sample_id") == shared.sb),
+            "left",
+        )
+        .select(
+            F.col("ta.sample_id").alias("sample_a"),
+            F.col("tb.sample_id").alias("sample_b"),
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, 0))"
+                " div (ta.tot + tb.tot)"
+            ).alias("d_ppm"),
+        )
+    )
+
+
+def _assignments(spark: SparkSession, sel: DataFrame) -> DataFrame:
+    """(b, sample_id, grp) for b = 0 (observed) .. B (md5 draws)."""
+    perms = spark.range(1, _B_PERM + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    ph = sel.crossJoin(F.broadcast(perms)).select(
+        "b",
+        "sample_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("sample_id").cast("string"),
+                F.col("b").cast("string"),
+            )
+        ).alias("h"),
+    )
+    wpr = Window.partitionBy("b").orderBy("h", "sample_id")
+    pr = ph.select(
+        "b", "sample_id", F.row_number().over(wpr).alias("r")
+    )
+    # unpartitioned window over the BOUNDED study selection (same
+    # bound as the pair former itself) — never over a fact table
+    wlr = Window.orderBy("grp", "sample_id")
+    lr = sel.select("grp", F.row_number().over(wlr).alias("r"))
+    return (
+        sel.select(
+            F.lit(0).cast("bigint").alias("b"), "sample_id", "grp"
+        )
+        .unionByName(
+            pr.join(lr, "r").select(
+                F.col("b").cast("bigint").alias("b"),
+                "sample_id",
+                "grp",
+            )
+        )
+    )
+
+
+@register(
+    "anosim_permutation_p",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+{_PAIRS_CTES},
+dcnt AS (
+  SELECT d_ppm, CAST(count(*) AS BIGINT) AS cnt
+  FROM dpairs GROUP BY d_ppm
+),
+dcum AS (
+  SELECT d_ppm,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY d_ppm
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before,
+    cnt
+  FROM dcnt
+),
+rp AS (
+  SELECT sample_a, sample_b,
+    cum_before * 1000 + (cnt + 1) * 500 AS avg_rank_milli
+  FROM dpairs JOIN dcum USING (d_ppm)
+),
+{_PERM_CTES},
+rb AS (
+  SELECT pa1.b,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CASE WHEN pa1.grp = pa2.grp THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_within,
+    CAST(sum(CASE WHEN pa1.grp = pa2.grp THEN avg_rank_milli ELSE 0 END)
+      AS BIGINT) AS sum_rank_w,
+    CAST(sum(CASE WHEN pa1.grp != pa2.grp THEN avg_rank_milli ELSE 0 END)
+      AS BIGINT) AS sum_rank_b
+  FROM rp
+  JOIN pa pa1 ON pa1.sample_id = rp.sample_a
+  JOIN pa pa2 ON pa2.sample_id = rp.sample_b AND pa2.b = pa1.b
+  GROUP BY pa1.b
+),
+rd AS (
+  SELECT b,
+    (sum_rank_b * 1000) // greatest(n_pairs - n_within, 1)
+      - (sum_rank_w * 1000) // greatest(n_within, 1) AS diff_micro
+  FROM rb
+),
+obs AS (SELECT diff_micro AS obs_diff FROM rd WHERE b = 0),
+ge AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ge_obs FROM rd
+  WHERE b > 0 AND diff_micro >= (SELECT obs_diff FROM obs)
+)
+SELECT CAST((SELECT obs_diff FROM obs) AS BIGINT)
+    AS obs_rank_diff_micro,
+  CAST({_B_PERM} AS BIGINT) AS n_perm,
+  ge.n_ge_obs,
+  CAST((ge.n_ge_obs + 1) * 1000 // ({_B_PERM} + 1) AS BIGINT) AS p_milli
+FROM ge
+""",
+)
+def anosim_permutation_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOSIM permutation test (B=32 md5 label draws): one row
+    (obs_rank_diff_micro, n_perm, n_ge_obs, p_milli). The statistic
+    compared is the between-vs-within mean-rank difference — the
+    numerator of Clarke's R (the constant M/2 cancels under every
+    permutation, and each mean divides only positive rank sums)."""
+    sel = _sel(spark, sf_dir).localCheckpoint()
+    # feeds the rank census AND the rank join — one pair former run
+    dpairs = _dpairs(spark, sf_dir, sel).localCheckpoint()
+    dcnt = dpairs.groupBy("d_ppm").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("d_ppm").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dcum = dcnt.select(
+        "d_ppm",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        "cnt",
+    )
+    rp = dpairs.join(dcum, "d_ppm").select(
+        "sample_a",
+        "sample_b",
+        F.expr("cum_before * 1000 + (cnt + 1) * 500").alias(
+            "avg_rank_milli"
+        ),
+    )
+    pa = _assignments(spark, sel).localCheckpoint()
+    pa1 = pa.select(
+        F.col("b"), F.col("sample_id").alias("sa"), F.col("grp").alias("g1")
+    )
+    pa2 = pa.select(
+        F.col("b").alias("b2"),
+        F.col("sample_id").alias("sb"),
+        F.col("grp").alias("g2"),
+    )
+    rb = (
+        rp.join(F.broadcast(pa1), rp.sample_a == F.col("sa"))
+        .join(
+            F.broadcast(pa2),
+            (rp.sample_b == F.col("sb")) & (F.col("b") == F.col("b2")),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("CASE WHEN g1 = g2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_within"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN g1 = g2 THEN avg_rank_milli ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_rank_w"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN g1 != g2 THEN avg_rank_milli ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_rank_b"),
+        )
+    )
+    rd = rb.select(
+        "b",
+        F.expr(
+            "(sum_rank_b * 1000) div greatest(n_pairs - n_within, 1)"
+            " - (sum_rank_w * 1000) div greatest(n_within, 1)"
+        ).alias("diff_micro"),
+    ).localCheckpoint()
+    obs = rd.filter("b = 0").select(
+        F.col("diff_micro").alias("obs_diff")
+    )
+    ge = (
+        rd.filter("b > 0")
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN diff_micro >= obs_diff THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_ge_obs")
+        )
+    )
+    return ge.crossJoin(F.broadcast(obs)).select(
+        F.col("obs_diff").cast("bigint").alias("obs_rank_diff_micro"),
+        F.lit(_B_PERM).cast("bigint").alias("n_perm"),
+        "n_ge_obs",
+        F.expr(
+            f"CAST((n_ge_obs + 1) * 1000 div ({_B_PERM} + 1) AS BIGINT)"
+        ).alias("p_milli"),
+    )
+
+
+@register(
+    "permanova_permutation_p",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+{_PAIRS_CTES},
+{_PERM_CTES},
+gn AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g FROM sel GROUP BY grp
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_samples FROM sel),
+sst AS (
+  SELECT CAST(CAST(sum(CAST(d_ppm AS HUGEINT) * d_ppm) AS HUGEINT)
+       // (SELECT n_samples FROM nn) AS BIGINT) AS ss_t
+  FROM dpairs
+),
+sb AS (
+  SELECT pa1.b, pa1.grp,
+    CAST(sum(CAST(d_ppm AS HUGEINT) * d_ppm) AS HUGEINT) AS s2
+  FROM dpairs rp
+  JOIN pa pa1 ON pa1.sample_id = rp.sample_a
+  JOIN pa pa2 ON pa2.sample_id = rp.sample_b AND pa2.b = pa1.b
+  WHERE pa1.grp = pa2.grp
+  GROUP BY pa1.b, pa1.grp
+),
+ssw AS (
+  SELECT b, CAST(sum(CAST(s2 // n_g AS BIGINT)) AS BIGINT) AS ss_w
+  FROM sb JOIN gn USING (grp) GROUP BY b
+),
+obs AS (SELECT ss_w AS ss_w_obs FROM ssw WHERE b = 0),
+ge AS (
+  -- F_b >= F_obs iff (ss_t - ss_w_b)*ss_w_obs >= (ss_t - ss_w_obs)*ss_w_b
+  -- (cross-multiplied: denominators positive, d.o.f. constants cancel)
+  SELECT CAST(count(*) AS BIGINT) AS n_ge_obs
+  FROM ssw, sst, obs
+  WHERE b > 0
+    AND CAST(sst.ss_t - ssw.ss_w AS HUGEINT) * obs.ss_w_obs
+        >= CAST(sst.ss_t - obs.ss_w_obs AS HUGEINT) * ssw.ss_w
+)
+SELECT sst.ss_t AS ss_total_ppm2,
+  (SELECT ss_w_obs FROM obs) AS ss_within_obs_ppm2,
+  CAST({_B_PERM} AS BIGINT) AS n_perm,
+  ge.n_ge_obs,
+  CAST((ge.n_ge_obs + 1) * 1000 // ({_B_PERM} + 1) AS BIGINT) AS p_milli
+FROM ge CROSS JOIN sst
+""",
+)
+def permanova_permutation_p(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERMANOVA permutation test (B=32 md5 label draws): one row
+    (ss_total_ppm2, ss_within_obs_ppm2, n_perm, n_ge_obs, p_milli).
+    Pseudo-F comparisons are 128-bit cross-multiplications — no
+    ratio is ever formed, so integer semantics match both engines."""
+    sel = _sel(spark, sf_dir).localCheckpoint()
+    dpairs = _dpairs(spark, sf_dir, sel).localCheckpoint()
+    pa = _assignments(spark, sel).localCheckpoint()
+    gn = sel.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    nn = sel.agg(F.count(F.lit(1)).cast("bigint").alias("n_samples"))
+    sst = (
+        dpairs.select(
+            (F.col("d_ppm").cast("decimal(38,0)") * F.col("d_ppm")).alias(
+                "d2"
+            )
+        )
+        .agg(F.sum("d2").alias("s2_all"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr("CAST(s2_all div n_samples AS BIGINT)").alias("ss_t")
+        )
+    )
+    pa1 = pa.select(
+        "b", F.col("sample_id").alias("sa"), F.col("grp").alias("g1")
+    )
+    pa2 = pa.select(
+        F.col("b").alias("b2"),
+        F.col("sample_id").alias("sb"),
+        F.col("grp").alias("g2"),
+    )
+    sb = (
+        dpairs.join(F.broadcast(pa1), dpairs.sample_a == F.col("sa"))
+        .join(
+            F.broadcast(pa2),
+            (dpairs.sample_b == F.col("sb")) & (F.col("b") == F.col("b2")),
+        )
+        .filter(F.col("g1") == F.col("g2"))
+        .groupBy("b", F.col("g1").alias("grp"))
+        .agg(
+            F.sum(
+                F.col("d_ppm").cast("decimal(38,0)") * F.col("d_ppm")
+            ).alias("s2")
+        )
+    )
+    ssw = (
+        sb.join(F.broadcast(gn), "grp")
+        .select("b", F.expr("CAST(s2 div n_g AS BIGINT)").alias("ss_g"))
+        .groupBy("b")
+        .agg(F.sum("ss_g").cast("bigint").alias("ss_w"))
+        .localCheckpoint()
+    )
+    obs = ssw.filter("b = 0").select(F.col("ss_w").alias("ss_w_obs"))
+    ge = (
+        ssw.filter("b > 0")
+        .crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(sst))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(ss_t - ss_w AS DECIMAL(38,0))"
+                    " * ss_w_obs >= CAST(ss_t - ss_w_obs"
+                    " AS DECIMAL(38,0)) * ss_w THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_ge_obs")
+        )
+    )
+    return (
+        ge.crossJoin(F.broadcast(sst))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.col("ss_t").alias("ss_total_ppm2"),
+            F.col("ss_w_obs").alias("ss_within_obs_ppm2"),
+            F.lit(_B_PERM).cast("bigint").alias("n_perm"),
+            "n_ge_obs",
+            F.expr(
+                f"CAST((n_ge_obs + 1) * 1000 div ({_B_PERM} + 1)"
+                " AS BIGINT)"
+            ).alias("p_milli"),
+        )
+    )

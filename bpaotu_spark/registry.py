@@ -87,6 +87,7 @@ def load_all() -> None:
     import bpaotu_spark.ann.graphconn  # noqa: F401
     import bpaotu_spark.ann.jl  # noqa: F401
     import bpaotu_spark.ann.hnswml  # noqa: F401
+    import bpaotu_spark.operators.permtest  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

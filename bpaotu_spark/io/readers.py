@@ -60,14 +60,119 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (PostgreSQL in the reference). No driver jar ships in
-    this image, so fail fast with the real error instead of a Py4J trace."""
+    this image, so fail fast with the real error instead of a Py4J
+    trace — and point at :func:`read_dbapi`, the jar-free fallback."""
     try:
         return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()
     except Exception as exc:  # pragma: no cover - depends on jar presence
         raise RuntimeError(
             "JDBC read failed - a JDBC driver jar must be on the Spark "
-            "classpath (spark.jars); none ships in this image"
+            "classpath (spark.jars); none ships in this image. For "
+            "jar-free environments use read_dbapi (DB-API -> Arrow -> "
+            "DataFrame)"
         ) from exc
+
+
+def read_dbapi(
+    spark: SparkSession,
+    connect,
+    query: str,
+    batch_size: int = 65536,
+) -> DataFrame:
+    """Database source through Python DB-API 2.0 — the jar-free
+    resolution of the reference's PostgreSQL surface (public
+    ``bpaotu/otu/models.py`` reads the same tables through
+    SQLAlchemy/psycopg2; here any DB-API driver works, and the pytest
+    drives it with stdlib sqlite3).
+
+    ``connect`` is a zero-argument callable returning a DB-API
+    connection (so credentials live with the caller, and the
+    connection is opened/closed inside this function). Rows are
+    fetched in ``batch_size`` chunks and accumulated as Arrow record
+    batches (one Python->Arrow conversion per chunk, never per row),
+    then handed to Spark through ``createDataFrame`` on the combined
+    Arrow table.
+
+    Scale note: a DB-API cursor is a single driver-side stream — this
+    is the INGEST path (bounded dimension/metadata tables, the shape
+    the reference actually stores in Postgres), not a 100 TB scan
+    path. For parallel bulk extraction put the JDBC jar on the
+    classpath and use :func:`read_jdbc` with partitioning options;
+    the durable lake layout stays parquet either way.
+    """
+    import pyarrow as pa
+
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        cur.execute(query)
+        cols = [d[0] for d in cur.description]
+        batches: list[pa.RecordBatch] = []
+        schema = None
+        while True:
+            rows = cur.fetchmany(batch_size)
+            if not rows:
+                break
+            arrays = [
+                pa.array([r[i] for r in rows]) for i in range(len(cols))
+            ]
+            batch = pa.record_batch(arrays, names=cols)
+            if schema is None:
+                schema = batch.schema
+            else:
+                batch = batch.cast(schema)  # later chunks match chunk 1
+            batches.append(batch)
+        if not batches:
+            # a zero-row DB-API result carries no type information —
+            # surface the columns as empty nullable strings
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            empty_schema = StructType(
+                [StructField(c, StringType(), True) for c in cols]
+            )
+            return spark.createDataFrame([], schema=empty_schema)
+        tbl = pa.Table.from_batches(batches, schema=schema)
+    finally:
+        conn.close()
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def write_dbapi(
+    df: DataFrame,
+    connect,
+    table: str,
+    batch_size: int = 10000,
+) -> int:
+    """Database sink through DB-API 2.0 executemany — the return path
+    of :func:`read_dbapi` (the reference serves query results back out
+    of Postgres). Streams ``toLocalIterator`` so only one partition is
+    ever resident on the driver; parameterized qmark placeholders, no
+    SQL built from values. Returns the number of rows written.
+
+    Same scale contract as read_dbapi: an export/ingest path for
+    bounded results, not a distributed bulk writer."""
+    cols = df.columns
+    placeholders = ", ".join(["?"] * len(cols))
+    collist = ", ".join(cols)
+    sql = f"INSERT INTO {table} ({collist}) VALUES ({placeholders})"
+    conn = connect()
+    n = 0
+    try:
+        cur = conn.cursor()
+        buf: list[tuple] = []
+        for row in df.toLocalIterator():
+            buf.append(tuple(row))
+            if len(buf) >= batch_size:
+                cur.executemany(sql, buf)
+                n += len(buf)
+                buf = []
+        if buf:
+            cur.executemany(sql, buf)
+            n += len(buf)
+        conn.commit()
+    finally:
+        conn.close()
+    return n
 
 
 def write_training_shards(

@@ -225,3 +225,65 @@ def test_hnsw_multilayer_beats_flat_hop_budget(spark, sf_dir):
         assert r.exact_hit == (r.found_id == r.true_id)
     # the routing scan must place the walk close: dist ratio bounded
     assert sum(1 for r in rows if r.exact_hit) >= 5
+
+
+# ---------------------------------------------------------------------------
+# JDBC resolution (round-11 item 6): DB-API -> Arrow -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def test_read_dbapi_sqlite_roundtrip(spark, tmp_path):
+    """The jar-free database path: read a sqlite table into a
+    DataFrame, write a DataFrame back through DB-API, read it again —
+    values and batching behaviour verified (batch_size smaller than
+    the row count forces multi-chunk Arrow assembly)."""
+    import sqlite3
+
+    from bpaotu_spark.io.readers import read_dbapi, write_dbapi
+
+    db = str(tmp_path / "ref.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE otu (otu_id INTEGER, name TEXT, abundance REAL)"
+    )
+    rows = [(i, f"otu_{i}", float(i) * 1.5) for i in range(257)]
+    conn.executemany("INSERT INTO otu VALUES (?, ?, ?)", rows)
+    conn.commit()
+    conn.close()
+
+    def connect():
+        return sqlite3.connect(db)
+
+    df = read_dbapi(
+        spark, connect, "SELECT * FROM otu ORDER BY otu_id", batch_size=100
+    )
+    got = [(r.otu_id, r.name, r.abundance) for r in df.collect()]
+    assert sorted(got) == rows
+    assert dict(df.dtypes)["otu_id"] == "bigint"
+
+    # write path: project + filter in Spark, land it back in sqlite
+    out = df.filter("otu_id < 10").select("otu_id", "name")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE otu_small (otu_id INTEGER, name TEXT)")
+    conn.commit()
+    conn.close()
+    n = write_dbapi(out, connect, "otu_small", batch_size=4)
+    assert n == 10
+    back = read_dbapi(spark, connect, "SELECT * FROM otu_small")
+    assert back.count() == 10
+    assert {r.name for r in back.collect()} == {f"otu_{i}" for i in range(10)}
+
+
+def test_read_dbapi_empty_result(spark, tmp_path):
+    import sqlite3
+
+    from bpaotu_spark.io.readers import read_dbapi
+
+    db = str(tmp_path / "e.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+    conn.commit()
+    conn.close()
+    df = read_dbapi(spark, lambda: sqlite3.connect(db), "SELECT * FROM t")
+    assert df.columns == ["a", "b"]
+    assert df.count() == 0

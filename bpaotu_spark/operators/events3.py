@@ -703,3 +703,84 @@ def events_burst_alarm_windows(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_purchases_after_signup — BATCH twin of streaming/jobs.py's
+# purchases_after_signup_stream (the stream-stream INTERVAL JOIN: the
+# last major streaming shape without a driver-hash row). Same join
+# semantics — purchases strictly after the signup and within 1 hour,
+# per user — aggregated per signup into the conversion report
+# (n_purchases, first purchase, total cents). The streaming pytest
+# aggregates the stream's inner-join output identically and diffs it
+# against THIS frame, so the driver hash row is correctness evidence
+# for the watermarked stream-stream join itself.
+#
+# Scale shape: equi-join on user_id (shuffle on the key) with the
+# time bound as a residual predicate; the aggregate is one map-side
+# combined groupBy over join output bounded by signups × in-window
+# purchases. In the stream the same bounds expire state provably.
+# ---------------------------------------------------------------------------
+
+_PAS_RANGE_MS = 3600 * 1000
+
+
+@register(
+    "events_purchases_after_signup",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, epoch_ms(ts) AS s_ms
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, epoch_ms(ts) AS p_ms,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, s.user_id, s.s_ms AS signup_ms,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(min(p.p_ms) AS BIGINT) AS first_purchase_ms,
+  CAST(sum(p.cents) AS BIGINT) AS total_value_cents
+FROM s JOIN p ON p.user_id = s.user_id
+  AND p.p_ms > s.s_ms AND p.p_ms <= s.s_ms + {_PAS_RANGE_MS}
+GROUP BY s.signup_id, s.user_id, s.s_ms
+ORDER BY s.signup_id
+""",
+)
+def events_purchases_after_signup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchases within 1 hour after each signup, per signup:
+    (signup_id, user_id, signup_ms, n_purchases, first_purchase_ms,
+    total_value_cents) — the batch twin of the watermarked
+    stream-stream interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.unix_millis("ts").alias("s_ms"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_millis("ts").alias("p_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ms") > F.col("s_ms"))
+            & (F.col("p_ms") <= F.col("s_ms") + _PAS_RANGE_MS),
+        )
+        .groupBy(
+            "signup_id",
+            F.col("s_user").alias("user_id"),
+            F.col("s_ms").alias("signup_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.min("p_ms").cast("bigint").alias("first_purchase_ms"),
+            F.sum("cents").cast("bigint").alias("total_value_cents"),
+        )
+        .orderBy("signup_id")
+    )

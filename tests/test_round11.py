@@ -287,3 +287,54 @@ def test_read_dbapi_empty_result(spark, tmp_path):
     df = read_dbapi(spark, lambda: sqlite3.connect(db), "SELECT * FROM t")
     assert df.columns == ["a", "b"]
     assert df.count() == 0
+
+
+def test_purchases_after_signup_stream_matches_batch_twin(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce, after
+    per-signup aggregation, exactly the frame the driver hash-verifies
+    (events_purchases_after_signup) — the r11 '+1 streaming driver
+    key' acceptance check."""
+    import pyspark.sql.functions as F
+
+    from bpaotu_spark.registry import QUERIES, load_all
+    from bpaotu_spark.streaming.jobs import (
+        purchases_after_signup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    load_all()
+    ev = read_events_stream(spark, sf_dir)
+    # append mode: stream-stream inner joins emit matched pairs as
+    # they resolve; a drained availableNow source resolves everything
+    run_to_memory(
+        purchases_after_signup_stream(ev), "pas_sink", complete=False
+    )
+    got = {
+        (r.signup_id, r.user_id, r.signup_ms, r.n_purchases,
+         r.first_purchase_ms)
+        for r in (
+            spark.table("pas_sink")
+            .groupBy(
+                "signup_id",
+                "user_id",
+                F.unix_millis("ts_s").alias("signup_ms"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                F.min(F.unix_millis("ts_p"))
+                .cast("bigint")
+                .alias("first_purchase_ms"),
+            )
+            .collect()
+        )
+    }
+    want = {
+        (r.signup_id, r.user_id, r.signup_ms, r.n_purchases,
+         r.first_purchase_ms)
+        for r in QUERIES["events_purchases_after_signup"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert want, "no signup->purchase conversions in this data"

@@ -104,28 +104,91 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-10 WINDOW (driver verifies the first ~50) ----
-    # (A) NEW or plan-CHANGED this round:
-    #  - knn_graph_connected: NEW — connectivity-repaired kNN graph
-    #    (LSH kNN ∪ construction-time multiprobe ∪ medoid bridges)
-    #    with the two-CC census proof.
-    #  - expectations_audit_delta: NEW — delta-scoped expectations
-    #    audit (latest order year + its lineitems).
-    #  - events_burst_alarm_windows: NEW — burst-alarm batch twin;
-    #    +1 driver-keyed streaming semantics row.
-    #  - ann_greedy/beam_graph_search: plans CHANGED — they now walk
-    #    the connected graph; beam width 4 → 12 (measured knee).
-    #  - hazard_ratio_segments: plan CHANGED — zero-denominator CASE
-    #    guard on hr_milli (r9 ADVICE item 4), both engines.
+    # ---- ROUND-11 WINDOW (driver verifies the first ~50) ----
+    # (A) NEW this round:
+    #  - ann_hnsw_multilayer_search: md5 routing layer scan + beam-12
+    #    x4 descent on the PERSISTED connected graph (half the flat
+    #    op's base hops; sf0.1 exact-hit 7/10).
+    #  - ann_jl_pool_recall_sweep: JL top-P pool -> exact re-rank
+    #    recall curve (measured: no bounded pool suffices).
+    #  - anosim_permutation_p / permanova_permutation_p: B=32
+    #    deterministic md5 label permutations, p_milli.
+    #  - events_purchases_after_signup: batch twin of the watermarked
+    #    stream-stream interval join (+1 streaming driver key).
+    "ann_hnsw_multilayer_search",
+    "ann_jl_pool_recall_sweep",
+    "anosim_permutation_p",
+    "permanova_permutation_p",
+    "events_purchases_after_signup",
+    # (B) plan-CHANGED this round:
+    #  - greedy/beam/hnsw_layered searches now read the persisted ANN
+    #    index (ann/index_store) instead of rebuilding the connected
+    #    graph per query (r10 VERDICT item 2).
+    #  - text_tile_dedup_census: oracle tile bound now data-derived
+    #    (was a fixed range(64) cap — r10 ADVICE item 4).
+    "ann_greedy_graph_search",
+    "ann_beam_graph_search",
+    "ann_hnsw_layered_search",
+    "text_tile_dedup_census",
+    # (C) the 12 keys the r10 VERDICT found MISFILED in the covered
+    # tail (never driver-verified; judge-harness green r10) — the
+    # bookkeeping fix that closes the board:
+    "ann_pq_adc_topk",
+    "attribution_time_decay",
+    "bloom_semijoin_filter",
+    "core_microbiome",
+    "corpus_length_token_corr",
+    "corpus_perplexity_filter",
+    "corpus_regex_scrub_apply",
+    "customer_rfm_segments",
+    "daily_revenue_gapfill",
+    "dedup_containment",
+    "dim_broadcast_advisor",
+    "discount_effectiveness",
+    # (C) remaining never-driver-verified backlog (r11 queue of r10,
+    # minus the 3 spilled below to keep the window at 50):
+    "embedding_jl_distortion",
+    "orders_durbin_watson",
+    "winsorized_mean_by_segment",
+    "order_value_poisson_bootstrap",
+    "ann_jl_topk_recall",
+    "scd2_point_in_time_join",
+    "embedding_triplet_margin",
+    "event_user_paths_topk",
+    "events_hourly_heatmap",
+    "events_rolling_wau",
+    "heavy_hitters_cms",
+    "hierarchy_share_of_parent",
+    "knn_degree_assortativity",
+    "langid_confusion",
+    "lineitem_corr_matrix",
+    "markov_next_event_accuracy",
+    "orders_yoy_growth",
+    "otu_indicator_species",
+    "otu_niche_breadth",
+    "otu_region_overlap",
+    "part_price_size_skyline",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "rare_category_collapse",
+    "revenue_ewma_daily",
+    "sample_neighbors_topk",
+    "segment_nation_mutual_info",
+    "supplier_return_rate",
+    "text_tfidf_cosine_pairs",
+    # ---- ~50-entry window boundary ----
+    # (R12 QUEUE) the 3 outstanding keys spilled past this round's
+    # 50-cut — rotate FIRST next round; after they land, every
+    # oracle-backed key has a driver row.
+    "token_rate_drift",
+    "weighted_sample_es",
+    "window_funnel_strict",
+    # Round-10 window (driver-green in CORRECTNESS_r10.json) — rotates
+    # to the covered tail (greedy/beam moved back up: plans changed).
     "knn_graph_connected",
     "expectations_audit_delta",
     "events_burst_alarm_windows",
-    "ann_greedy_graph_search",
-    "ann_beam_graph_search",
     "hazard_ratio_segments",
-    # (C) the never-driver-verified backlog, oldest first — all
-    # tools/check.py green at sf0.001 + sf0.01 (85/85 also passed the
-    # r9 judge's typed harness); pure rotation coverage.
     "text_word_length_hist",
     "doc_commonness_profile",
     "split_contamination_ngrams",
@@ -170,47 +233,8 @@ PRIORITY: tuple[str, ...] = (
     "priority_mix_jsd_monthly",
     "doc_ngram_rep_profile",
     "embedding_outlier_topk",
-    # ---- ~50-entry window boundary ----
-    # (R11 QUEUE) remaining never-driver-verified oracle-backed keys
-    # — rotate next round; this closes the board. Late-r10 additions
-    # (hnsw search) queue here too.
-    "ann_hnsw_layered_search",
-    "embedding_jl_distortion",
-    "orders_durbin_watson",
-    "text_tile_dedup_census",
-    "winsorized_mean_by_segment",
-    "order_value_poisson_bootstrap",
-    "ann_jl_topk_recall",
-    "scd2_point_in_time_join",
-    "embedding_triplet_margin",
-    "event_user_paths_topk",
-    "events_hourly_heatmap",
-    "events_rolling_wau",
-    "heavy_hitters_cms",
-    "hierarchy_share_of_parent",
-    "knn_degree_assortativity",
-    "langid_confusion",
-    "lineitem_corr_matrix",
-    "markov_next_event_accuracy",
-    "orders_yoy_growth",
-    "otu_indicator_species",
-    "otu_niche_breadth",
-    "otu_region_overlap",
-    "part_price_size_skyline",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "rare_category_collapse",
-    "revenue_ewma_daily",
-    "sample_neighbors_topk",
-    "segment_nation_mutual_info",
-    "supplier_return_rate",
-    "text_tfidf_cosine_pairs",
-    "token_rate_drift",
-    "weighted_sample_es",
-    "window_funnel_strict",
-    # Round-9 window (first 50 driver-green in CORRECTNESS_r09.json; the
-    # 12 past its cut were judge-harness green) — rotates to the tail.
-    # unchanged since — rotates to the covered tail.
+    # Long-green covered tail (every key driver-green in some round or
+    # judge-verified r10; stays covered by tools/check.py locally).
     "corpus_char_trigram_entropy",
     "doc_fourgram_compressibility",
     "bpe_merge_candidates",
@@ -261,18 +285,6 @@ PRIORITY: tuple[str, ...] = (
     "ab_cuped_adjustment",
     "abundance_rarefaction",
     "ann_filtered_topk",
-    "ann_pq_adc_topk",
-    "attribution_time_decay",
-    "bloom_semijoin_filter",
-    "core_microbiome",
-    "corpus_length_token_corr",
-    "corpus_perplexity_filter",
-    "corpus_regex_scrub_apply",
-    "customer_rfm_segments",
-    "daily_revenue_gapfill",
-    "dedup_containment",
-    "dim_broadcast_advisor",
-    "discount_effectiveness",
     "kruskal_wallis_h",
     "vector_quantize_int4_error",
     "theil_sen_revenue_trend",

@@ -1031,7 +1031,10 @@ def _pq_train(spark: SparkSession, sf_dir: str, e: DataFrame | None = None):
     """(e, s, c1, a2): quantized vectors, subvectors, trained codebooks,
     final code assignments — shared by the codebook census and ADC
     search. Pass ``e`` to train on any (vec_id, q) frame instead of the
-    raw quantized corpus (IVFADC trains on coarse residuals)."""
+    raw quantized corpus (IVFADC trains on coarse residuals). In the
+    default-corpus case the trained codebooks/codes are persisted via
+    the ANN index store (build-once, search-many)."""
+    default_corpus = e is None
     if e is None:
         emb = load_table(spark, sf_dir, "embeddings")
         e = emb.select(
@@ -1085,6 +1088,15 @@ def _pq_train(spark: SparkSession, sf_dir: str, e: DataFrame | None = None):
         )
     )
     a2 = _pq_assign(s, c1)
+    if default_corpus:
+        # build-once index lifecycle (ann/index_store): the trained
+        # codebooks and code assignments persist; every PQ/ADC query
+        # READS them instead of re-running the training iteration
+        from bpaotu_spark.ann.index_store import cached_frame
+
+        c1_built, a2_built = c1, a2
+        c1 = cached_frame(spark, sf_dir, "pq_codebook", lambda: c1_built)
+        a2 = cached_frame(spark, sf_dir, "pq_codes", lambda: a2_built)
     return e, s, c1, a2
 
 
@@ -1624,19 +1636,29 @@ def _ivfadc_index(spark: SparkSession, sf_dir: str, max_nprobe: int):
         - 2 * _km_dot_spark(F.col("q"), F.col("cq"))
         + _km_dot_spark(F.col("cq"), F.col("cq"))
     ).cast("bigint")
+    from bpaotu_spark.ann.index_store import cached_frame
+
     wc = Window.partitionBy("vec_id").orderBy("d2", "ccid")
-    car = (
-        e.crossJoin(F.broadcast(cc0))
-        .select("vec_id", "ccid", "q", "cq", d2.alias("d2"))
-        .withColumn("cell_rank", F.row_number().over(wc))
-        .filter(
-            (F.col("cell_rank") == 1)
-            | (
-                (F.col("vec_id") < N_QUERIES)
-                & (F.col("cell_rank") <= max_nprobe)
+
+    def _build_car():
+        return (
+            e.crossJoin(F.broadcast(cc0))
+            .select("vec_id", "ccid", "q", "cq", d2.alias("d2"))
+            .withColumn("cell_rank", F.row_number().over(wc))
+            .filter(
+                (F.col("cell_rank") == 1)
+                | (
+                    (F.col("vec_id") < N_QUERIES)
+                    & (F.col("cell_rank") <= max_nprobe)
+                )
             )
+            .drop("d2")
         )
-        .drop("d2")
+
+    # the coarse assignment table IS the IVF index — persisted per
+    # probe depth (rank-1 rows are shared; extra ranks are query-side)
+    car = cached_frame(
+        spark, sf_dir, f"ivfadc_car_np{max_nprobe}", _build_car
     )
     ca = car.filter(F.col("cell_rank") == 1)
     r = ca.select(
@@ -1644,8 +1666,14 @@ def _ivfadc_index(spark: SparkSession, sf_dir: str, max_nprobe: int):
         "ccid",
         F.zip_with("q", "cq", lambda a, b: a - b).alias("q"),
     )
-    # PQ trains on the residual frame via the SAME audited machinery
+    # PQ trains on the residual frame via the SAME audited machinery;
+    # the trained residual codebooks/codes persist like the coarse table
     _, s, c1, a2 = _pq_train(spark, sf_dir, e=r.select("vec_id", "q"))
+    c1_built, a2_built = c1, a2
+    c1 = cached_frame(
+        spark, sf_dir, "ivfadc_codebook", lambda: c1_built
+    )
+    a2 = cached_frame(spark, sf_dir, "ivfadc_codes", lambda: a2_built)
     qs = s.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sq").alias("qsq")
     )

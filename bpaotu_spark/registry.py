@@ -120,19 +120,27 @@ PRIORITY: tuple[str, ...] = (
     "anosim_permutation_p",
     "permanova_permutation_p",
     "events_purchases_after_signup",
-    # (B) plan-CHANGED this round:
-    #  - greedy/beam/hnsw_layered searches now read the persisted ANN
-    #    index (ann/index_store) instead of rebuilding the connected
-    #    graph per query (r10 VERDICT item 2).
-    #  - text_tile_dedup_census: oracle tile bound now data-derived
-    #    (was a fixed range(64) cap — r10 ADVICE item 4).
+    # (B) plan-CHANGED this round (r10 VERDICT item 2 — the persisted
+    # ANN index): greedy/beam/hnsw_layered read the persisted
+    # connected graph; the PQ/IVFADC family reads persisted codebooks
+    # + code assignments + coarse tables (ann/index_store); the tile
+    # census oracle bound is now data-derived (r10 ADVICE item 4).
     "ann_greedy_graph_search",
     "ann_beam_graph_search",
     "ann_hnsw_layered_search",
     "text_tile_dedup_census",
+    "ann_ivfadc_topk",
+    "ann_ivfadc_nprobe_topk",
+    "ann_ivfadc_rerank_topk",
+    "ivfadc_recall_report",
+    "embedding_pq_codebook",
+    "embedding_opq_balance",
+    "ann_sdc_topk",
+    "pq_code_entropy",
     # (C) the 12 keys the r10 VERDICT found MISFILED in the covered
     # tail (never driver-verified; judge-harness green r10) — the
-    # bookkeeping fix that closes the board:
+    # bookkeeping fix that closes the board (ann_pq_adc_topk is both
+    # misfiled AND plan-changed; it leads this block):
     "ann_pq_adc_topk",
     "attribution_time_decay",
     "bloom_semijoin_filter",
@@ -145,8 +153,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "dim_broadcast_advisor",
     "discount_effectiveness",
-    # (C) remaining never-driver-verified backlog (r11 queue of r10,
-    # minus the 3 spilled below to keep the window at 50):
+    # (C) remaining never-driver-verified backlog that still fits the
+    # 50-window after the plan-changed block above:
     "embedding_jl_distortion",
     "orders_durbin_watson",
     "winsorized_mean_by_segment",
@@ -168,6 +176,11 @@ PRIORITY: tuple[str, ...] = (
     "otu_niche_breadth",
     "otu_region_overlap",
     "part_price_size_skyline",
+    # ---- ~50-entry window boundary ----
+    # (R12 QUEUE) outstanding keys spilled past this round's 50-cut
+    # (the persisted-index plan changes took their slots) — rotate
+    # FIRST next round; all are r10-judge-harness green. After they
+    # land, every oracle-backed key has a driver row.
     "q12_priority_by_status",
     "q13_customer_distribution",
     "rare_category_collapse",
@@ -176,15 +189,13 @@ PRIORITY: tuple[str, ...] = (
     "segment_nation_mutual_info",
     "supplier_return_rate",
     "text_tfidf_cosine_pairs",
-    # ---- ~50-entry window boundary ----
-    # (R12 QUEUE) the 3 outstanding keys spilled past this round's
-    # 50-cut — rotate FIRST next round; after they land, every
-    # oracle-backed key has a driver row.
     "token_rate_drift",
     "weighted_sample_es",
     "window_funnel_strict",
     # Round-10 window (driver-green in CORRECTNESS_r10.json) — rotates
-    # to the covered tail (greedy/beam moved back up: plans changed).
+    # to the covered tail (plan-changed keys moved back up above).
+    # Long-green covered tail (every key driver-green in some round or
+    # judge-verified r10; stays covered by tools/check.py locally).
     "knn_graph_connected",
     "expectations_audit_delta",
     "events_burst_alarm_windows",
@@ -233,8 +244,6 @@ PRIORITY: tuple[str, ...] = (
     "priority_mix_jsd_monthly",
     "doc_ngram_rep_profile",
     "embedding_outlier_topk",
-    # Long-green covered tail (every key driver-green in some round or
-    # judge-verified r10; stays covered by tools/check.py locally).
     "corpus_char_trigram_entropy",
     "doc_fourgram_compressibility",
     "bpe_merge_candidates",
@@ -290,8 +299,6 @@ PRIORITY: tuple[str, ...] = (
     "theil_sen_revenue_trend",
     "kendall_tau_daily",
     "berger_parker_dominance",
-    "ann_sdc_topk",
-    "pq_code_entropy",
     "embedding_dim_covariance",
     "minhash_union_cardinality",
     "events_sliding_window_agg",
@@ -332,7 +339,6 @@ PRIORITY: tuple[str, ...] = (
     "heldout_oov_rate",
     "lsh_bucket_profile",
     "multimodal_features",
-    "ivfadc_recall_report",
     "ace_richness",
     "nelson_aalen_hazard",
     "benford_first_digit",
@@ -379,17 +385,12 @@ PRIORITY: tuple[str, ...] = (
     "kaplan_meier_order_gaps",
     "markov_absorption_3step",
     "multimodal_wav_rms",
-    "ann_ivfadc_topk",
-    "ann_ivfadc_nprobe_topk",
-    "embedding_pq_codebook",
     "dedup_embedding_lsh",
     "knn_graph_lsh",
     "knn_triangle_count",
     "pagerank_knn",
-    "embedding_opq_balance",
     "multimodal_phash_dedup",
     "multimodal_phash_near_pairs",
-    "ann_ivfadc_rerank_topk",
     "embedding_prefix_recall",
     "corpus_regex_scrub_report",
     "event_debounce_dedup",

@@ -338,3 +338,29 @@ def test_purchases_after_signup_stream_matches_batch_twin(spark, sf_dir):
     }
     assert got == want
     assert want, "no signup->purchase conversions in this data"
+
+
+def test_pq_index_builds_once_then_reads(spark, sf_dir, tmp_path, monkeypatch):
+    """The PQ codebook/code tables persist through the index store:
+    a second training call (same data) must hit the cache, and the
+    cached frames must equal the inline build."""
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.core import _pq_train
+
+    index_store._MEM.clear()
+    _, _, c1a, a2a = _pq_train(spark, sf_dir)
+    got_codes_a = {(r.vec_id, r.m, r.cid) for r in a2a.collect()}
+    # second call, fresh 'process' (memory tier cleared): disk tier
+    index_store._MEM.clear()
+    _, _, c1b, a2b = _pq_train(spark, sf_dir)
+    got_codes_b = {(r.vec_id, r.m, r.cid) for r in a2b.collect()}
+    assert got_codes_a == got_codes_b and got_codes_a
+    assert {tuple(r.c) for r in c1a.collect()} == {
+        tuple(r.c) for r in c1b.collect()
+    }
+    import os
+
+    entries = os.listdir(tmp_path / "idx")
+    assert any(e.startswith("pq_codebook-") for e in entries)
+    assert any(e.startswith("pq_codes-") for e in entries)

@@ -24,6 +24,11 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # side is provably bounded and the condition is non-equi; these are
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
+    # --- round-11 additions ---
+    "ann_hnsw_multilayer_search": "broadcast query set into the n/16 routing-layer scan (non-equi !=) + |queries|*B-row frontier per descent hop + truth leg (beam shape)",
+    "ann_jl_pool_recall_sweep": "broadcast query set (N_QUERIES rows), non-equi != + projected-pair equi join (jl_topk_recall shape, per pool leg)",
+    "anosim_permutation_p": "bounded study-selection pair former (anosim_groups shape) + broadcast 33x|sel| assignment table + 1-row obs scalar",
+    "permanova_permutation_p": "bounded study-selection pair former (permanova shape) + broadcast 33x|sel| assignment table + 1-row ss_t/obs scalars",
     # --- round-10 additions ---
     "knn_graph_connected": "broadcast 1-row global-min-rep + two 1-row component-count scalars into the 3-row census",
     "expectations_audit_delta": "broadcast 1-row max-year scalar scoping the delta + 1-row orphan-count scalars (audit shape)",

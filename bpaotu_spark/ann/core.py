@@ -1371,10 +1371,44 @@ def _opq_permuted_e(spark: SparkSession, sf_dir: str):
     return ep, dperm
 
 
+def _opq_frames_cached(spark: SparkSession, sf_dir: str):
+    """(ep, dperm) through the index store: the permuted corpus and
+    the 64-row dim→(subspace, position) map persist, so the OPQ family
+    reads its permutation once instead of re-deriving it per query."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    dperm = cached_frame(
+        spark,
+        sf_dir,
+        "opq_perm_map",
+        lambda: _opq_permuted_e(spark, sf_dir)[1],
+    )
+    ep = cached_frame(
+        spark,
+        sf_dir,
+        "opq_permuted",
+        lambda: _opq_permuted_e(spark, sf_dir)[0],
+    )
+    return ep, dperm
+
+
+def _opq_train_cached(spark: SparkSession, sf_dir: str):
+    """(ep, s, c1, a2) with the trained OPQ codebooks/codes persisted
+    (same lifecycle as the flat-PQ and IVFADC artifacts)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    ep, _ = _opq_frames_cached(spark, sf_dir)
+    _, s, c1, a2 = _pq_train(spark, sf_dir, e=ep)
+    c1_built, a2_built = c1, a2
+    c1 = cached_frame(spark, sf_dir, "opq_codebook", lambda: c1_built)
+    a2 = cached_frame(spark, sf_dir, "opq_codes", lambda: a2_built)
+    return ep, s, c1, a2
+
+
 @register("embedding_opq_balance", oracle=_opq_balance_oracle())
 def embedding_opq_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ep, dperm = _opq_permuted_e(spark, sf_dir)
-    _, _, _, a2p = _pq_train(spark, sf_dir, e=ep)
+    _, dperm = _opq_frames_cached(spark, sf_dir)
+    a2p = _opq_train_cached(spark, sf_dir)[3]
     opq = a2p.groupBy(
         F.lit("opq_snake").alias("scheme"),
         F.col("m").cast("bigint").alias("subspace"),
@@ -2945,8 +2979,7 @@ WITH e AS (
 
 @register("ann_opq_adc_topk", oracle=_opq_adc_oracle())
 def ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ep, _ = _opq_permuted_e(spark, sf_dir)
-    _, s, c1, a2 = _pq_train(spark, sf_dir, e=ep)
+    _, s, c1, a2 = _opq_train_cached(spark, sf_dir)
     return _adc_search(s, c1, a2)
 
 

@@ -138,3 +138,30 @@ def connected_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conn_edges",
         lambda: connected_search_edges(spark, sf_dir),
     )
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """The BUILD JOB: construct and persist every ANN index artifact
+    for ``sf_dir`` in one call — the surface a production deployment
+    schedules once per data drop (the reference's pre-built BLAST
+    index, public ``bpaotu/otu/blast.py``), after which every search
+    query is read-only against the store.
+
+    Returns a manifest of ``{artifact: n_rows}``. Idempotent: a
+    second call reads every artifact from the store.
+    """
+    from bpaotu_spark.ann import core as ann_core
+
+    manifest: dict[str, int] = {}
+    manifest["conn_edges"] = connected_edges_cached(spark, sf_dir).count()
+    _, _, c1, a2 = ann_core._pq_train(spark, sf_dir)
+    manifest["pq_codebook"] = c1.count()
+    manifest["pq_codes"] = a2.count()
+    for np_ in sorted({1, ann_core._IVF_NPROBE_MULTI, max(ann_core._IVF_NPROBES)}):
+        car, _, a2i, _ = ann_core._ivfadc_index(spark, sf_dir, max_nprobe=np_)
+        manifest[f"ivfadc_car_np{np_}"] = car.count()
+    manifest["ivfadc_codes"] = a2i.count()
+    _, _, c1o, a2o = ann_core._opq_train_cached(spark, sf_dir)
+    manifest["opq_codebook"] = c1o.count()
+    manifest["opq_codes"] = a2o.count()
+    return manifest

@@ -137,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_opq_balance",
     "ann_sdc_topk",
     "pq_code_entropy",
+    "ann_opq_adc_topk",
     # (C) the 12 keys the r10 VERDICT found MISFILED in the covered
     # tail (never driver-verified; judge-harness green r10) — the
     # bookkeeping fix that closes the board (ann_pq_adc_topk is both
@@ -175,12 +176,12 @@ PRIORITY: tuple[str, ...] = (
     "otu_indicator_species",
     "otu_niche_breadth",
     "otu_region_overlap",
-    "part_price_size_skyline",
     # ---- ~50-entry window boundary ----
     # (R12 QUEUE) outstanding keys spilled past this round's 50-cut
     # (the persisted-index plan changes took their slots) — rotate
     # FIRST next round; all are r10-judge-harness green. After they
     # land, every oracle-backed key has a driver row.
+    "part_price_size_skyline",
     "q12_priority_by_status",
     "q13_customer_distribution",
     "rare_category_collapse",
@@ -303,7 +304,6 @@ PRIORITY: tuple[str, ...] = (
     "minhash_union_cardinality",
     "events_sliding_window_agg",
     "knn_graph_components",
-    "ann_opq_adc_topk",
     "knn_vote_accuracy",
     "association_rules_parts",
     "orders_abc_classification",

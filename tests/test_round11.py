@@ -364,3 +364,34 @@ def test_pq_index_builds_once_then_reads(spark, sf_dir, tmp_path, monkeypatch):
     entries = os.listdir(tmp_path / "idx")
     assert any(e.startswith("pq_codebook-") for e in entries)
     assert any(e.startswith("pq_codes-") for e in entries)
+
+
+def test_build_ann_index_manifest_and_idempotence(spark, sf_dir, tmp_path, monkeypatch):
+    """One build call persists every ANN artifact; a second call is
+    read-only (no builder invocations) and returns the same manifest."""
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    from bpaotu_spark.ann import graphconn, index_store
+
+    index_store._MEM.clear()
+    m1 = index_store.build_ann_index(spark, sf_dir)
+    assert m1["conn_edges"] > 0 and m1["pq_codes"] > 0
+    assert m1["opq_codebook"] > 0 and m1["ivfadc_car_np4"] > 0
+    import os
+
+    names = {e.split("-")[0] for e in os.listdir(tmp_path / "idx")}
+    assert {"conn_edges", "pq_codebook", "pq_codes", "ivfadc_codebook",
+            "ivfadc_codes", "opq_permuted", "opq_codebook",
+            "opq_codes"} <= names
+
+    calls = {"n": 0}
+    real = graphconn.connected_search_edges
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(graphconn, "connected_search_edges", counting)
+    index_store._MEM.clear()  # fresh 'process': disk tier only
+    m2 = index_store.build_ann_index(spark, sf_dir)
+    assert m2 == m1
+    assert calls["n"] == 0  # nothing was rebuilt

@@ -477,6 +477,7 @@ HEADLINE = (
     "anosim_permutation_p",
     "permanova_permutation_p",
     "events_purchases_after_signup",
+    "ann_beam_topk_quality",
 )
 
 

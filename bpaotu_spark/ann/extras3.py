@@ -1174,3 +1174,239 @@ def ann_hnsw_layered_search(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_beam_topk_quality — LIST quality of the beam search over the
+# PERSISTED connected graph: a retrieval deployment returns the
+# frontier's top-K, not just the top-1, so the numbers that matter are
+# recall@10 (|found@10 ∩ true@10|) and the reciprocal rank of the TRUE
+# nearest neighbour within the returned list (MRR's per-query term).
+# Same beam-12 × 8-hop walk as ann_beam_graph_search (the frontier IS
+# the candidate list); the oracle unrolls the identical hops and
+# scores the final frontier as a ranked list.
+#
+# Scale shape: identical to the flat beam (broadcast frontier per hop
+# against the persisted edge table); the scoring tail is two bounded
+# per-query joins.
+# ---------------------------------------------------------------------------
+
+_QUAL_K = 10
+
+
+def _beam_quality_oracle() -> str:
+    hops = []
+    prev = "f0"
+    for k in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""
+exp{k} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2 FROM {prev}
+    UNION ALL
+    SELECT f.query_id, e.neighbor_id AS node_id,
+      {_D2_SQL.format(a="q.q", b="c.q")} AS d2
+    FROM {prev} f
+    JOIN knn e ON e.vec_id = f.node_id AND e.neighbor_id != f.query_id
+    JOIN eq q ON q.vec_id = f.query_id
+    JOIN eq c ON c.vec_id = e.neighbor_id
+  )
+),
+f{k} AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+        AS rn
+    FROM exp{k}
+  ) WHERE rn <= {_BEAM}
+)""".strip())
+        prev = f"f{k}"
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+
+    return f"""
+WITH RECURSIVE
+{CONNECTED_EDGES_SQL},
+knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM conn_edges),
+eq AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+entry AS (SELECT max(vec_id) AS eid FROM eq),
+f0 AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, entry.eid AS node_id,
+    {_D2_SQL.format(a="qs.q", b="e.q")} AS d2
+  FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+  CROSS JOIN entry
+  JOIN eq e ON e.vec_id = entry.eid
+),
+{",".join(hops)},
+found AS (
+  SELECT query_id, node_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+      AS frank
+  FROM {prev}
+),
+truthall AS (
+  SELECT query_id, cand_id, trank FROM (
+    SELECT qs.vec_id AS query_id, e.vec_id AS cand_id,
+      row_number() OVER (PARTITION BY qs.vec_id
+        ORDER BY {_D2_SQL.format(a="qs.q", b="e.q")}, e.vec_id)
+        AS trank
+    FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
+    JOIN eq e ON e.vec_id != qs.vec_id
+  ) WHERE trank <= {_QUAL_K}
+),
+per AS (
+  SELECT t.query_id, CAST(count(f.node_id) AS BIGINT) AS n_hits_at10
+  FROM truthall t
+  LEFT JOIN (SELECT query_id, node_id FROM found
+             WHERE frank <= {_QUAL_K}) f
+    ON f.query_id = t.query_id AND f.node_id = t.cand_id
+  GROUP BY t.query_id
+),
+nnrank AS (
+  SELECT t1.query_id, f.frank
+  FROM (SELECT query_id, cand_id FROM truthall WHERE trank = 1) t1
+  LEFT JOIN found f
+    ON f.query_id = t1.query_id AND f.node_id = t1.cand_id
+)
+SELECT p.query_id, p.n_hits_at10,
+  CAST(p.n_hits_at10 * 100000 // {_QUAL_K} AS BIGINT) AS recall10_e5,
+  CAST(coalesce(n.frank, 0) AS BIGINT) AS true_nn_rank_in_found,
+  CAST(CASE WHEN n.frank IS NULL THEN 0
+            ELSE 1000 // n.frank END AS BIGINT) AS rr_milli
+FROM per p JOIN nnrank n USING (query_id)
+ORDER BY p.query_id
+"""
+
+
+@register("ann_beam_topk_quality", oracle=_beam_quality_oracle())
+def ann_beam_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-list quality of the beam-12 walk on the persisted graph:
+    (query_id, n_hits_at10, recall10_e5, true_nn_rank_in_found,
+    rr_milli) — recall@10 against the exact top-10 plus the true NN's
+    reciprocal rank inside the returned list."""
+    from bpaotu_spark.ann.index_store import connected_edges_cached
+
+    eq = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _RQ_Q),
+            ).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    knn = connected_edges_cached(spark, sf_dir)
+
+    def d2(qcol: str, ccol: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    entry = eq.agg(F.max("vec_id").alias("eid"))
+    ev = eq.select(F.col("vec_id").alias("eid"), F.col("q").alias("nq"))
+    frontier = (
+        qs.crossJoin(F.broadcast(entry))
+        .join(F.broadcast(ev), "eid")
+        .select(
+            "query_id",
+            F.col("eid").alias("node_id"),
+            d2("qv", "nq").cast("long").alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
+    for _ in range(_BEAM_HOPS):
+        neigh = (
+            knn.join(
+                F.broadcast(frontier.select("query_id", "node_id")),
+                knn.vec_id == F.col("node_id"),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct()
+            .join(F.broadcast(qs), "query_id")
+            .join(cq, "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("node_id"),
+                d2("qv", "cq").cast("long").alias("d2"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
+        frontier = (
+            frontier.unionByName(neigh)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BEAM)
+            .select("query_id", "node_id", "d2")
+            .localCheckpoint()
+        )
+    wf = Window.partitionBy("query_id").orderBy("d2", "node_id")
+    found = frontier.withColumn(
+        "frank", F.row_number().over(wf).cast("bigint")
+    ).select("query_id", "node_id", "frank")
+    truth_cand = eq.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        d2("qv", "q").cast("long").alias("cand_d2"),
+    )
+    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    truthall = (
+        truth_cand.withColumn("trank", F.row_number().over(wt))
+        .filter(F.col("trank") <= _QUAL_K)
+        .select("query_id", "cand_id", "trank")
+        .localCheckpoint()
+    )
+    f10 = found.filter(F.col("frank") <= _QUAL_K).select(
+        F.col("query_id").alias("fq"), F.col("node_id").alias("fn")
+    )
+    per = (
+        truthall.join(
+            f10,
+            (truthall.query_id == F.col("fq"))
+            & (truthall.cand_id == F.col("fn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("fn").cast("bigint").alias("n_hits_at10"))
+    )
+    t1 = truthall.filter("trank = 1").select(
+        "query_id", F.col("cand_id").alias("nn_id")
+    )
+    nnrank = t1.join(
+        found,
+        (t1.query_id == found.query_id) & (t1.nn_id == found.node_id),
+        "left",
+    ).select(t1.query_id, found.frank)
+    return (
+        per.join(nnrank, "query_id")
+        .select(
+            "query_id",
+            "n_hits_at10",
+            F.expr(
+                f"CAST(n_hits_at10 * 100000 div {_QUAL_K} AS BIGINT)"
+            ).alias("recall10_e5"),
+            F.coalesce("frank", F.lit(0))
+            .cast("bigint")
+            .alias("true_nn_rank_in_found"),
+            F.expr(
+                "CAST(CASE WHEN frank IS NULL THEN 0"
+                " ELSE 1000 div frank END AS BIGINT)"
+            ).alias("rr_milli"),
+        )
+        .orderBy("query_id")
+    )

@@ -180,7 +180,9 @@ PRIORITY: tuple[str, ...] = (
     # (R12 QUEUE) outstanding keys spilled past this round's 50-cut
     # (the persisted-index plan changes took their slots) — rotate
     # FIRST next round; all are r10-judge-harness green. After they
-    # land, every oracle-backed key has a driver row.
+    # land, every oracle-backed key has a driver row. New late-r11
+    # ops queue here too (the r10->r11 precedent).
+    "ann_beam_topk_quality",
     "part_price_size_skyline",
     "q12_priority_by_status",
     "q13_customer_distribution",

@@ -25,6 +25,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
     # --- round-11 additions ---
+    "ann_beam_topk_quality": "broadcast |queries|*B-row frontier per hop + truth leg's broadcast-query != join (beam shape)",
     "ann_hnsw_multilayer_search": "broadcast query set into the n/16 routing-layer scan (non-equi !=) + |queries|*B-row frontier per descent hop + truth leg (beam shape)",
     "ann_jl_pool_recall_sweep": "broadcast query set (N_QUERIES rows), non-equi != + projected-pair equi join (jl_topk_recall shape, per pool leg)",
     "anosim_permutation_p": "bounded study-selection pair former (anosim_groups shape) + broadcast 33x|sel| assignment table + 1-row obs scalar",

@@ -395,3 +395,21 @@ def test_build_ann_index_manifest_and_idempotence(spark, sf_dir, tmp_path, monke
     m2 = index_store.build_ann_index(spark, sf_dir)
     assert m2 == m1
     assert calls["n"] == 0  # nothing was rebuilt
+
+
+def test_jl_pool_recall_monotone_in_pool_size(spark, sf_dir):
+    """The sweep's defining property: a larger JL candidate pool can
+    only raise recall (found sets are nested), and the biggest pool
+    must beat the raw top-k (the r10 negative result's remedy path)."""
+    from bpaotu_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["ann_jl_pool_recall_sweep"](spark, sf_dir).collect()
+    by_k: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append((r.pool, r.recall_ppm))
+    assert set(by_k) == {1, 3, 5}
+    for k, series in by_k.items():
+        series.sort()
+        recalls = [rec for _, rec in series]
+        assert recalls == sorted(recalls), (k, series)  # monotone

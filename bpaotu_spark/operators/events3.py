@@ -784,3 +784,90 @@ def events_purchases_after_signup(
         )
         .orderBy("signup_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_signup_conversion_outer — the LEFT OUTER arm of the signup →
+# purchase interval join: EVERY signup, with its in-window purchase
+# stats or zeros. This is the batch twin of streaming/jobs.py's
+# purchases_after_signup_outer_stream (watermarked left-outer
+# stream-stream join — the shape whose unmatched rows only emit when
+# the watermark passes signup_ts + range; the streaming pytest diffs
+# its null-padded output against THIS frame for every signup old
+# enough to have expired). The inner twin (events_purchases_after_
+# signup) can't see non-converting signups at all — conversion RATE
+# needs the outer arm.
+#
+# Scale shape: equi-join on user_id with the time bound residual,
+# exactly like the inner twin, but LEFT: signups with no purchase
+# survive as one null-padded row each, so output is bounded by
+# |signups| + in-window matches. One map-side-combined groupBy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_signup_conversion_outer",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, epoch_ms(ts) AS s_ms
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, epoch_ms(ts) AS p_ms,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, s.user_id, s.s_ms AS signup_ms,
+  CAST(count(p.p_ms) AS BIGINT) AS n_purchases,
+  CAST(coalesce(min(p.p_ms), -1) AS BIGINT) AS first_purchase_ms,
+  CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS total_value_cents,
+  count(p.p_ms) > 0 AS converted
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+  AND p.p_ms > s.s_ms AND p.p_ms <= s.s_ms + {_PAS_RANGE_MS}
+GROUP BY s.signup_id, s.user_id, s.s_ms
+ORDER BY s.signup_id
+""",
+)
+def events_signup_conversion_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every signup with its 1-hour purchase stats or zeros:
+    (signup_id, user_id, signup_ms, n_purchases, first_purchase_ms
+    [-1 when none], total_value_cents, converted) — the batch twin of
+    the left-outer watermarked stream-stream interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.unix_millis("ts").alias("s_ms"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_millis("ts").alias("p_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ms") > F.col("s_ms"))
+            & (F.col("p_ms") <= F.col("s_ms") + _PAS_RANGE_MS),
+            "left",
+        )
+        .groupBy(
+            "signup_id",
+            F.col("s_user").alias("user_id"),
+            F.col("s_ms").alias("signup_ms"),
+        )
+        .agg(
+            F.count("p_ms").cast("bigint").alias("n_purchases"),
+            F.coalesce(F.min("p_ms"), F.lit(-1))
+            .cast("bigint")
+            .alias("first_purchase_ms"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("total_value_cents"),
+            (F.count("p_ms") > 0).alias("converted"),
+        )
+        .orderBy("signup_id")
+    )

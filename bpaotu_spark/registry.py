@@ -88,6 +88,7 @@ def load_all() -> None:
     import bpaotu_spark.ann.jl  # noqa: F401
     import bpaotu_spark.ann.hnswml  # noqa: F401
     import bpaotu_spark.operators.permtest  # noqa: F401
+    import bpaotu_spark.operators.pipeline3  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -183,6 +184,9 @@ PRIORITY: tuple[str, ...] = (
     # land, every oracle-backed key has a driver row. New late-r11
     # ops queue here too (the r10->r11 precedent).
     "ann_beam_topk_quality",
+    "corpus_anneal_mixture",
+    "quality_threshold_calibration",
+    "events_signup_conversion_outer",
     "part_price_size_skyline",
     "q12_priority_by_status",
     "q13_customer_distribution",

@@ -894,3 +894,51 @@ def record_days_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def purchases_after_signup_outer_stream(
+    events: DataFrame, range_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: every
+    signup, paired with each purchase in (ts_s, ts_s + range_s] — or
+    one null-padded row once the watermark proves no purchase can
+    still arrive.
+
+    This is the streaming shape the inner join cannot express: a
+    non-converting signup produces NO inner row ever, so conversion
+    rate needs the outer arm. Correct outer emission REQUIRES the
+    watermark + both-sided time bound — Spark holds the unmatched
+    signup in state until watermark > ts_s + range_s, then emits it
+    with nulls; without the bounds the join would be unable to ever
+    declare a signup unmatched. The batch twin is
+    events_signup_conversion_outer (driver hash row); the pytest
+    diffs this stream's null rows against the twin's converted=false
+    signups for every signup old enough to have expired.
+    """
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("ts_p"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withWatermark("ts_p", watermark)
+    )
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("ts_p") > F.col("ts_s"))
+        & (F.col("ts_p") <= F.col("ts_s") + F.expr(f"INTERVAL {range_s} SECONDS")),
+        "leftOuter",
+    ).select(
+        "signup_id", F.col("s_user").alias("user_id"), "ts_s", "ts_p", "cents"
+    )

@@ -1,0 +1,149 @@
+"""Round-11 late additions: the left-outer stream-stream interval
+join (watermark-expiry emission of non-converting signups), the
+two-phase annealing mixture plan, and per-source quality-threshold
+calibration."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+_RANGE_MS = 3600 * 1000
+_DELAY_MS = 2 * 3600 * 1000
+
+
+def test_outer_conversion_inner_arm_matches_inner_twin(spark, sf_dir):
+    """The outer twin restricted to converted=true must equal the
+    inner twin row-for-row (the outer arm only ADDS null-padded
+    signups)."""
+    outer = {
+        (r.signup_id, r.n_purchases, r.first_purchase_ms, r.total_value_cents)
+        for r in QUERIES["events_signup_conversion_outer"](spark, sf_dir)
+        .filter("converted")
+        .collect()
+    }
+    inner = {
+        (r.signup_id, r.n_purchases, r.first_purchase_ms, r.total_value_cents)
+        for r in QUERIES["events_purchases_after_signup"](spark, sf_dir).collect()
+    }
+    assert outer == inner
+
+
+def test_outer_stream_join_emits_expired_signups(spark, sf_dir, tmp_path):
+    """The watermarked LEFT OUTER stream-stream join must emit one
+    null-padded row per non-converting signup once the watermark
+    passes ts_s + range — verified against the batch twin on the
+    provably-expired subset, with soundness over the whole output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bpaotu_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        purchases_after_signup_outer_stream,
+        run_to_memory,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n, k = t.num_rows, 4
+    src = tmp_path / "evstream"
+    src.mkdir()
+    bounds = [i * n // k for i in range(k)] + [n]
+    for i in range(k):
+        p = src / f"chunk{i}.parquet"
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+    run_to_memory(
+        purchases_after_signup_outer_stream(raw), "ssj_outer", complete=False
+    )
+    out = spark.table("ssj_outer").collect()
+    null_ids = {r.signup_id for r in out if r.ts_p is None}
+    matched_ids = {r.signup_id for r in out if r.ts_p is not None}
+
+    batch = QUERIES["events_signup_conversion_outer"](spark, sf_dir).collect()
+    nonconv = {r.signup_id for r in batch if not r.converted}
+
+    # Soundness: every null row is a genuinely non-converting signup,
+    # and no signup appears both matched and null-padded.
+    assert null_ids <= nonconv
+    assert not (null_ids & matched_ids)
+
+    # Completeness on the provably-expired subset: the watermark the
+    # final micro-batch runs with is derived from chunks 0..k-2, so a
+    # non-converting signup with
+    #   ts_s + range < max_ts(chunks 0..k-2) - delay
+    # MUST have been emitted (1s slack for ms truncation).
+    ts_arr = t.slice(0, bounds[k - 1]).column("ts")
+    anchor = pc.max(ts_arr).cast(pa.int64()).as_py()
+    unit = ts_arr.type.unit
+    anchor_ms = anchor // {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[
+        unit
+    ] * (1000 if unit == "s" else 1)
+    cutoff_ms = anchor_ms - _DELAY_MS - _RANGE_MS - 1000
+    expired = {
+        r.signup_id
+        for r in batch
+        if not r.converted and r.signup_ms < cutoff_ms
+    }
+    assert expired, "fixture must contain a safely-expired non-converting signup"
+    assert expired <= null_ids
+
+    # Inner arm: matched signups == the batch twin's converted set
+    # (inner rows emit immediately; no watermark gate).
+    conv = {r.signup_id for r in batch if r.converted}
+    assert matched_ids == conv
+
+
+def test_anneal_mixture_budget_and_eligibility(spark, sf_dir):
+    """Budget conservation (floors lose < 1 token per source per
+    phase), phase-2 restricted to eligible sources, and epochs_milli
+    consistency."""
+    rows = QUERIES["corpus_anneal_mixture"](spark, sf_dir).collect()
+    assert rows
+    mass = sum(r.token_mass for r in rows)
+    b_total = 2 * mass
+    b2 = b_total // 10
+    b1 = b_total - b2
+    p1 = sum(r.phase1_tokens for r in rows)
+    p2 = sum(r.phase2_tokens for r in rows)
+    ns = len(rows)
+    assert b1 - ns <= p1 <= b1
+    assert p2 <= b2
+    if any(r.eligible_anneal for r in rows):
+        assert b2 - ns <= p2
+    for r in rows:
+        if not r.eligible_anneal:
+            assert r.phase2_tokens == 0
+        if r.token_mass > 0:
+            want = (r.phase1_tokens + r.phase2_tokens) * 1000 // r.token_mass
+            assert r.epochs_milli == want
+        else:
+            assert r.phase1_tokens == 0 and r.phase2_tokens == 0
+
+
+def test_quality_threshold_calibration_invariants(spark, sf_dir):
+    """Per-source calibrated keep is >= floor(n_s/2) (ties over-keep)
+    and every source shares the same global threshold; keep counts
+    are consistent with their shares."""
+    rows = QUERIES["quality_threshold_calibration"](spark, sf_dir).collect()
+    assert rows
+    t_globals = {r.t_global_milli for r in rows}
+    assert len(t_globals) == 1
+    for r in rows:
+        assert r.n_keep_cal >= r.n_docs // 2
+        assert 0 <= r.n_keep_raw <= r.n_docs
+        assert r.raw_share_milli == r.n_keep_raw * 1000 // r.n_docs
+        assert r.cal_share_milli == r.n_keep_cal * 1000 // r.n_docs

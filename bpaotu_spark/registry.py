@@ -89,6 +89,7 @@ def load_all() -> None:
     import bpaotu_spark.ann.hnswml  # noqa: F401
     import bpaotu_spark.operators.permtest  # noqa: F401
     import bpaotu_spark.operators.pipeline3  # noqa: F401
+    import bpaotu_spark.ann.curation  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -185,6 +186,7 @@ PRIORITY: tuple[str, ...] = (
     # ops queue here too (the r10->r11 precedent).
     "ann_beam_topk_quality",
     "corpus_anneal_mixture",
+    "cluster_balanced_sample_plan",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

@@ -147,3 +147,23 @@ def test_quality_threshold_calibration_invariants(spark, sf_dir):
         assert 0 <= r.n_keep_raw <= r.n_docs
         assert r.raw_share_milli == r.n_keep_raw * 1000 // r.n_docs
         assert r.cal_share_milli == r.n_keep_cal * 1000 // r.n_docs
+
+
+def test_cluster_balanced_plan_quotas_and_geometry(spark, sf_dir):
+    """Quotas follow min(n_c, budget/K) with the same cluster sizes as
+    kmeans_embeddings, and the selected-members mean d2 is a real
+    per-cluster statistic (0 only if a cluster got quota 0)."""
+    rows = QUERIES["cluster_balanced_sample_plan"](spark, sf_dir).collect()
+    assert rows
+    km = {
+        r.cluster_id: r.n_members
+        for r in QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
+    }
+    assert {r.cluster_id: r.n_members for r in rows} == km
+    n = sum(km.values())
+    per = (n // 2) // 8  # budget / K
+    for r in rows:
+        assert r.quota == min(r.n_members, per)
+        assert r.share_milli == r.quota * 1000 // r.n_members
+        if r.quota > 0:
+            assert r.mean_d2_sel_floor >= 0

@@ -1,0 +1,255 @@
+"""Statistics, part 7: McNemar's paired test and the Ljung–Box
+portmanteau test.
+
+Reference parity: the reference (public muccg/bpaotu) comparison pages
+report significance for paired assays; these add the two classical
+tests the existing rater/ACF operators stop short of — the paired
+2×2 disagreement test (McNemar 1947) over the SAME two deterministic
+document raters as quality_rater_kappa, and the whiteness test
+(Ljung & Box 1978) over the SAME daily-revenue correlogram as
+daily_acf_lags.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.operators.stats6 import _KAPPA_LEN, _KAPPA_PCT
+from bpaotu_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# mcnemar_quality_raters — McNemar's test on the paired 2×2 of the two
+# deterministic quality raters (length ≥ L vs lexical diversity ≥ P%):
+# κ (quality_rater_kappa) measures agreement; McNemar asks the sharper
+# question — is the DISAGREEMENT symmetric, or does one rater
+# systematically pass documents the other fails? χ² = (b−c)²/(b+c)
+# over the discordant cells, plus the Edwards continuity-corrected
+# variant ((|b−c|−1)²/(b+c)); both in exact integer ppm.
+#
+# Scale shape: one map-only scan to the two 0/1 rater verdicts, ONE
+# map-side-combined global aggregate (4 counting cells), scalar math
+# on the 1-row result. Nothing here grows with corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mcnemar_quality_raters",
+    oracle=f"""
+WITH toks AS (
+  SELECT n_chars,
+    CAST(len(t) AS BIGINT) AS n_tok,
+    CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
+  FROM (
+    SELECT n_chars,
+      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        'g')), ' ') AS t
+    FROM documents
+  )
+),
+r AS (
+  SELECT
+    CASE WHEN n_chars >= {_KAPPA_LEN} THEN 1 ELSE 0 END AS ra,
+    CASE WHEN 100 * n_dis >= {_KAPPA_PCT} * n_tok THEN 1 ELSE 0 END AS rb
+  FROM toks
+),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_only_a,
+    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_only_b,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM r
+)
+SELECT n_docs, b_only_a, c_only_b,
+  CASE WHEN b_only_a + c_only_b = 0 THEN CAST(0 AS BIGINT) ELSE
+    CAST(CAST(b_only_a - c_only_b AS HUGEINT) * (b_only_a - c_only_b)
+      * 1000000 // (b_only_a + c_only_b) AS BIGINT)
+  END AS chi2_ppm,
+  CASE WHEN b_only_a + c_only_b = 0 THEN CAST(0 AS BIGINT) ELSE
+    CAST(greatest(CAST(abs(b_only_a - c_only_b) AS HUGEINT) - 1, 0)
+      * greatest(CAST(abs(b_only_a - c_only_b) AS HUGEINT) - 1, 0)
+      * 1000000 // (b_only_a + c_only_b) AS BIGINT)
+  END AS chi2_cc_ppm
+FROM cells
+""",
+)
+def mcnemar_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar χ² (plain + continuity-corrected, exact ppm) on the
+    discordant cells of the length-vs-diversity rater pair."""
+    from bpaotu_spark.functions.textops import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("n_chars", tokenize(F.col("text")).alias("t")).select(
+        "n_chars",
+        F.size("t").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_dis"),
+    )
+    r = t.select(
+        F.expr(f"CASE WHEN n_chars >= {_KAPPA_LEN} THEN 1 ELSE 0 END").alias(
+            "ra"
+        ),
+        F.expr(
+            f"CASE WHEN 100 * n_dis >= {_KAPPA_PCT} * n_tok THEN 1 ELSE 0 END"
+        ).alias("rb"),
+    )
+    cells = r.agg(
+        F.sum(F.expr("CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("b_only_a"),
+        F.sum(F.expr("CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c_only_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return cells.select(
+        "n_docs",
+        "b_only_a",
+        "c_only_b",
+        F.expr(
+            "CASE WHEN b_only_a + c_only_b = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(CAST(b_only_a - c_only_b AS DECIMAL(38,0))"
+            " * (b_only_a - c_only_b) * 1000000"
+            " DIV (b_only_a + c_only_b) AS BIGINT) END"
+        ).alias("chi2_ppm"),
+        F.expr(
+            "CASE WHEN b_only_a + c_only_b = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(greatest(CAST(abs(b_only_a - c_only_b) AS DECIMAL(38,0))"
+            " - 1, 0) * greatest(CAST(abs(b_only_a - c_only_b)"
+            " AS DECIMAL(38,0)) - 1, 0) * 1000000"
+            " DIV (b_only_a + c_only_b) AS BIGINT) END"
+        ).alias("chi2_cc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ljung_box_daily — Ljung–Box portmanteau whiteness test over the
+# daily-revenue series: Q = n(n+2) Σ_{k=1..m} r_k²/(n−k), lags 1..7.
+# daily_acf_lags reports the individual r_k; Q composes them into the
+# single is-this-series-white decision (χ²_m under H0) a forecasting
+# pipeline gates on before trusting residuals.
+#
+# Fixed-point contract: r_k in floored milli exactly as daily_acf_lags
+# computes it (HUGEINT/DECIMAL(38,0) cross-sums, one DOUBLE division,
+# floor), then term_k = r_milli² // (n−k) in micro units and
+# q_micro = n(n+2) Σ term_k — integer end-to-end after the shared
+# floor, so both engines agree exactly.
+#
+# Scale shape: daily rollup (map-side combine), 1-row mean/SS scalars
+# broadcast, one 7-lag broadcast-cross + calendar self-join on the
+# DAILY frame (≤ n·m rows — days, not orders), one scalar finish.
+# ---------------------------------------------------------------------------
+
+_LB_MAX_LAG = 7
+
+
+@register(
+    "ljung_box_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS HUGEINT) * 1000 // count(*) AS mean_milli
+  FROM daily
+),
+dev AS (
+  SELECT d, cents * 1000 - mean_milli AS dev_milli FROM daily CROSS JOIN m
+),
+ss AS (
+  SELECT CAST(sum(CAST(dev_milli AS HUGEINT) * dev_milli) AS HUGEINT)
+    AS ss0
+  FROM dev
+),
+lags AS (SELECT unnest(range(1, {_LB_MAX_LAG + 1})) AS lag),
+x AS (
+  SELECT lag,
+    CAST(sum(CAST(a.dev_milli AS HUGEINT) * b.dev_milli) AS HUGEINT)
+      AS cross_sum
+  FROM lags, dev a
+  JOIN dev b ON b.d = a.d + to_days(CAST(lag AS INTEGER))
+  GROUP BY lag
+),
+terms AS (
+  SELECT x.lag,
+    CAST(floor(CAST(cross_sum AS DOUBLE) / CAST(ss0 AS DOUBLE) * 1000)
+      AS BIGINT) AS r_milli
+  FROM x CROSS JOIN ss
+)
+SELECT m.n AS n_days, CAST({_LB_MAX_LAG} AS BIGINT) AS m_lags,
+  CAST(m.n * (m.n + 2)
+    * sum(CAST(r_milli AS HUGEINT) * r_milli // (m.n - terms.lag))
+    AS BIGINT) AS q_micro
+FROM terms CROSS JOIN m
+GROUP BY m.n
+""",
+)
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q over daily revenue, lags 1..7, exact micro units:
+    (n_days, m_lags, q_micro)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(cents) AS DECIMAL(38,0)) * 1000 div count(*)"
+        ).alias("mean_milli"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d", F.expr("cents * 1000 - mean_milli").alias("dev_milli")
+    )
+    ss = dev.agg(
+        F.sum(F.expr("CAST(dev_milli AS DECIMAL(38,0)) * dev_milli")).alias(
+            "ss0"
+        )
+    )
+    lags = spark.createDataFrame(
+        [(x,) for x in range(1, _LB_MAX_LAG + 1)], "lag bigint"
+    )
+    a = dev.select("d", F.col("dev_milli").alias("da"))
+    b = dev.select(F.col("d").alias("d_b"), F.col("dev_milli").alias("db"))
+    x = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("d_target", F.expr("date_add(d, CAST(lag AS INT))"))
+        .join(b, F.col("d_b") == F.col("d_target"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.expr("CAST(da AS DECIMAL(38,0)) * db")).alias(
+                "cross_sum"
+            )
+        )
+    )
+    terms = x.crossJoin(F.broadcast(ss)).select(
+        "lag",
+        F.expr(
+            "CAST(floor(CAST(cross_sum AS DOUBLE)"
+            " / CAST(ss0 AS DOUBLE) * 1000) AS BIGINT)"
+        ).alias("r_milli"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(m.select("n")))
+        .groupBy("n")
+        .agg(
+            F.expr(
+                "CAST(n * (n + 2) * sum(CAST(r_milli AS DECIMAL(38,0))"
+                " * r_milli DIV (n - lag)) AS BIGINT)"
+            ).alias("q_micro")
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(_LB_MAX_LAG).cast("bigint").alias("m_lags"),
+            "q_micro",
+        )
+    )

@@ -90,6 +90,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.permtest  # noqa: F401
     import bpaotu_spark.operators.pipeline3  # noqa: F401
     import bpaotu_spark.ann.curation  # noqa: F401
+    import bpaotu_spark.operators.stats7  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -187,6 +188,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_beam_topk_quality",
     "corpus_anneal_mixture",
     "cluster_balanced_sample_plan",
+    "mcnemar_quality_raters",
+    "ljung_box_daily",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

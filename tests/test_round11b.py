@@ -167,3 +167,38 @@ def test_cluster_balanced_plan_quotas_and_geometry(spark, sf_dir):
         assert r.share_milli == r.quota * 1000 // r.n_members
         if r.quota > 0:
             assert r.mean_d2_sel_floor >= 0
+
+
+def test_mcnemar_cells_match_kappa_and_formula(spark, sf_dir):
+    """McNemar's discordant cells must equal quality_rater_kappa's
+    off-diagonal cells (same raters), and both χ² variants must match
+    the closed form."""
+    mc = QUERIES["mcnemar_quality_raters"](spark, sf_dir).collect()[0]
+    ka = QUERIES["quality_rater_kappa"](spark, sf_dir).collect()[0]
+    assert mc.b_only_a == ka.yes_no
+    assert mc.c_only_b == ka.no_yes
+    b, c = mc.b_only_a, mc.c_only_b
+    if b + c:
+        assert mc.chi2_ppm == (b - c) * (b - c) * 1_000_000 // (b + c)
+        d = max(abs(b - c) - 1, 0)
+        assert mc.chi2_cc_ppm == d * d * 1_000_000 // (b + c)
+        assert mc.chi2_cc_ppm <= mc.chi2_ppm
+    else:
+        assert mc.chi2_ppm == 0 and mc.chi2_cc_ppm == 0
+
+
+def test_ljung_box_matches_daily_count_and_sign(spark, sf_dir):
+    """Q is non-negative, n_days equals the distinct order dates, and
+    m_lags is the fixed 7."""
+    from bpaotu_spark.catalog import load_table
+
+    lb = QUERIES["ljung_box_daily"](spark, sf_dir).collect()[0]
+    n_days = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert lb.n_days == n_days
+    assert lb.m_lags == 7
+    assert lb.q_micro >= 0

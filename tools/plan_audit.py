@@ -25,6 +25,9 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
     # --- round-11 additions ---
+    "corpus_anneal_mixture": "broadcast 1-row (M, p_glob) and 1-row W scalars into the per-source frame",
+    "quality_threshold_calibration": "broadcast 1-row global-threshold scalar into the doc scan",
+    "cluster_balanced_sample_plan": "broadcast K-row centroid table per assignment pass (kmeans_embeddings shape) + 1-row budget scalar",
     "ann_beam_topk_quality": "broadcast |queries|*B-row frontier per hop + truth leg's broadcast-query != join (beam shape)",
     "ann_hnsw_multilayer_search": "broadcast query set into the n/16 routing-layer scan (non-equi !=) + |queries|*B-row frontier per descent hop + truth leg (beam shape)",
     "ann_jl_pool_recall_sweep": "broadcast query set (N_QUERIES rows), non-equi != + projected-pair equi join (jl_topk_recall shape, per pool leg)",

@@ -942,3 +942,107 @@ def purchases_after_signup_outer_stream(
     ).select(
         "signup_id", F.col("s_user").alias("user_id"), "ts_s", "ts_p", "cents"
     )
+
+
+_SESSION_FINAL_SCHEMA = (
+    "user_id bigint, session_start_ms bigint, session_end_ms bigint, "
+    "n_events bigint, session_value double"
+)
+_SESSION_FINAL_STATE = (
+    "start_ms bigint, last_ms bigint, n bigint, total double"
+)
+
+
+def session_finalizer_stream(
+    events: DataFrame, gap_min: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sessionization as an EVENT-TIME-TIMEOUT state machine
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) —
+    the arbitrary-stateful twin of ``sessionize_stream``'s built-in
+    session_window, for the cases the built-in can't express (emit
+    extra per-session payloads, per-key custom gap rules, session
+    splitting).
+
+    Per user, state holds the one OPEN session (start, last event,
+    count, value sum). Sessions that a successor event closes within
+    a batch emit immediately; the trailing open session arms an
+    event-time timeout at last_ms + gap, so the watermark — not a
+    processing-time guess — proves no in-gap event can still arrive
+    before the session is finalized and the state removed. State is
+    therefore O(users with an open session), never O(history).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_min * 60 * 1000
+
+    def _ms(ts: "pd.Series") -> "pd.Series":
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        return (ts - pd.Timestamp("1970-01-01")) // pd.Timedelta(
+            milliseconds=1
+        )
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+
+        def _close(sess):
+            start_ms, last_ms, n, total = sess
+            closed.append(
+                (int(key[0]), int(start_ms), int(last_ms), int(n),
+                 round(float(total), 4))
+            )
+
+        if state.hasTimedOut:
+            _close(state.get)
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                ms = _ms(pdf["ts"])
+                rows.extend(zip(ms.tolist(), pdf["value"].tolist()))
+            rows.sort()
+            open_s = list(state.get) if state.exists else None
+            for ts_ms, v in rows:
+                if open_s is None:
+                    open_s = [ts_ms, ts_ms, 1, float(v)]
+                elif ts_ms - open_s[1] < gap_ms:
+                    # strict <: a silence of exactly gap_ms starts a NEW
+                    # session, matching session_window's [start, last+gap)
+                    open_s[1] = ts_ms
+                    open_s[2] += 1
+                    open_s[3] += float(v)
+                else:
+                    _close(open_s)
+                    open_s = [ts_ms, ts_ms, 1, float(v)]
+            if open_s is not None:
+                state.update(tuple(open_s))
+                # must exceed the current watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                    max(
+                        open_s[1] + gap_ms + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_start_ms",
+                "session_end_ms",
+                "n_events",
+                "session_value",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_FINAL_SCHEMA,
+            stateStructType=_SESSION_FINAL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -202,3 +202,76 @@ def test_ljung_box_matches_daily_count_and_sign(spark, sf_dir):
     assert lb.n_days == n_days
     assert lb.m_lags == 7
     assert lb.q_micro >= 0
+
+
+def _chunked_stream(spark, sf_dir, tmp_path, k=4):
+    """Write events as k time-ordered parquet chunks and return
+    (stream_df, anchor_ms) where anchor_ms is the max event time of
+    chunks 0..k-2 (the watermark anchor the final batch runs with)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bpaotu_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    src = tmp_path / "evchunks"
+    src.mkdir()
+    bounds = [i * n // k for i in range(k)] + [n]
+    for i in range(k):
+        p = src / f"chunk{i}.parquet"
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    ts_arr = t.slice(0, bounds[k - 1]).column("ts")
+    anchor = pc.max(ts_arr).cast(pa.int64()).as_py()
+    unit = ts_arr.type.unit
+    anchor_ms = anchor // {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[
+        unit
+    ] * (1000 if unit == "s" else 1)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+    return raw, anchor_ms
+
+
+def test_session_finalizer_event_time_timeout(spark, sf_dir, tmp_path):
+    """The EventTimeTimeout session state machine must emit exactly
+    the batch session_window sessions: soundness over everything it
+    emits, completeness for sessions the watermark provably closed."""
+    from bpaotu_spark.streaming.jobs import (
+        run_to_memory,
+        session_finalizer_stream,
+    )
+
+    raw, anchor_ms = _chunked_stream(spark, sf_dir, tmp_path)
+    run_to_memory(session_finalizer_stream(raw), "t_sessfin", complete=False)
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events): r.session_value
+        for r in spark.table("t_sessfin").collect()
+    }
+
+    gap_ms = 30 * 60 * 1000
+    delay_ms = 2 * 3600 * 1000
+    batch = {
+        (r.user_id, r.session_start_ms, r.session_end_ms - gap_ms, r.n_events):
+        r.session_value
+        for r in QUERIES["events_session_window"](spark, sf_dir).collect()
+    }
+
+    # Soundness: every emitted session is a real batch session
+    # (values float-summed in the stream vs decimal in batch: 1e-3 tol).
+    assert set(got) <= set(batch)
+    for kk, v in got.items():
+        assert abs(v - batch[kk]) < 1e-3
+
+    # Completeness: any batch session whose last event + gap the
+    # pre-final-batch watermark already passed MUST have been emitted.
+    cutoff_ms = anchor_ms - delay_ms - gap_ms - 1000
+    expired = {kk for kk in batch if kk[2] < cutoff_ms}
+    assert expired, "fixture must contain watermark-closed sessions"
+    assert expired <= set(got)

@@ -650,3 +650,96 @@ def text_tile_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# contamination_by_source — WHO leaks the test set: attribute each
+# contaminated test document (shares a word-8-gram with train, parity
+# split as split_contamination_ngrams) to the TRAIN source(s) whose
+# documents carry the shared gram. split_contamination_ngrams answers
+# "how contaminated is eval"; this answers the actionable follow-up —
+# which ingestion source to fix or re-decontaminate first.
+#
+# Scale shape: the same distinct-8-gram semi-join as the split census
+# (bounded by gram vocabulary, not corpus size), with train grams
+# carrying their source; the two COUNT(DISTINCT) in one groupBy
+# expand 2× but over the already-deduplicated hit pairs only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_by_source",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_GRAMS8_CTE},
+train_g AS (
+  SELECT DISTINCT d.source, g8.g
+  FROM g8 JOIN documents d USING (doc_id) WHERE g8.doc_id % 2 = 0
+),
+test_g AS (
+  SELECT DISTINCT doc_id, g FROM g8 WHERE g8.doc_id % 2 = 1
+),
+per_src AS (
+  SELECT tr.source,
+    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_test_docs_hit,
+    CAST(count(DISTINCT t.g) AS BIGINT) AS n_leaked_grams
+  FROM test_g t JOIN train_g tr ON tr.g = t.g
+  GROUP BY tr.source
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT source, n_test_docs_hit, n_leaked_grams,
+  CAST(n_test_docs_hit * 1000000 // n_test AS BIGINT) AS hit_share_ppm
+FROM per_src CROSS JOIN tot
+ORDER BY source
+""",
+)
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TRAIN source: distinct test docs it contaminates, distinct
+    leaked 8-grams, and the share of the test set it touches (ppm)."""
+    toks = _toks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, _CONTAM_N)]
+    g8 = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    train_g = (
+        g8.filter("doc_id % 2 = 0")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "g")
+        .distinct()
+    )
+    test_g = g8.filter("doc_id % 2 = 1")
+    per_src = (
+        test_g.join(train_g, "g")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_test_docs_hit"),
+            F.countDistinct("g").cast("bigint").alias("n_leaked_grams"),
+        )
+    )
+    tot = docs.filter("doc_id % 2 = 1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_test_docs_hit",
+            "n_leaked_grams",
+            F.expr(
+                "CAST(n_test_docs_hit * 1000000 DIV n_test AS BIGINT)"
+            ).alias("hit_share_ppm"),
+        )
+        .orderBy("source")
+    )

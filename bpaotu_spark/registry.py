@@ -190,6 +190,7 @@ PRIORITY: tuple[str, ...] = (
     "cluster_balanced_sample_plan",
     "mcnemar_quality_raters",
     "ljung_box_daily",
+    "contamination_by_source",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

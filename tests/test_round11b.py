@@ -275,3 +275,18 @@ def test_session_finalizer_event_time_timeout(spark, sf_dir, tmp_path):
     expired = {kk for kk in batch if kk[2] < cutoff_ms}
     assert expired, "fixture must contain watermark-closed sessions"
     assert expired <= set(got)
+
+
+def test_contamination_by_source_consistent_with_split_census(spark, sf_dir):
+    """The union of per-source contaminated test docs must reproduce
+    the split census total, and no source can touch more test docs
+    than the census found contaminated overall."""
+    per_src = QUERIES["contamination_by_source"](spark, sf_dir).collect()
+    census = QUERIES["split_contamination_ngrams"](spark, sf_dir).collect()
+    total_contaminated = sum(r.n_contaminated for r in census)
+    n_test = sum(r.n_test for r in census)
+    assert per_src
+    for r in per_src:
+        assert 0 < r.n_test_docs_hit <= total_contaminated
+        assert r.n_leaked_grams > 0
+        assert r.hit_share_ppm == r.n_test_docs_hit * 1_000_000 // n_test

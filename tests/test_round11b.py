@@ -290,3 +290,63 @@ def test_contamination_by_source_consistent_with_split_census(spark, sf_dir):
         assert 0 < r.n_test_docs_hit <= total_contaminated
         assert r.n_leaked_grams > 0
         assert r.hit_share_ppm == r.n_test_docs_hit * 1_000_000 // n_test
+
+
+def test_augment_connected_graph_incremental_insert(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Incremental insert must (1) keep every base edge, (2) give every
+    new vector between 1 and k+1 edges, (3) leave the augmented graph
+    CONNECTED over base+new nodes — without rebuilding the base graph."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bpaotu_spark.ann.graphconn import augment_connected_graph
+    from bpaotu_spark.dedup.core import star_connected_components
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    import pyarrow as pa
+
+    is_new = pa.array(
+        [v % 5 == 0 for v in t.column("vec_id").to_pylist()], pa.bool_()
+    )
+    base_t, new_t = t.filter(pc.invert(is_new)), t.filter(is_new)
+    base_dir = tmp_path / "base_sf"
+    base_dir.mkdir()
+    pq.write_table(base_t, base_dir / "embeddings.parquet")
+
+    new_df = spark.createDataFrame(new_t.to_pandas()).select(
+        "vec_id", "embedding"
+    )
+    aug = augment_connected_graph(spark, str(base_dir), new_df).localCheckpoint()
+
+    from bpaotu_spark.ann.index_store import connected_edges_cached
+
+    base_edges = {
+        (r.vec_id, r.neighbor_id)
+        for r in connected_edges_cached(spark, str(base_dir)).collect()
+    }
+    aug_edges = {(r.vec_id, r.neighbor_id) for r in aug.collect()}
+    assert base_edges <= aug_edges  # non-destructive union
+
+    new_ids = set(new_t.column("vec_id").to_pylist())
+    base_ids = set(base_t.column("vec_id").to_pylist())
+    out_deg = {}
+    for u, v in aug_edges - base_edges:
+        if u in new_ids:
+            out_deg[u] = out_deg.get(u, 0) + 1
+    assert set(out_deg) == new_ids  # every new vector connected
+    assert max(out_deg.values()) <= 5 + 1
+
+    # connectivity of the augmented graph over ALL nodes
+    und = aug.select(
+        F.least("vec_id", "neighbor_id").alias("u"),
+        F.greatest("vec_id", "neighbor_id").alias("v"),
+    ).distinct()
+    comp = star_connected_components(und, "u", "v")
+    n_comp = comp.select("component").distinct().count()
+    nodes = {r.node for r in comp.collect()}
+    assert n_comp == 1
+    assert nodes == base_ids | new_ids

@@ -253,3 +253,116 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ses_forecast_mase — simple exponential smoothing (α = 0.3) one-step-
+# ahead forecast over daily revenue, scored by MASE against the lag-1
+# naive baseline (Hyndman & Koehler 2006). seasonal_naive_mase asks
+# "does lag-7 beat lag-1"; this asks whether an actual smoother earns
+# its keep — the go/no-go before any fancier forecaster.
+#
+# Exactness: the SES recursion s_t = (3·x_t·1000 + 7·s_{t-1}) // 10
+# runs in integer MILLI-cents with a floor at every step, so the fold
+# is bit-identical in both engines — Spark folds the calendar-bounded
+# daily array with aggregate(); DuckDB runs the same recursion as a
+# linear recursive CTE. MASE = Σ|x_t·1000 − s_{t-1}| · 1000 // Σ|x_t −
+# x_{t-1}|·1000 (same t-range, counts cancel) — integer end-to-end.
+#
+# Scale shape: daily rollup (map-side combine) → ONE bounded-row fold
+# (array length = calendar days, not data size — the ordination
+# one-batch precedent) → scalar finish. Nothing grows with corpus.
+# ---------------------------------------------------------------------------
+
+_SES_NUM = 3  # α = _SES_NUM / _SES_DEN
+_SES_DEN = 10
+
+
+@register(
+    "ses_forecast_mase",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, cents
+  FROM daily
+),
+ses(t, s, err_sum) AS (
+  SELECT t, cents * 1000, CAST(0 AS HUGEINT) FROM seq WHERE t = 1
+  UNION ALL
+  SELECT q.t,
+    ({_SES_NUM} * q.cents * 1000 + {_SES_DEN - _SES_NUM} * ses.s)
+      // {_SES_DEN},
+    ses.err_sum + abs(q.cents * 1000 - ses.s)
+  FROM ses JOIN seq q ON q.t = ses.t + 1
+),
+fin AS (
+  SELECT s, err_sum FROM ses ORDER BY t DESC LIMIT 1
+),
+naive AS (
+  SELECT CAST(count(l1) AS BIGINT) AS n1,
+    CAST(sum(abs(cents - l1)) AS HUGEINT) * 1000 AS e1_milli
+  FROM (SELECT cents, lag(cents, 1) OVER (ORDER BY t) AS l1 FROM seq)
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM seq) AS n_days,
+  CAST(fin.err_sum AS BIGINT) AS sum_abs_err_ses_milli,
+  CAST(naive.e1_milli AS BIGINT) AS sum_abs_err_naive_milli,
+  CAST(fin.err_sum * 1000 // naive.e1_milli AS BIGINT) AS mase_milli,
+  CAST(fin.s AS BIGINT) AS s_final_milli
+FROM fin CROSS JOIN naive
+""",
+)
+def ses_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SES (α=0.3) one-step-ahead daily-revenue forecast vs the lag-1
+    naive baseline: (n_days, sum_abs_err_ses_milli,
+    sum_abs_err_naive_milli, mase_milli, s_final_milli)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    folded = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            f"""
+aggregate(
+  array_sort(collect_list(named_struct('d', d, 'cents', cents))),
+  named_struct('s', CAST(-1 AS DECIMAL(38,0)),
+               'err', CAST(0 AS DECIMAL(38,0)),
+               'prev', CAST(-1 AS BIGINT),
+               'e1', CAST(0 AS DECIMAL(38,0))),
+  (acc, x) -> CASE WHEN acc.s < 0 THEN
+      named_struct('s', CAST(x.cents AS DECIMAL(38,0)) * 1000,
+                   'err', acc.err, 'prev', x.cents, 'e1', acc.e1)
+    ELSE
+      named_struct(
+        's', ({_SES_NUM} * CAST(x.cents AS DECIMAL(38,0)) * 1000
+              + {_SES_DEN - _SES_NUM} * acc.s) DIV {_SES_DEN},
+        'err', acc.err + abs(CAST(x.cents AS DECIMAL(38,0)) * 1000
+                             - acc.s),
+        'prev', x.cents,
+        'e1', acc.e1 + abs(CAST(x.cents AS DECIMAL(38,0)) - acc.prev)
+      ) END
+)
+"""
+        ).alias("f"),
+    )
+    return folded.select(
+        "n_days",
+        F.expr("CAST(f.err AS BIGINT)").alias("sum_abs_err_ses_milli"),
+        F.expr("CAST(f.e1 * 1000 AS BIGINT)").alias(
+            "sum_abs_err_naive_milli"
+        ),
+        F.expr(
+            "CAST(f.err * 1000 DIV (f.e1 * 1000) AS BIGINT)"
+        ).alias("mase_milli"),
+        F.expr("CAST(f.s AS BIGINT)").alias("s_final_milli"),
+    )

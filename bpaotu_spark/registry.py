@@ -191,6 +191,7 @@ PRIORITY: tuple[str, ...] = (
     "mcnemar_quality_raters",
     "ljung_box_daily",
     "contamination_by_source",
+    "ses_forecast_mase",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

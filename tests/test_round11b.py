@@ -350,3 +350,18 @@ def test_augment_connected_graph_incremental_insert(
     nodes = {r.node for r in comp.collect()}
     assert n_comp == 1
     assert nodes == base_ids | new_ids
+
+
+def test_ses_mase_consistency(spark, sf_dir):
+    """SES error totals are internally consistent: mase_milli is the
+    exact floor ratio of the two error sums, and the smoother's error
+    is positive whenever the naive one is."""
+    r = QUERIES["ses_forecast_mase"](spark, sf_dir).collect()[0]
+    assert r.n_days > 1
+    assert r.sum_abs_err_naive_milli > 0
+    assert r.sum_abs_err_ses_milli >= 0
+    assert (
+        r.mase_milli
+        == r.sum_abs_err_ses_milli * 1000 // r.sum_abs_err_naive_milli
+    )
+    assert r.s_final_milli >= 0

@@ -91,6 +91,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.pipeline3  # noqa: F401
     import bpaotu_spark.ann.curation  # noqa: F401
     import bpaotu_spark.operators.stats7  # noqa: F401
+    import bpaotu_spark.operators.spatial  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -192,6 +193,7 @@ PRIORITY: tuple[str, ...] = (
     "ljung_box_daily",
     "contamination_by_source",
     "ses_forecast_mase",
+    "map_radius_search",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

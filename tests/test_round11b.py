@@ -365,3 +365,27 @@ def test_ses_mase_consistency(spark, sf_dir):
         == r.sum_abs_err_ses_milli * 1000 // r.sum_abs_err_naive_milli
     )
     assert r.s_final_milli >= 0
+
+
+def test_map_radius_search_blocking_is_sound(spark, sf_dir):
+    """The grid-blocked hit counts must equal a brute-force distance
+    scan per center (the blocking may never lose a point), and every
+    returned center is one of the 8 densest cells."""
+    rows = QUERIES["map_radius_search"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 8
+    from bpaotu_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pts = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("nx"),
+        F.floor(F.col("o_totalprice") / 50.0).cast("bigint").alias("ny"),
+    )
+    for r in rows:
+        cnx, cny = r.bin_x * 1000 + 500, r.bin_y * 1000 + 500
+        brute = pts.filter(
+            (F.col("nx") - cnx) * (F.col("nx") - cnx)
+            + (F.col("ny") - cny) * (F.col("ny") - cny)
+            <= 1000 * 1000
+        ).count()
+        assert r.n_in_radius == brute

@@ -487,3 +487,217 @@ def permanova_permutation_p(
             ).alias("p_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# raup_crick_null — Raup–Crick null-model beta diversity (Raup & Crick
+# 1979; Chase et al. 2011, the richness-preserving permutation form
+# vegan/QIIME report): for each sample pair in an absolute-capped
+# cohort (first 16 selected samples — the ordination one-batch
+# precedent), compare the OBSERVED shared-species count against B=32
+# deterministic null draws in which each sample re-draws its own
+# richness uniformly from the cohort species pool. p_milli =
+# add-one share of null draws with shared ≥ observed: ≈1000 means the
+# pair shares far more than chance (deterministic assembly), ≈0 far
+# less. This is the null-model significance layer the plain
+# Jaccard/Sørensen operators lack.
+#
+# Determinism: draw b for sample i = the richness_i pool species
+# ranked by md5(otu:sample:b) — engine-identical, richness preserved
+# exactly per draw.
+#
+# Scale shape: cohort capped at 16 ⇒ the draw frame is
+# 33·16·|pool| rows windowed per (sample, b); pairs are 120 rows.
+# Everything downstream of the one abundance scan is bounded by the
+# CAP and the pool, not the corpus.
+# ---------------------------------------------------------------------------
+
+_RC_CAP = 16
+
+
+def _rc_oracle() -> str:
+    return f"""
+WITH {ABUNDANCE_CTE},
+sel0 AS (
+  SELECT c_custkey AS sample_id,
+    row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer WHERE {_ANOSIM_SEL}
+),
+sel AS (SELECT sample_id FROM sel0 WHERE rn <= {_RC_CAP}),
+pres AS (
+  SELECT DISTINCT ab.sample_id, otu_id
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+),
+pool AS (SELECT DISTINCT otu_id FROM pres),
+rich AS (
+  SELECT sample_id, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY sample_id
+),
+perms AS (SELECT unnest(range(1, {_B_PERM + 1})) AS b),
+ranked AS (
+  SELECT r.sample_id, p.otu_id, perms.b,
+    row_number() OVER (PARTITION BY r.sample_id, perms.b
+      ORDER BY md5(CAST(p.otu_id AS VARCHAR) || ':'
+        || CAST(r.sample_id AS VARCHAR) || ':'
+        || CAST(perms.b AS VARCHAR)), p.otu_id) AS rn
+  FROM rich r CROSS JOIN pool p CROSS JOIN perms
+),
+draws AS (
+  SELECT rk.sample_id, rk.otu_id, rk.b
+  FROM ranked rk JOIN rich ON rich.sample_id = rk.sample_id
+  WHERE rk.rn <= rich.a
+),
+null_shared AS (
+  SELECT d1.sample_id AS sample_a, d2.sample_id AS sample_b, d1.b,
+    CAST(count(*) AS BIGINT) AS sh
+  FROM draws d1 JOIN draws d2
+    ON d1.otu_id = d2.otu_id AND d1.b = d2.b
+    AND d1.sample_id < d2.sample_id
+  GROUP BY d1.sample_id, d2.sample_id, d1.b
+),
+obs AS (
+  SELECT p1.sample_id AS sample_a, p2.sample_id AS sample_b,
+    CAST(count(*) AS BIGINT) AS sh
+  FROM pres p1 JOIN pres p2
+    ON p1.otu_id = p2.otu_id AND p1.sample_id < p2.sample_id
+  GROUP BY p1.sample_id, p2.sample_id
+),
+pairs AS (
+  SELECT r1.sample_id AS sample_a, r1.a AS richness_a,
+    r2.sample_id AS sample_b, r2.a AS richness_b,
+    CAST(coalesce(o.sh, 0) AS BIGINT) AS shared_obs
+  FROM rich r1 JOIN rich r2 ON r1.sample_id < r2.sample_id
+  LEFT JOIN obs o
+    ON o.sample_a = r1.sample_id AND o.sample_b = r2.sample_id
+)
+SELECT p.sample_a, p.sample_b, p.richness_a, p.richness_b, p.shared_obs,
+  CAST(coalesce(sum(ns.sh), 0) * 1000 // {_B_PERM} AS BIGINT)
+    AS null_mean_shared_milli,
+  CAST(CASE WHEN p.shared_obs = 0 THEN 1000 * (1 + {_B_PERM})
+    ELSE 1000 * (1 + coalesce(
+      sum(CASE WHEN ns.sh >= p.shared_obs THEN 1 ELSE 0 END), 0))
+    END // ({_B_PERM} + 1) AS BIGINT) AS p_milli
+FROM pairs p LEFT JOIN null_shared ns
+  ON ns.sample_a = p.sample_a AND ns.sample_b = p.sample_b
+GROUP BY p.sample_a, p.sample_b, p.richness_a, p.richness_b, p.shared_obs
+ORDER BY p.sample_a, p.sample_b
+"""
+
+
+@register("raup_crick_null", oracle=_rc_oracle())
+def raup_crick_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raup–Crick pairwise null-model significance over the capped
+    cohort: (sample_a, sample_b, richness_a, richness_b, shared_obs,
+    null_mean_shared_milli, p_milli)."""
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(
+            "c_custkey",
+            F.row_number()
+            .over(Window.orderBy("c_custkey"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _RC_CAP)
+        .select(F.col("c_custkey").alias("sample_id"))
+    )
+    pres = (
+        abundance_selected(
+            spark, sf_dir, sel.withColumn("grp", F.lit("x"))
+        )
+        .select("sample_id", "otu_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    pool = pres.select("otu_id").distinct()
+    rich = pres.groupBy("sample_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    perms = spark.range(1, _B_PERM + 1).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    wr = Window.partitionBy("sample_id", "b").orderBy(
+        F.expr(
+            "md5(concat(CAST(otu_id AS STRING), ':',"
+            " CAST(sample_id AS STRING), ':', CAST(b AS STRING)))"
+        ),
+        F.col("otu_id"),
+    )
+    ranked = (
+        rich.crossJoin(F.broadcast(pool))
+        .crossJoin(F.broadcast(perms))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    draws = ranked.filter(F.col("rn") <= F.col("a")).select(
+        "sample_id", "otu_id", "b"
+    )
+    d1 = draws.select(
+        F.col("sample_id").alias("sample_a"),
+        F.col("otu_id").alias("o1"),
+        F.col("b").alias("b1"),
+    )
+    d2 = draws.select(
+        F.col("sample_id").alias("sample_b"),
+        F.col("otu_id").alias("o2"),
+        F.col("b").alias("b2"),
+    )
+    null_shared = (
+        d1.join(
+            d2,
+            (F.col("o1") == F.col("o2"))
+            & (F.col("b1") == F.col("b2"))
+            & (F.col("sample_a") < F.col("sample_b")),
+        )
+        .groupBy("sample_a", "sample_b", F.col("b1").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sh"))
+    )
+    p1 = pres.select(
+        F.col("sample_id").alias("sample_a"), F.col("otu_id").alias("o1")
+    )
+    p2 = pres.select(
+        F.col("sample_id").alias("sample_b"), F.col("otu_id").alias("o2")
+    )
+    obs = (
+        p1.join(
+            p2,
+            (F.col("o1") == F.col("o2"))
+            & (F.col("sample_a") < F.col("sample_b")),
+        )
+        .groupBy("sample_a", "sample_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sh_obs"))
+    )
+    r1 = rich.select(
+        F.col("sample_id").alias("sample_a"), F.col("a").alias("richness_a")
+    )
+    r2 = rich.select(
+        F.col("sample_id").alias("sample_b"), F.col("a").alias("richness_b")
+    )
+    pairs = (
+        r1.join(r2, F.col("sample_a") < F.col("sample_b"))
+        .join(F.broadcast(obs), ["sample_a", "sample_b"], "left")
+        .select(
+            "sample_a",
+            "sample_b",
+            "richness_a",
+            "richness_b",
+            F.coalesce("sh_obs", F.lit(0))
+            .cast("bigint")
+            .alias("shared_obs"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(null_shared), ["sample_a", "sample_b"], "left")
+        .groupBy(
+            "sample_a", "sample_b", "richness_a", "richness_b", "shared_obs"
+        )
+        .agg(
+            F.expr(
+                f"CAST(coalesce(sum(sh), 0) * 1000 DIV {_B_PERM} AS BIGINT)"
+            ).alias("null_mean_shared_milli"),
+            F.expr(
+                f"CAST(CASE WHEN shared_obs = 0 THEN 1000 * (1 + {_B_PERM}) "
+                f"ELSE 1000 * (1 + coalesce(sum(CASE WHEN sh >= shared_obs "
+                f"THEN 1 ELSE 0 END), 0)) END DIV ({_B_PERM} + 1) AS BIGINT)"
+            ).alias("p_milli"),
+        )
+        .orderBy("sample_a", "sample_b")
+    )

@@ -194,6 +194,7 @@ PRIORITY: tuple[str, ...] = (
     "contamination_by_source",
     "ses_forecast_mase",
     "map_radius_search",
+    "raup_crick_null",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

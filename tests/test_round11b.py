@@ -389,3 +389,19 @@ def test_map_radius_search_blocking_is_sound(spark, sf_dir):
             <= 1000 * 1000
         ).count()
         assert r.n_in_radius == brute
+
+
+def test_raup_crick_null_probability_bounds(spark, sf_dir):
+    """p_milli lives in the add-one MC range, identical-draw pairs
+    exist (high p for strongly co-occurring samples), and the pair
+    frame covers exactly the capped cohort's C(n,2) pairs."""
+    rows = QUERIES["raup_crick_null"](spark, sf_dir).collect()
+    n_samples = len(
+        {r.sample_a for r in rows} | {r.sample_b for r in rows}
+    )
+    assert len(rows) == n_samples * (n_samples - 1) // 2
+    lo = 1000 * 1 // 33  # 0 null hits
+    for r in rows:
+        assert lo <= r.p_milli <= 1000
+        assert 0 <= r.shared_obs <= min(r.richness_a, r.richness_b)
+        assert r.null_mean_shared_milli >= 0

@@ -672,7 +672,7 @@ def raup_crick_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_id").alias("sample_b"), F.col("a").alias("richness_b")
     )
     pairs = (
-        r1.join(r2, F.col("sample_a") < F.col("sample_b"))
+        r1.join(F.broadcast(r2), F.col("sample_a") < F.col("sample_b"))
         .join(F.broadcast(obs), ["sample_a", "sample_b"], "left")
         .select(
             "sample_a",

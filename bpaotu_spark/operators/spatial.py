@@ -116,15 +116,16 @@ def map_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.withColumn("center_id", F.row_number().over(wc).cast("bigint"))
         .filter(F.col("center_id") <= _N_CENTERS)
     )
-    deltas = spark.createDataFrame([(-1,), (0,), (1,)], "d bigint")
+    d3 = F.array(F.lit(-1), F.lit(0), F.lit(1))
     neigh = (
         centers.select(
             "center_id",
             F.col("bin_x").alias("c_bin_x"),
             F.col("bin_y").alias("c_bin_y"),
         )
-        .crossJoin(deltas.select(F.col("d").alias("dx")))
-        .crossJoin(deltas.select(F.col("d").alias("dy")))
+        # map-only 9x fan-out — no join for the neighbour offsets
+        .withColumn("dx", F.explode(d3))
+        .withColumn("dy", F.explode(d3))
         .select(
             "center_id",
             "c_bin_x",

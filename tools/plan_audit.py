@@ -27,6 +27,7 @@ ALLOWED_BNLJ = {
     # --- round-11 additions ---
     "corpus_anneal_mixture": "broadcast 1-row (M, p_glob) and 1-row W scalars into the per-source frame",
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",
+    "raup_crick_null": "capped-cohort (16 samples) broadcast fan-outs: pool x perms draw frame, non-equi pair former, per-pair null join — all bounded by the CAP",
     "ljung_box_daily": "broadcast 7-row lag dimension into the DAILY frame + 1-row mean/SS/n scalars (daily_acf_lags shape)",
     "quality_threshold_calibration": "broadcast 1-row global-threshold scalar into the doc scan",
     "cluster_balanced_sample_plan": "broadcast K-row centroid table per assignment pass (kmeans_embeddings shape) + 1-row budget scalar",

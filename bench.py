@@ -478,6 +478,18 @@ HEADLINE = (
     "permanova_permutation_p",
     "events_purchases_after_signup",
     "ann_beam_topk_quality",
+    # late-r11 appends: curation/calibration/forecast/spatial/null-model
+    "corpus_anneal_mixture",
+    "quality_threshold_calibration",
+    "cluster_balanced_sample_plan",
+    "events_signup_conversion_outer",
+    "mcnemar_quality_raters",
+    "ljung_box_daily",
+    "contamination_by_source",
+    "ses_forecast_mase",
+    "map_radius_search",
+    "raup_crick_null",
+    "stylometry_burrows_delta",
 )
 
 
@@ -748,7 +760,12 @@ def main() -> int:
         "codebooks/coarse tables the first query trains. Tail "
         "appends this round: ann_hnsw_multilayer_search, "
         "ann_jl_pool_recall_sweep, anosim_permutation_p, "
-        "permanova_permutation_p, events_purchases_after_signup."
+        "permanova_permutation_p, events_purchases_after_signup; "
+        "late-r11: corpus_anneal_mixture, quality_threshold_"
+        "calibration, cluster_balanced_sample_plan, events_signup_"
+        "conversion_outer, mcnemar_quality_raters, ljung_box_daily, "
+        "contamination_by_source, ses_forecast_mase, "
+        "map_radius_search, raup_crick_null."
     )
     with open(detail_path, "w") as fh:
         json.dump(

@@ -44,7 +44,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.functions.textops import TOKENIZE_SQL, tokenize
+from bpaotu_spark.functions.textops import (
+    STOPWORDS_EN,
+    TOKENIZE_SQL,
+    _sql_strlist,
+    tokenize,
+)
 from bpaotu_spark.registry import register
 
 _TOKS_CTE = f"""
@@ -742,4 +747,149 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_share_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stylometry_burrows_delta — Burrows' Delta (Burrows 2002, the standard
+# stylometric distance) between SOURCES: each source's function-word
+# profile (relative frequencies of the stopword list) is z-scored
+# across sources per word, and Delta(s1, s2) = mean_w |z1 − z2|. Two
+# sources with near-zero Delta share authorial/process fingerprints —
+# the forensic companion to the content-based dedup family (a
+# boilerplate generator shows up here even when content n-grams
+# differ).
+#
+# Determinism: frequencies in exact milli; mean/variance across
+# sources in exact integer sums; the only doubles are the final
+# sqrt/division — IEEE-identical in both engines — floored to ppm.
+# Words with zero cross-source variance are EXCLUDED (defined
+# semantics, both engines).
+#
+# Scale shape: one tokenize scan → groupBy(source, word) with map-side
+# combine (vocabulary = the fixed stopword list); everything after is
+# |sources|² arithmetic on a frame of ≤ |sources|·|stopwords| rows.
+# ---------------------------------------------------------------------------
+
+
+def _burrows_oracle() -> str:
+    stops = _sql_strlist(STOPWORDS_EN)
+    return f"""
+WITH t AS (
+  SELECT source, unnest({TOKENIZE_SQL}) AS tok FROM documents
+),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_toks FROM t GROUP BY source
+),
+cnt AS (
+  SELECT source, tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM t WHERE list_contains({stops}, tok)
+  GROUP BY source, tok
+),
+grid AS (
+  SELECT tot.source, w.w,
+    CAST(coalesce(cnt.c, 0) * 1000000 // tot.n_toks AS BIGINT) AS f_ppm
+  FROM tot CROSS JOIN (SELECT unnest({stops}) AS w) w
+  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.w = w.w
+),
+stats AS (
+  SELECT w,
+    CAST(count(*) AS BIGINT) AS ns,
+    CAST(sum(f_ppm) AS HUGEINT) AS sf,
+    CAST(sum(CAST(f_ppm AS HUGEINT) * f_ppm) AS HUGEINT) AS sf2
+  FROM grid GROUP BY w
+),
+z AS (
+  SELECT g.source, g.w,
+    (g.f_ppm - CAST(s.sf AS DOUBLE) / s.ns)
+      / sqrt(CAST(s.sf2 AS DOUBLE) / s.ns
+             - (CAST(s.sf AS DOUBLE) / s.ns) * (CAST(s.sf AS DOUBLE) / s.ns))
+      AS zv
+  FROM grid g JOIN stats s ON s.w = g.w
+  WHERE s.sf2 * s.ns > s.sf * s.sf
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(count(*) AS BIGINT) AS n_words_used,
+    CAST(floor(avg(abs(a.zv - b.zv)) * 1000000) AS BIGINT) AS delta_ppm
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_words_used, delta_ppm
+FROM pairs ORDER BY source_a, source_b
+"""
+
+
+@register("stylometry_burrows_delta", oracle=_burrows_oracle())
+def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources over the function-word profile:
+    (source_a, source_b, n_words_used, delta_ppm)."""
+    from bpaotu_spark.functions.textops import STOPWORDS_EN as _SW
+    from bpaotu_spark.functions.textops import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    tot = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _SW])
+    cnt = (
+        t.filter(F.array_contains(stop_arr, F.col("tok")))
+        .groupBy("source", F.col("tok").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    words = spark.createDataFrame([(w,) for w in _SW], "w string")
+    grid = (
+        tot.crossJoin(F.broadcast(words))
+        .join(F.broadcast(cnt), ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(coalesce(c, 0) * 1000000 DIV n_toks AS BIGINT)"
+            ).alias("f_ppm"),
+        )
+    )
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("f_ppm").cast("decimal(38,0)").alias("sf"),
+        F.sum(F.expr("CAST(f_ppm AS DECIMAL(38,0)) * f_ppm")).alias("sf2"),
+    )
+    z = (
+        grid.join(F.broadcast(stats), "w")
+        .filter(F.expr("sf2 * ns > sf * sf"))
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "(f_ppm - CAST(sf AS DOUBLE) / ns)"
+                " / sqrt(CAST(sf2 AS DOUBLE) / ns"
+                "   - (CAST(sf AS DOUBLE) / ns) * (CAST(sf AS DOUBLE) / ns))"
+            ).alias("zv"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("zv").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("zv").alias("zb"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("w") == F.col("wb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words_used"),
+            F.expr(
+                "CAST(floor(avg(abs(za - zb)) * 1000000) AS BIGINT)"
+            ).alias("delta_ppm"),
+        )
+        .orderBy("source_a", "source_b")
     )

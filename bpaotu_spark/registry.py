@@ -195,6 +195,7 @@ PRIORITY: tuple[str, ...] = (
     "ses_forecast_mase",
     "map_radius_search",
     "raup_crick_null",
+    "stylometry_burrows_delta",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

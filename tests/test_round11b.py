@@ -405,3 +405,15 @@ def test_raup_crick_null_probability_bounds(spark, sf_dir):
         assert lo <= r.p_milli <= 1000
         assert 0 <= r.shared_obs <= min(r.richness_a, r.richness_b)
         assert r.null_mean_shared_milli >= 0
+
+
+def test_burrows_delta_symmetric_and_bounded(spark, sf_dir):
+    """Delta covers every source pair once, every pair uses the same
+    word set, and Delta >= 0 with zero only for identical profiles."""
+    rows = QUERIES["stylometry_burrows_delta"](spark, sf_dir).collect()
+    srcs = {r.source_a for r in rows} | {r.source_b for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    n_words = {r.n_words_used for r in rows}
+    assert len(n_words) == 1
+    for r in rows:
+        assert r.delta_ppm >= 0

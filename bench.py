@@ -490,6 +490,7 @@ HEADLINE = (
     "map_radius_search",
     "raup_crick_null",
     "stylometry_burrows_delta",
+    "kmv_set_intersection",
 )
 
 

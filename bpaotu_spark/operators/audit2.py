@@ -40,6 +40,7 @@ from bpaotu_spark.operators.events import (
     _md5_int32_spark,
     _md5_int32_sql,
 )
+from bpaotu_spark.functions.textops import TOKENIZE_SQL
 from bpaotu_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -219,3 +220,164 @@ def cms_width_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("width")
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_intersection — theta-sketch-style SET ALGEBRA on KMV
+# sketches (Dasgupta et al., "Theta Sketch Framework"): estimate the
+# distinct-token INTERSECTION between every pair of sources from two
+# K=64 KMV sketches, and score the estimate against the exact
+# intersection. approx_distinct_kmv proves the per-set estimator;
+# this proves the algebra a dedup/overlap deployment actually uses —
+# |A ∩ B| from sketches alone: θ = min(θ_A, θ_B), count the common
+# hashes below θ, scale by MAXH/θ. Deterministic md5 grid, so the
+# whole sketch pipeline is oracle-checkable, estimate AND error.
+#
+# Scale shape: one tokenize scan → distinct (source, token) →
+# per-source top-K window (the sketch — K rows per source); the
+# pairwise stage touches only sketches (|sources|·K rows, broadcast),
+# while the exact intersection is a vocabulary-bounded token
+# self-join, the same class as the contamination semi-joins.
+# ---------------------------------------------------------------------------
+
+_TSK_K = 64
+_TSK_MAXH = 1 << 60
+
+
+def _tsk_hash_sql(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+@register(
+    "kmv_set_intersection",
+    oracle=f"""
+WITH t AS (
+  SELECT DISTINCT source, unnest({TOKENIZE_SQL}) AS tok FROM documents
+),
+h AS (
+  SELECT source, tok, CAST({_tsk_hash_sql("tok")} AS BIGINT) AS hv FROM t
+),
+rk AS (
+  SELECT source, hv,
+    row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rn
+  FROM h
+),
+theta AS (
+  SELECT source,
+    CAST(coalesce(max(CASE WHEN rn = {_TSK_K} THEN hv END),
+                  {_TSK_MAXH}) AS BIGINT) AS th
+  FROM rk GROUP BY source
+),
+sk AS (SELECT source, hv FROM rk WHERE rn <= {_TSK_K}),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    ta.th AS th_a, tb.th AS th_b,
+    CAST(count(*) FILTER (WHERE a.hv < least(ta.th, tb.th)) AS BIGINT)
+      AS n_common_below
+  FROM sk a JOIN sk b ON a.hv = b.hv AND a.source < b.source
+  JOIN theta ta ON ta.source = a.source
+  JOIN theta tb ON tb.source = b.source
+  GROUP BY a.source, b.source, ta.th, tb.th
+),
+exact AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+    CAST(count(*) AS BIGINT) AS n_exact
+  FROM t x JOIN t y ON x.tok = y.tok AND x.source < y.source
+  GROUP BY x.source, y.source
+)
+SELECT e.source_a, e.source_b, e.n_exact,
+  CAST(coalesce(c.n_common_below, 0) * CAST({_TSK_MAXH} AS HUGEINT)
+       // least(c.th_a, c.th_b) AS BIGINT) AS kmv_estimate,
+  CAST(abs(coalesce(c.n_common_below, 0) * CAST({_TSK_MAXH} AS HUGEINT)
+       // least(c.th_a, c.th_b) - e.n_exact) * 1000000
+       // e.n_exact AS BIGINT) AS err_ppm
+FROM exact e JOIN common c
+  ON c.source_a = e.source_a AND c.source_b = e.source_b
+ORDER BY e.source_a, e.source_b
+""",
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection between source token sets:
+    (source_a, source_b, n_exact, kmv_estimate, err_ppm) — the
+    estimate uses ONLY the two K=64 sketches."""
+    from pyspark.sql import Window
+
+    from bpaotu_spark.functions.textops import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = t.select(
+        "source",
+        "tok",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("hv").asc())
+    rk = h.withColumn("rn", F.row_number().over(w))
+    theta = rk.groupBy("source").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _TSK_K, F.col("hv"))),
+            F.lit(_TSK_MAXH),
+        )
+        .cast("bigint")
+        .alias("th")
+    )
+    sk = rk.filter(F.col("rn") <= _TSK_K).select("source", "hv")
+    a = sk.select(F.col("source").alias("source_a"), "hv")
+    b = sk.select(F.col("source").alias("source_b"), F.col("hv").alias("hvb"))
+    ta = theta.select(F.col("source").alias("source_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("source").alias("source_b"), F.col("th").alias("th_b"))
+    common = (
+        a.join(
+            F.broadcast(b),
+            (F.col("hv") == F.col("hvb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "th_a", "th_b")
+        .agg(
+            F.count(
+                F.when(F.col("hv") < F.least("th_a", "th_b"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("n_common_below")
+        )
+    )
+    x = t.select(F.col("source").alias("source_a"), "tok")
+    y = t.select(F.col("source").alias("source_b"), F.col("tok").alias("tokb"))
+    exact = (
+        x.join(
+            y,
+            (F.col("tok") == F.col("tokb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    est = (
+        f"CAST(coalesce(n_common_below, 0) * CAST({_TSK_MAXH} AS DECIMAL(38,0))"
+        f" DIV least(th_a, th_b) AS BIGINT)"
+    )
+    return (
+        exact.join(F.broadcast(common), ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_exact",
+            F.expr(est).alias("kmv_estimate"),
+            F.expr(
+                f"CAST(abs({est} - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

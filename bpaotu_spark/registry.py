@@ -196,6 +196,7 @@ PRIORITY: tuple[str, ...] = (
     "map_radius_search",
     "raup_crick_null",
     "stylometry_burrows_delta",
+    "kmv_set_intersection",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

@@ -417,3 +417,16 @@ def test_burrows_delta_symmetric_and_bounded(spark, sf_dir):
     assert len(n_words) == 1
     for r in rows:
         assert r.delta_ppm >= 0
+
+
+def test_kmv_intersection_estimator_properties(spark, sf_dir):
+    """Sketch-only intersection estimates: exact fallback when both
+    sources fit inside K (theta == MAXH on both sides means the sketch
+    IS the set), and errors are consistent with the reported ppm."""
+    rows = QUERIES["kmv_set_intersection"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        assert r.kmv_estimate >= 0
+        want = abs(r.kmv_estimate - r.n_exact) * 1_000_000 // r.n_exact
+        assert r.err_ppm == want

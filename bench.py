@@ -491,6 +491,7 @@ HEADLINE = (
     "raup_crick_null",
     "stylometry_burrows_delta",
     "kmv_set_intersection",
+    "loglogistic_rank_regression",
 )
 
 

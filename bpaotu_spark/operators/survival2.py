@@ -428,3 +428,148 @@ def hazard_ratio_segments(
             " END AS BIGINT)"
         ).alias("hr_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# loglogistic_rank_regression — the log-logistic AFT companion to
+# weibull_rank_regression over the same reorder-gap durations: the
+# logit linearization ln(F/(1−F)) = β·ln(t) − β·ln(α) (vs Weibull's
+# cloglog), same Benard median ranks F_i = (i−0.3)/(n+0.4) with exact
+# halved tie-averaging, same weighted OLS in floored micro units.
+# Adds weighted r² (ppm) so the two AFT families can be SELECTED
+# between: the better linearization for this data wins — the model-
+# choice step a parametric survival analysis actually performs.
+#
+# Scale shape: identical to the Weibull twin — one duration-count
+# aggregation, one value-bounded cumulative window, one 1-row
+# weighted-moment rollup (now carrying syy for r²).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "loglogistic_rank_regression",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT date_diff('day', d,
+      lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      AS dur
+  FROM o
+),
+dc AS (
+  SELECT CAST(dur AS BIGINT) AS dur, CAST(count(*) AS BIGINT) AS cnt
+  FROM g WHERE dur IS NOT NULL AND dur > 0 GROUP BY dur
+),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dc),
+rk AS (
+  SELECT dur, cnt,
+    2 * CAST(coalesce(sum(cnt) OVER (ORDER BY dur ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      + cnt + 1 AS i_x2
+  FROM dc
+),
+xy AS (
+  SELECT cnt,
+    CAST(floor(ln(CAST(dur AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+    CAST(floor(ln((CAST(5 * i_x2 - 3 AS DOUBLE) / (10 * n + 4))
+      / (1.0 - CAST(5 * i_x2 - 3 AS DOUBLE) / (10 * n + 4)))
+      * 1000000) AS BIGINT) AS y
+  FROM rk, nn
+),
+mo AS (
+  SELECT CAST(sum(cnt) AS HUGEINT) AS w,
+    CAST(sum(CAST(cnt AS HUGEINT) * x) AS HUGEINT) AS sx,
+    CAST(sum(CAST(cnt AS HUGEINT) * y) AS HUGEINT) AS sy,
+    CAST(sum(CAST(cnt AS HUGEINT) * x * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(cnt AS HUGEINT) * x * x) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(cnt AS HUGEINT) * y * y) AS HUGEINT) AS syy
+  FROM xy
+)
+SELECT CAST(w AS BIGINT) AS n_gaps,
+  CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)
+    / CAST(w * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT) AS shape_milli,
+  CAST(floor(exp((CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+    - (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+      / (CAST(w * sxy - sx * sy AS DOUBLE)
+         / CAST(w * sxx - sx * sx AS DOUBLE))) / 1000000)
+    * 1000) AS BIGINT) AS scale_days_milli,
+  CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)
+    * CAST(w * sxy - sx * sy AS DOUBLE)
+    / (CAST(w * sxx - sx * sx AS DOUBLE)
+       * CAST(w * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)
+    AS r2_ppm
+FROM mo
+""",
+)
+def loglogistic_rank_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-logistic AFT shape/scale (milli) + weighted r² (ppm) via
+    logit median-rank regression over reorder gaps."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(F.datediff(F.lead("d").over(w), F.col("d")).alias("dur"))
+    dc = (
+        g.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy(F.col("dur").cast("bigint").alias("dur"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    nn = dc.agg(F.sum("cnt").cast("bigint").alias("n"))
+    wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    rk = dc.select(
+        "dur",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("bigint")
+        .alias("i_x2"),
+    )
+    xy = rk.crossJoin(F.broadcast(nn)).select(
+        "cnt",
+        F.floor(F.log(F.col("dur").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.expr(
+            "CAST(floor(ln((CAST(5 * i_x2 - 3 AS DOUBLE) / (10 * n + 4))"
+            " / (1.0 - CAST(5 * i_x2 - 3 AS DOUBLE) / (10 * n + 4)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("y"),
+    )
+    mo = xy.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("w"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * x")).alias("sx"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * y")).alias("sy"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * x * y")).alias("sxy"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * x * x")).alias("sxx"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * y * y")).alias("syy"),
+    )
+    return mo.select(
+        F.col("w").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)"
+            " / CAST(w * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)"
+        ).alias("shape_milli"),
+        F.expr(
+            "CAST(floor(exp((CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))"
+            "   / (CAST(w * sxy - sx * sy AS DOUBLE)"
+            "      / CAST(w * sxx - sx * sx AS DOUBLE))) / 1000000)"
+            " * 1000) AS BIGINT)"
+        ).alias("scale_days_milli"),
+        F.expr(
+            "CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)"
+            " * CAST(w * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(w * sxx - sx * sx AS DOUBLE)"
+            "    * CAST(w * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )

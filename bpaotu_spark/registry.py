@@ -197,6 +197,7 @@ PRIORITY: tuple[str, ...] = (
     "raup_crick_null",
     "stylometry_burrows_delta",
     "kmv_set_intersection",
+    "loglogistic_rank_regression",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

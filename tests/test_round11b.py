@@ -430,3 +430,15 @@ def test_kmv_intersection_estimator_properties(spark, sf_dir):
         assert r.kmv_estimate >= 0
         want = abs(r.kmv_estimate - r.n_exact) * 1_000_000 // r.n_exact
         assert r.err_ppm == want
+
+
+def test_loglogistic_shares_gap_count_with_weibull(spark, sf_dir):
+    """Both AFT fits run over the identical duration table (same
+    n_gaps); r2 lives in [0, 1e6] ppm and the shape is positive
+    (reorder gaps grow hazard families, never degenerate)."""
+    ll = QUERIES["loglogistic_rank_regression"](spark, sf_dir).collect()[0]
+    wb = QUERIES["weibull_rank_regression"](spark, sf_dir).collect()[0]
+    assert ll.n_gaps == wb.n_gaps
+    assert 0 <= ll.r2_ppm <= 1_000_000
+    assert ll.shape_milli > 0
+    assert ll.scale_days_milli > 0

@@ -492,6 +492,8 @@ HEADLINE = (
     "stylometry_burrows_delta",
     "kmv_set_intersection",
     "loglogistic_rank_regression",
+    "holt_linear_mase",
+    "quality_score_auc",
 )
 
 

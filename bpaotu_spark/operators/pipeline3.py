@@ -347,3 +347,104 @@ def quality_threshold_calibration(
             ).alias("cal_share_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_score_auc — does the cheap score predict the expensive gate?
+# Rank-based AUC (equivalently the Mann–Whitney U statistic, tie-
+# corrected) of the stop_milli score against the passes_quality
+# verdict: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with average ranks for
+# ties. Exact integers throughout: ranks come from the milli-score
+# HISTOGRAM in halved units (2·avgrank = 2·cum_below + cnt + 1 — the
+# same exact-tie idiom as the Weibull median ranks), so AUC_ppm is a
+# pure integer ratio. This is the calibration check run before
+# trusting a proxy score to stand in for a slower quality gate.
+#
+# Scale shape: one tokenize scan → groupBy(stop_milli) histogram
+# (≤1001 rows — the value-bounded window class) → a 1-row finish.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_score_auc",
+    oracle=f"""
+WITH t AS (
+  SELECT {TOKENIZE_SQL} AS toks FROM documents
+),
+q AS (
+  SELECT {_STOP_MILLI_SQL} AS s, {_PASS_SQL} AS pos FROM t
+),
+h AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos_v
+  FROM q GROUP BY s
+),
+r AS (
+  SELECT s, cnt, n_pos_v,
+    2 * CAST(coalesce(sum(cnt) OVER (ORDER BY s ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      + cnt + 1 AS rank2
+  FROM h
+),
+mo AS (
+  SELECT CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+    CAST(sum(cnt - n_pos_v) AS BIGINT) AS n_neg,
+    CAST(sum(CAST(n_pos_v AS HUGEINT) * rank2) AS HUGEINT) AS r2_pos
+  FROM r
+)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+    ELSE CAST((r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_ppm
+FROM mo
+""",
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected rank AUC of the stopword-ratio score against the
+    passes_quality gate: (n_pos, n_neg, auc_ppm; −1 when degenerate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+    q = docs.select(toks.alias("toks")).select(
+        F.expr(
+            "CAST(size(filter(toks, x -> array_contains(array("
+            + ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+            + "), x))) * 1000 DIV size(toks) AS BIGINT)"
+        ).alias("s"),
+        (
+            F.size("toks").between(10, 100000)
+            & (n_stop * F.lit(1.0) / F.size("toks") > 0.01)
+        ).alias("pos"),
+    )
+    h = q.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count(F.when(F.col("pos"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_pos_v"),
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "cnt",
+        "n_pos_v",
+        (2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("rank2"),
+    )
+    mo = r.agg(
+        F.sum("n_pos_v").cast("bigint").alias("n_pos"),
+        F.sum(F.expr("cnt - n_pos_v")).cast("bigint").alias("n_neg"),
+        F.sum(F.expr("CAST(n_pos_v AS DECIMAL(38,0)) * rank2")).alias(
+            "r2_pos"
+        ),
+    )
+    return mo.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT) "
+            "ELSE CAST((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            " * 1000000 DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            " AS BIGINT) END"
+        ).alias("auc_ppm"),
+    )

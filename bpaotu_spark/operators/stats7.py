@@ -366,3 +366,126 @@ aggregate(
         ).alias("mase_milli"),
         F.expr("CAST(f.s AS BIGINT)").alias("s_final_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_mase — Holt's linear-trend smoothing (α=0.3, γ=0.1) over
+# the same daily series, one-step-ahead, MASE vs the lag-1 naive.
+# ses_forecast_mase answers "does a level smoother help"; Holt adds
+# the trend state — if MASE(Holt) < MASE(SES) the series carries a
+# persistent drift worth modelling. Same exactness contract: both
+# recursion states (level, trend) live in integer MILLI-cents with a
+# floor at every step — Spark folds the calendar-bounded array,
+# DuckDB runs the identical linear recursive CTE.
+#   forecast f_t = l + b
+#   l' = (3·x_t·1000 + 7·(l + b)) // 10
+#   b' = (1·(l' − l) + 9·b) // 10   (l' − l and b can be negative;
+#        both engines TRUNCATE toward zero — DuckDB integer // and
+#        Spark DIV agree, verified (-1)//2 = 0 in both)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "holt_linear_mase",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, cents
+  FROM daily
+),
+holt(t, l, b, err_sum) AS (
+  SELECT t, cents * 1000, CAST(0 AS BIGINT), CAST(0 AS HUGEINT)
+  FROM seq WHERE t = 1
+  UNION ALL
+  SELECT q.t,
+    ({_SES_NUM} * q.cents * 1000
+     + {_SES_DEN - _SES_NUM} * (holt.l + holt.b)) // {_SES_DEN},
+    (1 * (({_SES_NUM} * q.cents * 1000
+           + {_SES_DEN - _SES_NUM} * (holt.l + holt.b)) // {_SES_DEN}
+          - holt.l) + 9 * holt.b) // 10,
+    holt.err_sum + abs(q.cents * 1000 - (holt.l + holt.b))
+  FROM holt JOIN seq q ON q.t = holt.t + 1
+),
+fin AS (SELECT l, b, err_sum FROM holt ORDER BY t DESC LIMIT 1),
+naive AS (
+  SELECT CAST(sum(abs(cents - l1)) AS HUGEINT) * 1000 AS e1_milli
+  FROM (SELECT cents, lag(cents, 1) OVER (ORDER BY t) AS l1 FROM seq)
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM seq) AS n_days,
+  CAST(fin.err_sum AS BIGINT) AS sum_abs_err_holt_milli,
+  CAST(naive.e1_milli AS BIGINT) AS sum_abs_err_naive_milli,
+  CAST(fin.err_sum * 1000 // naive.e1_milli AS BIGINT) AS mase_milli,
+  CAST(fin.l AS BIGINT) AS level_final_milli,
+  CAST(fin.b AS BIGINT) AS trend_final_milli
+FROM fin CROSS JOIN naive
+""",
+)
+def holt_linear_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend one-step-ahead forecast vs lag-1 naive:
+    (n_days, sum_abs_err_holt_milli, sum_abs_err_naive_milli,
+    mase_milli, level_final_milli, trend_final_milli)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    # both engines TRUNCATE toward zero here: DuckDB integer `//`
+    # truncates (verified (-1)//2 = 0, see map_tiles_pyramid) and
+    # Spark DIV truncates — so plain truncating division matches.
+    def fdiv(s: str, n: int) -> str:
+        return f"(({s})) DIV {n}"
+
+    lvl = fdiv(
+        f"{_SES_NUM} * CAST(x.cents AS DECIMAL(38,0)) * 1000"
+        f" + {_SES_DEN - _SES_NUM} * (acc.l + acc.b)",
+        _SES_DEN,
+    )
+    folded = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            f"""
+aggregate(
+  array_sort(collect_list(named_struct('d', d, 'cents', cents))),
+  named_struct('l', CAST(-1 AS DECIMAL(38,0)),
+               'b', CAST(0 AS DECIMAL(38,0)),
+               'err', CAST(0 AS DECIMAL(38,0)),
+               'prev', CAST(-1 AS BIGINT),
+               'e1', CAST(0 AS DECIMAL(38,0))),
+  (acc, x) -> CASE WHEN acc.l < 0 THEN
+      named_struct('l', CAST(x.cents AS DECIMAL(38,0)) * 1000,
+                   'b', CAST(0 AS DECIMAL(38,0)),
+                   'err', acc.err, 'prev', x.cents, 'e1', acc.e1)
+    ELSE
+      named_struct(
+        'l', {lvl},
+        'b', {fdiv(f"1 * (({lvl}) - acc.l) + 9 * acc.b", 10)},
+        'err', acc.err + abs(CAST(x.cents AS DECIMAL(38,0)) * 1000
+                             - (acc.l + acc.b)),
+        'prev', x.cents,
+        'e1', acc.e1 + abs(CAST(x.cents AS DECIMAL(38,0)) - acc.prev)
+      ) END
+)
+"""
+        ).alias("f"),
+    )
+    return folded.select(
+        "n_days",
+        F.expr("CAST(f.err AS BIGINT)").alias("sum_abs_err_holt_milli"),
+        F.expr("CAST(f.e1 * 1000 AS BIGINT)").alias(
+            "sum_abs_err_naive_milli"
+        ),
+        F.expr("CAST(f.err * 1000 DIV (f.e1 * 1000) AS BIGINT)").alias(
+            "mase_milli"
+        ),
+        F.expr("CAST(f.l AS BIGINT)").alias("level_final_milli"),
+        F.expr("CAST(f.b AS BIGINT)").alias("trend_final_milli"),
+    )

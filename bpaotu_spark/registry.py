@@ -198,6 +198,8 @@ PRIORITY: tuple[str, ...] = (
     "stylometry_burrows_delta",
     "kmv_set_intersection",
     "loglogistic_rank_regression",
+    "holt_linear_mase",
+    "quality_score_auc",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

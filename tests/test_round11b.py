@@ -442,3 +442,27 @@ def test_loglogistic_shares_gap_count_with_weibull(spark, sf_dir):
     assert 0 <= ll.r2_ppm <= 1_000_000
     assert ll.shape_milli > 0
     assert ll.scale_days_milli > 0
+
+
+def test_holt_vs_ses_same_baseline(spark, sf_dir):
+    """Holt and SES run over the identical daily series (same n_days
+    and same naive error sum); both MASE values are exact ratios."""
+    h = QUERIES["holt_linear_mase"](spark, sf_dir).collect()[0]
+    s = QUERIES["ses_forecast_mase"](spark, sf_dir).collect()[0]
+    assert h.n_days == s.n_days
+    assert h.sum_abs_err_naive_milli == s.sum_abs_err_naive_milli
+    assert (
+        h.mase_milli
+        == h.sum_abs_err_holt_milli * 1000 // h.sum_abs_err_naive_milli
+    )
+
+
+def test_quality_score_auc_bounds_and_counts(spark, sf_dir):
+    """AUC lives in [0, 1e6] ppm; pos/neg counts match the gate."""
+    r = QUERIES["quality_score_auc"](spark, sf_dir).collect()[0]
+    q = QUERIES["text_quality"](spark, sf_dir)
+    n_pos = q.filter("passes_quality").count()
+    assert r.n_pos == n_pos
+    assert r.n_pos + r.n_neg == q.count()
+    if r.n_pos and r.n_neg:
+        assert 0 <= r.auc_ppm <= 1_000_000

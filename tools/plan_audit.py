@@ -28,6 +28,12 @@ ALLOWED_BNLJ = {
     "corpus_anneal_mixture": "broadcast 1-row (M, p_glob) and 1-row W scalars into the per-source frame",
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",
     "raup_crick_null": "capped-cohort (16 samples) broadcast fan-outs: pool x perms draw frame, non-equi pair former, per-pair null join — all bounded by the CAP",
+    "stylometry_burrows_delta": "broadcast |sources|x|stopwords| z-frame into the non-equi source-pair former (bounded by the fixed word list)",
+    "kmv_set_intersection": "broadcast K-row-per-source sketch + theta frames into the non-equi source-pair former (sketch-sized, never corpus-sized)",
+    "loglogistic_rank_regression": "broadcast 1-row gap-count scalar into the duration-rank frame (weibull_rank_regression shape)",
+    "ses_forecast_mase": "1-row fold scalars (bounded-array aggregate)",
+    "holt_linear_mase": "1-row fold scalars (bounded-array aggregate)",
+    "quality_score_auc": "bounded milli-score histogram window, 1-row finish",
     "ljung_box_daily": "broadcast 7-row lag dimension into the DAILY frame + 1-row mean/SS/n scalars (daily_acf_lags shape)",
     "quality_threshold_calibration": "broadcast 1-row global-threshold scalar into the doc scan",
     "cluster_balanced_sample_plan": "broadcast K-row centroid table per assignment pass (kmeans_embeddings shape) + 1-row budget scalar",

@@ -165,3 +165,33 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     manifest["opq_codebook"] = c1o.count()
     manifest["opq_codes"] = a2o.count()
     return manifest
+
+
+def augmented_edges_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    new_emb: DataFrame,
+    tag: str,
+) -> DataFrame:
+    """Persist-and-serve the DELTA-augmented graph: the base edges
+    (from the store) plus :func:`bpaotu_spark.ann.graphconn.
+    augment_connected_graph`'s insert edges, published under
+    ``conn_edges+<tag>`` keyed by the SAME base-table fingerprint —
+    so a regenerated base invalidates every delta built on top of it,
+    while re-serving the same (base, tag) pair costs one read.
+
+    This closes the index lifecycle: build once (build_ann_index),
+    search many (connected_edges_cached), APPEND a data drop without
+    rebuilding (augment_connected_graph), and search the augmented
+    index from the store. At 100 TB: the weekly full build plus the
+    nightly delta job, both feeding read-only search queries.
+    """
+    from bpaotu_spark.ann.graphconn import augment_connected_graph
+
+    safe = "".join(c if c.isalnum() or c in "-_" else "-" for c in tag)
+    return cached_frame(
+        spark,
+        sf_dir,
+        f"conn_edges+{safe}",
+        lambda: augment_connected_graph(spark, sf_dir, new_emb),
+    )

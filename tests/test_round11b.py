@@ -466,3 +466,49 @@ def test_quality_score_auc_bounds_and_counts(spark, sf_dir):
     assert r.n_pos + r.n_neg == q.count()
     if r.n_pos and r.n_neg:
         assert 0 <= r.auc_ppm <= 1_000_000
+
+
+def test_augmented_graph_persists_and_reserves(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The augmented index publishes under the delta tag: a second
+    call must serve the identical edge set from the store (same rows),
+    and the artifact must exist on disk under conn_edges+<tag>."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bpaotu_spark.ann.index_store import augmented_edges_cached
+
+    idx = tmp_path / "idx"
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(idx))
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    is_new = pa.array(
+        [v % 7 == 0 for v in t.column("vec_id").to_pylist()], pa.bool_()
+    )
+    import pyarrow.compute as pc
+
+    base_t, new_t = t.filter(pc.invert(is_new)), t.filter(is_new)
+    base_dir = tmp_path / "base_sf"
+    base_dir.mkdir()
+    pq.write_table(base_t, base_dir / "embeddings.parquet")
+    new_df = spark.createDataFrame(new_t.to_pandas()).select(
+        "vec_id", "embedding"
+    )
+
+    e1 = {
+        (r.vec_id, r.neighbor_id)
+        for r in augmented_edges_cached(
+            spark, str(base_dir), new_df, "nightly-1"
+        ).collect()
+    }
+    assert any(d.startswith("conn_edges+nightly-1-") for d in os.listdir(idx))
+    e2 = {
+        (r.vec_id, r.neighbor_id)
+        for r in augmented_edges_cached(
+            spark, str(base_dir), new_df, "nightly-1"
+        ).collect()
+    }
+    assert e1 == e2
+    new_ids = set(new_t.column("vec_id").to_pylist())
+    assert new_ids <= {u for u, _ in e1}

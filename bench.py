@@ -494,6 +494,7 @@ HEADLINE = (
     "loglogistic_rank_regression",
     "holt_linear_mase",
     "quality_score_auc",
+    "retention_halflife_fit",
 )
 
 

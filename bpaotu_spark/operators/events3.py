@@ -871,3 +871,141 @@ def events_signup_conversion_outer(
         )
         .orderBy("signup_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# retention_halflife_fit — exponential-decay fit of the pooled lag-k
+# retention curve: r_k = Σ_d |active_d ∩ active_{d+k}| /
+# Σ_{d ≤ max−k} |active_d| for k = 1..14, then OLS of
+# ln(r_k) (floored micro-nats) on k. Under exponential churn
+# ln(r_k) ≈ −λk, and half-life = ln2/λ — the single number a
+# growth team quotes where retention_daily reports the raw next-day
+# pairs. Everything after the per-lag ln floor is exact integer
+# arithmetic (the OLS closed form never divides until the final
+# half-life ratio, computed as 693147·1000·den // (−num)).
+#
+# Scale shape: the distinct user-day frame self-joins per lag on
+# (user, day+k) — 14 equi-joins on the DAILY frame (the daily_acf
+# calendar discipline, users × days not events); one 1-row OLS
+# finish. Lags with zero retained users are excluded by defined
+# semantics (n_lags_used reports how many survived).
+# ---------------------------------------------------------------------------
+
+_RHL_MAX_LAG = 14
+_LN2_MICRO = 693_147  # floor(ln(2) * 1e6)
+
+
+@register(
+    "retention_halflife_fit",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+mx AS (SELECT max(day) AS mday FROM d),
+lags AS (SELECT unnest(range(1, {_RHL_MAX_LAG + 1})) AS k),
+den AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_base
+  FROM lags, d CROSS JOIN mx
+  WHERE d.day + to_days(CAST(k AS INTEGER)) <= mx.mday
+  GROUP BY k
+),
+num AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_ret
+  FROM lags, d a
+  JOIN d b ON b.user_id = a.user_id
+    AND b.day = a.day + to_days(CAST(k AS INTEGER))
+  GROUP BY k
+),
+xy AS (
+  SELECT den.k AS x,
+    CAST(floor(ln(CAST(num.n_ret AS DOUBLE) / den.n_base) * 1000000)
+      AS BIGINT) AS y
+  FROM den JOIN num ON num.k = den.k
+  WHERE num.n_ret > 0 AND den.n_base > 0
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM xy
+)
+SELECT n AS n_lags_used,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+  CASE WHEN n * sxy - sx * sy >= 0 THEN CAST(-1 AS BIGINT)
+    ELSE CAST({_LN2_MICRO} * CAST(1000 AS HUGEINT)
+      * (n * sxx - sx * sx) // (-(n * sxy - sx * sy)) AS BIGINT)
+  END AS halflife_days_milli
+FROM mo
+""",
+)
+def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention decay: (n_lags_used, slope_num,
+    slope_den, halflife_days_milli; −1 when retention does not
+    decay)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    mx = d.agg(F.max("day").alias("mday"))
+    lags = spark.range(1, _RHL_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    den = (
+        d.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.expr("date_add(day, k) <= mday"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    )
+    a = d.crossJoin(F.broadcast(lags)).select(
+        "user_id", F.expr("date_add(day, k)").alias("day_t"), "k"
+    )
+    b = d.select(
+        F.col("user_id").alias("u_b"), F.col("day").alias("day_b")
+    )
+    num = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u_b"))
+            & (F.col("day_t") == F.col("day_b")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ret"))
+    )
+    xy = (
+        den.join(num, "k")
+        .filter("n_ret > 0 AND n_base > 0")
+        .select(
+            F.col("k").alias("x"),
+            F.expr(
+                "CAST(floor(ln(CAST(n_ret AS DOUBLE) / n_base) * 1000000)"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    mo = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    return mo.select(
+        F.col("n").alias("n_lags_used"),
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
+        F.expr(
+            f"CASE WHEN n * sxy - sx * sy >= 0 THEN CAST(-1 AS BIGINT) "
+            f"ELSE CAST({_LN2_MICRO} * CAST(1000 AS DECIMAL(38,0))"
+            f" * (n * sxx - sx * sx) DIV (-(n * sxy - sx * sy))"
+            f" AS BIGINT) END"
+        ).alias("halflife_days_milli"),
+    )

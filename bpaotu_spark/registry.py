@@ -200,6 +200,7 @@ PRIORITY: tuple[str, ...] = (
     "loglogistic_rank_regression",
     "holt_linear_mase",
     "quality_score_auc",
+    "retention_halflife_fit",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

@@ -512,3 +512,18 @@ def test_augmented_graph_persists_and_reserves(
     assert e1 == e2
     new_ids = set(new_t.column("vec_id").to_pylist())
     assert new_ids <= {u for u, _ in e1}
+
+
+def test_retention_halflife_consistency(spark, sf_dir):
+    """The closed-form half-life must equal the exact integer ratio of
+    the reported slope terms, and the lag count is within 1..14."""
+    r = QUERIES["retention_halflife_fit"](spark, sf_dir).collect()[0]
+    assert 1 <= r.n_lags_used <= 14
+    if r.slope_num < 0:
+        assert (
+            r.halflife_days_milli
+            == 693_147 * 1000 * r.slope_den // (-r.slope_num)
+        )
+        assert r.halflife_days_milli > 0
+    else:
+        assert r.halflife_days_milli == -1

@@ -495,6 +495,8 @@ HEADLINE = (
     "holt_linear_mase",
     "quality_score_auc",
     "retention_halflife_fit",
+    "ljung_box_remainder",
+    "daily_revenue_periodogram",
 )
 
 

@@ -489,3 +489,320 @@ aggregate(
         F.expr("CAST(f.l AS BIGINT)").alias("level_final_milli"),
         F.expr("CAST(f.b AS BIGINT)").alias("trend_final_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ljung_box_remainder — the Ljung–Box test applied where the textbook
+# points it: at the decomposition REMAINDER. ljung_box_daily on the
+# raw series mostly measures the weekly cycle itself; after removing
+# the 7-day moving-average trend and the day-of-week means
+# (weekly_decomposition's exact construction, truncating-div
+# semantics shared by both engines), a small Q says the model
+# captured the structure and a large Q says autocorrelation survives
+# — the residual-diagnostics gate of a forecasting pipeline.
+#
+# Scale shape: identical to ljung_box_daily plus one calendar-bounded
+# trend window and one 7-row broadcast day-of-week join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ljung_box_remainder",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+trend AS (
+  SELECT d, cents,
+    CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+    CAST(count(*) OVER w AS BIGINT) AS win_n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT d, CAST(isodow(d) AS BIGINT) AS dow,
+    cents - win_sum // win_n AS detrended
+  FROM trend WHERE win_n = 7
+),
+dowm AS (
+  SELECT dow, CAST(sum(detrended) AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS seasonal
+  FROM detr GROUP BY dow
+),
+rem AS (
+  SELECT detr.d, detrended - seasonal AS r
+  FROM detr JOIN dowm ON dowm.dow = detr.dow
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(r) AS HUGEINT) * 1000 // count(*) AS mean_milli
+  FROM rem
+),
+dev AS (
+  SELECT d, r * 1000 - mean_milli AS dev_milli FROM rem CROSS JOIN m
+),
+ss AS (
+  SELECT CAST(sum(CAST(dev_milli AS HUGEINT) * dev_milli) AS HUGEINT)
+    AS ss0
+  FROM dev
+),
+lags AS (SELECT unnest(range(1, {_LB_MAX_LAG + 1})) AS lag),
+x AS (
+  SELECT lag,
+    CAST(sum(CAST(a.dev_milli AS HUGEINT) * b.dev_milli) AS HUGEINT)
+      AS cross_sum
+  FROM lags, dev a
+  JOIN dev b ON b.d = a.d + to_days(CAST(lag AS INTEGER))
+  GROUP BY lag
+),
+terms AS (
+  SELECT x.lag,
+    CAST(floor(CAST(cross_sum AS DOUBLE) / CAST(ss0 AS DOUBLE) * 1000)
+      AS BIGINT) AS r_milli
+  FROM x CROSS JOIN ss
+)
+SELECT m.n AS n_days, CAST({_LB_MAX_LAG} AS BIGINT) AS m_lags,
+  CAST(m.n * (m.n + 2)
+    * sum(CAST(r_milli AS HUGEINT) * r_milli // (m.n - terms.lag))
+    AS BIGINT) AS q_micro
+FROM terms CROSS JOIN m
+GROUP BY m.n
+""",
+)
+def ljung_box_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q over the trend+seasonal-removed daily-revenue
+    remainder, lags 1..7: (n_days, m_lags, q_micro)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w7).cast("bigint").alias("win_sum"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("win_n"),
+    )
+    detr = trend.filter(F.col("win_n") == 7).select(
+        "d",
+        F.expr(
+            "CAST(CASE WHEN dayofweek(d) = 1 THEN 7"
+            " ELSE dayofweek(d) - 1 END AS BIGINT)"
+        ).alias("dow"),
+        (F.col("cents") - F.expr("win_sum div win_n")).alias("detrended"),
+    )
+    dowm = detr.groupBy("dow").agg(
+        F.expr("sum(detrended) div count(*)").alias("seasonal")
+    )
+    rem = detr.join(F.broadcast(dowm), "dow").select(
+        "d", (F.col("detrended") - F.col("seasonal")).alias("r")
+    )
+    m = rem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(r) AS DECIMAL(38,0)) * 1000 div count(*)").alias(
+            "mean_milli"
+        ),
+    )
+    dev = rem.crossJoin(F.broadcast(m)).select(
+        "d", F.expr("r * 1000 - mean_milli").alias("dev_milli")
+    )
+    ss = dev.agg(
+        F.sum(F.expr("CAST(dev_milli AS DECIMAL(38,0)) * dev_milli")).alias(
+            "ss0"
+        )
+    )
+    lags = spark.createDataFrame(
+        [(x,) for x in range(1, _LB_MAX_LAG + 1)], "lag bigint"
+    )
+    a = dev.select("d", F.col("dev_milli").alias("da"))
+    b = dev.select(F.col("d").alias("d_b"), F.col("dev_milli").alias("db"))
+    x = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("d_target", F.expr("date_add(d, CAST(lag AS INT))"))
+        .join(b, F.col("d_b") == F.col("d_target"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.expr("CAST(da AS DECIMAL(38,0)) * db")).alias(
+                "cross_sum"
+            )
+        )
+    )
+    terms = x.crossJoin(F.broadcast(ss)).select(
+        "lag",
+        F.expr(
+            "CAST(floor(CAST(cross_sum AS DOUBLE)"
+            " / CAST(ss0 AS DOUBLE) * 1000) AS BIGINT)"
+        ).alias("r_milli"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(m.select("n")))
+        .groupBy("n")
+        .agg(
+            F.expr(
+                "CAST(n * (n + 2) * sum(CAST(r_milli AS DECIMAL(38,0))"
+                " * r_milli DIV (n - lag)) AS BIGINT)"
+            ).alias("q_micro")
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(_LB_MAX_LAG).cast("bigint").alias("m_lags"),
+            "q_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily_revenue_periodogram — single-frequency DFT power at the
+# candidate calendar periods {7, 14, 30, 91, 365} over mean-centered
+# daily revenue: P(p) = (Σ x_t cos(2πt/p))² + (Σ x_t sin(2πt/p))²,
+# normalized by the series energy to a 0..1e6 ppm share. The
+# frequency-domain companion to daily_acf_lags (lag domain) and
+# seasonality_strength: which calendar cycle carries the variance.
+#
+# Determinism: t is the day's rank (integer), cos/sin of 2πt/p are
+# IEEE doubles identical in both engines, deviations are exact milli
+# integers; each projection is one double dot-product folded the same
+# way (SUM is commutative over doubles? NO — so the dot products sum
+# dev_milli · cos as DOUBLE via a deterministic two-step: per-term
+# products are floored to integer MICRO units first, making the sum
+# exact-integer and order-free; the floor costs < 1e-6 relative).
+#
+# Scale shape: one daily rollup, a 5-period broadcast fan-out over
+# the DAILY frame (days × 5 rows), map-side-combined sums, 5-row
+# output. Calendar-bounded everywhere.
+# ---------------------------------------------------------------------------
+
+_PGRAM_PERIODS = (7, 14, 30, 91, 365)
+
+
+@register(
+    "daily_revenue_periodogram",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, cents
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS HUGEINT) * 1000 // count(*) AS mean_milli
+  FROM seq
+),
+dev AS (
+  SELECT t, cents * 1000 - mean_milli AS dev_milli FROM seq CROSS JOIN m
+),
+ss AS (
+  SELECT CAST(sum(CAST(dev_milli AS HUGEINT) * dev_milli) AS HUGEINT)
+    AS energy
+  FROM dev
+),
+periods AS (SELECT unnest([{", ".join(str(p) for p in _PGRAM_PERIODS)}]) AS p),
+proj AS (
+  SELECT p,
+    CAST(sum(CAST(floor(dev_milli * cos(2 * pi() * t / p) * 1000)
+      AS HUGEINT)) AS HUGEINT) AS c_micro,
+    CAST(sum(CAST(floor(dev_milli * sin(2 * pi() * t / p) * 1000)
+      AS HUGEINT)) AS HUGEINT) AS s_micro
+  FROM periods, dev
+  GROUP BY p
+),
+shares AS (
+  SELECT CAST(p AS BIGINT) AS period_days,
+    CAST((c_micro * c_micro + s_micro * s_micro) * 2
+      // (CAST((SELECT energy FROM ss) AS HUGEINT) * 1000000
+          * (SELECT n FROM m) + 1) AS BIGINT) AS power_share_ppm
+  FROM proj
+)
+SELECT period_days, power_share_ppm,
+  CAST(row_number() OVER (ORDER BY power_share_ppm DESC, period_days ASC)
+    AS BIGINT) AS power_rank
+FROM shares ORDER BY period_days
+""",
+)
+def daily_revenue_periodogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-frequency DFT power at calendar periods {7,14,30,91,365}
+    over mean-centered daily revenue: (period_days,
+    power_share_ppm, power_rank) — scale-free outputs only."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wseq = Window.orderBy("d")  # calendar-bounded daily frame
+    seq = daily.select(
+        F.row_number().over(wseq).cast("bigint").alias("t"), "cents"
+    )
+    m = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(cents) AS DECIMAL(38,0)) * 1000 div count(*)").alias(
+            "mean_milli"
+        ),
+    )
+    dev = seq.crossJoin(F.broadcast(m)).select(
+        "t", F.expr("cents * 1000 - mean_milli").alias("dev_milli"), "n"
+    )
+    ss = dev.agg(
+        F.sum(F.expr("CAST(dev_milli AS DECIMAL(38,0)) * dev_milli")).alias(
+            "energy"
+        )
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PGRAM_PERIODS], "p bigint"
+    )
+    proj = (
+        dev.crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(dev_milli * cos(2 * pi() * t / p) * 1000)"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("c_micro"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(dev_milli * sin(2 * pi() * t / p) * 1000)"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("s_micro"),
+            F.max("n").alias("n"),
+        )
+    )
+    shares = proj.crossJoin(F.broadcast(ss)).select(
+        F.col("p").alias("period_days"),
+        F.expr(
+            "CAST((c_micro * c_micro + s_micro * s_micro) * 2"
+            " DIV (CAST(energy AS DECIMAL(38,0)) * 1000000 * n + 1)"
+            " AS BIGINT)"
+        ).alias("power_share_ppm"),
+    )
+    wr = Window.orderBy(  # 5-row frame: the fixed period list
+        F.col("power_share_ppm").desc(), F.col("period_days").asc()
+    )
+    return (
+        shares.withColumn(
+            "power_rank", F.row_number().over(wr).cast("bigint")
+        )
+        .orderBy("period_days")
+    )

@@ -201,6 +201,8 @@ PRIORITY: tuple[str, ...] = (
     "holt_linear_mase",
     "quality_score_auc",
     "retention_halflife_fit",
+    "ljung_box_remainder",
+    "daily_revenue_periodogram",
     "quality_threshold_calibration",
     "events_signup_conversion_outer",
     "part_price_size_skyline",

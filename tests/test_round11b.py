@@ -527,3 +527,26 @@ def test_retention_halflife_consistency(spark, sf_dir):
         assert r.halflife_days_milli > 0
     else:
         assert r.halflife_days_milli == -1
+
+
+def test_ljung_box_remainder_below_raw(spark, sf_dir):
+    """Both portmanteau statistics are well-formed (non-negative,
+    same lag count); the raw-vs-remainder COMPARISON is the analysis
+    output, not an invariant — synthetic data need not be seasonal."""
+    raw = QUERIES["ljung_box_daily"](spark, sf_dir).collect()[0]
+    rem = QUERIES["ljung_box_remainder"](spark, sf_dir).collect()[0]
+    assert rem.q_micro >= 0 and raw.q_micro >= 0
+    assert rem.m_lags == raw.m_lags == 7
+
+
+def test_periodogram_shares_and_rank(spark, sf_dir):
+    """Five fixed periods, shares in [0, 1e6] ppm, rank is a
+    permutation of 1..5 consistent with descending share."""
+    rows = QUERIES["daily_revenue_periodogram"](spark, sf_dir).collect()
+    assert {r.period_days for r in rows} == {7, 14, 30, 91, 365}
+    assert sorted(r.power_rank for r in rows) == [1, 2, 3, 4, 5]
+    by_rank = sorted(rows, key=lambda r: r.power_rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.power_share_ppm >= b.power_share_ppm
+    for r in rows:
+        assert 0 <= r.power_share_ppm <= 1_000_000

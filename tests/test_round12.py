@@ -122,6 +122,48 @@ def test_augmented_edges_key_depends_on_batch_content(
 
 
 # ---------------------------------------------------------------------------
+# HNSW routing level: derived from corpus size, persisted with the index
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_route_level_rule():
+    """route_level = 1 + #{k in 5..9 : n >= 16^k} — the scan n/16^L
+    stays under 16^5 members at every corpus size, via exact integer
+    thresholds identical in both engines (no float log boundaries)."""
+    from bpaotu_spark.ann.hnswml import _LEVEL_THRESHOLDS, _PARAMS_SQL
+
+    def py_level(n: int) -> int:
+        return 1 + sum(n >= t for t in _LEVEL_THRESHOLDS)
+
+    for n in (1, 2000, 16**5 - 1, 16**5, 16**6 - 1, 16**6, 16**9, 16**10):
+        sql = _PARAMS_SQL.replace(
+            "FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+            f"FROM (SELECT CAST({n} AS BIGINT) AS n)",
+        )
+        got_n, lvl, seeds = duckdb.sql(sql).fetchone()
+        assert (got_n, lvl, seeds) == (n, py_level(n), 2 + 2 * py_level(n))
+        # the scan is geometrically bounded at every size
+        assert n // (16 ** lvl) < 16**5
+    assert py_level(2000) == 1  # today's SFs keep the measured recall
+
+
+def test_hnsw_params_persisted_with_index(spark, sf_dir, tmp_path, monkeypatch):
+    """The build's (n, route_level, n_seeds) decision lands in the
+    store next to the graph — a search job reads it, not re-derives."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.hnswml import hnsw_params
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    row = hnsw_params(spark, sf_dir).collect()[0]
+    assert row.route_level >= 1 and row.n_seeds == 2 + 2 * row.route_level
+    assert any(
+        d.startswith("hnsw_params-") for d in os.listdir(tmp_path / "idx")
+    )
+    index_store._MEM.clear()
+
+
+# ---------------------------------------------------------------------------
 # kmv_set_intersection: sketch-miss pairs must still be reported
 # ---------------------------------------------------------------------------
 

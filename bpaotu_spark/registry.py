@@ -92,6 +92,7 @@ def load_all() -> None:
     import bpaotu_spark.ann.curation  # noqa: F401
     import bpaotu_spark.operators.stats7  # noqa: F401
     import bpaotu_spark.operators.spatial  # noqa: F401
+    import bpaotu_spark.dedup.incremental  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -108,84 +109,25 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-11 WINDOW (driver verifies the first ~50) ----
+    # ---- ROUND-12 WINDOW (driver verifies the first ~50) ----
     # (A) NEW this round:
-    #  - ann_hnsw_multilayer_search: md5 routing layer scan + beam-12
-    #    x4 descent on the PERSISTED connected graph (half the flat
-    #    op's base hops; sf0.1 exact-hit 7/10).
-    #  - ann_jl_pool_recall_sweep: JL top-P pool -> exact re-rank
-    #    recall curve (measured: no bounded pool suffices).
-    #  - anosim_permutation_p / permanova_permutation_p: B=32
-    #    deterministic md5 label permutations, p_milli.
-    #  - events_purchases_after_signup: batch twin of the watermarked
-    #    stream-stream interval join (+1 streaming driver key).
+    #  - dedup_incremental_minhash: persisted base band index +
+    #    incremental insert emitting only new-vs-old ∪ new-vs-new
+    #    pairs (r11 VERDICT item 3); oracle = from-scratch union run.
+    "dedup_incremental_minhash",
+    # (B) plan-CHANGED this round:
+    #  - ann_hnsw_multilayer_search: routing level now DERIVED from
+    #    corpus size (integer 16^k thresholds) with the decision
+    #    persisted as hnsw_params (r11 VERDICT item 4).
+    #  - daily_revenue_periodogram / holt_linear_mase /
+    #    kmv_set_intersection also changed (r11 ADVICE fixes) — they
+    #    already sit in the never-driver-verified block (C) below.
     "ann_hnsw_multilayer_search",
-    "ann_jl_pool_recall_sweep",
-    "anosim_permutation_p",
-    "permanova_permutation_p",
-    "events_purchases_after_signup",
-    # (B) plan-CHANGED this round (r10 VERDICT item 2 — the persisted
-    # ANN index): greedy/beam/hnsw_layered read the persisted
-    # connected graph; the PQ/IVFADC family reads persisted codebooks
-    # + code assignments + coarse tables (ann/index_store); the tile
-    # census oracle bound is now data-derived (r10 ADVICE item 4).
-    "ann_greedy_graph_search",
-    "ann_beam_graph_search",
-    "ann_hnsw_layered_search",
-    "text_tile_dedup_census",
-    "ann_ivfadc_topk",
-    "ann_ivfadc_nprobe_topk",
-    "ann_ivfadc_rerank_topk",
-    "ivfadc_recall_report",
-    "embedding_pq_codebook",
-    "embedding_opq_balance",
-    "ann_sdc_topk",
-    "pq_code_entropy",
-    "ann_opq_adc_topk",
-    # (C) the 12 keys the r10 VERDICT found MISFILED in the covered
-    # tail (never driver-verified; judge-harness green r10) — the
-    # bookkeeping fix that closes the board (ann_pq_adc_topk is both
-    # misfiled AND plan-changed; it leads this block):
-    "ann_pq_adc_topk",
-    "attribution_time_decay",
-    "bloom_semijoin_filter",
-    "core_microbiome",
-    "corpus_length_token_corr",
-    "corpus_perplexity_filter",
-    "corpus_regex_scrub_apply",
-    "customer_rfm_segments",
-    "daily_revenue_gapfill",
-    "dedup_containment",
-    "dim_broadcast_advisor",
-    "discount_effectiveness",
-    # (C) remaining never-driver-verified backlog that still fits the
-    # 50-window after the plan-changed block above:
-    "embedding_jl_distortion",
-    "orders_durbin_watson",
-    "winsorized_mean_by_segment",
-    "order_value_poisson_bootstrap",
-    "ann_jl_topk_recall",
-    "scd2_point_in_time_join",
-    "embedding_triplet_margin",
-    "event_user_paths_topk",
-    "events_hourly_heatmap",
-    "events_rolling_wau",
-    "heavy_hitters_cms",
-    "hierarchy_share_of_parent",
-    "knn_degree_assortativity",
-    "langid_confusion",
-    "lineitem_corr_matrix",
-    "markov_next_event_accuracy",
-    "orders_yoy_growth",
-    "otu_indicator_species",
-    "otu_niche_breadth",
-    "otu_region_overlap",
-    # ---- ~50-entry window boundary ----
-    # (R12 QUEUE) outstanding keys spilled past this round's 50-cut
-    # (the persisted-index plan changes took their slots) — rotate
-    # FIRST next round; all are r10-judge-harness green. After they
-    # land, every oracle-backed key has a driver row. New late-r11
-    # ops queue here too (the r10->r11 precedent).
+    # (C) the 31-key R12-QUEUE: every oracle-backed key that has
+    # never had a driver CORRECTNESS row (13 spilled past the r11
+    # 50-cut + 18 late-r11 ops; all judge-harness green r11). After
+    # these land, union(CORRECTNESS_r01..r12) covers every
+    # oracle-backed key in the registry.
     "ann_beam_topk_quality",
     "corpus_anneal_mixture",
     "cluster_balanced_sample_plan",
@@ -217,10 +159,64 @@ PRIORITY: tuple[str, ...] = (
     "token_rate_drift",
     "weighted_sample_es",
     "window_funnel_strict",
-    # Round-10 window (driver-green in CORRECTNESS_r10.json) — rotates
-    # to the covered tail (plan-changed keys moved back up above).
+    # (A cont.) new r12 operators land here as the round proceeds —
+    # the window holds 33 + new ≤ 50.
+    # ---- ~50-entry window boundary ----
+    # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
+    # here, per the r10→r11→r12 precedent.
+    # Round-11 window (driver-green in CORRECTNESS_r11.json) — rotates
+    # to the covered tail.
+    "ann_jl_pool_recall_sweep",
+    "anosim_permutation_p",
+    "permanova_permutation_p",
+    "events_purchases_after_signup",
+    "ann_greedy_graph_search",
+    "ann_beam_graph_search",
+    "ann_hnsw_layered_search",
+    "text_tile_dedup_census",
+    "ann_ivfadc_topk",
+    "ann_ivfadc_nprobe_topk",
+    "ann_ivfadc_rerank_topk",
+    "ivfadc_recall_report",
+    "embedding_pq_codebook",
+    "embedding_opq_balance",
+    "ann_sdc_topk",
+    "pq_code_entropy",
+    "ann_opq_adc_topk",
+    "ann_pq_adc_topk",
+    "attribution_time_decay",
+    "bloom_semijoin_filter",
+    "core_microbiome",
+    "corpus_length_token_corr",
+    "corpus_perplexity_filter",
+    "corpus_regex_scrub_apply",
+    "customer_rfm_segments",
+    "daily_revenue_gapfill",
+    "dedup_containment",
+    "dim_broadcast_advisor",
+    "discount_effectiveness",
+    "embedding_jl_distortion",
+    "orders_durbin_watson",
+    "winsorized_mean_by_segment",
+    "order_value_poisson_bootstrap",
+    "ann_jl_topk_recall",
+    "scd2_point_in_time_join",
+    "embedding_triplet_margin",
+    "event_user_paths_topk",
+    "events_hourly_heatmap",
+    "events_rolling_wau",
+    "heavy_hitters_cms",
+    "hierarchy_share_of_parent",
+    "knn_degree_assortativity",
+    "langid_confusion",
+    "lineitem_corr_matrix",
+    "markov_next_event_accuracy",
+    "orders_yoy_growth",
+    "otu_indicator_species",
+    "otu_niche_breadth",
+    "otu_region_overlap",
     # Long-green covered tail (every key driver-green in some round or
-    # judge-verified r10; stays covered by tools/check.py locally).
+    # judge-verified; stays covered by tools/check.py locally).
     "knn_graph_connected",
     "expectations_audit_delta",
     "events_burst_alarm_windows",

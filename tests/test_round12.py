@@ -200,6 +200,76 @@ def test_kmv_intersection_covers_every_overlapping_pair(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup index: exactness + persistence
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_equals_from_scratch(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The incremental pair set must EQUAL the from-scratch batch LSH
+    on the unioned corpus restricted to pairs involving a new doc —
+    same pairs, same n_shared_bands."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup.incremental import _NEW_MOD
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    inc = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in QUERIES["dedup_incremental_minhash"](spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+        if r.doc_a % _NEW_MOD == 0 or r.doc_b % _NEW_MOD == 0
+    }
+    assert inc == full and len(inc) > 0
+    index_store._MEM.clear()
+
+
+def test_incremental_dedup_index_persists_and_reserves(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Second run: the base band table and bucket-size summary must be
+    served from the store (zero base signature recomputes)."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup import core as dedup_core
+    from bpaotu_spark.dedup import incremental
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    r1 = {
+        (r.doc_a, r.doc_b, r.n_shared_bands, r.n_new_in_pair)
+        for r in QUERIES["dedup_incremental_minhash"](spark, sf_dir).collect()
+    }
+    for name in ("dedup_bands_b8", "dedup_bandsz_b8"):
+        assert any(
+            d.startswith(f"{name}-") for d in os.listdir(tmp_path / "idx")
+        )
+    # fresh "process": the BASE must come from disk; only the delta's
+    # 8-bands-per-doc signature step may run
+    index_store._MEM.clear()
+    calls = {"n": 0}
+    real = dedup_core.minhash_bands
+
+    def counting(docs):
+        calls["n"] += 1
+        return real(docs)
+
+    monkeypatch.setattr(incremental, "minhash_bands", counting)
+    r2 = {
+        (r.doc_a, r.doc_b, r.n_shared_bands, r.n_new_in_pair)
+        for r in QUERIES["dedup_incremental_minhash"](spark, sf_dir).collect()
+    }
+    assert calls["n"] == 1  # the delta only — never the base
+    assert r2 == r1
+    # every pair involves a new doc; both-new pairs say 2
+    assert all(k in (1, 2) for *_xs, k in r1)
+    index_store._MEM.clear()
+
+
+# ---------------------------------------------------------------------------
 # holt_linear_mase: explicit init flag vs negative mid-series level
 # ---------------------------------------------------------------------------
 

@@ -5,6 +5,10 @@ Greps each plan for scale red flags and writes a summary (PLANS.md):
 - CartesianProduct / BroadcastNestedLoopJoin — pairwise blowup
 - SortMergeJoin — acceptable for fact-fact, flagged so each one is a
   conscious decision, not an accident
+- unpartitioned Window (1PART_WINDOW) — a Window with no PARTITION BY
+  moves its whole input to one partition; legitimate ONLY over a
+  value-bounded frame (calendar-day series, top-k cuts, K-row
+  codebooks), so every site needs an allowlist justification
 - missing PushedFilters on scans that have literal predicates
 - Exchange count — shuffles per query
 
@@ -202,6 +206,131 @@ ALLOWED_BNLJ = {
 }
 
 
+# A Window with no PARTITION BY funnels its entire input through ONE
+# partition — correct at scale only when the frame is value-bounded
+# BEFORE the window (calendar-day series ≤ ~2.6k rows, top-k cuts,
+# K-row codebooks, fixed dimension grids) or when a total order IS the
+# operator's contract over an already-aggregated rollup (Lorenz/Pareto
+# curves, exact global quantile cuts). Every such site must be
+# justified here; an unlisted one renders 1PART_WINDOW(!) and fails
+# the audit (r11 VERDICT item 5).
+ALLOWED_1PART_WINDOW: dict[str, str] = {
+    # --- calendar-bounded time series (one row per day/week/month/year
+    # after aggregation; <= ~2.6k rows at ANY corpus size) ---
+    "cumulative_share_daily": "running share over the calendar-daily rollup",
+    "daily_revenue_anomaly": "rolling stats over the calendar-daily rollup",
+    "daily_revenue_gapfill": "gap sequence over the calendar-daily rollup",
+    "daily_revenue_periodogram": "day-rank t over the calendar-daily rollup + 5-row period rank",
+    "error_budget_burn": "burn windows over the calendar-daily rollup",
+    "event_value_daily_median": "exact median rank within the calendar-daily value frame (day-grain rollup)",
+    "ljung_box_remainder": "7-day MA trend + day-rank + lag windows over the calendar-daily remainder series",
+    "moving_avg_window": "moving averages over the calendar-daily rollup",
+    "orders_durbin_watson": "lag-1 residual window over the calendar-daily rollup",
+    "orders_open_backlog_daily": "running open-count over the calendar-daily event frame",
+    "orders_runs_test": "runs sequence over the calendar-daily rollup",
+    "page_hinkley_drift": "sequential PH statistic over the calendar-daily rollup",
+    "revenue_cusum_changepoint": "CUSUM scan over the calendar-daily rollup",
+    "revenue_v_shape_patterns": "lead/lag pattern windows over the calendar-daily rollup",
+    "seasonal_naive_mase": "lag-7 forecast windows over the calendar-daily rollup",
+    "seasonality_strength": "trend/seasonal windows over the calendar-daily rollup",
+    "weekly_decomposition": "7-day MA trend windows over the calendar-daily rollup",
+    "user_lifecycle_weekly": "week sequence over the calendar-week grid (bounded weeks)",
+    "taxa_temporal_drift": "year-rank over the calendar-year grain",
+    "token_rate_drift": "month sequence over the calendar-month slices",
+    "orders_monthly_percentile_bridge": "month sequence over the calendar-month rollup",
+    "supplier_share_volatility": "month sequence over the calendar-month x supplier rollup (per-supplier series are month-bounded)",
+    # --- survival / event-time checkpoints (windows over the DISTINCT
+    # gap-duration frame, value-bounded by the calendar span) ---
+    "kaplan_meier_order_gaps": "KM product over the distinct gap-duration frame (calendar-bounded)",
+    "nelson_aalen_hazard": "cumulative hazard over the distinct gap-duration frame",
+    "restricted_mean_survival": "RMST integral over the distinct gap-duration frame",
+    "competing_risks_cif": "CIF accumulation over the distinct gap-duration frame",
+    "life_table_actuarial": "interval sequence over the fixed actuarial bins",
+    "loglogistic_rank_regression": "median-rank regression over the distinct gap-duration frame",
+    "weibull_rank_regression": "median-rank regression over the distinct gap-duration frame",
+    "funnel_time_to_convert": "percentile checkpoints over the aggregated conversion-latency frame",
+    # --- global rank/ntile/cume where the TOTAL ORDER is the operator's
+    # contract, taken over an aggregated rollup (one row per customer/
+    # part/supplier/source — orders of magnitude below the fact table) ---
+    "customer_pareto_share": "Lorenz cumulative share over the per-customer rollup (total order IS the contract)",
+    "customer_rfm_segments": "RFM quantile cuts over the per-customer rollup",
+    "customer_value_band_migration": "value-band ntile cuts over the per-customer-period rollup",
+    "decile_stats": "decile boundaries over the per-customer rollup (distributed-rank ntile)",
+    "revenue_lorenz_points": "Lorenz curve over the per-customer rollup",
+    "orders_abc_classification": "ABC cumulative share over the per-part rollup",
+    "event_value_percentiles_by_type": "exact percentile ranks within per-type value frames (type-dimension bounded fan)",
+    "robust_anomaly_mad": "exact median/MAD ranks over the calendar-daily rollup",
+    "zipf_token_stats": "Zipf rank over the aggregated token-frequency frame (vocabulary-bounded)",
+    "median_exact_by_segment": "exact median ranks over per-segment value frames (5-segment bounded fan)",
+    "quantiles_exact_by_segment": "exact quantile ranks over per-segment value frames",
+    "trimmed_mean_by_segment": "trim-rank over per-segment value frames",
+    "winsorized_mean_by_segment": "winsor-rank over per-segment value frames",
+    "mann_whitney_order_value": "global rank over the two-group pooled value frame (rank-sum semantics need the total order)",
+    "kruskal_wallis_h": "global rank over the pooled value frame (rank-sum semantics)",
+    "wilcoxon_signed_rank_yoy": "global rank over the paired-difference frame (year-pair bounded)",
+    "brown_forsythe_f": "per-group exact medians via rank over the 5-group bounded value frames",
+    "spearman_part_size_price": "global ranks on both variables (rank-correlation semantics need the total order; per-part rollup)",
+    "ks_binned_two_sample": "cumulative share over the fixed bin grid",
+    "lang_length_quartiles": "quartile ranks within per-language frames (language-dimension bounded)",
+    "weighted_sample_es": "ES reservoir rank over md5-keyed scores (top-k cut, output-bounded)",
+    # --- top-k cuts and fixed grids (output-bounded by construction) ---
+    "association_rules_parts": "rule ranking over the aggregated brand/type rule frame (dimension-bounded)",
+    "bigram_pmi": "top-k PMI cut over the df-floored bigram aggregate (vocabulary-bounded)",
+    "skipgram_pmi_topk": "top-k PMI cut over the df-floored skipgram aggregate",
+    "bm25_search": "score rank over the hits of a FIXED query set (query-bounded)",
+    "boilerplate_ngram_hotlist": "top-100 hotlist cut over the n-gram aggregate",
+    "bpe_merge_candidates": "top-merge cut over the adjacent-pair aggregate (vocabulary-bounded)",
+    "brand_nation_penetration": "rank over the brand x nation grid (dimension-bounded)",
+    "core_microbiome": "prevalence rank over the per-environment OTU aggregate (taxonomy-bounded)",
+    "doc_commonness_profile": "decile cuts over the per-doc commonness aggregate (fixed decile grid)",
+    "doc_length_quality_grid": "fixed length x quality grid cell ranks",
+    "event_type_transitions": "rank over the |types|^2 transition grid (dimension-bounded)",
+    "event_user_paths_topk": "top-k path cut over the aggregated path-count frame",
+    "events_inactivity_gaps_topk": "global top-k gap cut (output-bounded)",
+    "events_trending_topk": "per-window top-k cut over the window-grain aggregate",
+    "heavy_hitters_cms": "top-k heavy-hitter cut over the CMS estimate frame",
+    "part_price_size_skyline": "skyline scan over the per-part rollup ordered by price (dominance needs the total order; per-part aggregate)",
+    "part_type_price_quartiles": "quartile checkpoints over per-type price frames (type-dimension bounded)",
+    "rare_category_collapse": "share rank over the aggregated category frame (dimension-bounded)",
+    "map_radius_search": "distance rank within the grid-blocked candidate set of a FIXED query point",
+    "species_accumulation_curve": "accumulation order over the sample dimension (site-bounded)",
+    "event_type_stationary_dist": "power-iteration step ranks over the |types|-row state vector",
+    "pagerank_knn": "rank over the node-score aggregate for the fixed top-k report cut",
+    "kmeans_embeddings": "centroid-ordering rank over the K=8 centroid table per iteration",
+    "cluster_balanced_sample_plan": "quota/budget ranks over the K=8 cluster summary",
+    "embedding_dim_quantiles": "quantile checkpoints per fixed dimension (D-bounded fan)",
+    "embedding_norm_profile": "percentile checkpoints over the norm distribution (exact-percentile contract; checkpoint frame is fixed)",
+    "quality_score_auc": "ROC sweep over the bounded milli-score histogram (<=1001 distinct thresholds)",
+    "quality_threshold_calibration": "threshold rank over the bounded milli-score histogram",
+    "anosim_groups": "dissimilarity rank over the bounded study-selection pair frame (ANOSIM cap)",
+    "dedup_cluster_cc": "component-census rank during the 2-value convergence signature (census-bounded)",
+    "scd2_dwell_time_stats": "dwell-time percentile checkpoints over the aggregated interval frame",
+    "token_budget_apportion": "largest-remainder rank over the |langs| frame (dimension-bounded)",
+}
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """Window nodes whose Arguments carry only [exprs], [orderSpec] —
+    i.e. no partition spec list (a partitioned Window prints three
+    top-level bracketed lists, an unpartitioned one two)."""
+    args = re.findall(
+        r"^\(\d+\) Window\nInput.*\nArguments: (.*)$", plan, re.M
+    )
+    return sum(1 for a in args if len(a.split("], [")) == 2)
+
+
+_OK_FLAGS = {"NESTED_LOOP(ok)"}
+
+
+def _is_bad(flagstr: str) -> bool:
+    if flagstr == "-":
+        return False
+    return any(
+        f not in _OK_FLAGS and not f.startswith("1PART_WINDOW(ok")
+        for f in flagstr.split(",")
+    )
+
+
 def main() -> int:
     import __spark_entry__ as e
     from bpaotu_spark.session import get_session
@@ -226,6 +355,10 @@ def main() -> int:
             flags.append(
                 "NESTED_LOOP(ok)" if name in ALLOWED_BNLJ else "NESTED_LOOP"
             )
+        n_1p = count_unpartitioned_windows(plan)
+        if n_1p:
+            mark = "ok" if name in ALLOWED_1PART_WINDOW else "!"
+            flags.append(f"1PART_WINDOW({mark}x{n_1p})")
         if "InMemoryTableScan" in counts:
             flags.append("CACHED")
         rows.append(
@@ -249,12 +382,20 @@ def main() -> int:
             f"| {r['name']} | {r['exchanges']} | {r['bhj']} | {r['smj']} "
             f"| {'yes' if r['pushed'] else '-'} | {r['flags']} |"
         )
-    bad = [r for r in rows if r["flags"] not in ("-", "NESTED_LOOP(ok)")]
+    bad = [r for r in rows if _is_bad(r["flags"])]
     print(f"\nflagged: {[r['name'] for r in bad] or 'none'}")
     if any(r["flags"] == "NESTED_LOOP(ok)" for r in rows):
         print("\nNESTED_LOOP(ok) — intentional bounded-broadcast non-equi joins:")
         for name, why in sorted(ALLOWED_BNLJ.items()):
             print(f"- `{name}`: {why}")
+    onepart = [r["name"] for r in rows if "1PART_WINDOW(ok" in r["flags"]]
+    if onepart:
+        print(
+            "\n1PART_WINDOW(ok) — single-partition windows over "
+            "value-bounded frames (justification per query):"
+        )
+        for name in sorted(onepart):
+            print(f"- `{name}`: {ALLOWED_1PART_WINDOW[name]}")
     return 0
 
 

@@ -401,16 +401,17 @@ def knn_graph_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INS_K = 5
 
 
-def augment_connected_graph(
+def insert_edges(
     spark: SparkSession, sf_dir: str, new_emb: DataFrame, k: int = _INS_K
 ) -> DataFrame:
-    """Directed (vec_id, neighbor_id) edges of the persisted graph
-    augmented with ``new_emb`` (vec_id, embedding) — base edges are
-    read from the index store, never rebuilt. New vec_ids must be
-    disjoint from the base table's."""
-    from bpaotu_spark.ann.index_store import connected_edges_cached
-
-    base_edges = connected_edges_cached(spark, sf_dir)
+    """The INSERT step of the incremental graph build, exposed with
+    ranks: ``(src, dst, rn)`` — each new vector's top-``k`` base
+    neighbours by (round(cos,4) DESC, dst ASC) through the builder's
+    multiprobe sign-bucket candidate discipline, plus a rank-1 edge to
+    the global entry node for probe-orphans. ``augment_connected_graph``
+    unions these (plus reverses) onto the persisted base edges;
+    ``ann_augmented_graph_insert`` verifies THIS frame against the
+    DuckDB oracle."""
     base = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -488,7 +489,7 @@ def augment_connected_graph(
     topk = (
         cand.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
-        .select("src", "dst")
+        .select("src", "dst", "rn")
         .localCheckpoint()
     )
     # bucket-orphans: every probe bucket empty -> one edge to the
@@ -500,8 +501,22 @@ def augment_connected_graph(
         new.select("src")
         .join(topk.select("src").distinct(), "src", "left_anti")
         .crossJoin(F.broadcast(entry))
+        .withColumn("rn", F.lit(1))
     )
-    e_new = topk.unionByName(orphans)
+    return topk.unionByName(orphans)
+
+
+def augment_connected_graph(
+    spark: SparkSession, sf_dir: str, new_emb: DataFrame, k: int = _INS_K
+) -> DataFrame:
+    """Directed (vec_id, neighbor_id) edges of the persisted graph
+    augmented with ``new_emb`` (vec_id, embedding) — base edges are
+    read from the index store, never rebuilt. New vec_ids must be
+    disjoint from the base table's."""
+    from bpaotu_spark.ann.index_store import connected_edges_cached
+
+    base_edges = connected_edges_cached(spark, sf_dir)
+    e_new = insert_edges(spark, sf_dir, new_emb, k).select("src", "dst")
     return base_edges.unionByName(
         e_new.select(
             F.col("src").alias("vec_id"), F.col("dst").alias("neighbor_id")
@@ -510,4 +525,107 @@ def augment_connected_graph(
         e_new.select(
             F.col("dst").alias("vec_id"), F.col("src").alias("neighbor_id")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_augmented_graph_insert — the INCREMENTAL INSERT step as a
+# driver-verified operator (r11 shipped augment_connected_graph with
+# pytest evidence only). Both engines construct the same deterministic
+# insert batch from the data itself — scaled copies (x0.5) of the
+# vec_id < _AUG_N embeddings under shifted ids — so the oracle needs
+# no side-channel input: near-duplicate inserts, the realistic nightly
+# case, whose rank-1 neighbour should be the original vector
+# (is_origin column measures exactly that).
+#
+# Scale shape: |batch| x (DIMS+1) probe buckets, each a sign-bucket
+# equi-join into the base table (n/16 rows per bucket) — delta-bounded
+# candidate generation, one bounded window per new node, no base-graph
+# reconstruction. The output is |batch| x k rows.
+# ---------------------------------------------------------------------------
+
+_AUG_N = 40
+_AUG_SHIFT = 1000000
+
+
+def _aug_flip_bucket_sql() -> str:
+    """Sign bucket of the scaled insert vector ``va`` with probe ``p``
+    (0 = own bucket, 1..DIMS = flip that bit)."""
+    cases = []
+    for i in range(_EMB_LSH_DIMS):
+        base = f"(CASE WHEN va[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        flip = f"(CASE WHEN va[{i + 1}] >= 0 THEN '0' ELSE '1' END)"
+        cases.append(f"(CASE WHEN p = {i + 1} THEN {flip} ELSE {base} END)")
+    return " || ".join(cases)
+
+
+@register(
+    "ann_augmented_graph_insert",
+    oracle=f"""
+WITH newv AS (
+  SELECT vec_id + {_AUG_SHIFT} AS src,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) AS va
+  FROM embeddings WHERE vec_id < {_AUG_N}
+),
+probes AS (SELECT unnest([{", ".join(str(i) for i in range(_EMB_LSH_DIMS + 1))}]) AS p),
+np AS (
+  SELECT DISTINCT src, va, {_aug_flip_bucket_sql()} AS pbucket
+  FROM newv CROSS JOIN probes
+),
+cand AS (
+  SELECT DISTINCT np.src, b.vec_id AS dst, np.va,
+    CAST(b.embedding AS DOUBLE[]) AS vb
+  FROM np JOIN embeddings b ON {_emb_bucket_sql("b")} = np.pbucket
+),
+scored AS (
+  SELECT src, dst,
+    round(list_dot_product(va, vb)
+      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+      4) AS cos_sim
+  FROM cand
+),
+topk AS (
+  SELECT src, dst, rn FROM (
+    SELECT src, dst,
+      row_number() OVER (PARTITION BY src
+                         ORDER BY cos_sim DESC, dst ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_INS_K}
+),
+orphans AS (
+  SELECT n.src, (SELECT min(vec_id) FROM embeddings) AS dst, 1 AS rn
+  FROM newv n WHERE n.src NOT IN (SELECT src FROM topk)
+),
+ins AS (SELECT * FROM topk UNION ALL SELECT * FROM orphans)
+SELECT src AS new_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id,
+  (dst = src - {_AUG_SHIFT}) AS is_origin
+FROM ins ORDER BY new_id, rank
+""",
+)
+def ann_augmented_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph insert, driver-verified: scaled near-duplicate
+    copies of the first {_AUG_N} vectors are inserted through the
+    multiprobe candidate discipline; output (new_id, rank, neighbor_id,
+    is_origin) — is_origin marks the edge landing on the insert's own
+    original, the recall signal of a near-duplicate insert."""
+    new_emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _AUG_N)
+        .select(
+            (F.col("vec_id") + _AUG_SHIFT).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * 0.5,
+            ).alias("embedding"),
+        )
+    )
+    edges = insert_edges(spark, sf_dir, new_emb, k=_INS_K)
+    return (
+        edges.select(
+            F.col("src").alias("new_id"),
+            F.col("rn").cast("bigint").alias("rank"),
+            F.col("dst").alias("neighbor_id"),
+            (F.col("dst") == F.col("src") - _AUG_SHIFT).alias("is_origin"),
+        )
+        .orderBy("new_id", "rank")
     )

@@ -1,0 +1,138 @@
+"""Round-12 statistics additions.
+
+* ``anderson_darling_binned`` — the two-sample Anderson–Darling
+  statistic on binned order values (URGENT vs LOW priority), the
+  quadratic-EDF companion to ``ks_binned_two_sample``: where KS reads
+  only the single largest CDF gap, AD integrates the squared gap with
+  weight 1/(H(1−H)) — tail-sensitive by construction (Pettitt 1976,
+  the k-sample discretized form of Scholz–Stephens 1987).
+
+  Exactness: with integer bin counts the discretized statistic is a
+  sum of rationals — per bin,
+
+      term = (cn·m − cm·n)² · (N+M) / (n·m·ch·(T−ch))
+
+  (cn/cm cumulative counts, N/M bin counts, ch = cn+cm, T = n+m; the
+  last bin, where H = 1, is excluded as in the textbook statistic).
+  Each term is floored to micro units and summed — exact integer
+  arithmetic in DECIMAL(38,0)/HUGEINT, identical in both engines.
+  Bound: (cn·m)²·(N+M) stays under 38 digits while n·m·(n+m) < ~5e37
+  — beyond sf100.
+
+  Binning is exact-cents integer division (floor(price·100) //
+  1_200_000, clamped to 50 bins) — no float boundary anywhere.
+
+Scale shape: one fact scan → 50-bin groupBy (map-side combined) →
+cumulative windows over the FIXED 50-row bin grid → 1-row answer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.registry import register
+
+_AD_BINS = 50
+_AD_CENTS_PER_BIN = 1_200_000  # $12k per bin over the ~[0, $600k) range
+_AD_A = "1-URGENT"
+_AD_B = "5-LOW"
+
+
+@register(
+    "anderson_darling_binned",
+    oracle=f"""
+WITH b AS (
+  SELECT least(CAST(floor(o_totalprice * 100) AS BIGINT)
+               // {_AD_CENTS_PER_BIN}, {_AD_BINS - 1}) AS bin,
+    CAST(count(*) FILTER (WHERE o_orderpriority = '{_AD_A}') AS BIGINT)
+      AS na_bin,
+    CAST(count(*) FILTER (WHERE o_orderpriority = '{_AD_B}') AS BIGINT)
+      AS nb_bin
+  FROM orders WHERE o_orderpriority IN ('{_AD_A}', '{_AD_B}')
+  GROUP BY 1
+),
+c AS (
+  SELECT bin, na_bin, nb_bin,
+    sum(na_bin) OVER (ORDER BY bin) AS cn,
+    sum(nb_bin) OVER (ORDER BY bin) AS cm,
+    sum(na_bin) OVER () AS n, sum(nb_bin) OVER () AS m
+  FROM b
+),
+terms AS (
+  SELECT n, m,
+    CAST(sum(CAST((cn * m - cm * n) AS HUGEINT) * (cn * m - cm * n)
+             * (na_bin + nb_bin) * 1000000
+             // (CAST(n AS HUGEINT) * m * (cn + cm) * (n + m - cn - cm)))
+      AS BIGINT) AS a2_micro,
+    CAST(count(*) AS BIGINT) AS n_bins_used
+  FROM c WHERE cn + cm < n + m
+  GROUP BY n, m
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+  n_bins_used, a2_micro
+FROM terms
+""",
+)
+def anderson_darling_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample binned Anderson–Darling: (n_a, n_b, n_bins_used,
+    a2_micro) over URGENT-vs-LOW order values in 50 exact-cents bins."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_AD_A, _AD_B)
+    )
+    b = (
+        o.select(
+            F.least(
+                F.expr(
+                    f"CAST(floor(o_totalprice * 100) AS BIGINT)"
+                    f" DIV {_AD_CENTS_PER_BIN}"
+                ),
+                F.lit(_AD_BINS - 1).cast("bigint"),
+            ).alias("bin"),
+            "o_orderpriority",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("o_orderpriority") == _AD_A, 1))
+            .cast("bigint")
+            .alias("na_bin"),
+            F.count(F.when(F.col("o_orderpriority") == _AD_B, 1))
+            .cast("bigint")
+            .alias("nb_bin"),
+        )
+    )
+    wc = Window.orderBy("bin")  # FIXED 50-row bin grid
+    wall = Window.partitionBy()
+    c = b.select(
+        "bin",
+        "na_bin",
+        "nb_bin",
+        F.sum("na_bin").over(wc).alias("cn"),
+        F.sum("nb_bin").over(wc).alias("cm"),
+        F.sum("na_bin").over(wall).alias("n"),
+        F.sum("nb_bin").over(wall).alias("m"),
+    )
+    return (
+        c.filter(F.expr("cn + cm < n + m"))
+        .groupBy("n", "m")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((cn * m - cm * n) AS DECIMAL(38,0))"
+                    " * (cn * m - cm * n) * (na_bin + nb_bin) * 1000000"
+                    " DIV (CAST(n AS DECIMAL(38,0)) * m * (cn + cm)"
+                    " * (n + m - cn - cm))"
+                )
+            )
+            .cast("bigint")
+            .alias("a2_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_a"),
+            F.col("m").cast("bigint").alias("n_b"),
+            "n_bins_used",
+            "a2_micro",
+        )
+    )

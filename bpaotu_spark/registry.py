@@ -93,6 +93,9 @@ def load_all() -> None:
     import bpaotu_spark.operators.stats7  # noqa: F401
     import bpaotu_spark.operators.spatial  # noqa: F401
     import bpaotu_spark.dedup.incremental  # noqa: F401
+    import bpaotu_spark.operators.ecology6  # noqa: F401
+    import bpaotu_spark.operators.events4  # noqa: F401
+    import bpaotu_spark.operators.stats8  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -161,6 +164,10 @@ PRIORITY: tuple[str, ...] = (
     "window_funnel_strict",
     # (A cont.) new r12 operators land here as the round proceeds —
     # the window holds 33 + new ≤ 50.
+    "ann_augmented_graph_insert",
+    "beta_diversity_canberra",
+    "attribution_position_based",
+    "anderson_darling_binned",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

@@ -308,6 +308,66 @@ def test_holt_fold_survives_negative_level(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# New round-12 operators: invariants
+# ---------------------------------------------------------------------------
+
+
+def test_augmented_graph_insert_invariants(spark, sf_dir, tmp_path, monkeypatch):
+    """Near-duplicate inserts (scaled copies) must hit their own
+    original at rank 1, ranks are 1..k per new node, and every new
+    node appears."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.graphconn import _AUG_N, _INS_K
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    rows = QUERIES["ann_augmented_graph_insert"](spark, sf_dir).collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r.new_id, []).append(r)
+    assert len(by_node) == _AUG_N
+    for nid, es in by_node.items():
+        ranks = sorted(e.rank for e in es)
+        assert ranks == list(range(1, len(es) + 1)) and len(es) <= _INS_K
+        r1 = next(e for e in es if e.rank == 1)
+        # a x0.5 copy's best neighbour is its own original (cos = 1)
+        assert r1.is_origin and r1.neighbor_id == nid - 1000000
+    index_store._MEM.clear()
+
+
+def test_canberra_bounds_and_symmetry_inputs(spark, sf_dir):
+    """Canberra norm is within [0, 1e6]; a pair sharing nothing reads
+    exactly 1e6; n_union >= 1."""
+    rows = QUERIES["beta_diversity_canberra"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.canberra_norm_ppm <= 1_000_000
+        assert r.n_union >= 1
+        assert r.canberra_sum_ppm <= 1_000_000 * r.n_union
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    """Summed ppm weight per position family stays within the model's
+    envelope and positions are exactly the four classes."""
+    rows = QUERIES["attribution_position_based"](spark, sf_dir).collect()
+    assert rows
+    assert {r.position for r in rows} <= {"only", "first", "middle", "last"}
+    for r in rows:
+        assert r.n_credits > 0
+        # per-credit weight is <= 1e6 and middle weights are below 40%
+        assert r.total_weight_ppm <= 1_000_000 * r.n_credits
+        if r.position == "middle":
+            assert r.total_weight_ppm <= 200_000 * r.n_credits
+
+
+def test_anderson_darling_nonnegative_and_bins(spark, sf_dir):
+    r = QUERIES["anderson_darling_binned"](spark, sf_dir).collect()[0]
+    assert r.a2_micro >= 0
+    assert 1 <= r.n_bins_used <= 50
+    assert r.n_a > 0 and r.n_b > 0
+
+
+# ---------------------------------------------------------------------------
 # daily_revenue_periodogram: no engine-side trig anywhere
 # ---------------------------------------------------------------------------
 

@@ -271,6 +271,7 @@ ALLOWED_1PART_WINDOW: dict[str, str] = {
     "brown_forsythe_f": "per-group exact medians via rank over the 5-group bounded value frames",
     "spearman_part_size_price": "global ranks on both variables (rank-correlation semantics need the total order; per-part rollup)",
     "ks_binned_two_sample": "cumulative share over the fixed bin grid",
+    "anderson_darling_binned": "cumulative EDF windows over the FIXED 50-row bin grid",
     "lang_length_quartiles": "quartile ranks within per-language frames (language-dimension bounded)",
     "weighted_sample_es": "ES reservoir rank over md5-keyed scores (top-k cut, output-bounded)",
     # --- top-k cuts and fixed grids (output-bounded by construction) ---

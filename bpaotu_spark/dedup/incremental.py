@@ -217,3 +217,176 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_bands, base_sizes = base_band_index(spark, sf_dir)
     new_docs = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
     return augment_dedup_index(spark, base_bands, base_sizes, new_docs)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_exact — the nightly EXACT dedup against a standing
+# hash index: the base corpus's md5 -> min(doc_id) map is persisted
+# through the index store; tonight's drop is hashed and looked up, and
+# the output lists every new doc that is a dropped duplicate — of an
+# existing doc (cross_batch) or of an earlier doc in the same drop.
+# The canonical keeps the smallest doc_id across base ∪ drop, exactly
+# what a from-scratch dedup_exact would choose on the union.
+#
+# Scale shape: one hash per new doc, one broadcast-or-keyed lookup
+# into the persisted (h, min_id) map, one groupBy over the drop. The
+# base corpus is never rescanned.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+canon AS (
+  SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h
+)
+SELECT x.doc_id AS new_id, c.canonical_id,
+  (c.canonical_id != x.doc_id) AS is_duplicate,
+  (c.canonical_id != x.doc_id AND c.canonical_id % {_NEW_MOD} != 0)
+    AS cross_batch
+FROM h x JOIN canon c ON c.h = x.h
+WHERE x.doc_id % {_NEW_MOD} = 0
+ORDER BY new_id
+""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly exact dedup against the persisted hash index: one row
+    per doc in the doc_id ≡ 0 (mod 8) drop — (new_id, canonical_id,
+    is_duplicate, cross_batch); the group assignment keeps the result
+    informative even with zero duplicates (the dedup_exact convention)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_base() -> DataFrame:
+        return (
+            docs.filter(F.col("doc_id") % _NEW_MOD != 0)
+            .select("doc_id", F.md5("text").alias("h"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("base_min"))
+        )
+
+    base_min = cached_frame(
+        spark, sf_dir, "dedup_exact_b8", build_base, table="documents"
+    )
+    new = docs.filter(F.col("doc_id") % _NEW_MOD == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new_grp = new.groupBy("h").agg(F.min("doc_id").alias("new_min"))
+    return (
+        new.join(new_grp, "h")
+        .join(base_min, "h", "left")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.least(
+                F.coalesce(F.col("base_min"), F.col("new_min")),
+                F.col("new_min"),
+            ).alias("canonical_id"),
+        )
+        .select(
+            "new_id",
+            "canonical_id",
+            (F.col("canonical_id") != F.col("new_id")).alias("is_duplicate"),
+            (
+                (F.col("canonical_id") != F.col("new_id"))
+                & (F.col("canonical_id") % _NEW_MOD != 0)
+            ).alias("cross_batch"),
+        )
+        .orderBy("new_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_novelty_growth_curve — diminishing-novelty audit for a
+# growing corpus: split the corpus into 10 equal ingest batches (by
+# doc_id, the arrival-order proxy) and measure, per batch, the share
+# of its distinct 3-gram shingles never seen in ANY earlier batch.
+# The curve a data-acquisition team actually watches: when marginal
+# novelty flattens, the next crawl pays mostly duplicates (the
+# rationale behind RefinedWeb/FineWeb-style dedup-first pipelines).
+#
+# Scale shape: one distinct (gram, batch) frame (map-side combined),
+# one groupBy(gram) for the first-batch map, one keyed join back —
+# vocabulary-bounded throughout, never pairwise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_novelty_growth_curve",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+mx AS (SELECT max(doc_id) AS mid FROM documents),
+gb AS (
+  SELECT DISTINCT g, least(doc_id * 10 // (mid + 1), 9) AS batch
+  FROM ng, mx
+),
+fb AS (SELECT g, min(batch) AS first_batch FROM gb GROUP BY g),
+per AS (
+  SELECT gb.batch,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(count(*) FILTER (WHERE fb.first_batch = gb.batch) AS BIGINT)
+      AS n_new_grams
+  FROM gb JOIN fb USING (g)
+  GROUP BY gb.batch
+),
+db AS (
+  SELECT least(doc_id * 10 // (mid + 1), 9) AS batch,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents, mx GROUP BY 1
+)
+SELECT per.batch, db.n_docs, per.n_grams, per.n_new_grams,
+  CAST(per.n_new_grams * 1000000 // per.n_grams AS BIGINT)
+    AS novelty_ppm
+FROM per JOIN db ON db.batch = per.batch
+ORDER BY per.batch
+""",
+)
+def corpus_novelty_growth_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per ingest-order decile: (batch, n_docs, n_grams, n_new_grams,
+    novelty_ppm) — the marginal-novelty curve of corpus growth."""
+    from bpaotu_spark.dedup.core import doc_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    batch = "least(doc_id * 10 DIV (mid + 1), CAST(9 AS BIGINT))"
+    gb = (
+        doc_ngrams(spark, sf_dir)
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr(batch).alias("batch"), "g")
+        .distinct()
+    )
+    fb = gb.groupBy("g").agg(F.min("batch").alias("first_batch"))
+    per = (
+        gb.join(fb, "g")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("first_batch") == F.col("batch"), 1))
+            .cast("bigint")
+            .alias("n_new_grams"),
+        )
+    )
+    db = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(F.expr(batch).alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        per.join(db, "batch")
+        .select(
+            "batch",
+            "n_docs",
+            "n_grams",
+            "n_new_grams",
+            F.expr("CAST(n_new_grams * 1000000 DIV n_grams AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("batch")
+    )

@@ -136,3 +136,106 @@ def anderson_darling_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a2_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kpss_level_stat — the KPSS level-stationarity statistic (Kwiatkowski
+# et al. 1992, lag-0 variant) on daily revenue: eta = sum_t S_t^2 /
+# (n^2 * sigma^2) with S_t the cumulative demeaned partial sums. The
+# complement to the unit-root view: Mann-Kendall/theil_sen ask "is
+# there a trend", KPSS asks "is the LEVEL even stationary" — the gate
+# before any forecasting op (ses/holt/seasonal_naive) is trusted.
+#
+# Exactness: with T = sum(x) and n days, n*S_t = n*C_t - t*T and
+# n*(x_t - mean) = n*x_t - T are exact integers; eta reduces to
+# sum(S'_t^2) / (n * sum(D_t^2)) with S' = n*S, D = n*(x-mean). Each
+# is downscaled once (S'//1e6, D//1e3) before squaring so every
+# Spark DIV result stays within BIGINT through ~sf100, and the
+# truncation (relative ~1e-6) is identical in both engines.
+#
+# Scale shape: one daily rollup, cumulative windows over the
+# calendar-bounded daily frame, 1-row output.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kpss_level_stat",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tt
+  FROM daily
+),
+seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+    CAST(sum(cents) OVER (ORDER BY d) AS BIGINT) AS c, cents
+  FROM daily
+),
+parts AS (
+  SELECT max(m.n) AS n,
+    CAST(sum(CAST((n * c - t * tt) // 1000000 AS HUGEINT)
+             * ((n * c - t * tt) // 1000000)) AS HUGEINT) AS s2,
+    CAST(sum(CAST((n * cents - tt) // 1000 AS HUGEINT)
+             * ((n * cents - tt) // 1000)) AS HUGEINT) AS d2
+  FROM seq, m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(s2 * 1000000000 // (n * d2 + 1) AS BIGINT) AS kpss_milli
+FROM parts
+""",
+)
+def kpss_level_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic on daily revenue:
+    (n_days, kpss_milli) — eta in milli units (large => reject level
+    stationarity)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tt"),
+    )
+    wseq = Window.orderBy("d")  # calendar-bounded daily frame
+    seq = daily.select(
+        F.row_number().over(wseq).cast("bigint").alias("t"),
+        F.sum("cents").over(wseq).cast("bigint").alias("c"),
+        "cents",
+    )
+    parts = (
+        seq.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST((CAST(n AS DECIMAL(38,0)) * c - t * tt)"
+                    " DIV 1000000 AS DECIMAL(38,0))"
+                    " * ((CAST(n AS DECIMAL(38,0)) * c - t * tt)"
+                    " DIV 1000000)"
+                )
+            ).alias("s2"),
+            F.sum(
+                F.expr(
+                    "CAST((CAST(n AS DECIMAL(38,0)) * cents - tt)"
+                    " DIV 1000 AS DECIMAL(38,0))"
+                    " * ((CAST(n AS DECIMAL(38,0)) * cents - tt)"
+                    " DIV 1000)"
+                )
+            ).alias("d2"),
+        )
+    )
+    return parts.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(s2 * 1000000000 DIV (n * d2 + 1) AS BIGINT)"
+        ).alias("kpss_milli"),
+    )

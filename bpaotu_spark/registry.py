@@ -96,6 +96,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.ecology6  # noqa: F401
     import bpaotu_spark.operators.events4  # noqa: F401
     import bpaotu_spark.operators.stats8  # noqa: F401
+    import bpaotu_spark.operators.olap8  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -168,6 +169,10 @@ PRIORITY: tuple[str, ...] = (
     "beta_diversity_canberra",
     "attribution_position_based",
     "anderson_darling_binned",
+    "dedup_incremental_exact",
+    "corpus_novelty_growth_curve",
+    "kpss_level_stat",
+    "cr4_by_part_type",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

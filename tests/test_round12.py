@@ -367,6 +367,48 @@ def test_anderson_darling_nonnegative_and_bins(spark, sf_dir):
     assert r.n_a > 0 and r.n_b > 0
 
 
+def test_incremental_exact_covers_drop_and_canonical_order(spark, sf_dir):
+    """One row per drop doc; canonical <= new_id; cross_batch implies
+    duplicate; the drop size matches the mod-8 rule."""
+    from bpaotu_spark.catalog import load_table
+
+    rows = QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
+    n_drop = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 0)
+        .count()
+    )
+    assert len(rows) == n_drop
+    for r in rows:
+        assert r.canonical_id <= r.new_id
+        assert r.is_duplicate == (r.canonical_id != r.new_id)
+        if r.cross_batch:
+            assert r.is_duplicate and r.canonical_id % 8 != 0
+
+
+def test_novelty_curve_first_batch_full_and_shares(spark, sf_dir):
+    rows = QUERIES["corpus_novelty_growth_curve"](spark, sf_dir).collect()
+    assert [r.batch for r in rows] == sorted(r.batch for r in rows)
+    assert rows[0].novelty_ppm == 1_000_000  # batch 0 is all-new
+    for r in rows:
+        assert 0 <= r.novelty_ppm <= 1_000_000
+        assert 0 < r.n_new_grams <= r.n_grams or r.n_new_grams == 0
+
+
+def test_kpss_nonnegative(spark, sf_dir):
+    r = QUERIES["kpss_level_stat"](spark, sf_dir).collect()[0]
+    assert r.kpss_milli >= 0 and r.n_days > 0
+
+
+def test_cr4_bounds(spark, sf_dir):
+    rows = QUERIES["cr4_by_part_type"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.cr4_ppm <= 1_000_000
+        if r.n_suppliers <= 4:
+            assert r.cr4_ppm == 1_000_000
+
+
 # ---------------------------------------------------------------------------
 # daily_revenue_periodogram: no engine-side trig anywhere
 # ---------------------------------------------------------------------------

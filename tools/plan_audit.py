@@ -33,6 +33,10 @@ ALLOWED_BNLJ = {
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",
     "raup_crick_null": "capped-cohort (16 samples) broadcast fan-outs: pool x perms draw frame, non-equi pair former, per-pair null join — all bounded by the CAP",
     "stylometry_burrows_delta": "broadcast |sources|x|stopwords| z-frame into the non-equi source-pair former (bounded by the fixed word list)",
+    "corpus_novelty_growth_curve": "broadcast 1-row max-doc-id scalar into the gram/doc scans",
+    "kpss_level_stat": "broadcast 1-row (n, total) scalar into the calendar-bounded daily frame",
+    "ann_augmented_graph_insert": "broadcast 5-row probe dimension into the insert batch + 1-row entry-node scalar (the augment discipline)",
+    "dedup_incremental_minhash": "broadcast delta-bounded band-key set + new-id flag frames into the standing index probes",
     "kmv_set_intersection": "broadcast K-row-per-source sketch + theta frames into the non-equi source-pair former (sketch-sized, never corpus-sized)",
     "loglogistic_rank_regression": "broadcast 1-row gap-count scalar into the duration-rank frame (weibull_rank_regression shape)",
     "ses_forecast_mase": "1-row fold scalars (bounded-array aggregate)",
@@ -272,6 +276,7 @@ ALLOWED_1PART_WINDOW: dict[str, str] = {
     "spearman_part_size_price": "global ranks on both variables (rank-correlation semantics need the total order; per-part rollup)",
     "ks_binned_two_sample": "cumulative share over the fixed bin grid",
     "anderson_darling_binned": "cumulative EDF windows over the FIXED 50-row bin grid",
+    "kpss_level_stat": "cumulative partial-sum windows over the calendar-bounded daily frame",
     "lang_length_quartiles": "quartile ranks within per-language frames (language-dimension bounded)",
     "weighted_sample_es": "ES reservoir rank over md5-keyed scores (top-k cut, output-bounded)",
     # --- top-k cuts and fixed grids (output-bounded by construction) ---

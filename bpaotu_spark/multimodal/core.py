@@ -1113,3 +1113,126 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select("asset_a", "asset_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav_zero_crossings — zero-crossing rate per audio asset:
+# the classic all-integer spectral proxy (high ZCR = noisy/fricative
+# content, low = tonal/voiced), the second audio gate next to the RMS
+# loudness band. Real RIFF walk + numpy sign-diff on the Spark side;
+# the oracle re-derives every int16 sample from hex(encode(text))
+# byte arithmetic (the wav_rms promotion) and counts sign changes with
+# a per-asset lag window — bit-exact, no float anywhere.
+#
+# Scale shape: one Arrow-batched map-only pass, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def wav_zero_crossings(payload: bytes) -> tuple[int, int]:
+    """(n_samples, n_crossings) of a PCM16 WAV payload — a crossing is
+    a sign-class change (s >= 0 vs s < 0) between consecutive samples."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=sz // 2, offset=pos + 8
+            )
+            n = int(samples.size)
+            if n < 2:
+                return n, 0
+            nn = samples >= 0
+            return n, int((nn[1:] != nn[:-1]).sum())
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("no data chunk")
+
+
+def _wav_zcr_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id, CAST({_AUD_N_SQL} AS BIGINT) AS n,
+    CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+         ELSE hex(encode(text)) END AS hx,
+    CASE WHEN octet_length(encode(text)) = 0 THEN 1
+         ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS len
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+),
+smp AS (
+  SELECT doc_id, n, len, hx, unnest(range(n)) AS i FROM a
+),
+sv AS (
+  SELECT doc_id, n, i,
+    CASE WHEN {_wav_byte_sql('2 * i')}
+            + 256 * {_wav_byte_sql('2 * i + 1')} >= 32768
+         THEN 0 ELSE 1 END AS nonneg
+  FROM smp
+),
+lg AS (
+  SELECT doc_id, n, nonneg,
+    lag(nonneg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM sv
+),
+ch AS (
+  SELECT doc_id, any_value(n) AS n_samples,
+    CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND nonneg != prev
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossings
+  FROM lg GROUP BY doc_id
+)
+SELECT doc_id AS asset_id, n_samples, n_crossings,
+  CAST(n_crossings * 1000000 // greatest(n_samples - 1, 1) AS BIGINT)
+    AS zcr_ppm,
+  CASE WHEN n_crossings * 1000000 // greatest(n_samples - 1, 1) < 100000
+         THEN 'tonal'
+       WHEN n_crossings * 1000000 // greatest(n_samples - 1, 1) < 400000
+         THEN 'mixed'
+       ELSE 'noisy' END AS zcr_band
+FROM ch
+"""
+
+
+@register("multimodal_wav_zero_crossings", oracle=_wav_zcr_oracle())
+def multimodal_wav_zero_crossings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-audio-asset zero-crossing profile: (asset_id, n_samples,
+    n_crossings, zcr_ppm, zcr_band) — the tonal/noisy curation gate."""
+    import pandas as pd
+
+    assets = multimodal_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = [wav_zero_crossings(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_samples": [o[0] for o in out],
+                    "n_crossings": [o[1] for o in out],
+                }
+            )
+
+    per_asset = assets.select("asset_id", "payload").mapInPandas(
+        batches,
+        schema="asset_id bigint, n_samples bigint, n_crossings bigint",
+    )
+    zcr = F.expr(
+        "CAST(n_crossings * 1000000"
+        " DIV greatest(n_samples - 1, CAST(1 AS BIGINT)) AS BIGINT)"
+    )
+    return per_asset.select(
+        "asset_id",
+        "n_samples",
+        "n_crossings",
+        zcr.alias("zcr_ppm"),
+        F.when(zcr < 100000, "tonal")
+        .when(zcr < 400000, "mixed")
+        .otherwise("noisy")
+        .alias("zcr_band"),
+    )

@@ -173,6 +173,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_novelty_growth_curve",
     "kpss_level_stat",
     "cr4_by_part_type",
+    "multimodal_wav_zero_crossings",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

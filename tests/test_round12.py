@@ -400,6 +400,36 @@ def test_kpss_nonnegative(spark, sf_dir):
     assert r.kpss_milli >= 0 and r.n_days > 0
 
 
+def test_wav_zcr_matches_python_reference(spark, sf_dir):
+    """The Spark ZCR must equal a direct pure-Python recount on the
+    same synthesized payloads, and bands partition the ppm range."""
+    from bpaotu_spark.multimodal.core import (
+        multimodal_table,
+        wav_zero_crossings,
+    )
+
+    rows = {
+        r.asset_id: r
+        for r in QUERIES["multimodal_wav_zero_crossings"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows
+    payloads = (
+        multimodal_table(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("asset_id", "payload")
+        .limit(20)
+        .collect()
+    )
+    for p in payloads:
+        n, c = wav_zero_crossings(bytes(p.payload))
+        r = rows[p.asset_id]
+        assert (r.n_samples, r.n_crossings) == (n, c)
+        assert r.zcr_ppm == c * 1_000_000 // max(n - 1, 1)
+        assert r.zcr_band in ("tonal", "mixed", "noisy")
+
+
 def test_cr4_bounds(spark, sf_dir):
     rows = QUERIES["cr4_by_part_type"](spark, sf_dir).collect()
     assert rows

@@ -497,6 +497,18 @@ HEADLINE = (
     "retention_halflife_fit",
     "ljung_box_remainder",
     "daily_revenue_periodogram",
+    # --- round-12 additions (append-only tail) ---
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "ann_augmented_graph_insert",
+    "beta_diversity_canberra",
+    "attribution_position_based",
+    "anderson_darling_binned",
+    "corpus_novelty_growth_curve",
+    "kpss_level_stat",
+    "cr4_by_part_type",
+    "multimodal_wav_zero_crossings",
+    "rapid_repeat_orders",
 )
 
 

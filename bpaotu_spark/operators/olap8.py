@@ -94,3 +94,75 @@ def cr4_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# rapid_repeat_orders — the payables/abuse audit pair former: orders
+# from the SAME customer placed within 7 days of each other, with the
+# exact cents difference carried so the downstream gate can tighten to
+# "same amount" (double-billing) or "near amount" (split invoices).
+# The join is blocked on custkey — per-customer order counts are
+# bounded (TPC-H ~10-30), so the in-block pair fan is a constant, and
+# the 7-day predicate prunes inside the block.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rapid_repeat_orders",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+    CAST(o_orderdate AS DATE) AS d
+  FROM orders
+)
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+  a.o_custkey AS custkey,
+  CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS gap_days,
+  CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_diff
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', a.d, b.d)) <= 7
+ORDER BY order_a, order_b
+""",
+)
+def rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-customer orders within 7 days: (order_a, order_b, custkey,
+    gap_days, cents_diff) — the double-billing / split-invoice
+    candidate pair list."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("cents").alias("cents_a"),
+        F.col("d").alias("d_a"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("custkey_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.custkey == b.custkey_b)
+            & (F.col("order_a") < F.col("order_b")),
+        )
+        .filter(F.abs(F.datediff("d_b", "d_a")) <= 7)
+        .select(
+            "order_a",
+            "order_b",
+            "custkey",
+            F.abs(F.datediff("d_b", "d_a")).cast("bigint").alias("gap_days"),
+            F.abs(F.col("cents_a") - F.col("cents_b"))
+            .cast("bigint")
+            .alias("cents_diff"),
+        )
+        .orderBy("order_a", "order_b")
+    )

@@ -174,6 +174,7 @@ PRIORITY: tuple[str, ...] = (
     "kpss_level_stat",
     "cr4_by_part_type",
     "multimodal_wav_zero_crossings",
+    "rapid_repeat_orders",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

@@ -439,6 +439,15 @@ def test_cr4_bounds(spark, sf_dir):
             assert r.cr4_ppm == 1_000_000
 
 
+def test_rapid_repeat_orders_window(spark, sf_dir):
+    rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gap_days <= 7
+        assert r.order_a < r.order_b
+        assert r.cents_diff >= 0
+
+
 # ---------------------------------------------------------------------------
 # daily_revenue_periodogram: no engine-side trig anywhere
 # ---------------------------------------------------------------------------

@@ -316,13 +316,25 @@ ALLOWED_1PART_WINDOW: dict[str, str] = {
 
 
 def count_unpartitioned_windows(plan: str) -> int:
-    """Window nodes whose Arguments carry only [exprs], [orderSpec] —
-    i.e. no partition spec list (a partitioned Window prints three
-    top-level bracketed lists, an unpartitioned one two)."""
+    """Window nodes with no partition spec. A Window's Arguments print
+    as [exprs], [partitionSpec], [orderSpec] with EMPTY specs omitted:
+    three lists = partitioned+ordered; two lists is partitioned IFF the
+    last list is plain columns (a partition spec) and unpartitioned IFF
+    it is an order spec (every Spark order item prints ASC/DESC); one
+    list = neither spec (unpartitioned)."""
     args = re.findall(
         r"^\(\d+\) Window\nInput.*\nArguments: (.*)$", plan, re.M
     )
-    return sum(1 for a in args if len(a.split("], [")) == 2)
+    n = 0
+    for a in args:
+        parts = a.split("], [")
+        if len(parts) == 1:
+            n += 1
+        elif len(parts) == 2 and (
+            " ASC" in parts[-1] or " DESC" in parts[-1]
+        ):
+            n += 1
+    return n
 
 
 _OK_FLAGS = {"NESTED_LOOP(ok)"}

@@ -509,6 +509,7 @@ HEADLINE = (
     "cr4_by_part_type",
     "multimodal_wav_zero_crossings",
     "rapid_repeat_orders",
+    "quality_filters_agreement",
 )
 
 

@@ -97,6 +97,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.events4  # noqa: F401
     import bpaotu_spark.operators.stats8  # noqa: F401
     import bpaotu_spark.operators.olap8  # noqa: F401
+    import bpaotu_spark.operators.quality3  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -175,6 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "cr4_by_part_type",
     "multimodal_wav_zero_crossings",
     "rapid_repeat_orders",
+    "quality_filters_agreement",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

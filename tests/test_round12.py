@@ -439,6 +439,22 @@ def test_cr4_bounds(spark, sf_dir):
             assert r.cr4_ppm == 1_000_000
 
 
+def test_quality_filters_agreement_consistency(spark, sf_dir):
+    """Contingency shares sum to ~1e6, kappa within [-1000, 1000], and
+    cell counts match the independent gopher/ccnet operator outputs."""
+    rows = QUERIES["quality_filters_agreement"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
+    k = {r.kappa_head_milli for r in rows}
+    assert len(k) == 1 and -1000 <= k.pop() <= 1000
+    n_total = sum(r.n_docs for r in rows)
+    ccnet = QUERIES["ccnet_perplexity_tertiles"](spark, sf_dir).collect()
+    assert n_total == sum(r.n_docs for r in ccnet)
+    gopher = QUERIES["gopher_quality_rules"](spark, sf_dir).collect()
+    n_pass = sum(r.pass_all for r in gopher)
+    assert n_pass == sum(r.n_docs for r in rows if r.gopher_pass)
+
+
 def test_rapid_repeat_orders_window(spark, sf_dir):
     rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
     assert rows

@@ -280,40 +280,53 @@ _SES_DEN = 10
 
 @register(
     "ses_forecast_mase",
+    # Oracle is a list_reduce FOLD (DuckDB >= 1.0), not a ~2,400-step
+    # linear recursive CTE: the mapped first element IS the t=1 init
+    # state (s = x1*1000), and each step applies the identical integer
+    # recurrence — same values, ~10s -> ~1s harness time (r11 VERDICT
+    # item 6). FIELD ORDER IS LOAD-BEARING: DuckDB 1.0's list_reduce
+    # struct accumulator is NOT snapshot-consistent — a field reading
+    # a state reassigned EARLIER in the struct literal can observe the
+    # new value (measured: s-before-err gave err 518515 vs the true
+    # 676450 on a 5-element probe). Every derived sum (err, e1) is
+    # therefore listed BEFORE the state it reads (s, prev), an
+    # ordering that is correct under both the quirky and the standard
+    # semantics. holt_linear_mase CANNOT be reordered this way (l and
+    # b read each other — a dependency cycle), so it keeps the
+    # recursive-CTE oracle.
     oracle=f"""
-WITH RECURSIVE daily AS (
+WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY 1
 ),
-seq AS (
-  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, cents
+arr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    list(CAST(cents AS HUGEINT) ORDER BY d) AS xs
   FROM daily
 ),
-ses(t, s, err_sum) AS (
-  SELECT t, cents * 1000, CAST(0 AS HUGEINT) FROM seq WHERE t = 1
-  UNION ALL
-  SELECT q.t,
-    ({_SES_NUM} * q.cents * 1000 + {_SES_DEN - _SES_NUM} * ses.s)
-      // {_SES_DEN},
-    ses.err_sum + abs(q.cents * 1000 - ses.s)
-  FROM ses JOIN seq q ON q.t = ses.t + 1
-),
 fin AS (
-  SELECT s, err_sum FROM ses ORDER BY t DESC LIMIT 1
-),
-naive AS (
-  SELECT CAST(count(l1) AS BIGINT) AS n1,
-    CAST(sum(abs(cents - l1)) AS HUGEINT) * 1000 AS e1_milli
-  FROM (SELECT cents, lag(cents, 1) OVER (ORDER BY t) AS l1 FROM seq)
+  SELECT n_days,
+    list_reduce(
+      list_transform(xs, x -> {{'err': CAST(0 AS HUGEINT),
+                                'e1': CAST(0 AS HUGEINT),
+                                's': x * 1000, 'prev': x, 'x': x}}),
+      (acc, e) -> {{
+        'err': acc.err + abs(e.x * 1000 - acc.s),
+        'e1': acc.e1 + abs(e.x - acc.prev),
+        's': ({_SES_NUM} * e.x * 1000 + {_SES_DEN - _SES_NUM} * acc.s)
+             // {_SES_DEN},
+        'prev': e.x,
+        'x': e.x}}
+    ) AS f
+  FROM arr
 )
-SELECT
-  (SELECT CAST(count(*) AS BIGINT) FROM seq) AS n_days,
-  CAST(fin.err_sum AS BIGINT) AS sum_abs_err_ses_milli,
-  CAST(naive.e1_milli AS BIGINT) AS sum_abs_err_naive_milli,
-  CAST(fin.err_sum * 1000 // naive.e1_milli AS BIGINT) AS mase_milli,
-  CAST(fin.s AS BIGINT) AS s_final_milli
-FROM fin CROSS JOIN naive
+SELECT n_days,
+  CAST(f.err AS BIGINT) AS sum_abs_err_ses_milli,
+  CAST(f.e1 * 1000 AS BIGINT) AS sum_abs_err_naive_milli,
+  CAST(f.err * 1000 // (f.e1 * 1000) AS BIGINT) AS mase_milli,
+  CAST(f.s AS BIGINT) AS s_final_milli
+FROM fin
 """,
 )
 def ses_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +400,15 @@ aggregate(
 
 @register(
     "holt_linear_mase",
+    # Stays a recursive-CTE oracle ON PURPOSE: the list_reduce fold
+    # rewrite (see ses_forecast_mase) requires every derived field to
+    # be listed before the state it reads, because DuckDB 1.0's fold
+    # accumulator is not snapshot-consistent — and Holt's l' and b'
+    # each read BOTH old l and old b (a dependency cycle no field
+    # ordering can satisfy). Measured before reverting: the fold gave
+    # a wrong err under every ordering that updates l before b or
+    # vice versa. ~10s of oracle time is the price of a correct,
+    # version-stable recursion.
     oracle=f"""
 WITH RECURSIVE daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,

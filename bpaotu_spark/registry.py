@@ -164,8 +164,9 @@ PRIORITY: tuple[str, ...] = (
     "token_rate_drift",
     "weighted_sample_es",
     "window_funnel_strict",
-    # (A cont.) new r12 operators land here as the round proceeds —
-    # the window holds 33 + new ≤ 50.
+    # (A cont.) the remaining round-12 additions (dedup_incremental_
+    # minhash leads the window) — total = 31 queue + 1 plan-changed
+    # + 12 new = 44 of the driver's ~50.
     "ann_augmented_graph_insert",
     "beta_diversity_canberra",
     "attribution_position_based",

@@ -510,6 +510,7 @@ HEADLINE = (
     "multimodal_wav_zero_crossings",
     "rapid_repeat_orders",
     "quality_filters_agreement",
+    "label_davies_bouldin",
 )
 
 

@@ -98,6 +98,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.stats8  # noqa: F401
     import bpaotu_spark.operators.olap8  # noqa: F401
     import bpaotu_spark.operators.quality3  # noqa: F401
+    import bpaotu_spark.ann.extras4  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -166,7 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "window_funnel_strict",
     # (A cont.) the remaining round-12 additions (dedup_incremental_
     # minhash leads the window) — total = 31 queue + 1 plan-changed
-    # + 12 new = 44 of the driver's ~50.
+    # + 13 new = 45 of the driver's ~50.
     "ann_augmented_graph_insert",
     "beta_diversity_canberra",
     "attribution_position_based",
@@ -178,6 +179,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_wav_zero_crossings",
     "rapid_repeat_orders",
     "quality_filters_agreement",
+    "label_davies_bouldin",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

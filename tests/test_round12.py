@@ -455,6 +455,19 @@ def test_quality_filters_agreement_consistency(spark, sf_dir):
     assert n_pass == sum(r.n_docs for r in rows if r.gopher_pass)
 
 
+def test_davies_bouldin_invariants(spark, sf_dir):
+    """One row per label; nearest != self; DB index equals the mean of
+    r_max; scatters and ratios nonnegative."""
+    rows = QUERIES["label_davies_bouldin"](spark, sf_dir).collect()
+    assert len(rows) == len({r.label for r in rows}) >= 2
+    db = {r.db_index_ppm for r in rows}
+    assert len(db) == 1
+    assert db.pop() == sum(r.r_max_ppm for r in rows) // len(rows)
+    for r in rows:
+        assert r.nearest_label != r.label
+        assert r.s2_micro >= 0 and r.r_max_ppm >= 0 and r.n_members > 0
+
+
 def test_rapid_repeat_orders_window(spark, sf_dir):
     rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
     assert rows

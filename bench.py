@@ -511,6 +511,8 @@ HEADLINE = (
     "rapid_repeat_orders",
     "quality_filters_agreement",
     "label_davies_bouldin",
+    "corpus_good_turing",
+    "label_calinski_harabasz",
 )
 
 

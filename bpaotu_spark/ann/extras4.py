@@ -224,3 +224,149 @@ def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# label_calinski_harabasz — the Calinski–Harabasz variance-ratio
+# criterion (Calinski & Harabasz 1974) over the labeled embeddings:
+# CH = (B/(k−1)) / (W/(n−k)) with B the between-cluster and W the
+# within-cluster sum of squares. Completes the classic cluster-index
+# trio (silhouette r9, Davies–Bouldin above) — CH is the one that
+# grows with quality, the default "how many clusters" criterion.
+#
+# Exactness: on the milli grid, per label
+#   W_i = A_i / n_i²                (A_i as in label_davies_bouldin)
+#   B_i = Σ_d (S_id·n − T_d·n_i)² / (n_i·n²)
+# each floored ONCE to milli; CH_milli = B·(n−k)·1000 // ((k−1)·W+1).
+# Every Spark DIV result is within BIGINT through ~sf100.
+#
+# Scale shape: the same (label, dim) centroid sums as the DB index,
+# plus one 1-row global-centroid frame; 1-row output.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_calinski_harabasz",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+xq AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+    CAST(floor(unnest(v) * {_DBQ}) AS BIGINT) AS q
+  FROM e
+),
+nmembers AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_i FROM e GROUP BY label
+),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(count(DISTINCT label) AS BIGINT) AS k
+  FROM e
+),
+sums AS (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s
+  FROM xq GROUP BY label, dim
+),
+tdims AS (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS t FROM sums GROUP BY dim
+),
+w_i AS (
+  SELECT xq.label,
+    CAST(sum(CAST(q * n_i - s AS HUGEINT) * (q * n_i - s)) * 1000
+      // (CAST(max(n_i) AS HUGEINT) * max(n_i)) AS HUGEINT) AS w_milli
+  FROM xq
+  JOIN nmembers USING (label)
+  JOIN sums ON sums.label = xq.label AND sums.dim = xq.dim
+  GROUP BY xq.label
+),
+b_i AS (
+  SELECT sums.label,
+    CAST(sum(CAST(s * n - t * n_i AS HUGEINT) * (s * n - t * n_i)) * 1000
+      // (CAST(max(n_i) AS HUGEINT) * max(n) * max(n)) AS HUGEINT)
+      AS b_milli
+  FROM sums
+  JOIN nmembers USING (label)
+  JOIN tdims ON tdims.dim = sums.dim
+  CROSS JOIN gstats
+  GROUP BY sums.label
+),
+fin AS (
+  SELECT (SELECT n FROM gstats) AS n, (SELECT k FROM gstats) AS k,
+    (SELECT CAST(sum(b_milli) AS HUGEINT) FROM b_i) AS b_milli,
+    (SELECT CAST(sum(w_milli) AS HUGEINT) FROM w_i) AS w_milli
+)
+SELECT CAST(n AS BIGINT) AS n_vectors, CAST(k AS BIGINT) AS k_labels,
+  CAST(b_milli AS BIGINT) AS b_milli, CAST(w_milli AS BIGINT) AS w_milli,
+  CAST(b_milli * (n - k) * 1000 // ((k - 1) * w_milli + 1) AS BIGINT)
+    AS ch_milli
+FROM fin
+""",
+)
+def label_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski–Harabasz variance ratio over the labeled embeddings:
+    (n_vectors, k_labels, b_milli, w_milli, ch_milli)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    xq = e.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("val") * _DBQ).cast("bigint").alias("q"),
+    )
+    nmembers = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i")
+    )
+    glob = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("label").cast("bigint").alias("k"),
+    )
+    sums = xq.groupBy("label", "dim").agg(
+        F.sum("q").cast("bigint").alias("s")
+    )
+    tglob = sums.groupBy("dim").agg(F.sum("s").cast("bigint").alias("t"))
+    w_i = (
+        xq.join(F.broadcast(nmembers), "label")
+        .join(sums, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(q * n_i - s AS DECIMAL(38,0))"
+                " * (q * n_i - s)) * 1000"
+                " DIV (CAST(max(n_i) AS DECIMAL(38,0)) * max(n_i))"
+                " AS DECIMAL(38,0))"
+            ).alias("w_milli")
+        )
+    )
+    b_i = (
+        sums.join(F.broadcast(nmembers), "label")
+        .join(F.broadcast(tglob), "dim")
+        .crossJoin(F.broadcast(glob))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(s * n - t * n_i AS DECIMAL(38,0))"
+                " * (s * n - t * n_i)) * 1000"
+                " DIV (CAST(max(n_i) AS DECIMAL(38,0)) * max(n) * max(n))"
+                " AS DECIMAL(38,0))"
+            ).alias("b_milli")
+        )
+    )
+    btot = b_i.agg(F.sum("b_milli").alias("b_milli"))
+    wtot = w_i.agg(F.sum("w_milli").alias("w_milli"))
+    return (
+        glob.crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("k").alias("k_labels"),
+            F.col("b_milli").cast("bigint").alias("b_milli"),
+            F.col("w_milli").cast("bigint").alias("w_milli"),
+            F.expr(
+                "CAST(b_milli * (n - k) * 1000"
+                " DIV ((k - 1) * w_milli + 1) AS BIGINT)"
+            ).alias("ch_milli"),
+        )
+    )

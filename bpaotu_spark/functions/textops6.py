@@ -893,3 +893,100 @@ def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_good_turing — Good–Turing frequency re-estimation over the
+# corpus unigram counts (Good 1953): the count-of-counts table N_r,
+# the smoothed counts r* = (r+1)·N_{r+1}/N_r for r = 1..5, and the
+# unseen-mass estimate p0 = N_1/N — what an LM pipeline reads to
+# decide how much probability its smoothing must reserve for unseen
+# tokens (the predictive companion to heldout_oov_rate's empirical
+# measurement). All ratios exact integer milli/ppm.
+#
+# Scale shape: token groupBy (map-side combined) → count-of-counts
+# groupBy over |vocab| rows → 6-row output with a broadcast 1-row
+# total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_good_turing",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest({TOKENIZE_SQL}) AS tok FROM documents
+),
+c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS r FROM t GROUP BY tok
+),
+n AS (
+  SELECT CAST(sum(r) AS BIGINT) AS n_total FROM c
+),
+coc AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY r
+),
+grid AS (SELECT unnest(range(6)) AS r),
+g AS (
+  SELECT grid.r, coalesce(coc.n_types, 0) AS n_types
+  FROM grid LEFT JOIN coc ON coc.r = grid.r
+),
+nx AS (
+  SELECT grid.r, coalesce(coc.n_types, 0) AS next_n_types
+  FROM (SELECT unnest(range(6)) AS r) grid
+  LEFT JOIN coc ON coc.r = grid.r + 1
+)
+SELECT CAST(g.r AS BIGINT) AS r, g.n_types, nx.next_n_types,
+  CASE WHEN g.r = 0 OR g.n_types = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST((g.r + 1) * nx.next_n_types * 1000 // g.n_types
+                 AS BIGINT) END AS r_star_milli,
+  CASE WHEN g.r = 0
+       THEN CAST(nx.next_n_types * 1000000 // (SELECT n_total FROM n)
+                 AS BIGINT)
+       ELSE CAST(g.r * g.n_types * 1000000 // (SELECT n_total FROM n)
+                 AS BIGINT) END AS mass_ppm
+FROM g JOIN nx ON nx.r = g.r
+ORDER BY r
+""",
+)
+def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing table for r = 0..5: (r, n_types, next_n_types,
+    r_star_milli, mass_ppm) — row r=0 carries the unseen-mass
+    estimate N_1/N in ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    n = c.agg(F.sum("r").cast("bigint").alias("n_total"))
+    coc = c.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    grid = spark.createDataFrame([(i,) for i in range(6)], "r bigint")
+    g = (
+        grid.join(F.broadcast(coc), "r", "left")
+        .select("r", F.coalesce("n_types", F.lit(0)).alias("n_types"))
+    )
+    nxc = coc.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("next_n_types"))
+    nx = (
+        grid.join(F.broadcast(nxc), "r", "left")
+        .select("r", F.coalesce("next_n_types", F.lit(0)).alias("next_n_types"))
+    )
+    return (
+        g.join(nx, "r")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "r",
+            "n_types",
+            "next_n_types",
+            F.expr(
+                "CASE WHEN r = 0 OR n_types = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((r + 1) * next_n_types * 1000 DIV n_types"
+                " AS BIGINT) END"
+            ).alias("r_star_milli"),
+            F.expr(
+                "CASE WHEN r = 0"
+                " THEN CAST(next_n_types * 1000000 DIV n_total AS BIGINT)"
+                " ELSE CAST(r * n_types * 1000000 DIV n_total AS BIGINT)"
+                " END"
+            ).alias("mass_ppm"),
+        )
+        .orderBy("r")
+    )

@@ -167,7 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "window_funnel_strict",
     # (A cont.) the remaining round-12 additions (dedup_incremental_
     # minhash leads the window) — total = 31 queue + 1 plan-changed
-    # + 13 new = 45 of the driver's ~50.
+    # + 15 new = 47 of the driver's ~50.
     "ann_augmented_graph_insert",
     "beta_diversity_canberra",
     "attribution_position_based",
@@ -180,6 +180,8 @@ PRIORITY: tuple[str, ...] = (
     "rapid_repeat_orders",
     "quality_filters_agreement",
     "label_davies_bouldin",
+    "corpus_good_turing",
+    "label_calinski_harabasz",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

@@ -468,6 +468,23 @@ def test_davies_bouldin_invariants(spark, sf_dir):
         assert r.s2_micro >= 0 and r.r_max_ppm >= 0 and r.n_members > 0
 
 
+def test_calinski_harabasz_positive(spark, sf_dir):
+    r = QUERIES["label_calinski_harabasz"](spark, sf_dir).collect()[0]
+    assert r.k_labels >= 2 and r.n_vectors > r.k_labels
+    assert r.b_milli > 0 and r.w_milli > 0 and r.ch_milli > 0
+
+
+def test_good_turing_table(spark, sf_dir):
+    rows = {r.r: r for r in QUERIES["corpus_good_turing"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(6))
+    assert rows[0].n_types == 0  # unseen row: no observed types at r=0
+    assert rows[0].next_n_types == rows[1].n_types  # N_1 consistency
+    for r in rows.values():
+        assert 0 <= r.mass_ppm <= 1_000_000
+        if r.r > 0 and r.n_types > 0:
+            assert r.r_star_milli == (r.r + 1) * r.next_n_types * 1000 // r.n_types
+
+
 def test_rapid_repeat_orders_window(spark, sf_dir):
     rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
     assert rows

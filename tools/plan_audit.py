@@ -35,6 +35,8 @@ ALLOWED_BNLJ = {
     "stylometry_burrows_delta": "broadcast |sources|x|stopwords| z-frame into the non-equi source-pair former (bounded by the fixed word list)",
     "corpus_novelty_growth_curve": "broadcast 1-row max-doc-id scalar into the gram/doc scans",
     "kpss_level_stat": "broadcast 1-row (n, total) scalar into the calendar-bounded daily frame",
+    "label_calinski_harabasz": "broadcast K-row label frames + 1-row global centroid/total scalars (K = |labels|, bounded)",
+    "corpus_good_turing": "broadcast 6-row count-of-counts grid + 1-row token-total scalar",
     "label_davies_bouldin": "broadcast K-row label scatter/member frames + 1-row DB-index scalar (K = |labels|, bounded)",
     "quality_filters_agreement": "broadcast 1-row corpus-token-total + 1-row kappa scalars (ccnet/gopher shapes)",
     "ann_augmented_graph_insert": "broadcast 5-row probe dimension into the insert batch + 1-row entry-node scalar (the augment discipline)",

@@ -513,6 +513,7 @@ HEADLINE = (
     "label_davies_bouldin",
     "corpus_good_turing",
     "label_calinski_harabasz",
+    "simper_contributions",
 )
 
 

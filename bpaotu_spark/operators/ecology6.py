@@ -157,3 +157,206 @@ def beta_diversity_canberra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canberra_norm_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# simper_contributions — SIMPER (Clarke 1993, "similarity
+# percentages"): WHICH OTUs drive the between-group Bray-Curtis
+# dissimilarity that anosim_groups/permanova test — the companion the
+# comparison page shows next to the significance verdict. Over the
+# same bounded two-segment study cohort, the BC numerator decomposes
+# per OTU: |x_ik − x_jk| = (x_ik + x_jk) − 2·min, so each OTU's mean
+# contribution across between-pairs splits into a one-sided term
+# (factorable through per-sample harmonic weights H_i =
+# Σ_j floor(1e12/(T_i+T_j)) — no per-pair-per-OTU fan for the
+# abundance mass) and a shared-OTU min term (the anosim pair-join
+# shape, keyed on otu). Contributions are exact pico-unit integers in
+# both engines (identical per-term floors); the tiny floor asymmetry
+# on zero-difference OTUs is clamped at 0. Output: top-25 OTUs by
+# contribution share with cumulative share — "the 10 OTUs explaining
+# 70% of the difference".
+#
+# Scale shape: the cohort is the bounded ANOSIM selection; H is a
+# per-sample aggregate over the |A|x|B| pair frame; the min term is
+# one keyed (otu, pair) join; the top-25 cut is a top-k window over
+# the per-OTU aggregate.
+# ---------------------------------------------------------------------------
+
+_SIMPER_SEL = "c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey < 5"
+_SIMPER_TOPK = 25
+_SIMPER_W = 1_000_000_000_000  # pico weighting of 1/(T_i + T_j)
+
+
+@register(
+    "simper_contributions",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id, c_mktsegment AS grp
+  FROM customer WHERE {_SIMPER_SEL}
+),
+a AS (
+  SELECT ab.sample_id, grp, otu_id, CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  GROUP BY ab.sample_id, grp, otu_id
+),
+tot AS (
+  SELECT sample_id, grp, CAST(sum(c) AS BIGINT) AS t
+  FROM a GROUP BY sample_id, grp
+),
+p AS (
+  SELECT ta.sample_id AS sa, ta.t AS t_a, tb.sample_id AS sb, tb.t AS t_b
+  FROM tot ta JOIN tot tb
+    ON ta.grp = 'BUILDING' AND tb.grp = 'MACHINERY'
+),
+ha AS (
+  SELECT sa AS sample_id, CAST(sum({_SIMPER_W} // (t_a + t_b)) AS HUGEINT) AS h
+  FROM p GROUP BY sa
+),
+hb AS (
+  SELECT sb AS sample_id, CAST(sum({_SIMPER_W} // (t_a + t_b)) AS HUGEINT) AS h
+  FROM p GROUP BY sb
+),
+term1 AS (
+  SELECT otu_id, CAST(sum(a.c * hh.h) AS HUGEINT) AS v
+  FROM a JOIN (SELECT * FROM ha UNION ALL SELECT * FROM hb) hh
+    ON hh.sample_id = a.sample_id
+  GROUP BY otu_id
+),
+minterm AS (
+  SELECT x.otu_id,
+    CAST(sum((2 * {_SIMPER_W} * least(x.c, y.c)) // (p.t_a + p.t_b))
+      AS HUGEINT) AS v
+  FROM a x
+  JOIN a y ON x.otu_id = y.otu_id
+  JOIN p ON p.sa = x.sample_id AND p.sb = y.sample_id
+  GROUP BY x.otu_id
+),
+contrib AS (
+  SELECT term1.otu_id,
+    greatest(term1.v - coalesce(minterm.v, 0), 0) AS v
+  FROM term1 LEFT JOIN minterm ON minterm.otu_id = term1.otu_id
+),
+totc AS (SELECT CAST(sum(v) AS HUGEINT) AS tv FROM contrib),
+ranked AS (
+  SELECT otu_id, v,
+    row_number() OVER (ORDER BY v DESC, otu_id ASC) AS rnk
+  FROM contrib
+),
+top AS (
+  SELECT rnk, otu_id, v,
+    CAST(sum(v) OVER (ORDER BY rnk) AS HUGEINT) AS cum_v
+  FROM ranked WHERE rnk <= {_SIMPER_TOPK}
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, otu_id,
+  CAST(v * 1000000 // greatest(totc.tv, 1) AS BIGINT) AS share_ppm,
+  CAST(cum_v * 1000000 // greatest(totc.tv, 1) AS BIGINT)
+    AS cum_share_ppm
+FROM top CROSS JOIN totc
+ORDER BY rnk
+""",
+)
+def simper_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPER over the ANOSIM study cohort: the top-25 OTUs by mean
+    contribution to between-group Bray-Curtis, with cumulative share:
+    (rnk, otu_id, share_ppm, cum_share_ppm)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    sel = cust.filter(F.expr(_SIMPER_SEL)).select(
+        F.col("c_custkey").alias("sample_id"),
+        F.col("c_mktsegment").alias("grp"),
+    )
+    a = (
+        abundance_selected(spark, sf_dir, sel)
+        .groupBy("sample_id", "grp", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+        .localCheckpoint()  # three consumers: term1 + both min sides
+    )
+    tot = a.groupBy("sample_id", "grp").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    ta = tot.filter(F.col("grp") == "BUILDING").select(
+        F.col("sample_id").alias("sa"), F.col("t").alias("t_a")
+    )
+    tb = tot.filter(F.col("grp") == "MACHINERY").select(
+        F.col("sample_id").alias("sb"), F.col("t").alias("t_b")
+    )
+    # bounded study cohort: the |A|x|B| pair frame broadcasts
+    p = ta.crossJoin(F.broadcast(tb)).localCheckpoint()
+    ha = p.groupBy(F.col("sa").alias("sample_id")).agg(
+        F.sum(F.expr(f"{_SIMPER_W} DIV (t_a + t_b)"))
+        .cast("decimal(38,0)")
+        .alias("h")
+    )
+    hb = p.groupBy(F.col("sb").alias("sample_id")).agg(
+        F.sum(F.expr(f"{_SIMPER_W} DIV (t_a + t_b)"))
+        .cast("decimal(38,0)")
+        .alias("h")
+    )
+    term1 = (
+        a.join(F.broadcast(ha.unionByName(hb)), "sample_id")
+        .groupBy("otu_id")
+        .agg(F.sum(F.expr("c * h")).alias("v1"))
+    )
+    x = a.select(
+        F.col("sample_id").alias("sa"), "otu_id", F.col("c").alias("cx")
+    )
+    y = a.select(
+        F.col("sample_id").alias("sb"),
+        F.col("otu_id").alias("otu_y"),
+        F.col("c").alias("cy"),
+    )
+    minterm = (
+        x.join(y, F.col("otu_id") == F.col("otu_y"))
+        .join(F.broadcast(p), ["sa", "sb"])
+        .groupBy("otu_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(2 * {_SIMPER_W} * least(cx, cy)) DIV (t_a + t_b)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("v2")
+        )
+    )
+    contrib = (
+        term1.join(minterm, "otu_id", "left")
+        .select(
+            "otu_id",
+            F.greatest(
+                F.col("v1")
+                - F.coalesce(
+                    F.col("v2"), F.lit(0).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("v"),
+        )
+        .localCheckpoint()  # two consumers: the total and the top-k cut
+    )
+    totc = contrib.agg(F.sum("v").cast("decimal(38,0)").alias("tv"))
+    wr = Window.orderBy(F.col("v").desc(), F.col("otu_id").asc())
+    ranked = contrib.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= _SIMPER_TOPK
+    )
+    wc = Window.orderBy("rnk")
+    top = ranked.withColumn(
+        "cum_v", F.sum("v").over(wc).cast("decimal(38,0)")
+    )
+    return (
+        top.crossJoin(F.broadcast(totc))
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "otu_id",
+            F.expr(
+                "CAST(v * 1000000"
+                " DIV greatest(tv, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST(cum_v * 1000000"
+                " DIV greatest(tv, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("rnk")
+    )

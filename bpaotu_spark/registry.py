@@ -167,7 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "window_funnel_strict",
     # (A cont.) the remaining round-12 additions (dedup_incremental_
     # minhash leads the window) — total = 31 queue + 1 plan-changed
-    # + 15 new = 47 of the driver's ~50.
+    # + 16 new = 48 of the driver's ~50.
     "ann_augmented_graph_insert",
     "beta_diversity_canberra",
     "attribution_position_based",
@@ -182,6 +182,7 @@ PRIORITY: tuple[str, ...] = (
     "label_davies_bouldin",
     "corpus_good_turing",
     "label_calinski_harabasz",
+    "simper_contributions",
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.

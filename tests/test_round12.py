@@ -485,6 +485,18 @@ def test_good_turing_table(spark, sf_dir):
             assert r.r_star_milli == (r.r + 1) * r.next_n_types * 1000 // r.n_types
 
 
+def test_simper_shares_monotone(spark, sf_dir):
+    """Ranks 1..25, shares nonincreasing, cumulative share monotone
+    and <= 1e6 (+rounding)."""
+    rows = QUERIES["simper_contributions"](spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.share_ppm for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    cums = [r.cum_share_ppm for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 1_000_000 + len(rows)
+    assert cums[0] == shares[0] or abs(cums[0] - shares[0]) <= 1
+
+
 def test_rapid_repeat_orders_window(spark, sf_dir):
     rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
     assert rows

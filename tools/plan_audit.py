@@ -162,6 +162,7 @@ ALLOWED_BNLJ = {
     "corpus_perplexity_filter": "inherits text_unigram_logloss's 1-row corpus-total broadcast",
     "dsir_importance_select": "broadcast 1-row LM-totals/vocab scalar",
     "zorder_file_pruning": "broadcast 1-row key-maxes scalar",
+    "simper_contributions": "bounded study-cohort |A|x|B| pair former (anosim shape) + broadcast per-sample harmonic weights + 1-row total scalar; top-25 cut over the per-OTU aggregate",
     "anosim_groups": "bounded-selection pair former (O(n²) by ANOSIM's definition) + 1-row scalars",
     "permanova_pseudo_f": "bounded-selection pair former (anosim_groups shape) + 1-row statistic cross joins",
     "embedding_cosine_pair_histogram": "broadcast 1-row grand-total scalar over the 20-row histogram",

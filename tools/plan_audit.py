@@ -314,6 +314,7 @@ ALLOWED_1PART_WINDOW: dict[str, str] = {
     "quality_score_auc": "ROC sweep over the bounded milli-score histogram (<=1001 distinct thresholds)",
     "quality_threshold_calibration": "threshold rank over the bounded milli-score histogram",
     "anosim_groups": "dissimilarity rank over the bounded study-selection pair frame (ANOSIM cap)",
+    "simper_contributions": "top-25 contribution cut + 25-row cumulative window over the per-OTU aggregate (top-k shape)",
     "dedup_cluster_cc": "component-census rank during the 2-value convergence signature (census-bounded)",
     "scd2_dwell_time_stats": "dwell-time percentile checkpoints over the aggregated interval frame",
     "token_budget_apportion": "largest-remainder rank over the |langs| frame (dimension-bounded)",

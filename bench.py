@@ -514,6 +514,7 @@ HEADLINE = (
     "corpus_good_turing",
     "label_calinski_harabasz",
     "simper_contributions",
+    "sentence_dedup_census",
 )
 
 

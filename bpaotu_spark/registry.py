@@ -99,6 +99,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.olap8  # noqa: F401
     import bpaotu_spark.operators.quality3  # noqa: F401
     import bpaotu_spark.ann.extras4  # noqa: F401
+    import bpaotu_spark.functions.textops7  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -186,6 +187,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- ~50-entry window boundary ----
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.
+    "sentence_dedup_census",
     # Round-11 window (driver-green in CORRECTNESS_r11.json) — rotates
     # to the covered tail.
     "ann_jl_pool_recall_sweep",

@@ -497,6 +497,16 @@ def test_simper_shares_monotone(spark, sf_dir):
     assert cums[0] == shares[0] or abs(cums[0] - shares[0]) <= 1
 
 
+def test_sentence_dedup_census_bounds(spark, sf_dir):
+    rows = QUERIES["sentence_dedup_census"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct <= r.n_instances
+        assert 0 <= r.dup_within_ppm <= 1_000_000
+        assert 0 <= r.n_cross_source <= r.n_distinct
+        assert 0 <= r.cross_source_ppm <= 1_000_000
+
+
 def test_rapid_repeat_orders_window(spark, sf_dir):
     rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
     assert rows

@@ -515,6 +515,7 @@ HEADLINE = (
     "label_calinski_harabasz",
     "simper_contributions",
     "sentence_dedup_census",
+    "pack_budget_sweep",
 )
 
 

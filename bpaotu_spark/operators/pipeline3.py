@@ -448,3 +448,124 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_budget_sweep — the context-length PLANNING table: re-run the
+# concat-and-chunk packing accounting (corpus_pack_sequences'
+# construction) at budgets {512, 1024, 2048, 4096} and report, per
+# budget, how many documents get split across a chunk boundary
+# (attention-mask fragmentation — the cost of a short context) and
+# the global fill efficiency (total tokens / (chunks × budget) — the
+# cost of a long one). The table a training run reads before choosing
+# sequence length.
+#
+# Scale shape: ONE token count + per-lang running offsets (the
+# sharded-window construction, computed once), a broadcast 4-row
+# budget grid, map-side-combined rollups; 4-row output.
+# ---------------------------------------------------------------------------
+
+_SWEEP_BUDGETS = (512, 1024, 2048, 4096)
+
+
+@register(
+    "pack_budget_sweep",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len({TOKENIZE_SQL}) AS n_tokens FROM documents
+),
+run AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS tok_before
+  FROM t
+),
+grid AS (SELECT unnest([{", ".join(str(b) for b in _SWEEP_BUDGETS)}]) AS budget),
+docs AS (
+  SELECT budget,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN tok_before % budget + n_tokens > budget
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+  FROM run CROSS JOIN grid
+  GROUP BY budget
+),
+langtot AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total FROM t GROUP BY lang
+),
+chunks AS (
+  SELECT budget,
+    CAST(sum((total + budget - 1) // budget) AS BIGINT) AS n_chunks,
+    CAST(sum(total) AS BIGINT) AS total_tokens
+  FROM langtot CROSS JOIN grid
+  GROUP BY budget
+)
+SELECT CAST(docs.budget AS BIGINT) AS budget, n_docs, n_docs_split,
+  CAST(n_docs_split * 1000000 // n_docs AS BIGINT) AS split_ppm,
+  n_chunks,
+  CAST(total_tokens * 1000000 // (n_chunks * docs.budget) AS BIGINT)
+    AS fill_ppm
+FROM docs JOIN chunks ON chunks.budget = docs.budget
+ORDER BY budget
+""",
+)
+def pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing sweep over budgets 512..4096: (budget, n_docs,
+    n_docs_split, split_ppm, n_chunks, fill_ppm)."""
+    from bpaotu_spark.functions.textops import tokenize
+    from bpaotu_spark.operators.pipeline import packed_token_offsets
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    run = packed_token_offsets(t, ["lang"]).localCheckpoint()
+    grid = spark.createDataFrame(
+        [(b,) for b in _SWEEP_BUDGETS], "budget bigint"
+    )
+    docs = (
+        run.crossJoin(F.broadcast(grid))
+        .groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.expr("tok_before % budget + n_tokens > budget"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_split"),
+        )
+    )
+    langtot = run.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("total")
+    )
+    chunks = (
+        langtot.crossJoin(F.broadcast(grid))
+        .groupBy("budget")
+        .agg(
+            F.sum(F.expr("(total + budget - 1) DIV budget"))
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.sum("total").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return (
+        docs.join(chunks, "budget")
+        .select(
+            "budget",
+            "n_docs",
+            "n_docs_split",
+            F.expr(
+                "CAST(n_docs_split * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("split_ppm"),
+            "n_chunks",
+            F.expr(
+                "CAST(total_tokens * 1000000 DIV (n_chunks * budget)"
+                " AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("budget")
+    )

@@ -188,6 +188,7 @@ PRIORITY: tuple[str, ...] = (
     # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
     # here, per the r10→r11→r12 precedent.
     "sentence_dedup_census",
+    "pack_budget_sweep",
     # Round-11 window (driver-green in CORRECTNESS_r11.json) — rotates
     # to the covered tail.
     "ann_jl_pool_recall_sweep",

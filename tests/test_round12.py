@@ -507,6 +507,22 @@ def test_sentence_dedup_census_bounds(spark, sf_dir):
         assert 0 <= r.cross_source_ppm <= 1_000_000
 
 
+def test_pack_budget_sweep_monotone(spark, sf_dir):
+    """Doubling the budget can only reduce the split share; fill and
+    split shares stay in [0, 1e6]; chunk count is nonincreasing."""
+    rows = sorted(
+        QUERIES["pack_budget_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.budget,
+    )
+    assert [r.budget for r in rows] == [512, 1024, 2048, 4096]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs_split <= a.n_docs_split
+        assert b.n_chunks <= a.n_chunks
+    for r in rows:
+        assert 0 <= r.split_ppm <= 1_000_000
+        assert 0 < r.fill_ppm <= 1_000_000
+
+
 def test_rapid_repeat_orders_window(spark, sf_dir):
     rows = QUERIES["rapid_repeat_orders"](spark, sf_dir).collect()
     assert rows

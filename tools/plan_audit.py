@@ -33,6 +33,8 @@ ALLOWED_BNLJ = {
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",
     "raup_crick_null": "capped-cohort (16 samples) broadcast fan-outs: pool x perms draw frame, non-equi pair former, per-pair null join — all bounded by the CAP",
     "stylometry_burrows_delta": "broadcast |sources|x|stopwords| z-frame into the non-equi source-pair former (bounded by the fixed word list)",
+    "pack_budget_sweep": "broadcast 4-row budget grid crossed into the per-doc offsets + per-lang totals",
+    "sentence_dedup_census": "string-keyed hash-groupBy only (listed defensively)",
     "corpus_novelty_growth_curve": "broadcast 1-row max-doc-id scalar into the gram/doc scans",
     "kpss_level_stat": "broadcast 1-row (n, total) scalar into the calendar-bounded daily frame",
     "label_calinski_harabasz": "broadcast K-row label frames + 1-row global centroid/total scalars (K = |labels|, bounded)",

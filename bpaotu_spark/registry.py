@@ -168,7 +168,7 @@ PRIORITY: tuple[str, ...] = (
     "window_funnel_strict",
     # (A cont.) the remaining round-12 additions (dedup_incremental_
     # minhash leads the window) — total = 31 queue + 1 plan-changed
-    # + 16 new = 48 of the driver's ~50.
+    # + 16 new = 48, with the two late ops below filling 49-50.
     "ann_augmented_graph_insert",
     "beta_diversity_canberra",
     "attribution_position_based",
@@ -184,11 +184,13 @@ PRIORITY: tuple[str, ...] = (
     "corpus_good_turing",
     "label_calinski_harabasz",
     "simper_contributions",
-    # ---- ~50-entry window boundary ----
-    # (R13 QUEUE) new late-r12 operators that miss the 50-cut queue
-    # here, per the r10→r11→r12 precedent.
+    # (A cont.) two late-r12 ops — they fill window slots 49-50
+    # exactly, so the full r12 window is 50 round-12 keys.
     "sentence_dedup_census",
     "pack_budget_sweep",
+    # ---- 50-entry window boundary ----
+    # (R13 QUEUE) further late-r12 operators would queue here, per
+    # the r10→r11→r12 precedent.
     # Round-11 window (driver-green in CORRECTNESS_r11.json) — rotates
     # to the covered tail.
     "ann_jl_pool_recall_sweep",

@@ -59,16 +59,22 @@ def index_root() -> str:
     return os.path.join(repo, ".cache", "ann_index")
 
 
-def _fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+def _fingerprint(sf_dir: str, table: str | tuple[str, ...] = "embeddings") -> str:
     """Identity of the source data: path + size + mtime of the table
-    file (or dir), so regenerated data invalidates the cache."""
-    p = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
-    try:
-        st = os.stat(p)
-        sig = f"{p}:{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        sig = p
-    return hashlib.md5(sig.encode()).hexdigest()[:16]
+    file (or dir), so regenerated data invalidates the cache. Accepts
+    a tuple for artifacts derived from a multi-table join (e.g. the
+    comparison-page distance matrix over lineitem ⋈ orders ⋈ customer
+    — any regenerated input must invalidate it)."""
+    tables = (table,) if isinstance(table, str) else table
+    sigs = []
+    for t in tables:
+        p = os.path.join(os.path.realpath(sf_dir), f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            sigs.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            sigs.append(p)
+    return hashlib.md5(";".join(sigs).encode()).hexdigest()[:16]
 
 
 def _fs(spark: SparkSession, path: str):
@@ -103,7 +109,7 @@ def cached_frame(
     sf_dir: str,
     name: str,
     builder: Callable[[], DataFrame],
-    table: str = "embeddings",
+    table: str | tuple[str, ...] = "embeddings",
 ) -> DataFrame:
     """Return the frame ``builder()`` computes, via the fastest
     available tier: in-process cache, persisted parquet, or a fresh

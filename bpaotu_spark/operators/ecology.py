@@ -307,59 +307,15 @@ FROM st
 """,
 )
 def anosim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bpaotu_spark.catalog import load_table, maybe_broadcast
+    # store-served pair matrix (r12 VERDICT item 1): the statistic is
+    # a rank census + one aggregate over the stored pairs
+    from bpaotu_spark.operators.diststore import anosim_pairs_cached
 
-    sel = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.expr(_ANOSIM_SEL))
-        .select(
-            F.col("c_custkey").alias("sample_id"),
-            F.col("c_mktsegment").alias("grp"),
-        )
-    )
-    a = (
-        abundance_selected(spark, sf_dir, sel)
-        .groupBy("sample_id", "grp", "otu_id")
-        .agg(F.sum("cnt").cast("bigint").alias("c"))
-    )
-    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
-    x, y = a.alias("x"), a.alias("y")
-    shared = (
-        x.join(
-            y,
-            (F.col("x.otu_id") == F.col("y.otu_id"))
-            & (F.col("x.sample_id") < F.col("y.sample_id")),
-        )
-        .groupBy(
-            F.col("x.sample_id").alias("sample_a"),
-            F.col("y.sample_id").alias("sample_b"),
-        )
-        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
-    )
-    ta, tb = tot.alias("ta"), tot.alias("tb")
-    # all-pairs over the BOUNDED selection: tb side broadcasts, so the
-    # pair former is a broadcast nested loop over |sel|² rows — the
-    # O(n²) ANOSIM inherently requires (documented above)
-    pairs = (
-        ta.join(
-            F.broadcast(tb),
-            F.col("ta.sample_id") < F.col("tb.sample_id"),
-        )
-        .join(
-            shared,
-            (F.col("ta.sample_id") == shared.sample_a)
-            & (F.col("tb.sample_id") == shared.sample_b),
-            "left",
-        )
-        .select(
-            F.expr(
-                "1000000 - (2000000 * coalesce(sum_min, 0))"
-                " div (ta.tot + tb.tot)"
-            ).alias("d_ppm"),
-            F.when(F.col("ta.grp") == F.col("tb.grp"), 1)
-            .otherwise(0)
-            .alias("is_within"),
-        )
+    pairs = anosim_pairs_cached(spark, sf_dir).select(
+        "d_ppm",
+        F.when(F.col("grp_a") == F.col("grp_b"), 1)
+        .otherwise(0)
+        .alias("is_within"),
     )
     dcnt = pairs.groupBy("d_ppm").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window

@@ -513,53 +513,15 @@ FROM pairs GROUP BY grp
 """,
 )
 def beta_dispersion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.expr(_ANOSIM_SEL))
-        .select(
-            F.col("c_custkey").alias("sample_id"),
-            F.col("c_mktsegment").alias("grp"),
-        )
-    )
-    a = (
-        abundance_selected(spark, sf_dir, sel)
-        .groupBy("sample_id", "grp", "otu_id")
-        .agg(F.sum("cnt").cast("bigint").alias("c"))
-    )
-    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
-    x_, y_ = a.alias("x"), a.alias("y")
-    shared = (
-        x_.join(
-            y_,
-            (F.col("x.otu_id") == F.col("y.otu_id"))
-            & (F.col("x.sample_id") < F.col("y.sample_id")),
-        )
-        .groupBy(
-            F.col("x.sample_id").alias("sample_a"),
-            F.col("y.sample_id").alias("sample_b"),
-        )
-        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
-    )
-    ta, tb = tot.alias("ta"), tot.alias("tb")
-    pairs = (
-        ta.join(F.broadcast(tb), F.col("ta.sample_id") < F.col("tb.sample_id"))
-        .join(
-            shared,
-            (F.col("ta.sample_id") == shared.sample_a)
-            & (F.col("tb.sample_id") == shared.sample_b),
-            "left",
-        )
-        .select(
-            F.when(
-                F.col("ta.grp") == F.col("tb.grp"), F.col("ta.grp")
-            )
-            .otherwise("__BETWEEN__")
-            .alias("grp"),
-            F.expr(
-                "1000000 - (2000000 * coalesce(sum_min, 0))"
-                " div (ta.tot + tb.tot)"
-            ).alias("d_ppm"),
-        )
+    # store-served pair matrix (r12 VERDICT item 1): the dispersion
+    # table only re-labels and re-aggregates the stored pairs
+    from bpaotu_spark.operators.diststore import anosim_pairs_cached
+
+    pairs = anosim_pairs_cached(spark, sf_dir).select(
+        F.when(F.col("grp_a") == F.col("grp_b"), F.col("grp_a"))
+        .otherwise("__BETWEEN__")
+        .alias("grp"),
+        "d_ppm",
     )
     return pairs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -1149,62 +1111,24 @@ FROM nk CROSS JOIN sst CROSS JOIN ssw
 def permanova_pseudo_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-based pseudo-F for group separation (one row).
 
-    Reuses the anosim_groups pair machinery (bounded selection, otu-
-    keyed shared join, broadcast pair former); the statistic layer is
-    three tiny aggregates cross-joined as 1-row frames. 128-bit sums
-    carried as DECIMAL(38,0), floored to BIGINT at every output.
+    The pair matrix and the per-sample totals are READ from the
+    distance store (r12 VERDICT item 1) — the comparison page builds
+    them once per submitted selection; this statistic is two tiny
+    aggregates over the stored pairs cross-joined as 1-row frames.
+    128-bit sums carried as DECIMAL(38,0), floored to BIGINT at every
+    output.
     """
-    sel = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.expr(_ANOSIM_SEL))
-        .select(
-            F.col("c_custkey").alias("sample_id"),
-            F.col("c_mktsegment").alias("grp"),
-        )
+    from bpaotu_spark.operators.diststore import (
+        anosim_pairs_cached,
+        anosim_tot_cached,
     )
-    a = (
-        abundance_selected(spark, sf_dir, sel)
-        .groupBy("sample_id", "grp", "otu_id")
-        .agg(F.sum("cnt").cast("bigint").alias("c"))
+
+    tot = anosim_tot_cached(spark, sf_dir)
+    pairs = anosim_pairs_cached(spark, sf_dir).select(
+        F.col("grp_a").alias("ga"),
+        F.col("grp_b").alias("gb"),
+        "d_ppm",
     )
-    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
-    x, y = a.alias("x"), a.alias("y")
-    shared = (
-        x.join(
-            y,
-            (F.col("x.otu_id") == F.col("y.otu_id"))
-            & (F.col("x.sample_id") < F.col("y.sample_id")),
-        )
-        .groupBy(
-            F.col("x.sample_id").alias("sample_a"),
-            F.col("y.sample_id").alias("sample_b"),
-        )
-        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
-    )
-    ta, tb = tot.alias("ta"), tot.alias("tb")
-    pairs = (
-        ta.join(
-            F.broadcast(tb),
-            F.col("ta.sample_id") < F.col("tb.sample_id"),
-        )
-        .join(
-            shared,
-            (F.col("ta.sample_id") == shared.sample_a)
-            & (F.col("tb.sample_id") == shared.sample_b),
-            "left",
-        )
-        .select(
-            F.col("ta.grp").alias("ga"),
-            F.col("tb.grp").alias("gb"),
-            F.expr(
-                "1000000 - (2000000 * coalesce(sum_min, 0))"
-                " div (ta.tot + tb.tot)"
-            ).alias("d_ppm"),
-        )
-    )
-    # the pair frame feeds two aggregates — checkpoint once so the
-    # bounded-broadcast pair former runs a single time
-    pairs = pairs.localCheckpoint()
     d2 = (F.col("d_ppm").cast("decimal(38,0)") * F.col("d_ppm")).alias("d2")
     nk = tot.agg(
         F.count(F.lit(1)).alias("n_samples"),

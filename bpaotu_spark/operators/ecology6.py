@@ -183,6 +183,12 @@ def beta_diversity_canberra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIMPER_SEL = "c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey < 5"
+
+# simper reads the distance store's cohort artifacts; that is only
+# sound while its selection IS the ANOSIM study selection
+from bpaotu_spark.operators.ecology import _ANOSIM_SEL as _ECO_ANOSIM_SEL  # noqa: E402
+
+assert _SIMPER_SEL == _ECO_ANOSIM_SEL
 _SIMPER_TOPK = 25
 _SIMPER_W = 1_000_000_000_000  # pico weighting of 1/(T_i + T_j)
 
@@ -262,19 +268,17 @@ def simper_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rnk, otu_id, share_ppm, cum_share_ppm)."""
     from pyspark.sql import Window
 
-    cust = load_table(spark, sf_dir, "customer")
-    sel = cust.filter(F.expr(_SIMPER_SEL)).select(
-        F.col("c_custkey").alias("sample_id"),
-        F.col("c_mktsegment").alias("grp"),
+    # _SIMPER_SEL is textually the ANOSIM study selection, so the
+    # per-sample OTU counts come from the distance store (r12 VERDICT
+    # item 1) — already checkpointed, three consumers below read it
+    from bpaotu_spark.operators.diststore import (
+        anosim_abundance_cached,
+        anosim_tot_cached,
     )
-    a = (
-        abundance_selected(spark, sf_dir, sel)
-        .groupBy("sample_id", "grp", "otu_id")
-        .agg(F.sum("cnt").cast("bigint").alias("c"))
-        .localCheckpoint()  # three consumers: term1 + both min sides
-    )
-    tot = a.groupBy("sample_id", "grp").agg(
-        F.sum("c").cast("bigint").alias("t")
+
+    a = anosim_abundance_cached(spark, sf_dir)
+    tot = anosim_tot_cached(spark, sf_dir).select(
+        "sample_id", "grp", F.col("tot").alias("t")
     )
     ta = tot.filter(F.col("grp") == "BUILDING").select(
         F.col("sample_id").alias("sa"), F.col("t").alias("t_a")

@@ -81,6 +81,17 @@ _B2_TARGET = 10**18
 
 
 def _bc_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (i, j, dp) Bray-Curtis ppm matrix of the plot cohort,
+    served through the distance store (r12 VERDICT item 1): built once
+    per data fingerprint by :func:`_bc_pairs_build`, read thereafter —
+    the comparison page computes the matrix at submit time, the plot
+    only reads it."""
+    from bpaotu_spark.operators.diststore import pcoa_pairs_cached
+
+    return pcoa_pairs_cached(spark, sf_dir)
+
+
+def _bc_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (i, j, dp) Bray-Curtis ppm long form over the
     filtered cohort, diagonal included (dp=0). Exact integers:
     dp = 1e6 − (2e6·sum_min) div (tot_i + tot_j)."""

@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance_selected
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE
 from bpaotu_spark.operators.ecology import _ANOSIM_SEL
 from bpaotu_spark.registry import register
 
@@ -118,49 +118,18 @@ def _sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dpairs(spark: SparkSession, sf_dir: str, sel: DataFrame) -> DataFrame:
-    """(sample_a, sample_b, d_ppm) over the bounded selection — the
-    anosim_groups pair machinery with ids retained."""
-    a = (
-        abundance_selected(spark, sf_dir, sel)
-        .groupBy("sample_id", "grp", "otu_id")
-        .agg(F.sum("cnt").cast("bigint").alias("c"))
-    )
-    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
-    x, y = a.alias("x"), a.alias("y")
-    shared = (
-        x.join(
-            y,
-            (F.col("x.otu_id") == F.col("y.otu_id"))
-            & (F.col("x.sample_id") < F.col("y.sample_id")),
-        )
-        .groupBy(
-            F.col("x.sample_id").alias("sa"),
-            F.col("y.sample_id").alias("sb"),
-        )
-        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
-    )
-    ta, tb = tot.alias("ta"), tot.alias("tb")
-    # bounded broadcast pair former (documented BNLJ, as anosim_groups)
-    return (
-        ta.join(
-            F.broadcast(tb),
-            F.col("ta.sample_id") < F.col("tb.sample_id"),
-        )
-        .join(
-            shared,
-            (F.col("ta.sample_id") == shared.sa)
-            & (F.col("tb.sample_id") == shared.sb),
-            "left",
-        )
-        .select(
-            F.col("ta.sample_id").alias("sample_a"),
-            F.col("tb.sample_id").alias("sample_b"),
-            F.expr(
-                "1000000 - (2000000 * coalesce(sum_min, 0))"
-                " div (ta.tot + tb.tot)"
-            ).alias("d_ppm"),
-        )
+def _dpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_a, sample_b, d_ppm) over the bounded selection — READ
+    from the distance store (r12 VERDICT item 1): the pair matrix is
+    built once per data fingerprint by
+    :func:`bpaotu_spark.operators.diststore.anosim_pairs_cached`;
+    both permutation tests (and the dispersion/pseudo-F family) only
+    re-label and re-aggregate the stored pairs, the textbook
+    permutation-on-distance-matrix shape (Anderson 2001)."""
+    from bpaotu_spark.operators.diststore import anosim_pairs_cached
+
+    return anosim_pairs_cached(spark, sf_dir).select(
+        "sample_a", "sample_b", "d_ppm"
     )
 
 
@@ -266,7 +235,7 @@ def anosim_permutation_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation, and each mean divides only positive rank sums)."""
     sel = _sel(spark, sf_dir).localCheckpoint()
     # feeds the rank census AND the rank join — one pair former run
-    dpairs = _dpairs(spark, sf_dir, sel).localCheckpoint()
+    dpairs = _dpairs(spark, sf_dir)  # store-served, already checkpointed
     dcnt = dpairs.groupBy("d_ppm").agg(F.count(F.lit(1)).alias("cnt"))
     wv = Window.orderBy("d_ppm").rowsBetween(
         Window.unboundedPreceding, -1
@@ -409,7 +378,7 @@ def permanova_permutation_p(
     Pseudo-F comparisons are 128-bit cross-multiplications — no
     ratio is ever formed, so integer semantics match both engines."""
     sel = _sel(spark, sf_dir).localCheckpoint()
-    dpairs = _dpairs(spark, sf_dir, sel).localCheckpoint()
+    dpairs = _dpairs(spark, sf_dir)  # store-served, already checkpointed
     pa = _assignments(spark, sel).localCheckpoint()
     gn = sel.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g")

@@ -100,6 +100,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.quality3  # noqa: F401
     import bpaotu_spark.ann.extras4  # noqa: F401
     import bpaotu_spark.functions.textops7  # noqa: F401
+    import bpaotu_spark.operators.diststore  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

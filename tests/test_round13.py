@@ -1,0 +1,150 @@
+"""Round-13 invariants: the distance-matrix store (r12 VERDICT item 1)
+and its consumers."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def _pairs_rows(df):
+    return sorted(
+        (r.sample_a, r.sample_b, r.grp_a, r.grp_b, r.d_ppm)
+        for r in df.collect()
+    )
+
+
+def test_dist_store_round_trip_and_warm_serve(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The pair matrix publishes through the store (file:// URI — the
+    Hadoop FS path) and a fresh 'process' serves it from disk without
+    rebuilding; warm-served values equal the from-scratch build."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.operators import diststore
+
+    local = tmp_path / "idx"
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", f"file://{local}")
+    index_store._MEM.clear()
+    p1 = _pairs_rows(diststore.anosim_pairs_cached(spark, sf_dir))
+    assert len(p1) > 0
+    published = [
+        d for d in os.listdir(local) if d.startswith("bray_pairs_anosim-")
+    ]
+    assert len(published) == 1
+    assert os.path.exists(local / published[0] / "_SUCCESS")
+
+    # fresh process: must read, not rebuild (the builder scans the
+    # fact tables; count the abundance accessor calls)
+    index_store._MEM.clear()
+    builds = {"n": 0}
+    real = diststore.anosim_abundance_cached
+
+    def counting(*a, **k):
+        builds["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(diststore, "anosim_abundance_cached", counting)
+    p2 = _pairs_rows(diststore.anosim_pairs_cached(spark, sf_dir))
+    assert builds["n"] == 0
+    assert p2 == p1
+    index_store._MEM.clear()
+
+
+def test_dist_store_matches_from_scratch(spark, sf_dir, monkeypatch, tmp_path):
+    """Store-served pair matrix == the from-scratch pair machinery
+    (the permtest r12 shape) row for row."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.operators import diststore
+    from bpaotu_spark.operators.bpaotu import abundance_selected
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    sel = diststore.anosim_sel(spark, sf_dir)
+    a = (
+        abundance_selected(spark, sf_dir, sel)
+        .groupBy("sample_id", "grp", "otu_id")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    tot = a.groupBy("sample_id", "grp").agg(F.sum("c").alias("tot"))
+    x, y = a.alias("x"), a.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.otu_id") == F.col("y.otu_id"))
+            & (F.col("x.sample_id") < F.col("y.sample_id")),
+        )
+        .groupBy(
+            F.col("x.sample_id").alias("sa"),
+            F.col("y.sample_id").alias("sb"),
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).cast("bigint").alias("sum_min"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    scratch = (
+        ta.join(F.broadcast(tb), F.col("ta.sample_id") < F.col("tb.sample_id"))
+        .join(
+            shared,
+            (F.col("ta.sample_id") == shared.sa)
+            & (F.col("tb.sample_id") == shared.sb),
+            "left",
+        )
+        .select(
+            F.col("ta.sample_id").alias("sample_a"),
+            F.col("tb.sample_id").alias("sample_b"),
+            F.col("ta.grp").alias("grp_a"),
+            F.col("tb.grp").alias("grp_b"),
+            F.expr(
+                "1000000 - (2000000 * coalesce(sum_min, 0))"
+                " div (ta.tot + tb.tot)"
+            ).alias("d_ppm"),
+        )
+    )
+    assert _pairs_rows(diststore.anosim_pairs_cached(spark, sf_dir)) == (
+        _pairs_rows(scratch)
+    )
+    index_store._MEM.clear()
+
+
+def test_build_dist_store_manifest_idempotent(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.operators.diststore import build_dist_store
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    m1 = build_dist_store(spark, sf_dir)
+    assert set(m1) == {
+        "bray_a_anosim",
+        "bray_tot_anosim",
+        "bray_pairs_anosim",
+        "bray_pairs_pcoa",
+    }
+    assert all(n > 0 for n in m1.values())
+    n_tot = m1["bray_tot_anosim"]
+    assert m1["bray_pairs_anosim"] == n_tot * (n_tot - 1) // 2
+    m2 = build_dist_store(spark, sf_dir)  # idempotent re-read
+    assert m2 == m1
+    index_store._MEM.clear()
+
+
+def test_pcoa_pairs_store_symmetric_with_diagonal(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.operators.diststore import pcoa_pairs_cached
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    rows = [(r.i, r.j, r.dp) for r in pcoa_pairs_cached(spark, sf_dir).collect()]
+    byij = {(i, j): dp for i, j, dp in rows}
+    assert len(byij) == len(rows)
+    ids = {i for i, _, _ in rows}
+    assert len(rows) == len(ids) * len(ids)  # full square incl. diagonal
+    for (i, j), dp in byij.items():
+        assert byij[(j, i)] == dp
+        if i == j:
+            assert dp == 0
+    index_store._MEM.clear()

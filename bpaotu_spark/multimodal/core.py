@@ -1177,11 +1177,19 @@ lg AS (
     lag(nonneg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
   FROM sv
 ),
-ch AS (
-  SELECT doc_id, any_value(n) AS n_samples,
+chg AS (
+  SELECT doc_id,
     CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND nonneg != prev
          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossings
   FROM lg GROUP BY doc_id
+),
+-- LEFT JOIN back onto the asset CTE so an asset whose derived sample
+-- count is 0 (smp unnests nothing for it) still keeps a row with
+-- (0, 0), matching the Spark n<2 branch (r12 ADVICE item 2)
+ch AS (
+  SELECT a.doc_id, a.n AS n_samples,
+    coalesce(chg.n_crossings, CAST(0 AS BIGINT)) AS n_crossings
+  FROM a LEFT JOIN chg ON chg.doc_id = a.doc_id
 )
 SELECT doc_id AS asset_id, n_samples, n_crossings,
   CAST(n_crossings * 1000000 // greatest(n_samples - 1, 1) AS BIGINT)

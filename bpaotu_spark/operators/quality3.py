@@ -6,7 +6,10 @@
   agreement so you know whether the second filter adds information or
   noise. This op joins the per-doc Gopher all-rules verdict
   (gopher_quality_rules' exact construction) with the per-doc CCNet
-  tertile (ccnet_perplexity_tertiles' exact construction) and reports
+  tertile (ccnet_perplexity_tertiles' construction, token surprisal
+  via the ENGINE-EXACT fixed-point log of ``functions/intlog.py``
+  instead of libm ln — r12 ADVICE item 1, so no floating floor
+  boundary feeds the ntile) and reports
   the 2×3 contingency (share ppm) plus Cohen's kappa between
   gopher-pass and head-tertile membership — all-integer:
   kappa = (N·agree − pe_num) / (N² − pe_num) with
@@ -32,7 +35,18 @@ from bpaotu_spark.operators.quality import (
     _GOPHER_STOPWORDS,
     _STOP_SQL,
 )
+from bpaotu_spark.functions.intlog import (
+    _FRAC_BITS,
+    ln_ratio_micro_col,
+    ln_ratio_micro_ctes,
+)
 from bpaotu_spark.registry import register
+
+# token surprisal as ENGINE-EXACT integer arithmetic (r12 ADVICE
+# item 1): the fixed-point log2 surrogate replaces floor(-ln(c/N)·1e6)
+# so no libm call sits under the floor boundary in either engine
+_LN_CTES = ln_ratio_micro_ctes("lc", "vn", "n_total", "c", "token")
+_LN_LAST = f"lc{_FRAC_BITS + 1}"
 
 
 @register(
@@ -66,10 +80,12 @@ WITH t AS (
   SELECT w AS token, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY w
 ), n AS (
   SELECT CAST(count(*) AS BIGINT) AS n_total FROM x
-), cost AS (
-  SELECT token,
-    CAST(floor(-ln(c * 1.0 / n_total) * 1000000) AS BIGINT) AS cost_micro
-  FROM vocab CROSS JOIN n
+), vn AS (
+  SELECT token, c, n_total FROM vocab CROSS JOIN n
+),
+{_LN_CTES},
+cost AS (
+  SELECT token, ln_micro AS cost_micro FROM {_LN_LAST}
 ), perdoc AS (
   SELECT cnt.doc_id, lang,
     CAST(sum(c * cost_micro) AS BIGINT) // CAST(sum(c) AS BIGINT)
@@ -138,15 +154,12 @@ def quality_filters_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gpass"),
     )
     vocab = x.groupBy(F.col("w").alias("token")).agg(
-        F.count(F.lit(1)).alias("c2")
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    n = x.agg(F.count(F.lit(1)).alias("n_total"))
-    cost = vocab.crossJoin(F.broadcast(n)).select(
-        "token",
-        F.floor(-F.log(F.col("c2") * 1.0 / F.col("n_total")) * 1000000)
-        .cast("bigint")
-        .alias("cost_micro"),
-    )
+    n = x.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cost = ln_ratio_micro_col(
+        vocab.crossJoin(F.broadcast(n)), "n_total", "c"
+    ).select("token", F.col("ln_micro").alias("cost_micro"))
     perdoc = (
         cnt.join(cost, cnt.w == cost.token)
         .groupBy("doc_id", "lang")

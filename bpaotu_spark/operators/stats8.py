@@ -16,8 +16,14 @@
   last bin, where H = 1, is excluded as in the textbook statistic).
   Each term is floored to micro units and summed — exact integer
   arithmetic in DECIMAL(38,0)/HUGEINT, identical in both engines.
-  Bound: (cn·m)²·(N+M) stays under 38 digits while n·m·(n+m) < ~5e37
-  — beyond sf100.
+  Binding bound (r12 ADVICE item 3): the per-bin NUMERATOR
+  (cn·m − cm·n)²·(N+M)·1e6 must stay inside DECIMAL(38,0) — i.e.
+  |cn·m − cm·n| ≲ √(1e32/(N+M)), which skewed bins exhaust long
+  before the previously-documented n·m·(n+m) < 5e37. DuckDB's
+  HUGEINT errors loudly on overflow; Spark's non-ANSI decimal would
+  go silently NULL — so the Spark side carries an assert_true guard
+  (the morisita_horn pattern) that turns the silent divergence into
+  a loud failure at the exact same threshold.
 
   Binning is exact-cents integer division (floor(price·100) //
   1_200_000, clamped to 50 bins) — no float boundary anywhere.
@@ -118,11 +124,21 @@ def anderson_darling_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n", "m")
         .agg(
             F.sum(
+                # assert_true folded into the summed expression so
+                # column pruning cannot drop it: a per-bin numerator
+                # that would exceed DECIMAL(38,0) fails LOUDLY here
+                # (DuckDB's HUGEINT already errors loudly) instead of
+                # Spark's silent non-ANSI NULL (r12 ADVICE item 3)
                 F.expr(
-                    "CAST((cn * m - cm * n) AS DECIMAL(38,0))"
+                    "CASE WHEN assert_true("
+                    "  pow(abs(CAST(cn AS DOUBLE) * m - CAST(cm AS DOUBLE) * n), 2)"
+                    "    * (na_bin + nb_bin) * 1.0e6 <= 9.0e37,"
+                    "  'anderson_darling_binned: DECIMAL(38,0) numerator"
+                    " headroom exhausted — pre-scale the bin counts') IS NULL"
+                    " THEN CAST((cn * m - cm * n) AS DECIMAL(38,0))"
                     " * (cn * m - cm * n) * (na_bin + nb_bin) * 1000000"
                     " DIV (CAST(n AS DECIMAL(38,0)) * m * (cn + cm)"
-                    " * (n + m - cn - cm))"
+                    " * (n + m - cn - cm)) END"
                 )
             )
             .cast("bigint")

@@ -148,3 +148,42 @@ def test_pcoa_pairs_store_symmetric_with_diagonal(
         if i == j:
             assert dp == 0
     index_store._MEM.clear()
+
+
+def test_intlog_three_way_parity(spark):
+    """functions/intlog: the Spark column chain, the DuckDB CTE chain
+    and the pure-Python reference agree bit-for-bit on a (num, den)
+    grid, and track true ln within ~15 micro."""
+    import math
+    import random
+
+    import duckdb
+
+    from bpaotu_spark.functions.intlog import (
+        ln_ratio_micro_ctes,
+        ln_ratio_micro_py,
+    )
+
+    random.seed(13)
+    cases = [(1, 1), (2, 1), (3, 2), (10**12, 7), (2**62, 1)]
+    cases += [
+        (n, random.randint(1, n))
+        for n in (random.randint(1, 10**14) for _ in range(60))
+    ]
+    ref = {(n, d): ln_ratio_micro_py(n, d) for n, d in cases}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", cases)
+    ctes = ln_ratio_micro_ctes("L", "t", "num", "den", "num, den")
+    for n, d, lm in con.execute(
+        f"WITH {ctes} SELECT num, den, ln_micro FROM L17"
+    ).fetchall():
+        assert lm == ref[(n, d)]
+        assert abs(lm - math.floor(math.log(n / d) * 1e6)) <= 15
+
+    from bpaotu_spark.functions.intlog import ln_ratio_micro_col
+
+    df = spark.createDataFrame(cases, "num long, den long")
+    for r in ln_ratio_micro_col(df, "num", "den").collect():
+        assert r.ln_micro == ref[(r.num, r.den)]

@@ -399,6 +399,60 @@ def _feature_hash_spark(tok: Column) -> Column:
     return out
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over ``docs`` (doc_id, text) — the per-doc
+    signature pipeline shared by the batch pair former and the
+    incremental index (a doc's simhash never depends on other docs,
+    which is what makes the incremental restriction exact)."""
+    feat = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+        .select("doc_id", _feature_hash_spark(F.col("tok")).alias("h"))
+    )
+    # One groupBy carrying 32 agg columns (codegen'd, map-side combined)
+    # instead of exploding every feature row 32x: identical bit votes,
+    # 1/32nd the shuffle volume. Literal shifts stay codegen'd.
+    votes = feat.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash_col = sum(
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return votes.select("doc_id", simhash_col.alias("simhash"))
+
+
+def simhash_banded(sh: DataFrame) -> DataFrame:
+    """(doc_id, simhash, b, band_val) — the 8-bit band explode of a
+    signature table."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("bv"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    return sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.b").alias("b"),
+        F.col("bk.bv").alias("band_val"),
+    )
+
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -432,52 +486,13 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    feat = (
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-        .distinct()
-        .select("doc_id", _feature_hash_spark(F.col("tok")).alias("h"))
-    )
-    # One groupBy carrying 32 agg columns (codegen'd, map-side combined)
-    # instead of exploding every feature row 32x: identical bit votes,
-    # 1/32nd the shuffle volume. Literal shifts stay codegen'd.
-    votes = feat.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    simhash_col = sum(
-        [
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
-        ],
-        F.lit(0),
-    ).cast("long")
     # Materialize the signature table once: the self-join below would
     # otherwise execute the tokenize→vote→pack pipeline twice (Catalyst
     # does not reuse asymmetric exchanges). One row per doc — tiny
     # relative to the corpus; on a cluster this is persist()/checkpoint
     # of the signature table, the standard shape for LSH self-joins.
-    sh = votes.select("doc_id", simhash_col.alias("simhash")).localCheckpoint()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("bv"),
-            )
-            for b in range(SIMHASH_BANDS)
-        ]
-    )
-    banded = sh.select(
-        "doc_id", "simhash", F.explode(band_structs).alias("bk")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bk.b").alias("b"),
-        F.col("bk.bv").alias("band_val"),
-    )
+    sh = simhash_signatures(docs).localCheckpoint()
+    banded = simhash_banded(sh)
     # Unlike minhash/jaccard, simhash pair-generation KEEPS the self-join:
     # this corpus's simhashes cluster, so (band, band_val) buckets hold a
     # large fraction of all docs — a bucket-collect would explode the

@@ -390,3 +390,338 @@ def corpus_novelty_growth_curve(
         )
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_simhash — the nightly SimHash near-dup pass
+# against a standing signature index (r12 VERDICT item 2: the r11
+# wording included "and simhash tables"; only MinHash bands were
+# persisted until now). The base corpus's (doc_id, simhash) table is
+# published through the store; tonight's drop computes its own
+# signatures (a doc's simhash never depends on other docs) and the
+# banded join runs new-vs-(base ∪ new) only — so the emitted pair set
+# EQUALS the from-scratch dedup_simhash on the union restricted to
+# pairs involving a new doc, which is exactly what the oracle
+# computes.
+#
+# Scale shape: signature work is delta-bounded; the banded join's
+# probe side is the delta (the base side streams through the shuffle
+# once); AQE skew-join splits hot (b, band_val) buckets exactly as in
+# the batch operator. The base corpus is never re-tokenized.
+# ---------------------------------------------------------------------------
+
+
+def base_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing SimHash index: the BASE corpus's (doc_id, simhash)
+    signature table, persisted through the index store."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.core import simhash_signatures
+
+    def build() -> DataFrame:
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % _NEW_MOD != 0)
+        )
+        return simhash_signatures(base)
+
+    return cached_frame(
+        spark, sf_dir, "simhash_sig_b8", build, table="documents"
+    )
+
+
+def augment_simhash_index(
+    spark: SparkSession, base_sig: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Insert ``new_docs`` (doc_id, text; ids disjoint from the base)
+    into the standing signature index and emit only the new candidate
+    pairs: (doc_a, doc_b, hamming, n_new_in_pair)."""
+    from bpaotu_spark.dedup.core import (
+        HAMMING_MAX,
+        simhash_banded,
+        simhash_signatures,
+    )
+
+    new_sig = simhash_signatures(
+        new_docs.select("doc_id", "text")
+    ).localCheckpoint()
+    all_sig = base_sig.withColumn("is_new", F.lit(0)).unionByName(
+        new_sig.withColumn("is_new", F.lit(1))
+    )
+    x = simhash_banded(new_sig).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "b",
+        "band_val",
+    )
+    y = simhash_banded(all_sig.select("doc_id", "simhash", "is_new")).join(
+        all_sig.select("doc_id", "is_new"), "doc_id"
+    ).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("is_new").alias("b_new"),
+        F.col("b").alias("b_y"),
+        F.col("band_val").alias("bv_y"),
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # new-vs-old plus ordered new-vs-new (doc_a < doc_b kills the
+    # duplicate orientation; new-vs-old keeps both orientations apart
+    # via the is-new flag, then normalizes)
+    raw = (
+        x.join(
+            y,
+            (x.b == y.b_y)
+            & (x.band_val == y.bv_y)
+            & (
+                ((F.col("b_new") == 0))
+                | (F.col("doc_a") < F.col("doc_b"))
+            )
+            & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .filter(hamming <= HAMMING_MAX)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            hamming.alias("hamming"),
+            (F.lit(1) + F.col("b_new")).cast("bigint").alias("n_new_in_pair"),
+        )
+        .distinct()
+    )
+    return raw
+
+
+_SIMHASH_ORACLE = None  # composed below
+
+
+def _simhash_inc_oracle() -> str:
+    from bpaotu_spark.dedup.core import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        _feature_hash_sql,
+    )
+    from bpaotu_spark.functions.textops import TOKENIZE_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), feat AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t
+), fh AS (
+  SELECT doc_id, {_feature_hash_sql()} AS h FROM feat
+), bits AS (
+  SELECT doc_id, j,
+    sum(CASE WHEN (h // (1 << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM fh, (SELECT unnest(range({SIMHASH_BITS})) AS j)
+  GROUP BY doc_id, j
+), sh AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b,
+    (simhash >> (b * 8)) % 256 AS band_val
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b)
+)
+SELECT DISTINCT
+  x.doc_id AS doc_a, y.doc_id AS doc_b,
+  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming,
+  CAST((CASE WHEN x.doc_id % {_NEW_MOD} = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN y.doc_id % {_NEW_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new_in_pair
+FROM banded x JOIN banded y
+  ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+  AND (x.doc_id % {_NEW_MOD} = 0 OR y.doc_id % {_NEW_MOD} = 0)
+"""
+
+
+@register("dedup_incremental_simhash", oracle=_simhash_inc_oracle())
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly incremental SimHash dedup: insert the doc_id ≡ 0
+    (mod 8) drop into the persisted signature index and emit only the
+    new-involving Hamming≤max pairs — verified against the
+    from-scratch union computation (the oracle) every round."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_sig = base_simhash_index(spark, sf_dir)
+    new_docs = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
+    return augment_simhash_index(spark, base_sig, new_docs)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_embedding — the nightly embedding near-dup pass
+# against a standing sign-LSH bucket index (r12 VERDICT item 2: the
+# sign-LSH buckets are the same reusable shape as the MinHash bands).
+# The base corpus's (vec_id, bucket, v, nrm) table is persisted
+# through the store; tonight's drop buckets itself and probes
+# new-vs-(base ∪ new) only. A vector's bucket and norm never depend
+# on other vectors, so the emitted pair set EQUALS the from-scratch
+# dedup_embedding_lsh on the union restricted to new-involving pairs
+# — which is the oracle.
+#
+# Scale shape: the 16-key sign-bucket join is SALTED exactly as the
+# batch operator (base side replicated S×, probe side salt = id mod
+# S, explicit repartition — the round-5 lesson); candidate volume is
+# delta-bounded (|new| × bucket density). The base corpus is never
+# re-bucketed.
+# ---------------------------------------------------------------------------
+
+
+def base_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing sign-LSH index: (vec_id, bucket, v, nrm) of the
+    BASE corpus, persisted through the index store."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.core import _emb_bucket, norm
+
+    def build() -> DataFrame:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % _NEW_MOD != 0)
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+        )
+        return emb.withColumn("bucket", _emb_bucket(F.col("v"))).withColumn(
+            "nrm", norm(F.col("v"))
+        )
+
+    return cached_frame(
+        spark, sf_dir, "emb_lsh_b8", build, table="embeddings"
+    )
+
+
+def augment_embedding_index(
+    spark: SparkSession, base_idx: DataFrame, new_emb: DataFrame
+) -> DataFrame:
+    """Insert ``new_emb`` (vec_id, embedding; ids disjoint from the
+    base) into the standing bucket index and emit only the new
+    near-dup pairs: (vec_a, vec_b, bucket, cos_sim, n_new_in_pair)."""
+    from bpaotu_spark.dedup.core import (
+        COSINE_DUP_THRESHOLD,
+        _LSH_JOIN_PARTS,
+        _LSH_SALT,
+        _emb_bucket,
+        dot,
+        norm,
+    )
+
+    new_idx = (
+        new_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("bucket", _emb_bucket(F.col("v")))
+        .withColumn("nrm", norm(F.col("v")))
+        .localCheckpoint()
+    )
+    probe = (
+        new_idx.select(
+            F.col("vec_id").alias("n_id"),
+            "bucket",
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        .withColumn(
+            "salt", F.pmod(F.col("n_id"), F.lit(_LSH_SALT)).cast("int")
+        )
+        .repartition(_LSH_JOIN_PARTS, "bucket", "salt")
+    )
+    build_side = (
+        base_idx.select(
+            F.col("vec_id").alias("o_id"),
+            F.col("bucket").alias("bucket_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        .withColumn(
+            "salt_b",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(_LSH_SALT)])
+            ),
+        )
+        .repartition(_LSH_JOIN_PARTS, "bucket_b", "salt_b")
+    )
+    cos_no = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    new_old = (
+        probe.join(
+            build_side,
+            (probe.bucket == build_side.bucket_b)
+            & (probe.salt == build_side.salt_b),
+        )
+        .filter(cos_no >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.least("n_id", "o_id").alias("vec_a"),
+            F.greatest("n_id", "o_id").alias("vec_b"),
+            "bucket",
+            F.round(cos_no, 4).cast("double").alias("cos_sim"),
+            F.lit(1).cast("bigint").alias("n_new_in_pair"),
+        )
+    )
+    na_ = new_idx.select(
+        F.col("vec_id").alias("vec_a"),
+        "bucket",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    nb_ = new_idx.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_y"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_nn = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # delta-vs-delta: bucket-keyed self-join over the (small) drop
+    new_new = (
+        na_.join(
+            nb_,
+            (na_.bucket == nb_.bucket_y) & (na_.vec_a < nb_.vec_b),
+        )
+        .filter(cos_nn >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            F.round(cos_nn, 4).cast("double").alias("cos_sim"),
+            F.lit(2).cast("bigint").alias("n_new_in_pair"),
+        )
+    )
+    return new_old.unionByName(new_new)
+
+
+def _emb_inc_oracle() -> str:
+    from bpaotu_spark.dedup.core import (
+        COSINE_DUP_THRESHOLD,
+        COSINE_SQL,
+        _emb_bucket_sql,
+    )
+
+    return f"""
+SELECT
+  a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {_emb_bucket_sql('a')} AS bucket,
+  CAST(round({COSINE_SQL}, 4) AS DOUBLE) AS cos_sim,
+  CAST((CASE WHEN a.vec_id % {_NEW_MOD} = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN b.vec_id % {_NEW_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new_in_pair
+FROM embeddings a JOIN embeddings b
+  ON {_emb_bucket_sql('a')} = {_emb_bucket_sql('b')} AND a.vec_id < b.vec_id
+WHERE {COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+  AND (a.vec_id % {_NEW_MOD} = 0 OR b.vec_id % {_NEW_MOD} = 0)
+"""
+
+
+@register("dedup_incremental_embedding", oracle=_emb_inc_oracle())
+def dedup_incremental_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nightly incremental embedding dedup: insert the vec_id ≡ 0
+    (mod 8) drop into the persisted sign-LSH bucket index and emit
+    only the new-involving cosine near-dup pairs — verified against
+    the from-scratch union computation (the oracle) every round."""
+    base_idx = base_embedding_index(spark, sf_dir)
+    new_emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _NEW_MOD == 0)
+        .select("vec_id", "embedding")
+    )
+    return augment_embedding_index(spark, base_idx, new_emb)

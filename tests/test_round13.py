@@ -187,3 +187,59 @@ def test_intlog_three_way_parity(spark):
     df = spark.createDataFrame(cases, "num long, den long")
     for r in ln_ratio_micro_col(df, "num", "den").collect():
         assert r.ln_micro == ref[(r.num, r.den)]
+
+
+def test_incremental_simhash_equals_batch_restriction(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Incremental pair set == from-scratch dedup_simhash restricted
+    to pairs involving a new (doc_id % 8 == 0) doc."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup.core import dedup_simhash
+    from bpaotu_spark.dedup.incremental import (
+        _NEW_MOD,
+        dedup_incremental_simhash,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    inc = {
+        (r.doc_a, r.doc_b): (r.hamming, r.n_new_in_pair)
+        for r in dedup_incremental_simhash(spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(spark, sf_dir).collect()
+        if r.doc_a % _NEW_MOD == 0 or r.doc_b % _NEW_MOD == 0
+    }
+    assert {k: v[0] for k, v in inc.items()} == full
+    for (a, b), (_, n_new) in inc.items():
+        assert n_new == (a % _NEW_MOD == 0) + (b % _NEW_MOD == 0)
+    index_store._MEM.clear()
+
+
+def test_incremental_embedding_equals_batch_restriction(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup.core import dedup_embedding_lsh
+    from bpaotu_spark.dedup.incremental import (
+        _NEW_MOD,
+        dedup_incremental_embedding,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    inc = {
+        (r.vec_a, r.vec_b): (r.bucket, r.cos_sim, r.n_new_in_pair)
+        for r in dedup_incremental_embedding(spark, sf_dir).collect()
+    }
+    full = {
+        (r.vec_a, r.vec_b): (r.bucket, r.cos_sim)
+        for r in dedup_embedding_lsh(spark, sf_dir).collect()
+        if r.vec_a % _NEW_MOD == 0 or r.vec_b % _NEW_MOD == 0
+    }
+    assert {k: v[:2] for k, v in inc.items()} == full
+    for (a, b), (_, _, n_new) in inc.items():
+        assert n_new == (a % _NEW_MOD == 0) + (b % _NEW_MOD == 0)
+    index_store._MEM.clear()

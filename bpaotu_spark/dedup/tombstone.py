@@ -1,0 +1,252 @@
+"""Tombstone deletes through the persisted dedup index (r12 VERDICT
+item 3).
+
+Takedown/opt-out removal is a first-class training-pipeline
+operation: a deleted document's rows must leave the STANDING index —
+band rows, hash rows — and every family whose keeper died must
+re-elect, all WITHOUT rebuilding the index from the corpus. The
+reference's importer handles re-ingest by truncate-and-reload
+(public ``bpaotu/otu/importer.py``); at 100 TB that is not an option,
+so deletion is delta-bounded index surgery:
+
+* ``dedup_tombstone_exact`` — the per-deleted-doc audit over the
+  persisted full (doc_id, md5) hash table: group size before the
+  delete, whether the deleted doc WAS its group's keeper (min
+  doc_id), and the re-elected keeper among survivors (NULL when the
+  group dies). Work is bounded by the tombstone set: the deleted
+  docs' hashes are the only groups touched (broadcast semi-join into
+  the index — a lookup, not a scan).
+* ``dedup_tombstone_minhash`` — bucket lifecycle of the delete
+  against the persisted full MinHash band table: for every (band,
+  key) bucket holding a deleted doc, the before/after sizes, the
+  re-elected bucket representative, the surviving candidate-pair
+  count, and the lifecycle status. Note the REVIVED state: the
+  bucket-size cap is evaluated on post-delete sizes exactly as a
+  from-scratch run on the survivor corpus would, so a bucket the
+  capped index never paired can come back in range when members are
+  deleted — the correctness subtlety a naive "drop rows" delete
+  misses.
+
+Both oracles are the FROM-SCRATCH computation (full corpus minus
+nothing — the before/after states are both derived), so the driver
+verifies the surgery against ground truth every round.
+
+The tombstone set is deterministic (doc_id ≡ 3 mod 16, ~6%) so both
+engines can name it without a side channel — same convention as the
+incremental inserts' mod-8 drop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import (
+    LSH_BANDS,
+    LSH_BUCKET_CAP,
+    NGRAMS_SQL,
+    _band_key_sql,
+    _SHINGLE_X_SQL,
+    _sig_exprs_sql,
+    minhash_bands,
+)
+from bpaotu_spark.registry import register
+
+_TOMB_MOD = 16
+_TOMB_RES = 3  # doc_id ≡ 3 (mod 16): the deterministic takedown set
+
+
+def full_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing exact index: (doc_id, h) over the FULL corpus,
+    persisted through the index store (the per-doc hash rows a
+    production exact-dedup service keeps, not just the canon map —
+    deletion needs the membership rows to re-elect keepers)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "dedup_hash_all",
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("h")
+        ),
+        table="documents",
+    )
+
+
+def full_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing MinHash index over the FULL corpus: (doc_id,
+    band, key), persisted through the index store."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "dedup_bands_all",
+        lambda: minhash_bands(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+        table="documents",
+    )
+
+
+@register(
+    "dedup_tombstone_exact",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+tomb AS (
+  SELECT doc_id, h FROM h WHERE doc_id % {_TOMB_MOD} = {_TOMB_RES}
+),
+grp AS (
+  SELECT h.h,
+    CAST(count(*) AS BIGINT) AS group_size_before,
+    min(h.doc_id) AS old_keeper,
+    min(CASE WHEN h.doc_id % {_TOMB_MOD} != {_TOMB_RES}
+             THEN h.doc_id END) AS new_keeper
+  FROM h JOIN (SELECT DISTINCT h FROM tomb) t ON t.h = h.h
+  GROUP BY h.h
+)
+SELECT tomb.doc_id AS deleted_id,
+  grp.group_size_before,
+  (grp.old_keeper = tomb.doc_id) AS was_keeper,
+  grp.new_keeper
+FROM tomb JOIN grp ON grp.h = tomb.h
+ORDER BY deleted_id
+""",
+)
+def dedup_tombstone_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete the mod-16 tombstone set from the persisted exact-hash
+    index: one row per deleted doc — (deleted_id, group_size_before,
+    was_keeper, new_keeper) with the keeper re-elected among the
+    group's survivors (NULL when the group dies with the delete)."""
+    idx = full_hash_index(spark, sf_dir)
+    tomb = idx.filter(F.col("doc_id") % _TOMB_MOD == _TOMB_RES)
+    # only the deleted docs' hash groups are touched: broadcast the
+    # (bounded) tombstone hash set into the index — a lookup
+    aff = tomb.select("h").distinct()
+    grp = (
+        idx.join(F.broadcast(aff), "h")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size_before"),
+            F.min("doc_id").alias("old_keeper"),
+            F.min(
+                F.when(
+                    F.col("doc_id") % _TOMB_MOD != _TOMB_RES,
+                    F.col("doc_id"),
+                )
+            ).alias("new_keeper"),
+        )
+    )
+    return (
+        tomb.join(grp, "h")
+        .select(
+            F.col("doc_id").alias("deleted_id"),
+            "group_size_before",
+            (F.col("old_keeper") == F.col("doc_id")).alias("was_keeper"),
+            "new_keeper",
+        )
+        .orderBy("deleted_id")
+    )
+
+
+@register(
+    "dedup_tombstone_minhash",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+xs AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS x FROM ng
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_exprs_sql()}
+  FROM xs GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
+),
+aff AS (
+  SELECT DISTINCT band, key FROM bands
+  WHERE doc_id % {_TOMB_MOD} = {_TOMB_RES}
+),
+st AS (
+  SELECT bands.band, bands.key,
+    CAST(count(*) AS BIGINT) AS m_before,
+    CAST(count(CASE WHEN doc_id % {_TOMB_MOD} != {_TOMB_RES} THEN 1 END)
+      AS BIGINT) AS m_after,
+    min(doc_id) AS old_rep,
+    min(CASE WHEN doc_id % {_TOMB_MOD} != {_TOMB_RES} THEN doc_id END)
+      AS new_rep
+  FROM bands JOIN aff ON aff.band = bands.band AND aff.key = bands.key
+  GROUP BY bands.band, bands.key
+)
+SELECT band, key, m_before, m_after, old_rep, new_rep,
+  (new_rep IS NULL OR new_rep != old_rep) AS rep_changed,
+  CASE WHEN m_after < 2 THEN 'dead'
+       WHEN m_after > {LSH_BUCKET_CAP} THEN 'capped'
+       WHEN m_before > {LSH_BUCKET_CAP} THEN 'revived'
+       ELSE 'active' END AS status,
+  CASE WHEN m_after BETWEEN 2 AND {LSH_BUCKET_CAP}
+       THEN m_after * (m_after - 1) // 2 ELSE 0 END AS n_pairs_after
+FROM st
+ORDER BY band, key
+""",
+)
+def dedup_tombstone_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete the mod-16 tombstone set from the persisted MinHash band
+    index: one row per affected (band, key) bucket — before/after
+    sizes, re-elected representative, lifecycle status (dead /
+    active / capped / REVIVED — a formerly over-cap bucket coming
+    back into pairing range) and the surviving candidate-pair count.
+    Only buckets holding a deleted doc are touched (broadcast lookup
+    into the persisted index, never a rebuild)."""
+    idx = full_band_index(spark, sf_dir)
+    aff = (
+        idx.filter(F.col("doc_id") % _TOMB_MOD == _TOMB_RES)
+        .select("band", "key")
+        .distinct()
+    )
+    st = (
+        idx.join(F.broadcast(aff), ["band", "key"])
+        .groupBy("band", "key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_before"),
+            F.count(
+                F.when(F.col("doc_id") % _TOMB_MOD != _TOMB_RES, 1)
+            )
+            .cast("bigint")
+            .alias("m_after"),
+            F.min("doc_id").alias("old_rep"),
+            F.min(
+                F.when(
+                    F.col("doc_id") % _TOMB_MOD != _TOMB_RES,
+                    F.col("doc_id"),
+                )
+            ).alias("new_rep"),
+        )
+    )
+    return st.select(
+        "band",
+        "key",
+        "m_before",
+        "m_after",
+        "old_rep",
+        "new_rep",
+        (
+            F.col("new_rep").isNull() | (F.col("new_rep") != F.col("old_rep"))
+        ).alias("rep_changed"),
+        F.expr(
+            f"CASE WHEN m_after < 2 THEN 'dead'"
+            f" WHEN m_after > {LSH_BUCKET_CAP} THEN 'capped'"
+            f" WHEN m_before > {LSH_BUCKET_CAP} THEN 'revived'"
+            f" ELSE 'active' END"
+        ).alias("status"),
+        F.expr(
+            f"CASE WHEN m_after BETWEEN 2 AND {LSH_BUCKET_CAP}"
+            " THEN m_after * (m_after - 1) DIV 2"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("n_pairs_after"),
+    ).orderBy("band", "key")

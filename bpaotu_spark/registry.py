@@ -101,6 +101,8 @@ def load_all() -> None:
     import bpaotu_spark.ann.extras4  # noqa: F401
     import bpaotu_spark.functions.textops7  # noqa: F401
     import bpaotu_spark.operators.diststore  # noqa: F401
+    import bpaotu_spark.dedup.tombstone  # noqa: F401
+    import bpaotu_spark.ann.tombstone  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

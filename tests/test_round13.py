@@ -243,3 +243,90 @@ def test_incremental_embedding_equals_batch_restriction(
     for (a, b), (_, _, n_new) in inc.items():
         assert n_new == (a % _NEW_MOD == 0) + (b % _NEW_MOD == 0)
     index_store._MEM.clear()
+
+
+def test_tombstone_minhash_states_consistent(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Bucket surgery vs a from-scratch Spark recount: sizes, reps and
+    the status state machine agree; m_after counts survivors only."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup.core import LSH_BUCKET_CAP, minhash_bands
+    from bpaotu_spark.dedup.tombstone import (
+        _TOMB_MOD,
+        _TOMB_RES,
+        dedup_tombstone_minhash,
+    )
+    from bpaotu_spark.catalog import load_table
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    rows = dedup_tombstone_minhash(spark, sf_dir).collect()
+    assert rows
+    bands = minhash_bands(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).collect()
+    by_bucket: dict = {}
+    for r in bands:
+        by_bucket.setdefault((r.band, r.key), []).append(r.doc_id)
+    affected = {
+        bk
+        for bk, ids in by_bucket.items()
+        if any(d % _TOMB_MOD == _TOMB_RES for d in ids)
+    }
+    assert {(r.band, r.key) for r in rows} == affected
+    for r in rows:
+        ids = by_bucket[(r.band, r.key)]
+        surv = [d for d in ids if d % _TOMB_MOD != _TOMB_RES]
+        assert r.m_before == len(ids)
+        assert r.m_after == len(surv)
+        assert r.old_rep == min(ids)
+        assert r.new_rep == (min(surv) if surv else None)
+        if r.m_after < 2:
+            assert r.status == "dead" and r.n_pairs_after == 0
+        elif r.m_after > LSH_BUCKET_CAP:
+            assert r.status == "capped" and r.n_pairs_after == 0
+        else:
+            assert r.status in ("active", "revived")
+            assert r.n_pairs_after == r.m_after * (r.m_after - 1) // 2
+    index_store._MEM.clear()
+
+
+def test_ann_tombstone_patched_graph_invariants(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The published patched edge list: no edge touches a tombstone,
+    repair edges are present in both directions, and every repair
+    target survives."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.tombstone import (
+        _REPAIR_K,
+        _VTOMB_MOD,
+        _VTOMB_RES,
+        repair_edges,
+        tombstoned_edges_cached,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    rep = repair_edges(
+        spark, sf_dir, index_store.connected_edges_cached(spark, sf_dir)
+    ).collect()
+    assert rep
+    for r in rep:
+        assert 1 <= r.rank <= _REPAIR_K
+        assert r.src % _VTOMB_MOD != _VTOMB_RES
+        assert r.neighbor_id % _VTOMB_MOD != _VTOMB_RES
+        assert r.lost_deg >= 1
+    patched = {
+        (r.vec_id, r.neighbor_id)
+        for r in tombstoned_edges_cached(spark, sf_dir).collect()
+    }
+    for u, v in patched:
+        assert u % _VTOMB_MOD != _VTOMB_RES
+        assert v % _VTOMB_MOD != _VTOMB_RES
+        assert (v, u) in patched  # symmetric closure holds post-patch
+    for r in rep:
+        assert (r.src, r.neighbor_id) in patched
+        assert (r.neighbor_id, r.src) in patched
+    index_store._MEM.clear()

@@ -516,6 +516,13 @@ HEADLINE = (
     "simper_contributions",
     "sentence_dedup_census",
     "pack_budget_sweep",
+    # --- round-13 additions (append-only tail) ---
+    "dist_matrix_store_stats",
+    "dedup_incremental_simhash",
+    "dedup_incremental_embedding",
+    "dedup_tombstone_exact",
+    "dedup_tombstone_minhash",
+    "ann_graph_tombstone_repair",
 )
 
 
@@ -690,6 +697,17 @@ def main() -> int:
     force(connected_edges_cached(spark, sf_dir))
     ann_index_build_sec = round(time.time() - t0, 3)
 
+    # Same lifecycle for the comparison-page distance matrices (r12
+    # VERDICT item 1): build the store artifacts ONCE and report the
+    # cost as its own metric; the seven consumer queries below then
+    # measure the warm READ path — what the comparison page pays per
+    # statistic after the submit-time build.
+    from bpaotu_spark.operators.diststore import build_dist_store
+
+    t0 = time.time()
+    build_dist_store(spark, sf_dir)
+    dist_index_build_sec = round(time.time() - t0, 3)
+
     # Machine-state probe FIRST (fixed pure-CPU job, median-of-3):
     # divides canonical deltas into (plan effect) x (host effect).
     calib_sec = calibrate(spark)
@@ -742,10 +760,19 @@ def main() -> int:
         # symmetric index prebuild so the slope compares search vs
         # search, not search vs build+search
         force(connected_edges_cached(spark, scale_dir))
+        build_dist_store(spark, scale_dir)
+        # best-of-2 (r12 VERDICT item 6): a single cold run at the
+        # scale SF let one disk stall / first-touch artifact invert a
+        # slope (daily_acf_lags read 10.49 s at sf0.01 vs 3.74 s at
+        # sf0.1 in BENCH_r12); min-of-2 measures the plan.
         for name in names:
             t0 = time.time()
             force(qs[name](spark, scale_dir))
-            scale_queries[name] = round(time.time() - t0, 3)
+            first = time.time() - t0
+            t0 = time.time()
+            force(qs[name](spark, scale_dir))
+            second = time.time() - t0
+            scale_queries[name] = round(min(first, second), 3)
 
     total = round(sum(per_query.values()), 3)
     canon = [n for n in HEADLINE[:N_CANON] if n in per_query]
@@ -791,7 +818,19 @@ def main() -> int:
         "calibration, cluster_balanced_sample_plan, events_signup_"
         "conversion_outer, mcnemar_quality_raters, ljung_box_daily, "
         "contamination_by_source, ses_forecast_mase, "
-        "map_radius_search, raup_crick_null."
+        "map_radius_search, raup_crick_null. r13: the comparison-page "
+        "distance matrices persist (operators/diststore via "
+        "ann/index_store) — dist_index_build_sec is the one-time "
+        "build; anosim/permanova/permutation/dispersion/simper/pcoa "
+        "are now store READS (bench ranks #1/#2 in r12 — "
+        "anosim_permutation_p 12.4s, permanova_permutation_p 10.5s — "
+        "were almost entirely repeated pair-former work). scale_check "
+        "is per-query best-of-2 with a symmetric dist-store prebuild "
+        "(r12 VERDICT item 6: a single cold scale run let disk "
+        "stalls/first-touch builds invert slopes). Tail appends this "
+        "round: dist_matrix_store_stats, dedup_incremental_simhash, "
+        "dedup_incremental_embedding, dedup_tombstone_exact, "
+        "dedup_tombstone_minhash, ann_graph_tombstone_repair."
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -803,6 +842,7 @@ def main() -> int:
                 "calib_sec": calib_sec,
                 "calib_mem_sec": calib_mem_sec,
                 "ann_index_build_sec": ann_index_build_sec,
+                "dist_index_build_sec": dist_index_build_sec,
                 "n_canon": len(canon),
                 "notes": notes,
                 "value_cold": round(sum(per_query_cold.values()), 3),
@@ -829,6 +869,7 @@ def main() -> int:
         "calib_sec": calib_sec,
         "calib_mem_sec": calib_mem_sec,
         "ann_index_build_sec": ann_index_build_sec,
+        "dist_index_build_sec": dist_index_build_sec,
         "n_canon": len(canon),
         "value_cold": round(sum(per_query_cold.values()), 3),
         "n_queries": len(per_query),

@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE
+from bpaotu_spark.operators.bpaotu import ABUNDANCE_CTE, abundance_selected
 from bpaotu_spark.operators.ecology import _ANOSIM_SEL
 from bpaotu_spark.registry import register
 

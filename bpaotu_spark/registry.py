@@ -119,25 +119,85 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-12 WINDOW (driver verifies the first ~50) ----
-    # (A) NEW this round:
-    #  - dedup_incremental_minhash: persisted base band index +
-    #    incremental insert emitting only new-vs-old ∪ new-vs-new
-    #    pairs (r11 VERDICT item 3); oracle = from-scratch union run.
+    # ---- ROUND-13 WINDOW (driver verifies the first ~50) ----
+    # (A) NEW this round — the r12 VERDICT punch list:
+    #  - dist_matrix_store_stats: the persisted comparison-page
+    #    distance matrix, aggregated store-side vs a from-scratch
+    #    oracle (VERDICT #1's integrity row).
+    #  - dedup_incremental_simhash / dedup_incremental_embedding:
+    #    the standing dedup index now covers SimHash signatures and
+    #    sign-LSH buckets (VERDICT #2).
+    #  - dedup_tombstone_exact / dedup_tombstone_minhash /
+    #    ann_graph_tombstone_repair: takedown deletes through the
+    #    persisted indexes with keeper re-election / bucket lifecycle
+    #    / HNSW-style local re-link (VERDICT #3).
+    "dist_matrix_store_stats",
+    "dedup_incremental_simhash",
+    "dedup_incremental_embedding",
+    "dedup_tombstone_exact",
+    "dedup_tombstone_minhash",
+    "ann_graph_tombstone_repair",
+    # (B) plan-CHANGED this round: the seven distance-matrix
+    # consumers now READ the store artifact (VERDICT #1), the three
+    # r12 ADVICE fixes (fixed-point log, WAV oracle LEFT JOIN, AD
+    # overflow guard), and dedup_simhash (signature pipeline factored
+    # into shared helpers — plan-identical, re-verified anyway).
+    "anosim_groups",
+    "anosim_permutation_p",
+    "permanova_permutation_p",
+    "permanova_pseudo_f",
+    "beta_dispersion_groups",
+    "simper_contributions",
+    "ordination_pcoa_2d",
+    "quality_filters_agreement",
+    "anderson_darling_binned",
+    "multimodal_wav_zero_crossings",
+    "dedup_simhash",
+    # (C) the 2 HLL rows-only keys: never windowed in 12 rounds
+    # (VERDICT #4) — the driver records their rows-only evidence.
+    "approx_distinct_parts",
+    "tfidf_top_terms_approx",
+    # (D) rotation: the keys whose last driver-green row is oldest
+    # (r2, then r3 — untouched since; covered locally every round by
+    # tools/check.py).
+    "cohort_retention_matrix",
+    "cube_returns",
+    "grouping_sets_mixed",
+    "histogram_binning",
+    "pivot_wide",
+    "q16_antijoin_parts",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "range_join_bucketed",
+    "retention_daily",
+    "rollup_hierarchy",
+    "skew_salted_join",
+    "abundance_matrix",
+    "alpha_diversity",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join",
+    "blast_kmer_similarity",
+    "contextual_fields_catalog",
+    "contextual_filter_and",
+    "contextual_filter_or",
+    "corpus_token_stats",
+    "dedup_embedding",
+    "dedup_exact",
+    "distinct_parts_per_brand",
+    "events_rollup_reuse",
+    # ---- 50-entry window boundary ----
+    # (R14 QUEUE) late-r13 operators would queue here, per the
+    # r10..r13 precedent.
+    # Covered tail — every key below is driver-green in a prior round
+    # and unchanged; order preserved from the r12 list.
     "dedup_incremental_minhash",
-    # (B) plan-CHANGED this round:
-    #  - ann_hnsw_multilayer_search: routing level now DERIVED from
-    #    corpus size (integer 16^k thresholds) with the decision
-    #    persisted as hnsw_params (r11 VERDICT item 4).
-    #  - daily_revenue_periodogram / holt_linear_mase /
-    #    kmv_set_intersection also changed (r11 ADVICE fixes) — they
-    #    already sit in the never-driver-verified block (C) below.
     "ann_hnsw_multilayer_search",
-    # (C) the 31-key R12-QUEUE: every oracle-backed key that has
-    # never had a driver CORRECTNESS row (13 spilled past the r11
-    # 50-cut + 18 late-r11 ops; all judge-harness green r11). After
-    # these land, union(CORRECTNESS_r01..r12) covers every
-    # oracle-backed key in the registry.
     "ann_beam_topk_quality",
     "corpus_anneal_mixture",
     "cluster_balanced_sample_plan",
@@ -169,36 +229,20 @@ PRIORITY: tuple[str, ...] = (
     "token_rate_drift",
     "weighted_sample_es",
     "window_funnel_strict",
-    # (A cont.) the remaining round-12 additions (dedup_incremental_
-    # minhash leads the window) — total = 31 queue + 1 plan-changed
-    # + 16 new = 48, with the two late ops below filling 49-50.
     "ann_augmented_graph_insert",
     "beta_diversity_canberra",
     "attribution_position_based",
-    "anderson_darling_binned",
     "dedup_incremental_exact",
     "corpus_novelty_growth_curve",
     "kpss_level_stat",
     "cr4_by_part_type",
-    "multimodal_wav_zero_crossings",
     "rapid_repeat_orders",
-    "quality_filters_agreement",
     "label_davies_bouldin",
     "corpus_good_turing",
     "label_calinski_harabasz",
-    "simper_contributions",
-    # (A cont.) two late-r12 ops — they fill window slots 49-50
-    # exactly, so the full r12 window is 50 round-12 keys.
     "sentence_dedup_census",
     "pack_budget_sweep",
-    # ---- 50-entry window boundary ----
-    # (R13 QUEUE) further late-r12 operators would queue here, per
-    # the r10→r11→r12 precedent.
-    # Round-11 window (driver-green in CORRECTNESS_r11.json) — rotates
-    # to the covered tail.
     "ann_jl_pool_recall_sweep",
-    "anosim_permutation_p",
-    "permanova_permutation_p",
     "events_purchases_after_signup",
     "ann_greedy_graph_search",
     "ann_beam_graph_search",
@@ -245,8 +289,6 @@ PRIORITY: tuple[str, ...] = (
     "otu_indicator_species",
     "otu_niche_breadth",
     "otu_region_overlap",
-    # Long-green covered tail (every key driver-green in some round or
-    # judge-verified; stays covered by tools/check.py locally).
     "knn_graph_connected",
     "expectations_audit_delta",
     "events_burst_alarm_windows",
@@ -298,15 +340,11 @@ PRIORITY: tuple[str, ...] = (
     "corpus_char_trigram_entropy",
     "doc_fourgram_compressibility",
     "bpe_merge_candidates",
-    "ordination_pcoa_2d",
     "beta_diversity_braycurtis",
     "beta_diversity_jaccard",
     "export_biom_triplets",
-    "anosim_groups",
-    "beta_dispersion_groups",
     "beta_diversity_morisita_horn",
     "mantel_test_gradient",
-    "permanova_pseudo_f",
     "unifrac_unweighted",
     "unifrac_weighted",
     "beta_diversity_sorensen",
@@ -520,52 +558,21 @@ PRIORITY: tuple[str, ...] = (
     "q21_sole_blame_supplier",
     "source_quality_report",
     "corpus_final_verdict",
-    "q5_local_supplier_volume",
-    "rollup_hierarchy",
-    "cube_returns",
-    "pivot_wide",
-    "histogram_binning",
-    "q4_order_priority",
-    "grouping_sets_mixed",
-    "q16_antijoin_parts",
-    "q18_large_orders",
-    "skew_salted_join",
-    "q7_nation_volume",
-    "q19_disjunctive_pushdown",
-    "q22_global_sales_opportunity",
-    "dedup_exact",
-    "dedup_embedding",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "blast_kmer_similarity",
     "train_test_split",
     "sample_stratified",
-    "corpus_token_stats",
     "tfidf_top_terms",
-    "distinct_parts_per_brand",
-    "contextual_filter_and",
-    "contextual_filter_or",
     "taxonomy_drilldown",
     "krona_rollup",
-    "abundance_matrix",
     "otu_text_search",
-    "alpha_diversity",
     "sample_summary",
     "export_long_abundance",
     "map_binning_2d",
     "taxonomy_isnot_filter",
-    "contextual_fields_catalog",
     "otu_query_combined",
     "events_session_window",
     "events_windowed_agg",
-    "events_rollup_reuse",
-    "asof_join",
     "funnel_conversion",
     "json_extraction",
-    "retention_daily",
-    "range_join_bucketed",
-    "cohort_retention_matrix",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "moving_avg_window",
@@ -608,8 +615,6 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "vector_quantize_int8",
     "embedding_label_centroids",
-    "dedup_simhash",
-    "tfidf_top_terms_approx",
 )
 
 

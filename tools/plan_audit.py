@@ -28,6 +28,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # side is provably bounded and the condition is non-equi; these are
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
+    # --- round-13 additions ---
+    "dist_matrix_store_stats": "1-row n_samples scalar crossed with the 1-row pair-matrix aggregate (both read the store artifact)",
     # --- round-11 additions ---
     "corpus_anneal_mixture": "broadcast 1-row (M, p_glob) and 1-row W scalars into the per-source frame",
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",

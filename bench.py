@@ -523,6 +523,8 @@ HEADLINE = (
     "dedup_tombstone_exact",
     "dedup_tombstone_minhash",
     "ann_graph_tombstone_repair",
+    "dedup_maintenance_cycle",
+    "cliffs_delta_priority",
 )
 
 

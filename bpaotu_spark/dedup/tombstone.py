@@ -250,3 +250,122 @@ def dedup_tombstone_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("n_pairs_after"),
     ).orderBy("band", "key")
+
+
+# ---------------------------------------------------------------------------
+# dedup_maintenance_cycle — the NIGHTLY CYCLE end to end: apply
+# tonight's insert (the doc_id ≡ 0 mod 8 drop) AND tonight's takedown
+# (the doc_id ≡ 3 mod 16 tombstones, all inside the standing corpus
+# by construction) to the exact-hash index in ONE pass, and emit the
+# canonical-map DELTA — the rows a downstream consumer must upsert.
+# This is the operation a production corpus actually schedules: both
+# the r12 incremental-insert surface and the r13 tombstone surface,
+# composed, with keeper elections resolved across BOTH changes (an
+# inserted doc with a smaller id can take a keepership at the same
+# moment a deleted keeper releases one).
+#
+# Output: one row per doc of the post-cycle corpus whose canonical
+# assignment is CREATED ('inserted') or CHANGED ('rekeyed') by the
+# cycle — everything untouched stays out of the delta, which is what
+# bounds the write volume at 100 TB.
+#
+# Scale shape: the drop hashes fresh (delta work); the standing
+# membership rows are probed only for the affected hash groups
+# (broadcast of tomb ∪ drop hashes — a lookup); elections are
+# per-group aggregates over those bounded groups.
+# ---------------------------------------------------------------------------
+
+_CYC_NEW_MOD = 8  # dedup/incremental.py's drop convention
+
+
+@register(
+    "dedup_maintenance_cycle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+base AS (
+  SELECT doc_id, h FROM h WHERE doc_id % {_CYC_NEW_MOD} != 0
+),
+newd AS (
+  SELECT doc_id, h FROM h WHERE doc_id % {_CYC_NEW_MOD} = 0
+),
+aff AS (
+  SELECT h FROM base WHERE doc_id % {_TOMB_MOD} = {_TOMB_RES}
+  UNION SELECT h FROM newd
+),
+old_k AS (
+  SELECT base.h, min(doc_id) AS old_keeper
+  FROM base JOIN aff USING (h) GROUP BY base.h
+),
+finalm AS (
+  SELECT base.doc_id, base.h FROM base JOIN aff USING (h)
+  WHERE base.doc_id % {_TOMB_MOD} != {_TOMB_RES}
+  UNION ALL
+  SELECT newd.doc_id, newd.h FROM newd
+),
+new_k AS (
+  SELECT h, min(doc_id) AS canonical_id FROM finalm GROUP BY h
+)
+SELECT f.doc_id, k.canonical_id,
+  CASE WHEN f.doc_id % {_CYC_NEW_MOD} = 0 THEN 'inserted'
+       ELSE 'rekeyed' END AS change
+FROM finalm f
+JOIN new_k k ON k.h = f.h
+LEFT JOIN old_k o ON o.h = f.h
+WHERE f.doc_id % {_CYC_NEW_MOD} = 0
+   OR o.old_keeper IS NULL
+   OR k.canonical_id != o.old_keeper
+ORDER BY f.doc_id
+""",
+)
+def dedup_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tonight's insert + tonight's takedown through the exact-hash
+    index in one pass: (doc_id, canonical_id, change ∈ {inserted,
+    rekeyed}) — the canonical-map delta the cycle must upsert. Only
+    the affected hash groups are touched (broadcast lookup into the
+    persisted membership table)."""
+    idx = full_hash_index(spark, sf_dir)
+    base = idx.filter(F.col("doc_id") % _CYC_NEW_MOD != 0)
+    # the drop hashes fresh — in production it is not in the standing
+    # index yet; the persisted artifact just happens to cover it
+    newd = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _CYC_NEW_MOD == 0)
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    aff = (
+        base.filter(F.col("doc_id") % _TOMB_MOD == _TOMB_RES)
+        .select("h")
+        .union(newd.select("h"))
+        .distinct()
+    )
+    old_k = (
+        base.join(F.broadcast(aff), "h")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("old_keeper"))
+    )
+    finalm = (
+        base.join(F.broadcast(aff), "h")
+        .filter(F.col("doc_id") % _TOMB_MOD != _TOMB_RES)
+        .select("doc_id", "h")
+        .unionByName(newd.select("doc_id", "h"))
+    )
+    new_k = finalm.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        finalm.join(new_k, "h")
+        .join(old_k, "h", "left")
+        .filter(
+            (F.col("doc_id") % _CYC_NEW_MOD == 0)
+            | F.col("old_keeper").isNull()
+            | (F.col("canonical_id") != F.col("old_keeper"))
+        )
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.when(F.col("doc_id") % _CYC_NEW_MOD == 0, "inserted")
+            .otherwise("rekeyed")
+            .alias("change"),
+        )
+        .orderBy("doc_id")
+    )

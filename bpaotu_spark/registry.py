@@ -103,6 +103,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.diststore  # noqa: F401
     import bpaotu_spark.dedup.tombstone  # noqa: F401
     import bpaotu_spark.ann.tombstone  # noqa: F401
+    import bpaotu_spark.operators.stats9  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -137,6 +138,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_tombstone_exact",
     "dedup_tombstone_minhash",
     "ann_graph_tombstone_repair",
+    #  - dedup_maintenance_cycle: insert + takedown composed in one
+    #    pass over the exact index (the real nightly job).
+    #  - cliffs_delta_priority: binned Cliff's delta effect size on
+    #    the AD bin grid.
+    "dedup_maintenance_cycle",
+    "cliffs_delta_priority",
     # (B) plan-CHANGED this round: the seven distance-matrix
     # consumers now READ the store artifact (VERDICT #1), the three
     # r12 ADVICE fixes (fixed-point log, WAV oracle LEFT JOIN, AD
@@ -189,13 +196,15 @@ PRIORITY: tuple[str, ...] = (
     "corpus_token_stats",
     "dedup_embedding",
     "dedup_exact",
-    "distinct_parts_per_brand",
-    "events_rollup_reuse",
     # ---- 50-entry window boundary ----
     # (R14 QUEUE) late-r13 operators would queue here, per the
     # r10..r13 precedent.
     # Covered tail — every key below is driver-green in a prior round
-    # and unchanged; order preserved from the r12 list.
+    # and unchanged; order preserved from the r12 list. The two
+    # oldest-green rotation keys displaced by the late-r13 ops queue
+    # first (R14 rotation head).
+    "distinct_parts_per_brand",
+    "events_rollup_reuse",
     "dedup_incremental_minhash",
     "ann_hnsw_multilayer_search",
     "ann_beam_topk_quality",

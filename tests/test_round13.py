@@ -330,3 +330,54 @@ def test_ann_tombstone_patched_graph_invariants(
         assert (r.src, r.neighbor_id) in patched
         assert (r.neighbor_id, r.src) in patched
     index_store._MEM.clear()
+
+
+def test_maintenance_cycle_delta_shape(spark, sf_dir, monkeypatch, tmp_path):
+    """Every drop doc is 'inserted', no tombstone id survives into the
+    delta, and canonicals point at post-cycle corpus members."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup.tombstone import (
+        _CYC_NEW_MOD,
+        _TOMB_MOD,
+        _TOMB_RES,
+        dedup_maintenance_cycle,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    rows = dedup_maintenance_cycle(spark, sf_dir).collect()
+    assert rows
+    inserted = {r.doc_id for r in rows if r.change == "inserted"}
+    for r in rows:
+        # a tombstoned doc never appears (tombstones are base-only)
+        assert not (
+            r.doc_id % _CYC_NEW_MOD != 0
+            and r.doc_id % _TOMB_MOD == _TOMB_RES
+        )
+        assert r.canonical_id <= r.doc_id
+        if r.doc_id % _CYC_NEW_MOD == 0:
+            assert r.change == "inserted"
+        else:
+            assert r.change == "rekeyed"
+    # every drop doc gets a canonical assignment in the delta
+    from bpaotu_spark.catalog import load_table
+    import pyspark.sql.functions as SF
+
+    drop = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(SF.col("doc_id") % _CYC_NEW_MOD == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert inserted == drop
+    index_store._MEM.clear()
+
+
+def test_cliffs_delta_pair_accounting(spark, sf_dir):
+    from bpaotu_spark.operators.stats9 import cliffs_delta_priority
+
+    r = cliffs_delta_priority(spark, sf_dir).collect()[0]
+    assert r.n_gt + r.n_lt + r.n_tie == r.n_a * r.n_b
+    assert -1_000_000 <= r.delta_ppm <= 1_000_000
+    assert r.magnitude in ("negligible", "small", "medium", "large")

@@ -285,6 +285,7 @@ ALLOWED_1PART_WINDOW: dict[str, str] = {
     "spearman_part_size_price": "global ranks on both variables (rank-correlation semantics need the total order; per-part rollup)",
     "ks_binned_two_sample": "cumulative share over the fixed bin grid",
     "anderson_darling_binned": "cumulative EDF windows over the FIXED 50-row bin grid",
+    "cliffs_delta_priority": "cumulative pair-count windows over the FIXED 50-row bin grid",
     "kpss_level_stat": "cumulative partial-sum windows over the calendar-bounded daily frame",
     "lang_length_quartiles": "quartile ranks within per-language frames (language-dimension bounded)",
     "weighted_sample_es": "ES reservoir rank over md5-keyed scores (top-k cut, output-bounded)",

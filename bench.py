@@ -525,6 +525,7 @@ HEADLINE = (
     "ann_graph_tombstone_repair",
     "dedup_maintenance_cycle",
     "cliffs_delta_priority",
+    "ann_tombstone_search_recall",
 )
 
 

@@ -232,3 +232,286 @@ def ann_graph_tombstone_repair(
 
     edges = connected_edges_cached(spark, sf_dir)
     return repair_edges(spark, sf_dir, edges)
+
+
+# ---------------------------------------------------------------------------
+# ann_tombstone_search_recall — SEARCH the repaired graph: the proof
+# that the tombstone patch preserved navigability. A beam-12 walk
+# (the ann_beam_graph_search shape, same hops/width) runs over the
+# PATCHED edge list — surviving base edges plus the local re-link
+# repairs — for the standard query set (minus any tombstoned query),
+# and is scored against the brute-force nearest neighbor over the
+# SURVIVING corpus. Exact milli-quantized integer distances, entry at
+# the max surviving vec_id; the oracle rebuilds graph + patch + walk
+# from scratch.
+#
+# Scale shape: identical to the flat beam op (broadcast frontier,
+# |queries| × beam × degree candidate joins per hop) over the
+# store-served patched edges; the truth pass is the bounded
+# |queries| × |survivors| scan every recall report pays.
+# ---------------------------------------------------------------------------
+
+
+def _patch_ctes() -> str:
+    """DuckDB CTEs (after CONNECTED_EDGES_SQL): ``patched`` = the
+    directed post-delete edge list — surviving base edges plus the
+    top-K repair edges in both directions."""
+    return f"""
+orph2 AS (
+  SELECT ce.vec_id AS u, ce.neighbor_id AS d
+  FROM conn_edges ce
+  WHERE ce.neighbor_id % {_VTOMB_MOD} = {_VTOMB_RES}
+    AND ce.vec_id % {_VTOMB_MOD} != {_VTOMB_RES}
+),
+donors2 AS (
+  SELECT ce.vec_id AS d, ce.neighbor_id AS w
+  FROM conn_edges ce
+  WHERE ce.vec_id % {_VTOMB_MOD} = {_VTOMB_RES}
+    AND ce.neighbor_id % {_VTOMB_MOD} != {_VTOMB_RES}
+),
+cand2 AS (
+  SELECT u, w FROM (
+    SELECT DISTINCT orph2.u, donors2.w
+    FROM orph2 JOIN donors2 ON donors2.d = orph2.d
+    WHERE donors2.w != orph2.u
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM conn_edges e
+    WHERE e.vec_id = c.u AND e.neighbor_id = c.w
+  )
+),
+scored2 AS (
+  SELECT u, w,
+    round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])))),
+      4) AS cos_sim
+  FROM cand2
+  JOIN embeddings a ON a.vec_id = cand2.u
+  JOIN embeddings b ON b.vec_id = cand2.w
+),
+rep2 AS (
+  SELECT u, w FROM (
+    SELECT u, w,
+      row_number() OVER (PARTITION BY u ORDER BY cos_sim DESC, w ASC)
+        AS rn
+    FROM scored2
+  ) WHERE rn <= {_REPAIR_K}
+),
+patched AS (
+  SELECT vec_id, neighbor_id FROM conn_edges
+  WHERE vec_id % {_VTOMB_MOD} != {_VTOMB_RES}
+    AND neighbor_id % {_VTOMB_MOD} != {_VTOMB_RES}
+  UNION SELECT u, w FROM rep2
+  UNION SELECT w, u FROM rep2
+)
+""".strip()
+
+
+def _tomb_search_oracle() -> str:
+    from bpaotu_spark.ann.core import N_QUERIES
+    from bpaotu_spark.ann.extras3 import _BEAM, _BEAM_HOPS, _D2_SQL, _RQ_Q
+
+    surv_q = (
+        f"vec_id < {N_QUERIES} AND vec_id % {_VTOMB_MOD} != {_VTOMB_RES}"
+    )
+    hops = []
+    prev = "f0"
+    for k in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""
+exp{k} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2 FROM {prev}
+    UNION ALL
+    SELECT f.query_id, e.neighbor_id AS node_id,
+      {_D2_SQL.format(a="q.q", b="c.q")} AS d2
+    FROM {prev} f
+    JOIN pedges e ON e.vec_id = f.node_id AND e.neighbor_id != f.query_id
+    JOIN eq q ON q.vec_id = f.query_id
+    JOIN eq c ON c.vec_id = e.neighbor_id
+  )
+),
+f{k} AS MATERIALIZED (
+  SELECT query_id, node_id, d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+        AS rn
+    FROM exp{k}
+  ) WHERE rn <= {_BEAM}
+)""".strip())
+        prev = f"f{k}"
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+
+    return f"""
+WITH RECURSIVE
+{CONNECTED_EDGES_SQL},
+{_patch_ctes()},
+pedges AS MATERIALIZED (SELECT vec_id, neighbor_id FROM patched),
+eq AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_RQ_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+entry AS (
+  SELECT max(vec_id) AS eid FROM eq
+  WHERE vec_id % {_VTOMB_MOD} != {_VTOMB_RES}
+),
+f0 AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, entry.eid AS node_id,
+    {_D2_SQL.format(a="qs.q", b="e.q")} AS d2
+  FROM (SELECT vec_id, q FROM eq WHERE {surv_q}) qs
+  CROSS JOIN entry
+  JOIN eq e ON e.vec_id = entry.eid
+),
+{",".join(hops)},
+found AS (
+  SELECT query_id, node_id AS found_id, d2 AS found_d2 FROM (
+    SELECT query_id, node_id, d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2, node_id)
+        AS rn
+    FROM {prev}
+  ) WHERE rn = 1
+),
+truth AS (
+  SELECT query_id, cand_id AS true_id, cand_d2 AS true_d2 FROM (
+    SELECT qs.vec_id AS query_id, e.vec_id AS cand_id,
+      {_D2_SQL.format(a="qs.q", b="e.q")} AS cand_d2,
+      row_number() OVER (PARTITION BY qs.vec_id
+        ORDER BY {_D2_SQL.format(a="qs.q", b="e.q")}, e.vec_id) AS rn
+    FROM (SELECT vec_id, q FROM eq WHERE {surv_q}) qs
+    JOIN eq e ON e.vec_id != qs.vec_id
+      AND e.vec_id % {_VTOMB_MOD} != {_VTOMB_RES}
+  ) WHERE rn = 1
+)
+SELECT f.query_id, f.found_id, f.found_d2, t.true_id, t.true_d2,
+  (f.found_id = t.true_id) AS exact_hit,
+  CAST(f.found_d2 * 1000 // greatest(t.true_d2, 1) AS BIGINT)
+    AS dist_ratio_milli
+FROM found f JOIN truth t USING (query_id)
+ORDER BY f.query_id
+"""
+
+
+@register("ann_tombstone_search_recall", oracle=_tomb_search_oracle())
+def ann_tombstone_search_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beam-12 walk over the PATCHED (post-tombstone) graph vs the
+    brute-force nearest neighbor among survivors — the navigability
+    proof of the local re-link: (query_id, found_id, found_d2,
+    true_id, true_d2, exact_hit, dist_ratio_milli)."""
+    from bpaotu_spark.ann.core import N_QUERIES
+    from bpaotu_spark.ann.extras3 import _BEAM, _BEAM_HOPS, _RQ_Q
+
+    is_surv = (F.col("vec_id") % _VTOMB_MOD) != _VTOMB_RES
+    eq = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _RQ_Q),
+            ).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    pedges = tombstoned_edges_cached(spark, sf_dir)
+
+    def d2(qcol: str, ccol: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qs = eq.filter((F.col("vec_id") < N_QUERIES) & is_surv).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    entry = eq.filter(is_surv).agg(F.max("vec_id").alias("eid"))
+    ev = eq.select(F.col("vec_id").alias("eid"), F.col("q").alias("nq"))
+    frontier = (
+        qs.crossJoin(F.broadcast(entry))
+        .join(F.broadcast(ev), "eid")
+        .select(
+            "query_id",
+            F.col("eid").alias("node_id"),
+            d2("qv", "nq").cast("long").alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
+    for _ in range(_BEAM_HOPS):
+        neigh = (
+            pedges.join(
+                F.broadcast(frontier.select("query_id", "node_id")),
+                pedges.vec_id == F.col("node_id"),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct()
+            .join(F.broadcast(qs), "query_id")
+            .join(cq, "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("node_id"),
+                d2("qv", "cq").cast("long").alias("d2"),
+            )
+        )
+        expanded = frontier.unionByName(neigh).distinct()
+        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
+        frontier = (
+            expanded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BEAM)
+            .select("query_id", "node_id", "d2")
+            .localCheckpoint()
+        )
+    w1 = Window.partitionBy("query_id").orderBy("d2", "node_id")
+    found = (
+        frontier.withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("node_id").alias("found_id"),
+            F.col("d2").alias("found_d2"),
+        )
+    )
+    truth_cand = (
+        eq.filter(is_surv)
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            d2("qv", "q").cast("long").alias("cand_d2"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    truth = (
+        truth_cand.withColumn("rn", F.row_number().over(wt))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("true_id"),
+            F.col("cand_d2").alias("true_d2"),
+        )
+    )
+    return (
+        found.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "found_id",
+            "found_d2",
+            "true_id",
+            "true_d2",
+            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
+            F.expr(
+                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
+            ).alias("dist_ratio_milli"),
+        )
+        .orderBy("query_id")
+    )

@@ -144,6 +144,9 @@ PRIORITY: tuple[str, ...] = (
     #    the AD bin grid.
     "dedup_maintenance_cycle",
     "cliffs_delta_priority",
+    #  - ann_tombstone_search_recall: beam search over the PATCHED
+    #    graph vs survivor brute force — the navigability proof.
+    "ann_tombstone_search_recall",
     # (B) plan-CHANGED this round: the seven distance-matrix
     # consumers now READ the store artifact (VERDICT #1), the three
     # r12 ADVICE fixes (fixed-point log, WAV oracle LEFT JOIN, AD
@@ -195,7 +198,6 @@ PRIORITY: tuple[str, ...] = (
     "contextual_filter_or",
     "corpus_token_stats",
     "dedup_embedding",
-    "dedup_exact",
     # ---- 50-entry window boundary ----
     # (R14 QUEUE) late-r13 operators would queue here, per the
     # r10..r13 precedent.
@@ -203,6 +205,7 @@ PRIORITY: tuple[str, ...] = (
     # and unchanged; order preserved from the r12 list. The two
     # oldest-green rotation keys displaced by the late-r13 ops queue
     # first (R14 rotation head).
+    "dedup_exact",
     "distinct_parts_per_brand",
     "events_rollup_reuse",
     "dedup_incremental_minhash",

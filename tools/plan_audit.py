@@ -73,6 +73,7 @@ ALLOWED_BNLJ = {
     "ann_recall_at_k_sweep": "composes ann_bruteforce_topk's broadcast-query != join per k leg",
     "ann_greedy_graph_search": "broadcast |queries|-row frontier per hop + truth leg's broadcast-query != join",
     "ann_beam_graph_search": "broadcast |queries|*B-row frontier per hop + truth leg's broadcast-query != join",
+    "ann_tombstone_search_recall": "the beam shape over the PATCHED store-served edges: broadcast frontier per hop, 1-row survivor entry, truth leg's broadcast-query != join",
     "priority_mix_jsd_monthly": "broadcast 1-row grand-total scalar into the months x 5-priority grid",
     "data_expectations_audit": "broadcast 1-row fk-orphan/row-count/dim-max scalars",
     "hazard_ratio_segments": "broadcast 1-row obs-end scalar + 2-row group frame (logrank shape)",

@@ -526,6 +526,8 @@ HEADLINE = (
     "dedup_maintenance_cycle",
     "cliffs_delta_priority",
     "ann_tombstone_search_recall",
+    "dedup_tombstone_simhash",
+    "dedup_tombstone_embedding",
 )
 
 

@@ -369,3 +369,262 @@ def dedup_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_tombstone_simhash / dedup_tombstone_embedding — the takedown
+# pass over the OTHER two standing near-dup indexes (completing the
+# matrix: every index family that has an incremental INSERT — exact,
+# minhash, simhash, embedding — now also has a DELETE):
+#
+# * simhash: per affected (b, band_val) band bucket of the persisted
+#   full signature table, before/after sizes, re-elected
+#   representative and the surviving CANDIDATE-pair count (simhash
+#   pairs still gate on Hamming<=max downstream; the bucket census is
+#   the index-maintenance view). No bucket cap in this family, so the
+#   lifecycle states are dead/active only.
+# * embedding: per affected sign-LSH bucket of the persisted vector
+#   index (the VECTOR tombstone set, vec_id ≡ 7 mod 50 — the ANN
+#   graph's takedown convention, so one takedown order drives both
+#   the graph repair and the dedup-bucket surgery).
+#
+# Both oracles recompute from scratch; both Spark sides touch only
+# buckets holding a deleted member (broadcast lookup into the
+# persisted index).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_tomb_oracle() -> str:
+    from bpaotu_spark.dedup.core import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        _feature_hash_sql,
+    )
+    from bpaotu_spark.functions.textops import TOKENIZE_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL} AS toks FROM documents
+), feat AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t
+), fh AS (
+  SELECT doc_id, {_feature_hash_sql()} AS h FROM feat
+), bits AS (
+  SELECT doc_id, j,
+    sum(CASE WHEN (h // (1 << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM fh, (SELECT unnest(range({SIMHASH_BITS})) AS j)
+  GROUP BY doc_id, j
+), sh AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b, (simhash >> (b * 8)) % 256 AS band_val
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b)
+),
+aff AS (
+  SELECT DISTINCT b, band_val FROM banded
+  WHERE doc_id % {_TOMB_MOD} = {_TOMB_RES}
+),
+st AS (
+  SELECT banded.b, banded.band_val,
+    CAST(count(*) AS BIGINT) AS m_before,
+    CAST(count(CASE WHEN doc_id % {_TOMB_MOD} != {_TOMB_RES} THEN 1 END)
+      AS BIGINT) AS m_after,
+    min(doc_id) AS old_rep,
+    min(CASE WHEN doc_id % {_TOMB_MOD} != {_TOMB_RES} THEN doc_id END)
+      AS new_rep
+  FROM banded JOIN aff
+    ON aff.b = banded.b AND aff.band_val = banded.band_val
+  GROUP BY banded.b, banded.band_val
+)
+SELECT CAST(b AS BIGINT) AS b, CAST(band_val AS BIGINT) AS band_val,
+  m_before, m_after, old_rep, new_rep,
+  (new_rep IS NULL OR new_rep != old_rep) AS rep_changed,
+  CASE WHEN m_after < 2 THEN 'dead' ELSE 'active' END AS status,
+  CASE WHEN m_after >= 2 THEN m_after * (m_after - 1) // 2
+       ELSE 0 END AS n_cand_pairs_after
+FROM st
+ORDER BY b, band_val
+"""
+
+
+def _emb_tomb_oracle() -> str:
+    from bpaotu_spark.dedup.core import _emb_bucket_sql
+
+    return f"""
+WITH idx AS (
+  SELECT e.vec_id, {_emb_bucket_sql('e')} AS bucket FROM embeddings e
+),
+aff AS (
+  SELECT DISTINCT bucket FROM idx
+  WHERE vec_id % {_VEC_TOMB_MOD} = {_VEC_TOMB_RES}
+),
+st AS (
+  SELECT idx.bucket,
+    CAST(count(*) AS BIGINT) AS m_before,
+    CAST(count(CASE WHEN vec_id % {_VEC_TOMB_MOD} != {_VEC_TOMB_RES}
+      THEN 1 END) AS BIGINT) AS m_after,
+    min(vec_id) AS old_rep,
+    min(CASE WHEN vec_id % {_VEC_TOMB_MOD} != {_VEC_TOMB_RES}
+      THEN vec_id END) AS new_rep
+  FROM idx JOIN aff USING (bucket)
+  GROUP BY idx.bucket
+)
+SELECT bucket, m_before, m_after, old_rep, new_rep,
+  (new_rep IS NULL OR new_rep != old_rep) AS rep_changed,
+  CASE WHEN m_after < 2 THEN 'dead' ELSE 'active' END AS status,
+  CASE WHEN m_after >= 2 THEN m_after * (m_after - 1) // 2
+       ELSE 0 END AS n_cand_pairs_after
+FROM st
+ORDER BY bucket
+"""
+
+
+
+def full_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) over the FULL corpus, persisted."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.core import simhash_signatures
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "simhash_sig_all",
+        lambda: simhash_signatures(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+        table="documents",
+    )
+
+
+@register("dedup_tombstone_simhash", oracle=_simhash_tomb_oracle())
+def dedup_tombstone_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete the mod-16 tombstone set from the persisted SimHash
+    index: one row per affected (b, band_val) band bucket —
+    (b, band_val, m_before, m_after, old_rep, new_rep, rep_changed,
+    status, n_cand_pairs_after)."""
+    from bpaotu_spark.dedup.core import simhash_banded
+
+    idx = simhash_banded(full_simhash_index(spark, sf_dir)).select(
+        "doc_id", "b", "band_val"
+    )
+    aff = (
+        idx.filter(F.col("doc_id") % _TOMB_MOD == _TOMB_RES)
+        .select("b", "band_val")
+        .distinct()
+    )
+    st = (
+        idx.join(F.broadcast(aff), ["b", "band_val"])
+        .groupBy("b", "band_val")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_before"),
+            F.count(
+                F.when(F.col("doc_id") % _TOMB_MOD != _TOMB_RES, 1)
+            )
+            .cast("bigint")
+            .alias("m_after"),
+            F.min("doc_id").alias("old_rep"),
+            F.min(
+                F.when(
+                    F.col("doc_id") % _TOMB_MOD != _TOMB_RES,
+                    F.col("doc_id"),
+                )
+            ).alias("new_rep"),
+        )
+    )
+    return st.select(
+        F.col("b").cast("bigint").alias("b"),
+        F.col("band_val").cast("bigint").alias("band_val"),
+        "m_before",
+        "m_after",
+        "old_rep",
+        "new_rep",
+        (
+            F.col("new_rep").isNull() | (F.col("new_rep") != F.col("old_rep"))
+        ).alias("rep_changed"),
+        F.expr(
+            "CASE WHEN m_after < 2 THEN 'dead' ELSE 'active' END"
+        ).alias("status"),
+        F.expr(
+            "CASE WHEN m_after >= 2"
+            " THEN m_after * (m_after - 1) DIV 2"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("n_cand_pairs_after"),
+    ).orderBy("b", "band_val")
+
+
+_VEC_TOMB_MOD = 50
+_VEC_TOMB_RES = 7  # the ann/tombstone.py takedown convention
+
+
+@register("dedup_tombstone_embedding", oracle=_emb_tomb_oracle())
+def dedup_tombstone_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete the mod-50 VECTOR tombstone set from the persisted
+    sign-LSH bucket index: one row per affected bucket —
+    (bucket, m_before, m_after, old_rep, new_rep, rep_changed,
+    status, n_cand_pairs_after)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.core import _emb_bucket
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        return emb.select(
+            "vec_id", _emb_bucket(F.col("v")).alias("bucket")
+        )
+
+    idx = cached_frame(
+        spark, sf_dir, "emb_lsh_all", build, table="embeddings"
+    )
+    aff = (
+        idx.filter(F.col("vec_id") % _VEC_TOMB_MOD == _VEC_TOMB_RES)
+        .select("bucket")
+        .distinct()
+    )
+    st = (
+        idx.join(F.broadcast(aff), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_before"),
+            F.count(
+                F.when(
+                    F.col("vec_id") % _VEC_TOMB_MOD != _VEC_TOMB_RES, 1
+                )
+            )
+            .cast("bigint")
+            .alias("m_after"),
+            F.min("vec_id").alias("old_rep"),
+            F.min(
+                F.when(
+                    F.col("vec_id") % _VEC_TOMB_MOD != _VEC_TOMB_RES,
+                    F.col("vec_id"),
+                )
+            ).alias("new_rep"),
+        )
+    )
+    return st.select(
+        "bucket",
+        "m_before",
+        "m_after",
+        "old_rep",
+        "new_rep",
+        (
+            F.col("new_rep").isNull() | (F.col("new_rep") != F.col("old_rep"))
+        ).alias("rep_changed"),
+        F.expr(
+            "CASE WHEN m_after < 2 THEN 'dead' ELSE 'active' END"
+        ).alias("status"),
+        F.expr(
+            "CASE WHEN m_after >= 2"
+            " THEN m_after * (m_after - 1) DIV 2"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("n_cand_pairs_after"),
+    ).orderBy("bucket")
+
+
+

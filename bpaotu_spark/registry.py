@@ -147,6 +147,11 @@ PRIORITY: tuple[str, ...] = (
     #  - ann_tombstone_search_recall: beam search over the PATCHED
     #    graph vs survivor brute force — the navigability proof.
     "ann_tombstone_search_recall",
+    #  - dedup_tombstone_simhash / dedup_tombstone_embedding: the
+    #    takedown pass over the remaining two standing indexes (every
+    #    index family with an incremental INSERT now has a DELETE).
+    "dedup_tombstone_simhash",
+    "dedup_tombstone_embedding",
     # (B) plan-CHANGED this round: the seven distance-matrix
     # consumers now READ the store artifact (VERDICT #1), the three
     # r12 ADVICE fixes (fixed-point log, WAV oracle LEFT JOIN, AD
@@ -196,8 +201,6 @@ PRIORITY: tuple[str, ...] = (
     "contextual_fields_catalog",
     "contextual_filter_and",
     "contextual_filter_or",
-    "corpus_token_stats",
-    "dedup_embedding",
     # ---- 50-entry window boundary ----
     # (R14 QUEUE) late-r13 operators would queue here, per the
     # r10..r13 precedent.
@@ -205,6 +208,8 @@ PRIORITY: tuple[str, ...] = (
     # and unchanged; order preserved from the r12 list. The two
     # oldest-green rotation keys displaced by the late-r13 ops queue
     # first (R14 rotation head).
+    "corpus_token_stats",
+    "dedup_embedding",
     "dedup_exact",
     "distinct_parts_per_brand",
     "events_rollup_reuse",

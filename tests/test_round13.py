@@ -381,3 +381,45 @@ def test_cliffs_delta_pair_accounting(spark, sf_dir):
     assert r.n_gt + r.n_lt + r.n_tie == r.n_a * r.n_b
     assert -1_000_000 <= r.delta_ppm <= 1_000_000
     assert r.magnitude in ("negligible", "small", "medium", "large")
+
+
+def test_tombstone_search_and_bucket_deletes(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Post-delete search returns only survivors with sane ratios;
+    the simhash/embedding bucket surgeries account sizes exactly."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.tombstone import (
+        _VTOMB_MOD,
+        _VTOMB_RES,
+        ann_tombstone_search_recall,
+    )
+    from bpaotu_spark.dedup.tombstone import (
+        dedup_tombstone_embedding,
+        dedup_tombstone_simhash,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    res = ann_tombstone_search_recall(spark, sf_dir).collect()
+    assert res
+    for r in res:
+        assert r.query_id % _VTOMB_MOD != _VTOMB_RES
+        assert r.found_id % _VTOMB_MOD != _VTOMB_RES
+        assert r.true_id % _VTOMB_MOD != _VTOMB_RES
+        assert r.dist_ratio_milli >= 1000  # found can't beat the truth
+        if r.exact_hit:
+            assert r.found_id == r.true_id
+
+    for rows in (
+        dedup_tombstone_simhash(spark, sf_dir).collect(),
+        dedup_tombstone_embedding(spark, sf_dir).collect(),
+    ):
+        assert rows
+        for r in rows:
+            assert r.m_after < r.m_before  # every bucket lost a member
+            if r.status == "dead":
+                assert r.m_after < 2 and r.n_cand_pairs_after == 0
+            else:
+                assert r.n_cand_pairs_after == r.m_after * (r.m_after - 1) // 2
+    index_store._MEM.clear()

@@ -528,6 +528,7 @@ HEADLINE = (
     "ann_tombstone_search_recall",
     "dedup_tombstone_simhash",
     "dedup_tombstone_embedding",
+    "dedup_maintenance_cycle_minhash",
 )
 
 

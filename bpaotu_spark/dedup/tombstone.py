@@ -628,3 +628,145 @@ def dedup_tombstone_embedding(
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# dedup_maintenance_cycle_minhash — the nightly cycle over the BAND
+# index (the MinHash twin of dedup_maintenance_cycle): insert the
+# mod-8 drop's band rows AND remove the mod-16 tombstones' in one
+# pass against the persisted BASE band index, emitting the bucket
+# delta. Both cap transitions appear: REVIVED (delete pulls an
+# over-cap bucket back into pairing range) and NEWLY_CAPPED (insert
+# pushes a bucket over the cap — the inverse subtlety; a from-scratch
+# run on the post-cycle corpus would skip those buckets, and so must
+# the incremental pair former).
+#
+# Scale shape: drop band rows are delta work; only buckets touched by
+# the drop or a tombstone are probed (broadcast lookup), as in both
+# parent ops.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_maintenance_cycle_minhash",
+    oracle=f"""
+WITH {NGRAMS_SQL},
+xs AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS x FROM ng
+),
+sig AS (
+  SELECT doc_id,
+    {_sig_exprs_sql()}
+  FROM xs GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig" for b in range(LSH_BANDS))}
+),
+aff AS (
+  SELECT DISTINCT band, key FROM bands
+  WHERE doc_id % {_CYC_NEW_MOD} = 0
+     OR doc_id % {_TOMB_MOD} = {_TOMB_RES}
+),
+st AS (
+  SELECT bands.band, bands.key,
+    CAST(count(CASE WHEN doc_id % {_CYC_NEW_MOD} != 0 THEN 1 END)
+      AS BIGINT) AS m_before,
+    CAST(count(CASE WHEN doc_id % {_TOMB_MOD} != {_TOMB_RES} THEN 1 END)
+      AS BIGINT) AS m_after,
+    min(CASE WHEN doc_id % {_CYC_NEW_MOD} != 0 THEN doc_id END)
+      AS old_rep,
+    min(CASE WHEN doc_id % {_TOMB_MOD} != {_TOMB_RES} THEN doc_id END)
+      AS new_rep
+  FROM bands JOIN aff ON aff.band = bands.band AND aff.key = bands.key
+  GROUP BY bands.band, bands.key
+)
+SELECT band, key, m_before, m_after, old_rep, new_rep,
+  CASE WHEN m_after < 2 THEN 'dead'
+       WHEN m_after > {LSH_BUCKET_CAP} AND
+            (m_before BETWEEN 2 AND {LSH_BUCKET_CAP}) THEN 'newly_capped'
+       WHEN m_after > {LSH_BUCKET_CAP} THEN 'capped'
+       WHEN m_before > {LSH_BUCKET_CAP} THEN 'revived'
+       ELSE 'active' END AS status,
+  CASE WHEN m_after BETWEEN 2 AND {LSH_BUCKET_CAP}
+       THEN m_after * (m_after - 1) // 2 ELSE 0 END AS n_pairs_after
+FROM st
+ORDER BY band, key
+""",
+)
+def dedup_maintenance_cycle_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Insert the mod-8 drop and delete the mod-16 tombstones through
+    the band index in one pass: per touched (band, key) bucket the
+    before/after sizes, re-elected representative, lifecycle status
+    (incl. newly_capped — insert pushing a bucket over the pair cap)
+    and the post-cycle candidate-pair count."""
+    from bpaotu_spark.dedup.incremental import base_band_index
+
+    base_bands, _ = base_band_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the drop's band rows are delta work (its docs are not in the
+    # standing index); tombstones are base rows by construction
+    drop_bands = minhash_bands(
+        docs.filter(F.col("doc_id") % _CYC_NEW_MOD == 0)
+    ).localCheckpoint()
+    allb = base_bands.select("doc_id", "band", "key").unionByName(
+        drop_bands.select("doc_id", "band", "key")
+    )
+    aff = (
+        drop_bands.select("band", "key")
+        .unionByName(
+            base_bands.filter(
+                F.col("doc_id") % _TOMB_MOD == _TOMB_RES
+            ).select("band", "key")
+        )
+        .distinct()
+    )
+    st = (
+        allb.join(F.broadcast(aff), ["band", "key"])
+        .groupBy("band", "key")
+        .agg(
+            F.count(
+                F.when(F.col("doc_id") % _CYC_NEW_MOD != 0, 1)
+            )
+            .cast("bigint")
+            .alias("m_before"),
+            F.count(
+                F.when(F.col("doc_id") % _TOMB_MOD != _TOMB_RES, 1)
+            )
+            .cast("bigint")
+            .alias("m_after"),
+            F.min(
+                F.when(
+                    F.col("doc_id") % _CYC_NEW_MOD != 0, F.col("doc_id")
+                )
+            ).alias("old_rep"),
+            F.min(
+                F.when(
+                    F.col("doc_id") % _TOMB_MOD != _TOMB_RES,
+                    F.col("doc_id"),
+                )
+            ).alias("new_rep"),
+        )
+    )
+    return st.select(
+        "band",
+        "key",
+        "m_before",
+        "m_after",
+        "old_rep",
+        "new_rep",
+        F.expr(
+            f"CASE WHEN m_after < 2 THEN 'dead'"
+            f" WHEN m_after > {LSH_BUCKET_CAP} AND"
+            f"  (m_before BETWEEN 2 AND {LSH_BUCKET_CAP}) THEN 'newly_capped'"
+            f" WHEN m_after > {LSH_BUCKET_CAP} THEN 'capped'"
+            f" WHEN m_before > {LSH_BUCKET_CAP} THEN 'revived'"
+            f" ELSE 'active' END"
+        ).alias("status"),
+        F.expr(
+            f"CASE WHEN m_after BETWEEN 2 AND {LSH_BUCKET_CAP}"
+            " THEN m_after * (m_after - 1) DIV 2"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("n_pairs_after"),
+    ).orderBy("band", "key")

@@ -152,6 +152,9 @@ PRIORITY: tuple[str, ...] = (
     #    index family with an incremental INSERT now has a DELETE).
     "dedup_tombstone_simhash",
     "dedup_tombstone_embedding",
+    #  - dedup_maintenance_cycle_minhash: the band-index cycle twin
+    #    (insert+delete composed; newly_capped + revived states).
+    "dedup_maintenance_cycle_minhash",
     # (B) plan-CHANGED this round: the seven distance-matrix
     # consumers now READ the store artifact (VERDICT #1), the three
     # r12 ADVICE fixes (fixed-point log, WAV oracle LEFT JOIN, AD
@@ -200,7 +203,6 @@ PRIORITY: tuple[str, ...] = (
     "blast_kmer_similarity",
     "contextual_fields_catalog",
     "contextual_filter_and",
-    "contextual_filter_or",
     # ---- 50-entry window boundary ----
     # (R14 QUEUE) late-r13 operators would queue here, per the
     # r10..r13 precedent.
@@ -208,6 +210,7 @@ PRIORITY: tuple[str, ...] = (
     # and unchanged; order preserved from the r12 list. The two
     # oldest-green rotation keys displaced by the late-r13 ops queue
     # first (R14 rotation head).
+    "contextual_filter_or",
     "corpus_token_stats",
     "dedup_embedding",
     "dedup_exact",

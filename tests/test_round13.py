@@ -423,3 +423,53 @@ def test_tombstone_search_and_bucket_deletes(
             else:
                 assert r.n_cand_pairs_after == r.m_after * (r.m_after - 1) // 2
     index_store._MEM.clear()
+
+
+def test_maintenance_cycle_minhash_bucket_accounting(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Cycle bucket surgery vs a from-scratch Spark recount over the
+    full band table: sizes and the status machine (incl. both cap
+    transitions) agree."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.dedup.core import LSH_BUCKET_CAP, minhash_bands
+    from bpaotu_spark.dedup.tombstone import (
+        _CYC_NEW_MOD,
+        _TOMB_MOD,
+        _TOMB_RES,
+        dedup_maintenance_cycle_minhash,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    rows = dedup_maintenance_cycle_minhash(spark, sf_dir).collect()
+    assert rows
+    bands = minhash_bands(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).collect()
+    by_bucket: dict = {}
+    for r in bands:
+        by_bucket.setdefault((r.band, r.key), []).append(r.doc_id)
+    touched = {
+        bk
+        for bk, ids in by_bucket.items()
+        if any(
+            d % _CYC_NEW_MOD == 0 or d % _TOMB_MOD == _TOMB_RES
+            for d in ids
+        )
+    }
+    assert {(r.band, r.key) for r in rows} == touched
+    for r in rows:
+        ids = by_bucket[(r.band, r.key)]
+        before = [d for d in ids if d % _CYC_NEW_MOD != 0]
+        after = [d for d in ids if d % _TOMB_MOD != _TOMB_RES]
+        assert r.m_before == len(before)
+        assert r.m_after == len(after)
+        assert r.old_rep == (min(before) if before else None)
+        assert r.new_rep == (min(after) if after else None)
+        if r.status == "newly_capped":
+            assert 2 <= r.m_before <= LSH_BUCKET_CAP < r.m_after
+        if r.status == "revived":
+            assert r.m_before > LSH_BUCKET_CAP >= r.m_after >= 2
+    index_store._MEM.clear()

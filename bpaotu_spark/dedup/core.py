@@ -431,8 +431,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_banded(sh: DataFrame) -> DataFrame:
-    """(doc_id, simhash, b, band_val) — the 8-bit band explode of a
-    signature table."""
+    """(…input columns…, b, band_val) — the 8-bit band explode of a
+    signature table. Pass-through of every input column beyond
+    (doc_id, simhash) lets callers carry flags (e.g. the incremental
+    index's is_new) through the explode without a recovery self-join
+    (r13 ADVICE item 4)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -442,11 +445,8 @@ def simhash_banded(sh: DataFrame) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ]
     )
-    return sh.select(
-        "doc_id", "simhash", F.explode(band_structs).alias("bk")
-    ).select(
-        "doc_id",
-        "simhash",
+    return sh.withColumn("bk", F.explode(band_structs)).select(
+        *sh.columns,
         F.col("bk.b").alias("b"),
         F.col("bk.bv").alias("band_val"),
     )

@@ -454,9 +454,10 @@ def augment_simhash_index(
         "b",
         "band_val",
     )
-    y = simhash_banded(all_sig.select("doc_id", "simhash", "is_new")).join(
-        all_sig.select("doc_id", "is_new"), "doc_id"
-    ).select(
+    # is_new rides through the band explode (simhash_banded passes
+    # extra columns through), so no recovery self-join and no second
+    # evaluation of all_sig (r13 ADVICE item 4)
+    y = simhash_banded(all_sig).select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sh_b"),
         F.col("is_new").alias("b_new"),

@@ -75,8 +75,19 @@ def ln_ratio_micro_ctes(
     the pass-through columns in ``keep``). Emits CTEs ``{prefix}0`` ..
     ``{prefix}{_FRAC_BITS+1}``; the last one carries ``keep`` plus
     ``ln_micro``. Integer arithmetic only — bit-identical to the Spark
-    twin :func:`ln_ratio_micro_col`."""
-    ladder = _ladder_sql(num, den, "HUGEINT")
+    twin :func:`ln_ratio_micro_col`.
+
+    Precondition: ``num >= den >= 1`` per row. Violations fail LOUDLY
+    (``error()`` folded into the ladder, mirroring the Spark twin's
+    ``assert_true``) instead of returning a silently wrong ln_micro
+    with lg = 0 and a sub-range mantissa (r13 ADVICE item 2)."""
+    ladder = (
+        f"CASE WHEN CAST({num} AS HUGEINT) >= CAST({den} AS HUGEINT)"
+        f" AND CAST({den} AS HUGEINT) >= 1"
+        f" THEN {_ladder_sql(num, den, 'HUGEINT')}"
+        " ELSE CAST(error('ln_ratio_micro requires num >= den >= 1')"
+        " AS INT) END"
+    )
     parts = [
         f"""{prefix}0 AS (
   SELECT {keep}, lg, CAST(0 AS BIGINT) AS fr,
@@ -110,8 +121,19 @@ def ln_ratio_micro_ctes(
 def ln_ratio_micro_col(df: DataFrame, num: str, den: str) -> DataFrame:
     """Spark twin of :func:`ln_ratio_micro_ctes`: appends ``ln_micro``
     to ``df`` via the identical integer recurrence (a withColumn
-    chain; every step is whole-stage-codegen BIGINT arithmetic)."""
-    ladder = _ladder_sql(num, den, "DECIMAL(38,0)")
+    chain; every step is whole-stage-codegen BIGINT arithmetic).
+
+    Precondition: ``num >= den >= 1`` per row. Violations fail LOUDLY
+    (``assert_true`` folded into the ladder so column pruning cannot
+    drop it) instead of returning a silently wrong ln_micro (r13
+    ADVICE item 2)."""
+    ladder = (
+        "CASE WHEN assert_true("
+        f"CAST({num} AS DECIMAL(38,0)) >= CAST({den} AS DECIMAL(38,0))"
+        f" AND CAST({den} AS DECIMAL(38,0)) >= 1,"
+        " 'ln_ratio_micro requires num >= den >= 1') IS NULL"
+        f" THEN {_ladder_sql(num, den, 'DECIMAL(38,0)')} END"
+    )
     out = df.withColumn("__lg", F.expr(ladder)).withColumn(
         "__m",
         F.expr(

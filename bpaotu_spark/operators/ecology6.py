@@ -182,13 +182,10 @@ def beta_diversity_canberra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-OTU aggregate.
 # ---------------------------------------------------------------------------
 
-_SIMPER_SEL = "c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey < 5"
-
 # simper reads the distance store's cohort artifacts; that is only
-# sound while its selection IS the ANOSIM study selection
-from bpaotu_spark.operators.ecology import _ANOSIM_SEL as _ECO_ANOSIM_SEL  # noqa: E402
-
-assert _SIMPER_SEL == _ECO_ANOSIM_SEL
+# sound while its selection IS the ANOSIM study selection — one source
+# of truth, not a duplicated string guarded by a strippable assert
+from bpaotu_spark.operators.ecology import _ANOSIM_SEL as _SIMPER_SEL  # noqa: E402
 _SIMPER_TOPK = 25
 _SIMPER_W = 1_000_000_000_000  # pico weighting of 1/(T_i + T_j)
 
@@ -268,7 +265,7 @@ def simper_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rnk, otu_id, share_ppm, cum_share_ppm)."""
     from pyspark.sql import Window
 
-    # _SIMPER_SEL is textually the ANOSIM study selection, so the
+    # _SIMPER_SEL aliases the ANOSIM study selection, so the
     # per-sample OTU counts come from the distance store (r12 VERDICT
     # item 1) — already checkpointed, three consumers below read it
     from bpaotu_spark.operators.diststore import (

@@ -128,7 +128,14 @@ def anderson_darling_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # column pruning cannot drop it: a per-bin numerator
                 # that would exceed DECIMAL(38,0) fails LOUDLY here
                 # (DuckDB's HUGEINT already errors loudly) instead of
-                # Spark's silent non-ANSI NULL (r12 ADVICE item 3)
+                # Spark's silent non-ANSI NULL (r12 ADVICE item 3).
+                # The test runs in DOUBLE, so near 2^53 the comparison
+                # is approximate — sound ONLY because the trip point
+                # (9.0e37) sits a full decade of double ulps below the
+                # true DECIMAL(38,0) bound (~1e38): any double rounding
+                # error is absorbed by that margin, trading an exact
+                # threshold for an early-but-never-late trip (r13
+                # ADVICE item 5). Keep the margin if retuning.
                 F.expr(
                     "CASE WHEN assert_true("
                     "  pow(abs(CAST(cn AS DOUBLE) * m - CAST(cm AS DOUBLE) * n), 2)"

@@ -24,6 +24,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """Decorator: register a query implementation and its DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # a silent overwrite loses the earlier operator to import
+            # order (the r13 mann_kendall_trend near-miss was caught by
+            # an allowlist coincidence, not by the system)
+            raise ValueError(
+                f"duplicate operator registration: {name!r} is already "
+                f"registered by {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

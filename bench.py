@@ -529,6 +529,8 @@ HEADLINE = (
     "dedup_tombstone_simhash",
     "dedup_tombstone_embedding",
     "dedup_maintenance_cycle_minhash",
+    # round-14 additions
+    "dedup_sig_store_stats",
 )
 
 
@@ -714,6 +716,17 @@ def main() -> int:
     build_dist_store(spark, sf_dir)
     dist_index_build_sec = round(time.time() - t0, 3)
 
+    # Same lifecycle for the dedup signature substrate (r13 VERDICT
+    # item 1): build the signature/pair/CC-label artifacts ONCE and
+    # report the cost as its own metric; the dedup-family queries
+    # below then measure the warm READ path — what the nightly-ingest
+    # deployment pays per census after the build job.
+    from bpaotu_spark.dedup.sigstore import build_dedup_store
+
+    t0 = time.time()
+    build_dedup_store(spark, sf_dir)
+    dedup_index_build_sec = round(time.time() - t0, 3)
+
     # Machine-state probe FIRST (fixed pure-CPU job, median-of-3):
     # divides canonical deltas into (plan effect) x (host effect).
     calib_sec = calibrate(spark)
@@ -767,6 +780,7 @@ def main() -> int:
         # search, not search vs build+search
         force(connected_edges_cached(spark, scale_dir))
         build_dist_store(spark, scale_dir)
+        build_dedup_store(spark, scale_dir)
         # best-of-2 (r12 VERDICT item 6): a single cold run at the
         # scale SF let one disk stall / first-touch artifact invert a
         # slope (daily_acf_lags read 10.49 s at sf0.01 vs 3.74 s at
@@ -836,7 +850,16 @@ def main() -> int:
         "stalls/first-touch builds invert slopes). Tail appends this "
         "round: dist_matrix_store_stats, dedup_incremental_simhash, "
         "dedup_incremental_embedding, dedup_tombstone_exact, "
-        "dedup_tombstone_minhash, ann_graph_tombstone_repair."
+        "dedup_tombstone_minhash, ann_graph_tombstone_repair. r14: "
+        "the dedup signature substrate persists (dedup/sigstore via "
+        "ann/index_store) — dedup_index_build_sec is the one-time "
+        "signature/pair/CC-label build; dedup_minhash_lsh, "
+        "dedup_simhash, dedup_ngram_jaccard, dedup_cluster_cc, "
+        "corpus_near_dedup_keep_first, lsh_bucket_profile and every "
+        "census composing them are now store READS (the r13 bench "
+        "ranks #8-#25 block — family_agreement 5.55s, keep_first "
+        "5.22s, survival 5.05s — was repeated signature-former "
+        "work); scale_check prebuilds the dedup store symmetrically."
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -849,6 +872,7 @@ def main() -> int:
                 "calib_mem_sec": calib_mem_sec,
                 "ann_index_build_sec": ann_index_build_sec,
                 "dist_index_build_sec": dist_index_build_sec,
+                "dedup_index_build_sec": dedup_index_build_sec,
                 "n_canon": len(canon),
                 "notes": notes,
                 "value_cold": round(sum(per_query_cold.values()), 3),
@@ -876,6 +900,7 @@ def main() -> int:
         "calib_mem_sec": calib_mem_sec,
         "ann_index_build_sec": ann_index_build_sec,
         "dist_index_build_sec": dist_index_build_sec,
+        "dedup_index_build_sec": dedup_index_build_sec,
         "n_canon": len(canon),
         "value_cold": round(sum(per_query_cold.values()), 3),
         "n_queries": len(per_query),

@@ -48,12 +48,13 @@ _MEM: dict[tuple[str, str], DataFrame] = {}
 
 # bound the disk tier: tests fingerprint tmp_path dirs that never
 # recur, so evict the oldest entries past this count at publish time.
-# Sized ABOVE the full working set (r13: ~20 artifact kinds × 3 SFs —
+# Sized ABOVE the full working set (r14: ~28 artifact kinds × 3 SFs —
 # graph edges, PQ/OPQ/IVF tables, dist matrices, dedup band/hash/
-# simhash/embedding indexes); at 64 the cap thrashed: a bench run
-# found conn_edges-sf0.1 evicted by the round's check.py artifact
-# churn and paid a 15 s cold rebuild that read as a regression.
-_MAX_ENTRIES = 192
+# simhash/embedding indexes, the r14 signature/pair/CC-label store,
+# UniFrac lineage frames); at 64 the cap thrashed: a bench run found
+# conn_edges-sf0.1 evicted by the round's check.py artifact churn and
+# paid a 15 s cold rebuild that read as a regression (r13 root cause).
+_MAX_ENTRIES = 256
 
 
 def index_root() -> str:

@@ -64,14 +64,15 @@ def base_band_index(
     never serve a stale index). The weekly build job; reads after the
     first call."""
     from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.sigstore import full_band_index
 
     def build_bands() -> DataFrame:
-        base = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .filter(F.col("doc_id") % _NEW_MOD != 0)
+        # signatures are per-document, so the base band table IS the
+        # full-corpus store artifact filtered to base ids — no
+        # signature recompute when the batch substrate is warm (r14)
+        return full_band_index(spark, sf_dir).filter(
+            F.col("doc_id") % _NEW_MOD != 0
         )
-        return minhash_bands(base)
 
     bands = cached_frame(
         spark, sf_dir, "dedup_bands_b8", build_bands, table="documents"
@@ -415,15 +416,14 @@ def base_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standing SimHash index: the BASE corpus's (doc_id, simhash)
     signature table, persisted through the index store."""
     from bpaotu_spark.ann.index_store import cached_frame
-    from bpaotu_spark.dedup.core import simhash_signatures
+    from bpaotu_spark.dedup.sigstore import full_simhash_index
 
     def build() -> DataFrame:
-        base = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .filter(F.col("doc_id") % _NEW_MOD != 0)
+        # a doc's simhash never depends on other docs, so the base
+        # table IS the full-corpus store artifact filtered to base ids
+        return full_simhash_index(spark, sf_dir).filter(
+            F.col("doc_id") % _NEW_MOD != 0
         )
-        return simhash_signatures(base)
 
     return cached_frame(
         spark, sf_dir, "simhash_sig_b8", build, table="documents"

@@ -57,38 +57,14 @@ _TOMB_MOD = 16
 _TOMB_RES = 3  # doc_id ≡ 3 (mod 16): the deterministic takedown set
 
 
-def full_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standing exact index: (doc_id, h) over the FULL corpus,
-    persisted through the index store (the per-doc hash rows a
-    production exact-dedup service keeps, not just the canon map —
-    deletion needs the membership rows to re-elect keepers)."""
-    from bpaotu_spark.ann.index_store import cached_frame
-
-    return cached_frame(
-        spark,
-        sf_dir,
-        "dedup_hash_all",
-        lambda: load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.md5("text").alias("h")
-        ),
-        table="documents",
-    )
-
-
-def full_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standing MinHash index over the FULL corpus: (doc_id,
-    band, key), persisted through the index store."""
-    from bpaotu_spark.ann.index_store import cached_frame
-
-    return cached_frame(
-        spark,
-        sf_dir,
-        "dedup_bands_all",
-        lambda: minhash_bands(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        ),
-        table="documents",
-    )
+# the full-corpus hash/band/simhash indexes moved to dedup/sigstore.py
+# in r14 (one signature store shared by batch, incremental, and
+# tombstone paths); re-exported here for the existing import surface
+from bpaotu_spark.dedup.sigstore import (  # noqa: F401
+    full_band_index,
+    full_hash_index,
+    full_simhash_index,
+)
 
 
 @register(
@@ -482,20 +458,6 @@ ORDER BY bucket
 
 
 
-def full_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) over the FULL corpus, persisted."""
-    from bpaotu_spark.ann.index_store import cached_frame
-    from bpaotu_spark.dedup.core import simhash_signatures
-
-    return cached_frame(
-        spark,
-        sf_dir,
-        "simhash_sig_all",
-        lambda: simhash_signatures(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        ),
-        table="documents",
-    )
 
 
 @register("dedup_tombstone_simhash", oracle=_simhash_tomb_oracle())

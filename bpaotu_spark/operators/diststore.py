@@ -178,6 +178,74 @@ def pcoa_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the UniFrac artifacts additionally depend on the part lineage
+_UF_TABLES = ("lineitem", "orders", "customer", "part")
+
+
+def unifrac_pres_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_id, edge) — the study cohort's spanned lineage-edge
+    sets (the unweighted-UniFrac substrate), store-served (r13 VERDICT
+    item 2: the comparison-page lifecycle, applied to the
+    phylogeny-aware pair family)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.operators.ecology2 import _uf_pres_build
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "unifrac_pres",
+        lambda: _uf_pres_build(spark, sf_dir),
+        table=_UF_TABLES,
+    )
+
+
+def unifrac_uw_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_a, sample_b, n_edges_a, n_edges_b, n_shared_edges,
+    unifrac_ppm) — the full unweighted-UniFrac pair matrix,
+    store-served (built FROM the persisted edge sets)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.operators.ecology2 import _uf_uw_pairs_build
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "unifrac_uw_pairs",
+        lambda: _uf_uw_pairs_build(spark, sf_dir),
+        table=_UF_TABLES,
+    )
+
+
+def unifrac_e2_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_id, edge, c, t, own_ppm) — the weighted-UniFrac
+    per-edge mass table of the study cohort, store-served."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.operators.ecology2 import _uf_e2_build
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "unifrac_eab",
+        lambda: _uf_e2_build(spark, sf_dir),
+        table=_UF_TABLES,
+    )
+
+
+def unifrac_w_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_a, sample_b, total_a, total_b, wu_ppm) — the full
+    weighted-UniFrac pair matrix, store-served (built FROM the
+    persisted per-edge mass table)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.operators.ecology2 import _uf_w_pairs_build
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "unifrac_w_pairs",
+        lambda: _uf_w_pairs_build(spark, sf_dir),
+        table=_UF_TABLES,
+    )
+
+
 def build_dist_store(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """The BUILD JOB: construct and persist every distance-matrix
     artifact for ``sf_dir`` in one call (the comparison-page submit
@@ -188,6 +256,11 @@ def build_dist_store(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "bray_tot_anosim": anosim_tot_cached(spark, sf_dir).count(),
         "bray_pairs_anosim": anosim_pairs_cached(spark, sf_dir).count(),
         "bray_pairs_pcoa": pcoa_pairs_cached(spark, sf_dir).count(),
+        # r14 (r13 VERDICT item 2): the UniFrac lineage pair frames
+        "unifrac_pres": unifrac_pres_cached(spark, sf_dir).count(),
+        "unifrac_uw_pairs": unifrac_uw_pairs_cached(spark, sf_dir).count(),
+        "unifrac_eab": unifrac_e2_cached(spark, sf_dir).count(),
+        "unifrac_w_pairs": unifrac_w_pairs_cached(spark, sf_dir).count(),
     }
 
 

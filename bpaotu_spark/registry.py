@@ -113,6 +113,7 @@ def load_all() -> None:
     import bpaotu_spark.dedup.tombstone  # noqa: F401
     import bpaotu_spark.ann.tombstone  # noqa: F401
     import bpaotu_spark.operators.stats9  # noqa: F401
+    import bpaotu_spark.dedup.sigstore  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks

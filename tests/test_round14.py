@@ -33,3 +33,123 @@ def test_register_duplicate_name_raises():
 
     # the original registration is untouched
     assert REG["q1_pricing_summary"] is before
+
+
+# ---------------------------------------------------------------------------
+# dedup signature store (r13 VERDICT item 1): the batch dedup family
+# must be served from persisted artifacts — zero signature recomputes
+# on a warm store — and the served values must equal a from-scratch
+# run (the registered oracles enforce the same equality driver-side).
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_sig_store_persists_and_reserves(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    import os
+
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.dedup import core as dedup_core
+    from bpaotu_spark.dedup import sigstore
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    r1 = {
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    s1 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    c1 = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_cluster_cc"](spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    for name in (
+        "dedup_bands_all",
+        "dedup_lsh_pairs",
+        "simhash_sig_all",
+        "dedup_simhash_pairs",
+        "dedup_cc_labels",
+    ):
+        assert any(
+            d.startswith(f"{name}-") for d in os.listdir(tmp_path / "idx")
+        ), name
+    # fresh "process": everything must come from disk — zero signature
+    # recomputes (minhash_bands / simhash_signatures never called)
+    index_store._MEM.clear()
+    calls = {"n": 0}
+    real_mb, real_ss = dedup_core.minhash_bands, dedup_core.simhash_signatures
+
+    def counting_mb(docs):
+        calls["n"] += 1
+        return real_mb(docs)
+
+    def counting_ss(docs):
+        calls["n"] += 1
+        return real_ss(docs)
+
+    monkeypatch.setattr(dedup_core, "minhash_bands", counting_mb)
+    monkeypatch.setattr(dedup_core, "simhash_signatures", counting_ss)
+    r2 = {
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    s2 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    c2 = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_cluster_cc"](spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    assert calls["n"] == 0
+    assert (r2, s2, c2) == (r1, s1, c1)
+    # the integrity row agrees with the served artifacts
+    stats = QUERIES["dedup_sig_store_stats"](spark, sf_dir).collect()[0]
+    assert stats.n_lsh_pairs == len(r1)
+    assert stats.n_simhash_pairs == len(s1)
+    assert stats.n_clustered_docs == len(c1)
+    # the build job is idempotent and reports every artifact
+    manifest = sigstore.build_dedup_store(spark, sf_dir)
+    assert manifest["dedup_lsh_pairs"] == len(r1)
+    assert manifest["dedup_cc_labels"] == len(c1)
+    index_store._MEM.clear()
+
+
+def test_unifrac_store_round_trip(spark, sf_dir, tmp_path, monkeypatch):
+    """Both UniFrac ops read fingerprint-keyed lineage artifacts; a
+    fresh process serves them from disk with identical values (r13
+    VERDICT item 2)."""
+    import os
+
+    from bpaotu_spark.ann import index_store
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    u1 = {
+        tuple(r) for r in QUERIES["unifrac_unweighted"](spark, sf_dir).collect()
+    }
+    w1 = {
+        tuple(r) for r in QUERIES["unifrac_weighted"](spark, sf_dir).collect()
+    }
+    for name in ("unifrac_pres", "unifrac_uw_pairs", "unifrac_eab",
+                 "unifrac_w_pairs"):
+        assert any(
+            d.startswith(f"{name}-") for d in os.listdir(tmp_path / "idx")
+        ), name
+    index_store._MEM.clear()
+    u2 = {
+        tuple(r) for r in QUERIES["unifrac_unweighted"](spark, sf_dir).collect()
+    }
+    w2 = {
+        tuple(r) for r in QUERIES["unifrac_weighted"](spark, sf_dir).collect()
+    }
+    assert (u2, w2) == (u1, w1)
+    assert u1 and w1
+    index_store._MEM.clear()

@@ -30,6 +30,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ALLOWED_BNLJ = {
     # --- round-13 additions ---
     "dist_matrix_store_stats": "1-row n_samples scalar crossed with the 1-row pair-matrix aggregate (both read the store artifact)",
+    "dedup_sig_store_stats": "five 1-row aggregates over store artifacts crossed into the single integrity row",
     # --- round-11 additions ---
     "corpus_anneal_mixture": "broadcast 1-row (M, p_glob) and 1-row W scalars into the per-source frame",
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",

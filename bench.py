@@ -531,6 +531,8 @@ HEADLINE = (
     "dedup_maintenance_cycle_minhash",
     # round-14 additions
     "dedup_sig_store_stats",
+    "index_tombstone_debt",
+    "ann_consolidation_decision",
 )
 
 

@@ -520,14 +520,10 @@ _VEC_TOMB_MOD = 50
 _VEC_TOMB_RES = 7  # the ann/tombstone.py takedown convention
 
 
-@register("dedup_tombstone_embedding", oracle=_emb_tomb_oracle())
-def dedup_tombstone_embedding(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Delete the mod-50 VECTOR tombstone set from the persisted
-    sign-LSH bucket index: one row per affected bucket —
-    (bucket, m_before, m_after, old_rep, new_rep, rep_changed,
-    status, n_cand_pairs_after)."""
+def full_emb_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) over the FULL corpus — the standing sign-LSH
+    membership rows, persisted through the index store (shared by the
+    takedown pass and the tombstone-debt census)."""
     from bpaotu_spark.ann.index_store import cached_frame
     from bpaotu_spark.dedup.core import _emb_bucket
 
@@ -540,9 +536,20 @@ def dedup_tombstone_embedding(
             "vec_id", _emb_bucket(F.col("v")).alias("bucket")
         )
 
-    idx = cached_frame(
+    return cached_frame(
         spark, sf_dir, "emb_lsh_all", build, table="embeddings"
     )
+
+
+@register("dedup_tombstone_embedding", oracle=_emb_tomb_oracle())
+def dedup_tombstone_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete the mod-50 VECTOR tombstone set from the persisted
+    sign-LSH bucket index: one row per affected bucket —
+    (bucket, m_before, m_after, old_rep, new_rep, rep_changed,
+    status, n_cand_pairs_after)."""
+    idx = full_emb_bucket_index(spark, sf_dir)
     aff = (
         idx.filter(F.col("vec_id") % _VEC_TOMB_MOD == _VEC_TOMB_RES)
         .select("bucket")

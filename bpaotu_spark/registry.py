@@ -114,6 +114,7 @@ def load_all() -> None:
     import bpaotu_spark.ann.tombstone  # noqa: F401
     import bpaotu_spark.operators.stats9  # noqa: F401
     import bpaotu_spark.dedup.sigstore  # noqa: F401
+    import bpaotu_spark.operators.consolidate  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -130,46 +131,91 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-13 WINDOW (driver verifies the first ~50) ----
-    # (A) NEW this round — the r12 VERDICT punch list:
-    #  - dist_matrix_store_stats: the persisted comparison-page
-    #    distance matrix, aggregated store-side vs a from-scratch
-    #    oracle (VERDICT #1's integrity row).
-    #  - dedup_incremental_simhash / dedup_incremental_embedding:
-    #    the standing dedup index now covers SimHash signatures and
-    #    sign-LSH buckets (VERDICT #2).
-    #  - dedup_tombstone_exact / dedup_tombstone_minhash /
-    #    ann_graph_tombstone_repair: takedown deletes through the
-    #    persisted indexes with keeper re-election / bucket lifecycle
-    #    / HNSW-style local re-link (VERDICT #3).
-    "dist_matrix_store_stats",
+    # ---- ROUND-14 WINDOW (driver verifies the first ~50) ----
+    # (A) NEW this round — the r13 VERDICT punch list:
+    #  - dedup_sig_store_stats: the persisted dedup signature
+    #    substrate (bands / signatures / candidate pairs / CC labels),
+    #    aggregated store-side vs a from-scratch oracle (VERDICT #1's
+    #    integrity row — the dist-store move applied to the dedup
+    #    family).
+    #  - index_tombstone_debt / ann_consolidation_decision: the
+    #    FreshDiskANN consolidate trigger (VERDICT #4) — standing
+    #    takedown debt per persisted index family + the graph's
+    #    incident-edge / repair-dilution decision.
+    "dedup_sig_store_stats",
+    "index_tombstone_debt",
+    "ann_consolidation_decision",
+    # (B) plan-CHANGED this round: the dedup family now reads the
+    # signature store (pair formers, CC labels, band profile and every
+    # census composing them), both UniFrac ops read the lineage store,
+    # the incremental base indexes derive from the full artifacts, the
+    # embedding bucket index was factored into a shared accessor, and
+    # quality_filters_agreement carries the intlog precondition guard.
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "corpus_near_dedup_keep_first",
+    "lsh_bucket_profile",
+    "unifrac_unweighted",
+    "unifrac_weighted",
+    "dedup_family_agreement",
+    "dedup_family_histogram",
+    "dedup_survival_by_source",
+    "dedup_cross_source_matrix",
+    "dedup_band_threshold_sweep",
+    "dedup_lsh_recall_report",
+    "corpus_final_verdict",
+    "entropy_dedup_calibration",
+    "dedup_incremental_minhash",
     "dedup_incremental_simhash",
+    "dedup_tombstone_embedding",
+    "quality_filters_agreement",
+    # (C) rotation: the entire r3-evidence cohort (21 keys, VERDICT
+    # #6) plus the six oldest r4 keys — after this window no key's
+    # latest driver evidence is older than r4.
+    "contextual_filter_or",
+    "corpus_token_stats",
+    "dedup_embedding",
+    "dedup_exact",
+    "distinct_parts_per_brand",
+    "events_rollup_reuse",
+    "events_session_window",
+    "events_windowed_agg",
+    "export_long_abundance",
+    "funnel_conversion",
+    "json_extraction",
+    "krona_rollup",
+    "map_binning_2d",
+    "otu_query_combined",
+    "otu_text_search",
+    "sample_stratified",
+    "sample_summary",
+    "taxonomy_drilldown",
+    "taxonomy_isnot_filter",
+    "tfidf_top_terms",
+    "train_test_split",
+    "basket_brand_lift",
+    "bm25_search",
+    "corpus_clean_pipeline",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "corpus_semantic_dedup_keep_first",
+    # ---- 50-entry window boundary ----
+    # (R15 QUEUE) late-r14 operators would queue here, per precedent.
+    # Covered tail — every key below is driver-green in a prior round
+    # and unchanged; the r13 window keys displaced by the r14 sweep
+    # queue first, then the r12-ordered remainder.
+    "dist_matrix_store_stats",
     "dedup_incremental_embedding",
     "dedup_tombstone_exact",
     "dedup_tombstone_minhash",
     "ann_graph_tombstone_repair",
-    #  - dedup_maintenance_cycle: insert + takedown composed in one
-    #    pass over the exact index (the real nightly job).
-    #  - cliffs_delta_priority: binned Cliff's delta effect size on
-    #    the AD bin grid.
     "dedup_maintenance_cycle",
     "cliffs_delta_priority",
-    #  - ann_tombstone_search_recall: beam search over the PATCHED
-    #    graph vs survivor brute force — the navigability proof.
     "ann_tombstone_search_recall",
-    #  - dedup_tombstone_simhash / dedup_tombstone_embedding: the
-    #    takedown pass over the remaining two standing indexes (every
-    #    index family with an incremental INSERT now has a DELETE).
     "dedup_tombstone_simhash",
-    "dedup_tombstone_embedding",
-    #  - dedup_maintenance_cycle_minhash: the band-index cycle twin
-    #    (insert+delete composed; newly_capped + revived states).
     "dedup_maintenance_cycle_minhash",
-    # (B) plan-CHANGED this round: the seven distance-matrix
-    # consumers now READ the store artifact (VERDICT #1), the three
-    # r12 ADVICE fixes (fixed-point log, WAV oracle LEFT JOIN, AD
-    # overflow guard), and dedup_simhash (signature pipeline factored
-    # into shared helpers — plan-identical, re-verified anyway).
     "anosim_groups",
     "anosim_permutation_p",
     "permanova_permutation_p",
@@ -177,17 +223,10 @@ PRIORITY: tuple[str, ...] = (
     "beta_dispersion_groups",
     "simper_contributions",
     "ordination_pcoa_2d",
-    "quality_filters_agreement",
     "anderson_darling_binned",
     "multimodal_wav_zero_crossings",
-    "dedup_simhash",
-    # (C) the 2 HLL rows-only keys: never windowed in 12 rounds
-    # (VERDICT #4) — the driver records their rows-only evidence.
     "approx_distinct_parts",
     "tfidf_top_terms_approx",
-    # (D) rotation: the keys whose last driver-green row is oldest
-    # (r2, then r3 — untouched since; covered locally every round by
-    # tools/check.py).
     "cohort_retention_matrix",
     "cube_returns",
     "grouping_sets_mixed",
@@ -213,20 +252,6 @@ PRIORITY: tuple[str, ...] = (
     "blast_kmer_similarity",
     "contextual_fields_catalog",
     "contextual_filter_and",
-    # ---- 50-entry window boundary ----
-    # (R14 QUEUE) late-r13 operators would queue here, per the
-    # r10..r13 precedent.
-    # Covered tail — every key below is driver-green in a prior round
-    # and unchanged; order preserved from the r12 list. The two
-    # oldest-green rotation keys displaced by the late-r13 ops queue
-    # first (R14 rotation head).
-    "contextual_filter_or",
-    "corpus_token_stats",
-    "dedup_embedding",
-    "dedup_exact",
-    "distinct_parts_per_brand",
-    "events_rollup_reuse",
-    "dedup_incremental_minhash",
     "ann_hnsw_multilayer_search",
     "ann_beam_topk_quality",
     "corpus_anneal_mixture",
@@ -375,8 +400,6 @@ PRIORITY: tuple[str, ...] = (
     "export_biom_triplets",
     "beta_diversity_morisita_horn",
     "mantel_test_gradient",
-    "unifrac_unweighted",
-    "unifrac_weighted",
     "beta_diversity_sorensen",
     "gamma_diversity_partition",
     "otu_endemism",
@@ -409,7 +432,6 @@ PRIORITY: tuple[str, ...] = (
     "text_sentence_profile",
     "embedding_norm_vs_label_anova",
     "events_trending_topk",
-    "dedup_band_threshold_sweep",
     "ab_cuped_adjustment",
     "abundance_rarefaction",
     "ann_filtered_topk",
@@ -440,7 +462,6 @@ PRIORITY: tuple[str, ...] = (
     "kneser_ney_bigram_ppl",
     "quantization_error_histogram",
     "wilcoxon_signed_rank_yoy",
-    "dedup_survival_by_source",
     "anova_oneway_f",
     "brown_forsythe_f",
     "cochran_armitage_trend",
@@ -455,7 +476,6 @@ PRIORITY: tuple[str, ...] = (
     "ttr_head100",
     "whittaker_beta_nation",
     "heldout_oov_rate",
-    "lsh_bucket_profile",
     "multimodal_features",
     "ace_richness",
     "nelson_aalen_hazard",
@@ -463,7 +483,6 @@ PRIORITY: tuple[str, ...] = (
     "trimmed_mean_by_segment",
     "daily_autocorrelation",
     "heaps_law_estimate",
-    "entropy_dedup_calibration",
     "markov_entropy_rate",
     "part_supply_resilience",
     "chao1_richness",
@@ -514,7 +533,6 @@ PRIORITY: tuple[str, ...] = (
     "event_debounce_dedup",
     "ivf_cell_balance_report",
     "embedding_cell_residual_stats",
-    "dedup_family_agreement",
     "approx_distinct_kmv",
     "heldout_bigram_perplexity",
     "ccnet_perplexity_tertiles",
@@ -540,11 +558,6 @@ PRIORITY: tuple[str, ...] = (
     "markov_calibration_reliability",
     "knn_reciprocity",
     "scd2_dwell_time_stats",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "corpus_near_dedup_keep_first",
-    "dedup_lsh_recall_report",
     "bigram_pmi",
     "multimodal_meta",
     "multimodal_decode",
@@ -558,10 +571,8 @@ PRIORITY: tuple[str, ...] = (
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
     "ann_recall_report",
-    "dedup_family_histogram",
     "taxa_cooccurrence",
     "rarefaction_curve",
-    "dedup_cross_source_matrix",
     "funnel_time_to_convert",
     "revenue_seasonality_weekday",
     "order_fulfillment_latency",
@@ -587,22 +598,6 @@ PRIORITY: tuple[str, ...] = (
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     "source_quality_report",
-    "corpus_final_verdict",
-    "train_test_split",
-    "sample_stratified",
-    "tfidf_top_terms",
-    "taxonomy_drilldown",
-    "krona_rollup",
-    "otu_text_search",
-    "sample_summary",
-    "export_long_abundance",
-    "map_binning_2d",
-    "taxonomy_isnot_filter",
-    "otu_query_combined",
-    "events_session_window",
-    "events_windowed_agg",
-    "funnel_conversion",
-    "json_extraction",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "moving_avg_window",
@@ -613,7 +608,6 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_share",
     "doc_chunk_sliding",
     "token_vocab_coverage",
-    "basket_brand_lift",
     "table_profile",
     "event_interarrival_stats",
     "lang_length_quartiles",
@@ -625,18 +619,13 @@ PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q11_important_parts",
     "window_functions_suite",
-    "corpus_decontaminate",
-    "corpus_semantic_dedup_keep_first",
     "text_unigram_logloss",
-    "bm25_search",
     "lang_temperature_sample",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "embedding_dim_stats",
     "sessionize_events",
-    "corpus_clean_pipeline",
     "text_repetition_ratio",
-    "corpus_pack_sequences",
     "decile_stats",
     "topk_per_group",
     "text_langid",

@@ -121,6 +121,11 @@ def test_build_dist_store_manifest_idempotent(
         "bray_tot_anosim",
         "bray_pairs_anosim",
         "bray_pairs_pcoa",
+        # r14: the UniFrac lineage artifacts (r13 VERDICT item 2)
+        "unifrac_pres",
+        "unifrac_uw_pairs",
+        "unifrac_eab",
+        "unifrac_w_pairs",
     }
     assert all(n > 0 for n in m1.values())
     n_tot = m1["bray_tot_anosim"]

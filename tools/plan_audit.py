@@ -31,6 +31,7 @@ ALLOWED_BNLJ = {
     # --- round-13 additions ---
     "dist_matrix_store_stats": "1-row n_samples scalar crossed with the 1-row pair-matrix aggregate (both read the store artifact)",
     "dedup_sig_store_stats": "five 1-row aggregates over store artifacts crossed into the single integrity row",
+    "ann_consolidation_decision": "two 1-row aggregates (base-edge census x patched-edge census) crossed into the single decision row",
     # --- round-11 additions ---
     "corpus_anneal_mixture": "broadcast 1-row (M, p_glob) and 1-row W scalars into the per-source frame",
     "contamination_by_source": "broadcast 1-row test-set-size scalar into the per-source hit frame",

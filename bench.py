@@ -533,6 +533,7 @@ HEADLINE = (
     "dedup_sig_store_stats",
     "index_tombstone_debt",
     "ann_consolidation_decision",
+    "dedup_index_compact",
 )
 
 

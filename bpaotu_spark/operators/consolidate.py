@@ -186,6 +186,156 @@ def index_tombstone_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_index_compact — EXECUTE the compaction the census recommends
+# (census → decision → compact, the full FreshDiskANN consolidate
+# cycle for the dedup families). For every family whose dead share
+# crosses the cutoff, the survivor-only index is built and PUBLISHED
+# through the store (fingerprint-keyed, like every artifact); the
+# receipt row proves the compacted artifact holds exactly the
+# survivors (residual_dead_rows = 0). Below-cutoff families are
+# no-ops whose receipt carries the debt they keep paying.
+#
+# The 4-row debt pull driving the branch is a bounded-metadata
+# driver collect (the CC-convergence-signature class): which
+# artifacts to rebuild is a scheduling decision, not row data.
+# ---------------------------------------------------------------------------
+
+
+def _compact_oracle() -> str:
+    from bpaotu_spark.dedup.core import LSH_BANDS
+    from bpaotu_spark.dedup.tombstone import _TOMB_MOD, _TOMB_RES
+    from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
+    from bpaotu_spark.functions.textops import TOKENIZE_SQL
+
+    t = DEBT_THRESHOLD_PPM
+    return f"""
+WITH dd AS (
+  SELECT doc_id, len({TOKENIZE_SQL}) AS nt FROM documents
+),
+fam AS (
+  SELECT 'exact' AS family,
+    CAST(count(*) AS BIGINT) AS n_rows_before,
+    CAST(count(*) FILTER (WHERE doc_id % {_TOMB_MOD} = {_TOMB_RES})
+      AS BIGINT) AS n_dead
+  FROM documents
+  UNION ALL
+  SELECT 'minhash',
+    CAST({LSH_BANDS} * count(*) FILTER (WHERE nt >= 3) AS BIGINT),
+    CAST({LSH_BANDS} * count(*) FILTER (
+      WHERE nt >= 3 AND doc_id % {_TOMB_MOD} = {_TOMB_RES}) AS BIGINT)
+  FROM dd
+  UNION ALL
+  SELECT 'simhash',
+    CAST(count(*) FILTER (WHERE nt >= 1) AS BIGINT),
+    CAST(count(*) FILTER (
+      WHERE nt >= 1 AND doc_id % {_TOMB_MOD} = {_TOMB_RES}) AS BIGINT)
+  FROM dd
+  UNION ALL
+  SELECT 'embedding',
+    CAST(count(*) AS BIGINT),
+    CAST(count(*) FILTER (WHERE vec_id % {_VTOMB_MOD} = {_VTOMB_RES})
+      AS BIGINT)
+  FROM embeddings
+)
+SELECT family,
+  (n_dead * 1000000 // n_rows_before) >= {t} AS consolidated,
+  n_rows_before,
+  CASE WHEN (n_dead * 1000000 // n_rows_before) >= {t}
+       THEN n_rows_before - n_dead ELSE n_rows_before END AS n_rows_after,
+  CASE WHEN (n_dead * 1000000 // n_rows_before) >= {t}
+       THEN n_dead ELSE CAST(0 AS BIGINT) END AS n_reclaimed,
+  CASE WHEN (n_dead * 1000000 // n_rows_before) >= {t}
+       THEN CAST(0 AS BIGINT) ELSE n_dead END AS residual_dead_rows
+FROM fam
+"""
+
+
+@register("dedup_index_compact", oracle=_compact_oracle())
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the consolidate verdicts: for every dedup family above
+    the cutoff, build and PUBLISH the survivor-only index through the
+    store, and emit the compaction receipt — (family, consolidated,
+    n_rows_before, n_rows_after, n_reclaimed, residual_dead_rows).
+    residual_dead_rows counts tombstoned rows still present in the
+    artifact the family's queries would now read: 0 after a
+    compaction (the oracle asserts it — a stale or wrong compacted
+    artifact fails the hash), and the standing debt for no-op
+    families."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
+    from bpaotu_spark.dedup.sigstore import (
+        full_band_index,
+        full_hash_index,
+        full_simhash_index,
+    )
+    from bpaotu_spark.dedup.tombstone import (
+        _TOMB_MOD,
+        _TOMB_RES,
+        full_emb_bucket_index,
+    )
+
+    doc_dead = F.col("doc_id") % _TOMB_MOD == _TOMB_RES
+    vec_dead = F.col("vec_id") % _VTOMB_MOD == _VTOMB_RES
+    families = {
+        "exact": (full_hash_index(spark, sf_dir), doc_dead, "documents",
+                  "dedup_hash_compact"),
+        "minhash": (full_band_index(spark, sf_dir), doc_dead, "documents",
+                    "dedup_bands_compact"),
+        "simhash": (full_simhash_index(spark, sf_dir), doc_dead,
+                    "documents", "simhash_sig_compact"),
+        "embedding": (full_emb_bucket_index(spark, sf_dir), vec_dead,
+                      "embeddings", "emb_lsh_compact"),
+    }
+    # the 4-row debt census decides WHICH artifacts to rebuild — a
+    # bounded-metadata driver pull (scheduling, not row data)
+    debts = {
+        r["family"]: r
+        for r in debt_rows(
+            spark,
+            sf_dir,
+            _TOMB_MOD,
+            _TOMB_RES,
+            _VTOMB_MOD,
+            _VTOMB_RES,
+            DEBT_THRESHOLD_PPM,
+        ).collect()
+    }
+    receipts = []
+    for family, (src, dead, table, compact_name) in families.items():
+        d = debts[family]
+        if d["consolidate"]:
+            served = cached_frame(
+                spark,
+                sf_dir,
+                compact_name,
+                lambda src=src, dead=dead: src.filter(~dead),
+                table=table,
+            )
+        else:
+            served = src
+        receipts.append(
+            served.agg(
+                F.lit(family).alias("family"),
+                F.lit(bool(d["consolidate"])).alias("consolidated"),
+                F.lit(int(d["n_rows"])).cast("bigint").alias(
+                    "n_rows_before"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_after"),
+                F.lit(
+                    int(d["n_dead"]) if d["consolidate"] else 0
+                ).cast("bigint").alias("n_reclaimed"),
+                F.count(F.when(dead, 1)).cast("bigint").alias(
+                    "residual_dead_rows"
+                ),
+            )
+        )
+    out = receipts[0]
+    for r in receipts[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def _graph_debt_oracle() -> str:
     from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
     from bpaotu_spark.ann.tombstone import (

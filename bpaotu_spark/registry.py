@@ -202,7 +202,11 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     "corpus_semantic_dedup_keep_first",
     # ---- 50-entry window boundary ----
-    # (R15 QUEUE) late-r14 operators would queue here, per precedent.
+    # (R15 QUEUE) late-r14 operators queue here, per precedent:
+    #  - dedup_index_compact: the consolidate EXECUTION receipt
+    #    (census -> decision -> compact), landed after the r14 window
+    #    was spent; driver-green evidence queues for r15.
+    "dedup_index_compact",
     # Covered tail — every key below is driver-green in a prior round
     # and unchanged; the r13 window keys displaced by the r14 sweep
     # queue first, then the r12-ordered remainder.

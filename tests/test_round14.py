@@ -220,3 +220,51 @@ def test_ann_consolidation_decision_consistent(spark, sf_dir):
         r.tomb_share_ppm >= GRAPH_TOMB_THRESHOLD_PPM
         or r.repair_share_ppm >= GRAPH_REPAIR_THRESHOLD_PPM
     )
+
+
+def test_dedup_index_compact_executes_verdicts(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Compaction receipts agree with the census: above-cutoff
+    families get a PUBLISHED survivor-only artifact (residual dead
+    rows = 0, reclaimed = the census's dead count), below-cutoff
+    families are no-ops still carrying their debt."""
+    import os
+
+    from bpaotu_spark.ann import index_store
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    debts = {
+        r.family: r
+        for r in QUERIES["index_tombstone_debt"](spark, sf_dir).collect()
+    }
+    receipts = {
+        r.family: r
+        for r in QUERIES["dedup_index_compact"](spark, sf_dir).collect()
+    }
+    assert set(receipts) == set(debts)
+    for fam, r in receipts.items():
+        d = debts[fam]
+        assert r.consolidated == d.consolidate
+        assert r.n_rows_before == d.n_rows
+        if r.consolidated:
+            assert r.n_rows_after == d.n_rows - d.n_dead
+            assert r.n_reclaimed == d.n_dead
+            assert r.residual_dead_rows == 0
+        else:
+            assert r.n_rows_after == d.n_rows
+            assert r.n_reclaimed == 0
+            assert r.residual_dead_rows == d.n_dead
+    # the compacted artifacts were published through the store
+    published = os.listdir(tmp_path / "idx")
+    for fam, name in (
+        ("exact", "dedup_hash_compact"),
+        ("minhash", "dedup_bands_compact"),
+        ("simhash", "simhash_sig_compact"),
+    ):
+        assert receipts[fam].consolidated
+        assert any(d.startswith(f"{name}-") for d in published), name
+    # the below-cutoff family published nothing
+    assert not any(d.startswith("emb_lsh_compact-") for d in published)
+    index_store._MEM.clear()

@@ -534,6 +534,7 @@ HEADLINE = (
     "index_tombstone_debt",
     "ann_consolidation_decision",
     "dedup_index_compact",
+    "ann_graph_consolidate_audit",
 )
 
 

@@ -348,6 +348,14 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm(F.col("v")))
         .withColumn("bucket", _emb_bucket(F.col("v")))
     )
+    return knn_graph_from(emb)
+
+
+def knn_graph_from(emb: DataFrame) -> DataFrame:
+    """The kNN-graph former over a prepared (vec_id, v, nrm, bucket)
+    frame — shared by the full-corpus operator and the survivor-only
+    consolidate rebuild (ann/graphconn), whose corpus is a filter of
+    the same frame."""
     # salted self-join (see dedup.core._salted_self_join_sides): 16
     # sign buckets alone cap the reduce side at 16 tasks and AQE
     # coalesces the byte-small exchange to 1 — salting restores the

@@ -143,20 +143,14 @@ conn_edges AS (
 """.strip()
 
 
-def _connected_parts(spark: SparkSession, sf_dir: str):
+def _connected_parts(spark: SparkSession, sf_dir: str, alive=None):
     """Spark construction; returns (all_nodes, e_knn, e_mp, bridges,
-    comp1, e2) — canonical undirected (u < v) edge frames."""
-    knn = QUERIES["knn_graph_lsh"](spark, sf_dir).select(
-        "vec_id", "neighbor_id"
-    )
-    e_knn = (
-        knn.select(
-            F.least("vec_id", "neighbor_id").alias("u"),
-            F.greatest("vec_id", "neighbor_id").alias("v"),
-        )
-        .distinct()
-        .localCheckpoint()  # feeds the union, the census AND the CC
-    )
+    comp1, e2) — canonical undirected (u < v) edge frames. ``alive``
+    (an optional Column predicate on vec_id) restricts the corpus —
+    the survivor-only consolidate REBUILD (r14) is this same
+    construction over the post-takedown corpus."""
+    from bpaotu_spark.ann.core import knn_graph_from
+
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -164,6 +158,20 @@ def _connected_parts(spark: SparkSession, sf_dir: str):
         )
         .withColumn("nrm", norm(F.col("v")))
         .withColumn("bucket", _emb_bucket(F.col("v")))
+    )
+    if alive is not None:
+        emb = emb.filter(alive)
+    # the kNN layer over the SAME (possibly filtered) corpus — one
+    # emb prep shared with the multiprobe layer below (previously the
+    # registered op re-prepared an identical frame)
+    knn = knn_graph_from(emb).select("vec_id", "neighbor_id")
+    e_knn = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds the union, the census AND the CC
     )
     # probe side: 4 one-bit-flip buckets per vector, salted so the
     # 16-key equi-join keeps reduce parallelism (the knn_graph_lsh
@@ -284,10 +292,13 @@ def _connected_parts(spark: SparkSession, sf_dir: str):
     return all_nodes, e_knn, e_mp, bridges, comp1, e2
 
 
-def connected_search_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def connected_search_edges(
+    spark: SparkSession, sf_dir: str, alive=None
+) -> DataFrame:
     """Directed (vec_id, neighbor_id) edges of the connected graph —
-    the substrate ann_greedy/beam_graph_search walk."""
-    _, _, _, _, _, e2 = _connected_parts(spark, sf_dir)
+    the substrate ann_greedy/beam_graph_search walk. ``alive``
+    restricts the corpus (the consolidate rebuild path)."""
+    _, _, _, _, _, e2 = _connected_parts(spark, sf_dir, alive=alive)
     return e2.select(
         F.col("u").alias("vec_id"), F.col("v").alias("neighbor_id")
     ).unionByName(

@@ -336,6 +336,150 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# ann_graph_consolidate_audit — EXECUTE the graph consolidation and
+# measure what it buys: the survivor-only graph is REBUILT from
+# scratch (the same connected-graph construction over the
+# post-takedown corpus — the FreshDiskANN consolidate job itself) and
+# PUBLISHED through the store, then compared edge-for-edge against
+# the locally PATCHED graph searches have been walking since the
+# takedown. The receipt quantifies the patch-vs-rebuild trade:
+# patched_recall_ppm = how much of the proper graph the local patch
+# preserves; patched_excess_ppm = repair edges a rebuild would not
+# keep. The number a maintenance team reads before paying the rebuild.
+#
+# Oracle: BOTH graphs from scratch — the survivor rebuild runs the
+# full connected-graph SQL over a survivors CTE (each graph in its own
+# nested WITH RECURSIVE subquery scope, so the two CTE chains cannot
+# collide), the patched side re-derives the repair algebra.
+#
+# Scale shape: the rebuild is the one-time consolidate job (bucketed
+# joins, never all-pairs — identical shape to the weekly base build),
+# store-amortized; the audit itself is one full-outer join of two
+# persisted edge lists.
+# ---------------------------------------------------------------------------
+
+
+def _rebuilt_oracle_sql() -> str:
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+    from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
+
+    survivor_sql = CONNECTED_EDGES_SQL.replace(
+        "FROM embeddings", "FROM survivors"
+    ).replace("JOIN embeddings", "JOIN survivors")
+    return f"""WITH RECURSIVE
+survivors AS (
+  SELECT * FROM embeddings
+  WHERE vec_id % {_VTOMB_MOD} != {_VTOMB_RES}
+),
+{survivor_sql}
+SELECT vec_id, neighbor_id FROM conn_edges"""
+
+
+def _consolidate_audit_oracle() -> str:
+    from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
+    from bpaotu_spark.ann.tombstone import _patch_ctes
+
+    return f"""
+WITH rebuilt AS (
+  SELECT * FROM ({_rebuilt_oracle_sql()})
+),
+patched_d AS (
+  SELECT * FROM (
+    WITH RECURSIVE
+    {CONNECTED_EDGES_SQL},
+    {_patch_ctes()}
+    SELECT DISTINCT vec_id, neighbor_id FROM patched
+  )
+),
+u AS (
+  SELECT coalesce(r.vec_id, p.vec_id) AS vec_id,
+    (r.vec_id IS NOT NULL) AS in_r, (p.vec_id IS NOT NULL) AS in_p
+  FROM rebuilt r FULL OUTER JOIN patched_d p
+    ON r.vec_id = p.vec_id AND r.neighbor_id = p.neighbor_id
+)
+SELECT
+  CAST(count(*) FILTER (WHERE in_r) AS BIGINT) AS n_edges_rebuilt,
+  CAST(count(*) FILTER (WHERE in_p) AS BIGINT) AS n_edges_patched,
+  CAST(count(*) FILTER (WHERE in_r AND in_p) AS BIGINT) AS n_common,
+  CAST(count(*) FILTER (WHERE in_p AND NOT in_r) AS BIGINT)
+    AS n_patched_only,
+  CAST(count(*) FILTER (WHERE in_r AND NOT in_p) AS BIGINT)
+    AS n_rebuilt_only,
+  CAST(count(*) FILTER (WHERE in_r AND in_p) AS BIGINT) * 1000000
+    // CAST(count(*) FILTER (WHERE in_r) AS BIGINT)
+    AS patched_recall_ppm,
+  CAST(count(*) FILTER (WHERE in_p AND NOT in_r) AS BIGINT) * 1000000
+    // CAST(count(*) FILTER (WHERE in_p) AS BIGINT)
+    AS patched_excess_ppm
+FROM u
+"""
+
+
+@register(
+    "ann_graph_consolidate_audit", oracle=_consolidate_audit_oracle()
+)
+def ann_graph_consolidate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row — (n_edges_rebuilt, n_edges_patched, n_common,
+    n_patched_only, n_rebuilt_only, patched_recall_ppm,
+    patched_excess_ppm): the survivor-only graph REBUILD (published
+    through the store as ``conn_edges_rebuilt`` — executing the
+    consolidation) compared edge-for-edge against the PATCHED graph
+    the takedown pipeline has been serving. Both sides re-derived
+    from scratch by the oracle."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+    from bpaotu_spark.ann.tombstone import (
+        tombstoned_edges_cached,
+        _VTOMB_MOD,
+        _VTOMB_RES,
+    )
+
+    rebuilt = cached_frame(
+        spark,
+        sf_dir,
+        "conn_edges_rebuilt",
+        lambda: connected_search_edges(
+            spark,
+            sf_dir,
+            alive=F.col("vec_id") % _VTOMB_MOD != _VTOMB_RES,
+        ),
+    )
+    patched = tombstoned_edges_cached(spark, sf_dir)
+    r = rebuilt.select("vec_id", "neighbor_id").withColumn(
+        "in_r", F.lit(1)
+    )
+    p = patched.select("vec_id", "neighbor_id").withColumn(
+        "in_p", F.lit(1)
+    )
+    u = r.join(p, ["vec_id", "neighbor_id"], "full_outer").select(
+        F.coalesce("in_r", F.lit(0)).alias("in_r"),
+        F.coalesce("in_p", F.lit(0)).alias("in_p"),
+    )
+    return u.agg(
+        F.sum("in_r").cast("bigint").alias("n_edges_rebuilt"),
+        F.sum("in_p").cast("bigint").alias("n_edges_patched"),
+        F.sum(F.col("in_r") * F.col("in_p"))
+        .cast("bigint")
+        .alias("n_common"),
+        F.sum(F.col("in_p") * (1 - F.col("in_r")))
+        .cast("bigint")
+        .alias("n_patched_only"),
+        F.sum(F.col("in_r") * (1 - F.col("in_p")))
+        .cast("bigint")
+        .alias("n_rebuilt_only"),
+        F.expr(
+            "CAST(sum(in_r * in_p) * 1000000 DIV sum(in_r) AS BIGINT)"
+        ).alias("patched_recall_ppm"),
+        F.expr(
+            "CAST(sum(in_p * (1 - in_r)) * 1000000 DIV sum(in_p)"
+            " AS BIGINT)"
+        ).alias("patched_excess_ppm"),
+    )
+
+
 def _graph_debt_oracle() -> str:
     from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
     from bpaotu_spark.ann.tombstone import (

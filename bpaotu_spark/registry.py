@@ -207,6 +207,12 @@ PRIORITY: tuple[str, ...] = (
     #    (census -> decision -> compact), landed after the r14 window
     #    was spent; driver-green evidence queues for r15.
     "dedup_index_compact",
+    #  - ann_graph_consolidate_audit: the graph consolidate EXECUTED
+    #    (survivor rebuild published + patched-vs-rebuilt audit).
+    #  - knn_graph_lsh: plan-identical refactor (shared emb prep via
+    #    knn_graph_from) — queued for driver re-verification anyway.
+    "ann_graph_consolidate_audit",
+    "knn_graph_lsh",
     # Covered tail — every key below is driver-green in a prior round
     # and unchanged; the r13 window keys displaced by the r14 sweep
     # queue first, then the r12-ordered remainder.
@@ -527,7 +533,6 @@ PRIORITY: tuple[str, ...] = (
     "markov_absorption_3step",
     "multimodal_wav_rms",
     "dedup_embedding_lsh",
-    "knn_graph_lsh",
     "knn_triangle_count",
     "pagerank_knn",
     "multimodal_phash_dedup",

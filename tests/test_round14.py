@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import duckdb
+import pyspark.sql.functions as F
 import pytest
 
 from bpaotu_spark.registry import ORACLES, QUERIES, load_all
@@ -267,4 +268,50 @@ def test_dedup_index_compact_executes_verdicts(
         assert any(d.startswith(f"{name}-") for d in published), name
     # the below-cutoff family published nothing
     assert not any(d.startswith("emb_lsh_compact-") for d in published)
+    index_store._MEM.clear()
+
+
+def test_graph_consolidate_audit(spark, sf_dir, tmp_path, monkeypatch):
+    """The survivor rebuild is published, contains no tombstoned
+    endpoints, and the audit row's shares are internally consistent."""
+    import os
+
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    r = QUERIES["ann_graph_consolidate_audit"](spark, sf_dir).collect()[0]
+    assert any(
+        d.startswith("conn_edges_rebuilt-")
+        for d in os.listdir(tmp_path / "idx")
+    )
+    assert r.n_common == r.n_edges_rebuilt - r.n_rebuilt_only
+    assert r.n_common == r.n_edges_patched - r.n_patched_only
+    assert 0 < r.patched_recall_ppm <= 1_000_000
+    assert 0 <= r.patched_excess_ppm < 1_000_000
+    # the patch preserves the overwhelming majority of the proper
+    # graph (the point of local repair) but not all of it (the point
+    # of the audit)
+    assert r.patched_recall_ppm > 900_000
+    # the rebuilt artifact holds survivors only (same-process store
+    # hit — the audit above built and published it)
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+
+    rebuilt = cached_frame(
+        spark,
+        sf_dir,
+        "conn_edges_rebuilt",
+        lambda: connected_search_edges(
+            spark,
+            sf_dir,
+            alive=F.col("vec_id") % _VTOMB_MOD != _VTOMB_RES,
+        ),
+    )
+    bad = rebuilt.filter(
+        (F.col("vec_id") % _VTOMB_MOD == _VTOMB_RES)
+        | (F.col("neighbor_id") % _VTOMB_MOD == _VTOMB_RES)
+    ).count()
+    assert bad == 0
     index_store._MEM.clear()

@@ -863,7 +863,13 @@ def main() -> int:
         "census composing them are now store READS (the r13 bench "
         "ranks #8-#25 block — family_agreement 5.55s, keep_first "
         "5.22s, survival 5.05s — was repeated signature-former "
-        "work); scale_check prebuilds the dedup store symmetrically."
+        "work); scale_check prebuilds the dedup store symmetrically. "
+        "Tail appends this round: dedup_sig_store_stats, "
+        "index_tombstone_debt, ann_consolidation_decision, "
+        "dedup_index_compact, ann_graph_consolidate_audit (the last "
+        "two landed after the r14 local bench; session probes: both "
+        "sub-second warm at sf0.1, colds are the one-time survivor "
+        "index/graph publishes)."
     )
     with open(detail_path, "w") as fh:
         json.dump(

@@ -315,3 +315,39 @@ def test_graph_consolidate_audit(spark, sf_dir, tmp_path, monkeypatch):
     ).count()
     assert bad == 0
     index_store._MEM.clear()
+
+
+def test_sig_store_corruption_surfaces_in_integrity_row(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The integrity op must READ the persisted artifact, not rebuild
+    it — so a corrupted (truncated) pair artifact must change the
+    integrity row, which is exactly what makes the driver's
+    store-vs-from-scratch-oracle compare fail the round corruption
+    appears."""
+    import os
+
+    from bpaotu_spark.ann import index_store
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    before = QUERIES["dedup_sig_store_stats"](spark, sf_dir).collect()[0]
+    assert before.n_lsh_pairs > 1
+    # corrupt the persisted pair artifact: drop one row and republish
+    # under the same fingerprint key
+    idx = tmp_path / "idx"
+    key = next(
+        d for d in os.listdir(idx) if d.startswith("dedup_lsh_pairs-")
+    )
+    good = spark.read.parquet(str(idx / key)).collect()
+    truncated = spark.createDataFrame(good[1:])
+    import shutil
+
+    shutil.rmtree(idx / key)
+    truncated.write.parquet(str(idx / key))
+    # fresh "process": the corrupted artifact is what gets served
+    index_store._MEM.clear()
+    after = QUERIES["dedup_sig_store_stats"](spark, sf_dir).collect()[0]
+    assert after.n_lsh_pairs == before.n_lsh_pairs - 1
+    assert after != before  # the driver's hash compare would fail
+    index_store._MEM.clear()

@@ -131,7 +131,14 @@ def load_all() -> None:
 # rows each round). Long-green rows rotate out to the tail — they stay
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-14 WINDOW (driver verifies the first ~50) ----
+    # ---- ROUND-15 WINDOW (driver verifies the first ~50) ----
+    # (A) the two late-r14 operators that landed at index 50/51 — one
+    # and two slots PAST the window boundary (the r14 verdict's only
+    # process miss; both judge-verified at sf0.001+sf0.01 but without
+    # a driver row). They lead the window so CORRECTNESS_r15 finally
+    # records them.
+    "dedup_index_compact",
+    "ann_graph_consolidate_audit",
     # (A) NEW this round — the r13 VERDICT punch list:
     #  - dedup_sig_store_stats: the persisted dedup signature
     #    substrate (bands / signatures / candidate pairs / CC labels),
@@ -199,19 +206,12 @@ PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "corpus_clean_pipeline",
     "corpus_decontaminate",
+    # ---- 50-entry window boundary ----
+    # r14-green keys displaced by the late-op move queue first:
     "corpus_pack_sequences",
     "corpus_semantic_dedup_keep_first",
-    # ---- 50-entry window boundary ----
-    # (R15 QUEUE) late-r14 operators queue here, per precedent:
-    #  - dedup_index_compact: the consolidate EXECUTION receipt
-    #    (census -> decision -> compact), landed after the r14 window
-    #    was spent; driver-green evidence queues for r15.
-    "dedup_index_compact",
-    #  - ann_graph_consolidate_audit: the graph consolidate EXECUTED
-    #    (survivor rebuild published + patched-vs-rebuilt audit).
     #  - knn_graph_lsh: plan-identical refactor (shared emb prep via
     #    knn_graph_from) — queued for driver re-verification anyway.
-    "ann_graph_consolidate_audit",
     "knn_graph_lsh",
     # Covered tail — every key below is driver-green in a prior round
     # and unchanged; the r13 window keys displaced by the r14 sweep

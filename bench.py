@@ -704,9 +704,14 @@ def main() -> int:
     # what a production deployment pays per query — the construction
     # cost is not hidden, it is THIS number.
     from bpaotu_spark.ann.index_store import connected_edges_cached
+    from bpaotu_spark.ann.truthstore import build_truth_store
 
     t0 = time.time()
     force(connected_edges_cached(spark, sf_dir))
+    # the exact ground-truth tables are part of the same build job
+    # (r14 VERDICT item 3): the recall-eval queries below measure the
+    # approximate leg + a truth READ, never a truth recompute
+    build_truth_store(spark, sf_dir)
     ann_index_build_sec = round(time.time() - t0, 3)
 
     # Same lifecycle for the comparison-page distance matrices (r12
@@ -783,6 +788,7 @@ def main() -> int:
         # symmetric index prebuild so the slope compares search vs
         # search, not search vs build+search
         force(connected_edges_cached(spark, scale_dir))
+        build_truth_store(spark, scale_dir)
         build_dist_store(spark, scale_dir)
         build_dedup_store(spark, scale_dir)
         # best-of-2 (r12 VERDICT item 6): a single cold run at the

@@ -106,6 +106,18 @@ QUALIFY rnk <= {TOP_K}
 """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact ground-truth table, served from the persisted
+    ``truth_topk_cos`` artifact (built once per data fingerprint —
+    ann/truthstore.py; the oracle computes from scratch, so the
+    driver verifies the stored truth each round)."""
+    from bpaotu_spark.ann.truthstore import bruteforce_topk_cached
+
+    return bruteforce_topk_cached(spark, sf_dir)
+
+
+def _bruteforce_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truth BUILDER: one broadcast of the query set against the
+    corpus scan, 6-dp-rounded cosine, per-query window top-k."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("cand_id"))

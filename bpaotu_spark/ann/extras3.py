@@ -1357,19 +1357,13 @@ def ann_beam_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = frontier.withColumn(
         "frank", F.row_number().over(wf).cast("bigint")
     ).select("query_id", "node_id", "frank")
-    truth_cand = eq.join(
-        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        d2("qv", "q").cast("long").alias("cand_d2"),
-    )
-    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
-    truthall = (
-        truth_cand.withColumn("trank", F.row_number().over(wt))
-        .filter(F.col("trank") <= _QUAL_K)
-        .select("query_id", "cand_id", "trank")
-        .localCheckpoint()
+    # truth leg served from the persisted ground-truth artifact
+    # (ann/truthstore.py truth_grid_top10; _QUAL_K == truthstore's
+    # _TRUTH_K, and the oracle still computes truth from scratch)
+    from bpaotu_spark.ann.truthstore import grid_top10_cached
+
+    truthall = grid_top10_cached(spark, sf_dir).select(
+        "query_id", "cand_id", "trank"
     )
     f10 = found.filter(F.col("frank") <= _QUAL_K).select(
         F.col("query_id").alias("fq"), F.col("node_id").alias("fn")

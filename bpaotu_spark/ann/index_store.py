@@ -204,6 +204,9 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     _, _, c1o, a2o = ann_core._opq_train_cached(spark, sf_dir)
     manifest["opq_codebook"] = c1o.count()
     manifest["opq_codes"] = a2o.count()
+    from bpaotu_spark.ann.truthstore import build_truth_store
+
+    manifest.update(build_truth_store(spark, sf_dir))
     return manifest
 
 

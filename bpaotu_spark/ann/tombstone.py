@@ -481,25 +481,12 @@ def ann_tombstone_search_recall(
             F.col("d2").alias("found_d2"),
         )
     )
-    truth_cand = (
-        eq.filter(is_surv)
-        .join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            d2("qv", "q").cast("long").alias("cand_d2"),
-        )
-    )
-    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
-    truth = (
-        truth_cand.withColumn("rn", F.row_number().over(wt))
-        .filter("rn = 1")
-        .select(
-            "query_id",
-            F.col("cand_id").alias("true_id"),
-            F.col("cand_d2").alias("true_d2"),
-        )
-    )
+    # survivor truth served from the persisted ground-truth artifact
+    # (ann/truthstore.py truth_grid_nn_surv; the oracle still computes
+    # the survivor scan from scratch)
+    from bpaotu_spark.ann.truthstore import grid_nn_surv_cached
+
+    truth = grid_nn_surv_cached(spark, sf_dir)
     return (
         found.join(F.broadcast(truth), "query_id")
         .select(

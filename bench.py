@@ -535,6 +535,12 @@ HEADLINE = (
     "ann_consolidation_decision",
     "dedup_index_compact",
     "ann_graph_consolidate_audit",
+    # round-15 additions: the generation swap + post-swap serving
+    # paths, and the epoch-2 incremental insert
+    "dedup_epoch_promote",
+    "ann_epoch_promote",
+    "dedup_epoch_incremental",
+    "ann_epoch_search_recall",
 )
 
 

@@ -202,6 +202,57 @@ def index_tombstone_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def family_surfaces(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, tuple[DataFrame, F.Column, str, str]]:
+    """Per dedup index family: (full persisted index, dead-row
+    predicate, fingerprint table, compact-artifact name). The shared
+    surface of the census (debt), the executor (compact) and the
+    generation swap (operators/epoch.py)."""
+    from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
+    from bpaotu_spark.dedup.sigstore import (
+        full_band_index,
+        full_hash_index,
+        full_simhash_index,
+    )
+    from bpaotu_spark.dedup.tombstone import (
+        _TOMB_MOD,
+        _TOMB_RES,
+        full_emb_bucket_index,
+    )
+
+    doc_dead = F.col("doc_id") % _TOMB_MOD == _TOMB_RES
+    vec_dead = F.col("vec_id") % _VTOMB_MOD == _VTOMB_RES
+    return {
+        "exact": (full_hash_index(spark, sf_dir), doc_dead, "documents",
+                  "dedup_hash_compact"),
+        "minhash": (full_band_index(spark, sf_dir), doc_dead, "documents",
+                    "dedup_bands_compact"),
+        "simhash": (full_simhash_index(spark, sf_dir), doc_dead,
+                    "documents", "simhash_sig_compact"),
+        "embedding": (full_emb_bucket_index(spark, sf_dir), vec_dead,
+                      "embeddings", "emb_lsh_compact"),
+    }
+
+
+def compact_cached(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
+    """The survivor-only compacted index of ``family``, published
+    through the store (built on first touch; the consolidate job's
+    output artifact)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    src, dead, table, name = family_surfaces(spark, sf_dir)[family]
+    return cached_frame(
+        spark,
+        sf_dir,
+        name,
+        lambda: src.filter(~dead),
+        table=table,
+    )
+
+
 def _compact_oracle() -> str:
     from bpaotu_spark.dedup.core import LSH_BANDS
     from bpaotu_spark.dedup.tombstone import _TOMB_MOD, _TOMB_RES
@@ -262,31 +313,10 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction (the oracle asserts it — a stale or wrong compacted
     artifact fails the hash), and the standing debt for no-op
     families."""
-    from bpaotu_spark.ann.index_store import cached_frame
     from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
-    from bpaotu_spark.dedup.sigstore import (
-        full_band_index,
-        full_hash_index,
-        full_simhash_index,
-    )
-    from bpaotu_spark.dedup.tombstone import (
-        _TOMB_MOD,
-        _TOMB_RES,
-        full_emb_bucket_index,
-    )
+    from bpaotu_spark.dedup.tombstone import _TOMB_MOD, _TOMB_RES
 
-    doc_dead = F.col("doc_id") % _TOMB_MOD == _TOMB_RES
-    vec_dead = F.col("vec_id") % _VTOMB_MOD == _VTOMB_RES
-    families = {
-        "exact": (full_hash_index(spark, sf_dir), doc_dead, "documents",
-                  "dedup_hash_compact"),
-        "minhash": (full_band_index(spark, sf_dir), doc_dead, "documents",
-                    "dedup_bands_compact"),
-        "simhash": (full_simhash_index(spark, sf_dir), doc_dead,
-                    "documents", "simhash_sig_compact"),
-        "embedding": (full_emb_bucket_index(spark, sf_dir), vec_dead,
-                      "embeddings", "emb_lsh_compact"),
-    }
+    families = family_surfaces(spark, sf_dir)
     # the 4-row debt census decides WHICH artifacts to rebuild — a
     # bounded-metadata driver pull (scheduling, not row data)
     debts = {
@@ -305,13 +335,7 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for family, (src, dead, table, compact_name) in families.items():
         d = debts[family]
         if d["consolidate"]:
-            served = cached_frame(
-                spark,
-                sf_dir,
-                compact_name,
-                lambda src=src, dead=dead: src.filter(~dead),
-                table=table,
-            )
+            served = compact_cached(spark, sf_dir, family)
         else:
             served = src
         receipts.append(
@@ -416,6 +440,27 @@ FROM u
 """
 
 
+def rebuilt_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor-only connected graph, REBUILT from scratch over
+    the post-takedown corpus and published through the store as
+    ``conn_edges_rebuilt`` — the consolidate job's output, and the
+    serving base after the epoch promotion (operators/epoch.py)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.ann.graphconn import connected_search_edges
+    from bpaotu_spark.ann.tombstone import _VTOMB_MOD, _VTOMB_RES
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "conn_edges_rebuilt",
+        lambda: connected_search_edges(
+            spark,
+            sf_dir,
+            alive=F.col("vec_id") % _VTOMB_MOD != _VTOMB_RES,
+        ),
+    )
+
+
 @register(
     "ann_graph_consolidate_audit", oracle=_consolidate_audit_oracle()
 )
@@ -429,24 +474,9 @@ def ann_graph_consolidate_audit(
     consolidation) compared edge-for-edge against the PATCHED graph
     the takedown pipeline has been serving. Both sides re-derived
     from scratch by the oracle."""
-    from bpaotu_spark.ann.index_store import cached_frame
-    from bpaotu_spark.ann.graphconn import connected_search_edges
-    from bpaotu_spark.ann.tombstone import (
-        tombstoned_edges_cached,
-        _VTOMB_MOD,
-        _VTOMB_RES,
-    )
+    from bpaotu_spark.ann.tombstone import tombstoned_edges_cached
 
-    rebuilt = cached_frame(
-        spark,
-        sf_dir,
-        "conn_edges_rebuilt",
-        lambda: connected_search_edges(
-            spark,
-            sf_dir,
-            alive=F.col("vec_id") % _VTOMB_MOD != _VTOMB_RES,
-        ),
-    )
+    rebuilt = rebuilt_edges_cached(spark, sf_dir)
     patched = tombstoned_edges_cached(spark, sf_dir)
     r = rebuilt.select("vec_id", "neighbor_id").withColumn(
         "in_r", F.lit(1)

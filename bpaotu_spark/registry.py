@@ -115,6 +115,7 @@ def load_all() -> None:
     import bpaotu_spark.operators.stats9  # noqa: F401
     import bpaotu_spark.dedup.sigstore  # noqa: F401
     import bpaotu_spark.operators.consolidate  # noqa: F401
+    import bpaotu_spark.operators.epoch  # noqa: F401
 
 
 # Exposure order for the driver's correctness sweep. The driver checks
@@ -132,32 +133,85 @@ def load_all() -> None:
 # covered by tools/check.py locally.
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-15 WINDOW (driver verifies the first ~50) ----
-    # (A) the two late-r14 operators that landed at index 50/51 — one
-    # and two slots PAST the window boundary (the r14 verdict's only
-    # process miss; both judge-verified at sf0.001+sf0.01 but without
-    # a driver row). They lead the window so CORRECTNESS_r15 finally
-    # records them.
+    # (A) the two late-r14 operators that landed one/two slots past
+    # the window boundary (the r14 verdict's only process miss; both
+    # judge-verified at two SFs but without a driver row) — they lead
+    # the window so CORRECTNESS_r15 finally records them:
     "dedup_index_compact",
     "ann_graph_consolidate_audit",
-    # (A) NEW this round — the r13 VERDICT punch list:
-    #  - dedup_sig_store_stats: the persisted dedup signature
-    #    substrate (bands / signatures / candidate pairs / CC labels),
-    #    aggregated store-side vs a from-scratch oracle (VERDICT #1's
-    #    integrity row — the dist-store move applied to the dedup
-    #    family).
-    #  - index_tombstone_debt / ann_consolidation_decision: the
-    #    FreshDiskANN consolidate trigger (VERDICT #4) — standing
-    #    takedown debt per persisted index family + the graph's
-    #    incident-edge / repair-dilution decision.
+    # (B) NEW this round — the r14 VERDICT punch list:
+    #  - dedup_epoch_promote / ann_epoch_promote: the GENERATION SWAP
+    #    completing the consolidate lifecycle (promote the survivor
+    #    *_compact / conn_edges_rebuilt artifacts to the serving base,
+    #    reset the tombstone set, prove promoted ≡ fresh-build-over-
+    #    survivors — FreshDiskANN §4's missing half; VERDICT #2).
+    #  - dedup_epoch_incremental: post-promote inserts land on the
+    #    new base (no tombstone filter on the path).
+    #  - ann_epoch_search_recall: the post-swap query path — beam walk
+    #    over the promoted graph vs the persisted survivor truth.
+    "dedup_epoch_promote",
+    "ann_epoch_promote",
+    "dedup_epoch_incremental",
+    "ann_epoch_search_recall",
+    # (C) plan-CHANGED this round (VERDICT #3): the recall-eval family
+    # now scores against PERSISTED exact ground truth
+    # (ann/truthstore.py) — ann_bruteforce_topk is itself the stored
+    # truth_topk_cos read; the sweeps/reports compose it; the beam
+    # quality / tombstone recall truth legs read the grid artifacts.
+    "ann_bruteforce_topk",
+    "ann_recall_report",
+    "ann_recall_at_k_sweep",
+    "ann_beam_topk_quality",
+    "ann_tombstone_search_recall",
+    # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
+    # plus the three oldest r5 keys — after this window no key's
+    # latest driver evidence is older than r5.
+    "cumulative_share_daily",
+    "daily_revenue_anomaly",
+    "decile_stats",
+    "dedup_ngram_coverage",
+    "dedup_winnow_pairs",
+    "doc_chunk_sliding",
+    "embedding_dim_stats",
+    "embedding_label_centroids",
+    "event_interarrival_stats",
+    "lang_length_quartiles",
+    "lang_temperature_sample",
+    "median_exact_by_segment",
+    "moving_avg_window",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "sessionize_events",
+    "table_profile",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition_ratio",
+    "text_token_count",
+    "text_unigram_logloss",
+    "text_winnow_fingerprints",
+    "token_vocab_coverage",
+    "topk_per_group",
+    "vector_quantize_int8",
+    "window_functions_suite",
+    "attribution_last_touch",
+    "cohort_ltv_matrix",
+    "customer_pareto_share",
+    # ---- 50-entry window boundary ----
+    # Covered tail — every key below is driver-green in a prior round
+    # and unchanged; r14-window keys displaced by the r15 sweep queue
+    # in their prior order.
     "dedup_sig_store_stats",
     "index_tombstone_debt",
     "ann_consolidation_decision",
-    # (B) plan-CHANGED this round: the dedup family now reads the
-    # signature store (pair formers, CC labels, band profile and every
-    # census composing them), both UniFrac ops read the lineage store,
-    # the incremental base indexes derive from the full artifacts, the
-    # embedding bucket index was factored into a shared accessor, and
-    # quality_filters_agreement carries the intlog precondition guard.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -178,9 +232,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_simhash",
     "dedup_tombstone_embedding",
     "quality_filters_agreement",
-    # (C) rotation: the entire r3-evidence cohort (21 keys, VERDICT
-    # #6) plus the six oldest r4 keys — after this window no key's
-    # latest driver evidence is older than r4.
     "contextual_filter_or",
     "corpus_token_stats",
     "dedup_embedding",
@@ -206,16 +257,9 @@ PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "corpus_clean_pipeline",
     "corpus_decontaminate",
-    # ---- 50-entry window boundary ----
-    # r14-green keys displaced by the late-op move queue first:
     "corpus_pack_sequences",
     "corpus_semantic_dedup_keep_first",
-    #  - knn_graph_lsh: plan-identical refactor (shared emb prep via
-    #    knn_graph_from) — queued for driver re-verification anyway.
     "knn_graph_lsh",
-    # Covered tail — every key below is driver-green in a prior round
-    # and unchanged; the r13 window keys displaced by the r14 sweep
-    # queue first, then the r12-ordered remainder.
     "dist_matrix_store_stats",
     "dedup_incremental_embedding",
     "dedup_tombstone_exact",
@@ -223,7 +267,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_graph_tombstone_repair",
     "dedup_maintenance_cycle",
     "cliffs_delta_priority",
-    "ann_tombstone_search_recall",
     "dedup_tombstone_simhash",
     "dedup_maintenance_cycle_minhash",
     "anosim_groups",
@@ -255,7 +298,6 @@ PRIORITY: tuple[str, ...] = (
     "skew_salted_join",
     "abundance_matrix",
     "alpha_diversity",
-    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "asof_join",
@@ -263,7 +305,6 @@ PRIORITY: tuple[str, ...] = (
     "contextual_fields_catalog",
     "contextual_filter_and",
     "ann_hnsw_multilayer_search",
-    "ann_beam_topk_quality",
     "corpus_anneal_mixture",
     "cluster_balanced_sample_plan",
     "mcnemar_quality_raters",
@@ -392,7 +433,6 @@ PRIORITY: tuple[str, ...] = (
     "events_record_days",
     "data_expectations_audit",
     "orders_monthly_percentile_bridge",
-    "ann_recall_at_k_sweep",
     "taxonomy_level_diversity",
     "event_value_percentiles_by_type",
     "doc_length_quality_grid",
@@ -574,12 +614,10 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "orders_open_backlog_daily",
     "robust_anomaly_mad",
-    "attribution_last_touch",
     "text_bigram_logloss",
     "dedup_levenshtein",
     "minhash_jaccard_estimate",
     "corpus_mixture_plan",
-    "ann_recall_report",
     "taxa_cooccurrence",
     "rarefaction_curve",
     "funnel_time_to_convert",
@@ -588,8 +626,6 @@ PRIORITY: tuple[str, ...] = (
     "supplier_lead_time_trend",
     "zipf_token_stats",
     "repeat_purchase_intervals",
-    "customer_pareto_share",
-    "cohort_ltv_matrix",
     "part_brand_hhi",
     "event_type_transitions",
     "session_bounce_rate",
@@ -607,42 +643,6 @@ PRIORITY: tuple[str, ...] = (
     "q20_part_promotion_suppliers",
     "q21_sole_blame_supplier",
     "source_quality_report",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "moving_avg_window",
-    "median_exact_by_segment",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "cumulative_share_daily",
-    "q14_promo_share",
-    "doc_chunk_sliding",
-    "token_vocab_coverage",
-    "table_profile",
-    "event_interarrival_stats",
-    "lang_length_quartiles",
-    "daily_revenue_anomaly",
-    "dedup_ngram_coverage",
-    "q6_forecast_revenue",
-    "q2_min_price_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "window_functions_suite",
-    "text_unigram_logloss",
-    "lang_temperature_sample",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "embedding_dim_stats",
-    "sessionize_events",
-    "text_repetition_ratio",
-    "decile_stats",
-    "topk_per_group",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "vector_quantize_int8",
-    "embedding_label_centroids",
 )
 
 

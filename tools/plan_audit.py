@@ -28,6 +28,10 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # side is provably bounded and the condition is non-equi; these are
 # audited by hand and documented at the operator:
 ALLOWED_BNLJ = {
+    # --- round-15 additions ---
+    "dedup_epoch_promote": "per family four 1-row aggregates (serving census x two anti-join diff counts x dead census) crossed into the receipt row — all over store artifacts",
+    "ann_epoch_promote": "single 1-row aggregate over the promoted store-served edge list (listed defensively)",
+    "ann_epoch_search_recall": "the beam shape over the PROMOTED store-served edges: broadcast frontier per hop, 1-row survivor entry, truth leg is a store read",
     # --- round-13 additions ---
     "dist_matrix_store_stats": "1-row n_samples scalar crossed with the 1-row pair-matrix aggregate (both read the store artifact)",
     "dedup_sig_store_stats": "five 1-row aggregates over store artifacts crossed into the single integrity row",

@@ -618,6 +618,98 @@ CANON_MODULES = (
 )
 
 
+def _exchange_count(df) -> int:
+    """Shuffle Exchange operators in the EXECUTED physical plan."""
+    return (
+        df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+
+
+def bucketed_layout_report(spark, sf_dir: str) -> dict:
+    """The 100 TB layout story, measured end-to-end (r14 VERDICT
+    item 7): materialize lineitem/orders ONCE as co-bucketed tables
+    (bucketBy the order key, same bucket count both sides) and run the
+    three recurring fact⋈fact join shapes on the plain-parquet path vs
+    the bucketed path, reporting wall time AND the executed plan's
+    Exchange count per shape. Broadcast joins are disabled for the
+    block on BOTH paths — at 100 TB neither fact side broadcasts, so
+    the comparison is shuffle-join vs bucket-co-located join, which is
+    exactly the decision a lake layout owner makes."""
+    import pyspark.sql.functions as F
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.io.bucketed import write_bucketed
+
+    n_buckets = 32
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    t0 = time.time()
+    write_bucketed(lineitem, "bench_lineitem_b", "l_orderkey", n_buckets)
+    write_bucketed(orders, "bench_orders_b", "o_orderkey", n_buckets)
+    build_sec = round(time.time() - t0, 3)
+
+    def shapes(li, od):
+        # the three recurring fact-fact shapes of the OLAP block:
+        # q3/q5-style join+agg, q18-style grouped semijoin, and the
+        # q21-style same-key self-join
+        pri = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("l_extendedprice").alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+            .filter(F.col("qty") > 150)
+            .join(od, F.col("l_orderkey") == od["o_orderkey"])
+            .select("o_orderdate", "qty")
+        )
+        a, b = li.alias("a"), li.alias("b")
+        selfj = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            )
+            .groupBy(F.col("a.l_orderkey").alias("ok"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return {"join_agg": pri, "group_join": big, "self_join": selfj}
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out: dict = {
+            "n_buckets": n_buckets,
+            "build_sec": build_sec,
+            "broadcast_disabled": True,
+            "shapes": {},
+        }
+        plain = shapes(lineitem, orders)
+        bucketed = shapes(
+            spark.table("bench_lineitem_b"), spark.table("bench_orders_b")
+        )
+        for name in plain:
+            row: dict = {}
+            for tag, df in (("plain", plain[name]), ("bucketed", bucketed[name])):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    force(df)
+                    best = min(best, time.time() - t0)
+                row[f"{tag}_sec"] = round(best, 3)
+                row[f"{tag}_exchanges"] = _exchange_count(df)
+            out["shapes"][name] = row
+        return out
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev_thresh
+        )
+
+
 def canon_only() -> int:
     """Run ONLY the frozen 47-query canonical subset in this JVM.
 
@@ -810,6 +902,10 @@ def main() -> int:
             second = time.time() - t0
             scale_queries[name] = round(min(first, second), 3)
 
+    # The bucketed-lake demonstration (r14 VERDICT item 7): runs after
+    # the per-query block so its table writes never disturb timings.
+    bucketed_layout = bucketed_layout_report(spark, sf_dir)
+
     total = round(sum(per_query.values()), 3)
     canon = [n for n in HEADLINE[:N_CANON] if n in per_query]
     # value_canon: per-query median-of-3 (the r8+ convention);
@@ -881,7 +977,21 @@ def main() -> int:
         "dedup_index_compact, ann_graph_consolidate_audit (the last "
         "two landed after the r14 local bench; session probes: both "
         "sub-second warm at sf0.1, colds are the one-time survivor "
-        "index/graph publishes)."
+        "index/graph publishes). r15: the exact ground-truth tables "
+        "persist (ann/truthstore via ann/index_store; built inside "
+        "ann_index_build_sec and the symmetric scale prebuild) — "
+        "ann_bruteforce_topk is now a truth_topk_cos read and "
+        "ann_beam_topk_quality / ann_tombstone_search_recall / the "
+        "recall sweeps score against stored truth (their r14 times "
+        "5.73s / 5.16s carried a per-eval truth recompute). Tail "
+        "appends this round: dedup_epoch_promote, ann_epoch_promote, "
+        "dedup_epoch_incremental, ann_epoch_search_recall (the "
+        "generation swap completing the consolidate lifecycle). NEW "
+        "bucketed_layout section: lineitem/orders co-bucketed by "
+        "order key, the three recurring fact-fact join shapes timed "
+        "plain-parquet vs bucketed with executed-plan Exchange "
+        "counts, broadcast disabled on both paths (the 100 TB "
+        "regime's decision, measured)."
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -903,6 +1013,7 @@ def main() -> int:
                 "queries": per_query,
                 "queries_cold": per_query_cold,
                 "canon_runs": canon_runs,
+                "bucketed_layout": bucketed_layout,
                 "scale_check": {
                     "sf": os.path.basename(scale_dir.rstrip("/")),
                     "queries": scale_queries,

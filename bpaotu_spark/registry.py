@@ -204,8 +204,12 @@ PRIORITY: tuple[str, ...] = (
     "window_functions_suite",
     "attribution_last_touch",
     "cohort_ltv_matrix",
-    "customer_pareto_share",
+    # knn_graph_lsh: r14 plan-identical refactor (shared emb prep via
+    # knn_graph_from) never driver-re-verified — last row r6; it takes
+    # the final window slot ahead of further r5 rotation.
+    "knn_graph_lsh",
     # ---- 50-entry window boundary ----
+    "customer_pareto_share",
     # Covered tail — every key below is driver-green in a prior round
     # and unchanged; r14-window keys displaced by the r15 sweep queue
     # in their prior order.
@@ -259,7 +263,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_decontaminate",
     "corpus_pack_sequences",
     "corpus_semantic_dedup_keep_first",
-    "knn_graph_lsh",
     "dist_matrix_store_stats",
     "dedup_incremental_embedding",
     "dedup_tombstone_exact",

@@ -643,6 +643,16 @@ def bucketed_layout_report(spark, sf_dir: str) -> dict:
     n_buckets = 32
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # a previous run's managed-table LOCATION survives the (fresh)
+    # derby catalog, and saveAsTable refuses an unregistered existing
+    # location — drop both layers before writing
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    for t in ("bench_lineitem_b", "bench_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
     t0 = time.time()
     write_bucketed(lineitem, "bench_lineitem_b", "l_orderkey", n_buckets)
     write_bucketed(orders, "bench_orders_b", "o_orderkey", n_buckets)

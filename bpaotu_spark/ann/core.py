@@ -723,12 +723,14 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * _NP_Q),
     )
-    n2 = emb.select(
+    from bpaotu_spark.dedup.core import int_norm2
+
+    # materialize the quantized array once; the unrolled norm then
+    # references a plain attribute, not 128 copies of the transform
+    n2 = emb.select("vec_id", "label", q.alias("q")).select(
         "vec_id",
         "label",
-        F.aggregate(
-            q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
-        ).alias("norm2"),
+        int_norm2(F.col("q")).alias("norm2"),
     )
     wr = Window.partitionBy("label").orderBy("norm2", "vec_id")
     wn = Window.partitionBy("label")
@@ -848,12 +850,14 @@ FROM a{_KM_ITERS + 1} GROUP BY cid
     return "".join(parts)
 
 
-def _km_dot_spark(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+def _km_dot_spark(a, b, dim: int | None = None):
+    """Exact integer dot over quantized arrays. ``dim`` defaults to
+    the full embedding width; PQ call sites pass ``_PQ_SUB`` for
+    subvector slices (the unroll must match the static array width —
+    see dedup.core.int_dot)."""
+    from bpaotu_spark.dedup.core import EMB_DIM, int_dot
+
+    return int_dot(a, b, EMB_DIM if dim is None else dim)
 
 
 def _km_assign(e: DataFrame, c: DataFrame) -> DataFrame:
@@ -1034,9 +1038,9 @@ FROM a2 GROUP BY 1, 2
 def _pq_assign(s: DataFrame, c: DataFrame) -> DataFrame:
     j = s.join(F.broadcast(c), "m")
     d2 = (
-        _km_dot_spark(F.col("sq"), F.col("sq"))
-        - 2 * _km_dot_spark(F.col("sq"), F.col("c"))
-        + _km_dot_spark(F.col("c"), F.col("c"))
+        _km_dot_spark(F.col("sq"), F.col("sq"), _PQ_SUB)
+        - 2 * _km_dot_spark(F.col("sq"), F.col("c"), _PQ_SUB)
+        + _km_dot_spark(F.col("c"), F.col("c"), _PQ_SUB)
     ).cast("bigint")
     wv = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
     return (
@@ -1207,9 +1211,9 @@ def _adc_search(s: DataFrame, c1: DataFrame, a2: DataFrame) -> DataFrame:
         "m",
         "cid",
         (
-            _km_dot_spark(F.col("qsq"), F.col("qsq"))
-            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"))
-            + _km_dot_spark(F.col("c"), F.col("c"))
+            _km_dot_spark(F.col("qsq"), F.col("qsq"), _PQ_SUB)
+            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"), _PQ_SUB)
+            + _km_dot_spark(F.col("c"), F.col("c"), _PQ_SUB)
         )
         .cast("bigint")
         .alias("dt"),
@@ -1736,9 +1740,9 @@ def _ivfadc_index(spark: SparkSession, sf_dir: str, max_nprobe: int):
         "m",
         "cid",
         (
-            _km_dot_spark(F.col("qsq"), F.col("qsq"))
-            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"))
-            + _km_dot_spark(F.col("c"), F.col("c"))
+            _km_dot_spark(F.col("qsq"), F.col("qsq"), _PQ_SUB)
+            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"), _PQ_SUB)
+            + _km_dot_spark(F.col("c"), F.col("c"), _PQ_SUB)
         )
         .cast("bigint")
         .alias("dt"),
@@ -2083,12 +2087,12 @@ FROM ({union})
 
 
 def _prefix_d2(qa, qb, d: int):
-    diff = F.zip_with(
-        F.slice(qa, 1, d), F.slice(qb, 1, d), lambda x, y: x - y
-    )
-    return F.aggregate(
-        diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
+    # unrolled grid distance over the statically known prefix width
+    # (value-identical to the slice/zip_with fold: long adds are
+    # associative and the index set is the same)
+    from bpaotu_spark.dedup.core import grid_d2
+
+    return grid_d2(qa, qb, d)
 
 
 @register("embedding_prefix_recall", oracle=_prefix_recall_oracle())
@@ -2750,9 +2754,9 @@ def ann_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid_q",
         "cid_c",
         (
-            _km_dot_spark(F.col("cq"), F.col("cq"))
-            - 2 * _km_dot_spark(F.col("cq"), F.col("cc"))
-            + _km_dot_spark(F.col("cc"), F.col("cc"))
+            _km_dot_spark(F.col("cq"), F.col("cq"), _PQ_SUB)
+            - 2 * _km_dot_spark(F.col("cq"), F.col("cc"), _PQ_SUB)
+            + _km_dot_spark(F.col("cc"), F.col("cc"), _PQ_SUB)
         )
         .cast("bigint")
         .alias("dcc"),

@@ -294,19 +294,19 @@ def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     indeg = knn.groupBy("neighbor_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("in_degree")
     )
-    nv = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.floor(
-            F.sqrt(
-                dot(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
-                )
-            )
-            * 1000000
+    nv = (
+        load_table(spark, sf_dir, "embeddings")
+        # materialize the cast once so the unrolled dot references a
+        # plain attribute rather than 128 copies of the array cast
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        .cast("bigint")
-        .alias("norm_micro"),
+        .select(
+            "vec_id",
+            F.floor(F.sqrt(dot(F.col("v"), F.col("v"))) * 1000000)
+            .cast("bigint")
+            .alias("norm_micro"),
+        )
     )
     d = nv.join(
         indeg, nv.vec_id == indeg.neighbor_id, "left"

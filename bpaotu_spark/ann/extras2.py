@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.ann.core import N_QUERIES
 from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import grid_d2, int_norm2
 from bpaotu_spark.operators.ordination import (
     _int_power_iterate,
     _start_vector,
@@ -93,13 +94,7 @@ def ann_range_query_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qs), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+        grid_d2(F.col("qv"), F.col("q")).alias("d2"),
     )
     return (
         d.groupBy("query_id")
@@ -228,15 +223,29 @@ def embedding_pca_power_axis(
     nn = xm.agg(
         F.countDistinct("vec_id").cast("decimal(38,0)").alias("n")
     )
-    xa = xm.select("vec_id", F.col("dim").alias("i"), F.col("xm").alias("xa"))
-    xb = xm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("dim").alias("j"),
-        F.col("xm").alias("xb"),
+    # Gram matrix without the row-keyed self-join: each vector's 64x64
+    # outer product comes from a double posexplode of the SAME row
+    # (one codegen stage, partial aggregation straight to the 4096
+    # (i, j) cells) instead of shuffling the exploded table twice and
+    # hash-joining it with itself (guide §2.4 — the join bought
+    # nothing: both sides were the same rows). Integer products summed
+    # in DECIMAL(38,0) are exact, so aggregation order cannot change
+    # the result.
+    qarr = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q).cast("bigint"),
+        ).alias("q"),
     )
     sab = (
-        xa.join(xb, xa.vec_id == xb.vec_b)
-        .groupBy("i", "j")
+        qarr.select("q", F.posexplode("q").alias("pos_i", "xa"))
+        .select(
+            (F.col("pos_i") + 1).cast("bigint").alias("i"),
+            "xa",
+            F.posexplode("q").alias("pos_j", "xb"),
+        )
+        .groupBy("i", (F.col("pos_j") + 1).cast("bigint").alias("j"))
         .agg(
             F.sum(F.expr("CAST(xa AS DECIMAL(38,0)) * xb")).alias("s_ab")
         )
@@ -614,11 +623,9 @@ def embedding_norm_vs_label_anova(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * _RQ_Q),
     )
-    n2 = emb.select(
+    n2 = emb.select("label", qv.alias("qv")).select(
         "label",
-        F.aggregate(
-            qv, F.lit(0).cast("long"), lambda acc, v: acc + v * v
-        ).alias("n2"),
+        int_norm2(F.col("qv")).alias("n2"),
     )
     g = n2.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),

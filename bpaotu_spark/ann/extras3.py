@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
 from bpaotu_spark.ann.core import N_QUERIES
+from bpaotu_spark.dedup.core import grid_d2
 from bpaotu_spark.registry import ORACLES, QUERIES, register
 
 _RQ_Q = 1000  # milli quantization (ann_range_query_count convention)
@@ -106,13 +107,7 @@ def ann_top1_margin_histogram(
     ).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+        grid_d2(F.col("qv"), F.col("q")).alias("d2"),
     )
     w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
     t2 = d.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 2")
@@ -532,13 +527,7 @@ def ann_greedy_graph_search(
     eq_c = eq.localCheckpoint()
 
     def d2(qcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(
-                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq_c.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
@@ -605,17 +594,17 @@ def ann_greedy_graph_search(
             )
             .localCheckpoint()
         )
-    truth_cand = eq_c.join(
-        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        d2("qv", "q").cast("long").alias("cand_d2"),
-    )
-    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    # truth leg READ from the persisted ground-truth store (r14
+    # VERDICT item 3 / truthstore.py): trank=1 of truth_grid_top10 IS
+    # this op's exact-NN leg (same _RQ_Q quantization, same self-
+    # exclusion, same (d2, cand_id) tiebreak); the oracle keeps
+    # computing truth from scratch, so the driver verifies the
+    # store-served values
+    from bpaotu_spark.ann.truthstore import grid_top10_cached
+
     truth = (
-        truth_cand.withColumn("rn", F.row_number().over(wt))
-        .filter("rn = 1")
+        grid_top10_cached(spark, sf_dir)
+        .filter(F.col("trank") == 1)
         .select(
             "query_id",
             F.col("cand_id").alias("true_id"),
@@ -768,13 +757,7 @@ def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = connected_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(
-                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
@@ -828,17 +811,17 @@ def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("found_d2"),
         )
     )
-    truth_cand = eq.join(
-        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        d2("qv", "q").cast("long").alias("cand_d2"),
-    )
-    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    # truth leg READ from the persisted ground-truth store (r14
+    # VERDICT item 3 / truthstore.py): trank=1 of truth_grid_top10 IS
+    # this op's exact-NN leg (same _RQ_Q quantization, same self-
+    # exclusion, same (d2, cand_id) tiebreak); the oracle keeps
+    # computing truth from scratch, so the driver verifies the
+    # store-served values
+    from bpaotu_spark.ann.truthstore import grid_top10_cached
+
     truth = (
-        truth_cand.withColumn("rn", F.row_number().over(wt))
-        .filter("rn = 1")
+        grid_top10_cached(spark, sf_dir)
+        .filter(F.col("trank") == 1)
         .select(
             "query_id",
             F.col("cand_id").alias("true_id"),
@@ -1032,13 +1015,7 @@ def ann_hnsw_layered_search(
     knn = connected_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(
-                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
@@ -1142,17 +1119,17 @@ def ann_hnsw_layered_search(
             F.col("d2").alias("found_d2"),
         )
     )
-    truth_cand = eq.join(
-        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        d2("qv", "q").cast("long").alias("cand_d2"),
-    )
-    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    # truth leg READ from the persisted ground-truth store (r14
+    # VERDICT item 3 / truthstore.py): trank=1 of truth_grid_top10 IS
+    # this op's exact-NN leg (same _RQ_Q quantization, same self-
+    # exclusion, same (d2, cand_id) tiebreak); the oracle keeps
+    # computing truth from scratch, so the driver verifies the
+    # store-served values
+    from bpaotu_spark.ann.truthstore import grid_top10_cached
+
     truth = (
-        truth_cand.withColumn("rn", F.row_number().over(wt))
-        .filter("rn = 1")
+        grid_top10_cached(spark, sf_dir)
+        .filter(F.col("trank") == 1)
         .select(
             "query_id",
             F.col("cand_id").alias("true_id"),
@@ -1303,13 +1280,7 @@ def ann_beam_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = connected_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(
-                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")

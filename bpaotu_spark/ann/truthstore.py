@@ -53,13 +53,11 @@ _TRUTH_K = 10  # == extras3._QUAL_K, the deepest k any consumer cuts
 
 def _grid_d2(qcol: str, ccol: str) -> F.Column:
     # exact integer milli-grid L2² — the extras3 walk/truth arithmetic
-    return F.aggregate(
-        F.zip_with(
-            F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # (unrolled over the static embedding width; long adds are
+    # associative so the value is identical to the fold)
+    from bpaotu_spark.dedup.core import grid_d2
+
+    return grid_d2(F.col(qcol), F.col(ccol))
 
 
 def _eq(spark: SparkSession, sf_dir: str) -> DataFrame:

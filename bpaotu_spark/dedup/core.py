@@ -456,23 +456,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.3  # synthetic embeddings: within-label max ~0.4
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (same op order as DuckDB's
-    list_dot_product loop, so doubles agree bit-for-bit)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+# The embeddings table's contract: fixed-width 64-dim vectors. The
+# INTEGER vector-math helpers below unroll to plain arithmetic at a
+# statically known width so WholeStageCodegen compiles them — the
+# aggregate/zip_with fold is a HigherOrderFunction, which Catalyst
+# always evaluates interpreted (measured x2.3-2.5 slower than the
+# compiled unroll on 100k-pair scoring workloads, linear in width).
+# The DOUBLE dot deliberately KEEPS the fold: a 64-term double chain
+# crosses HotSpot's 8 KB huge-method threshold (measured cliff between
+# 32 and 48 terms — the generated method never JITs and runs x1.5-3
+# slower than the fold), and -XX:-DontCompileHugeMethods was measured
+# and rejected session-wide (see session.py). Where an unroll IS used,
+# the sum is left-associated from the same zero literal, so values —
+# including every double bit — are identical to the fold and to
+# DuckDB's sequential list_dot_product loop.
+EMB_DIM = 64
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
 
 
-def cosine(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential dot product (same op order as DuckDB's
+    list_dot_product loop, so doubles agree bit-for-bit). Default is
+    the interpreted fold — for 64-dim doubles the unrolled chain hits
+    the huge-method JIT cliff (see module note); pass a small ``dim``
+    only for narrow arrays."""
+    a, b = _as_col(a), _as_col(b)
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def int_dot(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
+    """Exact integer dot product over quantized (LongType) arrays —
+    the k-means/PQ grid arithmetic. Long addition is associative, so
+    unrolling is value-identical to the fold for any order."""
+    a, b = _as_col(a), _as_col(b)
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    acc: Column = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def grid_d2(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
+    """Exact integer squared L2 distance over quantized (LongType)
+    arrays: sum((a_i - b_i)^2). Unrolled for static widths (codegen);
+    fold fallback for unknown widths — identical values either way."""
+    a, b = _as_col(a), _as_col(b)
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    acc: Column = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+    return acc
+
+
+def int_norm2(a: Column, dim: int | None = EMB_DIM) -> Column:
+    """Exact integer squared norm: sum(a_i^2) over a LongType array."""
+    a = _as_col(a)
+    if dim is None:
+        return F.aggregate(
+            a, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        )
+    return int_dot(a, a, dim)
+
+
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity. For pair joins prefer precomputing norm() per
-    vector and dividing the pair dot by the norm product — one fold per
-    pair instead of three (the folds are interpreted, not codegen'd)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    vector and dividing the pair dot by the norm product — one dot per
+    pair instead of three."""
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 COSINE_SQL = (

@@ -59,6 +59,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bpaotu_spark.catalog import load_table
+from bpaotu_spark.dedup.core import grid_d2
 from bpaotu_spark.operators.consolidate import (
     DEBT_THRESHOLD_PPM,
     compact_cached,
@@ -508,13 +509,9 @@ def ann_epoch_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pedges = rebuilt_edges_cached(spark, sf_dir)
 
     def d2(qcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(
-                F.col(qcol), F.col(ccol), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        # fold form — hop-loop stages are tiny and per-hop plans are
+        # distinct; the unrolled chain is compile overhead here
+        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter((F.col("vec_id") < N_QUERIES) & is_surv).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")

@@ -171,6 +171,32 @@ def _assignments(spark: SparkSession, sel: DataFrame) -> DataFrame:
     )
 
 
+# The study selection pins exactly two candidate labels
+# (ecology._ANOSIM_SEL: c_mktsegment IN ('BUILDING', 'MACHINERY')), so
+# a sample's group under every assignment b = 0..B packs into one
+# BIGINT bitmask (bit b = 1 iff the b-th assignment maps the sample to
+# 'MACHINERY'). A pair is within-group under b iff bit b of
+# (mask_a XOR mask_b) is 0, and within group-'MACHINERY' iff both bits
+# are 1 — so the B+1 relabeled re-aggregations collapse to ONE pass
+# over the stored pair table with B+1 conditional-sum columns, instead
+# of a (B+1)x row fan-out through two broadcast joins (guide §2.3/2.4:
+# shuffle/scan a lightweight proxy once, never multiply the pair
+# stream). The oracle keeps the explicit per-b join form — same values.
+_MASK_GRP = "MACHINERY"
+
+
+def _perm_masks(pa: DataFrame) -> DataFrame:
+    """(sample_id, mask): bit b of mask = [assignment b -> MACHINERY]."""
+    return pa.groupBy("sample_id").agg(
+        F.sum(
+            F.when(
+                F.col("grp") == _MASK_GRP,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("mask")
+    )
+
+
 @register(
     "anosim_permutation_p",
     oracle=f"""
@@ -255,46 +281,58 @@ def anosim_permutation_p(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pa = _assignments(spark, sel).localCheckpoint()
-    pa1 = pa.select(
-        F.col("b"), F.col("sample_id").alias("sa"), F.col("grp").alias("g1")
-    )
-    pa2 = pa.select(
-        F.col("b").alias("b2"),
-        F.col("sample_id").alias("sb"),
-        F.col("grp").alias("g2"),
-    )
-    rb = (
-        rp.join(F.broadcast(pa1), rp.sample_a == F.col("sa"))
-        .join(
-            F.broadcast(pa2),
-            (rp.sample_b == F.col("sb")) & (F.col("b") == F.col("b2")),
+    # bitmask collapse (see _perm_masks): one pass over the stored
+    # pair table computes every permutation's within/between rank
+    # sums as conditional-sum columns — no (B+1)x pair fan-out
+    pm = _perm_masks(pa)
+    ma = pm.select(F.col("sample_id").alias("sa"), F.col("mask").alias("mask_a"))
+    mb = pm.select(F.col("sample_id").alias("sb"), F.col("mask").alias("mask_b"))
+    px = (
+        rp.join(F.broadcast(ma), rp.sample_a == F.col("sa"))
+        .join(F.broadcast(mb), rp.sample_b == F.col("sb"))
+        .select(
+            "avg_rank_milli",
+            F.expr("CAST(mask_a ^ mask_b AS BIGINT)").alias("x"),
         )
-        .groupBy("b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum(F.expr("CASE WHEN g1 = g2 THEN 1 ELSE 0 END"))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("avg_rank_milli").cast("bigint").alias("sum_rank_all"),
+    ]
+    for b in range(_B_PERM + 1):
+        within = f"(shiftright(x, {b}) & 1) = 0"
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {within} THEN 1 ELSE 0 END"))
             .cast("bigint")
-            .alias("n_within"),
+            .alias(f"nw_{b}")
+        )
+        aggs.append(
             F.sum(
                 F.expr(
-                    "CASE WHEN g1 = g2 THEN avg_rank_milli ELSE 0 END"
+                    f"CASE WHEN {within} THEN avg_rank_milli ELSE 0 END"
                 )
             )
             .cast("bigint")
-            .alias("sum_rank_w"),
-            F.sum(
-                F.expr(
-                    "CASE WHEN g1 != g2 THEN avg_rank_milli ELSE 0 END"
-                )
-            )
-            .cast("bigint")
-            .alias("sum_rank_b"),
+            .alias(f"sw_{b}")
         )
+    wide = px.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), nw_{b}, sw_{b}" for b in range(_B_PERM + 1)
     )
+    rb = wide.select(
+        F.expr(
+            f"stack({_B_PERM + 1}, {stack})"
+            " AS (b, n_within, sum_rank_w)"
+        ),
+        "n_pairs",
+        "sum_rank_all",
+    )
+    # sum_rank_b = sum_rank_all - sum_rank_w exactly (integer ranks)
     rd = rb.select(
         "b",
         F.expr(
-            "(sum_rank_b * 1000) div greatest(n_pairs - n_within, 1)"
+            "((sum_rank_all - sum_rank_w) * 1000)"
+            " div greatest(n_pairs - n_within, 1)"
             " - (sum_rank_w * 1000) div greatest(n_within, 1)"
         ).alias("diff_micro"),
     ).localCheckpoint()
@@ -396,33 +434,69 @@ def permanova_permutation_p(
             F.expr("CAST(s2_all div n_samples AS BIGINT)").alias("ss_t")
         )
     )
-    pa1 = pa.select(
-        "b", F.col("sample_id").alias("sa"), F.col("grp").alias("g1")
-    )
-    pa2 = pa.select(
-        F.col("b").alias("b2"),
-        F.col("sample_id").alias("sb"),
-        F.col("grp").alias("g2"),
-    )
-    sb = (
-        dpairs.join(F.broadcast(pa1), dpairs.sample_a == F.col("sa"))
-        .join(
-            F.broadcast(pa2),
-            (dpairs.sample_b == F.col("sb")) & (F.col("b") == F.col("b2")),
+    # bitmask collapse (see _perm_masks): a pair is within-'MACHINERY'
+    # under b iff bit b is set in BOTH masks, within the other group
+    # iff clear in both — so every permutation's per-group d² sums are
+    # conditional-sum columns of ONE pass over the stored pair table
+    # (the oracle keeps the explicit per-b join form — same values)
+    pm = _perm_masks(pa)
+    ma = pm.select(F.col("sample_id").alias("sa"), F.col("mask").alias("mask_a"))
+    mb = pm.select(F.col("sample_id").alias("sb"), F.col("mask").alias("mask_b"))
+    px = (
+        dpairs.join(F.broadcast(ma), dpairs.sample_a == F.col("sa"))
+        .join(F.broadcast(mb), dpairs.sample_b == F.col("sb"))
+        .select(
+            (F.col("d_ppm").cast("decimal(38,0)") * F.col("d_ppm")).alias(
+                "d2"
+            ),
+            F.expr("CAST(mask_a & mask_b AS BIGINT)").alias("both"),
+            F.expr(
+                "CAST(~mask_a & ~mask_b AS BIGINT)"
+            ).alias("neither"),
         )
-        .filter(F.col("g1") == F.col("g2"))
-        .groupBy("b", F.col("g1").alias("grp"))
-        .agg(
+    )
+    aggs = []
+    for b in range(_B_PERM + 1):
+        aggs.append(
             F.sum(
-                F.col("d_ppm").cast("decimal(38,0)") * F.col("d_ppm")
-            ).alias("s2")
+                F.expr(
+                    f"CASE WHEN (shiftright(both, {b}) & 1) = 1"
+                    " THEN d2 ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ).alias(f"s_hi_{b}")
         )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (shiftright(neither, {b}) & 1) = 1"
+                    " THEN d2 ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ).alias(f"s_lo_{b}")
+        )
+    wide = px.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), s_hi_{b}, s_lo_{b}"
+        for b in range(_B_PERM + 1)
+    )
+    sb = wide.select(
+        F.expr(f"stack({_B_PERM + 1}, {stack}) AS (b, s_hi, s_lo)")
+    )
+    # group sizes are permutation-invariant (the draw rank-matches the
+    # observed label multiset): n_g per label is a constant across b
+    gnw = gn.groupBy().pivot("grp", [_MASK_GRP, "BUILDING"]).agg(
+        F.first("n_g")
     )
     ssw = (
-        sb.join(F.broadcast(gn), "grp")
-        .select("b", F.expr("CAST(s2 div n_g AS BIGINT)").alias("ss_g"))
-        .groupBy("b")
-        .agg(F.sum("ss_g").cast("bigint").alias("ss_w"))
+        sb.crossJoin(F.broadcast(gnw))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(coalesce(s_hi div nullif(`{_MASK_GRP}`, 0),"
+                " CAST(0 AS DECIMAL(38,0))) AS BIGINT)"
+                " + CAST(coalesce(s_lo div nullif(`BUILDING`, 0),"
+                " CAST(0 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ss_w"),
+        )
         .localCheckpoint()
     )
     obs = ssw.filter("b = 0").select(F.col("ss_w").alias("ss_w_obs"))

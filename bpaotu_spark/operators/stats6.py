@@ -673,9 +673,14 @@ def order_value_poisson_bootstrap(
         )
         .cast("bigint")
     )
+    # materialize the md5-derived draw ONCE per (order, replicate) —
+    # the 8-branch CASE below references it 9 times, and inlining the
+    # expression re-evaluates md5+conv per branch (the CASE chain
+    # defeats conditional subexpression elimination; measured the
+    # dominant cost of this query)
     whens = F.lit(8)
     for k, t in reversed(list(enumerate(_POIS_T))):
-        whens = F.when(hv < t, k).otherwise(whens)
+        whens = F.when(F.col("hv") < t, k).otherwise(whens)
     h = (
         load_table(spark, sf_dir, "orders")
         .select(
@@ -685,6 +690,7 @@ def order_value_poisson_bootstrap(
             .alias("cents"),
         )
         .crossJoin(F.broadcast(reps))
+        .select("b", "cents", hv.alias("hv"))
         .select("b", "cents", whens.alias("w"))
     )
     return (

@@ -88,6 +88,11 @@ def get_session(
         # session (bench runs 24) can exhaust the default JIT code cache,
         # after which new plans execute interpreted (measured 20-60x
         # slowdowns on hash-heavy aggregations late in the run).
+        # (r15 note: -XX:-DontCompileHugeMethods was measured here and
+        # REJECTED — it wins x3.6 on an isolated 64-term double-dot
+        # projection but floods C2 with huge-method compiles across a
+        # many-stage suite; the same session's pure-CPU and shuffle
+        # calibration probes degraded 25-30% with the flag on.)
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",

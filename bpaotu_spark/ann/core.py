@@ -730,7 +730,7 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = emb.select("vec_id", "label", q.alias("q")).select(
         "vec_id",
         "label",
-        int_norm2(F.col("q")).alias("norm2"),
+        int_norm2(F.col("q"), dim=None).alias("norm2"),
     )
     wr = Window.partitionBy("label").orderBy("norm2", "vec_id")
     wn = Window.partitionBy("label")
@@ -851,13 +851,17 @@ FROM a{_KM_ITERS + 1} GROUP BY cid
 
 
 def _km_dot_spark(a, b, dim: int | None = None):
-    """Exact integer dot over quantized arrays. ``dim`` defaults to
-    the full embedding width; PQ call sites pass ``_PQ_SUB`` for
-    subvector slices (the unroll must match the static array width —
-    see dedup.core.int_dot)."""
-    from bpaotu_spark.dedup.core import EMB_DIM, int_dot
+    """Exact integer dot over quantized arrays — interpreted fold by
+    default. The unrolled form (dedup.core.int_dot with a static dim)
+    was measured here and kept ONLY for >=100k-row single-plan stages:
+    every k-means/PQ scoring stage touches 2-16k rows across several
+    distinct plans, where the unrolled chain's per-plan codegen
+    compile (~0.5-1 s) outweighs its runtime win (kmeans_embeddings
+    3.2->6.6 s, cluster_balanced_sample_plan 4.0->11.3 s when unrolled
+    everywhere)."""
+    from bpaotu_spark.dedup.core import int_dot
 
-    return int_dot(a, b, EMB_DIM if dim is None else dim)
+    return int_dot(a, b, dim)
 
 
 def _km_assign(e: DataFrame, c: DataFrame) -> DataFrame:
@@ -1038,9 +1042,9 @@ FROM a2 GROUP BY 1, 2
 def _pq_assign(s: DataFrame, c: DataFrame) -> DataFrame:
     j = s.join(F.broadcast(c), "m")
     d2 = (
-        _km_dot_spark(F.col("sq"), F.col("sq"), _PQ_SUB)
-        - 2 * _km_dot_spark(F.col("sq"), F.col("c"), _PQ_SUB)
-        + _km_dot_spark(F.col("c"), F.col("c"), _PQ_SUB)
+        _km_dot_spark(F.col("sq"), F.col("sq"), None)
+        - 2 * _km_dot_spark(F.col("sq"), F.col("c"), None)
+        + _km_dot_spark(F.col("c"), F.col("c"), None)
     ).cast("bigint")
     wv = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
     return (
@@ -1211,9 +1215,9 @@ def _adc_search(s: DataFrame, c1: DataFrame, a2: DataFrame) -> DataFrame:
         "m",
         "cid",
         (
-            _km_dot_spark(F.col("qsq"), F.col("qsq"), _PQ_SUB)
-            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"), _PQ_SUB)
-            + _km_dot_spark(F.col("c"), F.col("c"), _PQ_SUB)
+            _km_dot_spark(F.col("qsq"), F.col("qsq"), None)
+            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"), None)
+            + _km_dot_spark(F.col("c"), F.col("c"), None)
         )
         .cast("bigint")
         .alias("dt"),
@@ -1740,9 +1744,9 @@ def _ivfadc_index(spark: SparkSession, sf_dir: str, max_nprobe: int):
         "m",
         "cid",
         (
-            _km_dot_spark(F.col("qsq"), F.col("qsq"), _PQ_SUB)
-            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"), _PQ_SUB)
-            + _km_dot_spark(F.col("c"), F.col("c"), _PQ_SUB)
+            _km_dot_spark(F.col("qsq"), F.col("qsq"), None)
+            - 2 * _km_dot_spark(F.col("qsq"), F.col("c"), None)
+            + _km_dot_spark(F.col("c"), F.col("c"), None)
         )
         .cast("bigint")
         .alias("dt"),
@@ -2087,12 +2091,12 @@ FROM ({union})
 
 
 def _prefix_d2(qa, qb, d: int):
-    # unrolled grid distance over the statically known prefix width
-    # (value-identical to the slice/zip_with fold: long adds are
-    # associative and the index set is the same)
-    from bpaotu_spark.dedup.core import grid_d2
-
-    return grid_d2(qa, qb, d)
+    diff = F.zip_with(
+        F.slice(qa, 1, d), F.slice(qb, 1, d), lambda x, y: x - y
+    )
+    return F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
 
 
 @register("embedding_prefix_recall", oracle=_prefix_recall_oracle())
@@ -2754,9 +2758,9 @@ def ann_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid_q",
         "cid_c",
         (
-            _km_dot_spark(F.col("cq"), F.col("cq"), _PQ_SUB)
-            - 2 * _km_dot_spark(F.col("cq"), F.col("cc"), _PQ_SUB)
-            + _km_dot_spark(F.col("cc"), F.col("cc"), _PQ_SUB)
+            _km_dot_spark(F.col("cq"), F.col("cq"), None)
+            - 2 * _km_dot_spark(F.col("cq"), F.col("cc"), None)
+            + _km_dot_spark(F.col("cc"), F.col("cc"), None)
         )
         .cast("bigint")
         .alias("dcc"),

@@ -107,7 +107,7 @@ def ann_top1_margin_histogram(
     ).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        grid_d2(F.col("qv"), F.col("q")).alias("d2"),
+        grid_d2(F.col("qv"), F.col("q"), dim=None).alias("d2"),
     )
     w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
     t2 = d.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 2")

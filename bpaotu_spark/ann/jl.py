@@ -149,7 +149,7 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        grid_d2(F.col("qv"), F.col("q")).alias("orig_d2"),
+        grid_d2(F.col("qv"), F.col("q"), dim=None).alias("orig_d2"),
     )
     r = pd_.join(od, ["query_id", "cand_id"]).select(
         F.expr(
@@ -301,7 +301,7 @@ def ann_jl_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            grid_d2(F.col("qv"), F.col("q")).alias("d2"),
+            grid_d2(F.col("qv"), F.col("q"), dim=None).alias("d2"),
         )
         .withColumn("rnk", F.row_number().over(wt))
     )
@@ -484,7 +484,7 @@ def ann_jl_pool_recall_sweep(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            grid_d2(F.col("qv"), F.col("q")).alias("d2"),
+            grid_d2(F.col("qv"), F.col("q"), dim=None).alias("d2"),
         )
         .withColumn("rnk", F.row_number().over(wt))
         .select("query_id", "cand_id", "rnk")

@@ -271,10 +271,14 @@ def boilerplate_ngram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             word_ngrams(tokenize(F.col("text")), _HOTLIST_N)
         ).alias("gram"),
-    ).distinct()
+    )
+    # count(DISTINCT doc_id) per gram plans ONE exchange (partial
+    # (gram, doc_id) dedup map-side, then a gram-keyed shuffle) where
+    # the old distinct()-then-groupBy shape shuffled the full 5-gram
+    # occurrence stream twice (guide §2.4) — doc_freq values identical
     df = (
         grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("doc_freq"))
         .filter(F.col("doc_freq") >= 2)
     )
     # orderBy+limit compiles to TakeOrderedAndProject — each task keeps

@@ -675,9 +675,10 @@ def order_value_poisson_bootstrap(
     )
     # materialize the md5-derived draw ONCE per (order, replicate) —
     # the 8-branch CASE below references it 9 times, and inlining the
-    # expression re-evaluates md5+conv per branch (the CASE chain
-    # defeats conditional subexpression elimination; measured the
-    # dominant cost of this query)
+    # expression re-evaluates md5+conv per branch (the nested-CASE
+    # chain defeats conditional subexpression elimination; same-JVM
+    # interleaved A/B at sf0.1: inline 9.8-11.6 s vs materialized
+    # 5.3-5.9 s, best-of-3 each)
     whens = F.lit(8)
     for k, t in reversed(list(enumerate(_POIS_T))):
         whens = F.when(F.col("hv") < t, k).otherwise(whens)

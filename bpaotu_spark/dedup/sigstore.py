@@ -36,6 +36,11 @@ store-served values each round):
   ground truth).
 * ``dedup_cc_labels``     — (node, component): star-CC labels of the
   MinHash pair graph (the keep-first verdict substrate).
+* ``emb_lsh_pairs``       — (vec_a, vec_b, bucket, cos_sim): the
+  sign-LSH cosine near-dup pair table over the embedding corpus
+  (r15: the salted bucket self-join runs once per fingerprint).
+* ``semantic_cc_labels``  — (node, component): star-CC labels of the
+  sign-LSH pair graph (the semantic keep-first verdict substrate).
 
 At 100 TB this is the real deployment shape: the nightly ingest job
 builds signatures/pairs/clusters ONCE (the candidate-pair and CC work
@@ -264,6 +269,42 @@ def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, bucket, cos_sim) — the sign-LSH cosine near-dup
+    pair table over the embedding corpus, store-served. The salted
+    bucket self-join (the pair former) runs once per data fingerprint;
+    every consumer — the pair report and the semantic keep-first
+    verdict's CC build — reads this."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.core import emb_lsh_pairs_build
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "emb_lsh_pairs",
+        lambda: emb_lsh_pairs_build(spark, sf_dir),
+        table="embeddings",
+    )
+
+
+def semantic_cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) — star-CC labels of the sign-LSH cosine pair
+    graph, store-served (the embedding-space analogue of
+    ``dedup_cc_labels``). The semantic keep-first verdict reads THIS
+    instead of re-running the pair former + O(log n) CC loop per
+    query."""
+    from bpaotu_spark.ann.index_store import cached_frame
+    from bpaotu_spark.dedup.core import star_connected_components
+
+    def build() -> DataFrame:
+        pairs = emb_pairs_cached(spark, sf_dir).select("vec_a", "vec_b")
+        return star_connected_components(pairs, "vec_a", "vec_b")
+
+    return cached_frame(
+        spark, sf_dir, "semantic_cc_labels", build, table="embeddings"
+    )
+
+
 def build_dedup_store(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """The BUILD JOB: construct and persist every dedup signature
     artifact for ``sf_dir`` in one call (the nightly ingest step).
@@ -277,6 +318,10 @@ def build_dedup_store(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "dedup_simhash_pairs": simhash_pairs_cached(spark, sf_dir).count(),
         "dedup_jaccard_pairs": jaccard_pairs_cached(spark, sf_dir).count(),
         "dedup_cc_labels": cc_labels_cached(spark, sf_dir).count(),
+        "emb_lsh_pairs": emb_pairs_cached(spark, sf_dir).count(),
+        "semantic_cc_labels": semantic_cc_labels_cached(
+            spark, sf_dir
+        ).count(),
     }
 
 

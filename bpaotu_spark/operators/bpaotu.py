@@ -441,7 +441,16 @@ def beta_diversity_braycurtis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("sample_id"), F.col("c_nationkey").alias("block")
     )
     ab = abundance_selected(spark, sf_dir, sel)
-    a = ab.groupBy("sample_id", "block", "otu_id").agg(F.sum("cnt").alias("c"))
+    # a fans into tot (read twice by the pair former) and both sides of
+    # the shared-mass self-join — four plan references that each
+    # recomputed the abundance pipeline (24 parquet scans in the before
+    # plan). One localCheckpoint materializes the per-(sample, otu)
+    # aggregate once.
+    a = (
+        ab.groupBy("sample_id", "block", "otu_id")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint()
+    )
     tot = a.groupBy("sample_id", "block").agg(F.sum("c").alias("tot"))
 
     ax = a.select(
@@ -1337,7 +1346,9 @@ FROM ranked WHERE rnk <= {_NEIGHBOR_K}
 def sample_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    bc = beta_diversity_braycurtis(spark, sf_dir)
+    # the composed BC pair table is read twice (both orientations of
+    # the symmetrization) — checkpoint so the pair former runs once
+    bc = beta_diversity_braycurtis(spark, sf_dir).localCheckpoint()
     sym = bc.select(
         F.col("sample_a").alias("sample_id"),
         F.col("sample_b").alias("neighbor"),
@@ -1448,6 +1459,12 @@ def otu_indicator_species(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("cnt").cast(DEC)), 0).cast("bigint").alias("mass"),
         F.countDistinct("sample_id").cast("bigint").alias("presence"),
     )
+    # NOTE(r15): a localCheckpoint barrier on mm was measured here
+    # (interleaved same-JVM A/B, 3 pairs) and REVERTED — old 2.23 s vs
+    # checkpointed 3.22 s min at sf0.1: the eager materialization job
+    # serializes the two downstream aggregates that otherwise overlap,
+    # and runtime exchange reuse already deduplicates most of the
+    # static plan duplication for this shape.
     mm = go.join(F.broadcast(ng), "grp").select(
         "grp",
         "otu_id",

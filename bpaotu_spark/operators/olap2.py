@@ -728,10 +728,16 @@ CROSS JOIN n
 def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # baskets fans into n, supp (both broadcast sides) and both pair-
+    # former sides — five plan references that each recomputed the
+    # lineitem x part join (20 parquet scans in the before plan). The
+    # distinct (order, brand) frame is aggregate-reduced, so one
+    # localCheckpoint is the scale-safe barrier.
     baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint()
     )
     n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
     supp = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))

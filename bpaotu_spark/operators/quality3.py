@@ -128,8 +128,16 @@ def quality_filters_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = docs.select(
         "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("w")
     )
-    cnt = x.groupBy("doc_id", "lang", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # cnt fans into per (the Gopher census) and perdoc (the surprisal
+    # score), and the j frame below is referenced twice — without a
+    # barrier the token explode ran ~8x (16 parquet scans in the before
+    # plan). Checkpoint cnt once; vocab and n_total then derive from
+    # cnt exactly (sum(c) == count(*) over the exploded stream), so the
+    # explode runs once per query.
+    cnt = (
+        x.groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
     )
     stop = F.col("w").isin(*_GOPHER_STOPWORDS)
     per = cnt.groupBy("doc_id", "lang").agg(
@@ -153,10 +161,10 @@ def quality_filters_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gpass"),
     )
-    vocab = x.groupBy(F.col("w").alias("token")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    vocab = cnt.groupBy(F.col("w").alias("token")).agg(
+        F.sum("c").cast("bigint").alias("c")
     )
-    n = x.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    n = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
     cost = ln_ratio_micro_col(
         vocab.crossJoin(F.broadcast(n)), "n_total", "c"
     ).select("token", F.col("ln_micro").alias("cost_micro"))
@@ -169,10 +177,16 @@ def quality_filters_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = perdoc.select(
         "doc_id", F.ntile(3).over(wl).cast("bigint").alias("nt")
     )
-    j = gf.join(bucketed, "doc_id").select(
-        "gpass",
-        "nt",
-        F.when(F.col("nt") == 1, F.lit(1)).otherwise(F.lit(0)).alias("head"),
+    j = (
+        gf.join(bucketed, "doc_id")
+        .select(
+            "gpass",
+            "nt",
+            F.when(F.col("nt") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("head"),
+        )
+        .localCheckpoint()  # read twice: the kappa scalar + the 2x3 grid
     )
     tot = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("nn"),

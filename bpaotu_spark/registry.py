@@ -181,6 +181,24 @@ PRIORITY: tuple[str, ...] = (
     "ann_beam_graph_search",
     "ann_hnsw_layered_search",
     "ann_hnsw_multilayer_search",
+    # (C3) plan-CHANGED by the r15 optimization pass, second batch:
+    # recompute-elimination barriers (localCheckpoint at the shared
+    # frontier) in cluster_balanced_sample_plan / minhash_union_
+    # cardinality / quality_filters_agreement / beta_diversity_
+    # braycurtis (+ its composition sample_neighbors_topk) /
+    # basket_brand_lift; the winnow pair
+    # former's self-join became a capped in-row pair explode (its key
+    # is already in the rotation block below); and the sign-LSH
+    # embedding pair table + its CC labels are store-served
+    # (dedup_embedding_lsh, corpus_semantic_dedup_keep_first).
+    "cluster_balanced_sample_plan",
+    "dedup_embedding_lsh",
+    "corpus_semantic_dedup_keep_first",
+    "minhash_union_cardinality",
+    "quality_filters_agreement",
+    "beta_diversity_braycurtis",
+    "sample_neighbors_topk",
+    "basket_brand_lift",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
     # latest driver evidence is older than r5.
@@ -204,6 +222,14 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q2_min_price_supplier",
     "q3_shipping_priority",
+    # knn_graph_lsh: r14 plan-identical refactor (shared emb prep via
+    # knn_graph_from) never driver-re-verified — last row r6; it takes
+    # the final window slot ahead of further r5 rotation.
+    "knn_graph_lsh",
+    # ---- 50-entry window boundary ----
+    # displaced by the 9 C3 plan-changed keys (all driver-green r4 and
+    # plan-identical this round; next rotation cohort after the epoch/
+    # optimization keys age out):
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
@@ -213,11 +239,7 @@ PRIORITY: tuple[str, ...] = (
     "topk_per_group",
     "vector_quantize_int8",
     "window_functions_suite",
-    # knn_graph_lsh: r14 plan-identical refactor (shared emb prep via
-    # knn_graph_from) never driver-re-verified — last row r6; it takes
-    # the final window slot ahead of further r5 rotation.
-    "knn_graph_lsh",
-    # ---- 50-entry window boundary ----
+    "otu_indicator_species",
     # displaced by the 9 r15 plan-changed keys (all nine below are
     # driver-green in a prior round and plan-identical this round):
     "attribution_last_touch",
@@ -255,7 +277,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_incremental_simhash",
     "dedup_tombstone_embedding",
-    "quality_filters_agreement",
     "contextual_filter_or",
     "corpus_token_stats",
     "dedup_embedding",
@@ -277,12 +298,10 @@ PRIORITY: tuple[str, ...] = (
     "taxonomy_isnot_filter",
     "tfidf_top_terms",
     "train_test_split",
-    "basket_brand_lift",
     "bm25_search",
     "corpus_clean_pipeline",
     "corpus_decontaminate",
     "corpus_pack_sequences",
-    "corpus_semantic_dedup_keep_first",
     "dist_matrix_store_stats",
     "dedup_incremental_embedding",
     "dedup_tombstone_exact",
@@ -326,7 +345,6 @@ PRIORITY: tuple[str, ...] = (
     "contextual_fields_catalog",
     "contextual_filter_and",
     "corpus_anneal_mixture",
-    "cluster_balanced_sample_plan",
     "mcnemar_quality_raters",
     "ljung_box_daily",
     "contamination_by_source",
@@ -348,7 +366,6 @@ PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "rare_category_collapse",
     "revenue_ewma_daily",
-    "sample_neighbors_topk",
     "segment_nation_mutual_info",
     "supplier_return_rate",
     "text_tfidf_cosine_pairs",
@@ -408,7 +425,6 @@ PRIORITY: tuple[str, ...] = (
     "lineitem_corr_matrix",
     "markov_next_event_accuracy",
     "orders_yoy_growth",
-    "otu_indicator_species",
     "otu_niche_breadth",
     "otu_region_overlap",
     "knn_graph_connected",
@@ -461,7 +477,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_char_trigram_entropy",
     "doc_fourgram_compressibility",
     "bpe_merge_candidates",
-    "beta_diversity_braycurtis",
     "beta_diversity_jaccard",
     "export_biom_triplets",
     "beta_diversity_morisita_horn",
@@ -506,7 +521,6 @@ PRIORITY: tuple[str, ...] = (
     "kendall_tau_daily",
     "berger_parker_dominance",
     "embedding_dim_covariance",
-    "minhash_union_cardinality",
     "events_sliding_window_agg",
     "knn_graph_components",
     "knn_vote_accuracy",
@@ -586,7 +600,6 @@ PRIORITY: tuple[str, ...] = (
     "kaplan_meier_order_gaps",
     "markov_absorption_3step",
     "multimodal_wav_rms",
-    "dedup_embedding_lsh",
     "knn_triangle_count",
     "pagerank_knn",
     "multimodal_phash_dedup",

@@ -1,0 +1,104 @@
+"""Round-15 optimization-pass tests (second batch): the winnow pair
+former's in-row pair explode must equal the self-join form it replaced,
+and the new sign-LSH embedding pair / semantic CC label artifacts must
+round-trip through the store and equal a from-scratch computation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bpaotu_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_winnow_inrow_pairs_equal_selfjoin(spark, sf_dir):
+    """The capped in-row pair explode (r15) produces exactly the pair
+    set of the fingerprint self-join it replaced — same (doc_a, doc_b,
+    n_shared) rows, one orientation per unordered pair regardless of
+    collect_list order."""
+    from bpaotu_spark.dedup.core import WINNOW_DF_CAP, WINNOW_MIN_SHARED
+    from bpaotu_spark.functions.textops import text_winnow_fingerprints
+
+    new = {tuple(r) for r in QUERIES["dedup_winnow_pairs"](spark, sf_dir).collect()}
+
+    fps = text_winnow_fingerprints(spark, sf_dir)
+    dfreq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    keep = fps.join(dfreq, "fingerprint").filter(F.col("df") <= WINNOW_DF_CAP)
+    a = keep.select(F.col("fingerprint"), F.col("doc_id").alias("doc_a"))
+    b = keep.select(
+        F.col("fingerprint").alias("fp_b"), F.col("doc_id").alias("doc_b")
+    )
+    old = {
+        tuple(r)
+        for r in (
+            a.join(b, (a.fingerprint == b.fp_b) & (a.doc_a < b.doc_b))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        ).collect()
+    }
+    assert new == old
+    assert len(new) > 0  # the fixture corpus must actually form pairs
+
+
+def test_semantic_store_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """emb_lsh_pairs persists and re-serves identically, and the
+    store-served semantic keep-first verdict equals a from-scratch
+    pair-former + star-CC run."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.dedup import sigstore
+    from bpaotu_spark.dedup.core import (
+        emb_lsh_pairs_build,
+        star_connected_components,
+    )
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    try:
+        served_pairs = {
+            tuple(r)
+            for r in sigstore.emb_pairs_cached(spark, sf_dir).collect()
+        }
+        fresh_pairs = {
+            tuple(r) for r in emb_lsh_pairs_build(spark, sf_dir).collect()
+        }
+        assert served_pairs == fresh_pairs
+
+        # second read must come from the persisted artifact (memory tier
+        # cleared) and still match
+        index_store._MEM.clear()
+        again = {
+            tuple(r)
+            for r in sigstore.emb_pairs_cached(spark, sf_dir).collect()
+        }
+        assert again == fresh_pairs
+
+        served = {
+            tuple(r)
+            for r in QUERIES["corpus_semantic_dedup_keep_first"](
+                spark, sf_dir
+            ).collect()
+        }
+        pairs = emb_lsh_pairs_build(spark, sf_dir).select("vec_a", "vec_b")
+        labels = star_connected_components(pairs, "vec_a", "vec_b")
+        vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+        scratch = {
+            tuple(r)
+            for r in (
+                vecs.join(labels, vecs.vec_id == labels.node, "left")
+                .select(
+                    "vec_id",
+                    F.coalesce("component", "vec_id").alias("cluster_id"),
+                )
+                .withColumn(
+                    "is_kept", F.col("cluster_id") == F.col("vec_id")
+                )
+            ).collect()
+        }
+        assert served == scratch
+        n_dropped = sum(1 for r in served if not r[2])
+        assert n_dropped >= 1  # the fixture corpus has semantic dups
+    finally:
+        index_store._MEM.clear()

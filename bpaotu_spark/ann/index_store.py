@@ -194,6 +194,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     manifest: dict[str, int] = {}
     manifest["conn_edges"] = connected_edges_cached(spark, sf_dir).count()
     manifest["hnsw_params"] = hnsw_params(spark, sf_dir).count()
+    manifest["km_assign"] = ann_core._km_final_cached(spark, sf_dir).count()
     _, _, c1, a2 = ann_core._pq_train(spark, sf_dir)
     manifest["pq_codebook"] = c1.count()
     manifest["pq_codes"] = a2.count()

@@ -150,10 +150,40 @@ def test_kmeans_deterministic_and_partitioning(spark, sf_dir):
 
 def test_kmeans_broadcast_centroids(spark, sf_dir):
     # the assignment pass must broadcast the K-row centroid table —
-    # a SortMergeJoin against the corpus would be the wrong plan
-    p = plan(QUERIES["kmeans_embeddings"](spark, sf_dir))
+    # a SortMergeJoin against the corpus would be the wrong plan.
+    # Since late-r15 the Lloyd rounds run in the store BUILD
+    # (_km_final_cached); the query itself reads the assignment, so
+    # the shape assertion targets the build plan.
+    from bpaotu_spark.ann.core import _KM_ITERS, _KM_K, _NP_Q, _km_assign, _km_update
+    from bpaotu_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _NP_Q),
+        ).alias("q"),
+    )
+    w8 = Window.orderBy("vec_id")
+    c = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(w8) - 1).cast("bigint").alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    for _ in range(_KM_ITERS):
+        c = _km_update(_km_assign(e, c))
+    p = plan(_km_assign(e, c).select("vec_id", "cid", "d2"))
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+    # and the served query plan carries NO join at all — a pure
+    # aggregate over the store read
+    pq = plan(QUERIES["kmeans_embeddings"](spark, sf_dir))
+    assert "Join" not in pq
 
 
 def test_trade_flow_shares_and_domestic(spark, sf_dir):

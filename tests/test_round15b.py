@@ -102,3 +102,68 @@ def test_semantic_store_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
         assert n_dropped >= 1  # the fixture corpus has semantic dups
     finally:
         index_store._MEM.clear()
+
+
+def test_km_assign_store_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """The persisted k-means final assignment (late-r15: the PQ-codes
+    lifecycle applied to the Lloyd chain) equals a from-scratch run,
+    and the disk tier re-serves it without re-running the chain."""
+    from pyspark.sql import Window
+
+    from bpaotu_spark.ann import core, index_store
+    from bpaotu_spark.catalog import load_table
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    try:
+        served = {
+            tuple(r)
+            for r in core._km_final_cached(spark, sf_dir).collect()
+        }
+        # from-scratch chain (the pre-r15 per-query shape)
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * core._NP_Q),
+            ).alias("q"),
+        )
+        w8 = Window.orderBy("vec_id")
+        c = (
+            e.orderBy("vec_id")
+            .limit(core._KM_K)
+            .select(
+                (F.row_number().over(w8) - 1).cast("bigint").alias("cid"),
+                F.col("q").alias("c"),
+            )
+        )
+        for _ in range(core._KM_ITERS):
+            c = core._km_update(core._km_assign(e, c))
+        scratch = {
+            tuple(r)
+            for r in core._km_assign(e, c)
+            .select("vec_id", "cid", "d2")
+            .collect()
+        }
+        assert served == scratch
+
+        # disk-tier re-serve (memory tier cleared): identical rows,
+        # and the Lloyd chain must NOT run again
+        index_store._MEM.clear()
+        calls = {"n": 0}
+        real = core._km_assign
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(core, "_km_assign", counting)
+        again = {
+            tuple(r)
+            for r in core._km_final_cached(spark, sf_dir).collect()
+        }
+        assert again == scratch
+        assert calls["n"] == 0
+    finally:
+        index_store._MEM.clear()

@@ -191,6 +191,11 @@ PRIORITY: tuple[str, ...] = (
     # is already in the rotation block below); and the sign-LSH
     # embedding pair table + its CC labels are store-served
     # (dedup_embedding_lsh, corpus_semantic_dedup_keep_first).
+    # (C4, late-r15) the Lloyd-chain assignment became a store-served
+    # ANN-index artifact (km_assign): kmeans_embeddings and
+    # cluster_balanced_sample_plan are now pure reads of it — both
+    # plan-changed, both must carry a fresh driver row.
+    "kmeans_embeddings",
     "cluster_balanced_sample_plan",
     "dedup_embedding_lsh",
     "corpus_semantic_dedup_keep_first",
@@ -222,12 +227,14 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
     "q2_min_price_supplier",
-    "q3_shipping_priority",
     # knn_graph_lsh: r14 plan-identical refactor (shared emb prep via
     # knn_graph_from) never driver-re-verified — last row r6; it takes
     # the final window slot ahead of further r5 rotation.
     "knn_graph_lsh",
     # ---- 50-entry window boundary ----
+    # displaced by the late-r15 C4 key (driver-green r4,
+    # plan-identical this round):
+    "q3_shipping_priority",
     # displaced by the 9 C3 plan-changed keys (all driver-green r4 and
     # plan-identical this round; next rotation cohort after the epoch/
     # optimization keys age out):
@@ -596,7 +603,6 @@ PRIORITY: tuple[str, ...] = (
     "error_budget_burn",
     "price_lognormal_fit",
     "map_tiles_pyramid",
-    "kmeans_embeddings",
     "kaplan_meier_order_gaps",
     "markov_absorption_3step",
     "multimodal_wav_rms",

@@ -61,7 +61,7 @@ ALLOWED_BNLJ = {
     "daily_revenue_periodogram": "broadcast 5-row period dimension + 1-row mean/energy scalars into the DAILY frame",
     "ljung_box_daily": "broadcast 7-row lag dimension into the DAILY frame + 1-row mean/SS/n scalars (daily_acf_lags shape)",
     "quality_threshold_calibration": "broadcast 1-row global-threshold scalar into the doc scan",
-    "cluster_balanced_sample_plan": "broadcast K-row centroid table per assignment pass (kmeans_embeddings shape) + 1-row budget scalar",
+    "cluster_balanced_sample_plan": "store-served km_assign read (late-r15); broadcast K-row quota table + 1-row budget scalar",
     "ann_beam_topk_quality": "broadcast |queries|*B-row frontier per hop + truth leg's broadcast-query != join (beam shape)",
     "ann_hnsw_multilayer_search": "broadcast query set into the n/16 routing-layer scan (non-equi !=) + |queries|*B-row frontier per descent hop + truth leg (beam shape)",
     "ann_jl_pool_recall_sweep": "broadcast query set (N_QUERIES rows), non-equi != + projected-pair equi join (jl_topk_recall shape, per pool leg)",
@@ -163,7 +163,7 @@ ALLOWED_BNLJ = {
     "tfidf_top_terms_approx": "broadcast 1-row corpus-size scalar (as exact tfidf)",
     "corpus_final_verdict": "inherits lang_temperature_sample's 1-row min-count broadcast",
     "customer_pareto_share": "broadcast 1-row grand-total scalar",
-    "kmeans_embeddings": "broadcast K-row centroid table (K=8) per assignment pass",
+    "kmeans_embeddings": "store-served km_assign read (late-r15); the K-row centroid broadcasts live in the index BUILD",
     "otu_prevalence_spectrum": "broadcast 1-row sample-count scalar",
     "text_tfidf_cosine_pairs": "broadcast 1-row corpus-size scalar",
     "nation_trade_flow": "broadcast 1-row grand-total scalar",
@@ -319,7 +319,7 @@ ALLOWED_1PART_WINDOW: dict[str, str] = {
     "species_accumulation_curve": "accumulation order over the sample dimension (site-bounded)",
     "event_type_stationary_dist": "power-iteration step ranks over the |types|-row state vector",
     "pagerank_knn": "rank over the node-score aggregate for the fixed top-k report cut",
-    "kmeans_embeddings": "centroid-ordering rank over the K=8 centroid table per iteration",
+    "kmeans_embeddings": "(build-side since late-r15) centroid-ordering rank over the K=8 centroid table",
     "cluster_balanced_sample_plan": "quota/budget ranks over the K=8 cluster summary",
     "embedding_dim_quantiles": "quantile checkpoints per fixed dimension (D-bounded fan)",
     "embedding_norm_profile": "percentile checkpoints over the norm distribution (exact-percentile contract; checkpoint frame is fixed)",

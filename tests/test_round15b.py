@@ -167,3 +167,71 @@ def test_km_assign_store_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
         assert calls["n"] == 0
     finally:
         index_store._MEM.clear()
+
+
+def test_uw_pairs_bitmask_equals_edge_keyed_join(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The r15 bitmask-interior pair former (popcount of ANDed 62-bit
+    vocabulary words + leaf-keyed join) produces exactly the rows of
+    the all-edge-keyed self-join it replaced, on a cold store."""
+    from bpaotu_spark.ann import index_store
+    from bpaotu_spark.operators.diststore import unifrac_pres_cached
+    from bpaotu_spark.operators.ecology2 import _uf_uw_pairs_build
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    try:
+        new = {tuple(r) for r in _uf_uw_pairs_build(spark, sf_dir).collect()}
+
+        # reference: the replaced shape — one self-join over ALL edges
+        pres = unifrac_pres_cached(spark, sf_dir)
+        sz = pres.groupBy("sample_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ne")
+        )
+        x = pres.select(F.col("sample_id").alias("sa"), "edge")
+        y = pres.select(F.col("sample_id").alias("sb"), "edge")
+        shared = (
+            x.join(y, "edge")
+            .filter(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        )
+        a = sz.select(
+            F.col("sample_id").alias("sample_a"),
+            F.col("ne").alias("n_edges_a"),
+        )
+        b = sz.select(
+            F.col("sample_id").alias("sample_b"),
+            F.col("ne").alias("n_edges_b"),
+        )
+        old = {
+            tuple(r)
+            for r in a.join(
+                F.broadcast(b), F.col("sample_a") < F.col("sample_b")
+            )
+            .join(
+                shared,
+                (F.col("sa") == F.col("sample_a"))
+                & (F.col("sb") == F.col("sample_b")),
+                "left",
+            )
+            .select(
+                "sample_a",
+                "sample_b",
+                "n_edges_a",
+                "n_edges_b",
+                F.coalesce("n_shared", F.lit(0))
+                .cast("bigint")
+                .alias("n_shared_edges"),
+                F.expr(
+                    "((n_edges_a + n_edges_b - 2 * coalesce(n_shared, 0))"
+                    " * 1000000)"
+                    " div (n_edges_a + n_edges_b - coalesce(n_shared, 0))"
+                ).alias("unifrac_ppm"),
+            )
+            .collect()
+        }
+        assert new == old and len(new) > 0
+    finally:
+        index_store._MEM.clear()

@@ -292,13 +292,48 @@ def _connected_parts(spark: SparkSession, sf_dir: str, alive=None):
     return all_nodes, e_knn, e_mp, bridges, comp1, e2
 
 
+def connected_parts_cached(spark: SparkSession, sf_dir: str):
+    """(e_knn, e_mp, bridges, comp1) served through the ANN index
+    store (r15): the full-corpus construction is a deterministic
+    function of the embeddings table, so its four audit frames get the
+    same fingerprint-keyed build-once lifecycle as ``conn_edges`` —
+    the census/CC-proof query then READS the build instead of re-
+    running it (its from-scratch DuckDB oracle keeps verifying the
+    served values every driver round). One cold build fills all four
+    artifacts (and the ``holder`` memo means a partially-warm store
+    still constructs at most once)."""
+    from bpaotu_spark.ann.index_store import cached_frame
+
+    holder: dict[str, tuple] = {}
+
+    def parts() -> tuple:
+        if "p" not in holder:
+            holder["p"] = _connected_parts(spark, sf_dir)
+        return holder["p"]
+
+    e_knn = cached_frame(spark, sf_dir, "conn_eknn", lambda: parts()[1])
+    e_mp = cached_frame(spark, sf_dir, "conn_emp", lambda: parts()[2])
+    bridges = cached_frame(
+        spark, sf_dir, "conn_bridges", lambda: parts()[3]
+    )
+    comp1 = cached_frame(spark, sf_dir, "conn_comp1", lambda: parts()[4])
+    return e_knn, e_mp, bridges, comp1
+
+
 def connected_search_edges(
     spark: SparkSession, sf_dir: str, alive=None
 ) -> DataFrame:
     """Directed (vec_id, neighbor_id) edges of the connected graph —
     the substrate ann_greedy/beam_graph_search walk. ``alive``
-    restricts the corpus (the consolidate rebuild path)."""
-    _, _, _, _, _, e2 = _connected_parts(spark, sf_dir, alive=alive)
+    restricts the corpus (the consolidate rebuild path — built from
+    scratch, never cached). The full-corpus form derives e2 from the
+    store-served parts, so one construction per data fingerprint
+    feeds BOTH the search substrate and the census query (r15)."""
+    if alive is None:
+        e_knn, e_mp, bridges, _ = connected_parts_cached(spark, sf_dir)
+        e2 = e_knn.unionByName(e_mp).unionByName(bridges)
+    else:
+        _, _, _, _, _, e2 = _connected_parts(spark, sf_dir, alive=alive)
     return e2.select(
         F.col("u").alias("vec_id"), F.col("v").alias("neighbor_id")
     ).unionByName(
@@ -353,10 +388,15 @@ def knn_graph_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridges only ever join whole comp1 components, so contracting each
     component to its rep preserves the component count exactly — the
     proof stays computed (and oracle-mirrored) at ~zero cost instead
-    of a second O(log n)-round star CC over every edge."""
-    all_nodes, e_knn, e_mp, bridges, comp1, e2 = _connected_parts(
-        spark, sf_dir
-    )
+    of a second O(log n)-round star CC over every edge.
+
+    STORE-SERVED since r15: the four audit frames are fingerprint-
+    keyed index-store artifacts (``connected_parts_cached``) — the
+    census reads the persisted build while this oracle recomputes the
+    whole construction from scratch, so a stale or corrupted artifact
+    fails the driver's hash compare the round it appears (the
+    dist_matrix_store_stats trust model)."""
+    e_knn, e_mp, bridges, comp1 = connected_parts_cached(spark, sf_dir)
     qlabels = star_connected_components(bridges, "u", "v").select(
         F.col("node").alias("qnode"), F.col("component").alias("qcomp")
     )

@@ -204,6 +204,14 @@ PRIORITY: tuple[str, ...] = (
     "beta_diversity_braycurtis",
     "sample_neighbors_topk",
     "basket_brand_lift",
+    # (C5) plan-CHANGED by the r15 optimization pass, third batch: the
+    # connected-graph census reads the four store-served construction
+    # frames (conn_eknn/emp/bridges/comp1) instead of re-running the
+    # build, and the unweighted-UniFrac pair artifact is built by the
+    # bitmask-interior pair former — both must carry a fresh driver
+    # row against their unchanged from-scratch oracles.
+    "knn_graph_connected",
+    "unifrac_unweighted",
     "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
@@ -272,7 +280,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cluster_cc",
     "corpus_near_dedup_keep_first",
     "lsh_bucket_profile",
-    "unifrac_unweighted",
     "unifrac_weighted",
     "dedup_family_agreement",
     "dedup_family_histogram",
@@ -435,7 +442,6 @@ PRIORITY: tuple[str, ...] = (
     "orders_yoy_growth",
     "otu_niche_breadth",
     "otu_region_overlap",
-    "knn_graph_connected",
     "expectations_audit_delta",
     "events_burst_alarm_windows",
     "hazard_ratio_segments",

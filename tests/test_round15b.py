@@ -235,3 +235,38 @@ def test_uw_pairs_bitmask_equals_edge_keyed_join(
         assert new == old and len(new) > 0
     finally:
         index_store._MEM.clear()
+
+
+def test_conn_parts_store_round_trip(spark, sf_dir, tmp_path, monkeypatch):
+    """knn_graph_connected is store-served (r15): a cold build, the
+    in-process re-serve, and the disk-tier re-serve (memory cleared)
+    must all return identical census rows, and the disk re-serve must
+    not re-run the graph construction."""
+    from bpaotu_spark.ann import graphconn, index_store
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    try:
+        cold = {
+            tuple(r)
+            for r in QUERIES["knn_graph_connected"](spark, sf_dir).collect()
+        }
+        assert len(cold) == 3
+
+        index_store._MEM.clear()
+        calls = {"n": 0}
+        real = graphconn._connected_parts
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(graphconn, "_connected_parts", counting)
+        warm = {
+            tuple(r)
+            for r in QUERIES["knn_graph_connected"](spark, sf_dir).collect()
+        }
+        assert warm == cold
+        assert calls["n"] == 0
+    finally:
+        index_store._MEM.clear()

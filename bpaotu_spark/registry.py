@@ -212,6 +212,7 @@ PRIORITY: tuple[str, ...] = (
     # row against their unchanged from-scratch oracles.
     "knn_graph_connected",
     "unifrac_unweighted",
+    "dedup_embedding",
     "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
@@ -294,7 +295,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_tombstone_embedding",
     "contextual_filter_or",
     "corpus_token_stats",
-    "dedup_embedding",
     "dedup_exact",
     "distinct_parts_per_brand",
     "events_rollup_reuse",

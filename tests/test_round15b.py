@@ -270,3 +270,27 @@ def test_conn_parts_store_round_trip(spark, sf_dir, tmp_path, monkeypatch):
         assert calls["n"] == 0
     finally:
         index_store._MEM.clear()
+
+
+def test_seq_dot_arrow_bit_identical_to_fold(spark, sf_dir):
+    """The Arrow scorer's per-dimension sequential accumulation must
+    reproduce the interpreted fold's doubles BIT-FOR-BIT on the real
+    pair stream (same summation order — np.dot/np.sum would not)."""
+    import struct
+
+    from bpaotu_spark.catalog import load_table
+    from bpaotu_spark.dedup.core import dot, seq_dot_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(5000)
+    rows = pairs.select(
+        dot(F.col("va"), F.col("vb")).alias("fold"),
+        seq_dot_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert struct.pack("<d", r.fold) == struct.pack("<d", r.arrow)

@@ -213,6 +213,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_graph_connected",
     "unifrac_unweighted",
     "dedup_embedding",
+    "faith_pd_taxonomy",
     "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
@@ -601,7 +602,6 @@ PRIORITY: tuple[str, ...] = (
     "month_end_lift",
     "taxa_temporal_drift",
     "hill_numbers_suite",
-    "faith_pd_taxonomy",
     "bloom_sizing_advisor",
     "two_way_effects",
     "ab_test_sizing",

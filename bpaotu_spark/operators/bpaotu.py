@@ -255,11 +255,22 @@ def krona_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("n_name").isNull(), 0).otherwise(1)
         + F.when(F.col("c_mktsegment").isNull(), 0).otherwise(1)
     )
+    # r15: pre-aggregate to one row per sample BEFORE the rollup — the
+    # (r, n, segment) context is a function of the sample, so the
+    # rollup's Expand multiplies ~|samples| rows instead of the fact
+    # stream, and countDistinct(sample_id) becomes count(*) (each
+    # rollup group sees each sample exactly once). cnt sums are exact
+    # (integer-valued doubles), so partial sums are associative and
+    # the rounded totals are bit-identical; measured min-of-5
+    # interleaved 1.65 s → 1.30 s at sf0.1, exact set equality.
+    g = joined.groupBy(
+        "r_name", "n_name", "c_mktsegment", "sample_id"
+    ).agg(F.sum("cnt").alias("s"))
     return (
-        joined.rollup("r_name", "n_name", "c_mktsegment")
+        g.rollup("r_name", "n_name", "c_mktsegment")
         .agg(
-            F.round(F.sum("cnt"), 4).cast("double").alias("total_abundance"),
-            F.countDistinct("sample_id").alias("n_samples"),
+            F.round(F.sum("s"), 4).cast("double").alias("total_abundance"),
+            F.count(F.lit(1)).alias("n_samples"),
         )
         .withColumn("depth", depth)
         .select("r_name", "n_name", "c_mktsegment", "depth", "total_abundance", "n_samples")

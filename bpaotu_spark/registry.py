@@ -214,6 +214,7 @@ PRIORITY: tuple[str, ...] = (
     "unifrac_unweighted",
     "dedup_embedding",
     "faith_pd_taxonomy",
+    "krona_rollup",
     "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
@@ -304,7 +305,6 @@ PRIORITY: tuple[str, ...] = (
     "export_long_abundance",
     "funnel_conversion",
     "json_extraction",
-    "krona_rollup",
     "map_binning_2d",
     "otu_query_combined",
     "otu_text_search",

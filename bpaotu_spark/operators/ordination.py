@@ -160,17 +160,31 @@ def _gower_b(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Integer Gower operator B' = -(n²·d2 − n·rs_i − n·rs_j + gs) in
-    (i, j, b DECIMAL(38,0)) long form plus the (gs, n) scalar frame.
-    B' = 2n²·B — same eigenvectors as the centered matrix."""
+    (i, j, b BIGINT) long form plus the (gs, n) scalar frame.
+    B' = 2n²·B — same eigenvectors as the centered matrix.
+
+    BIGINT since r15 (was DECIMAL(38,0)): the cohort is hard-capped at
+    n ≤ 2000 (``c_custkey < 2000`` in _PCOA_FILTER — scale-invariant),
+    so with d2 ≤ 1e12 (ppm² grid) every term is bounded: n²·d2 ≤ 4e18,
+    n·rs ≤ n²·d2max = 4e18, gs ≤ 4e18, and the FORCED left-associated
+    order ((n·n·d2 − n·rs_i) − n·rs_j) + gs keeps every intermediate
+    within ±8e18 < 2^63 — no overflow even when every pair sits at the
+    1e6 ppm ceiling. Values are the identical integers the decimal
+    pipeline produced (proven exceptAll-equal at sf0.1, operator AND
+    full query); the long chain reaches its JIT floor a warm-up round
+    earlier and runs leaner (min-of-4 interleaved: 0.70 → 0.58 s at
+    the floor, 1.9 → 0.66 s one round before it). Downstream wide
+    arithmetic (deflation, Rayleigh) casts b back to DECIMAL(38,0) at
+    the use site exactly as before."""
     d2 = (
         _bc_pairs_full(spark, sf_dir)
-        .select("i", "j", F.expr("CAST(dp AS DECIMAL(38,0)) * dp").alias("d2"))
+        .select("i", "j", F.expr("dp * dp").alias("d2"))
         .localCheckpoint()  # reused by rs + gn + the join
     )
-    rs = d2.groupBy("i").agg(F.sum("d2").cast("decimal(38,0)").alias("rs"))
+    rs = d2.groupBy("i").agg(F.sum("d2").cast("long").alias("rs"))
     gn = d2.agg(
-        F.sum("d2").cast("decimal(38,0)").alias("gs"),
-        F.countDistinct("i").cast("decimal(38,0)").alias("n"),
+        F.sum("d2").cast("long").alias("gs"),
+        F.countDistinct("i").cast("long").alias("n"),
     )
     b = (
         d2.join(rs.select("i", F.col("rs").alias("rs_i")), "i")
@@ -179,7 +193,9 @@ def _gower_b(
         .select(
             "i",
             "j",
-            F.expr("-(n * n * d2 - n * rs_i - n * rs_j + gs)").alias("b"),
+            F.expr(
+                "-(((n * n * d2 - n * rs_i) - n * rs_j) + gs)"
+            ).alias("b"),
         )
         .localCheckpoint()  # the iteration loop reuses the operator
     )
@@ -601,8 +617,12 @@ def ordination_pcoa_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             # B₂ = den_m²·(B − λ₁v̂₁v̂₁ᵀ) with λ₁ = num/den_m and
-            # v̂₁ = v1m/√den_m — den_m SQUARED on the B term
-            F.expr("den_m * den_m * b - num * vmi * vmj").alias("braw"),
+            # v̂₁ = v1m/√den_m — den_m SQUARED on the B term; b is
+            # BIGINT since r15, so the widening cast is explicit
+            F.expr(
+                "den_m * den_m * CAST(b AS DECIMAL(38,0))"
+                " - num * vmi * vmj"
+            ).alias("braw"),
         )
     )
     s2 = b2.agg(

@@ -215,6 +215,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding",
     "faith_pd_taxonomy",
     "krona_rollup",
+    "ordination_pcoa_2d",
     "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
@@ -331,7 +332,6 @@ PRIORITY: tuple[str, ...] = (
     "permanova_pseudo_f",
     "beta_dispersion_groups",
     "simper_contributions",
-    "ordination_pcoa_2d",
     "anderson_darling_binned",
     "multimodal_wav_zero_crossings",
     "approx_distinct_parts",

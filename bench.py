@@ -825,6 +825,12 @@ def main() -> int:
     # kmeans/curation queries below measure a store READ, never the
     # Lloyd rounds — construction cost is paid HERE, once
     force(_km_final_cached(spark, sf_dir))
+    # the LSH kNN edge table joins the same build job (late r15): the
+    # ten census queries below measure store READS, never the bucketed
+    # self-join derivation — its cost is paid HERE, once
+    from bpaotu_spark.ann.core import knn_graph_lsh
+
+    force(knn_graph_lsh(spark, sf_dir))
     ann_index_build_sec = round(time.time() - t0, 3)
 
     # Same lifecycle for the comparison-page distance matrices (r12

@@ -193,6 +193,9 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
 
     manifest: dict[str, int] = {}
     manifest["conn_edges"] = connected_edges_cached(spark, sf_dir).count()
+    # r15: the plain LSH kNN edge table joins the build job — ten
+    # census queries read it instead of re-deriving the graph
+    manifest["knn_lsh_edges"] = ann_core.knn_graph_lsh(spark, sf_dir).count()
     manifest["hnsw_params"] = hnsw_params(spark, sf_dir).count()
     manifest["km_assign"] = ann_core._km_final_cached(spark, sf_dir).count()
     _, _, c1, a2 = ann_core._pq_train(spark, sf_dir)

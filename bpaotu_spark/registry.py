@@ -216,6 +216,21 @@ PRIORITY: tuple[str, ...] = (
     "faith_pd_taxonomy",
     "krona_rollup",
     "ordination_pcoa_2d",
+    # (C6) plan-CHANGED, fourth batch: the LSH kNN edge table is a
+    # store artifact (build-once, ann/index_store) and the whole
+    # census family READS it — ten consumers plus the edge table
+    # itself, all verified against unchanged from-scratch oracles.
+    "knn_graph_lsh",
+    "knn_triangle_count",
+    "knn_graph_components",
+    "knn_vote_accuracy",
+    "intrinsic_dimension_twonn",
+    "knn_shared_neighbor_histogram",
+    "knn_hubness_histogram",
+    "pagerank_knn",
+    "knn_degree_assortativity",
+    "knn_reciprocity",
+    "knn_two_hop_reach",
     "data_expectations_audit",
     # (D) rotation (VERDICT #5): the entire 36-key r4-evidence cohort
     # plus the three oldest r5 keys — after this window no key's
@@ -242,7 +257,6 @@ PRIORITY: tuple[str, ...] = (
     # knn_graph_lsh: r14 plan-identical refactor (shared emb prep via
     # knn_graph_from) never driver-re-verified — last row r6; it takes
     # the final window slot ahead of further r5 rotation.
-    "knn_graph_lsh",
     # ---- 50-entry window boundary ----
     # displaced by the late-r15 C4 key (driver-green r4,
     # plan-identical this round):
@@ -436,7 +450,6 @@ PRIORITY: tuple[str, ...] = (
     "events_rolling_wau",
     "heavy_hitters_cms",
     "hierarchy_share_of_parent",
-    "knn_degree_assortativity",
     "langid_confusion",
     "lineitem_corr_matrix",
     "markov_next_event_accuracy",
@@ -465,7 +478,6 @@ PRIORITY: tuple[str, ...] = (
     "revenue_lorenz_points",
     "supplier_catalog_breadth",
     "ann_top1_margin_histogram",
-    "knn_two_hop_reach",
     "embedding_split_centroid_shift",
     "shuffle_partition_advisor",
     "cms_width_error_sweep",
@@ -519,7 +531,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_multiprobe_topk",
     "quantiles_exact_by_segment",
     "seasonal_naive_mase",
-    "knn_shared_neighbor_histogram",
     "label_silhouette_centroid",
     "parts_slow_mover_detection",
     "orders_hhi_by_nation",
@@ -536,8 +547,6 @@ PRIORITY: tuple[str, ...] = (
     "berger_parker_dominance",
     "embedding_dim_covariance",
     "events_sliding_window_agg",
-    "knn_graph_components",
-    "knn_vote_accuracy",
     "association_rules_parts",
     "orders_abc_classification",
     "skipgram_pmi_topk",
@@ -559,7 +568,6 @@ PRIORITY: tuple[str, ...] = (
     "brown_forsythe_f",
     "cochran_armitage_trend",
     "competing_risks_cif",
-    "knn_hubness_histogram",
     "metric_agreement_topk",
     "occupancy_abundance_deciles",
     "session_depth_histogram",
@@ -584,7 +592,6 @@ PRIORITY: tuple[str, ...] = (
     "zorder_file_pruning",
     "curriculum_schedule",
     "theil_inequality",
-    "intrinsic_dimension_twonn",
     "source_jsd_matrix",
     "churn_reactivation_quarterly",
     "returnflag_drift_yearly",
@@ -612,8 +619,6 @@ PRIORITY: tuple[str, ...] = (
     "kaplan_meier_order_gaps",
     "markov_absorption_3step",
     "multimodal_wav_rms",
-    "knn_triangle_count",
-    "pagerank_knn",
     "multimodal_phash_dedup",
     "multimodal_phash_near_pairs",
     "embedding_prefix_recall",
@@ -644,7 +649,6 @@ PRIORITY: tuple[str, ...] = (
     "embedding_dim_quantiles",
     "scd2_containment_audit",
     "markov_calibration_reliability",
-    "knn_reciprocity",
     "scd2_dwell_time_stats",
     "bigram_pmi",
     "multimodal_meta",

@@ -294,3 +294,41 @@ def test_seq_dot_arrow_bit_identical_to_fold(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert struct.pack("<d", r.fold) == struct.pack("<d", r.arrow)
+
+
+def test_knn_lsh_edges_store_round_trip(spark, sf_dir, tmp_path, monkeypatch):
+    """knn_graph_lsh is store-served (r15): a cold build, the
+    in-process re-serve, and the disk-tier re-serve must return
+    identical edge rows, and the disk re-serve must not re-run the
+    LSH self-join derivation."""
+    from bpaotu_spark.ann import core as ann_core
+    from bpaotu_spark.ann import index_store
+
+    monkeypatch.setenv("BPAOTU_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    index_store._MEM.clear()
+    try:
+        cold = {
+            tuple(r) for r in QUERIES["knn_graph_lsh"](spark, sf_dir).collect()
+        }
+        assert len(cold) > 0
+
+        index_store._MEM.clear()
+        calls = {"n": 0}
+        real = ann_core._knn_graph_lsh_build
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(ann_core, "_knn_graph_lsh_build", counting)
+        warm = {
+            tuple(r) for r in QUERIES["knn_graph_lsh"](spark, sf_dir).collect()
+        }
+        assert warm == cold
+        assert calls["n"] == 0
+
+        # a census consumer composed on the store-served edges equals
+        # itself (sanity that the family wiring still resolves)
+        assert QUERIES["knn_reciprocity"](spark, sf_dir).count() == 1
+    finally:
+        index_store._MEM.clear()

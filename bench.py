@@ -929,6 +929,17 @@ def main() -> int:
     bucketed_layout = bucketed_layout_report(spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
+    # r16 (VERDICT r15 item 2): the store lifecycle moves derivation
+    # work into the untimed build windows above; this total puts it
+    # back so cross-round comparisons can never gain from a repoint —
+    # headline_total + the three cold build windows, one number.
+    headline_with_builds = round(
+        total
+        + ann_index_build_sec
+        + dist_index_build_sec
+        + dedup_index_build_sec,
+        3,
+    )
     canon = [n for n in HEADLINE[:N_CANON] if n in per_query]
     # value_canon: per-query median-of-3 (the r8+ convention);
     # value_canon_min: best-of-2 as emitted in r6/r7, kept so the
@@ -1025,6 +1036,7 @@ def main() -> int:
             {
                 "metric": "headline_total",
                 "value": total,
+                "headline_with_builds": headline_with_builds,
                 "value_canon": value_canon,
                 "value_canon_min": value_canon_min,
                 "calib_sec": calib_sec,
@@ -1054,6 +1066,7 @@ def main() -> int:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "headline_with_builds": headline_with_builds,
         "value_canon": value_canon,
         "value_canon_min": value_canon_min,
         "calib_sec": calib_sec,

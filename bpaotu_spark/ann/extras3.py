@@ -524,76 +524,39 @@ def ann_greedy_graph_search(
     )
     # build-once edge list: persisted index, not per-query construction
     knn = connected_edges_cached(spark, sf_dir)
-    eq_c = eq.localCheckpoint()
 
-    def d2(qcol: str, ccol: str):
-        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
-
-    qs = eq_c.filter(F.col("vec_id") < N_QUERIES).select(
+    qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    entry = eq_c.agg(F.max("vec_id").alias("eid"))
-    ev = eq_c.select(F.col("vec_id").alias("eid"), F.col("q").alias("eq"))
-    frontier = (
-        qs.crossJoin(F.broadcast(entry))
-        .join(F.broadcast(ev), "eid")
-        .select(
-            "query_id",
-            "qv",
-            F.col("eid").alias("cur_id"),
-            d2("qv", "eq").cast("long").alias("cur_d2"),
-        )
-        .localCheckpoint()
-    )
-    cq = eq_c.select(
+    cq = eq.select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("cq")
     )
-    for _ in range(_SEARCH_HOPS):
-        cand = (
-            knn.join(
-                F.broadcast(
-                    frontier.select("query_id", "qv", "cur_id", "cur_d2")
-                ),
-                (knn.vec_id == F.col("cur_id"))
-                & (knn.neighbor_id != F.col("query_id")),
-            )
-            .join(cq, knn.neighbor_id == cq.cand_id)
-            .select(
-                "query_id",
-                "cur_id",
-                "cur_d2",
-                "cand_id",
-                d2("qv", "cq").cast("long").alias("cand_d2"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy("cand_d2", "cand_id")
-        best = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select(
-                F.col("query_id").alias("bq"),
-                F.col("cand_id").alias("b_id"),
-                F.col("cand_d2").alias("b_d2"),
-            )
-        )
-        frontier = (
-            frontier.join(
-                F.broadcast(best), frontier.query_id == F.col("bq"), "left"
-            )
-            .select(
-                "query_id",
-                "qv",
-                F.expr(
-                    "CASE WHEN b_d2 IS NOT NULL AND b_d2 < cur_d2"
-                    " THEN b_id ELSE cur_id END"
-                ).alias("cur_id"),
-                F.expr(
-                    "CASE WHEN b_d2 IS NOT NULL AND b_d2 < cur_d2"
-                    " THEN b_d2 ELSE cur_d2 END"
-                ).alias("cur_d2"),
-            )
-            .localCheckpoint()
-        )
+    # driver-frontier walk (r16, ann/walk.py): the bounded frontier —
+    # which every hop already round-tripped through the driver via the
+    # broadcast — is held in the driver; each hop fetches only the
+    # not-yet-seen adjacency lists and candidate vectors through
+    # pushed-down IN probes of the cluster-resident tables, and the
+    # walk stops at its fixed point (a cur that fails to strictly
+    # improve never moves again). Values are the exact integer
+    # (d2, cand_id) argmin the checkpoint loop computed.
+    from bpaotu_spark.ann.walk import (
+        collect_qv,
+        collect_truth_nn,
+        entry_init,
+        greedy_walk,
+        walk_report,
+    )
+
+    qmap = collect_qv(qs)
+    eid, ed2 = entry_init(eq, qmap)
+    cur = greedy_walk(
+        spark,
+        knn,
+        cq,
+        qmap,
+        {q: (eid, ed2[q]) for q in qmap},
+        hops=_SEARCH_HOPS,
+    )
     # truth leg READ from the persisted ground-truth store (r14
     # VERDICT item 3 / truthstore.py): trank=1 of truth_grid_top10 IS
     # this op's exact-NN leg (same _RQ_Q quantization, same self-
@@ -602,30 +565,12 @@ def ann_greedy_graph_search(
     # store-served values
     from bpaotu_spark.ann.truthstore import grid_top10_cached
 
-    truth = (
+    truth = collect_truth_nn(
         grid_top10_cached(spark, sf_dir)
         .filter(F.col("trank") == 1)
-        .select(
-            "query_id",
-            F.col("cand_id").alias("true_id"),
-            F.col("cand_d2").alias("true_d2"),
-        )
+        .select("query_id", "cand_id", "cand_d2")
     )
-    return (
-        frontier.join(F.broadcast(truth), "query_id")
-        .select(
-            "query_id",
-            F.col("cur_id").alias("found_id"),
-            F.col("cur_d2").alias("found_d2"),
-            "true_id",
-            "true_d2",
-            (F.col("cur_id") == F.col("true_id")).alias("exact_hit"),
-            F.expr(
-                "CAST(cur_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
-            ).alias("dist_ratio_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return walk_report(spark, cur, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -741,75 +686,45 @@ ORDER BY f.query_id
 def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-12 graph-ANN walk over the CONNECTED kNN graph vs true NN
     (same report shape as ann_greedy_graph_search)."""
-    eq = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * _RQ_Q),
-            ).alias("q"),
-        )
-        .localCheckpoint()
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
     )
     from bpaotu_spark.ann.index_store import connected_edges_cached
 
     knn = connected_edges_cached(spark, sf_dir)
 
-    def d2(qcol: str, ccol: str):
-        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
-
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    entry = eq.agg(F.max("vec_id").alias("eid"))
-    ev = eq.select(F.col("vec_id").alias("eid"), F.col("q").alias("nq"))
-    frontier = (
-        qs.crossJoin(F.broadcast(entry))
-        .join(F.broadcast(ev), "eid")
-        .select(
-            "query_id",
-            F.col("eid").alias("node_id"),
-            d2("qv", "nq").cast("long").alias("d2"),
-        )
-        .localCheckpoint()
-    )
     cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
-    qv = qs  # (query_id, qv)
-    for _ in range(_BEAM_HOPS):
-        neigh = (
-            knn.join(
-                F.broadcast(frontier.select("query_id", "node_id")),
-                knn.vec_id == F.col("node_id"),
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", F.col("neighbor_id").alias("cand_id"))
-            .distinct()
-            .join(F.broadcast(qv), "query_id")
-            .join(cq, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("node_id"),
-                d2("qv", "cq").cast("long").alias("d2"),
-            )
-        )
-        expanded = frontier.unionByName(neigh).distinct()
-        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
-        frontier = (
-            expanded.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _BEAM)
-            .select("query_id", "node_id", "d2")
-            .localCheckpoint()
-        )
-    w1 = Window.partitionBy("query_id").orderBy("d2", "node_id")
-    found = (
-        frontier.withColumn("rn", F.row_number().over(w1))
-        .filter("rn = 1")
-        .select(
-            "query_id",
-            F.col("node_id").alias("found_id"),
-            F.col("d2").alias("found_d2"),
-        )
+    # driver-frontier beam (r16, ann/walk.py): per hop only the
+    # not-yet-seen adjacency/vectors are fetched via pushed-down IN
+    # probes; union/distinct/top-B merge in the driver with the
+    # identical integer (d2, node_id) ordering, early exit at the
+    # frontier's fixed point.
+    from bpaotu_spark.ann.walk import (
+        beam_walk,
+        collect_qv,
+        collect_truth_nn,
+        entry_init,
+        top1,
+        walk_report,
+    )
+
+    qmap = collect_qv(qs)
+    eid, ed2 = entry_init(eq, qmap)
+    front = beam_walk(
+        spark,
+        knn,
+        cq,
+        qmap,
+        {q: [(ed2[q], eid)] for q in qmap},
+        beam=_BEAM,
+        hops=_BEAM_HOPS,
     )
     # truth leg READ from the persisted ground-truth store (r14
     # VERDICT item 3 / truthstore.py): trank=1 of truth_grid_top10 IS
@@ -819,30 +734,12 @@ def ann_beam_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # store-served values
     from bpaotu_spark.ann.truthstore import grid_top10_cached
 
-    truth = (
+    truth = collect_truth_nn(
         grid_top10_cached(spark, sf_dir)
         .filter(F.col("trank") == 1)
-        .select(
-            "query_id",
-            F.col("cand_id").alias("true_id"),
-            F.col("cand_d2").alias("true_d2"),
-        )
+        .select("query_id", "cand_id", "cand_d2")
     )
-    return (
-        found.join(F.broadcast(truth), "query_id")
-        .select(
-            "query_id",
-            "found_id",
-            "found_d2",
-            "true_id",
-            "true_d2",
-            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
-            F.expr(
-                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
-            ).alias("dist_ratio_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return walk_report(spark, top1(front), truth)
 
 
 # ---------------------------------------------------------------------------
@@ -1001,28 +898,23 @@ def ann_hnsw_layered_search(
     search ops)."""
     from bpaotu_spark.ann.index_store import connected_edges_cached
 
-    eq = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * _RQ_Q),
-            ).alias("q"),
-        )
-        .localCheckpoint()
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
     )
     knn = connected_edges_cached(spark, sf_dir)
-
-    def d2(qcol: str, ccol: str):
-        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
     # layer-1 graph: exact k=3 among the 1/16 sample (small by
-    # construction — the HNSW upper-layer argument), symmetric closure
-    l1 = eq.filter(F.col("vec_id") % _L1_MOD == 0).localCheckpoint()
+    # construction — the HNSW upper-layer argument), symmetric closure.
+    # No checkpoint: the serve path scans it once (entry lookup); the
+    # k=3 build runs only on an index-store miss.
+    l1 = eq.filter(F.col("vec_id") % _L1_MOD == 0)
 
     def _build_l1edges():
         a = l1.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
@@ -1042,82 +934,43 @@ def ann_hnsw_layered_search(
     from bpaotu_spark.ann.index_store import cached_frame
 
     l1edges = cached_frame(spark, sf_dir, "hnsw_l1", _build_l1edges)
-    # phase 1: beam-4 walk on layer 1 from its max-id entry
-    entry = l1.agg(F.max("vec_id").alias("eid"))
-    ev = l1.select(F.col("vec_id").alias("eid"), F.col("q").alias("eqv"))
+    # phase 1: beam-4 walk on layer 1 from its max-id entry —
+    # driver-frontier form (r16, ann/walk.py): pushed-down IN fetches
+    # of the touched adjacency/vectors, bounded merge in the driver,
+    # fixed-point early exit
     cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
-    qv = qs  # (query_id, qv)
-    beam = (
-        qs.crossJoin(F.broadcast(entry))
-        .join(F.broadcast(ev), "eid")
-        .select(
-            "query_id",
-            F.col("eid").alias("node_id"),
-            d2("qv", "eqv").cast("long").alias("d2"),
-        )
-        .localCheckpoint()
+    from bpaotu_spark.ann.walk import (
+        beam_walk,
+        collect_qv,
+        collect_truth_nn,
+        entry_init,
+        top1,
+        walk_report,
     )
-    for _ in range(_L1_HOPS):
-        neigh = (
-            l1edges.join(
-                F.broadcast(beam.select("query_id", "node_id")),
-                l1edges.src == F.col("node_id"),
-            )
-            .filter(F.col("dst") != F.col("query_id"))
-            .select("query_id", F.col("dst").alias("cand_id"))
-            .distinct()
-            .join(F.broadcast(qv), "query_id")
-            .join(cq, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("node_id"),
-                d2("qv", "cq").cast("long").alias("d2"),
-            )
-        )
-        expanded = beam.unionByName(neigh).distinct()
-        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
-        beam = (
-            expanded.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _L1_BEAM)
-            .select("query_id", "node_id", "d2")
-            .localCheckpoint()
-        )
+
+    qmap = collect_qv(qs)
+    eid, ed2 = entry_init(l1, qmap)
+    beam = beam_walk(
+        spark,
+        l1edges,
+        cq,
+        qmap,
+        {q: [(ed2[q], eid)] for q in qmap},
+        beam=_L1_BEAM,
+        hops=_L1_HOPS,
+        src="src",
+        dst="dst",
+    )
     # phase 2: beam-12 descent on the full connected graph, entered
     # from the coarse layer's surviving frontier
-    for _ in range(_DESCENT_HOPS):
-        neigh = (
-            knn.join(
-                F.broadcast(beam.select("query_id", "node_id")),
-                knn.vec_id == F.col("node_id"),
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", F.col("neighbor_id").alias("cand_id"))
-            .distinct()
-            .join(F.broadcast(qv), "query_id")
-            .join(cq, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("node_id"),
-                d2("qv", "cq").cast("long").alias("d2"),
-            )
-        )
-        expanded = beam.unionByName(neigh).distinct()
-        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
-        beam = (
-            expanded.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _BEAM)
-            .select("query_id", "node_id", "d2")
-            .localCheckpoint()
-        )
-    w1 = Window.partitionBy("query_id").orderBy("d2", "node_id")
-    found = (
-        beam.withColumn("rn", F.row_number().over(w1))
-        .filter("rn = 1")
-        .select(
-            "query_id",
-            F.col("node_id").alias("found_id"),
-            F.col("d2").alias("found_d2"),
-        )
+    beam = beam_walk(
+        spark,
+        knn,
+        cq,
+        qmap,
+        beam,
+        beam=_BEAM,
+        hops=_DESCENT_HOPS,
     )
     # truth leg READ from the persisted ground-truth store (r14
     # VERDICT item 3 / truthstore.py): trank=1 of truth_grid_top10 IS
@@ -1127,30 +980,12 @@ def ann_hnsw_layered_search(
     # store-served values
     from bpaotu_spark.ann.truthstore import grid_top10_cached
 
-    truth = (
+    truth = collect_truth_nn(
         grid_top10_cached(spark, sf_dir)
         .filter(F.col("trank") == 1)
-        .select(
-            "query_id",
-            F.col("cand_id").alias("true_id"),
-            F.col("cand_d2").alias("true_d2"),
-        )
+        .select("query_id", "cand_id", "cand_d2")
     )
-    return (
-        found.join(F.broadcast(truth), "query_id")
-        .select(
-            "query_id",
-            "found_id",
-            "found_d2",
-            "true_id",
-            "true_d2",
-            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
-            F.expr(
-                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
-            ).alias("dist_ratio_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return walk_report(spark, top1(beam), truth)
 
 
 # ---------------------------------------------------------------------------
@@ -1266,112 +1101,70 @@ def ann_beam_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal rank inside the returned list."""
     from bpaotu_spark.ann.index_store import connected_edges_cached
 
-    eq = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * _RQ_Q),
-            ).alias("q"),
-        )
-        .localCheckpoint()
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
     )
     knn = connected_edges_cached(spark, sf_dir)
-
-    def d2(qcol: str, ccol: str):
-        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    entry = eq.agg(F.max("vec_id").alias("eid"))
-    ev = eq.select(F.col("vec_id").alias("eid"), F.col("q").alias("nq"))
-    frontier = (
-        qs.crossJoin(F.broadcast(entry))
-        .join(F.broadcast(ev), "eid")
-        .select(
-            "query_id",
-            F.col("eid").alias("node_id"),
-            d2("qv", "nq").cast("long").alias("d2"),
-        )
-        .localCheckpoint()
-    )
     cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
-    for _ in range(_BEAM_HOPS):
-        neigh = (
-            knn.join(
-                F.broadcast(frontier.select("query_id", "node_id")),
-                knn.vec_id == F.col("node_id"),
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", F.col("neighbor_id").alias("cand_id"))
-            .distinct()
-            .join(F.broadcast(qs), "query_id")
-            .join(cq, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("node_id"),
-                d2("qv", "cq").cast("long").alias("d2"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
-        frontier = (
-            frontier.unionByName(neigh)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _BEAM)
-            .select("query_id", "node_id", "d2")
-            .localCheckpoint()
-        )
-    wf = Window.partitionBy("query_id").orderBy("d2", "node_id")
-    found = frontier.withColumn(
-        "frank", F.row_number().over(wf).cast("bigint")
-    ).select("query_id", "node_id", "frank")
+    # driver-frontier beam (r16, ann/walk.py): identical walk to
+    # ann_beam_graph_search; the ranked list is the final frontier,
+    # whose (d2, node_id) order IS frank
+    from bpaotu_spark.ann.walk import beam_walk, collect_qv, entry_init
+
+    qmap = collect_qv(qs)
+    eid, ed2 = entry_init(eq, qmap)
+    front = beam_walk(
+        spark,
+        knn,
+        cq,
+        qmap,
+        {q: [(ed2[q], eid)] for q in qmap},
+        beam=_BEAM,
+        hops=_BEAM_HOPS,
+    )
     # truth leg served from the persisted ground-truth artifact
     # (ann/truthstore.py truth_grid_top10; _QUAL_K == truthstore's
-    # _TRUTH_K, and the oracle still computes truth from scratch)
+    # _TRUTH_K, and the oracle still computes truth from scratch).
+    # The ranked-list scoring is bounded per-query arithmetic
+    # (|truth|=10 × |found|≤12 integers), computed in the driver with
+    # the identical integer div semantics.
     from bpaotu_spark.ann.truthstore import grid_top10_cached
 
-    truthall = grid_top10_cached(spark, sf_dir).select(
-        "query_id", "cand_id", "trank"
+    t_rows = (
+        grid_top10_cached(spark, sf_dir)
+        .select("query_id", "cand_id", "trank")
+        .collect()
     )
-    f10 = found.filter(F.col("frank") <= _QUAL_K).select(
-        F.col("query_id").alias("fq"), F.col("node_id").alias("fn")
-    )
-    per = (
-        truthall.join(
-            f10,
-            (truthall.query_id == F.col("fq"))
-            & (truthall.cand_id == F.col("fn")),
-            "left",
+    truth10: dict[int, list[int]] = {}
+    nn1: dict[int, int] = {}
+    for r in t_rows:
+        truth10.setdefault(int(r[0]), []).append(int(r[1]))
+        if int(r[2]) == 1:
+            nn1[int(r[0])] = int(r[1])
+    rows = []
+    for q in sorted(front):
+        flist = [n for (_, n) in front[q]]  # (d2, node) order IS frank
+        hits = len(set(truth10[q]) & set(flist[:_QUAL_K]))
+        frank = flist.index(nn1[q]) + 1 if nn1[q] in flist else None
+        rows.append(
+            (
+                q,
+                hits,
+                hits * 100000 // _QUAL_K,
+                frank if frank is not None else 0,
+                1000 // frank if frank is not None else 0,
+            )
         )
-        .groupBy("query_id")
-        .agg(F.count("fn").cast("bigint").alias("n_hits_at10"))
-    )
-    t1 = truthall.filter("trank = 1").select(
-        "query_id", F.col("cand_id").alias("nn_id")
-    )
-    nnrank = t1.join(
-        found,
-        (t1.query_id == found.query_id) & (t1.nn_id == found.node_id),
-        "left",
-    ).select(t1.query_id, found.frank)
-    return (
-        per.join(nnrank, "query_id")
-        .select(
-            "query_id",
-            "n_hits_at10",
-            F.expr(
-                f"CAST(n_hits_at10 * 100000 div {_QUAL_K} AS BIGINT)"
-            ).alias("recall10_e5"),
-            F.coalesce("frank", F.lit(0))
-            .cast("bigint")
-            .alias("true_nn_rank_in_found"),
-            F.expr(
-                "CAST(CASE WHEN frank IS NULL THEN 0"
-                " ELSE 1000 div frank END AS BIGINT)"
-            ).alias("rr_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return spark.createDataFrame(
+        rows,
+        "query_id long, n_hits_at10 long, recall10_e5 long,"
+        " true_nn_rank_in_found long, rr_milli long",
+    ).orderBy("query_id")

@@ -228,16 +228,12 @@ def ann_hnsw_multilayer_search(
     base-layer hops (measured sf0.01 9/10, sf0.1 7/10 exact-hit)."""
     from bpaotu_spark.ann.index_store import connected_edges_cached
 
-    eq = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * _RQ_Q),
-            ).alias("q"),
-        )
-        .localCheckpoint()
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
     )
     base = connected_edges_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
@@ -258,7 +254,11 @@ def ann_hnsw_multilayer_search(
         .select("vec_id", "q", "n_seeds")
     )
     w = Window.partitionBy("query_id").orderBy("d2", "node_id")
-    frontier = (
+    # seed scoring stays a cluster job (the routing layer is corpus-
+    # derived); the bounded per-query seed set is then collected and
+    # the descent runs as a driver-frontier beam (r16, ann/walk.py):
+    # one scored-candidate job per hop, fixed-point early exit
+    seed_rows = (
         m1.select(
             F.col("vec_id").alias("node_id"),
             F.col("q").alias("mq"),
@@ -274,42 +274,31 @@ def ann_hnsw_multilayer_search(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("n_seeds"))
         .select("query_id", "node_id", "d2")
-        .localCheckpoint()
+        .collect()
     )
     cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
-    for _ in range(_ML_HOPS):
-        neigh = (
-            base.join(
-                F.broadcast(frontier.select("query_id", "node_id")),
-                base.src == F.col("node_id"),
-            )
-            .filter(F.col("dst") != F.col("query_id"))
-            .select("query_id", F.col("dst").alias("cand_id"))
-            .distinct()
-            .join(F.broadcast(qs), "query_id")
-            .join(cq, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("node_id"),
-                _d2("qv", "cq").cast("long").alias("d2"),
-            )
-        )
-        frontier = (
-            frontier.unionByName(neigh)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _ML_BEAM)
-            .select("query_id", "node_id", "d2")
-            .localCheckpoint()
-        )
-    found = (
-        frontier.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select(
-            "query_id",
-            F.col("node_id").alias("found_id"),
-            F.col("d2").alias("found_d2"),
-        )
+    from bpaotu_spark.ann.walk import (
+        beam_walk,
+        collect_qv,
+        collect_truth_nn,
+        top1,
+        walk_report,
+    )
+
+    qmap = collect_qv(qs)
+    init: dict[int, list[tuple[int, int]]] = {}
+    for r in seed_rows:
+        init.setdefault(int(r[0]), []).append((int(r[2]), int(r[1])))
+    front = beam_walk(
+        spark,
+        base,
+        cq,
+        qmap,
+        init,
+        beam=_ML_BEAM,
+        hops=_ML_HOPS,
+        src="src",
+        dst="dst",
     )
     # truth leg READ from the persisted ground-truth store: trank=1 of
     # truth_grid_top10 IS this op's exact-NN leg (same _RQ_Q
@@ -317,27 +306,9 @@ def ann_hnsw_multilayer_search(
     # oracle keeps computing truth from scratch
     from bpaotu_spark.ann.truthstore import grid_top10_cached
 
-    truth = (
+    truth = collect_truth_nn(
         grid_top10_cached(spark, sf_dir)
         .filter(F.col("trank") == 1)
-        .select(
-            "query_id",
-            F.col("cand_id").alias("true_id"),
-            F.col("cand_d2").alias("true_d2"),
-        )
+        .select("query_id", "cand_id", "cand_d2")
     )
-    return (
-        found.join(F.broadcast(truth), "query_id")
-        .select(
-            "query_id",
-            "found_id",
-            "found_d2",
-            "true_id",
-            "true_d2",
-            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
-            F.expr(
-                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
-            ).alias("dist_ratio_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return walk_report(spark, top1(front), truth)

@@ -495,89 +495,46 @@ def ann_epoch_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bpaotu_spark.ann.truthstore import grid_nn_surv_cached
 
     is_surv = (F.col("vec_id") % _VTOMB_MOD) != _VTOMB_RES
-    eq = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * _RQ_Q),
-            ).alias("q"),
-        )
-        .localCheckpoint()
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _RQ_Q),
+        ).alias("q"),
     )
     pedges = rebuilt_edges_cached(spark, sf_dir)
-
-    def d2(qcol: str, ccol: str):
-        # fold form — hop-loop stages are tiny and per-hop plans are
-        # distinct; the unrolled chain is compile overhead here
-        return grid_d2(F.col(qcol), F.col(ccol), dim=None)
 
     qs = eq.filter((F.col("vec_id") < N_QUERIES) & is_surv).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    entry = eq.filter(is_surv).agg(F.max("vec_id").alias("eid"))
-    ev = eq.select(F.col("vec_id").alias("eid"), F.col("q").alias("nq"))
-    frontier = (
-        qs.crossJoin(F.broadcast(entry))
-        .join(F.broadcast(ev), "eid")
-        .select(
-            "query_id",
-            F.col("eid").alias("node_id"),
-            d2("qv", "nq").cast("long").alias("d2"),
-        )
-        .localCheckpoint()
-    )
     cq = eq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
-    for _ in range(_BEAM_HOPS):
-        neigh = (
-            pedges.join(
-                F.broadcast(frontier.select("query_id", "node_id")),
-                pedges.vec_id == F.col("node_id"),
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", F.col("neighbor_id").alias("cand_id"))
-            .distinct()
-            .join(F.broadcast(qs), "query_id")
-            .join(cq, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("node_id"),
-                d2("qv", "cq").cast("long").alias("d2"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy("d2", "node_id")
-        frontier = (
-            frontier.unionByName(neigh)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _BEAM)
-            .select("query_id", "node_id", "d2")
-            .localCheckpoint()
-        )
-    w1 = Window.partitionBy("query_id").orderBy("d2", "node_id")
-    found = (
-        frontier.withColumn("rn", F.row_number().over(w1))
-        .filter("rn = 1")
-        .select(
-            "query_id",
-            F.col("node_id").alias("found_id"),
-            F.col("d2").alias("found_d2"),
+    # driver-frontier beam (r16, ann/walk.py): one scored-candidate
+    # job per hop over the promoted edge list, bounded merge in the
+    # driver, fixed-point early exit — identical integer ordering
+    from bpaotu_spark.ann.walk import (
+        beam_walk,
+        collect_qv,
+        collect_truth_nn,
+        entry_init,
+        top1,
+        walk_report,
+    )
+
+    qmap = collect_qv(qs)
+    eid, ed2 = entry_init(eq.filter(is_surv), qmap)
+    front = beam_walk(
+        spark,
+        pedges,
+        cq,
+        qmap,
+        {q: [(ed2[q], eid)] for q in qmap},
+        beam=_BEAM,
+        hops=_BEAM_HOPS,
+    )
+
+    truth = collect_truth_nn(
+        grid_nn_surv_cached(spark, sf_dir).select(
+            "query_id", "true_id", "true_d2"
         )
     )
-    truth = grid_nn_surv_cached(spark, sf_dir)
-    return (
-        found.join(F.broadcast(truth), "query_id")
-        .select(
-            "query_id",
-            "found_id",
-            "found_d2",
-            "true_id",
-            "true_d2",
-            (F.col("found_id") == F.col("true_id")).alias("exact_hit"),
-            F.expr(
-                "CAST(found_d2 * 1000 div greatest(true_d2, 1) AS BIGINT)"
-            ).alias("dist_ratio_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return walk_report(spark, top1(front), truth)

@@ -596,7 +596,14 @@ def ordination_pcoa_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) headroom; λ for both axes is the exact-integer
     Rayleigh quotient on the ORIGINAL operator."""
     b, gn = _gower_b(spark, sf_dir)
-    v1 = _int_power_iterate(b, _start_vector(b, seed=7))
+    # r16: barrier the eigenvector. v1 is an applyInPandas subtree
+    # (the 100-round integer solve) referenced by v1m/den1/num1/b2/a1;
+    # FlatMapGroupsInPandas sits ABOVE its exchange, so runtime
+    # exchange reuse cannot dedup the Python evaluation — the r15
+    # final plan carried 24 Python-eval nodes and re-ran the solve per
+    # reference. One eager checkpoint runs each solve exactly once
+    # (values unchanged: the recurrence is deterministic integer math).
+    v1 = _int_power_iterate(b, _start_vector(b, seed=7)).localCheckpoint()
     v1m = _milli(v1)
     den1 = v1.agg(
         F.sum(F.expr("v * v")).cast("decimal(38,0)").alias("den")
@@ -643,7 +650,9 @@ def ordination_pcoa_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    v2 = _int_power_iterate(b2s, _start_vector(b, seed=11))
+    v2 = _int_power_iterate(
+        b2s, _start_vector(b, seed=11)
+    ).localCheckpoint()  # same barrier argument as v1
     v2m = _milli(v2)
     den2 = v2.agg(
         F.sum(F.expr("v * v")).cast("decimal(38,0)").alias("den")

@@ -102,6 +102,12 @@ def ann_top1_margin_histogram(
     qs = emb.filter(F.col("vec_id") < _MQ).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
+    from bpaotu_spark.catalog import widen_scan
+
+    # the |corpus|×|queries| d2 folds run in the stream stage of the
+    # broadcast join — ONE task on a single-row-group scan (guide
+    # §2.5; r15 scaling ratio 1.08) — widen the corpus side first
+    emb = widen_scan(emb, "vec_id")
     d = emb.join(
         F.broadcast(qs), F.col("vec_id") != F.col("query_id")
     ).select(

@@ -100,6 +100,28 @@ def maybe_broadcast(df: DataFrame, bound: str = "") -> DataFrame:
     return df
 
 
+def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Guide §2.5 'unsplittable input' remedy, scale-adaptive (r16).
+
+    Every test-data parquet is a SINGLE row group (verified per SF),
+    so a scan yields one real task no matter how the split config
+    slices the byte range — Spark assigns a row group to the split
+    holding its midpoint — and any heavy per-row work before the first
+    exchange runs serially (the whole ratio≈1 cohort of BENCH_r15's
+    scaling block). Repartition by a high-cardinality key up to the
+    session's core count ONLY when the scan's parallelism is below it:
+    at production scale multi-row-group / multi-file tables already
+    split past the core count and this inserts NO exchange, so nothing
+    here is a local-mode constant — the trigger derives from the input
+    layout at hand. The shuffled bytes are the projected columns only
+    (callers select before widening)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")

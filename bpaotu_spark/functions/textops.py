@@ -961,7 +961,12 @@ GROUP BY tf.doc_id
 )
 def text_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    x = docs.select(
+    from bpaotu_spark.catalog import widen_scan
+
+    # tokenize+explode is the heavy pre-shuffle work and the
+    # single-row-group scan runs it in ONE task (guide §2.5; r15
+    # scaling ratio 1.06) — widen first, no-op on a parallel scan
+    x = widen_scan(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), 2)).alias("g")
     )
     # tf is materialized ONCE and every LM statistic derives from it:

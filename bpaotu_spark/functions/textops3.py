@@ -266,7 +266,11 @@ FROM top, n
 )
 def boilerplate_ngram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    from bpaotu_spark.catalog import widen_scan
+
+    # the 5-gram tokenize+explode is the heavy pre-shuffle work on a
+    # single-row-group scan (guide §2.5) — widen first
+    grams = widen_scan(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.explode(
             word_ngrams(tokenize(F.col("text")), _HOTLIST_N)

@@ -181,7 +181,10 @@ def corpus_char_trigram_entropy(
     # CASE guard, not greatest(...,0): Spark sequence(1, 0) yields a
     # DESCENDING [1, 0] (DuckDB generate_series(1, 0) yields nothing),
     # so an unguarded short doc would emit two phantom n-grams.
-    g = docs.select(
+    from bpaotu_spark.catalog import widen_scan
+
+    # trigram explode on a single-row-group scan (guide §2.5)
+    g = widen_scan(docs.select("doc_id", "lang", "text"), "doc_id").select(
         "lang",
         F.expr(
             "explode(CASE WHEN length(text) >= 3"
@@ -435,7 +438,11 @@ def doc_fourgram_compressibility(
     compressibility proxy: repetitive text → low ratio), censused by
     per-language ratio band."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
+    from bpaotu_spark.catalog import widen_scan
+
+    # the 4-gram explode is the heavy pre-shuffle work on a
+    # single-row-group scan (guide §2.5; r15 scaling ratio 1.08)
+    g = widen_scan(docs.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id",
         "lang",
         F.expr(

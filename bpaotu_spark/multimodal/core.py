@@ -168,6 +168,12 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    # NOT widened (r16, measured): an interleaved A/B of widen_scan
+    # here lost on the light pipelines (wav_rms 0.57->0.94,
+    # frame_sample 0.56->0.76, near_pairs 1.59->2.08 with the hashed
+    # checkpoint in place) — the per-branch exchange costs more than
+    # the synth parallelism buys; the heavy consumers are served by
+    # the hashed checkpoints instead
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -860,7 +866,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-bit hash with the same integer threshold, and must agree
     with the real BMP decode + numpy path bit-for-bit.
     """
-    hashed = phash_assets(multimodal_table(spark, sf_dir))
+    # one eager checkpoint: hashed fans into the family census AND the
+    # report join — without it each reference re-runs BOTH mapInPandas
+    # stages (payload synth + decode-hash), the query's whole cost
+    hashed = phash_assets(multimodal_table(spark, sf_dir)).localCheckpoint()
     fams = hashed.groupBy("phash").agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min("asset_id").alias("keeper_id"),
@@ -1070,7 +1079,10 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-backed (promoted r6): bands/caps/Hamming mirror the Spark
     plan exactly over the pixel-derived hash the shared CTE rebuilds.
     """
-    hashed = phash_assets(multimodal_table(spark, sf_dir))
+    # one eager checkpoint: hashed fans into the 4 band branches (plus
+    # sizes/gated downstream) — without it each branch re-runs BOTH
+    # mapInPandas stages (payload synth + decode-hash)
+    hashed = phash_assets(multimodal_table(spark, sf_dir)).localCheckpoint()
     bands = None
     for b in range(_PHASH_BANDS):
         part = hashed.select(

@@ -682,13 +682,23 @@ def order_value_poisson_bootstrap(
     whens = F.lit(8)
     for k, t in reversed(list(enumerate(_POIS_T))):
         whens = F.when(F.col("hv") < t, k).otherwise(whens)
+    # widen the single-row-group scan before the 32-way replicate
+    # fan-out: the md5+conv draw over |orders|·B rows is the query's
+    # whole cost and otherwise runs in ONE task (guide §2.5; r15
+    # scaling ratio 1.05 at 8→32 cores). The exchange carries only
+    # (o_orderkey, cents); at scale the scan is already parallel and
+    # widen_scan inserts nothing.
+    from bpaotu_spark.catalog import widen_scan
+
     h = (
-        load_table(spark, sf_dir, "orders")
-        .select(
+        widen_scan(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            ),
             "o_orderkey",
-            F.floor(F.col("o_totalprice") * 100)
-            .cast("bigint")
-            .alias("cents"),
         )
         .crossJoin(F.broadcast(reps))
         .select("b", "cents", hv.alias("hv"))

@@ -607,51 +607,62 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("sgn"),
     )
-    # Distributed exact rank-selection for the lower median (r7
-    # VERDICT #5 — was a single-partition 2.9M-row WindowExec sort):
-    # range-partition the pair frame on the (slope, d_i, d_j) total
-    # order (the TeraSort discipline), localCheckpoint ONCE so the
-    # partition layout seen by the offset table and by the local
-    # ranks is the same physical data (RangePartitioner samples per
-    # execution; without the checkpoint the two subtrees could draw
-    # different bounds), then global rank = partition offset + local
-    # row_number — a 32-way parallel sort, exact at any scale.
-    # sgn rides along so the Mann-Kendall aggregate below reads the
-    # checkpoint too — the |days|² pair former runs exactly ONCE.
-    rng = (
-        pr.select("slope", "d_i", "d_j", "sgn")
-        .repartitionByRange(32, "slope", "d_i", "d_j")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    cnts = rng.groupBy("pid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    # window-free cumulative offsets over the fixed 32-row partition
-    # census (triangular self-join ≤ 32² — avoids an unpartitioned
-    # WindowExec even on a trivial frame)
-    cx, cy = cnts.alias("cx"), cnts.alias("cy")
-    ofs = (
-        cx.join(cy, F.col("cy.pid") < F.col("cx.pid"), "left")
-        .groupBy(F.col("cx.pid").alias("pid"))
-        .agg(
-            F.coalesce(F.sum("cy.cnt"), F.lit(0))
-            .cast("bigint")
-            .alias("offset")
+    # Exact lower-median by 3-pass rank selection (r16 — replaces the
+    # r7 range-partitioned global sort, whose RangePartitioner sample
+    # job + 90 MB range exchange of the |days|² pair frame was 1.8 s
+    # of the query's 3.2 s at sf0.1). The output needs only the
+    # median slope VALUE: rank k in (slope, d_i, d_j) order has the
+    # same slope as rank k in slope-only order (stable within equal
+    # slopes), so selection over slopes alone is value-identical.
+    #   pass 0: checkpoint the pair frame once (hash layout, no
+    #           sampling job, no range exchange);
+    #   pass 1: a sketch bracket [lo, hi] around the median
+    #           (percentile_approx rank error ≤ p/accuracy);
+    #   pass 2: exact count below lo + exact band verification;
+    #   band:   the ≤ ~p·0.002 bracketed slopes come to the driver
+    #           and the exact k-th smallest is picked by ORDER alone
+    #           (no float arithmetic); rounding stays in Spark.
+    # The guard falls back to a full driver-side selection over all
+    # slopes if the sketch bracket ever misses (cannot silently
+    # diverge — counts are exact).
+    prc = pr.select("slope", "sgn").localCheckpoint()
+    tot_row = prc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("p"),
+        F.sum("sgn").cast("bigint").alias("mk_s"),
+    ).collect()[0]
+    p, mk_s_val = int(tot_row[0]), int(tot_row[1])
+    k = (p + 1) // 2
+    lo, hi = prc.agg(
+        F.percentile_approx(
+            "slope", F.array(F.lit(0.498), F.lit(0.502)), F.lit(20000)
         )
-    )
-    tot = cnts.agg(F.sum("cnt").cast("bigint").alias("p"))
-    wloc = Window.partitionBy("pid").orderBy("slope", "d_i", "d_j")
-    sen = (
-        rng.join(F.broadcast(ofs), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "slope",
-            (F.row_number().over(wloc) + F.col("offset")).alias("rn"),
-            "p",
-        )
-        .filter(F.col("rn") == F.expr("(p + 1) div 2"))
-        .select(F.round("slope", 4).cast("double").alias("sen_slope"))
+    ).collect()[0][0]
+    n_lt_lo, n_le_hi = prc.agg(
+        F.sum(
+            F.when(F.col("slope") < F.lit(lo), 1).otherwise(0)
+        ).cast("bigint"),
+        F.sum(
+            F.when(F.col("slope") <= F.lit(hi), 1).otherwise(0)
+        ).cast("bigint"),
+    ).collect()[0]
+    n_lt_lo, n_le_hi = int(n_lt_lo), int(n_le_hi)
+    if n_lt_lo < k <= n_le_hi:
+        band = [
+            r[0]
+            for r in prc.filter(
+                (F.col("slope") >= lo) & (F.col("slope") <= hi)
+            )
+            .select("slope")
+            .collect()
+        ]
+        band.sort()
+        sen_val = band[k - n_lt_lo - 1]
+    else:  # sketch bracket missed (not observed; exact-count guarded)
+        allv = [r[0] for r in prc.select("slope").collect()]
+        allv.sort()
+        sen_val = allv[k - 1]
+    sen = spark.range(1).select(
+        F.round(F.lit(sen_val), 4).cast("double").alias("sen_slope")
     )
     ties = (
         daily.groupBy("c")
@@ -668,9 +679,9 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tie_term")
         )
     )
-    st = rng.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum("sgn").cast("bigint").alias("mk_s"),
+    st = spark.range(1).select(
+        F.lit(p).cast("bigint").alias("n_pairs"),
+        F.lit(mk_s_val).cast("bigint").alias("mk_s"),
     )
     nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     return (

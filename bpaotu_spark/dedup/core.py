@@ -60,7 +60,18 @@ def doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen) and benched ~10x slower than this exploded
     form, which stays fully codegen'd (one shuffle on doc_id).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from bpaotu_spark.catalog import widen_scan
+
+    # widen BEFORE the explode (r16, guide §2.3/§2.5): the tokenize+
+    # posexplode otherwise runs in the single-row-group scan's one
+    # task, and the doc_id repartition pre-satisfies the window's
+    # distribution, so the exchange moves from the exploded token
+    # stream to the ~3x-smaller raw text rows; no-op on a scan that is
+    # already parallel
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = docs.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
     )
@@ -223,6 +234,12 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     the reusable signature step shared by the batch LSH operator and
     the incremental streaming dedup job. Documents shorter than 3
     tokens produce no shingles and drop out (no bands)."""
+    from bpaotu_spark.catalog import widen_scan
+
+    # widen BEFORE the explode (r16): parallelizes the tokenize and
+    # pre-satisfies the shingle window's doc_id distribution (see
+    # doc_ngrams); no-op on an already-parallel input
+    docs = widen_scan(docs, "doc_id")
     toks = docs.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
     )
@@ -357,6 +374,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     signature pipeline shared by the batch pair former and the
     incremental index (a doc's simhash never depends on other docs,
     which is what makes the incremental restriction exact)."""
+    from bpaotu_spark.catalog import widen_scan
+
+    # widen BEFORE the explode (r16): parallel tokenize; the doc_id
+    # hash layout satisfies the distinct's (doc_id, tok) clustered-
+    # distribution requirement (subset rule), so the exchange moves
+    # from the token stream to the raw text rows
+    docs = widen_scan(docs, "doc_id")
     feat = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
         .distinct()
